@@ -1,13 +1,464 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Analyzers
+import graft.operators._
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2 (+ the §7 M5 extensions), each with an equivalent
+  * ANSI-SQL DuckDB oracle where SQL can express it. Column names are
+  * aliased identically on both sides; every query orders its output
+  * deterministically; computed doubles are rounded on both sides;
+  * DuckDB integer aggregates are cast to BIGINT to match Spark's
+  * LongType.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the denormalizing ETL (reference `src/main.py:43-101`)
+    * on sf0.001 — one nested document per order. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Denorm.docs(spark, "/root/testdata/sf0.001")
+
+  // DuckDB expression fragments shared by several oracles (mirror
+  // Analyzers.tokenize / Dedup.normalize / Dedup.shingleSet exactly).
+  private val sqlNorm =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private def sqlToks(src: String) =
+    s"list_filter(list_transform(regexp_split_to_array($src, '[^a-z0-9''’]+'), x -> trim(x, '''’')), x -> len(x) > 0)"
+  private val sqlShingles =
+    s"""(CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')))
+        ELSE [array_to_string(toks, ' ')] END)"""
+  private val sqlStop = Analyzers.englishStopwords
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / sinks / maintenance (SURVEY §2.1) ----
+    "s10_match_all" -> ((s, d) =>
+      Tables.orders(s, d).orderBy(col("o_orderkey"))),
+    "s9_count" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
+    "s11_point_lookup" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") === 42L)),
+    "s3_keyset_chunk" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") > 500L)
+        .orderBy(col("o_orderkey")).limit(100)),
+    "s8_merge_update" -> ((s, d) => {
+      // scripted partial update (docs/protokol.md:596-611) as a merge:
+      // counter += delta from an updates table (deltas derived here)
+      val deltas = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      Tables.orders(s, d)
+        .join(deltas, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") + coalesce(col("qty"), lit(0.0)), 2)
+            .as("new_total"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- projections / filters (SURVEY §2.2) ----
+    "p1_project" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"),
+        (col("o_totalprice") * 0.9).as("discounted"))
+        .orderBy(col("id"))),
+    "p5_range_filter" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_acctbal") > 100.0 && col("c_acctbal") < 5000.0)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))),
+    "p6_exists_filter" -> ((s, d) =>
+      // field-existence over array-of-structs on the denormalized docs
+      // (elastic_queries.json:30-40) — higher-order `exists`
+      Denorm.docs(s, d)
+        .filter(exists(col("items"), i => i.getField("returnflag") === "R"))
+        .select(col("id")).orderBy(col("id"))),
+    "p8_nested_match" -> ((s, d) =>
+      // nested match on an analyzed text field of an array element
+      Denorm.docs(s, d)
+        .filter(exists(col("annotations"),
+          a => a.getField("entity").getField("name").contains("widget")))
+        .select(col("id")).orderBy(col("id"))),
+
+    // ---- joins (SURVEY §2.3) ----
+    "j1_join_dim" -> ((s, d) => {
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "j6_bridge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d); val su = Tables.supplier(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+          col("s_name"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "j10_self_join" -> ((s, d) => {
+      val o1 = Tables.orders(s, d).as("o1")
+      val o2 = Tables.orders(s, d).as("o2")
+      o1.join(o2, col("o1.o_custkey") === col("o2.o_custkey") &&
+          col("o1.o_orderkey") < col("o2.o_orderkey"))
+        .groupBy(col("o1.o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("custkey"))
+    }),
+    "j11_parent_scalar" -> ((s, d) => {
+      // decorrelated correlated scalar subquery (src/main.py:82-86)
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("c_name").as("parent_author"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "j12_parent_agg" -> ((s, d) => {
+      // decorrelated correlated json_agg (src/main.py:87-92)
+      val li = Tables.lineitem(s, d); val p = Tables.part(s, d)
+      val brands = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("p_brand"))).as("brands"))
+      val o = Tables.orders(s, d)
+      val bType = brands.schema("brands").dataType
+      o.join(brands, o("o_orderkey") === brands("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("brands"), array().cast(bType)).as("brands"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- aggregation (SURVEY §2.4) ----
+    "a1_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "a2_collect_children" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("linenumber"),
+          col("l_partkey").as("partkey"),
+          col("l_quantity").as("quantity")))).as("items"))
+        .orderBy(col("l_orderkey"))),
+
+    // ---- sort / limit / top-k (SURVEY §2.5) ----
+    "w2_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+    "w4_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // ---- scoring / search (SURVEY §2.7) ----
+    "f1_scored_search" -> ((s, d) =>
+      Search.scoredSearch(Denorm.docs(s, d), "NATION_1", 50)),
+    "f2_tfidf" -> ((s, d) => Search.tfidf(s, d, "spark")),
+
+    // ---- denorm flagship (SURVEY §7 M1) ----
+    "denorm_docs" -> ((s, d) => Denorm.docs(s, d).orderBy(col("id"))),
+    "denorm_roundtrip" -> ((s, d) => Denorm.roundtrip(s, d)),
+
+    // ---- analyzers (SURVEY §2.8) ----
+    "t2_tokenize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Analyzers.tokenize(lower(col("text"))).as("tokens"))
+        .orderBy(col("doc_id"))),
+    "t6_stopwords" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Analyzers.removeStopwords(Analyzers.tokenize(lower(col("text"))))
+            .as("tokens"))
+        .orderBy(col("doc_id"))),
+    "t11_englando" -> ((s, d) => // Porter not SQL-expressible: rows-only
+      Tables.documents(s, d)
+        .select(col("doc_id"), Analyzers.englando(col("text")).as("tokens"))
+        .orderBy(col("doc_id"))),
+    "t9_ngram" -> ((s, d) => // rows-only; golden vectors in AnalyzerSpec
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Analyzers.customNgram(substring(col("text"), 1, 40)).as("grams"))
+        .orderBy(col("doc_id"))),
+    "t10_shingles" -> ((s, d) => // rows-only; golden vectors in AnalyzerSpec
+      Tables.documents(s, d)
+        .select(col("doc_id"), Analyzers.customShingles(col("text")).as("grams"))
+        .orderBy(col("doc_id"))),
+
+    // ---- dedup (brief §extensions; SURVEY §7 M5) ----
+    "d1_exact_dedup" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d)).orderBy(col("fingerprint"))),
+    "d2_minhash_pairs" -> ((s, d) => // LSH is probabilistic: rows-only
+      Dedup.minhashPairs(Tables.documents(s, d), threshold = 0.5)),
+    "d3_simhash_pairs" -> ((s, d) => // own hash family: rows-only
+      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 10)),
+    "d4_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.5)),
+    "d5_cosine_pairs" -> ((s, d) => {
+      // exact all-pairs semantics (the oracle-checkable path); the
+      // LSH-bucketed variant is n2_knn_lsh / Similarity.cosineDupPairs
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search (brief §extensions) ----
+    "n1_knn_brute" -> ((s, d) =>
+      Similarity.knnBrute(Tables.embeddings(s, d), queryId = 1L, k = 10)),
+    "n2_knn_lsh" -> ((s, d) => // ANN (recall tested in SimilaritySpec)
+      Similarity.knnLsh(Tables.embeddings(s, d), queryId = 1L, k = 10)),
+
+    // ---- text analysis (brief §extensions) ----
+    "x1_langid" -> ((s, d) => // heuristic: rows-only
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+    "x2_quality" -> ((s, d) =>
+      TextStats.quality(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "x3_token_count" -> ((s, d) =>
+      TextStats.tokenCounts(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "x4_fingerprint" -> ((s, d) =>
+      TextStats.fingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // ---- event-time analytics (SURVEY §2.9 extension) ----
+    "e1_tumbling" -> ((s, d) => EventOps.tumbling(Tables.events(s, d))),
+    "e2_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
+    "e3_sliding" -> ((s, d) => EventOps.sliding(Tables.events(s, d))),
+
+    // ---- multimodal plumbing (brief §extensions) ----
+    "m1_media_meta" -> ((s, d) =>
+      Multimodal.mediaMeta(Multimodal.asMedia(Tables.documents(s, d)))),
+    "m2_media_features" -> ((s, d) => // stub decoder: rows-only
+      Multimodal.extractFeatures(s,
+        Multimodal.asMedia(Tables.documents(s, d)))
+        .toDF().orderBy(col("media_id")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s10_match_all" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "s9_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "s11_point_lookup" -> "SELECT * FROM orders WHERE o_orderkey = 42",
+    "s3_keyset_chunk" ->
+      "SELECT * FROM orders WHERE o_orderkey > 500 ORDER BY o_orderkey LIMIT 100",
+    "s8_merge_update" ->
+      """SELECT o.o_orderkey, round(o.o_totalprice + coalesce(d.qty, 0.0), 2) AS new_total
+         FROM orders o LEFT JOIN (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY 1) d
+         ON d.l_orderkey = o.o_orderkey ORDER BY o.o_orderkey""",
+    "p1_project" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice * 0.9 AS discounted
+         FROM orders ORDER BY id""",
+    "p5_range_filter" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         WHERE c_acctbal > 100.0 AND c_acctbal < 5000.0 ORDER BY c_custkey""",
+    "p6_exists_filter" ->
+      """SELECT o_orderkey AS id FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+         ORDER BY id""",
+    "p8_nested_match" ->
+      """SELECT o_orderkey AS id FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                       WHERE l.l_orderkey = o.o_orderkey AND p.p_name LIKE '%widget%')
+         ORDER BY id""",
+    "j1_join_dim" ->
+      """SELECT o_orderkey, c_name, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "j6_bridge" ->
+      """SELECT l_orderkey, l_linenumber, p_name, s_name
+         FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY l_orderkey, l_linenumber""",
+    "j10_self_join" ->
+      """SELECT o1.o_custkey AS custkey, count(*) AS n_pairs
+         FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+    "j11_parent_scalar" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+                (SELECT c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                 WHERE o.o_orderkey = l.l_orderkey) AS parent_author
+         FROM lineitem l ORDER BY l.l_orderkey, l.l_linenumber""",
+    "j12_parent_agg" ->
+      """SELECT o.o_orderkey, coalesce(b.brands, []) AS brands
+         FROM orders o LEFT JOIN (SELECT l_orderkey, list(p_brand ORDER BY p_brand) AS brands
+                                  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1) b
+         ON b.l_orderkey = o.o_orderkey ORDER BY o.o_orderkey""",
+    "a1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price,
+                round(avg(l_discount), 6) AS avg_disc, count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a2_collect_children" ->
+      """SELECT l_orderkey, list(struct_pack(linenumber := l_linenumber, partkey := l_partkey,
+                                             quantity := l_quantity)
+                                 ORDER BY l_linenumber, l_partkey, l_quantity) AS items
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "w2_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "w4_window_rank" ->
+      """SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rn
+                        FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "f1_scored_search" ->
+      """SELECT id, author_id, score FROM (
+           SELECT o.o_orderkey AS id, c.c_custkey AS author_id,
+                  CASE WHEN EXISTS (SELECT 1 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                                    JOIN nation n ON s.s_nationkey = n.n_nationkey
+                                    WHERE l.l_orderkey = o.o_orderkey AND n.n_name LIKE '%NATION_1%')
+                       THEN 5.0 ELSE 0.0 END AS score
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_acctbal > 100.0 AND c.c_custkey > 10
+             AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'))
+         ORDER BY score DESC, id LIMIT 50""",
+    "f2_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          s AS (SELECT doc_id, len(list_filter(toks, x -> x = 'spark'))::INT AS tf, len(toks)::INT AS len FROM t),
+          c AS (SELECT count(*)::DOUBLE AS n FROM documents),
+          f AS (SELECT count(*)::DOUBLE AS df FROM s WHERE tf > 0)
+          SELECT doc_id, round(tf::DOUBLE / len * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+          FROM s, c, f WHERE tf > 0 ORDER BY tfidf DESC, doc_id""",
+    "denorm_docs" ->
+      """SELECT o.o_orderkey AS id, o.o_orderstatus AS status, o.o_orderpriority AS priority,
+                o.o_totalprice AS total_price, o.o_orderdate AS created_at,
+                struct_pack(id := c.c_custkey, name := c.c_name, segment := c.c_mktsegment,
+                            acctbal := c.c_acctbal) AS author,
+                coalesce(li.items, []) AS items,
+                coalesce(an.annotations, []) AS annotations
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN (SELECT l_orderkey,
+                           list(struct_pack(linenumber := l_linenumber, partkey := l_partkey,
+                                            suppkey := l_suppkey, quantity := l_quantity,
+                                            extendedprice := l_extendedprice, returnflag := l_returnflag)
+                                ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                                         l_extendedprice, l_returnflag) AS items
+                    FROM lineitem GROUP BY 1) li ON li.l_orderkey = o.o_orderkey
+         LEFT JOIN (SELECT l_orderkey,
+                           list(struct_pack(entity := struct_pack(id := p_partkey, name := p_name,
+                                                                  description := p_type),
+                                            domain := struct_pack(id := n_nationkey::BIGINT, name := n_name))
+                                ORDER BY p_partkey, p_name, p_type, n_nationkey) AS annotations
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                                  JOIN supplier ON l_suppkey = s_suppkey
+                                  JOIN nation ON s_nationkey = n_nationkey
+                    GROUP BY 1) an ON an.l_orderkey = o.o_orderkey
+         ORDER BY id""",
+    "denorm_roundtrip" ->
+      """SELECT o_orderkey AS id, o_custkey AS author_id, l_linenumber AS linenumber,
+                l_partkey AS partkey, l_quantity AS quantity, l_returnflag AS returnflag
+         FROM orders JOIN customer ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
+         ORDER BY id, linenumber""",
+    "t2_tokenize" ->
+      s"""SELECT doc_id, ${sqlToks("lower(text)")} AS tokens FROM documents ORDER BY doc_id""",
+    "t6_stopwords" ->
+      s"""SELECT doc_id, list_filter(${sqlToks("lower(text)")}, t -> NOT list_contains($sqlStop, t)) AS tokens
+          FROM documents ORDER BY doc_id""",
+    "d1_exact_dedup" ->
+      s"""SELECT md5($sqlNorm) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+          FROM documents GROUP BY 1 ORDER BY 1""",
+    "d4_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+          p AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
+                       any_value(b.setsize) AS sb, count(*)::INT AS inter
+                FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT id_a, id_b, round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
+          FROM j WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5
+          ORDER BY id_a, id_b""",
+    "d5_cosine_pairs" ->
+      """SELECT id_a, id_b, cos_sim FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
+    "n1_knn_brute" ->
+      """SELECT vec_id, label,
+                round(list_dot_product(embedding::DOUBLE[], q.qv) /
+                      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                       sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+         FROM embeddings, (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1) q
+         WHERE vec_id <> 1 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "x2_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, ${sqlToks("lower(text)")} AS toks FROM documents),
+          m AS (SELECT doc_id, len(text)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,
+                       CASE WHEN len(toks) > 0
+                            THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)::INT
+                            ELSE 0.0 END AS mean_token_len,
+                       CASE WHEN len(text) > 0
+                            THEN (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / len(text)::INT
+                            ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, t -> list_contains($sqlStop, t)))::DOUBLE / len(toks)::INT
+                            ELSE 0.0 END AS stop_ratio
+                FROM t)
+          SELECT doc_id, n_chars, n_tokens, round(mean_token_len, 6) AS mean_token_len,
+                 round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stopword_ratio,
+                 round(least(n_tokens::DOUBLE / 20.0, 1.0) * 0.4 +
+                       (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+                       least(stop_ratio * 4.0, 1.0) * 0.3, 6) AS quality
+          FROM m ORDER BY doc_id""",
+    "x3_token_count" ->
+      """SELECT doc_id,
+                CASE WHEN len(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS ws_tokens,
+                len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))::BIGINT AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "x4_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, md5($sqlNorm) AS md5_full, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          s AS (SELECT doc_id, md5_full, $sqlShingles AS sh FROM t)
+          SELECT doc_id, md5_full,
+                 list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS min_shingle_md5
+          FROM s ORDER BY doc_id""",
+    "e1_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+                round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e2_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, value,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+                FROM g)
+          SELECT user_id, session_idx, count(*) AS n_events,
+                 round(sum(value), 2) AS session_value,
+                 date_diff('second', min(ts), max(ts))::BIGINT AS duration_s
+          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e3_sliding" ->
+      """SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
+                count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                              time_bucket(INTERVAL '30 minutes', ts)]) AS win_start,
+                      event_type, value
+               FROM events)
+         GROUP BY win_start, event_type ORDER BY win_start, event_type""",
+    "m1_media_meta" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes,
+                'txt' AS format, md5(text) AS content_md5
+         FROM documents ORDER BY media_id"""
+  )
 }

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom scalar Catalyst expressions for analyzer stages that have no
+  * built-in equivalent (SURVEY.md §2.8 T5 asciifold, T8 Porter stem).
+  * Both generate code (a static call) so they stay inside whole-stage
+  * codegen when used outside higher-order-function lambdas.
+  */
+object expressions {
+
+  /** Java-side helpers invoked from generated code. */
+  object Impl {
+    def porterStem(s: UTF8String): UTF8String =
+      if (s == null) null
+      else UTF8String.fromString(PorterStemmer.stem(s.toString))
+
+    private val marks = java.util.regex.Pattern.compile("\\p{M}+")
+    /** Strip diacritics: NFD-decompose then drop combining marks — the
+      * semantics of the reference's `asciifolding` filter
+      * (kuko6/tweets-elastic `src/config/settings.json:26,36`). */
+    def asciiFold(s: UTF8String): UTF8String =
+      if (s == null) null
+      else {
+        val str = s.toString
+        var needs = false
+        var i = 0
+        while (i < str.length && !needs) {
+          if (str.charAt(i) >= 0x80) needs = true
+          i += 1
+        }
+        if (!needs) s
+        else {
+          val norm = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+          UTF8String.fromString(marks.matcher(norm).replaceAll(""))
+        }
+      }
+  }
+
+  abstract class StaticStringCall(fnName: String) extends UnaryExpression
+      with Serializable {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = call(v.asInstanceOf[UTF8String])
+    protected def call(s: UTF8String): UTF8String
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.expressions.Impl.$fnName($c)")
+  }
+
+  case class PorterStem(child: Expression) extends StaticStringCall("porterStem") {
+    override protected def call(s: UTF8String): UTF8String = Impl.porterStem(s)
+    override protected def withNewChildInternal(c: Expression): PorterStem = copy(c)
+    override def prettyName: String = "porter_stem"
+  }
+
+  case class AsciiFold(child: Expression) extends StaticStringCall("asciiFold") {
+    override protected def call(s: UTF8String): UTF8String = Impl.asciiFold(s)
+    override protected def withNewChildInternal(c: Expression): AsciiFold = copy(c)
+    override def prettyName: String = "ascii_fold"
+  }
+
+  def porter_stem(c: Column): Column =
+    GraftShim.toColumn(PorterStem(GraftShim.toExpression(c)))
+  def ascii_fold(c: Column): Column =
+    GraftShim.toColumn(AsciiFold(GraftShim.toExpression(c)))
+
+  // Column-typed shift amounts: the public functions.shiftleft/right only
+  // accept a literal Int, but SimHash needs per-element shifts inside
+  // higher-order-function lambdas.
+  import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight, ShiftRightUnsigned}
+  def shift_left(c: Column, bits: Column): Column =
+    GraftShim.toColumn(ShiftLeft(GraftShim.toExpression(c), GraftShim.toExpression(bits)))
+  def shift_right(c: Column, bits: Column): Column =
+    GraftShim.toColumn(ShiftRight(GraftShim.toExpression(c), GraftShim.toExpression(bits)))
+  def shift_right_unsigned(c: Column, bits: Column): Column =
+    GraftShim.toColumn(ShiftRightUnsigned(GraftShim.toExpression(c), GraftShim.toExpression(bits)))
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Analyzers
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * the extension surface of SURVEY.md §7 M5, designed so every variant
+  * is a bounded-shuffle plan at 100 TB:
+  *
+  *  - exact: hash-groupBy on a normalized fingerprint (one shuffle on
+  *    the fingerprint, combiner-friendly);
+  *  - MinHash + LSH: signature computed per-row with higher-order
+  *    functions (no explode of the shingle set), then banding so the
+  *    candidate-pair join only touches colliding buckets — the
+  *    all-pairs O(n²) never materializes;
+  *  - SimHash: 64-bit signature per row + banded buckets + Hamming
+  *    verification (`bit_count(xor)`);
+  *  - exact n-gram Jaccard: inverted-index style (explode shingles,
+  *    self-join on shingle, count per pair) — the exact-verify path
+  *    used on LSH candidates; exposed standalone for the oracle.
+  */
+object Dedup {
+
+  /** Canonical text normalization used by every dedup variant:
+    * lowercase, collapse whitespace, trim. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Word n-gram shingles of the normalized text, as distinct strings —
+    * the unit of Jaccard similarity. */
+  def shingleSet(c: Column, n: Int = 3): Column = {
+    val toks = Analyzers.tokenize(normalize(c))
+    val k = size(toks)
+    array_distinct(
+      when(k >= n,
+        transform(sequence(lit(1), greatest(k - (n - 1), lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** D1 exact dedup: group identical normalized texts, keep the lowest
+    * doc_id as the canonical representative. */
+  def exact(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(normalize(col(textCol))).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures via explode + hash-aggregate: one row per
+    * (doc, shingle) posting, then `numHashes` codegen'd `min(xxhash64
+    * (sh, i))` aggregates with map-side partial aggregation. This is
+    * deliberately NOT a nested higher-order-function expression:
+    * Catalyst's project-collapsing would inline the shingle computation
+    * into every lambda element and the whole tree is CodegenFallback —
+    * the agg formulation keeps everything inside whole-stage codegen
+    * and shuffles each doc id exactly once. */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int): DataFrame = {
+    val posts = docs.select(col(idCol).as("id"),
+        explode(shingleSet(col(textCol))).as("sh"))
+    val mins = (0 until numHashes)
+      .map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    posts.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** D2 MinHash+LSH near-dup pairs: band the signature, bucket-join on
+    * (band index, band hash), verify candidates with exact Jaccard on
+    * the shingle sets. Returns pairs (id_a < id_b) with their Jaccard.
+    *
+    * bands×rows = numHashes; collision prob for similarity s is
+    * 1-(1-s^rows)^bands (the standard S-curve). Defaults target
+    * s ≳ 0.5. The banded self-join shuffles both sides identically, so
+    * Spark's ReuseExchange evaluates the signature plan once.
+    */
+  def minhashPairs(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", numHashes: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, textCol, idCol, numHashes)
+    val buckets = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            v => v.cast("string"))), b))).as(Seq("band", "bucket")))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sets = docs.select(col(idCol).as("id"),
+      shingleSet(col(textCol)).as("shingles"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 64-bit SimHash per doc via explode + hash-aggregate (same codegen
+    * rationale as [[minhashSignatures]]): per-bit majority vote of the
+    * tokens' xxhash64 bits — 64 `sum` aggregates with map-side combine,
+    * then one packing projection. */
+  def simhashSignatures(docs: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(Analyzers.tokenize(normalize(col(textCol)))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$j"))
+    val packed = (0 until 64)
+      .map(j => when(col(s"b$j") > 0L, lit(1L << j)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("sim"))
+  }
+
+  /** D3 SimHash near-dup pairs: 4×16-bit bands (any pair within Hamming
+    * distance 3 shares at least one exact band), verify with
+    * bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs, textCol, idCol)
+    val banded = sigs.select(col("id"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => graft.functions.expressions
+          .shift_right_unsigned(col("sim"), b * 16)
+          .bitwiseAND(0xFFFFL))).as(Seq("band", "bucket")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** D4 exact n-gram Jaccard pairs via inverted index: explode distinct
+    * shingles, self-join on shingle (this is the posting-list join —
+    * bounded by shingle frequency, and skew-resistant by dropping
+    * ultra-common shingles), count shared per pair, Jaccard from set
+    * sizes. SQL-expressible ⇒ serves as its own DuckDB oracle. */
+  def jaccardPairs(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", n: Int = 3,
+                   threshold: Double = 0.5,
+                   maxShingleFreq: Int = 1000): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      shingleSet(col(textCol), n).as("shingles"))
+      .withColumn("setsize", size(col("shingles")))
+    val posts = sets
+      .select(col("id"), col("setsize"), explode(col("shingles")).as("sh"))
+    // drop stop-shingles: they blow up the pair join and cannot push a
+    // pair over the threshold on their own at scale (semi join; AQE may
+    // still broadcast it when the surviving vocabulary is small)
+    val freq = posts.groupBy("sh").agg(count(lit(1)).as("f"))
+      .filter(col("f") <= maxShingleFreq)
+    val filtered = posts.join(freq.select("sh"), Seq("sh"), "left_semi")
+    val a = filtered.as("a")
+    val b = filtered.as("b")
+    a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.setsize").as("size_a"), col("b.setsize").as("size_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (brief §extensions): image/audio/video
+  * treated as opaque `binary` columns with typed metadata, batched
+  * decode/feature-extract over partitions. The actual media decode is
+  * STUBBED (no image/audio libs in this container) behind
+  * [[StubDecoder]] — a deterministic fake — but the Spark-side shape is
+  * real: binary column + metadata struct schema, partition-wise batch
+  * processing via a typed `mapPartitions` (the Scala analog of
+  * `mapInPandas`: one decoder init per partition, streamed rows), and a
+  * columnar feature output suitable for the Similarity operators.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, content: Array[Byte],
+                      format: String, n_bytes: Long)
+  case class MediaFeatures(media_id: Long, n_bytes: Long, format: String,
+                           width: Int, height: Int,
+                           features: Array[Float])
+
+  /** ==== STUB ==== deterministic fake decoder standing in for a real
+    * image/audio codec (libs absent in this container). Derives
+    * "decoded" dimensions and a feature vector from the bytes alone, so
+    * tests are reproducible; swap `decode` for a real codec call
+    * (e.g. javax.imageio / ffmpeg bindings) in production. Expensive
+    * per-row init is modeled by `open()` being called once per
+    * partition, the pattern that matters at scale. */
+  class StubDecoder {
+    def open(): Unit = () // real codec: load model / native lib here
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+      val h = java.util.Arrays.hashCode(bytes)
+      val width = math.abs(h % 640) + 1
+      val height = math.abs((h / 640) % 480) + 1
+      val features = Array.tabulate(8)(i =>
+        (math.abs((h * 31 + i * 2654435761L.toInt)) % 1000) / 1000.0f)
+      (width, height, features)
+    }
+  }
+
+  /** Wrap a text table as a binary media table — the ingest shape for
+    * opaque content (utf-8 bytes stand in for image bytes here). */
+  def asMedia(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("media_id"),
+      encode(col(textCol), "utf-8").as("content"),
+      lit("txt").as("format"))
+      .withColumn("n_bytes", octet_length(col("content")).cast("long"))
+
+  /** Batched decode/feature-extract: one decoder per partition, rows
+    * streamed through it (never materializing the partition), output a
+    * typed columnar frame. Partitioning: inherit the scan's splits —
+    * media decode is CPU-bound and embarrassingly parallel, so the only
+    * scale knob is input split size, not shuffle. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "content", "format", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val dec = new StubDecoder
+        dec.open()
+        rows.map { r =>
+          val (w, h, f) = dec.decode(r.content)
+          MediaFeatures(r.media_id, r.n_bytes, r.format, w, h, f)
+        }
+      }
+  }
+
+  /** Oracle-friendly metadata projection (no stubbed math): byte size
+    * and content digest of the binary column. */
+  def mediaMeta(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("n_bytes"), col("format"),
+      md5(col("content")).as("content_md5"))
+      .orderBy(col("media_id"))
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Analyzers
+
+/** The search/analytics surface — the Spark re-expression of the
+  * reference's one relevance query (kuko6/tweets-elastic
+  * `src/used_queries/elastic_queries.json:1-46`) and its building
+  * blocks: numeric range filters (P5), nested field-existence filters
+  * (P6), nested full-text match (P8), `function_score` weighted should
+  * clauses (F1) and score-ordered top-k (W3). All of it runs over the
+  * denormalized documents exactly like ES runs it over the index; score
+  * is a first-class Column, top-k plans as `TakeOrderedAndProject`
+  * (shard-local then global top-k — the same two-phase shape as the ES
+  * query/fetch phases, SURVEY.md §3.2, at any cluster size).
+  */
+object Search {
+
+  /** P6: true iff any array element has a non-null field — ES
+    * `exists: links.url` over a nested path
+    * (`elastic_queries.json:30-40`). */
+  def existsIn(arr: Column, pred: Column => Column): Column =
+    exists(arr, pred)
+
+  /** P8/F2-lite: ES `match` on an analyzed nested text field — true iff
+    * any element's analyzed tokens contain the (analyzed) query term. */
+  def nestedMatch(arr: Column, field: Column => Column, term: String): Column =
+    exists(arr, e => array_contains(
+      Analyzers.englando(field(e)), graft.functions.PorterStemmer.stem(term.toLowerCase)))
+
+  /** F1: `function_score` with a weighted `should` clause
+    * (`elastic_queries.json:3-22`): each should-term contributes
+    * weight × clause-score when it matches (constant clause score 1.0 —
+    * BM25 divergence documented in SURVEY.md §7), filters contribute 0
+    * and are applied as plain WHERE. */
+  def weightedScore(clauses: Seq[(Column, Double)]): Column =
+    clauses.map { case (m, w) => when(m, lit(w)).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+
+  /** The reference's search query transposed to the testdata documents:
+    *  - should (weight 5): any annotation whose domain.name matches
+    *    (constant-score nested match on `n_name`);
+    *  - filter: author.acctbal > 100 AND author.id > 100 (the two
+    *    numeric ranges) AND exists(items.returnflag = 'R');
+    *  - order by score desc, id asc, top k.
+    */
+  def scoredSearch(docs: DataFrame, domainName: String = "ASIA nation",
+                   k: Int = 50): DataFrame = {
+    val matchDomain = exists(col("annotations"),
+      a => a.getField("domain").getField("name").contains(lit(domainName)))
+    val score = weightedScore(Seq(matchDomain -> 5.0))
+    docs
+      .filter(col("author.acctbal") > 100.0 && col("author.id") > 10 &&
+        exists(col("items"), i => i.getField("returnflag") === "R"))
+      .withColumn("score", score)
+      .select(col("id"), col("author.id").as("author_id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** F2: real TF-IDF relevance over `documents.text` for one query term
+    * — the corpus statistics path the ES `match` clause implies
+    * (SURVEY.md §2.7 F2): tf from the doc's own tokens, df from a
+    * corpus-wide aggregation. The df table is tiny (one row per term in
+    * the vocabulary that matches the query) and is broadcast back — at
+    * 100 TB the pattern is the same: aggregate-then-broadcast, no
+    * per-row corpus scan. */
+  def tfidf(spark: SparkSession, dir: String, term: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Analyzers.tokenize(lower(col("text"))).as("toks"))
+    val n = docs.count().toDouble
+    val tf = docs.select(col("doc_id"), col("toks"),
+        size(filter(col("toks"), t => t === term)).as("tf"),
+        size(col("toks")).as("len"))
+      .filter(col("tf") > 0)
+    val df = tf.count().toDouble // docs containing the term
+    val idf = math.log((n + 1.0) / (df + 1.0))
+    tf.select(col("doc_id"),
+        round(col("tf").cast("double") / col("len") * idf, 6).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id").asc)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Analyzers
+
+/** Text-analysis operators for training-data curation (brief §extensions):
+  * language ID, quality scoring, token counting, document
+  * fingerprinting. All are single-pass projections over the corpus —
+  * no shuffle at all — so they scale linearly with input size.
+  */
+object TextStats {
+
+  /** Tiny per-language function-word lists for the n-gram/stopword-hit
+    * language heuristic. Deliberately small: the operator's shape (score
+    * per language, argmax) is what matters; swap lists freely. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "por", "una"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "des", "un", "une", "du", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "den", "mit", "ein", "zu"))
+
+  /** X1 language ID: count function-word hits per candidate language,
+    * take the argmax (ties → lexicographically later language,
+    * deterministic); no hits → "und". */
+  def langId(text: Column): Column = {
+    val toks = Analyzers.tokenize(lower(text))
+    val scored = array(langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = element_at(sort_array(scored, asc = false), 1)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** X2 quality signals: length, token count, mean token length,
+    * punctuation ratio, stopword ratio, and a composite [0,1] score —
+    * the standard cheap heuristics a pretraining pipeline filters on. */
+  def quality(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val text = col(textCol)
+    val toks = Analyzers.tokenize(lower(text))
+    val nChars = length(text)
+    val nToks = size(toks)
+    val nPunct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val nStop = size(filter(toks, t => t.isin(Analyzers.englishStopwords: _*)))
+    val meanTokLen = when(nToks > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
+      .otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0)
+    val stopRatio = when(nToks > 0, nStop.cast("double") / nToks).otherwise(0.0)
+    // composite: long enough, not punctuation soup, has some function words
+    val score =
+      least(nToks.cast("double") / 20.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.3 +
+      least(stopRatio * 4.0, lit(1.0)) * 0.3
+    docs.select(col(idCol), nChars.as("n_chars"), nToks.as("n_tokens"),
+      round(meanTokLen, 6).as("mean_token_len"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(score, 6).as("quality"))
+  }
+
+  /** X3 token counting: whitespace tokens and a BPE-ish segmentation
+    * (letter runs | digit runs | single other non-space chars) — the
+    * usual pre-tokenizer shape (GPT-2-style regex, simplified). */
+  def tokenCounts(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val text = col(textCol)
+    val ws = size(split(trim(text), "\\s+"))
+    val bpe = size(regexp_extract_all(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+    docs.select(col(idCol),
+      when(length(trim(text)) === 0, 0).otherwise(ws).cast("long").as("ws_tokens"),
+      bpe.cast("long").as("bpe_tokens"))
+  }
+
+  /** X4 document fingerprinting: full-text md5 of the normalized text
+    * plus a content-defined partial fingerprint (min md5 over word
+    * 3-gram shingles — stable under local edits, the winnowing idea). */
+  def fingerprints(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val shingles = Dedup.shingleSet(col(textCol))
+    docs.select(col(idCol),
+      md5(Dedup.normalize(col(textCol))).as("md5_full"),
+      array_min(transform(shingles, s => md5(s))).as("min_shingle_md5"))
+  }
+}

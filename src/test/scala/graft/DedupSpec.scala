@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup operators on crafted near-duplicates — the pair-finding paths
+  * (MinHash/LSH, SimHash, exact Jaccard) must all surface the planted
+  * pair and nothing random. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the deep green forest while the hunter sleeps near the river bank"
+  // near-dup: one word changed
+  val near = base.replace("green", "dark")
+  // unrelated
+  val other = "completely different content about database engines and " +
+    "distributed query processing with columnar storage formats and shuffles"
+
+  lazy val docs = Seq(
+    (1L, base), (2L, near), (3L, other), (4L, "THE   Quick brown fox jumps over the lazy dog and runs far away into the deep green forest while the hunter sleeps near the river bank")
+  ).toDF("doc_id", "text").cache()
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val r = Dedup.exact(docs).collect()
+    assert(r.length == 3) // doc 4 collapses into doc 1
+    val dup = r.find(_.getAs[Long]("n_dups") == 2L)
+    assert(dup.isDefined && dup.get.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds the planted near-dup pair") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup collides everywhere
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash pairs: identical and near docs within hamming radius") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical after normalize → hamming 0
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("exact jaccard pairs match hand-computed similarity") {
+    val r = Dedup.jaccardPairs(docs, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(r.contains((1L, 2L)))
+    assert(r((1L, 4L)) == 1.0) // identical shingle sets
+    assert(!r.contains((1L, 3L)))
+    // one changed word kills ≤ n=3 shingles either side
+    assert(r((1L, 2L)) > 0.7 && r((1L, 2L)) < 1.0)
+  }
+
+  test("simhash of disjoint token sets differs, near-dups are close") {
+    val sigs = Dedup.simhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L)) // identical after normalization
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) >
+      java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)))
+  }
+}

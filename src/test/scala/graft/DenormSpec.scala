@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Denorm
+
+/** Golden-document shape tests (SURVEY.md §5.2): nested schema, empty
+  * arrays (not null), round-trip explode ≡ original join. */
+class DenormSpec extends SparkSpec {
+
+  lazy val docs = Denorm.docs(spark, sf).cache()
+
+  test("nested schema shape matches the document model") {
+    val s = docs.schema
+    assert(s.fieldNames.toSeq ==
+      Seq("id", "status", "priority", "total_price", "created_at",
+        "author", "items", "annotations"))
+    assert(s("author").dataType.isInstanceOf[StructType])
+    val items = s("items").dataType.asInstanceOf[ArrayType]
+    assert(items.elementType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("linenumber", "partkey", "suppkey", "quantity", "extendedprice",
+        "returnflag"))
+    val anns = s("annotations").dataType.asInstanceOf[ArrayType]
+    val ann = anns.elementType.asInstanceOf[StructType]
+    assert(ann.fieldNames.toSeq == Seq("entity", "domain"))
+  }
+
+  test("one document per order; absent children are empty arrays, not null") {
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(docs.count() == nOrders)
+    assert(docs.filter(col("items").isNull || col("annotations").isNull)
+      .count() == 0)
+  }
+
+  test("items are sorted by linenumber within each doc") {
+    val bad = docs.filter(exists(
+      zip_with(col("items"), slice(col("items"), lit(2), size(col("items"))),
+        (a, b) => b.getField("linenumber") < a.getField("linenumber")),
+      x => x)).count()
+    assert(bad == 0)
+  }
+
+  test("round-trip: explode(docs) == orders ⋈ lineitem") {
+    val rt = Denorm.roundtrip(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    assert(rt.count() == li.count())
+    val joined = li.join(Tables.orders(spark, sf),
+      col("l_orderkey") === col("o_orderkey"))
+    assert(rt.count() == joined.count())
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("same"),
+      Similarity.cosine(col("a"), col("c")).as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute-force knn returns k rows ordered by similarity") {
+    val knn = Similarity.knnBrute(Tables.embeddings(spark, sf), 1L, 10)
+      .collect()
+    assert(knn.length == 10)
+    val sims = knn.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+    assert(!knn.map(_.getLong(0)).contains(1L))
+  }
+
+  test("LSH finds an exact duplicate vector (same bucket, sim 1)") {
+    val emb = Tables.embeddings(spark, sf)
+    val dup = emb.filter(col("vec_id") === 1L)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(dup)
+    val r = Similarity.knnLsh(corpus, 1L, 5)
+    val top = r.head()
+    assert(top.getLong(0) == 10001L)
+    assert(top.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("LSH results are a subset of brute-force ranking universe") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.knnBrute(emb, 1L, 500)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect().toMap
+    val lsh = Similarity.knnLsh(emb, 1L, 10)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect()
+    lsh.foreach { case (id, sim) => assert(brute(id) == sim) }
+  }
+
+  test("cosineDupPairs finds planted duplicate") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val dup = emb.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val pairs = Similarity.cosineDupPairs(emb.unionByName(dup), 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 10007L)))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+import graft.streaming.EventStream
+
+/** Streaming ≡ batch: the watermarked windowed aggregation over the
+  * events stream must produce the same groups as the batch query. */
+class StreamingSpec extends SparkSpec {
+
+  test("file-source stream with watermark matches batch tumbling agg") {
+    val tmp = Files.createTempDirectory("graft-stream").toFile
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    val out = new java.io.File(tmp, "out")
+    val ckpt = new java.io.File(tmp, "ckpt")
+
+    // stage the events table as the stream source directory
+    Tables.events(spark, sf).write.mode("overwrite")
+      .parquet(src.getAbsolutePath)
+
+    val q = EventStream.ingest(spark, src.getAbsolutePath,
+      out.getAbsolutePath, ckpt.getAbsolutePath)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out.getAbsolutePath)
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // append mode + AvailableNow flushes all windows once the source is
+    // exhausted (watermark advances past the max event time); the last
+    // open window is only emitted if the watermark passes it, so allow
+    // the batch side to have at most one extra (trailing) group per type
+    val sGroups = streamed.select("win_start", "event_type", "n").collect()
+      .map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bGroups = batch.collect()
+      .map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    sGroups.foreach { case (k, n) => assert(bGroups(k) == n) }
+    assert(sGroups.size >= bGroups.size - bGroups.keys.map(_._2).toSet.size)
+  }
+
+  test("stateful running user counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val counts = EventStream.runningUserCounts(spark, df)
+    val q = counts.writeStream.format("memory").queryName("ucounts")
+      .outputMode("update").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData((1L, t, 7L, "click", 1.0, "{}"), (2L, t, 7L, "click", 1.0, "{}"),
+      (3L, t, 8L, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    mem.addData((4L, t, 7L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    val last = spark.sql("select * from ucounts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last(7L) == 3L && last(8L) == 1L)
+    q.stop()
+  }
+}

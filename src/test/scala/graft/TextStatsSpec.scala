@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, TextStats}
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the language with most function-word hits") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "el gato que esta en la casa y los perros"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "en")
+    assert(r(2L) == "es")
+    assert(r(3L) == "und")
+  }
+
+  test("quality signals on degenerate inputs") {
+    val df = Seq((1L, ""), (2L, "!!! ??? ..."), (3L, "the quick brown fox is here"))
+      .toDF("doc_id", "text")
+    val r = TextStats.quality(df).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("quality")).toMap
+    assert(r(1L) == 0.3) // empty: only the no-punct term contributes
+    assert(r(3L) > r(2L))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq((1L, "hello world"), (2L, "a,b.c"), (3L, "")).toDF("doc_id", "text")
+    val r = TextStats.tokenCounts(df).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == (2L, 2L))
+    assert(r(2L) == (1L, 5L)) // a , b . c
+    assert(r(3L) == (0L, 0L))
+  }
+
+  test("fingerprint is stable under whitespace/case noise") {
+    val df = Seq((1L, "Hello  World Again Ok"), (2L, "hello world again ok"))
+      .toDF("doc_id", "text")
+    val r = TextStats.fingerprints(df).collect()
+    assert(r(0).getString(1) == r(1).getString(1))
+    assert(r(0).getString(2) == r(1).getString(2))
+  }
+
+  test("multimodal: stub feature extraction preserves rows and is deterministic") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sf))
+    val f1 = Multimodal.extractFeatures(spark, media).collect()
+      .sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(spark, media).collect()
+      .sortBy(_.media_id)
+    assert(f1.length == Tables.documents(spark, sf).count())
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    assert(f1.forall(r => r.features.length == 8 && r.width >= 1 && r.height >= 1))
+  }
+}
