@@ -27,7 +27,7 @@ object SparkEntry {
   private val sqlNorm =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private def sqlToks(src: String) =
-    s"list_filter(list_transform(regexp_split_to_array($src, '[^a-z0-9''’]+'), x -> trim(x, '''’')), x -> len(x) > 0)"
+    s"regexp_extract_all($src, '[a-z0-9](?:[a-z0-9''’]*[a-z0-9])?')"
   private val sqlShingles =
     s"""(CASE WHEN len(toks) >= 3
         THEN list_distinct(list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')))
@@ -210,18 +210,10 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 10)),
     "d4_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.5)),
-    "d5_cosine_pairs" -> ((s, d) => {
+    "d5_cosine_pairs" -> ((s, d) =>
       // exact all-pairs semantics (the oracle-checkable path); the
       // LSH-bucketed variant is n2_knn_lsh / Similarity.cosineDupPairs
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = e.as("a"); val b = e.as("b")
-      a.join(b, col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.4)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+      Similarity.cosinePairsBrute(Tables.embeddings(s, d), 0.4)),
 
     // ---- similarity search (brief §extensions) ----
     "n1_knn_brute" -> ((s, d) =>

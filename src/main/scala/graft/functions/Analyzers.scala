@@ -20,15 +20,18 @@ object Analyzers {
   /** T1 `html_strip` char filter (`settings.json:12,23,33`). */
   def htmlStrip(c: Column): Column = regexp_replace(c, "<[^>]*>", " ")
 
-  /** T2 `standard` tokenizer (`settings.json:11,22,32`): split on
-    * non-alphanumerics, but keep apostrophes inside words (UAX#29-ish),
-    * then trim stray quote chars. Empty tokens dropped. */
+  /** T2 `standard` tokenizer (`settings.json:11,22,32`): maximal runs
+    * of letters/digits with apostrophes allowed word-internally
+    * (UAX#29-ish — "don't" stays one token, edge quotes drop).
+    *
+    * One `regexp_extract_all` pass per value — NOT split + a per-token
+    * trim lambda: tokenization sits under every analyzer/dedup/stats
+    * operator, and the lambda formulation costs one interpreted regex
+    * call per token (measured 26 s for 5 k docs at sf0.1 vs ~1 s for
+    * this form). */
+  val tokenPattern = "[\\p{L}\\p{N}](?:[\\p{L}\\p{N}'’]*[\\p{L}\\p{N}])?"
   def tokenize(c: Column): Column =
-    filter(
-      transform(
-        split(c, "[^\\p{L}\\p{N}'’]+"),
-        t => regexp_replace(t, "^['’]+|['’]+$", "")),
-      t => length(t) > 0)
+    regexp_extract_all(c, lit(tokenPattern), lit(0))
 
   /** T3 `keyword` tokenizer (`settings.json:42`): whole value = 1 token. */
   def keywordTokenize(c: Column): Column = array(c)

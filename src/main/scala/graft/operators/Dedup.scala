@@ -28,10 +28,16 @@ object Dedup {
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Word n-gram shingles of the normalized text, as distinct strings —
-    * the unit of Jaccard similarity. */
-  def shingleSet(c: Column, n: Int = 3): Column = {
-    val toks = Analyzers.tokenize(normalize(c))
+  /** Word n-gram shingles over a TOKEN ARRAY column, as distinct
+    * strings — the unit of Jaccard similarity.
+    *
+    * IMPORTANT: `toks` must be a materialized attribute (a real column
+    * of the input relation), not an inline tokenize(...) expression —
+    * the shingling lambda references it per element, so an inlined
+    * expression would re-tokenize the text once per shingle (measured
+    * ~19 s for 5 k docs at sf0.1). Use [[withShingleSet]], which puts a
+    * projection boundary in the right place. */
+  def shingleSet(toks: Column, n: Int = 3): Column = {
     val k = size(toks)
     array_distinct(
       when(k >= n,
@@ -39,6 +45,16 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array(concat_ws(" ", toks))))
   }
+
+  /** (id, shingles) with tokenization materialized behind a projection
+    * boundary (tokens are referenced several times by the shingling
+    * expression, so CollapseProject keeps the two projections apart —
+    * tokenize runs exactly once per row). */
+  def withShingleSet(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+        Analyzers.tokenize(normalize(col(textCol))).as("toks"))
+      .select(col("id"), shingleSet(col("toks"), n).as("shingles"))
 
   /** D1 exact dedup: group identical normalized texts, keep the lowest
     * doc_id as the canonical representative. */
@@ -58,8 +74,8 @@ object Dedup {
     * and shuffles each doc id exactly once. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         numHashes: Int): DataFrame = {
-    val posts = docs.select(col(idCol).as("id"),
-        explode(shingleSet(col(textCol))).as("sh"))
+    val posts = withShingleSet(docs, textCol, idCol)
+      .select(col("id"), explode(col("shingles")).as("sh"))
     val mins = (0 until numHashes)
       .map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
     posts.groupBy(col("id"))
@@ -95,8 +111,7 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sets = docs.select(col(idCol).as("id"),
-      shingleSet(col(textCol)).as("shingles"))
+    val sets = withShingleSet(docs, textCol, idCol)
     cand
       .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -163,17 +178,22 @@ object Dedup {
                    idCol: String = "doc_id", n: Int = 3,
                    threshold: Double = 0.5,
                    maxShingleFreq: Int = 1000): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
-      shingleSet(col(textCol), n).as("shingles"))
+    val sets = withShingleSet(docs, textCol, idCol, n)
       .withColumn("setsize", size(col("shingles")))
+    // join on the 64-bit shingle hash, not the string: smaller shuffle
+    // rows and cheaper key compares (collision odds ~|postings|²/2⁶⁴)
     val posts = sets
-      .select(col("id"), col("setsize"), explode(col("shingles")).as("sh"))
+      .select(col("id"), col("setsize"), explode(col("shingles")).as("sh0"))
+      .select(col("id"), col("setsize"), xxhash64(col("sh0")).as("sh"))
     // drop stop-shingles: they blow up the pair join and cannot push a
     // pair over the threshold on their own at scale (semi join; AQE may
     // still broadcast it when the surviving vocabulary is small)
     val freq = posts.groupBy("sh").agg(count(lit(1)).as("f"))
       .filter(col("f") <= maxShingleFreq)
+    // persisted: referenced by the frequency filter and both self-join
+    // sides — without this the shingle computation runs 3×
     val filtered = posts.join(freq.select("sh"), Seq("sh"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = filtered.as("a")
     val b = filtered.as("b")
     a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -3,33 +3,44 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.expressions.dot_product
 
 /** Similarity search over an embedding column (`Array[Float]`) —
   * SURVEY.md §7 M5. Two paths:
   *
-  *  - brute-force cosine top-k: one scan, dot products via
-  *    zip_with/aggregate (codegen'd builtins, no UDF), global top-k via
-  *    orderBy+limit which Spark plans as `TakeOrderedAndProject` —
-  *    partition-local top-k then a driver merge, so the full score
-  *    column never shuffles. Correct baseline at any scale, O(n·d) work.
+  *  - brute-force cosine top-k: one scan, dot products via the
+  *    codegen'd [[graft.functions.expressions.DotProduct]] primitive,
+  *    global top-k via orderBy+limit which Spark plans as
+  *    `TakeOrderedAndProject` — partition-local top-k then a driver
+  *    merge, so the full score column never shuffles. Correct baseline
+  *    at any scale, O(n·d) work.
   *  - LSH-bucketed (random hyperplane signs → bucket): the scale path.
-  *    Probing only the query's bucket (+ optionally neighboring probes)
-  *    turns a full scan into a fraction-of-corpus scan, the standard
-  *    SimHash-for-cosine construction. Hyperplanes are derived
-  *    deterministically (seeded), so signatures are reproducible across
-  *    runs and cluster sizes.
+  *    Probing only the query's bucket turns a full scan into a
+  *    fraction-of-corpus scan, the standard SimHash-for-cosine
+  *    construction. Hyperplanes are derived deterministically (seeded),
+  *    so signatures are reproducible across runs and cluster sizes.
+  *
+  * Norms are always computed once per row in a projection *before* any
+  * join — never inside the join condition/output, where they would be
+  * re-evaluated per candidate pair.
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ (codegen'd primitive loop). */
+  def dot(a: Column, b: Column): Column = dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** cos(a,b), computed as dot/(‖a‖·‖b‖) in exactly that operation
+    * order (matches the DuckDB oracle expression bit-for-bit). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** (id, v, nrm) projection: vectors as array<double> with their norm
+    * materialized once. */
+  private def withNorm(emb: DataFrame, idCol: String = "vec_id"): DataFrame =
+    emb.withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("nrm", norm(col("v")))
 
   /** Brute-force cosine top-k neighbors of the vector with id
     * `queryId`. The 1-row query side is collected and inlined as a
@@ -37,13 +48,13 @@ object Similarity {
     * exactly once with no shuffle. */
   def knnBrute(emb: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
     val q = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding")).head()
-      .getSeq[Float](0).toArray
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
     val qc = lit(q)
     emb.filter(col("vec_id") =!= queryId)
+      .withColumn("v", col("embedding").cast("array<double>"))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding").cast("array<double>"),
-          qc.cast("array<double>")), 6).as("cos_sim"))
+        round(dot(col("v"), qc) / (norm(col("v")) * norm(qc)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -75,35 +86,49 @@ object Similarity {
     val bucketed = emb.withColumn("bucket",
       lshBucket(col("embedding").cast("array<double>"), planes))
     val qRow = bucketed.filter(col("vec_id") === queryId)
-      .select(col("embedding"), col("bucket")).head()
-    val q = qRow.getSeq[Float](0).toArray
+      .select(col("embedding").cast("array<double>"), col("bucket")).head()
+    val q = qRow.getSeq[Double](0).toArray
     val qBucket = qRow.getLong(1)
+    val qc = lit(q)
     bucketed
       .filter(col("bucket") === qBucket && col("vec_id") =!= queryId)
+      .withColumn("v", col("embedding").cast("array<double>"))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding").cast("array<double>"),
-          lit(q).cast("array<double>")), 6).as("cos_sim"))
+        round(dot(col("v"), qc) / (norm(col("v")) * norm(qc)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (the 5th dedup variant of
-    * the brief): LSH-bucket the corpus, compare only within buckets,
-    * keep pairs with cosine ≥ threshold. At 100 TB the within-bucket
-    * pair join replaces the impossible all-pairs cross join. */
+  /** Exact all-pairs cosine pairs above a threshold (the
+    * oracle-checkable dedup path): norms precomputed per side, then a
+    * key-range self-join with the codegen'd dot in the projection. */
+  def cosinePairsBrute(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = withNorm(emb).select("vec_id", "v", "nrm")
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale: LSH-bucket the
+    * corpus, compare only within buckets — the within-bucket pair join
+    * replaces the impossible all-pairs cross join at 100 TB. */
   def cosineDupPairs(emb: DataFrame, threshold: Double = 0.95,
                      nPlanes: Int = 4, seed: Long = 42L): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val planes = hyperplanes(dim, nPlanes, seed)
-    val b = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes))
-    val l = b.as("l")
-    val r = b.as("r")
+    val b0 = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"),
+      lshBucket(col("v"), planes).as("bucket"))
+    val l = b0.as("l")
+    val r = b0.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") &&
         col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
-        round(cosine(col("l.v"), col("r.v")), 6).as("cos_sim"))
+        round(dot(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -80,10 +80,14 @@ object TextStats {
     * plus a content-defined partial fingerprint (min md5 over word
     * 3-gram shingles — stable under local edits, the winnowing idea). */
   def fingerprints(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
-    val shingles = Dedup.shingleSet(col(textCol))
-    docs.select(col(idCol),
-      md5(Dedup.normalize(col(textCol))).as("md5_full"),
-      array_min(transform(shingles, s => md5(s))).as("min_shingle_md5"))
-  }
+                   idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        md5(Dedup.normalize(col(textCol))).as("md5_full"),
+        graft.functions.Analyzers.tokenize(Dedup.normalize(col(textCol)))
+          .as("toks"))
+      .select(col("id"), col("md5_full"),
+        Dedup.shingleSet(col("toks")).as("shingles"))
+      .select(col("id").as(idCol), col("md5_full"),
+        array_min(transform(col("shingles"), s => md5(s)))
+          .as("min_shingle_md5"))
 }
