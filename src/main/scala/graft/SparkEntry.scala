@@ -171,6 +171,7 @@ object SparkEntry {
     "f1_scored_search" -> ((s, d) =>
       Search.scoredSearch(Denorm.docs(s, d), "NATION_1", 50)),
     "f2_tfidf" -> ((s, d) => Search.tfidf(s, d, "spark")),
+    "f3_bm25" -> ((s, d) => Search.bm25(s, d, "spark")),
 
     // ---- denorm flagship (SURVEY §7 M1) ----
     "denorm_docs" -> ((s, d) => Denorm.docs(s, d).orderBy(col("id"))),
@@ -186,6 +187,11 @@ object SparkEntry {
         .select(col("doc_id"),
           Analyzers.removeStopwords(Analyzers.tokenize(lower(col("text"))))
             .as("tokens"))
+        .orderBy(col("doc_id"))),
+    "t3_keyword" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Analyzers.keywordLowercase(col("source")).as("tokens"))
         .orderBy(col("doc_id"))),
     "t11_englando" -> ((s, d) => // Porter not SQL-expressible: rows-only
       Tables.documents(s, d)
@@ -328,6 +334,16 @@ object SparkEntry {
           f AS (SELECT count(*)::DOUBLE AS df FROM s WHERE tf > 0)
           SELECT doc_id, round(tf::DOUBLE / len * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
           FROM s, c, f WHERE tf > 0 ORDER BY tfidf DESC, doc_id""",
+    "f3_bm25" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(list_filter(toks, x -> x = 'spark'))::INT AS tf, len(toks)::INT AS len FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df FROM p)
+          SELECT doc_id, round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                               (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)), 6) AS bm25
+          FROM p, s WHERE tf > 0 ORDER BY bm25 DESC, doc_id""",
+    "t3_keyword" ->
+      "SELECT doc_id, [lower(source)] AS tokens FROM documents ORDER BY doc_id",
     "denorm_docs" ->
       """SELECT o.o_orderkey AS id, o.o_orderstatus AS status, o.o_orderpriority AS priority,
                 o.o_totalprice AS total_price, o.o_orderdate AS created_at,

@@ -67,6 +67,32 @@ object Search {
     * the vocabulary that matches the query) and is broadcast back — at
     * 100 TB the pattern is the same: aggregate-then-broadcast, no
     * per-row corpus scan. */
+  /** F2 full fidelity: Okapi BM25 for one query term, fully
+    * declarative — corpus statistics (N, df, avgdl) come from a 1-row
+    * aggregate cross-joined (broadcast) back into the per-doc scoring
+    * projection. No collect(), no second scan of the corpus beyond the
+    * stats aggregation; the identical shape works at any scale. This is
+    * the scoring ES's `match` clause implies (SURVEY.md §2.7 F2). */
+  def bm25(spark: SparkSession, dir: String, term: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val pre = Tables.documents(spark, dir)
+      .select(col("doc_id"), Analyzers.tokenize(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        size(filter(col("toks"), t => t === term)).as("tf"),
+        size(col("toks")).as("len"))
+    val stats = pre.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(col("len")).as("avgdl"),
+      sum(when(col("tf") > 0, 1).otherwise(0)).cast("double").as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    pre.filter(col("tf") > 0)
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(idf * tfNorm, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+  }
+
   def tfidf(spark: SparkSession, dir: String, term: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), Analyzers.tokenize(lower(col("text"))).as("toks"))

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion-side surface of the reference (SURVEY.md §2.1):
+  *
+  *  - S4/S5 index DDL: create-with-schema, existence check, conditional
+  *    drop (`src/main.py:12-35`) → Spark catalog operations;
+  *  - S6 bulk batch sink with per-document ids (`src/main.py:137-150`)
+  *    → id-hash-partitioned parquet write with bounded file sizes (the
+  *    3-shard/_id-routing analog: `repartition(n, id)` =
+  *    `hash(_id) % n`);
+  *  - S7 sink ack/error check (`src/main.py:147-148`) → row-count
+  *    assertion after write;
+  *  - S2 server-side cursor scan (`src/main.py:41,133`) →
+  *    `toLocalIterator` (one partition in flight, the driver never
+  *    materializes the full result);
+  *  - A5 ingest counters (`src/main.py:128-156`) → `LongAccumulator`
+  *    filled executor-side during the write.
+  */
+object Sink {
+
+  /** S4: register a table over a parquet path with an explicit schema
+    * (the `indices.create(settings, mappings)` analog). */
+  def createTable(spark: SparkSession, name: String, path: String): Unit =
+    spark.catalog.createTable(name, path, "parquet")
+
+  /** S5: existence check + conditional drop. Returns true if dropped. */
+  def dropIfExists(spark: SparkSession, name: String): Boolean =
+    if (spark.catalog.tableExists(name)) {
+      spark.sql(s"DROP TABLE `$name`")
+      true
+    } else false
+
+  /** S6+S7+A5: bulk write with id routing, batch sizing, and an ack
+    * check. `shards` mirrors the reference's 3 primary shards;
+    * `batchSize` mirrors its 200-doc bulk batches
+    * (`src/main.py:109,139`). Returns rows written (asserted ==
+    * rows read, the bulk-response error check). */
+  def bulkWrite(spark: SparkSession, df: DataFrame, idCol: String,
+                outPath: String, shards: Int = 3,
+                batchSize: Int = 200000): Long = {
+    val written = spark.sparkContext.longAccumulator("rows_written")
+    val counted = df.mapPartitions { it =>
+      it.map { r => written.add(1L); r }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+    counted
+      .repartition(shards, col(idCol)) // hash(_id) % shards routing
+      .write.option("maxRecordsPerFile", batchSize.toLong)
+      .mode("overwrite").parquet(outPath)
+    val expected = spark.read.parquet(outPath).count()
+    require(written.value == expected,
+      s"bulk ack mismatch: wrote ${written.value}, readback $expected")
+    written.value
+  }
+
+  /** S2: streamed fetch — pull results through a server-side-cursor
+    * analog; only one partition is resident at the driver at a time. */
+  def streamedFetch(df: DataFrame)(f: org.apache.spark.sql.Row => Unit): Long = {
+    var n = 0L
+    val it = df.toLocalIterator()
+    while (it.hasNext) { f(it.next()); n += 1 }
+    n
+  }
+
+  /** S3: keyset-paginated chunk — the reference's pagination contract
+    * (`WHERE id > last ORDER BY id LIMIT n`, `src/main.py:98-100`). */
+  def keysetChunk(df: DataFrame, idCol: String, lastId: Long,
+                  limit: Int): DataFrame =
+    df.filter(col(idCol) > lastId).orderBy(col(idCol)).limit(limit)
+}
