@@ -176,6 +176,8 @@ object SparkEntry {
     // ---- denorm flagship (SURVEY §7 M1) ----
     "denorm_docs" -> ((s, d) => Denorm.docs(s, d).orderBy(col("id"))),
     "denorm_roundtrip" -> ((s, d) => Denorm.roundtrip(s, d)),
+    "tweet_denorm" -> ((s, _) => // exact reference schema, golden fixture
+      TweetFixture.docs(s).orderBy(col("id"))),
 
     // ---- analyzers (SURVEY §2.8) ----
     "t2_tokenize" -> ((s, d) =>

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.Analyzers
+import graft.operators.Dedup
+
+/** Property-based checks (SURVEY.md §5.4): evaluated in one Spark pass
+  * over a batch of generated inputs (per-case Spark jobs would be
+  * minutes of overhead). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples(g: Gen[String], n: Int = 200): Seq[String] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.oneOf("'", "’", "…", "<b>", "</b>", "HÉLLO", "Foxes'", "don't",
+      "  ", "\t", "★", "123", "a'b'c", "''", "x"))).map(_.mkString(" "))
+
+  lazy val texts = samples(textGen).toDF("v").cache()
+
+  private def all(pred: org.apache.spark.sql.Column): Unit = {
+    val bad = texts.filter(!coalesce(pred, lit(false))).collect()
+    assert(bad.isEmpty, s"counterexamples: ${bad.take(3).mkString("; ")}")
+  }
+
+  test("tokenize: no empty tokens, no edge apostrophes, alnum-bounded") {
+    all(forall(Analyzers.tokenize($"v"), t =>
+      length(t) > 0 &&
+      !t.startsWith("'") && !t.endsWith("'") &&
+      !t.startsWith("’") && !t.endsWith("’")))
+  }
+
+  test("normalize is idempotent") {
+    all(Dedup.normalize(Dedup.normalize($"v")) === Dedup.normalize($"v"))
+  }
+
+  test("lowercase and asciifold token filters are idempotent") {
+    val toks = Analyzers.tokenize($"v")
+    val low = Analyzers.lowercaseTokens(toks)
+    all(Analyzers.lowercaseTokens(low) === low)
+    val folded = Analyzers.asciiFoldTokens(toks)
+    all(Analyzers.asciiFoldTokens(folded) === folded)
+  }
+
+  test("ngram grams obey length bounds and the count formula") {
+    val toks = Analyzers.tokenize($"v")
+    val grams = Analyzers.ngramTokens(toks, 1, 10)
+    all(forall(grams, g => length(g) >= 1 && length(g) <= 10))
+    // Σ over tokens of Σ_{n=1..min(10,L)} (L-n+1)
+    val expected = aggregate(toks, lit(0),
+      (acc, t) => acc + aggregate(
+        sequence(lit(1), least(lit(10), length(t))),
+        lit(0), (a, n) => a + (length(t) - n + 1)))
+    all(size(grams) === expected)
+  }
+
+  test("shingle output = unigrams + (n-1) bigrams") {
+    val toks = Analyzers.tokenize($"v")
+    all(size(Analyzers.shingleTokens(toks)) ===
+      size(toks) + greatest(size(toks) - 1, lit(0)))
+  }
+
+  test("stopword filter output is a subsequence with no stopwords") {
+    val toks = Analyzers.lowercaseTokens(Analyzers.tokenize($"v"))
+    val out = Analyzers.removeStopwords(toks)
+    all(!exists(out, t => t.isin(Analyzers.englishStopwords: _*)))
+    all(size(out) <= size(toks))
+  }
+
+  test("identical texts have identical simhash and jaccard 1") {
+    val docs = samples(textGen, 50).zipWithIndex
+      .filter(_._1.trim.nonEmpty)
+      .flatMap { case (t, i) => // each text twice under different ids
+        Seq((i.toLong * 2, t), (i.toLong * 2 + 1, t)) }
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs.keys.filter(_ % 2 == 0).foreach { k =>
+      if (sigs.contains(k + 1)) assert(sigs(k) == sigs(k + 1))
+    }
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sigs.keys.filter(_ % 2 == 0).foreach { k =>
+      if (sigs.contains(k + 1)) assert(pairs.contains((k, k + 1)))
+    }
+  }
+}
