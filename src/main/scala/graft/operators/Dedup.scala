@@ -74,10 +74,16 @@ object Dedup {
     * and shuffles each doc id exactly once. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         numHashes: Int): DataFrame = {
+    // hash each shingle string ONCE, then derive the hash family by
+    // re-hashing the fixed-width long with the family index —
+    // 64 string hashes per posting become 1 string hash + 64 long
+    // hashes (an affine a·h+b family would be cheaper still, but ANSI
+    // mode makes wraparound long arithmetic throw)
     val posts = withShingleSet(docs, textCol, idCol)
-      .select(col("id"), explode(col("shingles")).as("sh"))
+      .select(col("id"), explode(col("shingles")).as("sh0"))
+      .select(col("id"), xxhash64(col("sh0")).as("h"))
     val mins = (0 until numHashes)
-      .map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+      .map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     posts.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"),
@@ -180,25 +186,31 @@ object Dedup {
                    maxShingleFreq: Int = 1000): DataFrame = {
     val sets = withShingleSet(docs, textCol, idCol, n)
       .withColumn("setsize", size(col("shingles")))
-    // join on the 64-bit shingle hash, not the string: smaller shuffle
-    // rows and cheaper key compares (collision odds ~|postings|²/2⁶⁴)
+    // postings carry the 64-bit shingle hash, not the string: smaller
+    // shuffle rows, cheaper grouping (collision odds ~|postings|²/2⁶⁴)
     val posts = sets
       .select(col("id"), col("setsize"), explode(col("shingles")).as("sh0"))
       .select(col("id"), col("setsize"), xxhash64(col("sh0")).as("sh"))
-    // drop stop-shingles: they blow up the pair join and cannot push a
-    // pair over the threshold on their own at scale (semi join; AQE may
-    // still broadcast it when the surviving vocabulary is small)
-    val freq = posts.groupBy("sh").agg(count(lit(1)).as("f"))
-      .filter(col("f") <= maxShingleFreq)
-    // persisted: referenced by the frequency filter and both self-join
-    // sides — without this the shingle computation runs 3×
-    val filtered = posts.join(freq.select("sh"), Seq("sh"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = filtered.as("a")
-    val b = filtered.as("b")
-    a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.setsize").as("size_a"), col("b.setsize").as("size_b"))
+    // group the posting list per shingle (ONE shuffle), drop
+    // stop-shingles — lists longer than the cap blow up pair fan-out
+    // quadratically and cannot push any pair over the threshold alone —
+    // then emit in-bucket pairs with an indexed lambda over the bounded
+    // array. Replaces a freq-agg + semi-join + sort-merge self-join
+    // (~4 exchanges) with 2 exchanges total.
+    val buckets = posts.groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("id"), col("setsize"))))
+        .as("docs"))
+      .filter(size(col("docs")).between(2, maxShingleFreq))
+    val pairs = buckets.select(explode(flatten(transform(col("docs"),
+      (x, i) => transform(
+        slice(col("docs"), i + 2, greatest(size(col("docs")) - i - 1, lit(0))),
+        y => struct(
+          x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          x.getField("setsize").as("size_a"),
+          y.getField("setsize").as("size_b")))))).as("p"))
+    pairs
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("size_a") + col("size_b") - col("inter")).cast("double"))
