@@ -83,6 +83,16 @@ object SparkEntry {
         .filter(exists(col("annotations"),
           a => a.getField("entity").getField("name").contains("widget")))
         .select(col("id")).orderBy(col("id"))),
+    "p9_nested_agg" -> ((s, d) =>
+      // doc-level aggregation over the nested child array (the ES
+      // painless-script-over-nested analog): per-doc revenue via HOF
+      Denorm.docs(s, d)
+        .select(col("id"),
+          round(aggregate(col("items"), lit(0.0),
+            (acc, it) => acc + it.getField("extendedprice")), 2)
+            .as("items_total"),
+          size(col("items")).cast("long").as("n_items"))
+        .orderBy(col("id"))),
 
     // ---- joins (SURVEY §2.3) ----
     "j1_join_dim" -> ((s, d) => {
@@ -218,6 +228,12 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 10)),
     "d4_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.5)),
+    "d6_dedup_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.applyDedup(docs,
+          Dedup.jaccardPairs(docs, threshold = 0.5))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "d5_cosine_pairs" -> ((s, d) =>
       // exact all-pairs semantics (the oracle-checkable path); the
       // LSH-bucketed variant is n2_knn_lsh / Similarity.cosineDupPairs
@@ -395,6 +411,24 @@ object SparkEntry {
           SELECT id_a, id_b, round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
           FROM j WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5
           ORDER BY id_a, id_b""",
+    "d6_dedup_apply" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+          p AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
+                       any_value(b.setsize) AS sb, count(*)::INT AS inter
+                FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT id_b FROM j
+                               WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5)
+          ORDER BY doc_id""",
+    "p9_nested_agg" ->
+      """SELECT o_orderkey AS id,
+                round(coalesce(li.total, 0.0), 2) AS items_total,
+                coalesce(li.n, 0)::BIGINT AS n_items
+         FROM orders LEFT JOIN (SELECT l_orderkey, sum(l_extendedprice) AS total, count(*) AS n
+                                FROM lineitem GROUP BY 1) li ON li.l_orderkey = o_orderkey
+         ORDER BY id""",
     "d5_cosine_pairs" ->
       """SELECT id_a, id_b, cos_sim FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -129,6 +129,16 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** D6: apply near-dedup — the corpus with every near-duplicate
+    * removed, keeping the lowest-id member of each similar pair (the
+    * "what a training pipeline actually ships" operator). `pairs` is
+    * any (id_a < id_b) pair frame (exact Jaccard, MinHash, SimHash or
+    * cosine); removal is a left-anti join on the higher id. */
+  def applyDedup(docs: DataFrame, pairs: DataFrame,
+                 idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("id_b")),
+      docs(idCol) === col("id_b"), "left_anti")
+
   /** 64-bit SimHash per doc via explode + hash-aggregate (same codegen
     * rationale as [[minhashSignatures]]): per-bit majority vote of the
     * tokens' xxhash64 bits — 64 `sum` aggregates with map-side combine,
