@@ -261,6 +261,23 @@ object SparkEntry {
     "e1_tumbling" -> ((s, d) => EventOps.tumbling(Tables.events(s, d))),
     "e2_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "e3_sliding" -> ((s, d) => EventOps.sliding(Tables.events(s, d))),
+    "e4_session_window" -> ((s, d) =>
+      // Spark-native gap sessions (SessionWindow operator) — batch twin
+      // of streaming.EventStream.sessionWindows
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+    "x5_sketch_distinct" -> ((s, d) => // HLL estimate: rows-only
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
 
     // ---- multimodal plumbing (brief §extensions) ----
     "m1_media_meta" -> ((s, d) =>
@@ -500,6 +517,18 @@ object SparkEntry {
                       event_type, value
                FROM events)
          GROUP BY win_start, event_type ORDER BY win_start, event_type""",
+    "e4_session_window" ->
+      """WITH g AS (SELECT user_id, ts, value,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g)
+          SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+                 user_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "m1_media_meta" ->
       """SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes,
                 'txt' AS format, md5(text) AS content_md5

@@ -29,9 +29,12 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // integral `div`, NOT `/`: long / long is double division in the
+      // Column DSL, and 2024-epoch nanos exceed 2⁵³ — the round-trip
+      // through double was off by 1 µs on some rows
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
 

@@ -50,6 +50,25 @@ object EventStream {
       .start()
   }
 
+  /** Gap-based session windows on a stream — Spark's native
+    * `session_window` (dynamic-length windows closed by the watermark);
+    * the streaming twin of EventOps.sessionize. */
+  def sessionWindows(stream: DataFrame, gap: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming exact dedup: drop re-delivered events by id within the
+    * watermark horizon — the exactly-once ingest guard a pipeline puts
+    * in front of the bulk sink (state bounded by the watermark). */
+  def dedupedStream(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom per-key state: running per-user event counter via
     * mapGroupsWithState (the reference's driver-side `processed_rows`
     * accounting, `src/main.py:128-156`, done as distributed state). */

@@ -40,6 +40,56 @@ class StreamingSpec extends SparkSpec {
     assert(sGroups.size >= bGroups.size - bGroups.keys.map(_._2).toSet.size)
   }
 
+  test("streaming session windows match the batch sessionizer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val q = EventStream.sessionWindows(df, "30 minutes").writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    // user 7: two sessions separated by a 2h silence; user 8: one
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), 7L, "a", 1.0, "{}"),
+      (2L, t("2024-01-01 10:10:00"), 7L, "a", 2.0, "{}"),
+      (3L, t("2024-01-01 12:30:00"), 7L, "a", 3.0, "{}"),
+      (4L, t("2024-01-01 10:05:00"), 8L, "a", 4.0, "{}"))
+    q.processAllAvailable()
+    // advance the watermark far enough to close every session
+    mem.addData((5L, t("2024-01-02 00:00:00"), 9L, "a", 0.0, "{}"))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from sessions").collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0).toString, r.getLong(3)))
+      .toSet
+    assert(rows.contains((7L, "2024-01-01 10:00:00.0", 2L)))
+    assert(rows.contains((7L, "2024-01-01 12:30:00.0", 1L)))
+    assert(rows.contains((8L, "2024-01-01 10:05:00.0", 1L)))
+    q.stop()
+  }
+
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val q = EventStream.dedupedStream(df).writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData((1L, t0, 7L, "a", 1.0, "{}"), (1L, t0, 7L, "a", 1.0, "{}"),
+      (2L, t0, 7L, "a", 1.0, "{}"))
+    q.processAllAvailable()
+    mem.addData((1L, t0, 7L, "a", 1.0, "{}")) // re-delivery, same batch horizon
+    q.processAllAvailable()
+    val ids = spark.sql("select event_id from deduped").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L))
+    q.stop()
+  }
+
   test("stateful running user counts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
