@@ -55,6 +55,17 @@ object Sink {
     written.value
   }
 
+  /** Bucketed table write: pre-partition + pre-sort by the join key so
+    * repeated joins/aggregations on that key run with ZERO exchanges
+    * (the cluster-scale answer to "co-locate the big join" —
+    * SURVEY.md §4; verified plan-level in BucketingSpec). At 100 TB
+    * this is the difference between shuffling the fact table per query
+    * and shuffling it once at ingest. */
+  def bucketedTable(df: DataFrame, name: String, bucketCol: String,
+                    buckets: Int = 8): Unit =
+    df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .mode("overwrite").format("parquet").saveAsTable(name)
+
   /** S2: streamed fetch — pull results through a server-side-cursor
     * analog; only one partition is resident at the driver at a time. */
   def streamedFetch(df: DataFrame)(f: org.apache.spark.sql.Row => Unit): Long = {
