@@ -119,6 +119,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("custkey"))
     }),
+    "j13_semi" -> ((s, d) => {
+      // customers with ≥1 urgent order — left_semi (EXISTS)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }),
+    "j14_anti" -> ((s, d) => {
+      // customers with NO urgent order — left_anti (NOT EXISTS)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }),
     "j11_parent_scalar" -> ((s, d) => {
       // decorrelated correlated scalar subquery (src/main.py:82-86)
       val li = Tables.lineitem(s, d)
@@ -160,6 +174,28 @@ object SparkEntry {
           col("l_partkey").as("partkey"),
           col("l_quantity").as("quantity")))).as("items"))
         .orderBy(col("l_orderkey"))),
+
+    // ---- set operations (SURVEY §2.6 — builtins, exercised) ----
+    "u1_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        .union(o.filter(col("o_totalprice") > 150000.0).select(col("o_orderkey")))
+        .distinct().orderBy(col("o_orderkey"))
+    }),
+    "u2_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        .intersect(o.filter(col("o_totalprice") > 150000.0)
+          .select(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    }),
+    "u3_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        .except(o.filter(col("o_totalprice") > 150000.0)
+          .select(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // ---- sort / limit / top-k (SURVEY §2.5) ----
     "w2_topk" -> ((s, d) =>
@@ -244,6 +280,8 @@ object SparkEntry {
       Similarity.knnBrute(Tables.embeddings(s, d), queryId = 1L, k = 10)),
     "n2_knn_lsh" -> ((s, d) => // ANN (recall tested in SimilaritySpec)
       Similarity.knnLsh(Tables.embeddings(s, d), queryId = 1L, k = 10)),
+    "n3_knn_ivf" -> ((s, d) => // IVF-flat ANN scale path: rows-only
+      Similarity.knnIvf(Tables.embeddings(s, d), queryId = 1L, k = 10)),
 
     // ---- text analysis (brief §extensions) ----
     "x1_langid" -> ((s, d) => // heuristic: rows-only
@@ -285,7 +323,9 @@ object SparkEntry {
     "m2_media_features" -> ((s, d) => // stub decoder: rows-only
       Multimodal.extractFeatures(s,
         Multimodal.asMedia(Tables.documents(s, d)))
-        .toDF().orderBy(col("media_id")))
+        .toDF().orderBy(col("media_id"))),
+    "m3_media_chunks" -> ((s, d) =>
+      Multimodal.mediaChunks(Multimodal.asMedia(Tables.documents(s, d))))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -324,6 +364,31 @@ object SparkEntry {
       """SELECT o1.o_custkey AS custkey, count(*) AS n_pairs
          FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
          GROUP BY 1 ORDER BY 1""",
+    "j13_semi" ->
+      """SELECT c_custkey FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "j14_anti" ->
+      """SELECT c_custkey FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "u1_union" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+         UNION
+         SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0
+         ORDER BY o_orderkey""",
+    "u2_intersect" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0
+         ORDER BY o_orderkey""",
+    "u3_except" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0
+         ORDER BY o_orderkey""",
     "j11_parent_scalar" ->
       """SELECT l.l_orderkey, l.l_linenumber,
                 (SELECT c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -454,6 +519,30 @@ object SparkEntry {
                          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
            FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
          WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
+    "x1_langid" -> {
+      val hitExprs = graft.operators.TextStats.langMarkers.toSeq.sortBy(_._1)
+        .map { case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(toks, x -> list_contains($list, x))) AS h_$lang"
+        }.mkString(",\n                 ")
+      val m = "greatest(h_de, h_en, h_es, h_fr)"
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          h AS (SELECT doc_id,
+                 $hitExprs
+                FROM t)
+          SELECT doc_id, CASE WHEN $m = 0 THEN 'und'
+                              WHEN h_fr = $m THEN 'fr'
+                              WHEN h_es = $m THEN 'es'
+                              WHEN h_en = $m THEN 'en'
+                              ELSE 'de' END AS lang_pred
+          FROM h ORDER BY doc_id"""
+    },
+    "m3_media_chunks" ->
+      """SELECT doc_id AS media_id,
+                ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_chunks,
+                list_transform(generate_series(0, ceil(octet_length(encode(text)) / 64.0)::BIGINT - 1),
+                               i -> md5(substring(text, (i * 64 + 1)::INT, 64))) AS chunk_md5s
+         FROM documents ORDER BY media_id""",
     "n1_knn_brute" ->
       """SELECT vec_id, label,
                 round(list_dot_product(embedding::DOUBLE[], q.qv) /

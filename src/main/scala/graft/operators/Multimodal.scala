@@ -68,6 +68,22 @@ object Multimodal {
       }
   }
 
+  /** Fixed-size binary chunking — the frame-sampling / windowing shape
+    * for opaque media: split the payload into `chunkBytes` windows and
+    * digest each (all on the binary column; `Substring` supports
+    * BinaryType). A real pipeline would decode per chunk; the chunk
+    * boundaries, counts and digests are the schema-level contract. */
+  def mediaChunks(media: DataFrame, chunkBytes: Int = 64): DataFrame = {
+    val n = col("n_bytes")
+    val nChunks = ceil(n.cast("double") / chunkBytes).cast("long")
+    media.select(col("media_id"), nChunks.as("n_chunks"),
+        transform(sequence(lit(0L), nChunks - 1),
+          i => md5(col("content").substr(
+            (i * chunkBytes + 1).cast("int"), lit(chunkBytes))))
+          .as("chunk_md5s"))
+      .orderBy(col("media_id"))
+  }
+
   /** Oracle-friendly metadata projection (no stubbed math): byte size
     * and content digest of the binary column. */
   def mediaMeta(media: DataFrame): DataFrame =

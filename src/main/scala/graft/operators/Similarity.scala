@@ -99,6 +99,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-flat ANN: coarse-quantize the corpus into `nlist` cells
+    * (centroids = deterministically chosen corpus vectors, normalized),
+    * assign each vector to its nearest centroid, then answer queries by
+    * probing only the `nprobe` nearest cells — the inverted-file
+    * structure of FAISS-style IVF, as plain DataFrame ops. At 100 TB
+    * the assignment is a one-off ingest job (and a natural partition /
+    * bucket key); queries scan nprobe/nlist of the corpus. */
+  def knnIvf(emb: DataFrame, queryId: Long, k: Int = 10,
+             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = withNorm(emb)
+    // deterministic pseudo-random centroid sample: order by vector-id
+    // hash (stable across runs/cluster sizes), unit-normalized
+    val cents = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nlist)
+      .select(col("v"), col("nrm")).collect()
+      .map(r => r.getSeq[Double](0).zipWithIndex
+        .map { case (x, _) => x / r.getDouble(1) }.toArray)
+    def cellOf(v: Column, nrm: Column): Column =
+      element_at(sort_array(array(cents.zipWithIndex.map { case (c, i) =>
+        struct((dot(v, lit(c)) / nrm).as("sim"), lit(i).as("idx"))
+      }: _*), asc = false), 1).getField("idx")
+    val assigned = e.withColumn("cell", cellOf(col("v"), col("nrm")))
+    val qRow = assigned.filter(col("vec_id") === queryId)
+      .select(col("v"), col("nrm")).head()
+    val q = qRow.getSeq[Double](0).toArray
+    val qn = qRow.getDouble(1)
+    val probeCells = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(q).map { case (a, b) => a * b }.sum / qn, i) }
+      .sortBy(-_._1).take(nprobe).map(_._2)
+    assigned
+      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(dot(col("v"), lit(q)) / (col("nrm") * lit(qn)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Exact all-pairs cosine pairs above a threshold (the
     * oracle-checkable dedup path): norms precomputed per side, then a
     * key-range self-join with the codegen'd dot in the projection. */

@@ -62,9 +62,18 @@ object Sink {
     * this is the difference between shuffling the fact table per query
     * and shuffling it once at ingest. */
   def bucketedTable(df: DataFrame, name: String, bucketCol: String,
-                    buckets: Int = 8): Unit =
+                    buckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    // a stale managed-table location (e.g. from a previous session with
+    // a fresh in-memory catalog) blocks creation — reclaim it first
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .mode("overwrite").format("parquet").saveAsTable(name)
+  }
 
   /** S2: streamed fetch — pull results through a server-side-cursor
     * analog; only one partition is resident at the driver at a time. */

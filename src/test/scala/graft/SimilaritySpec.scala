@@ -46,6 +46,25 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (id, sim) => assert(brute(id) == sim) }
   }
 
+  test("IVF probes the right cell: planted duplicate is the top hit") {
+    val emb = Tables.embeddings(spark, sf)
+    val dup = emb.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 20000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val top = Similarity.knnIvf(emb.unionByName(dup), 7L, 5).head()
+    assert(top.getLong(0) == 20007L)
+    assert(top.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("IVF cos values agree with brute force for returned ids") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.knnBrute(emb, 1L, 500)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect().toMap
+    Similarity.knnIvf(emb, 1L, 10)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect()
+      .foreach { case (id, sim) => assert(brute(id) == sim) }
+  }
+
   test("cosineDupPairs finds planted duplicate") {
     val emb = Tables.embeddings(spark, sf).limit(50)
     val dup = emb.filter(col("vec_id") === 7L)
