@@ -75,6 +75,13 @@ object Sink {
       .mode("overwrite").format("parquet").saveAsTable(name)
   }
 
+  /** Date-partitioned write: directory-partition the output on a
+    * derived key so time-bounded queries read only matching partitions
+    * (plan shows `PartitionFilters`, verified in PartitionSpec). The
+    * 100 TB layout: partition by coarse time, bucket by id within. */
+  def partitionedWrite(df: DataFrame, partCol: String, outPath: String): Unit =
+    df.write.partitionBy(partCol).mode("overwrite").parquet(outPath)
+
   /** S2: streamed fetch — pull results through a server-side-cursor
     * analog; only one partition is resident at the driver at a time. */
   def streamedFetch(df: DataFrame)(f: org.apache.spark.sql.Row => Unit): Long = {
