@@ -1,0 +1,38 @@
+package graft
+
+/** Plan-shape regression locks: the physical-plan properties that make
+  * these operators scale (COVERAGE.md §plan-audit) must not silently
+  * degrade. Substring checks on the executed plan, kept deliberately
+  * coarse so they survive Spark upgrades. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("range filter pushes predicates into the parquet scan") {
+    val p = plan("p5_range_filter")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(c_acctbal"), p)
+  }
+
+  test("top-k queries plan as TakeOrderedAndProject (no global sort)") {
+    assert(plan("w2_topk").contains("TakeOrderedAndProject"))
+    assert(plan("f1_scored_search").contains("TakeOrderedAndProject"))
+  }
+
+  test("denorm joins dims via broadcast, never nested-loop/cartesian") {
+    val p = plan("denorm_docs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("scalar aggregation is partial+final (map-side combine)") {
+    val p = plan("a1_agg")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+  }
+
+  test("dedup signature aggregation stays off nested-loop paths") {
+    val p = plan("d2_minhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
