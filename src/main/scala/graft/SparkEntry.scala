@@ -218,6 +218,8 @@ object SparkEntry {
       Search.scoredSearch(Denorm.docs(s, d), "NATION_1", 50)),
     "f2_tfidf" -> ((s, d) => Search.tfidf(s, d, "spark")),
     "f3_bm25" -> ((s, d) => Search.bm25(s, d, "spark")),
+    "f4_search_bm25" -> ((s, d) =>
+      Search.searchBm25(s, d, Seq("spark", "window"), k = 20)),
 
     // ---- denorm flagship (SURVEY §7 M1) ----
     "denorm_docs" -> ((s, d) => Denorm.docs(s, d).orderBy(col("id"))),
@@ -444,6 +446,25 @@ object SparkEntry {
           FROM p, s WHERE tf > 0 ORDER BY bm25 DESC, doc_id""",
     "t3_keyword" ->
       "SELECT doc_id, [lower(source)] AS tokens FROM documents ORDER BY doc_id",
+    "f4_search_bm25" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(toks)::INT AS len,
+                       len(list_filter(toks, x -> x = 'spark'))::INT AS tf0,
+                       len(list_filter(toks, x -> x = 'window'))::INT AS tf1 FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1 FROM p)
+          SELECT doc_id,
+                 round((CASE WHEN tf0 > 0
+                             THEN ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) *
+                                  (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                             ELSE 0.0 END) +
+                       (CASE WHEN tf1 > 0
+                             THEN ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) *
+                                  (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                             ELSE 0.0 END), 6) AS score
+          FROM p, s WHERE tf0 > 0 OR tf1 > 0
+          ORDER BY score DESC, doc_id LIMIT 20""",
     "denorm_docs" ->
       """SELECT o.o_orderkey AS id, o.o_orderstatus AS status, o.o_orderpriority AS priority,
                 o.o_totalprice AS total_price, o.o_orderdate AS created_at,

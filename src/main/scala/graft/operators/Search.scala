@@ -93,6 +93,37 @@ object Search {
       .orderBy(col("bm25").desc, col("doc_id").asc)
   }
 
+  /** Multi-term ranked retrieval: score = Σ over query terms of BM25 —
+    * the ES `match` query with OR semantics over an analyzed query
+    * string. One corpus scan computes all per-term tfs; stats broadcast
+    * once; top-k two-phase. */
+  def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
+                 k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val pre = Tables.documents(spark, dir)
+      .select(col("doc_id"), Analyzers.tokenize(lower(col("text"))).as("toks"))
+      .select(col("doc_id") +: size(col("toks")).as("len") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === t)).as(s"tf$i") }: _*)
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      avg(col("len")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double")
+          .as(s"df$i"))
+    val stats = pre.agg(aggs.head, aggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      val tfn = (col(s"tf$i") * lit(k1 + 1.0)) /
+        (col(s"tf$i") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+      when(col(s"tf$i") > 0, idf * tfn).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    pre.filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   def tfidf(spark: SparkSession, dir: String, term: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), Analyzers.tokenize(lower(col("text"))).as("toks"))
