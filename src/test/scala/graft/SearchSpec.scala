@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Search, TweetFixture}
+
+/** The reference's one search query (kuko6/tweets-elastic
+  * `src/used_queries/elastic_queries.json:1-46`) executed against the
+  * reference-schema documents: weighted nested match on
+  * context_annotations.domain.name, numeric range filters on the
+  * author, exists(links.url), score-ordered. */
+class SearchSpec extends SparkSpec {
+
+  lazy val docs = TweetFixture.docs(spark, withAnalyzers = false).cache()
+
+  test("the elastic_queries.json query: filters + weighted should + ranking") {
+    val matchDomain = exists(col("context_annotations"),
+      a => a.getField("domain").getField("name").contains("News"))
+    val hits = docs
+      .filter(col("author.following_count") > 100 &&
+        col("author.followers_count") > 5 &&
+        Search.existsIn(col("links"), l => l.getField("url").isNotNull))
+      .withColumn("score", Search.weightedScore(Seq(matchDomain -> 5.0)))
+      .orderBy(col("score").desc, col("id"))
+      .collect()
+    // only the main tweet passes the filters (parent has no links);
+    // its nested domain matches → weight 5
+    assert(hits.length == 1)
+    assert(hits.head.getAs[Long]("id") == TweetFixture.mainId)
+    assert(hits.head.getAs[Double]("score") == 5.0)
+  }
+
+  test("filter clauses contribute no score; should clauses stack") {
+    val score = Search.weightedScore(Seq(
+      (col("author.followers_count") > 0) -> 2.0,
+      (col("language") === "en") -> 3.0))
+    val r = docs.withColumn("s", score).select("id", "s").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(TweetFixture.mainId) == 5.0) // both clauses hit
+  }
+
+  test("nested match respects analyzed-text semantics") {
+    val m = docs.filter(Search.nestedMatch(col("context_annotations"),
+      a => a.getField("entity").getField("name"), "Conflicts"))
+    // englando stems "Conflicts" -> "conflict" and matches the
+    // tokenized entity name "Russo-Ukrainian conflict"
+    assert(m.count() == 1)
+  }
+}
