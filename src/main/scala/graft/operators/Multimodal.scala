@@ -50,22 +50,40 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col("content")).cast("long"))
 
   /** Batched decode/feature-extract: one decoder per partition, rows
-    * streamed through it (never materializing the partition), output a
-    * typed columnar frame. Partitioning: inherit the scan's splits —
-    * media decode is CPU-bound and embarrassingly parallel, so the only
-    * scale knob is input split size, not shuffle. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    * pulled in `batchSize` groups (the mapInPandas batch shape — a real
+    * codec amortizes per-batch setup/SIMD over the group), the
+    * partition itself never materialized. Partitioning: inherit the
+    * scan's splits — media decode is CPU-bound and embarrassingly
+    * parallel, so the only scale knob is input split size, not shuffle. */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "content", "format", "n_bytes")
       .as[MediaRow]
       .mapPartitions { rows =>
         val dec = new StubDecoder
         dec.open()
-        rows.map { r =>
-          val (w, h, f) = dec.decode(r.content)
-          MediaFeatures(r.media_id, r.n_bytes, r.format, w, h, f)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val (w, h, f) = dec.decode(r.content)
+            MediaFeatures(r.media_id, r.n_bytes, r.format, w, h, f)
+          }
         }
       }
+  }
+
+  /** Resize stage: clamp decoded dimensions to a bounding box
+    * preserving aspect ratio (the thumbnail/downsample step of an image
+    * pipeline; arithmetic is real, pixel work would live in the codec).
+    * Columnar — no UDF needed once dimensions are columns. */
+  def resize(features: Dataset[MediaFeatures], maxW: Int = 224,
+             maxH: Int = 224): DataFrame = {
+    val f = features.toDF()
+    val scale = least(lit(maxW).cast("double") / col("width"),
+      lit(maxH).cast("double") / col("height"), lit(1.0))
+    f.select(col("media_id"), col("width"), col("height"),
+      greatest(floor(col("width") * scale), lit(1)).cast("int").as("out_w"),
+      greatest(floor(col("height") * scale), lit(1)).cast("int").as("out_h"))
   }
 
   /** Fixed-size binary chunking — the frame-sampling / windowing shape

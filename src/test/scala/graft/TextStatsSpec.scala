@@ -44,6 +44,20 @@ class TextStatsSpec extends SparkSpec {
     assert(r(0).getString(2) == r(1).getString(2))
   }
 
+  test("multimodal: resize clamps to bounding box, preserves aspect") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sf).limit(50))
+    val r = Multimodal.resize(Multimodal.extractFeatures(spark, media))
+      .collect()
+    r.foreach { row =>
+      val (w, h, ow, oh) = (row.getInt(1), row.getInt(2),
+        row.getInt(3), row.getInt(4))
+      assert(ow <= 224 && oh <= 224 && ow >= 1 && oh >= 1)
+      val s = math.min(math.min(224.0 / w, 224.0 / h), 1.0)
+      assert(ow == math.max(math.floor(w * s).toInt, 1))
+      assert(oh == math.max(math.floor(h * s).toInt, 1))
+    }
+  }
+
   test("multimodal: stub feature extraction preserves rows and is deterministic") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf))
     val f1 = Multimodal.extractFeatures(spark, media).collect()
