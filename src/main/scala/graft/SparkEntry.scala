@@ -296,6 +296,13 @@ object SparkEntry {
       TextStats.tokenCounts(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "x4_fingerprint" -> ((s, d) =>
       TextStats.fingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "x6_rolling_fingerprint" -> ((s, d) => // custom expression: rows-only
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.expressions.rolling_min_hash(
+            graft.operators.Dedup.normalize(col("text")), 32)
+            .as("rolling_fp"))
+        .orderBy(col("doc_id"))),
 
     // ---- event-time analytics (SURVEY §2.9 extension) ----
     "e1_tumbling" -> ((s, d) => EventOps.tumbling(Tables.events(s, d))),

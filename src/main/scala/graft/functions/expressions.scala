@@ -68,6 +68,61 @@ object expressions {
   def ascii_fold(c: Column): Column =
     GraftShim.toColumn(AsciiFold(GraftShim.toExpression(c)))
 
+  /** Rabin–Karp rolling-hash document fingerprint: the minimum
+    * polynomial hash over all `window`-byte windows of the UTF-8 text,
+    * computed in one O(n) roll (each step: drop the outgoing byte's
+    * term, shift, add the incoming byte). The min-window selection is
+    * the winnowing idea — stable under local edits away from the
+    * minimizing window. Returns null for texts shorter than `window`.
+    */
+  object RollingImpl {
+    final val Base = 1000003L
+    def minWindowHash(s: UTF8String, window: Int): java.lang.Long = {
+      if (s == null) return null
+      val bytes = s.getBytes
+      val n = bytes.length
+      if (n < window) return null
+      // basePow = Base^(window-1) for removing the outgoing byte
+      var basePow = 1L
+      var i = 1
+      while (i < window) { basePow *= Base; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < window) { h = h * Base + (bytes(i) & 0xff); i += 1 }
+      var min = h
+      while (i < n) {
+        h = (h - (bytes(i - window) & 0xff) * basePow) * Base + (bytes(i) & 0xff)
+        if (h < min) min = h
+        i += 1
+      }
+      min
+    }
+  }
+
+  case class RollingMinHash(child: Expression, window: Int)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      RollingImpl.minWindowHash(v.asInstanceOf[UTF8String], window)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("rh")
+        s"""
+           |java.lang.Long $tmp =
+           |  graft.functions.expressions.RollingImpl.minWindowHash($c, $window);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.longValue(); }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): RollingMinHash =
+      copy(child = c)
+    override def prettyName: String = "rolling_min_hash"
+  }
+
+  def rolling_min_hash(c: Column, window: Int = 32): Column =
+    GraftShim.toColumn(RollingMinHash(GraftShim.toExpression(c), window))
+
   /** Σ aᵢ·bᵢ over two array<double> columns, fully codegen'd — the hot
     * inner loop of cosine similarity search. The higher-order-function
     * formulation (`aggregate(zip_with(...))`) is CodegenFallback and

@@ -44,6 +44,21 @@ class TextStatsSpec extends SparkSpec {
     assert(r(0).getString(2) == r(1).getString(2))
   }
 
+  test("rolling-hash fingerprint: stable under prefix edits, null when short") {
+    import graft.functions.expressions.rolling_min_hash
+    val base = "the quick brown fox jumps over the lazy dog again and again ok"
+    val df = Seq(
+      (1L, base), (2L, base), (3L, "PREFIX EDIT " + base), (4L, "short"))
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), rolling_min_hash(col("text"), 32).as("h"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(r(1L) == r(2L) && r(1L).isDefined)
+    // the minimizing window survives a prefix edit (winnowing locality)
+    assert(r(1L) == r(3L))
+    assert(r(4L).isEmpty) // shorter than the window → null
+  }
+
   test("multimodal: resize clamps to bounding box, preserves aspect") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf).limit(50))
     val r = Multimodal.resize(Multimodal.extractFeatures(spark, media))
