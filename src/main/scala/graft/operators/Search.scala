@@ -125,17 +125,19 @@ object Search {
   }
 
   def tfidf(spark: SparkSession, dir: String, term: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val pre = Tables.documents(spark, dir)
       .select(col("doc_id"), Analyzers.tokenize(lower(col("text"))).as("toks"))
-    val n = docs.count().toDouble
-    val tf = docs.select(col("doc_id"), col("toks"),
+      .select(col("doc_id"),
         size(filter(col("toks"), t => t === term)).as("tf"),
         size(col("toks")).as("len"))
-      .filter(col("tf") > 0)
-    val df = tf.count().toDouble // docs containing the term
-    val idf = math.log((n + 1.0) / (df + 1.0))
-    tf.select(col("doc_id"),
-        round(col("tf").cast("double") / col("len") * idf, 6).as("tfidf"))
+    val stats = pre.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(when(col("tf") > 0, 1).otherwise(0)).cast("double").as("df"))
+    pre.filter(col("tf") > 0)
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(col("tf").cast("double") / col("len") *
+          log((col("n") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
       .orderBy(col("tfidf").desc, col("doc_id").asc)
   }
 }
