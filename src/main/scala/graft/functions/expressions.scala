@@ -68,6 +68,75 @@ object expressions {
   def ascii_fold(c: Column): Column =
     GraftShim.toColumn(AsciiFold(GraftShim.toExpression(c)))
 
+  /** Distinct word-n-gram shingle hashes straight from a token array —
+    * the codegen'd core of the dedup family. Equivalent (w.h.p.) to
+    * hashing the string shingles of [[graft.operators.Dedup.shingleSet]]
+    * but with no string concatenation, no per-element lambda
+    * interpretation and no string-compare distinct: per-token FNV-1a
+    * 64-bit hashes combined over a sliding window, deduped in a hash
+    * set. Shorter-than-n token lists collapse to one whole-text shingle
+    * (same shape as the string version). */
+  object ShingleImpl {
+    private final val FnvOffset = 0xcbf29ce484222325L
+    private final val FnvPrime = 0x100000001b3L
+    private def fnv(s: UTF8String): Long = {
+      val b = s.getBytes
+      var h = FnvOffset
+      var i = 0
+      while (i < b.length) { h ^= (b(i) & 0xffL); h *= FnvPrime; i += 1 }
+      h
+    }
+    @inline private def mix(acc: Long, t: Long): Long =
+      (acc ^ t) * 0x9e3779b97f4a7c15L + 0x165667b19e3779f9L
+    def shingleHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+      val m = arr.numElements()
+      val th = new Array[Long](m)
+      var i = 0
+      while (i < m) { th(i) = fnv(arr.getUTF8String(i)); i += 1 }
+      val out = new java.util.LinkedHashSet[java.lang.Long]()
+      if (m < n) {
+        var h = FnvOffset
+        i = 0
+        while (i < m) { h = mix(h, th(i)); i += 1 }
+        out.add(h)
+      } else {
+        i = 0
+        while (i <= m - n) {
+          var h = FnvOffset
+          var j = 0
+          while (j < n) { h = mix(h, th(i + j)); j += 1 }
+          out.add(h)
+          i += 1
+        }
+      }
+      val res = new Array[Long](out.size)
+      val it = out.iterator()
+      i = 0
+      while (it.hasNext) { res(i) = it.next(); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+    }
+  }
+
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      ShingleImpl.shingleHashes(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.expressions.ShingleImpl.shingleHashes($c, $n)")
+    override protected def withNewChildInternal(c: Expression): ShingleHashes =
+      copy(child = c)
+    override def prettyName: String = "shingle_hashes"
+  }
+
+  def shingle_hashes(toks: Column, n: Int = 3): Column =
+    GraftShim.toColumn(ShingleHashes(GraftShim.toExpression(toks), n))
+
   /** Rabin–Karp rolling-hash document fingerprint: the minimum
     * polynomial hash over all `window`-byte windows of the UTF-8 text,
     * computed in one O(n) roll (each step: drop the outgoing byte's

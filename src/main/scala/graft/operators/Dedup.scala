@@ -56,6 +56,19 @@ object Dedup {
         Analyzers.tokenize(normalize(col(textCol))).as("toks"))
       .select(col("id"), shingleSet(col("toks"), n).as("shingles"))
 
+  /** (id, shingles) as distinct 64-bit hashes via the codegen'd
+    * [[graft.functions.expressions.ShingleHashes]] — the fast path the
+    * pair-finding operators run on (set cardinalities and therefore
+    * Jaccard values match the string version w.h.p.); the string
+    * variant remains for digest-style fingerprints. */
+  def withHashedShingleSet(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id", n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+        Analyzers.tokenize(normalize(col(textCol))).as("toks"))
+      .select(col("id"),
+        graft.functions.expressions.shingle_hashes(col("toks"), n)
+          .as("shingles"))
+
   /** D1 exact dedup: group identical normalized texts, keep the lowest
     * doc_id as the canonical representative. */
   def exact(docs: DataFrame, textCol: String = "text",
@@ -74,14 +87,12 @@ object Dedup {
     * and shuffles each doc id exactly once. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         numHashes: Int): DataFrame = {
-    // hash each shingle string ONCE, then derive the hash family by
-    // re-hashing the fixed-width long with the family index —
-    // 64 string hashes per posting become 1 string hash + 64 long
-    // hashes (an affine a·h+b family would be cheaper still, but ANSI
-    // mode makes wraparound long arithmetic throw)
-    val posts = withShingleSet(docs, textCol, idCol)
-      .select(col("id"), explode(col("shingles")).as("sh0"))
-      .select(col("id"), xxhash64(col("sh0")).as("h"))
+    // shingles arrive as 64-bit hashes (codegen'd ShingleHashes); the
+    // hash family re-hashes the fixed-width long with the family index
+    // (an affine a·h+b family would be cheaper still, but ANSI mode
+    // makes wraparound long arithmetic throw)
+    val posts = withHashedShingleSet(docs, textCol, idCol)
+      .select(col("id"), explode(col("shingles")).as("h"))
     val mins = (0 until numHashes)
       .map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     posts.groupBy(col("id"))
@@ -117,7 +128,7 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sets = withShingleSet(docs, textCol, idCol)
+    val sets = withHashedShingleSet(docs, textCol, idCol)
     cand
       .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -194,13 +205,10 @@ object Dedup {
                    idCol: String = "doc_id", n: Int = 3,
                    threshold: Double = 0.5,
                    maxShingleFreq: Int = 1000): DataFrame = {
-    val sets = withShingleSet(docs, textCol, idCol, n)
+    val sets = withHashedShingleSet(docs, textCol, idCol, n)
       .withColumn("setsize", size(col("shingles")))
-    // postings carry the 64-bit shingle hash, not the string: smaller
-    // shuffle rows, cheaper grouping (collision odds ~|postings|²/2⁶⁴)
     val posts = sets
-      .select(col("id"), col("setsize"), explode(col("shingles")).as("sh0"))
-      .select(col("id"), col("setsize"), xxhash64(col("sh0")).as("sh"))
+      .select(col("id"), col("setsize"), explode(col("shingles")).as("sh"))
     // group the posting list per shingle (ONE shuffle), drop
     // stop-shingles — lists longer than the cap blow up pair fan-out
     // quadratically and cannot push any pair over the threshold alone —
