@@ -166,6 +166,17 @@ object SparkEntry {
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "a3_stats_agg" -> ((s, d) =>
+      // statistical aggregates: exact interpolated percentiles + corr
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("qty_price_corr"),
+          round(stddev_pop(col("l_discount")), 6).as("disc_stddev"))
+        .orderBy(col("l_returnflag"))),
     "a2_collect_children" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
@@ -413,6 +424,12 @@ object SparkEntry {
                 round(sum(l_extendedprice), 2) AS sum_price,
                 round(avg(l_discount), 6) AS avg_disc, count(*) AS cnt
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a3_stats_agg" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS median,
+                round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+                round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                round(stddev_pop(l_discount), 6) AS disc_stddev
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "a2_collect_children" ->
       """SELECT l_orderkey, list(struct_pack(linenumber := l_linenumber, partkey := l_partkey,
                                              quantity := l_quantity)
