@@ -11,15 +11,17 @@ import graft.functions.Analyzers
   *
   *  - exact: hash-groupBy on a normalized fingerprint (one shuffle on
   *    the fingerprint, combiner-friendly);
-  *  - MinHash + LSH: signature computed per-row with higher-order
-  *    functions (no explode of the shingle set), then banding so the
-  *    candidate-pair join only touches colliding buckets — the
-  *    all-pairs O(n²) never materializes;
-  *  - SimHash: 64-bit signature per row + banded buckets + Hamming
-  *    verification (`bit_count(xor)`);
-  *  - exact n-gram Jaccard: inverted-index style (explode shingles,
-  *    self-join on shingle, count per pair) — the exact-verify path
-  *    used on LSH candidates; exposed standalone for the oracle.
+  *  - MinHash + LSH: codegen'd shingle hashes (ShingleHashes) →
+  *    explode + 64 min-aggregates with map-side combine → banded
+  *    buckets, so the candidate-pair join only touches colliding
+  *    buckets — the all-pairs O(n²) never materializes;
+  *  - SimHash: 64 majority-vote sum aggregates per doc + 4×16-bit
+  *    band buckets + Hamming verification (`bit_count(xor)`);
+  *  - exact n-gram Jaccard: inverted-index style (group postings per
+  *    shingle hash, emit in-bucket pairs from the capped posting
+  *    array, count per pair) — also the exact-verify path for LSH
+  *    candidates; SQL-expressible ⇒ serves as its own DuckDB oracle;
+  *  - applyDedup: ship the deduplicated corpus (anti join on pairs).
   */
 object Dedup {
 
