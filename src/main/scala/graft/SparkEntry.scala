@@ -254,6 +254,14 @@ object SparkEntry {
         .select(col("doc_id"),
           Analyzers.keywordLowercase(col("source")).as("tokens"))
         .orderBy(col("doc_id"))),
+    "t12_ngram_search" -> ((s, d) =>
+      // the point of the ngram multi-field (mapping.json:23-44):
+      // substring search answered from index-time 1..10-grams. For a
+      // pure-alphanumeric needle every occurrence lies inside one
+      // token, so the LIKE oracle is exact.
+      Tables.documents(s, d)
+        .filter(array_contains(Analyzers.customNgram(col("text")), "park"))
+        .select(col("doc_id")).orderBy(col("doc_id"))),
     "t11_englando" -> ((s, d) => // Porter not SQL-expressible: rows-only
       Tables.documents(s, d)
         .select(col("doc_id"), Analyzers.englando(col("text")).as("tokens"))
@@ -525,6 +533,8 @@ object SparkEntry {
     "t6_stopwords" ->
       s"""SELECT doc_id, list_filter(${sqlToks("lower(text)")}, t -> NOT list_contains($sqlStop, t)) AS tokens
           FROM documents ORDER BY doc_id""",
+    "t12_ngram_search" ->
+      """SELECT doc_id FROM documents WHERE lower(text) LIKE '%park%' ORDER BY doc_id""",
     "d1_exact_dedup" ->
       s"""SELECT md5($sqlNorm) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
           FROM documents GROUP BY 1 ORDER BY 1""",
