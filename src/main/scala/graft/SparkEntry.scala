@@ -34,6 +34,19 @@ object SparkEntry {
         ELSE [array_to_string(toks, ' ')] END)"""
   private val sqlStop = Analyzers.englishStopwords
     .map(w => s"'$w'").mkString("[", ", ", "]")
+  // Analyzers.customNgram/customShingles token stage: html_strip →
+  // standard tokenizer (mixed case) → lowercase → asciifold, as DuckDB
+  // (strip_accents ≡ the NFD-mark-strip of expressions.Impl.asciiFold).
+  private def sqlFoldedToks(src: String) =
+    s"""list_transform(regexp_extract_all(regexp_replace($src, '<[^>]*>', ' ', 'g'),
+        '[\\p{L}\\p{N}](?:[\\p{L}\\p{N}''’]*[\\p{L}\\p{N}])?'), t -> strip_accents(lower(t)))"""
+
+  /** The driver's oracle harness hashes result cells with pandas, which
+    * cannot hash numpy arrays — every declared query output must be
+    * FLAT (scalars only). Array columns are therefore projected through
+    * a canonical '|'-join for verification; the array-native operators
+    * behind them are unchanged. */
+  private def joined(arr: Column): Column = concat_ws("|", arr)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / sinks / maintenance (SURVEY §2.1) ----
@@ -150,10 +163,8 @@ object SparkEntry {
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_list(col("p_brand"))).as("brands"))
       val o = Tables.orders(s, d)
-      val bType = brands.schema("brands").dataType
       o.join(brands, o("o_orderkey") === brands("l_orderkey"), "left")
-        .select(col("o_orderkey"),
-          coalesce(col("brands"), array().cast(bType)).as("brands"))
+        .select(col("o_orderkey"), joined(col("brands")).as("brands"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -167,12 +178,20 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
     "a3_stats_agg" -> ((s, d) =>
-      // statistical aggregates: exact interpolated percentiles + corr
+      // Statistical aggregates: exact interpolated percentiles + corr.
+      // Percentiles run over integer cents and are reported as ×20
+      // fixed-point BIGINTs: every interpolation fraction here is a
+      // multiple of 1/20, so the true value ×20 is an integer and both
+      // engines round to it exactly — a dollar-rounded double landed on
+      // a .005 representation tie and flipped between engines.
       Tables.lineitem(s, d)
+        .withColumn("price_c", round(col("l_extendedprice") * 100, 0))
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+          round(expr("percentile(price_c, 0.5)") * 20, 0).cast("long")
+            .as("median_c20"),
+          round(expr("percentile(price_c, 0.95)") * 20, 0).cast("long")
+            .as("p95_c20"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 6)
             .as("qty_price_corr"),
           round(stddev_pop(col("l_discount")), 6).as("disc_stddev"))
@@ -183,7 +202,11 @@ object SparkEntry {
         .agg(sort_array(collect_list(struct(
           col("l_linenumber").as("linenumber"),
           col("l_partkey").as("partkey"),
-          col("l_quantity").as("quantity")))).as("items"))
+          col("l_quantity").as("quantity")))).as("items_arr"))
+        .select(col("l_orderkey"),
+          joined(transform(col("items_arr"), i => concat_ws(":",
+            i.getField("linenumber"), i.getField("partkey"),
+            i.getField("quantity").cast("long")))).as("items"))
         .orderBy(col("l_orderkey"))),
 
     // ---- set operations (SURVEY §2.6 — builtins, exercised) ----
@@ -233,26 +256,75 @@ object SparkEntry {
       Search.searchBm25(s, d, Seq("spark", "window"), k = 20)),
 
     // ---- denorm flagship (SURVEY §7 M1) ----
-    "denorm_docs" -> ((s, d) => Denorm.docs(s, d).orderBy(col("id"))),
+    "denorm_docs" -> ((s, d) =>
+      // the nested document, verification-flattened: scalars + author
+      // expanded, child arrays as canonical ':'-field '|'-element
+      // strings (money in exact integer cents)
+      Denorm.docs(s, d).select(
+        col("id"), col("status"), col("priority"), col("total_price"),
+        col("created_at"),
+        col("author.id").as("author_id"), col("author.name").as("author_name"),
+        col("author.segment").as("author_segment"),
+        col("author.acctbal").as("author_acctbal"),
+        joined(transform(col("items"), i => concat_ws(":",
+          i.getField("linenumber"), i.getField("partkey"),
+          i.getField("suppkey"), i.getField("quantity").cast("long"),
+          round(i.getField("extendedprice") * 100, 0).cast("long"),
+          i.getField("returnflag")))).as("items"),
+        joined(transform(col("annotations"), a => concat_ws(":",
+          a.getField("entity").getField("id"),
+          a.getField("entity").getField("name"),
+          a.getField("entity").getField("description"),
+          a.getField("domain").getField("id"),
+          a.getField("domain").getField("name")))).as("annotations"))
+        .orderBy(col("id"))),
     "denorm_roundtrip" -> ((s, d) => Denorm.roundtrip(s, d)),
-    "tweet_denorm" -> ((s, _) => // exact reference schema, golden fixture
-      TweetFixture.docs(s).orderBy(col("id"))),
+    "tweet_denorm" -> ((s, _) =>
+      // exact reference schema, golden fixture — flat projection of the
+      // nested doc (scalars + '|'-joined children); the oracle carries
+      // the golden values as literal VALUES rows
+      TweetFixture.docs(s).select(
+        col("id"), col("content"), col("language"), col("source"),
+        col("retweet_count"), col("reply_count"), col("like_count"),
+        col("quote_count"),
+        date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss").as("created_utc"),
+        col("author.username").as("author_username"),
+        col("author.followers_count").as("author_followers"),
+        joined(transform(col("context_annotations"), ca => concat_ws(":",
+          ca.getField("entity").getField("id"),
+          ca.getField("entity").getField("name"),
+          ca.getField("domain").getField("id"),
+          ca.getField("domain").getField("name")))).as("context_annotations"),
+        joined(transform(col("conversation_hashtags"),
+          h => h.getField("tag"))).as("hashtags"),
+        joined(transform(col("annotations"), a => concat_ws(":",
+          a.getField("value"), a.getField("type"),
+          round(a.getField("probability").cast("double") * 1000, 0)
+            .cast("long")))).as("annotations"),
+        joined(transform(col("links"), l => l.getField("url"))).as("links"),
+        joined(transform(col("conversation_references"), r => concat_ws(":",
+          r.getField("id"), r.getField("type"),
+          r.getField("author").getField("username")))).as("references"),
+        joined(col("content_tokens")).as("content_tokens"),
+        joined(col("author_name_shingles")).as("author_name_shingles"))
+        .orderBy(col("id"))),
 
     // ---- analyzers (SURVEY §2.8) ----
     "t2_tokenize" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), Analyzers.tokenize(lower(col("text"))).as("tokens"))
+        .select(col("doc_id"),
+          joined(Analyzers.tokenize(lower(col("text")))).as("tokens"))
         .orderBy(col("doc_id"))),
     "t6_stopwords" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          Analyzers.removeStopwords(Analyzers.tokenize(lower(col("text"))))
-            .as("tokens"))
+          joined(Analyzers.removeStopwords(
+            Analyzers.tokenize(lower(col("text"))))).as("tokens"))
         .orderBy(col("doc_id"))),
     "t3_keyword" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          Analyzers.keywordLowercase(col("source")).as("tokens"))
+          joined(Analyzers.keywordLowercase(col("source"))).as("tokens"))
         .orderBy(col("doc_id"))),
     "t12_ngram_search" -> ((s, d) =>
       // the point of the ngram multi-field (mapping.json:23-44):
@@ -264,16 +336,18 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))),
     "t11_englando" -> ((s, d) => // Porter not SQL-expressible: rows-only
       Tables.documents(s, d)
-        .select(col("doc_id"), Analyzers.englando(col("text")).as("tokens"))
+        .select(col("doc_id"), joined(Analyzers.englando(col("text"))).as("tokens"))
         .orderBy(col("doc_id"))),
-    "t9_ngram" -> ((s, d) => // rows-only; golden vectors in AnalyzerSpec
+    "t9_ngram" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          Analyzers.customNgram(substring(col("text"), 1, 40)).as("grams"))
+          joined(Analyzers.customNgram(substring(col("text"), 1, 40)))
+            .as("grams"))
         .orderBy(col("doc_id"))),
-    "t10_shingles" -> ((s, d) => // rows-only; golden vectors in AnalyzerSpec
+    "t10_shingles" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), Analyzers.customShingles(col("text")).as("grams"))
+        .select(col("doc_id"),
+          joined(Analyzers.customShingles(col("text"))).as("grams"))
         .orderBy(col("doc_id"))),
 
     // ---- dedup (brief §extensions; SURVEY §7 M5) ----
@@ -292,9 +366,10 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
     "d5_cosine_pairs" -> ((s, d) =>
-      // exact all-pairs semantics (the oracle-checkable path); the
-      // LSH-bucketed variant is n2_knn_lsh / Similarity.cosineDupPairs
-      Similarity.cosinePairsBrute(Tables.embeddings(s, d), 0.4)),
+      // exact all-pairs semantics, tiled so the quadratic work shuffle-
+      // partitions instead of planning a BroadcastNestedLoopJoin; the
+      // near-dup LSH variant is Similarity.cosineDupPairs
+      Similarity.cosinePairsBlocked(Tables.embeddings(s, d), 0.4)),
 
     // ---- similarity search (brief §extensions) ----
     "n1_knn_brute" -> ((s, d) =>
@@ -351,9 +426,17 @@ object SparkEntry {
     "m2_media_features" -> ((s, d) => // stub decoder: rows-only
       Multimodal.extractFeatures(s,
         Multimodal.asMedia(Tables.documents(s, d)))
-        .toDF().orderBy(col("media_id"))),
+        .toDF()
+        .select(col("media_id"), col("n_bytes"), col("format"),
+          col("width"), col("height"),
+          joined(transform(col("features"), f => f.cast("string")))
+            .as("features"))
+        .orderBy(col("media_id"))),
     "m3_media_chunks" -> ((s, d) =>
-      Multimodal.mediaChunks(Multimodal.asMedia(Tables.documents(s, d))))
+      Multimodal.mediaChunks(Multimodal.asMedia(Tables.documents(s, d)))
+        .select(col("media_id"), col("n_chunks"),
+          joined(col("chunk_md5s")).as("chunk_md5s"))
+        .orderBy(col("media_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -423,7 +506,7 @@ object SparkEntry {
                  WHERE o.o_orderkey = l.l_orderkey) AS parent_author
          FROM lineitem l ORDER BY l.l_orderkey, l.l_linenumber""",
     "j12_parent_agg" ->
-      """SELECT o.o_orderkey, coalesce(b.brands, []) AS brands
+      """SELECT o.o_orderkey, coalesce(array_to_string(b.brands, '|'), '') AS brands
          FROM orders o LEFT JOIN (SELECT l_orderkey, list(p_brand ORDER BY p_brand) AS brands
                                   FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1) b
          ON b.l_orderkey = o.o_orderkey ORDER BY o.o_orderkey""",
@@ -433,15 +516,16 @@ object SparkEntry {
                 round(avg(l_discount), 6) AS avg_disc, count(*) AS cnt
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "a3_stats_agg" ->
-      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS median,
-                round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+      """SELECT l_returnflag,
+                CAST(round(quantile_cont(round(l_extendedprice*100, 0), 0.5) * 20, 0) AS BIGINT) AS median_c20,
+                CAST(round(quantile_cont(round(l_extendedprice*100, 0), 0.95) * 20, 0) AS BIGINT) AS p95_c20,
                 round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
                 round(stddev_pop(l_discount), 6) AS disc_stddev
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "a2_collect_children" ->
-      """SELECT l_orderkey, list(struct_pack(linenumber := l_linenumber, partkey := l_partkey,
-                                             quantity := l_quantity)
-                                 ORDER BY l_linenumber, l_partkey, l_quantity) AS items
+      """SELECT l_orderkey,
+                array_to_string(list(l_linenumber::VARCHAR || ':' || l_partkey || ':' || CAST(l_quantity AS BIGINT)
+                                     ORDER BY l_linenumber, l_partkey, l_quantity), '|') AS items
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "w2_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -477,7 +561,7 @@ object SparkEntry {
                                (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)), 6) AS bm25
           FROM p, s WHERE tf > 0 ORDER BY bm25 DESC, doc_id""",
     "t3_keyword" ->
-      "SELECT doc_id, [lower(source)] AS tokens FROM documents ORDER BY doc_id",
+      "SELECT doc_id, lower(source) AS tokens FROM documents ORDER BY doc_id",
     "f4_search_bm25" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           p AS (SELECT doc_id, len(toks)::INT AS len,
@@ -500,28 +584,49 @@ object SparkEntry {
     "denorm_docs" ->
       """SELECT o.o_orderkey AS id, o.o_orderstatus AS status, o.o_orderpriority AS priority,
                 o.o_totalprice AS total_price, o.o_orderdate AS created_at,
-                struct_pack(id := c.c_custkey, name := c.c_name, segment := c.c_mktsegment,
-                            acctbal := c.c_acctbal) AS author,
-                coalesce(li.items, []) AS items,
-                coalesce(an.annotations, []) AS annotations
+                c.c_custkey AS author_id, c.c_name AS author_name,
+                c.c_mktsegment AS author_segment, c.c_acctbal AS author_acctbal,
+                coalesce(array_to_string(li.items, '|'), '') AS items,
+                coalesce(array_to_string(an.annotations, '|'), '') AS annotations
          FROM orders o
          JOIN customer c ON o.o_custkey = c.c_custkey
          LEFT JOIN (SELECT l_orderkey,
-                           list(struct_pack(linenumber := l_linenumber, partkey := l_partkey,
-                                            suppkey := l_suppkey, quantity := l_quantity,
-                                            extendedprice := l_extendedprice, returnflag := l_returnflag)
+                           list(l_linenumber::VARCHAR || ':' || l_partkey || ':' || l_suppkey || ':' ||
+                                CAST(l_quantity AS BIGINT) || ':' ||
+                                CAST(round(l_extendedprice * 100, 0) AS BIGINT) || ':' || l_returnflag
                                 ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
                                          l_extendedprice, l_returnflag) AS items
                     FROM lineitem GROUP BY 1) li ON li.l_orderkey = o.o_orderkey
          LEFT JOIN (SELECT l_orderkey,
-                           list(struct_pack(entity := struct_pack(id := p_partkey, name := p_name,
-                                                                  description := p_type),
-                                            domain := struct_pack(id := n_nationkey::BIGINT, name := n_name))
-                                ORDER BY p_partkey, p_name, p_type, n_nationkey) AS annotations
+                           list(p_partkey::VARCHAR || ':' || p_name || ':' || p_type || ':' ||
+                                n_nationkey::BIGINT || ':' || n_name
+                                ORDER BY p_partkey, p_name, p_type, n_nationkey, n_name) AS annotations
                     FROM lineitem JOIN part ON l_partkey = p_partkey
                                   JOIN supplier ON l_suppkey = s_suppkey
                                   JOIN nation ON s_nationkey = n_nationkey
                     GROUP BY 1) an ON an.l_orderkey = o.o_orderkey
+         ORDER BY id""",
+    // golden-values oracle: the two fixture documents, hand-checked
+    // against the reference's docs/sample_document.json by
+    // TweetDenormSpec, transported here as literal rows
+    "tweet_denorm" ->
+      """SELECT * FROM (VALUES
+           (1496727690157588483, 'SPREAD AND SHARE, YOU CAN HELP UKRAINE #Ukraine #Russia https://t.co/rp2IFCKMi3',
+            'en', 'Twitter Web App', 6085, 3, 9000, 50, '2022-02-24 20:00:00', 'one_sorrow', 1000,
+            '', 'Russia|Ukraine', '', '', '',
+            'spread|share|you|can|help|ukrain|ukrain|russia|http|t|co|rp2ifckmi3',
+            'one|for|pocskie|onefor|forpocskie'),
+           (1497032529894805509, 'RT @one_sorrow: SPREAD AND SHARE, YOU CAN HELP UKRAINE #Ukraine #Russia https://t.co/rp2IFCKMi3',
+            'en', 'Twitter for Android', 6085, 0, 0, 0, '2022-02-25 02:15:43', 'michaelkinnie', 9,
+            '1484601166080081920:Russo-Ukrainian conflict:123:Ongoing News Story|1484601166080081920:Russo-Ukrainian conflict:123:Ongoing News Story',
+            'Russia|Ukraine', 'UKRAINE:Place:954',
+            'https://twitter.com/one_sorrow/status/1496727690157588483/photo/1',
+            '1496727690157588483:retweeted:one_sorrow',
+            'rt|on|sorrow|spread|share|you|can|help|ukrain|ukrain|russia|http|t|co|rp2ifckmi3',
+            'ted|wil|alex|tedwil|wilalex')
+         ) AS t(id, content, language, source, retweet_count, reply_count, like_count, quote_count,
+                created_utc, author_username, author_followers, context_annotations, hashtags,
+                annotations, links, "references", content_tokens, author_name_shingles)
          ORDER BY id""",
     "denorm_roundtrip" ->
       """SELECT o_orderkey AS id, o_custkey AS author_id, l_linenumber AS linenumber,
@@ -529,15 +634,51 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey
          ORDER BY id, linenumber""",
     "t2_tokenize" ->
-      s"""SELECT doc_id, ${sqlToks("lower(text)")} AS tokens FROM documents ORDER BY doc_id""",
-    "t6_stopwords" ->
-      s"""SELECT doc_id, list_filter(${sqlToks("lower(text)")}, t -> NOT list_contains($sqlStop, t)) AS tokens
+      s"""SELECT doc_id, array_to_string(${sqlToks("lower(text)")}, '|') AS tokens
           FROM documents ORDER BY doc_id""",
+    "t6_stopwords" ->
+      s"""SELECT doc_id, array_to_string(list_filter(${sqlToks("lower(text)")},
+                 t -> NOT list_contains($sqlStop, t)), '|') AS tokens
+          FROM documents ORDER BY doc_id""",
+    "t9_ngram" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlFoldedToks("substring(text, 1, 40)")} AS toks FROM documents)
+          SELECT doc_id,
+                 array_to_string(flatten(list_transform(toks, t ->
+                   flatten(list_transform(generate_series(1, least(10, length(t))), n ->
+                     list_transform(generate_series(1, length(t)-n+1), s -> substring(t, s, n)))))), '|') AS grams
+          FROM t ORDER BY doc_id""",
+    "t10_shingles" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlFoldedToks("text")} AS toks FROM documents)
+          SELECT doc_id,
+                 array_to_string(list_concat(toks,
+                   list_transform(generate_series(1, len(toks)-1), i -> toks[i] || toks[i+1])), '|') AS grams
+          FROM t ORDER BY doc_id""",
     "t12_ngram_search" ->
       """SELECT doc_id FROM documents WHERE lower(text) LIKE '%park%' ORDER BY doc_id""",
     "d1_exact_dedup" ->
       s"""SELECT md5($sqlNorm) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
           FROM documents GROUP BY 1 ORDER BY 1""",
+    // d2's LSH candidate generation is verified by its exact-Jaccard
+    // re-check: at this scale recall is 1.0 (SimilaritySpec/DedupSpec),
+    // so the exact-Jaccard SQL is a valid oracle for the MinHash path
+    "d2_minhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+          p AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
+                       any_value(b.setsize) AS sb, count(*)::INT AS inter
+                FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT id_a, id_b, round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
+          FROM j WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5
+          ORDER BY id_a, id_b""",
+    "x6_rolling_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $sqlNorm AS nt FROM documents),
+          cp AS (SELECT doc_id, list_transform(string_split(nt, ''), ch -> unicode(ch)::BIGINT) AS cps FROM t)
+          SELECT doc_id,
+                 CASE WHEN len(cps) < 32 THEN NULL ELSE
+                   list_aggregate(list_transform(generate_series(1, len(cps)-31), i ->
+                     list_reduce(cps[i:i+31], (a, b) -> (a*1000003 + b) % 1000000007)), 'min') END AS rolling_fp
+          FROM cp ORDER BY doc_id""",
     "d4_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
           s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
@@ -595,8 +736,9 @@ object SparkEntry {
     "m3_media_chunks" ->
       """SELECT doc_id AS media_id,
                 ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_chunks,
-                list_transform(generate_series(0, ceil(octet_length(encode(text)) / 64.0)::BIGINT - 1),
-                               i -> md5(substring(text, (i * 64 + 1)::INT, 64))) AS chunk_md5s
+                array_to_string(
+                  list_transform(generate_series(0, ceil(octet_length(encode(text)) / 64.0)::BIGINT - 1),
+                                 i -> md5(substring(text, (i * 64 + 1)::INT, 64))), '|') AS chunk_md5s
          FROM documents ORDER BY media_id""",
     "n1_knn_brute" ->
       """SELECT vec_id, label,

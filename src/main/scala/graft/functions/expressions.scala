@@ -7,15 +7,15 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Custom scalar Catalyst expressions for analyzer stages that have no
-  * built-in equivalent (SURVEY.md §2.8 T5 asciifold, T8 Porter stem).
-  * Both generate code (a static call) so they stay inside whole-stage
-  * codegen when used outside higher-order-function lambdas.
+/** Java-side helpers invoked from generated code.
+  *
+  * MUST be a top-level object: Scala emits Java-visible static forwarder
+  * methods only for top-level objects, and Janino resolves the generated
+  * `graft.functions.Impl.porterStem(...)` call through those forwarders.
+  * As a nested object (round 1) the call failed to compile and every
+  * containing stage silently fell back to interpreted execution.
   */
-object expressions {
-
-  /** Java-side helpers invoked from generated code. */
-  object Impl {
+object Impl {
     def porterStem(s: UTF8String): UTF8String =
       if (s == null) null
       else UTF8String.fromString(PorterStemmer.stem(s.toString))
@@ -40,7 +40,103 @@ object expressions {
           UTF8String.fromString(marks.matcher(norm).replaceAll(""))
         }
       }
+}
+
+/** Codegen'd core of the dedup family — see [[expressions.ShingleHashes]].
+  * Top-level for Java-visible static forwarders (Janino requirement). */
+object ShingleImpl {
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+  private def fnv(s: UTF8String): Long = {
+    val b = s.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= FnvPrime; i += 1 }
+    h
   }
+  @inline private def mix(acc: Long, t: Long): Long =
+    (acc ^ t) * 0x9e3779b97f4a7c15L + 0x165667b19e3779f9L
+  def shingleHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                    n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = arr.numElements()
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) { th(i) = fnv(arr.getUTF8String(i)); i += 1 }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m < n) {
+      var h = FnvOffset
+      i = 0
+      while (i < m) { h = mix(h, th(i)); i += 1 }
+      out.add(h)
+    } else {
+      i = 0
+      while (i <= m - n) {
+        var h = FnvOffset
+        var j = 0
+        while (j < n) { h = mix(h, th(i + j)); j += 1 }
+        out.add(h)
+        i += 1
+      }
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { res(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+}
+
+/** O(n) Rabin–Karp winnowing core — see [[expressions.RollingMinHash]].
+  * Top-level for Java-visible static forwarders (Janino requirement).
+  *
+  * Operates on Unicode CODE POINTS with polynomial hashing mod a prime
+  * (not wrapping 64-bit over UTF-8 bytes): every intermediate fits well
+  * inside a signed long, so the exact same fold is expressible in
+  * standard SQL integer arithmetic — the DuckDB oracle for
+  * `x6_rolling_fingerprint` replays it with `list_reduce` over
+  * `unicode()` code points and must match bit-for-bit. */
+object RollingImpl {
+  final val Base = 1000003L
+  final val Mod = 1000000007L
+  def minWindowHash(s: UTF8String, window: Int): java.lang.Long = {
+    if (s == null) return null
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n < window) return null
+    val cps = new Array[Long](n)
+    var ci = 0
+    var k = 0
+    while (ci < str.length) {
+      val cp = str.codePointAt(ci)
+      cps(k) = cp.toLong
+      k += 1
+      ci += Character.charCount(cp)
+    }
+    // basePow = Base^(window-1) mod Mod, for removing the outgoing char
+    var basePow = 1L
+    var i = 1
+    while (i < window) { basePow = (basePow * Base) % Mod; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = (h * Base + cps(i)) % Mod; i += 1 }
+    var min = h
+    while (i < n) {
+      var t = (h - (cps(i - window) * basePow) % Mod) % Mod
+      if (t < 0) t += Mod
+      h = (t * Base + cps(i)) % Mod
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+/** Custom scalar Catalyst expressions for analyzer stages that have no
+  * built-in equivalent (SURVEY.md §2.8 T5 asciifold, T8 Porter stem).
+  * Both generate code (a static call) so they stay inside whole-stage
+  * codegen when used outside higher-order-function lambdas.
+  */
+object expressions {
 
   abstract class StaticStringCall(fnName: String) extends UnaryExpression
       with Serializable {
@@ -48,7 +144,7 @@ object expressions {
     override def nullSafeEval(v: Any): Any = call(v.asInstanceOf[UTF8String])
     protected def call(s: UTF8String): UTF8String
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"graft.functions.expressions.Impl.$fnName($c)")
+      defineCodeGen(ctx, ev, c => s"graft.functions.Impl.$fnName($c)")
   }
 
   case class PorterStem(child: Expression) extends StaticStringCall("porterStem") {
@@ -76,48 +172,6 @@ object expressions {
     * 64-bit hashes combined over a sliding window, deduped in a hash
     * set. Shorter-than-n token lists collapse to one whole-text shingle
     * (same shape as the string version). */
-  object ShingleImpl {
-    private final val FnvOffset = 0xcbf29ce484222325L
-    private final val FnvPrime = 0x100000001b3L
-    private def fnv(s: UTF8String): Long = {
-      val b = s.getBytes
-      var h = FnvOffset
-      var i = 0
-      while (i < b.length) { h ^= (b(i) & 0xffL); h *= FnvPrime; i += 1 }
-      h
-    }
-    @inline private def mix(acc: Long, t: Long): Long =
-      (acc ^ t) * 0x9e3779b97f4a7c15L + 0x165667b19e3779f9L
-    def shingleHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
-                      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-      val m = arr.numElements()
-      val th = new Array[Long](m)
-      var i = 0
-      while (i < m) { th(i) = fnv(arr.getUTF8String(i)); i += 1 }
-      val out = new java.util.LinkedHashSet[java.lang.Long]()
-      if (m < n) {
-        var h = FnvOffset
-        i = 0
-        while (i < m) { h = mix(h, th(i)); i += 1 }
-        out.add(h)
-      } else {
-        i = 0
-        while (i <= m - n) {
-          var h = FnvOffset
-          var j = 0
-          while (j < n) { h = mix(h, th(i + j)); j += 1 }
-          out.add(h)
-          i += 1
-        }
-      }
-      val res = new Array[Long](out.size)
-      val it = out.iterator()
-      i = 0
-      while (it.hasNext) { res(i) = it.next(); i += 1 }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
-    }
-  }
-
   case class ShingleHashes(child: Expression, n: Int)
       extends UnaryExpression with Serializable {
     override def dataType: DataType =
@@ -128,7 +182,7 @@ object expressions {
         v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
-        c => s"graft.functions.expressions.ShingleImpl.shingleHashes($c, $n)")
+        c => s"graft.functions.ShingleImpl.shingleHashes($c, $n)")
     override protected def withNewChildInternal(c: Expression): ShingleHashes =
       copy(child = c)
     override def prettyName: String = "shingle_hashes"
@@ -138,36 +192,13 @@ object expressions {
     GraftShim.toColumn(ShingleHashes(GraftShim.toExpression(toks), n))
 
   /** Rabin–Karp rolling-hash document fingerprint: the minimum
-    * polynomial hash over all `window`-byte windows of the UTF-8 text,
-    * computed in one O(n) roll (each step: drop the outgoing byte's
-    * term, shift, add the incoming byte). The min-window selection is
-    * the winnowing idea — stable under local edits away from the
-    * minimizing window. Returns null for texts shorter than `window`.
+    * polynomial hash (mod prime) over all `window`-code-point windows
+    * of the text, computed in one O(n) roll (each step: drop the
+    * outgoing char's term, shift, add the incoming char). The
+    * min-window selection is the winnowing idea — stable under local
+    * edits away from the minimizing window. Returns null for texts
+    * shorter than `window` code points.
     */
-  object RollingImpl {
-    final val Base = 1000003L
-    def minWindowHash(s: UTF8String, window: Int): java.lang.Long = {
-      if (s == null) return null
-      val bytes = s.getBytes
-      val n = bytes.length
-      if (n < window) return null
-      // basePow = Base^(window-1) for removing the outgoing byte
-      var basePow = 1L
-      var i = 1
-      while (i < window) { basePow *= Base; i += 1 }
-      var h = 0L
-      i = 0
-      while (i < window) { h = h * Base + (bytes(i) & 0xff); i += 1 }
-      var min = h
-      while (i < n) {
-        h = (h - (bytes(i - window) & 0xff) * basePow) * Base + (bytes(i) & 0xff)
-        if (h < min) min = h
-        i += 1
-      }
-      min
-    }
-  }
-
   case class RollingMinHash(child: Expression, window: Int)
       extends UnaryExpression with Serializable {
     override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -179,7 +210,7 @@ object expressions {
         val tmp = ctx.freshName("rh")
         s"""
            |java.lang.Long $tmp =
-           |  graft.functions.expressions.RollingImpl.minWindowHash($c, $window);
+           |  graft.functions.RollingImpl.minWindowHash($c, $window);
            |if ($tmp == null) { ${ev.isNull} = true; }
            |else { ${ev.value} = $tmp.longValue(); }
          """.stripMargin

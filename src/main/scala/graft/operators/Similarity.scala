@@ -138,13 +138,56 @@ object Similarity {
 
   /** Exact all-pairs cosine pairs above a threshold (the
     * oracle-checkable dedup path): norms precomputed per side, then a
-    * key-range self-join with the codegen'd dot in the projection. */
+    * key-range self-join with the codegen'd dot in the projection.
+    *
+    * NOT the declared d5 query: the only join condition is the id
+    * range, so Spark plans a BroadcastNestedLoopJoin — one task owns
+    * the whole right side. Kept as the semantics reference;
+    * [[cosinePairsBlocked]] computes the identical result with a
+    * shuffle-partitioned plan. */
   def cosinePairsBrute(emb: DataFrame, threshold: Double): DataFrame = {
     val e = withNorm(emb).select("vec_id", "v", "nrm")
     val a = e.as("a"); val b = e.as("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact all-pairs cosine via TILED self-join — the scale-out shape
+    * of the quadratic problem. A threshold this low (0.4) admits no
+    * LSH shortcut with recall 1 (pairs at cos 0.4 are split by a
+    * random hyperplane with p ≈ 0.37, so any bucketing loses pairs);
+    * exact low-threshold all-pairs is inherently O(n²) work, and the
+    * design question at 100 TB is only how that work is SHARDED.
+    * Here: each vector lands in one of `blocks` id-blocks; each side
+    * replicates `blocks`-fold tagged with a tile coordinate, and the
+    * pair space becomes an equi-join on (tile_i, tile_j) — every tile
+    * is an independent shuffle partition of (n/B)² candidate pairs,
+    * B² of them spread across the cluster, with no nested-loop
+    * broadcast of the whole corpus. Shuffle volume is 2·B·n rows
+    * (replication B trades against B² parallelism — pick B near
+    * √cores); per-tile working set (2·n/B vectors) is the memory
+    * knob. Same output as [[cosinePairsBrute]] (asserted in
+    * SimilaritySpec); for near-dup thresholds (≥ ~0.8) use
+    * [[cosineDupPairs]], which prunes instead of sharding. */
+  def cosinePairsBlocked(emb: DataFrame, threshold: Double,
+                         blocks: Int = 8): DataFrame = {
+    val tiles = lit((0 until blocks).toArray)
+    val e = withNorm(emb)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        pmod(col("vec_id"), lit(blocks)).as("blk"))
+    // a-row of block i participates in tiles (i, *); b-row of block j
+    // in tiles (*, j); pair (x, y) meets in exactly tile (blk x, blk y)
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("blk").as("ti"), explode(tiles).as("tj"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), explode(tiles).as("ti"), col("blk").as("tj"))
+    a.join(b, Seq("ti", "tj")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("id_a"), col("id_b"))

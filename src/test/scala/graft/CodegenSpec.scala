@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.expressions._
+
+/** Round-1 regression: the generated Java for the custom expressions
+  * referenced Scala objects nested inside `object expressions`, which have
+  * no Java-visible static path — Janino failed to compile and every
+  * containing stage silently ran interpreted. These tests disable the
+  * silent fallback so a codegen compile failure is a test failure, and
+  * lock WholeStageCodegen presence in the executed plans.
+  */
+class CodegenSpec extends SparkSpec {
+
+  private def noFallback[A](body: => A): A = {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  import spark.implicits._
+  private lazy val docs = Seq(
+    ("a", "the quick brown fox jumps over the lazy dog and runs away"),
+    ("b", "pack my box with five dozen liquor jugs right now"),
+    ("c", "sphinx of black quartz judge my vow")
+  ).toDF("id", "text")
+
+  test("shingle_hashes compiles under codegen (no silent fallback)") {
+    noFallback {
+      val out = docs
+        .select(col("id"), shingle_hashes(split(col("text"), " "), 3).as("sh"))
+        .select(col("id"), size(col("sh")).as("n"))
+        .collect()
+      assert(out.length == 3 && out.forall(_.getInt(1) > 0))
+    }
+  }
+
+  test("rolling_min_hash compiles under codegen") {
+    noFallback {
+      val out = docs
+        .select(rolling_min_hash(col("text"), 16).as("fp"))
+        .collect()
+      assert(out.forall(!_.isNullAt(0)))
+    }
+  }
+
+  test("porter_stem / ascii_fold compile under codegen") {
+    noFallback {
+      val out = Seq("connections", "čučoriedka")
+        .toDF("w")
+        .select(porter_stem(col("w")).as("s"), ascii_fold(col("w")).as("f"))
+        .collect()
+      assert(out.map(_.getString(0)).contains("connect"))
+      assert(out.map(_.getString(1)).contains("cucoriedka"))
+    }
+  }
+
+  test("dot_product compiles under codegen") {
+    noFallback {
+      val r = Seq((Array(1.0, 2.0), Array(3.0, 4.0)))
+        .toDF("a", "b")
+        .select(dot_product(col("a"), col("b")).as("d"))
+        .head()
+      assert(r.getDouble(0) == 11.0)
+    }
+  }
+
+  test("jaccard dedup plan runs whole-stage codegen end to end") {
+    noFallback {
+      val df = SparkEntry.queries("d4_jaccard_pairs")(spark, sf)
+      df.collect() // materialize so AQE finalizes this instance's plan
+      // WholeStageCodegenExec renders as "*(n) " stage prefixes
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), p)
+    }
+  }
+}

@@ -35,4 +35,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("d2_minhash_pairs")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("tiled cosine all-pairs never plans a nested-loop broadcast") {
+    val p = plan("d5_cosine_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

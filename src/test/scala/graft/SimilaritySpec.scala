@@ -16,6 +16,15 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("tiled all-pairs equals the brute-force reference exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.cosinePairsBrute(emb, 0.4).collect().toSeq
+    val tiled = Similarity.cosinePairsBlocked(emb, 0.4, blocks = 4)
+      .collect().toSeq
+    assert(tiled == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("brute-force knn returns k rows ordered by similarity") {
     val knn = Similarity.knnBrute(Tables.embeddings(spark, sf), 1L, 10)
       .collect()
