@@ -330,9 +330,13 @@ object SparkEntry {
       // the point of the ngram multi-field (mapping.json:23-44):
       // substring search answered from index-time 1..10-grams. For a
       // pure-alphanumeric needle every occurrence lies inside one
-      // token, so the LIKE oracle is exact.
+      // token, so the LIKE oracle is exact. The probe generates ONLY
+      // needle-length grams — shorter/longer grams cannot equal the
+      // needle, so computing the full 1..10 set would be ~10x wasted
+      // work per row.
       Tables.documents(s, d)
-        .filter(array_contains(Analyzers.customNgram(col("text")), "park"))
+        .filter(array_contains(
+          Analyzers.customNgram(col("text"), 4, 4), "park"))
         .select(col("doc_id")).orderBy(col("doc_id"))),
     "t11_englando" -> ((s, d) => // Porter not SQL-expressible: rows-only
       Tables.documents(s, d)
@@ -535,15 +539,27 @@ object SparkEntry {
                                row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rn
                         FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "f1_scored_search" ->
-      """SELECT id, author_id, score FROM (
-           SELECT o.o_orderkey AS id, c.c_custkey AS author_id,
-                  CASE WHEN EXISTS (SELECT 1 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                                    JOIN nation n ON s.s_nationkey = n.n_nationkey
-                                    WHERE l.l_orderkey = o.o_orderkey AND n.n_name LIKE '%NATION_1%')
-                       THEN 5.0 ELSE 0.0 END AS score
-           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-           WHERE c.c_acctbal > 100.0 AND c.c_custkey > 10
-             AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'))
+      """WITH ann AS (SELECT l_orderkey, count(*)::INT AS dl,
+                            sum(CASE WHEN n.n_name LIKE '%NATION_1%' THEN 1 ELSE 0 END)::INT AS tf
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                                   JOIN supplier s ON l_suppkey = s.s_suppkey
+                                   JOIN nation n ON s.s_nationkey = n.n_nationkey
+                     GROUP BY 1),
+           d AS (SELECT o.o_orderkey AS id, c.c_custkey AS author_id, c.c_acctbal AS acctbal,
+                        coalesce(ann.dl, 0) AS dl, coalesce(ann.tf, 0) AS tf,
+                        EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                                AND l.l_returnflag = 'R') AS has_r
+                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                 LEFT JOIN ann ON ann.l_orderkey = o.o_orderkey),
+           s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+                        sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df FROM d)
+         SELECT id, author_id,
+                round(CASE WHEN tf > 0
+                           THEN 5.0 * ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                                (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                           ELSE 0.0 END, 6) AS score
+         FROM d, s
+         WHERE acctbal > 100.0 AND author_id > 10 AND has_r
          ORDER BY score DESC, id LIMIT 50""",
     "f2_tfidf" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),

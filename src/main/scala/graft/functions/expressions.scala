@@ -131,6 +131,101 @@ object RollingImpl {
   }
 }
 
+/** Fused analyzer-pipeline cores (top-level for static forwarders).
+  *
+  * Spark's higher-order functions (`transform`/`filter`) are
+  * CodegenFallback and re-walk the token array once per stage — the
+  * `englando` pipeline alone is 4 interpreted traversals per row. Each
+  * core below runs a whole token-filter chain in one primitive loop and
+  * is called from generated code, so the analyzer queries stay inside
+  * whole-stage codegen end to end. Semantics are locked to the staged
+  * versions by AnalyzerSpec's golden vectors and the DuckDB oracles
+  * (t9/t10 mirror lower→strip_accents→gram generation exactly). */
+object AnalyzerChainImpl {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val stops: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    // Lucene _english_ — keep in sync with Analyzers.englishStopwords
+    Seq("a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+      "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+      "such", "that", "the", "their", "then", "there", "these", "they",
+      "this", "to", "was", "will", "with").foreach(s.add)
+    s
+  }
+
+  @inline private def possessiveLower(t: String): String = {
+    val n = t.length
+    val stripped =
+      if (n >= 2 && (t.charAt(n - 1) == 's' || t.charAt(n - 1) == 'S') &&
+          (t.charAt(n - 2) == '\'' || t.charAt(n - 2) == '’'))
+        t.substring(0, n - 2)
+      else t
+    stripped.toLowerCase
+  }
+
+  @inline private def lowerFold(t: String): String = {
+    val lowered = t.toLowerCase
+    Impl.asciiFold(UTF8String.fromString(lowered)).toString
+  }
+
+  /** englando token filters: possessive strip → lowercase → stop →
+    * Porter, one pass. */
+  def englishChain(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val out = new java.util.ArrayList[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      val t = possessiveLower(arr.getUTF8String(i).toString)
+      if (!stops.contains(t))
+        out.add(UTF8String.fromString(PorterStemmer.stem(t)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** custom_ngram token filters: lowercase → asciifold → all
+    * minGram..maxGram substrings per token, length-major. */
+  def foldNgrams(arr: ArrayData, minGram: Int, maxGram: Int): ArrayData = {
+    val m = arr.numElements()
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < m) {
+      val t = lowerFold(arr.getUTF8String(i).toString)
+      val len = t.length
+      var n = minGram
+      while (n <= maxGram && n <= len) {
+        var s = 0
+        while (s + n <= len) {
+          out.add(UTF8String.fromString(t.substring(s, s + n)))
+          s += 1
+        }
+        n += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** custom_shingles token filters: lowercase → asciifold → unigrams
+    * followed by separator-less word bigrams. */
+  def foldShingles(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val folded = new Array[String](m)
+    var i = 0
+    while (i < m) { folded(i) = lowerFold(arr.getUTF8String(i).toString); i += 1 }
+    val out = new Array[UTF8String](if (m >= 2) 2 * m - 1 else m)
+    i = 0
+    while (i < m) { out(i) = UTF8String.fromString(folded(i)); i += 1 }
+    i = 0
+    while (i < m - 1) {
+      out(m + i) = UTF8String.fromString(folded(i) + folded(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+}
+
 /** Custom scalar Catalyst expressions for analyzer stages that have no
   * built-in equivalent (SURVEY.md §2.8 T5 asciifold, T8 Porter stem).
   * Both generate code (a static call) so they stay inside whole-stage
@@ -190,6 +285,58 @@ object expressions {
 
   def shingle_hashes(toks: Column, n: Int = 3): Column =
     GraftShim.toColumn(ShingleHashes(GraftShim.toExpression(toks), n))
+
+  private val stringArrayType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  /** Fused `englando` token-filter chain (see [[AnalyzerChainImpl]]). */
+  case class EnglishChain(child: Expression)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = stringArrayType
+    override def nullSafeEval(v: Any): Any =
+      AnalyzerChainImpl.englishChain(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.AnalyzerChainImpl.englishChain($c)")
+    override protected def withNewChildInternal(c: Expression): EnglishChain =
+      copy(child = c)
+    override def prettyName: String = "english_chain"
+  }
+
+  /** Fused `custom_ngram` token-filter chain. */
+  case class FoldNgrams(child: Expression, minGram: Int, maxGram: Int)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = stringArrayType
+    override def nullSafeEval(v: Any): Any =
+      AnalyzerChainImpl.foldNgrams(v.asInstanceOf[ArrayData], minGram, maxGram)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.AnalyzerChainImpl.foldNgrams($c, $minGram, $maxGram)")
+    override protected def withNewChildInternal(c: Expression): FoldNgrams =
+      copy(child = c)
+    override def prettyName: String = "fold_ngrams"
+  }
+
+  /** Fused `custom_shingles` token-filter chain. */
+  case class FoldShingles(child: Expression)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = stringArrayType
+    override def nullSafeEval(v: Any): Any =
+      AnalyzerChainImpl.foldShingles(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.AnalyzerChainImpl.foldShingles($c)")
+    override protected def withNewChildInternal(c: Expression): FoldShingles =
+      copy(child = c)
+    override def prettyName: String = "fold_shingles"
+  }
+
+  def english_chain(toks: Column): Column =
+    GraftShim.toColumn(EnglishChain(GraftShim.toExpression(toks)))
+  def fold_ngrams(toks: Column, minGram: Int, maxGram: Int): Column =
+    GraftShim.toColumn(FoldNgrams(GraftShim.toExpression(toks), minGram, maxGram))
+  def fold_shingles(toks: Column): Column =
+    GraftShim.toColumn(FoldShingles(GraftShim.toExpression(toks)))
 
   /** Rabin–Karp rolling-hash document fingerprint: the minimum
     * polynomial hash (mod prime) over all `window`-code-point windows

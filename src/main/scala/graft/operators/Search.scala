@@ -30,32 +30,49 @@ object Search {
     exists(arr, e => array_contains(
       Analyzers.englando(field(e)), graft.functions.PorterStemmer.stem(term.toLowerCase)))
 
-  /** F1: `function_score` with a weighted `should` clause
-    * (`elastic_queries.json:3-22`): each should-term contributes
-    * weight × clause-score when it matches (constant clause score 1.0 —
-    * BM25 divergence documented in SURVEY.md §7), filters contribute 0
-    * and are applied as plain WHERE. */
+  /** P7 bool combinator: weighted sum of boolean clause matches —
+    * kept as the generic constant-score building block (ES
+    * `constant_score` / filter-context boosting). */
   def weightedScore(clauses: Seq[(Column, Double)]): Column =
     clauses.map { case (m, w) => when(m, lit(w)).otherwise(lit(0.0)) }
       .reduce(_ + _)
 
-  /** The reference's search query transposed to the testdata documents:
-    *  - should (weight 5): any annotation whose domain.name matches
-    *    (constant-score nested match on `n_name`);
-    *  - filter: author.acctbal > 100 AND author.id > 100 (the two
+  /** F1: `function_score` with a weighted `should` clause
+    * (`elastic_queries.json:3-22`), scored the way ES actually scores
+    * it: weight × BM25 of the matched nested field. The "field" here is
+    * the annotation array — tf = matching elements, dl = array length,
+    * and the corpus statistics (N, df, avgdl) are computed over the
+    * WHOLE index (pre-filter), exactly like Lucene's per-index stats —
+    * then broadcast back into the scoring projection. Filters
+    * contribute 0 score and apply as plain WHERE.
+    *
+    *  - should (weight 5): any annotation whose domain.name matches;
+    *  - filter: author.acctbal > 100 AND author.id > 10 (the two
     *    numeric ranges) AND exists(items.returnflag = 'R');
     *  - order by score desc, id asc, top k.
     */
   def scoredSearch(docs: DataFrame, domainName: String = "ASIA nation",
-                   k: Int = 50): DataFrame = {
-    val matchDomain = exists(col("annotations"),
-      a => a.getField("domain").getField("name").contains(lit(domainName)))
-    val score = weightedScore(Seq(matchDomain -> 5.0))
-    docs
+                   k: Int = 50, weight: Double = 5.0, k1: Double = 1.2,
+                   b: Double = 0.75): DataFrame = {
+    val pre = docs.select(col("id"), col("author"), col("items"),
+      size(filter(col("annotations"),
+        a => a.getField("domain").getField("name").contains(lit(domainName))))
+        .as("tf"),
+      size(col("annotations")).as("dl"))
+    val stats = pre.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"),
+      sum(when(col("tf") > 0, 1).otherwise(0)).cast("double").as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    pre
       .filter(col("author.acctbal") > 100.0 && col("author.id") > 10 &&
         exists(col("items"), i => i.getField("returnflag") === "R"))
-      .withColumn("score", score)
-      .select(col("id"), col("author.id").as("author_id"), col("score"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("author.id").as("author_id"),
+        round(when(col("tf") > 0, lit(weight) * idf * tfNorm)
+          .otherwise(lit(0.0)), 6).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }

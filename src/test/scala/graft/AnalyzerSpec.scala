@@ -47,4 +47,29 @@ class AnalyzerSpec extends SparkSpec {
     assert(grams.count(_.length == 1) == 12)
     assert(grams.count(_.length == 10) == 3)
   }
+
+  test("fused pipeline expressions equal the staged reference on real text") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    def cmp(fused: org.apache.spark.sql.Column,
+            staged: org.apache.spark.sql.Column): Unit = {
+      val bad = docs.select(fused.as("f"), staged.as("s"))
+        .filter(not(col("f") === col("s"))).count()
+      assert(bad == 0L)
+    }
+    cmp(Analyzers.englando(col("text")), Analyzers.englandoStaged(col("text")))
+    cmp(Analyzers.customNgram(col("text")), Analyzers.customNgramStaged(col("text")))
+    cmp(Analyzers.customShingles(col("text")),
+      Analyzers.customShinglesStaged(col("text")))
+  }
+
+  test("fused pipeline edge cases: possessives, accents, html, empties") {
+    val f = Analyzers.englando($"v")
+    assert(run(f, "The Foxes' <b>Running</b> houses") == Seq("fox", "run", "hous"))
+    assert(run(f, "IT'S JOHN'S") == Seq("john"))
+    assert(run(f, "") == Seq.empty)
+    assert(run(Analyzers.customNgram($"v"), "Éva")
+      == Seq("e", "v", "a", "ev", "va", "eva"))
+    assert(run(Analyzers.customShingles($"v"), "solo") == Seq("solo"))
+    assert(run(Analyzers.customShingles($"v"), "") == Seq.empty)
+  }
 }

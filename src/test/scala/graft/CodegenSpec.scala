@@ -59,6 +59,17 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("fused analyzer chains compile under codegen") {
+    noFallback {
+      val out = docs.select(
+        size(english_chain(split(col("text"), " "))).as("a"),
+        size(fold_ngrams(split(col("text"), " "), 1, 10)).as("b"),
+        size(fold_shingles(split(col("text"), " "))).as("c"))
+        .collect()
+      assert(out.forall(r => r.getInt(0) > 0 && r.getInt(1) > 0 && r.getInt(2) > 0))
+    }
+  }
+
   test("dot_product compiles under codegen") {
     noFallback {
       val r = Seq((Array(1.0, 2.0), Array(3.0, 4.0)))
