@@ -216,9 +216,14 @@ object Dedup {
     // quadratically and cannot push any pair over the threshold alone —
     // then emit in-bucket pairs with an indexed lambda over the bounded
     // array. Replaces a freq-agg + semi-join + sort-merge self-join
-    // (~4 exchanges) with 2 exchanges total.
+    // (~4 exchanges) with 2 exchanges total. The collection itself is
+    // size-capped INSIDE the aggregate (CappedCollectPostings): a
+    // corpus-wide stop-shingle stops accumulating at cap+1 entries
+    // instead of materializing its full posting array in one buffer
+    // before the filter discards it.
     val buckets = posts.groupBy(col("sh"))
-      .agg(sort_array(collect_list(struct(col("id"), col("setsize"))))
+      .agg(graft.functions.aggregates
+        .capped_collect_postings(col("id"), col("setsize"), maxShingleFreq)
         .as("docs"))
       .filter(size(col("docs")).between(2, maxShingleFreq))
     val pairs = buckets.select(explode(flatten(transform(col("docs"),

@@ -37,22 +37,25 @@ object Sink {
     * check. `shards` mirrors the reference's 3 primary shards;
     * `batchSize` mirrors its 200-doc bulk batches
     * (`src/main.py:109,139`). Returns rows written (asserted ==
-    * rows read, the bulk-response error check). */
+    * rows read, the bulk-response error check).
+    *
+    * The in-flight row count rides on `df.observe` — a plan-transparent
+    * metric collection — NOT a `mapPartitions` counter, which would
+    * insert a row-encode boundary and break whole-stage codegen /
+    * columnar transfer for the entire write. */
   def bulkWrite(spark: SparkSession, df: DataFrame, idCol: String,
                 outPath: String, shards: Int = 3,
                 batchSize: Int = 200000): Long = {
-    val written = spark.sparkContext.longAccumulator("rows_written")
-    val counted = df.mapPartitions { it =>
-      it.map { r => written.add(1L); r }
-    }(org.apache.spark.sql.Encoders.row(df.schema))
-    counted
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows_written"))
       .repartition(shards, col(idCol)) // hash(_id) % shards routing
       .write.option("maxRecordsPerFile", batchSize.toLong)
       .mode("overwrite").parquet(outPath)
+    val written = obs.get("rows_written").asInstanceOf[Long]
     val expected = spark.read.parquet(outPath).count()
-    require(written.value == expected,
-      s"bulk ack mismatch: wrote ${written.value}, readback $expected")
-    written.value
+    require(written == expected,
+      s"bulk ack mismatch: wrote $written, readback $expected")
+    written
   }
 
   /** Bucketed table write: pre-partition + pre-sort by the join key so

@@ -52,8 +52,7 @@ object DenormStream {
     val docs = docsFrom(ordersStream,
       graft.Tables.customer(spark, sfDir),
       graft.operators.Denorm.itemsPerOrder(spark, sfDir),
-      graft.operators.Denorm.annotationsPerOrder(spark, sfDir)
-        .withColumnRenamed("order_id", "order_id"))
+      graft.operators.Denorm.annotationsPerOrder(spark, sfDir))
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)

@@ -60,4 +60,26 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) >
       java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)))
   }
+
+  test("stop-shingle posting lists are capped inside the aggregate") {
+    // 40 docs all sharing a stop-shingle prefix, plus one true dup pair
+    // on distinct text — cap 10 must kill the stop bucket without
+    // losing the real pair, and no materialized bucket may exceed cap+1
+    val corpus = ((1 to 40).map(i =>
+        (i.toLong, s"common stop shingle unique$i tail$i")) ++
+      Seq((100L, "a very particular duplicate sentence body"),
+          (101L, "a very particular duplicate sentence body")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(corpus, threshold = 0.5, maxShingleFreq = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)))
+    // the capped aggregate itself: buffer length never exceeds cap+1
+    val sizes = Dedup.withHashedShingleSet(corpus)
+      .select(col("id"), lit(1).as("setsize"), explode(col("shingles")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(graft.functions.aggregates
+        .capped_collect_postings(col("id"), col("setsize"), 10).as("docs"))
+      .select(size(col("docs"))).as[Int].collect()
+    assert(sizes.max <= 11)
+  }
 }
