@@ -55,4 +55,23 @@ class IntegrationSpec extends SparkSpec {
 
     Sink.dropIfExists(spark, "tweets")
   }
+
+  test("dedup pipeline computes pairs once, reused by report and apply") {
+    // the training-pipeline shape: the pair set is an expensive
+    // intermediate — persist it and feed BOTH the dup report and the
+    // shipped corpus from the same computation instead of re-running
+    // the inverted-index join inside the apply step
+    val docs = Tables.documents(spark, sf)
+    val pairs = graft.operators.Dedup.jaccardPairs(docs, threshold = 0.5)
+      .persist()
+    try {
+      val nDups = pairs.select("id_b").distinct().count() // report side
+      val shipped = graft.operators.Dedup.applyDedup(docs, pairs)
+      shipped.write.format("noop").mode("overwrite").save()
+      assert(shipped.count() == docs.count() - nDups)
+      val plan = shipped.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") ||
+        plan.contains("TableCacheQueryStage"), plan)
+    } finally { pairs.unpersist(); () }
+  }
 }
