@@ -22,7 +22,16 @@ import graft.Tables
   *    joins before aggregation, so the fact table is only shuffled once;
   *  - arrays are sorted inside each group (`sort_array`) to make output
   *    deterministic — the same trick the oracle SQL uses (`ORDER BY`
-  *    inside `list()`), see SURVEY.md §7 risk (4).
+  *    inside `list()`), see SURVEY.md §7 risk (4). This also preserves
+  *    the reference's insertion-order semantics (Postgres `json_agg`
+  *    emits child-table order, `src/main.py:55`): the leading sort key
+  *    is the child's insertion key (`l_linenumber` — the within-parent
+  *    sequence number), so the arrays come out in the same order the
+  *    reference produces, with the remaining struct fields only as a
+  *    determinism tiebreak. `collect_list` alone cannot promise any
+  *    order on a cluster (partial aggs merge in task-completion order);
+  *    sorting on the insertion key inside the group is the
+  *    distributed-correct way to say "insertion order".
   */
 object Denorm {
 
