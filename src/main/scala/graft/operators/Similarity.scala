@@ -99,23 +99,66 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-flat ANN: coarse-quantize the corpus into `nlist` cells
-    * (centroids = deterministically chosen corpus vectors, normalized),
-    * assign each vector to its nearest centroid, then answer queries by
-    * probing only the `nprobe` nearest cells — the inverted-file
-    * structure of FAISS-style IVF, as plain DataFrame ops. At 100 TB
-    * the assignment is a one-off ingest job (and a natural partition /
-    * bucket key); queries scan nprobe/nlist of the corpus. */
-  def knnIvf(emb: DataFrame, queryId: Long, k: Int = 10,
-             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** k-means (Lloyd) on a bounded deterministic sample — the ingest-time
+    * centroid-training job for [[knnIvf]]. The sample (hash-ordered, so
+    * stable across runs and cluster sizes) is collected to the driver:
+    * centroid training is O(sample × k × iters) and the sample is
+    * bounded (default 1024 rows) regardless of corpus size, which is
+    * exactly how FAISS trains IVF coarse quantizers; only ASSIGNMENT
+    * touches the full corpus, and that stays distributed. Centroids are
+    * L2-normalized so nearest-by-dot equals nearest-by-cosine. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 10,
+                      sampleSize: Int = 1024): Array[Array[Double]] = {
     val e = withNorm(emb)
-    // deterministic pseudo-random centroid sample: order by vector-id
-    // hash (stable across runs/cluster sizes), unit-normalized
-    val cents = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(nlist)
+    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
       .select(col("v"), col("nrm")).collect()
       .map(r => r.getSeq[Double](0).zipWithIndex
         .map { case (x, _) => x / r.getDouble(1) }.toArray)
+    val dim = sample.head.length
+    var cents = sample.take(k).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * cents(c)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else {
+          val m = sums(c)
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0.0) cents(c) else m.map(_ / n)
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF-flat ANN: coarse-quantize the corpus into `nlist` cells
+    * (centroids k-means-trained on a bounded deterministic sample —
+    * [[kmeansCentroids]]), assign each vector to its nearest centroid,
+    * then answer queries by probing only the `nprobe` nearest cells —
+    * the inverted-file structure of FAISS-style IVF, as plain DataFrame
+    * ops. At 100 TB training + assignment is a one-off ingest job (and
+    * the cell is a natural partition / bucket key); queries scan
+    * nprobe/nlist of the corpus. */
+  def knnIvf(emb: DataFrame, queryId: Long, k: Int = 10,
+             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = withNorm(emb)
+    val cents = kmeansCentroids(emb, nlist)
     def cellOf(v: Column, nrm: Column): Column =
       element_at(sort_array(array(cents.zipWithIndex.map { case (c, i) =>
         struct((dot(v, lit(c)) / nrm).as("sim"), lit(i).as("idx"))

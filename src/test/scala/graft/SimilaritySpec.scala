@@ -74,6 +74,17 @@ class SimilaritySpec extends SparkSpec {
       .foreach { case (id, sim) => assert(brute(id) == sim) }
   }
 
+  test("kmeans centroids are deterministic, unit-norm, and cover cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val c1 = Similarity.kmeansCentroids(emb, 8)
+    val c2 = Similarity.kmeansCentroids(emb, 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq) // deterministic
+    c1.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+  }
+
   test("cosineDupPairs finds planted duplicate") {
     val emb = Tables.embeddings(spark, sf).limit(50)
     val dup = emb.filter(col("vec_id") === 7L)
