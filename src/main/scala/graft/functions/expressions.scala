@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -226,6 +227,90 @@ object AnalyzerChainImpl {
   }
 }
 
+/** Fused text-statistics cores for [[graft.operators.TextStats]] (same
+  * rationale and static-forwarder requirement as [[AnalyzerChainImpl]]):
+  * each replaces 1-4 interpreted higher-order-function array walks with
+  * one primitive loop callable from generated code. */
+object TextStatsImpl {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private def toSet(words: Seq[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  // language-sorted (de, en, es, fr) — keep in sync with
+  // TextStats.langMarkers
+  private val langSets: Array[java.util.HashSet[UTF8String]] = Array(
+    toSet(Seq("der", "die", "das", "und", "ist", "von", "den", "mit", "ein", "zu")),
+    toSet(Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a")),
+    toSet(Seq("el", "la", "de", "que", "y", "los", "en", "un", "por", "una")),
+    toSet(Seq("le", "la", "les", "de", "et", "des", "un", "une", "du", "est")))
+  private val stopSet: java.util.HashSet[UTF8String] = toSet(
+    Seq("a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+      "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+      "such", "that", "the", "their", "then", "there", "these", "they",
+      "this", "to", "was", "will", "with"))
+
+  /** Function-word hits per candidate language, one token pass. */
+  def langHits(arr: ArrayData): ArrayData = {
+    val hits = new Array[Int](langSets.length)
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      val t = arr.getUTF8String(i)
+      var l = 0
+      while (l < langSets.length) {
+        if (langSets(l).contains(t)) hits(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(hits)
+  }
+
+  /** (n_tokens, n_stopwords, Σ token chars) in one token pass. */
+  def tokenStats(arr: ArrayData): InternalRow = {
+    val m = arr.numElements()
+    var stop = 0
+    var sumLen = 0L
+    var i = 0
+    while (i < m) {
+      val t = arr.getUTF8String(i)
+      if (stopSet.contains(t)) stop += 1
+      sumLen += t.numChars()
+      i += 1
+    }
+    InternalRow(m, stop, sumLen)
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+  /** min(md5(element)) without materializing the per-element hash
+    * array — the winnowing partial fingerprint of TextStats.X4. */
+  def minMd5(arr: ArrayData): UTF8String = {
+    val m = arr.numElements()
+    if (m == 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var min: String = null
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val digest = md.digest(arr.getUTF8String(i).getBytes)
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < 16) {
+        sb.append(hexDigits((digest(j) >> 4) & 0xf))
+        sb.append(hexDigits(digest(j) & 0xf))
+        j += 1
+      }
+      val h = sb.toString
+      if (min == null || h.compareTo(min) < 0) min = h
+      i += 1
+    }
+    UTF8String.fromString(min)
+  }
+}
+
 /** Custom scalar Catalyst expressions for analyzer stages that have no
   * built-in equivalent (SURVEY.md §2.8 T5 asciifold, T8 Porter stem).
   * Both generate code (a static call) so they stay inside whole-stage
@@ -330,6 +415,68 @@ object expressions {
       copy(child = c)
     override def prettyName: String = "fold_shingles"
   }
+
+  /** Per-language function-word hit counts (see [[TextStatsImpl]]). */
+  case class LangHits(child: Expression)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextStatsImpl.langHits(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsImpl.langHits($c)")
+    override protected def withNewChildInternal(c: Expression): LangHits =
+      copy(child = c)
+    override def prettyName: String = "lang_hits"
+  }
+
+  /** One-pass (n_tokens, n_stopwords, sum of token lengths). */
+  case class TokenStats(child: Expression)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_stop",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("sum_len",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    override def nullSafeEval(v: Any): Any =
+      TextStatsImpl.tokenStats(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsImpl.tokenStats($c)")
+    override protected def withNewChildInternal(c: Expression): TokenStats =
+      copy(child = c)
+    override def prettyName: String = "token_stats"
+  }
+
+  /** min(md5(element)) over a string array, one pass, no hash array. */
+  case class MinMd5(child: Expression)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      TextStatsImpl.minMd5(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("mm")
+        s"""
+           |org.apache.spark.unsafe.types.UTF8String $tmp =
+           |  graft.functions.TextStatsImpl.minMd5($c);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): MinMd5 =
+      copy(child = c)
+    override def prettyName: String = "min_md5"
+  }
+
+  def lang_hits(toks: Column): Column =
+    GraftShim.toColumn(LangHits(GraftShim.toExpression(toks)))
+  def token_stats(toks: Column): Column =
+    GraftShim.toColumn(TokenStats(GraftShim.toExpression(toks)))
+  def min_md5(arr: Column): Column =
+    GraftShim.toColumn(MinMd5(GraftShim.toExpression(arr)))
 
   def english_chain(toks: Column): Column =
     GraftShim.toColumn(EnglishChain(GraftShim.toExpression(toks)))

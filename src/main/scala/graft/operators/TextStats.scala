@@ -23,13 +23,16 @@ object TextStats {
 
   /** X1 language ID: count function-word hits per candidate language,
     * take the argmax (ties → lexicographically later language,
-    * deterministic); no hits → "und". */
+    * deterministic); no hits → "und". The per-language counting is ONE
+    * fused codegen'd token pass (`expressions.LangHits`) instead of a
+    * CodegenFallback `filter` walk per language; the 4-element argmax
+    * stays declarative. */
   def langId(text: Column): Column = {
-    val toks = Analyzers.tokenize(lower(text))
-    val scored = array(langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        size(filter(toks, t => t.isin(words: _*))).as("hits"),
-        lit(lang).as("lang"))
+    val langs = langMarkers.keys.toSeq.sorted
+    val hits = graft.functions.expressions.lang_hits(
+      Analyzers.tokenize(lower(text)))
+    val scored = array(langs.zipWithIndex.map { case (lang, i) =>
+      struct(element_at(hits, i + 1).as("hits"), lit(lang).as("lang"))
     }: _*)
     val best = element_at(sort_array(scored, asc = false), 1)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
@@ -41,13 +44,16 @@ object TextStats {
   def quality(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
     val text = col(textCol)
-    val toks = Analyzers.tokenize(lower(text))
+    // one fused codegen'd token pass for (count, stop-count, Σ lengths)
+    // instead of interpreted filter + aggregate walks
+    val st = graft.functions.expressions.token_stats(
+      Analyzers.tokenize(lower(text)))
     val nChars = length(text)
-    val nToks = size(toks)
+    val nToks = st.getField("n_tokens")
     val nPunct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
-    val nStop = size(filter(toks, t => t.isin(Analyzers.englishStopwords: _*)))
+    val nStop = st.getField("n_stop")
     val meanTokLen = when(nToks > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
+      st.getField("sum_len").cast("double") / nToks)
       .otherwise(lit(0.0))
     val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0)
     val stopRatio = when(nToks > 0, nStop.cast("double") / nToks).otherwise(0.0)
@@ -88,6 +94,6 @@ object TextStats {
       .select(col("id"), col("md5_full"),
         Dedup.shingleSet(col("toks")).as("shingles"))
       .select(col("id").as(idCol), col("md5_full"),
-        array_min(transform(col("shingles"), s => md5(s)))
+        graft.functions.expressions.min_md5(col("shingles"))
           .as("min_shingle_md5"))
 }
