@@ -427,13 +427,16 @@ object SparkEntry {
     // ---- multimodal plumbing (brief §extensions) ----
     "m1_media_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Multimodal.asMedia(Tables.documents(s, d)))),
-    "m2_media_features" -> ((s, d) => // stub decoder: rows-only
+    "m2_media_features" -> ((s, d) =>
+      // stub decoder is a mod-prime code-point fold → DuckDB-replayable;
+      // features verified as exact ×1000003 fixed-point integers
       Multimodal.extractFeatures(s,
         Multimodal.asMedia(Tables.documents(s, d)))
         .toDF()
         .select(col("media_id"), col("n_bytes"), col("format"),
           col("width"), col("height"),
-          joined(transform(col("features"), f => f.cast("string")))
+          joined(transform(col("features"),
+            f => round(f.cast("double") * 1000003, 0).cast("long")))
             .as("features"))
         .orderBy(col("media_id"))),
     "m3_media_chunks" -> ((s, d) =>
@@ -749,6 +752,21 @@ object SparkEntry {
                               ELSE 'de' END AS lang_pred
           FROM h ORDER BY doc_id"""
     },
+    "m2_media_features" ->
+      """WITH cp AS (SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes,
+                            'txt' AS format,
+                            list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS cps
+                     FROM documents),
+          h AS (SELECT media_id, n_bytes, format,
+                       list_reduce(list_prepend(0::BIGINT, cps),
+                                   (a, b) -> (a*1000003 + b) % 1000000007) AS h0
+                FROM cp)
+         SELECT media_id, n_bytes, format,
+                ((h0 % 640) + 1)::INT AS width,
+                (((h0 // 640) % 480) + 1)::INT AS height,
+                array_to_string(list_transform(generate_series(0, 7),
+                                i -> (h0*31 + i*2654435761) % 1000003), '|') AS features
+         FROM h ORDER BY media_id""",
     "m3_media_chunks" ->
       """SELECT doc_id AS media_id,
                 ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_chunks,

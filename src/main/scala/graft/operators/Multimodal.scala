@@ -23,19 +23,34 @@ object Multimodal {
 
   /** ==== STUB ==== deterministic fake decoder standing in for a real
     * image/audio codec (libs absent in this container). Derives
-    * "decoded" dimensions and a feature vector from the bytes alone, so
-    * tests are reproducible; swap `decode` for a real codec call
+    * "decoded" dimensions and a feature vector from the content alone,
+    * so tests are reproducible; swap `decode` for a real codec call
     * (e.g. javax.imageio / ffmpeg bindings) in production. Expensive
     * per-row init is modeled by `open()` being called once per
-    * partition, the pattern that matters at scale. */
+    * partition, the pattern that matters at scale.
+    *
+    * The fake arithmetic is a mod-prime polynomial fold over the
+    * content's code points — the same SQL-expressible construction as
+    * `expressions.RollingImpl` — so the whole stub pipeline is
+    * replayable in DuckDB and `m2_media_features` is oracle-checked
+    * end to end (schema, batching, and values), not just row-counted. */
   class StubDecoder {
+    final val Base = 1000003L
+    final val Mod = 1000000007L
     def open(): Unit = () // real codec: load model / native lib here
     def decode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-      val h = java.util.Arrays.hashCode(bytes)
-      val width = math.abs(h % 640) + 1
-      val height = math.abs((h / 640) % 480) + 1
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0L
+      var ci = 0
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        h = (h * Base + cp) % Mod
+        ci += Character.charCount(cp)
+      }
+      val width = (h % 640).toInt + 1
+      val height = ((h / 640) % 480).toInt + 1
       val features = Array.tabulate(8)(i =>
-        (math.abs((h * 31 + i * 2654435761L.toInt)) % 1000) / 1000.0f)
+        ((h * 31 + i * 2654435761L) % Base) / Base.toFloat)
       (width, height, features)
     }
   }
