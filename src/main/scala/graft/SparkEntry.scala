@@ -359,7 +359,7 @@ object SparkEntry {
       Dedup.exact(Tables.documents(s, d)).orderBy(col("fingerprint"))),
     "d2_minhash_pairs" -> ((s, d) => // LSH is probabilistic: rows-only
       Dedup.minhashPairs(Tables.documents(s, d), threshold = 0.5)),
-    "d3_simhash_pairs" -> ((s, d) => // own hash family: rows-only
+    "d3_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 10)),
     "d4_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.5)),
@@ -690,6 +690,34 @@ object SparkEntry {
           SELECT id_a, id_b, round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
           FROM j WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5
           ORDER BY id_a, id_b""",
+    // full SQL replay of the SimHash pipeline: two mod-prime code-point
+    // token hashes → 60 per-bit majority votes → packed signature →
+    // 4×15-bit LSH bands → candidate join → Hamming verify
+    "d3_simhash_pairs" -> {
+      val votes = (0 until 60).map { j =>
+        val (h, bit) = if (j < 30) ("h1", j) else ("h2", j - 30)
+        s"sum(CASE WHEN (($h >> $bit) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
+      }.mkString(", ")
+      val pack = (0 until 60)
+        .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      def fold(base: Long) =
+        s"list_reduce(list_prepend(0::BIGINT, cps), (a, b) -> (a*$base + b) % 1000000007)"
+      s"""WITH t AS (SELECT doc_id, unnest(${sqlToks(sqlNorm)}) AS tok FROM documents),
+          cpt AS (SELECT doc_id, list_transform(string_split(tok, ''), c -> unicode(c)::BIGINT) AS cps FROM t),
+          h AS (SELECT doc_id, ${fold(1000003L)} AS h1, ${fold(1000033L)} AS h2 FROM cpt),
+          v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
+          s AS (SELECT doc_id, ($pack)::BIGINT AS sim FROM v),
+          bb AS (SELECT doc_id, sim, band, (sim >> (band*15)) & 32767 AS bucket
+                 FROM (SELECT doc_id, sim, unnest([0,1,2,3]) AS band FROM s)),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.sim AS sim_a, b.sim AS sim_b
+                   FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                                      AND a.doc_id < b.doc_id)
+          SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+          FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 10
+          ORDER BY id_a, id_b""".stripMargin
+    },
     "x6_rolling_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $sqlNorm AS nt FROM documents),
           cp AS (SELECT doc_id, list_transform(string_split(nt, ''), ch -> unicode(ch)::BIGINT) AS cps FROM t)

@@ -284,6 +284,22 @@ object TextStatsImpl {
     InternalRow(m, stop, sumLen)
   }
 
+  /** Polynomial code-point hash mod a prime — the SQL-replayable hash
+    * family (DuckDB: list_reduce over unicode code points). Used by
+    * SimHash so its whole pipeline has an exact DuckDB oracle; ~30
+    * output bits per (base, mod) pair, combine two for 60. */
+  def polyHash(s: UTF8String, base: Long, mod: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var ci = 0
+    while (ci < str.length) {
+      val cp = str.codePointAt(ci)
+      h = (h * base + cp) % mod
+      ci += Character.charCount(cp)
+    }
+    h
+  }
+
   private val hexDigits = "0123456789abcdef".toCharArray
   /** min(md5(element)) without materializing the per-element hash
     * array — the winnowing partial fingerprint of TextStats.X4. */
@@ -470,6 +486,24 @@ object expressions {
       copy(child = c)
     override def prettyName: String = "min_md5"
   }
+
+  /** Codegen'd polynomial mod-prime code-point hash of a string. */
+  case class PolyHash(child: Expression, base: Long, mod: Long)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullSafeEval(v: Any): Any =
+      TextStatsImpl.polyHash(v.asInstanceOf[UTF8String], base, mod)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextStatsImpl.polyHash($c, ${base}L, ${mod}L)")
+    override protected def withNewChildInternal(c: Expression): PolyHash =
+      copy(child = c)
+    override def prettyName: String = "poly_hash"
+  }
+
+  def poly_hash(c: Column, base: Long = 1000003L,
+                mod: Long = 1000000007L): Column =
+    GraftShim.toColumn(PolyHash(GraftShim.toExpression(c), base, mod))
 
   def lang_hits(toks: Column): Column =
     GraftShim.toColumn(LangHits(GraftShim.toExpression(toks)))

@@ -152,26 +152,38 @@ object Dedup {
     docs.join(pairs.select(col("id_b")),
       docs(idCol) === col("id_b"), "left_anti")
 
-  /** 64-bit SimHash per doc via explode + hash-aggregate (same codegen
+  /** 60-bit SimHash per doc via explode + hash-aggregate (same codegen
     * rationale as [[minhashSignatures]]): per-bit majority vote of the
-    * tokens' xxhash64 bits — 64 `sum` aggregates with map-side combine,
-    * then one packing projection. */
+    * tokens' hash bits — 60 `sum` aggregates with map-side combine,
+    * then one packing projection.
+    *
+    * The token hash family is two polynomial mod-prime code-point
+    * folds (30 bits each — `expressions.PolyHash`), NOT xxhash64: the
+    * fold is exactly replayable in DuckDB (`list_reduce` over
+    * `unicode()` code points), which makes the whole SimHash pipeline
+    * — votes, packing, banding, Hamming verify — oracle-checkable
+    * rather than rows-only. */
+  val SimBits = 60
   def simhashSignatures(docs: DataFrame, textCol: String,
                         idCol: String): DataFrame = {
+    import graft.functions.expressions.poly_hash
     val toks = docs.select(col(idCol).as("id"),
         explode(Analyzers.tokenize(normalize(col(textCol)))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map(j =>
-      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$j"))
-    val packed = (0 until 64)
+      .withColumn("h1", poly_hash(col("t"), 1000003L))
+      .withColumn("h2", poly_hash(col("t"), 1000033L))
+    val votes = (0 until SimBits).map { j =>
+      val (h, bit) = if (j < 30) (col("h1"), j) else (col("h2"), j - 30)
+      sum(when(shiftrightunsigned(h, bit).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$j")
+    }
+    val packed = (0 until SimBits)
       .map(j => when(col(s"b$j") > 0L, lit(1L << j)).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))
     toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
       .select(col("id"), packed.as("sim"))
   }
 
-  /** D3 SimHash near-dup pairs: 4×16-bit bands (any pair within Hamming
+  /** D3 SimHash near-dup pairs: 4×15-bit bands (any pair within Hamming
     * distance 3 shares at least one exact band), verify with
     * bit_count(xor) ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
@@ -180,8 +192,8 @@ object Dedup {
     val banded = sigs.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => graft.functions.expressions
-          .shift_right_unsigned(col("sim"), b * 16)
-          .bitwiseAND(0xFFFFL))).as(Seq("band", "bucket")))
+          .shift_right_unsigned(col("sim"), b * 15)
+          .bitwiseAND(0x7FFFL))).as(Seq("band", "bucket")))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
