@@ -10,8 +10,9 @@ import graft.operators._
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 (+ the §7 M5 extensions), each with an equivalent
   * ANSI-SQL DuckDB oracle where SQL can express it. Column names are
-  * aliased identically on both sides; every query orders its output
-  * deterministically; computed doubles are rounded on both sides;
+  * aliased identically on both sides; every query's output VALUES are
+  * deterministic (row order is canonicalized by the harness — see the
+  * note above `queries`); computed doubles are rounded on both sides;
   * DuckDB integer aggregates are cast to BIGINT to match Spark's
   * LongType.
   */
@@ -48,10 +49,18 @@ object SparkEntry {
     * behind them are unchanged. */
   private def joined(arr: Column): Column = concat_ws("|", arr)
 
+  // Physical row order is NOT part of the verification contract: the
+  // harness canonicalizes by sorting rows (and columns by name) on both
+  // the Spark and the DuckDB side before hashing. Queries keep ORDER BY
+  // only where ordering IS the semantics (top-k, keyset pagination,
+  // ranked search); the large ETL outputs skip the final global sort —
+  // a range exchange + full sort of the whole result that no production
+  // write path contains.
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / sinks / maintenance (SURVEY §2.1) ----
     "s10_match_all" -> ((s, d) =>
-      Tables.orders(s, d).orderBy(col("o_orderkey"))),
+      Tables.orders(s, d)),
     "s9_count" -> ((s, d) =>
       Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
     "s11_point_lookup" -> ((s, d) =>
@@ -69,7 +78,6 @@ object SparkEntry {
         .select(col("o_orderkey"),
           round(col("o_totalprice") + coalesce(col("qty"), lit(0.0)), 2)
             .as("new_total"))
-        .orderBy(col("o_orderkey"))
     }),
 
     // ---- projections / filters (SURVEY §2.2) ----
@@ -77,8 +85,7 @@ object SparkEntry {
       Tables.orders(s, d).select(
         col("o_orderkey").as("id"),
         col("o_orderstatus").as("status"),
-        (col("o_totalprice") * 0.9).as("discounted"))
-        .orderBy(col("id"))),
+        (col("o_totalprice") * 0.9).as("discounted"))),
     "p5_range_filter" -> ((s, d) =>
       Tables.customer(s, d)
         .filter(col("c_acctbal") > 100.0 && col("c_acctbal") < 5000.0)
@@ -104,15 +111,13 @@ object SparkEntry {
           round(aggregate(col("items"), lit(0.0),
             (acc, it) => acc + it.getField("extendedprice")), 2)
             .as("items_total"),
-          size(col("items")).cast("long").as("n_items"))
-        .orderBy(col("id"))),
+          size(col("items")).cast("long").as("n_items"))),
 
     // ---- joins (SURVEY §2.3) ----
     "j1_join_dim" -> ((s, d) => {
       val o = Tables.orders(s, d); val c = Tables.customer(s, d)
       o.join(c, o("o_custkey") === c("c_custkey"))
         .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"))
-        .orderBy(col("o_orderkey"))
     }),
     "j6_bridge" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -121,7 +126,6 @@ object SparkEntry {
         .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
           col("s_name"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     "j10_self_join" -> ((s, d) => {
       val o1 = Tables.orders(s, d).as("o1")
@@ -154,7 +158,6 @@ object SparkEntry {
         .join(c, o("o_custkey") === c("c_custkey"))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("c_name").as("parent_author"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     "j12_parent_agg" -> ((s, d) => {
       // decorrelated correlated json_agg (src/main.py:87-92)
@@ -165,7 +168,6 @@ object SparkEntry {
       val o = Tables.orders(s, d)
       o.join(brands, o("o_orderkey") === brands("l_orderkey"), "left")
         .select(col("o_orderkey"), joined(col("brands")).as("brands"))
-        .orderBy(col("o_orderkey"))
     }),
 
     // ---- aggregation (SURVEY §2.4) ----
@@ -177,25 +179,33 @@ object SparkEntry {
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
-    "a3_stats_agg" -> ((s, d) =>
+    "a3_stats_agg" -> ((s, d) => {
       // Statistical aggregates: exact interpolated percentiles + corr.
       // Percentiles run over integer cents and are reported as ×20
       // fixed-point BIGINTs: every interpolation fraction here is a
       // multiple of 1/20, so the true value ×20 is an integer and both
       // engines round to it exactly — a dollar-rounded double landed on
       // a .005 representation tie and flipped between engines.
-      Tables.lineitem(s, d)
+      // Percentiles come from Quantiles.exactPercentiles (distributed
+      // value-histogram; same type-7 result as the builtin
+      // `percentile`, whose per-group value→count buffer is the
+      // unbounded-state pattern this plan avoids at 100 TB).
+      val li = Tables.lineitem(s, d)
         .withColumn("price_c", round(col("l_extendedprice") * 100, 0))
-        .groupBy(col("l_returnflag"))
+      val pcts = Quantiles.exactPercentiles(li, "l_returnflag", "price_c",
+        Seq("median" -> 0.5, "p95" -> 0.95))
+      li.groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(price_c, 0.5)") * 20, 0).cast("long")
-            .as("median_c20"),
-          round(expr("percentile(price_c, 0.95)") * 20, 0).cast("long")
-            .as("p95_c20"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 6)
             .as("qty_price_corr"),
           round(stddev_pop(col("l_discount")), 6).as("disc_stddev"))
-        .orderBy(col("l_returnflag"))),
+        .join(broadcast(pcts), "l_returnflag")
+        .select(col("l_returnflag"),
+          round(col("median") * 20, 0).cast("long").as("median_c20"),
+          round(col("p95") * 20, 0).cast("long").as("p95_c20"),
+          col("qty_price_corr"), col("disc_stddev"))
+        .orderBy(col("l_returnflag"))
+    }),
     "a2_collect_children" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
@@ -206,8 +216,7 @@ object SparkEntry {
         .select(col("l_orderkey"),
           joined(transform(col("items_arr"), i => concat_ws(":",
             i.getField("linenumber"), i.getField("partkey"),
-            i.getField("quantity").cast("long")))).as("items"))
-        .orderBy(col("l_orderkey"))),
+            i.getField("quantity").cast("long")))).as("items"))),
 
     // ---- set operations (SURVEY §2.6 — builtins, exercised) ----
     "u1_union" -> ((s, d) => {
@@ -276,8 +285,7 @@ object SparkEntry {
           a.getField("entity").getField("name"),
           a.getField("entity").getField("description"),
           a.getField("domain").getField("id"),
-          a.getField("domain").getField("name")))).as("annotations"))
-        .orderBy(col("id"))),
+          a.getField("domain").getField("name")))).as("annotations"))),
     "denorm_roundtrip" -> ((s, d) => Denorm.roundtrip(s, d)),
     "tweet_denorm" -> ((s, _) =>
       // exact reference schema, golden fixture — flat projection of the

@@ -115,5 +115,4 @@ object Denorm {
         col("item.partkey").as("partkey"),
         col("item.quantity").as("quantity"),
         col("item.returnflag").as("returnflag"))
-      .orderBy(col("id"), col("linenumber"))
 }

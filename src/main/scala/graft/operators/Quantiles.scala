@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated percentiles as a distributed histogram plan.
+  *
+  * Spark's builtin `percentile` aggregate collects a value→count map
+  * per group into ONE aggregation buffer (ObjectHashAggregate) — exact,
+  * but the buffer grows with the group's value cardinality and the
+  * whole map is serialized between partial and final aggregation. On a
+  * quantized measure (here: money in integer cents) the scale-correct
+  * shape is a VALUE HISTOGRAM: `groupBy(key, value).count()` is
+  * map-side-combinable and its size is bounded by the value domain,
+  * not the row count; cumulative counts over the per-key sorted
+  * histogram give each distinct value its global rank range
+  * [cum_start, cum_end); the percentile then reads at most two
+  * histogram rows per requested p. 100 TB of lineitem stays a ~10⁷-row
+  * histogram, and no executor ever holds more than its partition of
+  * it.
+  *
+  * Interpolation is type-7 (pos = p·(n−1), linear between the two
+  * bracketing order statistics) — identical to Spark `percentile` and
+  * DuckDB `quantile_cont`, which is what the a3 oracle compares
+  * against; QuantilesSpec asserts equality with the builtin on every
+  * requested p including the p=0/p=1 edges.
+  */
+object Quantiles {
+
+  /** Exact percentiles of `valueCol` per `keyCol` for each (name, p);
+    * output: one row per key with a double column per name. */
+  def exactPercentiles(df: DataFrame, keyCol: String, valueCol: String,
+                       ps: Seq[(String, Double)]): DataFrame = {
+    val hist = df.groupBy(col(keyCol), col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    // cumulative window per key runs over the HISTOGRAM (distinct
+    // values), not the rows; cum_start = 0-indexed rank of the first
+    // occurrence of v in the key's sorted value sequence
+    val w = Window.partitionBy(keyCol).orderBy(col("v"))
+    val cum = hist
+      .withColumn("cum_end", sum(col("cnt")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("cnt"))
+    val totals = hist.groupBy(col(keyCol)).agg(sum(col("cnt")).as("n"))
+    val joined = cum.join(broadcast(totals), keyCol)
+    // per p: the two bracketing order statistics lo=floor(pos),
+    // hi=ceil(pos) each live in exactly one histogram row — pick them
+    // with a conditional max (all other rows contribute null)
+    val aggExprs = ps.flatMap { case (name, p) =>
+      val pos = (col("n") - 1) * p
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      Seq(
+        max(when(col("cum_start") <= lo && lo < col("cum_end"), col("v")))
+          .as(s"${name}_lo"),
+        max(when(col("cum_start") <= hi && hi < col("cum_end"), col("v")))
+          .as(s"${name}_hi"),
+        max(pos - lo).as(s"${name}_frac")) // constant per key (depends on n only)
+    }
+    val picked = joined.groupBy(col(keyCol))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    ps.foldLeft(picked) { case (acc, (name, _)) =>
+      acc.withColumn(name,
+          col(s"${name}_lo") +
+            col(s"${name}_frac") * (col(s"${name}_hi") - col(s"${name}_lo")))
+        .drop(s"${name}_lo", s"${name}_hi", s"${name}_frac")
+    }
+  }
+}
