@@ -41,4 +41,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("a3 percentiles run as hash aggregates, not an object buffer") {
+    // the histogram plan keeps every aggregate in codegen'd
+    // HashAggregate; the builtin percentile's value->count map would
+    // appear as ObjectHashAggregate (unbounded per-group state)
+    val p = plan("a3_stats_agg")
+    assert(!p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("large ETL outputs carry no final global sort") {
+    // physical row order is canonicalized by the verification harness;
+    // a trailing range-exchange + full sort is pure overhead (ordering
+    // remains only where it IS the semantics: top-k / keyset / ranked)
+    Seq("s10_match_all", "j6_bridge", "j11_parent_scalar",
+      "denorm_roundtrip").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("rangepartitioning"), s"$q:\n$p")
+    }
+  }
 }
