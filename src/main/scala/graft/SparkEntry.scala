@@ -410,25 +410,21 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("embedding"))
       val probeIds = Seq(1L, 101L, 202L)
       val planted = emb.filter(col("vec_id").isin(probeIds: _*))
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          lit("planted").as("label"),
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
           transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
             .as("embedding"))
       val corpus = emb.unionByName(planted)
-      def contractRow(method: String,
-                      ann: (DataFrame, Long) => DataFrame): DataFrame =
-        probeIds.map { pid =>
-          ann(corpus, pid)
-            .filter(col("vec_id") === pid + 1000000L)
-            .select(lit(1L).as("hit"))
-        }.reduce(_ unionAll _)
+      // the whole probe set runs through the BATCHED index paths — one
+      // distributed pass per method, no per-query driver loop
+      def contractRow(method: String, ann: DataFrame): DataFrame =
+        ann.filter(col("vec_id") === col("qid") + 1000000L)
           .agg(count(lit(1)).as("n_found"))
           .select(lit(method).as("method"),
             lit(probeIds.size.toLong).as("n_probes"), col("n_found"),
             (col("n_found") === probeIds.size).as("all_found"))
-      contractRow("ivf", (c, q) => Similarity.knnIvf(c, q, k = 5))
+      contractRow("ivf", Similarity.knnIvfBatch(corpus, probeIds, k = 5))
         .unionByName(
-          contractRow("lsh", (c, q) => Similarity.knnLsh(c, q, k = 5)))
+          contractRow("lsh", Similarity.knnLshBatch(corpus, probeIds, k = 5)))
         .orderBy(col("method"))
     }),
 

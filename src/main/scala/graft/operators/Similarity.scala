@@ -179,6 +179,87 @@ object Similarity {
       .limit(k)
   }
 
+  /** Distributed top-k per query for a batch of scored candidates —
+    * two-phase, no per-query data shuffle: phase 1 takes each
+    * partition's local top-k per query (`sort_array` over a struct
+    * whose second field is the NEGATED id, so descending sort realizes
+    * the (cos_sim desc, vec_id asc) tie-break), phase 2 merges the
+    * ≤ k·partitions survivors per query — a set small by construction,
+    * where a row_number window is safe at any corpus scale. The same
+    * local-then-merge shape as TakeOrderedAndProject, generalized to
+    * per-query grouping. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val local = scored
+      .groupBy(col("qid"), spark_partition_id().as("part"))
+      .agg(slice(sort_array(collect_list(struct(
+          col("cos_sim"), (-col("vec_id")).as("nid"),
+          col("vec_id"), col("label"))), asc = false), 1, k).as("cand"))
+    val merged = local.select(col("qid"), explode(col("cand")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("c.cos_sim").desc, col("c.vec_id").asc)
+    merged
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("c.vec_id").as("vec_id"),
+        col("c.label").as("label"), col("c.cos_sim").as("cos_sim"),
+        col("rank"))
+  }
+
+  /** Batched LSH ANN: answer a whole query SET in one pass — the shape
+    * an embedding-eval pipeline runs. The query side is a (tiny)
+    * broadcast DataFrame, candidates come from a bucket equi-join, and
+    * no query vector ever passes through the driver (contrast
+    * [[knnLsh]], which `.head()`s one query at a time — fine
+    * interactively, a driver-side loop when evaluating thousands of
+    * probes). Output: (qid, vec_id, label, cos_sim, rank), the
+    * single-query [[knnLsh]] result per qid. */
+  def knnLshBatch(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+                  nPlanes: Int = 4, seed: Long = 42L): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val bucketed = withNorm(emb).select(col("vec_id"), col("label"),
+      col("v"), col("nrm"), lshBucket(col("v"), planes).as("bucket"))
+    val queries = bucketed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val scored = bucketed.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Batched IVF-flat ANN: every query's `nprobe` nearest cells become
+    * exploded (qid, cell) probe rows, candidates come from a cell
+    * equi-join against the assigned corpus — one distributed pass for
+    * the whole query set, no per-query driver action (contrast
+    * [[knnIvf]]). */
+  def knnIvfBatch(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+                  nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = withNorm(emb)
+    val cents = kmeansCentroids(emb, nlist)
+    def cellRank(v: Column, nrm: Column): Column =
+      sort_array(array(cents.zipWithIndex.map { case (c, i) =>
+        struct((dot(v, lit(c)) / nrm).as("sim"), lit(i).as("idx"))
+      }: _*), asc = false)
+    val assigned = e.select(col("vec_id"), col("label"), col("v"),
+      col("nrm"), element_at(cellRank(col("v"), col("nrm")), 1)
+        .getField("idx").as("cell"))
+    val queries = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(transform(slice(cellRank(col("v"), col("nrm")), 1, nprobe),
+          s => s.getField("idx"))).as("cell"))
+    val scored = assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Exact all-pairs cosine pairs above a threshold (the
     * oracle-checkable dedup path): norms precomputed per side, then a
     * key-range self-join with the codegen'd dot in the projection.

@@ -94,4 +94,31 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((7L, 10007L)))
   }
+
+  private def neighborList(df: org.apache.spark.sql.DataFrame) =
+    df.select("vec_id", "cos_sim").as[(Long, Double)].collect().toSeq
+
+  test("batched LSH over a query set equals per-query LSH") {
+    val emb = Tables.embeddings(spark, sf)
+    val qids = Seq(1L, 5L, 9L)
+    val batch = Similarity.knnLshBatch(emb, qids, k = 10)
+    qids.foreach { q =>
+      val single = neighborList(Similarity.knnLsh(emb, q, k = 10))
+      val fromBatch = neighborList(
+        batch.filter(col("qid") === q).orderBy(col("rank")))
+      assert(fromBatch == single, s"qid=$q")
+    }
+  }
+
+  test("batched IVF over a query set equals per-query IVF") {
+    val emb = Tables.embeddings(spark, sf)
+    val qids = Seq(1L, 5L, 9L)
+    val batch = Similarity.knnIvfBatch(emb, qids, k = 10)
+    qids.foreach { q =>
+      val single = neighborList(Similarity.knnIvf(emb, q, k = 10))
+      val fromBatch = neighborList(
+        batch.filter(col("qid") === q).orderBy(col("rank")))
+      assert(fromBatch == single, s"qid=$q")
+    }
+  }
 }
