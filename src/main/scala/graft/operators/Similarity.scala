@@ -206,6 +206,24 @@ object Similarity {
         col("rank"))
   }
 
+  /** Batched exact top-k — the ground-truth side of an embedding-eval
+    * run, batched like the index paths: every corpus row scores
+    * against every broadcast query row (the deliberate small-side
+    * cross product an eval needs), then the two-phase per-query top-k.
+    * One corpus scan for the whole query set. */
+  def knnBruteBatch(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val e = withNorm(emb)
+    val queries = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Batched LSH ANN: answer a whole query SET in one pass — the shape
     * an embedding-eval pipeline runs. The query side is a (tiny)
     * broadcast DataFrame, candidates come from a bucket equi-join, and

@@ -88,4 +88,32 @@ class PropertySpec extends SparkSpec {
       if (sigs.contains(k + 1)) assert(pairs.contains((k, k + 1)))
     }
   }
+
+  test("histogram percentiles equal the builtin on generated data") {
+    // random keys, duplicate-heavy discrete values, random p grid —
+    // the shapes that break rank arithmetic (ties across the
+    // interpolation point, single-row groups, all-equal groups)
+    val rows = samples(Gen.zip(
+      Gen.oneOf("a", "b", "c", "d"),
+      Gen.chooseNum(0, 9).map(_.toDouble)).map(t => s"${t._1},${t._2}"), 400)
+      .map { s => val Array(k, v) = s.split(","); (k, v.toDouble) }
+    val df = rows.toDF("k", "v")
+    val ps = Seq("q05" -> 0.05, "q37" -> 0.37, "q50" -> 0.5,
+      "q73" -> 0.73, "q99" -> 0.99)
+    val got = graft.operators.Quantiles.exactPercentiles(df, "k", "v", ps)
+      .orderBy(col("k")).collect()
+    val want = df.groupBy(col("k"))
+      .agg(expr("percentile(v, 0.05)").as("q05"),
+        expr("percentile(v, 0.37)").as("q37"),
+        expr("percentile(v, 0.5)").as("q50"),
+        expr("percentile(v, 0.73)").as("q73"),
+        expr("percentile(v, 0.99)").as("q99"))
+      .orderBy(col("k")).collect()
+    got.zip(want).foreach { case (g, w) =>
+      ps.foreach { case (name, _) =>
+        assert(math.abs(g.getAs[Double](name) - w.getAs[Double](name)) < 1e-9,
+          s"key=${g.getString(0)} $name")
+      }
+    }
+  }
 }

@@ -98,6 +98,18 @@ class SimilaritySpec extends SparkSpec {
   private def neighborList(df: org.apache.spark.sql.DataFrame) =
     df.select("vec_id", "cos_sim").as[(Long, Double)].collect().toSeq
 
+  test("batched brute force over a query set equals per-query brute") {
+    val emb = Tables.embeddings(spark, sf)
+    val qids = Seq(1L, 5L, 9L)
+    val batch = Similarity.knnBruteBatch(emb, qids, k = 10)
+    qids.foreach { q =>
+      val single = neighborList(Similarity.knnBrute(emb, q, k = 10))
+      val fromBatch = neighborList(
+        batch.filter(col("qid") === q).orderBy(col("rank")))
+      assert(fromBatch == single, s"qid=$q")
+    }
+  }
+
   test("batched LSH over a query set equals per-query LSH") {
     val emb = Tables.embeddings(spark, sf)
     val qids = Seq(1L, 5L, 9L)
