@@ -36,13 +36,15 @@ object Quantiles {
       .agg(count(lit(1)).as("cnt"))
     // cumulative window per key runs over the HISTOGRAM (distinct
     // values), not the rows; cum_start = 0-indexed rank of the first
-    // occurrence of v in the key's sorted value sequence
+    // occurrence of v in the key's sorted value sequence. The key's
+    // total row count n rides an unbounded frame over the SAME window
+    // partition — no second scan, no totals join
     val w = Window.partitionBy(keyCol).orderBy(col("v"))
-    val cum = hist
+    val wAll = Window.partitionBy(keyCol)
+    val joined = hist
       .withColumn("cum_end", sum(col("cnt")).over(w))
       .withColumn("cum_start", col("cum_end") - col("cnt"))
-    val totals = hist.groupBy(col(keyCol)).agg(sum(col("cnt")).as("n"))
-    val joined = cum.join(broadcast(totals), keyCol)
+      .withColumn("n", sum(col("cnt")).over(wAll))
     // per p: the two bracketing order statistics lo=floor(pos),
     // hi=ceil(pos) each live in exactly one histogram row — pick them
     // with a conditional max (all other rows contribute null)
