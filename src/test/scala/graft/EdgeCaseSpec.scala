@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Analyzers
+import graft.operators._
+
+/** Degenerate-input semantics: empty corpora, single documents, null
+  * and empty text. The synthetic testdata never produces these, but a
+  * library user's first real corpus will — every operator must return
+  * an empty/defined result, never throw, and the null policy must be
+  * consistent (analyzers propagate null; dedup/stats treat null text
+  * as empty). */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val one = Seq((1L, "a single document")).toDF("doc_id", "text")
+  private lazy val nulls = Seq((1L, null), (2L, ""), (3L, "  \t "),
+    (4L, "real text here")).asInstanceOf[Seq[(Long, String)]]
+    .toDF("doc_id", "text")
+
+  test("dedup family on an empty corpus returns empty, never throws") {
+    assert(Dedup.exact(empty).count() == 0)
+    assert(Dedup.minhashPairs(empty, threshold = 0.5).count() == 0)
+    assert(Dedup.simhashPairs(empty, maxHamming = 10).count() == 0)
+    assert(Dedup.jaccardPairs(empty, threshold = 0.5).count() == 0)
+  }
+
+  test("dedup family on a single document: no pairs, doc survives apply") {
+    assert(Dedup.minhashPairs(one, threshold = 0.5).count() == 0)
+    assert(Dedup.simhashPairs(one, maxHamming = 10).count() == 0)
+    val pairs = Dedup.jaccardPairs(one, threshold = 0.5)
+    assert(pairs.count() == 0)
+    assert(Dedup.applyDedup(one, pairs).count() == 1)
+  }
+
+  test("analyzer pipelines: null propagates, empty/blank yield empty arrays") {
+    val r = nulls.select(col("doc_id"),
+      Analyzers.englando(col("text")).as("eng"),
+      Analyzers.customNgram(col("text")).as("ng"),
+      Analyzers.customShingles(col("text")).as("sh"),
+      Analyzers.tokenize(col("text")).as("toks"))
+      .orderBy(col("doc_id")).collect()
+    assert(r(0).isNullAt(1) && r(0).isNullAt(2) && r(0).isNullAt(3))
+    Seq(1, 2).foreach { i => // "" and blank
+      assert(r(i).getSeq[String](1).isEmpty, s"row $i englando")
+      assert(r(i).getSeq[String](4).isEmpty, s"row $i tokenize")
+    }
+    assert(r(3).getSeq[String](1).nonEmpty)
+  }
+
+  test("text stats on null/empty text are defined (zero counts, no NaN crash)") {
+    val q = TextStats.quality(nulls).orderBy(col("doc_id")).collect()
+    assert(q.length == 4)
+    // null text: counts must be 0/null, not a thrown NPE
+    val tc = TextStats.tokenCounts(nulls).orderBy(col("doc_id")).collect()
+    assert(tc.length == 4)
+    assert(tc(1).getLong(1) == 0L && tc(1).getLong(2) == 0L) // "" row
+  }
+
+  test("exact dedup groups null and empty-normalized text without loss") {
+    val d = Dedup.exact(nulls)
+    // every input doc is accounted for in some group
+    assert(d.agg(sum(col("n_dups"))).head().getLong(0) == 4L)
+  }
+
+  test("quantiles on empty input return empty, on all-equal return the value") {
+    assert(Quantiles.exactPercentiles(
+      Seq.empty[(String, Double)].toDF("k", "v"), "k", "v",
+      Seq("med" -> 0.5)).count() == 0)
+    val allEq = Quantiles.exactPercentiles(
+      Seq(("k", 3.0), ("k", 3.0), ("k", 3.0)).toDF("k", "v"), "k", "v",
+      Seq("med" -> 0.5, "p99" -> 0.99)).head()
+    assert(allEq.getAs[Double]("med") == 3.0)
+    assert(allEq.getAs[Double]("p99") == 3.0)
+  }
+
+  test("event windows on an empty event table are empty, not an error") {
+    val e = Seq.empty[(java.sql.Timestamp, Long, String, Double)]
+      .toDF("ts", "user_id", "event_type", "value")
+    assert(EventOps.tumbling(e).count() == 0)
+    assert(EventOps.sessionize(e).count() == 0)
+    assert(EventOps.sliding(e).count() == 0)
+  }
+}
