@@ -41,10 +41,14 @@ private[graft] object OracleSql {
   /** *v* — the stem contains a vowel. */
   private def hasV(x: String): String = s"contains(${form(x)}, 'a')"
 
-  /** *d — ends with a double consonant (same char twice, consonant in
-    * context). */
+  /** *d — PorterStemmer.endsDoubleConsonant: last two chars equal AND
+    * the LAST one is a consonant in context. Only the final position's
+    * consonant-ness is tested (mirroring the Scala ground truth): for a
+    * stem like "skyy" the first y is a vowel (after consonant k) but
+    * the second is not, and endsDoubleConsonant is TRUE — requiring the
+    * form to end "bb" would wrongly say false there. */
   private def dbl(x: String): String =
-    s"(length($x) >= 2 AND right(${form(x)}, 2) = 'bb'" +
+    s"(length($x) >= 2 AND right(${form(x)}, 1) = 'b'" +
       s" AND right($x, 1) = substr($x, length($x)-1, 1))"
 
   /** *o — ends cvc where the final c is not w, x or y. */
@@ -159,10 +163,10 @@ private[graft] object OracleSql {
        |  stemmed AS (SELECT doc_id, pos,
        |                CASE WHEN length(w0) <= 2 THEN w0 ELSE w9 END AS tok FROM s9)""".stripMargin
 
-  /** The reference's `standard` tokenizer pattern, mixed case (SQL
-    * string literal form: apostrophe doubled). */
+  /** The reference's `standard` tokenizer pattern, derived from the
+    * single source of truth (SQL literal form: apostrophe doubled). */
   private val tokenPatternSql =
-    "[\\p{L}\\p{N}](?:[\\p{L}\\p{N}''’]*[\\p{L}\\p{N}])?"
+    Analyzers.tokenPattern.replace("'", "''")
 
   private val stopListSql = Analyzers.englishStopwords
     .map(w => s"'$w'").mkString("[", ", ", "]")

@@ -466,10 +466,13 @@ object SparkEntry {
       // HLL++ sketch with its accuracy CONTRACT as the verified output:
       // the estimate itself is engine-specific (DuckDB's HLL hashes
       // differently, so the raw value can never hash-match an oracle),
-      // but |approx - exact| / exact ≤ 2·rsd is checkable — the oracle
-      // asserts the bound holds (TRUE) next to the exact counts. The
-      // exact count(distinct) exists only in this verification query;
-      // the production sketch path never computes it.
+      // but the error bound is checkable — the oracle asserts it holds
+      // (TRUE) next to the exact counts. rsd is a standard deviation,
+      // not a hard limit, so the asserted bound is 3·rsd: a ~3σ
+      // contract that survives dataset regeneration, not just the
+      // cardinalities this exact corpus happens to produce. The exact
+      // count(distinct) exists only in this verification query; the
+      // production sketch path never computes it.
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
@@ -477,7 +480,7 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .select(col("event_type"), col("exact_users"), col("n"),
           (abs(col("approx_users") - col("exact_users")) <=
-            col("exact_users") * 0.04).as("approx_ok"))
+            col("exact_users") * 0.06).as("approx_ok"))
         .orderBy(col("event_type"))),
 
     // ---- multimodal plumbing (brief §extensions) ----

@@ -92,6 +92,93 @@ case class CappedCollectPostings(
   override def prettyName: String = "capped_collect_postings"
 }
 
+/** Bounded top-k by (score desc, id asc) — the per-group analog of
+  * TakeOrderedAndProject's heap, as an aggregate.
+  *
+  * `collect_list` + `slice` per group is semantically right but
+  * accumulates EVERY candidate row of the group in one aggregation
+  * buffer before the slice discards all but k — unbounded transient
+  * state at scale. This buffer never holds more than k (score, id)
+  * pairs on either the update or the merge side, stays sorted (k is
+  * small — ranked-retrieval sized), partial-aggregates map-side, and
+  * ships 16·k bytes per group through the shuffle. Used by the batched
+  * KNN paths ([[graft.operators.Similarity]] topKPerQuery). */
+case class TopKByScore(
+    scoreChild: Expression, idChild: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
+  with BinaryLike[Expression] {
+
+  override def left: Expression = scoreChild
+  override def right: Expression = idChild
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cos_sim", DoubleType, nullable = false),
+    StructField("vec_id", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  /** (s1,i1) ranks strictly ahead of (s2,i2). */
+  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
+    ArrayBuffer.empty
+
+  private def insert(buf: ArrayBuffer[(Double, Long)], s: Double,
+                     id: Long): Unit = {
+    if (buf.length == k && !beats(s, id, buf.last._1, buf.last._2)) return
+    var i = buf.length
+    while (i > 0 && beats(s, id, buf(i - 1)._1, buf(i - 1)._2)) i -= 1
+    buf.insert(i, (s, id))
+    if (buf.length > k) buf.remove(k)
+  }
+
+  override def update(buf: ArrayBuffer[(Double, Long)],
+                      input: InternalRow): ArrayBuffer[(Double, Long)] = {
+    val s = scoreChild.eval(input)
+    val id = idChild.eval(input)
+    if (s != null && id != null)
+      insert(buf, s.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: ArrayBuffer[(Double, Long)],
+                     b: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
+    b.foreach { case (s, id) => insert(a, s, id) }
+    a
+  }
+
+  override def eval(buf: ArrayBuffer[(Double, Long)]): Any =
+    new GenericArrayData(
+      buf.map { case (s, id) => InternalRow(s, id) }.toArray[Any])
+
+  override def serialize(buf: ArrayBuffer[(Double, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.length)
+    bb.putInt(buf.length)
+    buf.foreach { case (s, id) => bb.putDouble(s); bb.putLong(id) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new ArrayBuffer[(Double, Long)](n)
+    var i = 0
+    while (i < n) { buf += ((bb.getDouble, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TopKByScore =
+    copy(scoreChild = l, idChild = r)
+  override def prettyName: String = "top_k_by_score"
+}
+
 object aggregates {
   /** Sorted, size-capped (id, setsize) posting list; buckets past the
     * cap surface as arrays of length cap + 1 for the caller to drop. */
@@ -100,4 +187,11 @@ object aggregates {
     GraftShim.toColumn(CappedCollectPostings(
       GraftShim.toExpression(id), GraftShim.toExpression(setsize),
       cap).toAggregateExpression())
+
+  /** Rank-ordered top-k (score desc, id asc) as array<struct<cos_sim,
+    * vec_id>>; buffer bounded at k entries on both agg sides. */
+  def top_k_by_score(score: Column, id: Column, k: Int): Column =
+    GraftShim.toColumn(TopKByScore(
+      GraftShim.toExpression(score), GraftShim.toExpression(id),
+      k).toAggregateExpression())
 }

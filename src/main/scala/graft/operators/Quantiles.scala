@@ -29,10 +29,15 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** Exact percentiles of `valueCol` per `keyCol` for each (name, p);
-    * output: one row per key with a double column per name. */
+    * output: one row per key with a double column per name. Null
+    * values are ignored, matching the builtin (a null would otherwise
+    * occupy rank 0 of its key and shift every position); a key whose
+    * values are ALL null disappears from the output, where the builtin
+    * yields a null-valued row — the one documented divergence. */
   def exactPercentiles(df: DataFrame, keyCol: String, valueCol: String,
                        ps: Seq[(String, Double)]): DataFrame = {
-    val hist = df.groupBy(col(keyCol), col(valueCol).cast("double").as("v"))
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as("cnt"))
     // cumulative window per key runs over the HISTOGRAM (distinct
     // values), not the rows; cum_start = 0-indexed rank of the first

@@ -147,6 +147,25 @@ object Similarity {
     cents
   }
 
+  /** Centroid ranking by (cosine desc, centroid index asc) as
+    * array<struct<sim, nidx>> — the index rides NEGATED so one
+    * descending struct sort realizes the ascending-index tie-break.
+    * The single shared definition for cell ASSIGNMENT and cell
+    * PROBING on both the single-query and batch paths: duplicate
+    * centroids are reachable (empty k-means cells keep their seed), so
+    * a tie broken differently on two paths would probe different cell
+    * sets. */
+  private def centroidRank(cents: Array[Array[Double]], v: Column,
+                           nrm: Column): Column =
+    sort_array(array(cents.zipWithIndex.map { case (c, i) =>
+      struct((dot(v, lit(c)) / nrm).as("sim"), lit(-i).as("nidx"))
+    }: _*), asc = false)
+
+  /** Nearest-centroid cell id under [[centroidRank]]'s total order. */
+  private def cellOf(cents: Array[Array[Double]], v: Column,
+                     nrm: Column): Column =
+    -element_at(centroidRank(cents, v, nrm), 1).getField("nidx")
+
   /** IVF-flat ANN: coarse-quantize the corpus into `nlist` cells
     * (centroids k-means-trained on a bounded deterministic sample —
     * [[kmeansCentroids]]), assign each vector to its nearest centroid,
@@ -159,18 +178,18 @@ object Similarity {
              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = withNorm(emb)
     val cents = kmeansCentroids(emb, nlist)
-    def cellOf(v: Column, nrm: Column): Column =
-      element_at(sort_array(array(cents.zipWithIndex.map { case (c, i) =>
-        struct((dot(v, lit(c)) / nrm).as("sim"), lit(i).as("idx"))
-      }: _*), asc = false), 1).getField("idx")
-    val assigned = e.withColumn("cell", cellOf(col("v"), col("nrm")))
+    val assigned = e.withColumn("cell",
+      cellOf(cents, col("v"), col("nrm")))
     val qRow = assigned.filter(col("vec_id") === queryId)
       .select(col("v"), col("nrm")).head()
     val q = qRow.getSeq[Double](0).toArray
     val qn = qRow.getDouble(1)
+    // same (sim desc, index asc) order as centroidRank — duplicate
+    // centroids (possible: empty k-means cells keep their seed) must
+    // rank identically on the driver and the executor paths
     val probeCells = cents.zipWithIndex
       .map { case (c, i) => (c.zip(q).map { case (a, b) => a * b }.sum / qn, i) }
-      .sortBy(-_._1).take(nprobe).map(_._2)
+      .sortBy { case (sim, i) => (-sim, i) }.take(nprobe).map(_._2)
     assigned
       .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
@@ -179,30 +198,27 @@ object Similarity {
       .limit(k)
   }
 
-  /** Distributed top-k per query for a batch of scored candidates —
-    * two-phase, no per-query data shuffle: phase 1 takes each
-    * partition's local top-k per query (`sort_array` over a struct
-    * whose second field is the NEGATED id, so descending sort realizes
-    * the (cos_sim desc, vec_id asc) tie-break), phase 2 merges the
-    * ≤ k·partitions survivors per query — a set small by construction,
-    * where a row_number window is safe at any corpus scale. The same
-    * local-then-merge shape as TakeOrderedAndProject, generalized to
-    * per-query grouping. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val local = scored
-      .groupBy(col("qid"), spark_partition_id().as("part"))
-      .agg(slice(sort_array(collect_list(struct(
-          col("cos_sim"), (-col("vec_id")).as("nid"),
-          col("vec_id"), col("label"))), asc = false), 1, k).as("cand"))
-    val merged = local.select(col("qid"), explode(col("cand")).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("c.cos_sim").desc, col("c.vec_id").asc)
-    merged
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("c.vec_id").as("vec_id"),
-        col("c.label").as("label"), col("c.cos_sim").as("cos_sim"),
+  /** Distributed top-k per query for a batch of scored candidates:
+    * one `groupBy(qid)` whose aggregate is the bounded-heap
+    * [[graft.functions.TopKByScore]] — per-group state is k (score,
+    * id) pairs on BOTH the partial and the merge side (a
+    * `collect_list` + `slice` formulation would buffer every candidate
+    * row of the group before slicing), map-side partials do the heavy
+    * pruning, and the shuffle carries 16·k bytes per (qid, partition).
+    * Labels rejoin afterwards: the ≤ |queries|·k result rows broadcast
+    * into one streamed pass over the (vec_id, label) projection, so
+    * label values of any type ride along without living in the heap. */
+  private def topKPerQuery(scored: DataFrame, labels: DataFrame,
+                           k: Int): DataFrame = {
+    val flat = scored.groupBy(col("qid"))
+      .agg(graft.functions.aggregates
+        .top_k_by_score(col("cos_sim"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.vec_id").as("vec_id"),
+        col("s.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+    labels.join(broadcast(flat), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("label"), col("cos_sim"),
         col("rank"))
   }
 
@@ -218,10 +234,10 @@ object Similarity {
         col("nrm").as("qn"))
     val scored = e.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("label"),
+      .select(col("qid"), col("vec_id"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("cos_sim"))
-    topKPerQuery(scored, k)
+    topKPerQuery(scored, emb.select(col("vec_id"), col("label")), k)
   }
 
   /** Batched LSH ANN: answer a whole query SET in one pass — the shape
@@ -243,10 +259,10 @@ object Similarity {
         col("nrm").as("qn"), col("bucket"))
     val scored = bucketed.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("label"),
+      .select(col("qid"), col("vec_id"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("cos_sim"))
-    topKPerQuery(scored, k)
+    topKPerQuery(scored, emb.select(col("vec_id"), col("label")), k)
   }
 
   /** Batched IVF-flat ANN: every query's `nprobe` nearest cells become
@@ -258,24 +274,20 @@ object Similarity {
                   nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = withNorm(emb)
     val cents = kmeansCentroids(emb, nlist)
-    def cellRank(v: Column, nrm: Column): Column =
-      sort_array(array(cents.zipWithIndex.map { case (c, i) =>
-        struct((dot(v, lit(c)) / nrm).as("sim"), lit(i).as("idx"))
-      }: _*), asc = false)
-    val assigned = e.select(col("vec_id"), col("label"), col("v"),
-      col("nrm"), element_at(cellRank(col("v"), col("nrm")), 1)
-        .getField("idx").as("cell"))
+    val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
+      cellOf(cents, col("v"), col("nrm")).as("cell"))
     val queries = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"),
-        explode(transform(slice(cellRank(col("v"), col("nrm")), 1, nprobe),
-          s => s.getField("idx"))).as("cell"))
+        explode(transform(
+          slice(centroidRank(cents, col("v"), col("nrm")), 1, nprobe),
+          s => -s.getField("nidx"))).as("cell"))
     val scored = assigned.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("label"),
+      .select(col("qid"), col("vec_id"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("cos_sim"))
-    topKPerQuery(scored, k)
+    topKPerQuery(scored, emb.select(col("vec_id"), col("label")), k)
   }
 
   /** Exact all-pairs cosine pairs above a threshold (the

@@ -50,6 +50,19 @@ class QuantilesSpec extends SparkSpec {
     assert(a.getAs[Double]("p0") == 10.0 && a.getAs[Double]("p100") == 30.0)
   }
 
+  test("null values are ignored exactly like the builtin percentile") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(2.0)),
+      ("b", None)).toDF("k", "v")
+    val r = Quantiles.exactPercentiles(df, "k", "v", Seq("med" -> 0.5))
+      .collect()
+    // key "a": median over {1.0, 2.0} = 1.5 (null shifts nothing);
+    // key "b" (all null) is absent — documented divergence from the
+    // builtin's null-valued row
+    assert(r.length == 1 && r(0).getString(0) == "a")
+    assert(r(0).getAs[Double]("med") == 1.5)
+  }
+
   test("duplicate-heavy values: rank ranges straddle repeats correctly") {
     import spark.implicits._
     // 0-indexed sorted: [1,1,1,1,2] — pos(0.5)=2 → 1.0; pos(0.75)=3 → 1.0;
