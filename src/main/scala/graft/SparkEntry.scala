@@ -473,15 +473,18 @@ object SparkEntry {
       // cardinalities this exact corpus happens to produce. The exact
       // count(distinct) exists only in this verification query; the
       // production sketch path never computes it.
-      Tables.events(s, d)
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"),
-          count(lit(1)).as("n"))
-        .select(col("event_type"), col("exact_users"), col("n"),
-          (abs(col("approx_users") - col("exact_users")) <=
-            col("exact_users") * 0.06).as("approx_ok"))
-        .orderBy(col("event_type"))),
+      {
+        val rsd = 0.02
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"), col("exact_users"), col("n"),
+            (abs(col("approx_users") - col("exact_users")) <=
+              col("exact_users") * (3 * rsd)).as("approx_ok"))
+          .orderBy(col("event_type"))
+      }),
 
     // ---- multimodal plumbing (brief §extensions) ----
     "m1_media_meta" -> ((s, d) =>

@@ -118,9 +118,17 @@ case class TopKByScore(
     containsNull = false)
   override def nullable: Boolean = false
 
-  /** (s1,i1) ranks strictly ahead of (s2,i2). */
-  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  /** (s1,i1) ranks strictly ahead of (s2,i2). `Double.compare` gives a
+    * TOTAL order including NaN (which ranks above every number —
+    * matching Spark's descending sort, so batch results stay identical
+    * to the single-query orderBy paths even on degenerate scores; a
+    * plain `>` is false in both directions for NaN and would let one
+    * pin an arbitrary buffer slot, making results arrival-order-
+    * dependent). */
+  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     ArrayBuffer.empty
@@ -139,7 +147,10 @@ case class TopKByScore(
     val s = scoreChild.eval(input)
     val id = idChild.eval(input)
     if (s != null && id != null)
-      insert(buf, s.asInstanceOf[Double], id.asInstanceOf[Long])
+      // + 0.0 collapses -0.0 to 0.0 so the sign of a rounded-away
+      // epsilon can't order two zero scores (Spark's comparator treats
+      // them equal; Double.compare does not)
+      insert(buf, s.asInstanceOf[Double] + 0.0, id.asInstanceOf[Long])
     buf
   }
 
@@ -185,13 +196,17 @@ object aggregates {
   def capped_collect_postings(id: Column, setsize: Column,
                               cap: Int): Column =
     GraftShim.toColumn(CappedCollectPostings(
-      GraftShim.toExpression(id), GraftShim.toExpression(setsize),
+      GraftShim.toExpression(id.cast("long")),
+      GraftShim.toExpression(setsize.cast("int")),
       cap).toAggregateExpression())
 
   /** Rank-ordered top-k (score desc, id asc) as array<struct<cos_sim,
     * vec_id>>; buffer bounded at k entries on both agg sides. */
-  def top_k_by_score(score: Column, id: Column, k: Int): Column =
+  def top_k_by_score(score: Column, id: Column, k: Int): Column = {
+    require(k > 0, s"top_k_by_score needs k > 0, got $k")
     GraftShim.toColumn(TopKByScore(
-      GraftShim.toExpression(score), GraftShim.toExpression(id),
+      GraftShim.toExpression(score.cast("double")),
+      GraftShim.toExpression(id.cast("long")),
       k).toAggregateExpression())
+  }
 }

@@ -36,7 +36,10 @@ object Quantiles {
     * yields a null-valued row — the one documented divergence. */
   def exactPercentiles(df: DataFrame, keyCol: String, valueCol: String,
                        ps: Seq[(String, Double)]): DataFrame = {
-    val hist = df.filter(col(valueCol).isNotNull)
+    // filter on the CAST value: a non-null input that casts to null
+    // (e.g. an uncastable string) would otherwise re-introduce the
+    // rank-0 null shift this filter exists to prevent
+    val hist = df.filter(col(valueCol).cast("double").isNotNull)
       .groupBy(col(keyCol), col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as("cnt"))
     // cumulative window per key runs over the HISTOGRAM (distinct

@@ -37,10 +37,15 @@ object Similarity {
     dot(a, b) / (norm(a) * norm(b))
 
   /** (id, v, nrm) projection: vectors as array<double> with their norm
-    * materialized once. */
+    * materialized once. Zero vectors are EXCLUDED here: cosine is
+    * undefined for them, and under ANSI SQL (Spark 4 default) the
+    * norm division would otherwise abort the whole query with
+    * DIVIDE_BY_ZERO the first time a degenerate embedding appears in
+    * a corpus. */
   private def withNorm(emb: DataFrame, idCol: String = "vec_id"): DataFrame =
     emb.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0.0)
 
   /** Brute-force cosine top-k neighbors of the vector with id
     * `queryId`. The 1-row query side is collected and inlined as a
@@ -51,10 +56,10 @@ object Similarity {
       .select(col("embedding").cast("array<double>")).head()
       .getSeq[Double](0).toArray
     val qc = lit(q)
-    emb.filter(col("vec_id") =!= queryId)
-      .withColumn("v", col("embedding").cast("array<double>"))
+    withNorm(emb) // zero vectors excluded (cosine undefined for them)
+      .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
-        round(dot(col("v"), qc) / (norm(col("v")) * norm(qc)), 6).as("cos_sim"))
+        round(dot(col("v"), qc) / (col("nrm") * norm(qc)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -83,18 +88,17 @@ object Similarity {
              nPlanes: Int = 4, seed: Long = 42L): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val planes = hyperplanes(dim, nPlanes, seed)
-    val bucketed = emb.withColumn("bucket",
-      lshBucket(col("embedding").cast("array<double>"), planes))
+    val bucketed = withNorm(emb).withColumn("bucket",
+      lshBucket(col("v"), planes))
     val qRow = bucketed.filter(col("vec_id") === queryId)
-      .select(col("embedding").cast("array<double>"), col("bucket")).head()
+      .select(col("v"), col("bucket")).head()
     val q = qRow.getSeq[Double](0).toArray
     val qBucket = qRow.getLong(1)
     val qc = lit(q)
     bucketed
       .filter(col("bucket") === qBucket && col("vec_id") =!= queryId)
-      .withColumn("v", col("embedding").cast("array<double>"))
       .select(col("vec_id"), col("label"),
-        round(dot(col("v"), qc) / (norm(col("v")) * norm(qc)), 6).as("cos_sim"))
+        round(dot(col("v"), qc) / (col("nrm") * norm(qc)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -252,7 +256,7 @@ object Similarity {
                   nPlanes: Int = 4, seed: Long = 42L): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val planes = hyperplanes(dim, nPlanes, seed)
-    val bucketed = withNorm(emb).select(col("vec_id"), col("label"),
+    val bucketed = withNorm(emb).select(col("vec_id"),
       col("v"), col("nrm"), lshBucket(col("v"), planes).as("bucket"))
     val queries = bucketed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),

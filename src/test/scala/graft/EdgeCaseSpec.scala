@@ -75,6 +75,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(allEq.getAs[Double]("p99") == 3.0)
   }
 
+  test("zero vector is excluded from knn, identically in batch and single") {
+    // cosine is undefined for a zero embedding — and under ANSI SQL
+    // (Spark 4 default) the norm division would abort the whole query
+    // with DIVIDE_BY_ZERO. withNorm drops zero vectors, so they are
+    // not neighbors on any path rather than a mid-query crash.
+    val emb = Seq(
+      (1L, 0L, Array(1f, 0f, 0f)), (2L, 0L, Array(0f, 0f, 0f)),
+      (3L, 0L, Array(0.9f, 0.1f, 0f)), (4L, 0L, Array(0f, 1f, 0f)),
+      (5L, 0L, Array(0.8f, 0.2f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val single = operators.Similarity.knnBrute(emb, 1L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    val batch = operators.Similarity.knnBruteBatch(emb, Seq(1L), 3)
+      .orderBy(col("rank")).select("vec_id").as[Long].collect().toSeq
+    assert(batch == single)
+    assert(!single.contains(2L) && single.length == 3)
+  }
+
   test("event windows on an empty event table are empty, not an error") {
     val e = Seq.empty[(java.sql.Timestamp, Long, String, Double)]
       .toDF("ts", "user_id", "event_type", "value")
