@@ -49,6 +49,24 @@ object SparkEntry {
     * behind them are unchanged. */
   private def joined(arr: Column): Column = concat_ws("|", arr)
 
+  /** Planted-ground-truth corpus shared by the ANN contract queries
+    * (n2/n3/n4): the sf embeddings are structureless random directions
+    * (recall-vs-brute gates nothing for ANY sublinear index), so the
+    * standard evaluation is planted ground truth — each probe vector
+    * gets a ×2-scaled copy under id+10⁶: same direction, so cosine is
+    * exactly 1, the same LSH bucket (positive scaling preserves every
+    * hyperplane sign) and the same IVF cell. */
+  private val annProbeIds = Seq(1L, 101L, 202L)
+  private def annPlantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val planted = emb.filter(col("vec_id").isin(annProbeIds: _*))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+          .as("embedding"))
+    emb.unionByName(planted)
+  }
+
   // Physical row order is NOT part of the verification contract: the
   // harness canonicalizes by sorting rows (and columns by name) on both
   // the Spark and the DuckDB side before hashing. Queries keep ORDER BY
@@ -388,10 +406,23 @@ object SparkEntry {
     // ---- similarity search (brief §extensions) ----
     "n1_knn_brute" -> ((s, d) =>
       Similarity.knnBrute(Tables.embeddings(s, d), queryId = 1L, k = 10)),
-    "n2_knn_lsh" -> ((s, d) => // ANN (recall tested in SimilaritySpec)
-      Similarity.knnLsh(Tables.embeddings(s, d), queryId = 1L, k = 10)),
-    "n3_knn_ivf" -> ((s, d) => // IVF-flat ANN scale path: rows-only
-      Similarity.knnIvf(Tables.embeddings(s, d), queryId = 1L, k = 10)),
+    "n2_knn_lsh" -> ((s, d) =>
+      // ANN neighbor lists are estimate-valued and can't hash-match a
+      // SQL oracle; the declared output is the LSH path's SELF-VERIFYING
+      // CONTRACT (Similarity.lshContract scaladoc): per-probe invariant
+      // booleans — candidates ⊆ probed bucket, scores ≡ exact cosine
+      // recomputation, planted ×2-scaled copy retrieved at rank 1,
+      // ranks descending — all TRUE by construction, constant-TRUE
+      // oracle. Library users get the raw lists from
+      // Similarity.knnLsh / knnLshBatch (recall in SimilaritySpec).
+      Similarity.lshContract(annPlantedCorpus(s, d), annProbeIds, k = 10)
+        .orderBy(col("qid"))),
+    "n3_knn_ivf" -> ((s, d) =>
+      // same contract shape for the IVF-flat scale path: trained
+      // centroids are shared between the probe and the verification
+      // (Similarity.ivfContract) — candidates ⊆ probed cells
+      Similarity.ivfContract(annPlantedCorpus(s, d), annProbeIds, k = 10)
+        .orderBy(col("qid"))),
     "n4_ann_contract" -> ((s, d) => {
       // the ANN quality gate a production pipeline runs: recall on a
       // labeled ground-truth set. This corpus is structureless (mean
@@ -404,27 +435,20 @@ object SparkEntry {
       // every hyperplane sign) and the same IVF cell — and the
       // contract asserts both indexes retrieve every planted copy
       // (which also catches a broken normalization: ×2 changes every
-      // dot product but no cosine). n2/n3 remain the plain-corpus
-      // neighbor lists (estimate-valued, rows-only).
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"))
-      val probeIds = Seq(1L, 101L, 202L)
-      val planted = emb.filter(col("vec_id").isin(probeIds: _*))
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
-          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
-            .as("embedding"))
-      val corpus = emb.unionByName(planted)
+      // dot product but no cosine). n2/n3 carry the richer per-probe
+      // invariant contracts over the same planted corpus.
+      val corpus = annPlantedCorpus(s, d)
       // the whole probe set runs through the BATCHED index paths — one
       // distributed pass per method, no per-query driver loop
       def contractRow(method: String, ann: DataFrame): DataFrame =
         ann.filter(col("vec_id") === col("qid") + 1000000L)
           .agg(count(lit(1)).as("n_found"))
           .select(lit(method).as("method"),
-            lit(probeIds.size.toLong).as("n_probes"), col("n_found"),
-            (col("n_found") === probeIds.size).as("all_found"))
-      contractRow("ivf", Similarity.knnIvfBatch(corpus, probeIds, k = 5))
+            lit(annProbeIds.size.toLong).as("n_probes"), col("n_found"),
+            (col("n_found") === annProbeIds.size).as("all_found"))
+      contractRow("ivf", Similarity.knnIvfBatch(corpus, annProbeIds, k = 5))
         .unionByName(
-          contractRow("lsh", Similarity.knnLshBatch(corpus, probeIds, k = 5)))
+          contractRow("lsh", Similarity.knnLshBatch(corpus, annProbeIds, k = 5)))
         .orderBy(col("method"))
     }),
 
@@ -747,6 +771,23 @@ object SparkEntry {
       """SELECT * FROM (VALUES ('ivf', 3::BIGINT, 3::BIGINT, TRUE),
                                ('lsh', 3::BIGINT, 3::BIGINT, TRUE))
            AS t(method, n_probes, n_found, all_found) ORDER BY method""",
+    // n2/n3: per-probe ANN invariants, TRUE by construction on a
+    // correct index (Similarity.annContractRows scaladoc) — the
+    // constant-TRUE oracle pattern of x5/n4
+    "n2_knn_lsh" ->
+      """SELECT * FROM (VALUES (1::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
+                               (101::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
+                               (202::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE))
+           AS t(qid, k_bounded, all_in_probed, scores_exact,
+                planted_found, planted_rank1, ranked_desc)
+         ORDER BY qid""",
+    "n3_knn_ivf" ->
+      """SELECT * FROM (VALUES (1::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
+                               (101::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
+                               (202::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE))
+           AS t(qid, k_bounded, all_in_probed, scores_exact,
+                planted_found, planted_rank1, ranked_desc)
+         ORDER BY qid""",
     "d1_exact_dedup" ->
       s"""SELECT md5($sqlNorm) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
           FROM documents GROUP BY 1 ORDER BY 1""",

@@ -117,8 +117,7 @@ object Similarity {
     val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(sampleSize)
       .select(col("v"), col("nrm")).collect()
-      .map(r => r.getSeq[Double](0).zipWithIndex
-        .map { case (x, _) => x / r.getDouble(1) }.toArray)
+      .map(r => r.getSeq[Double](0).map(_ / r.getDouble(1)).toArray)
     val dim = sample.head.length
     var cents = sample.take(k).map(_.clone())
     var it = 0
@@ -275,9 +274,17 @@ object Similarity {
     * the whole query set, no per-query driver action (contrast
     * [[knnIvf]]). */
   def knnIvfBatch(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
-                  nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+                  nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    knnIvfBatchWith(emb, kmeansCentroids(emb, nlist), queryIds, k, nprobe)
+
+  /** [[knnIvfBatch]] with pre-trained centroids — the production shape
+    * (centroids are an ingest-time artifact, queries reuse them) and
+    * what lets [[ivfContract]] verify the very same index it probes
+    * without a second training pass. */
+  def knnIvfBatchWith(emb: DataFrame, cents: Array[Array[Double]],
+                      queryIds: Seq[Long], k: Int = 10,
+                      nprobe: Int = 4): DataFrame = {
     val e = withNorm(emb)
-    val cents = kmeansCentroids(emb, nlist)
     val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
       cellOf(cents, col("v"), col("nrm")).as("cell"))
     val queries = e.filter(col("vec_id").isin(queryIds: _*))
@@ -292,6 +299,106 @@ object Similarity {
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("cos_sim"))
     topKPerQuery(scored, emb.select(col("vec_id"), col("label")), k)
+  }
+
+  // ---- self-verifying ANN contracts -------------------------------
+  //
+  // ANN results are estimate-valued (WHICH neighbors come back depends
+  // on the index), so a raw neighbor list can never hash-match a SQL
+  // oracle. What IS deterministic — TRUE by construction on a correct
+  // implementation, false the moment bucketing / assignment / scoring /
+  // ranking breaks — is the set of per-query invariants below, checked
+  // against an independent recomputation of the index structures:
+  //
+  //   k_bounded      1 ≤ |result(q)| ≤ k
+  //   all_in_probed  every candidate lies in a bucket/cell the query
+  //                  probed (recomputed from the same seeded planes /
+  //                  trained centroids, joined independently)
+  //   scores_exact   every returned score equals the exact cosine
+  //                  recomputed from the raw vectors (the estimate is
+  //                  WHICH candidates, never their scores)
+  //   planted_found  the ×`plantOffset`-id planted scaled copy of the
+  //                  probe (same direction ⇒ cosine exactly 1, same
+  //                  bucket — positive scaling preserves hyperplane
+  //                  signs — and same IVF cell) is retrieved…
+  //   planted_rank1  …at rank 1 (cosine 1.0 is the unique maximum on
+  //                  non-degenerate corpora)
+  //   ranked_desc    rank order is non-increasing in score
+  //
+  // A query that returns ZERO candidates vanishes from the groupBy —
+  // the contract then fails on row count, not silently.
+
+  /** Per-probe invariant rows over an ANN result: `res` is the
+    * (qid, vec_id, cos_sim, rank) output, `qSide` carries each probe's
+    * vector + `probed` (array of probed bucket/cell ids), `cand` each
+    * corpus vector + its `cand_cell`. One output row per probe, every
+    * boolean TRUE on a correct index. */
+  private def annContractRows(res: DataFrame, qSide: DataFrame,
+                              cand: DataFrame, k: Int,
+                              plantOffset: Long): DataFrame = {
+    val perRow = res.join(broadcast(qSide), Seq("qid"))
+      .join(cand, Seq("vec_id"))
+      .select(col("qid"), col("rank"), col("cos_sim"),
+        array_contains(col("probed"), col("cand_cell")).as("in_probed"),
+        (col("cos_sim") ===
+          round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 6))
+          .as("score_exact"),
+        (col("vec_id") === col("qid") + plantOffset).as("is_planted"))
+    perRow.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_cand"),
+        min(col("in_probed")).as("all_in_probed"), // min over bool ≡ AND
+        min(col("score_exact")).as("scores_exact"),
+        max(col("is_planted")).as("planted_found"), // max over bool ≡ OR
+        min(when(col("is_planted"), col("rank"))).as("planted_rank"),
+        sort_array(collect_list(struct(col("rank"), col("cos_sim"))))
+          .as("by_rank"))
+      .select(col("qid"),
+        (col("n_cand") >= 1 && col("n_cand") <= k).as("k_bounded"),
+        col("all_in_probed"), col("scores_exact"), col("planted_found"),
+        coalesce(col("planted_rank") === 1, lit(false)).as("planted_rank1"),
+        forall(zip_with(
+            slice(col("by_rank"), lit(1), size(col("by_rank")) - 1),
+            slice(col("by_rank"), lit(2), size(col("by_rank")) - 1),
+            (a, b) => a.getField("cos_sim") >= b.getField("cos_sim")),
+          x => x).as("ranked_desc"))
+  }
+
+  /** ANN contract over the batched LSH path: run [[knnLshBatch]], then
+    * verify its invariants against an independently recomputed
+    * bucketing. `corpus` must already contain, for every probe id, a
+    * positively scaled copy planted under id `qid + plantOffset`. */
+  def lshContract(corpus: DataFrame, probeIds: Seq[Long], k: Int = 10,
+                  plantOffset: Long = 1000000L,
+                  nPlanes: Int = 4, seed: Long = 42L): DataFrame = {
+    val res = knnLshBatch(corpus, probeIds, k, nPlanes, seed)
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val bucketed = withNorm(corpus).select(col("vec_id"), col("v"),
+      col("nrm"), lshBucket(col("v"), planes).as("bucket"))
+    val qSide = bucketed.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), array(col("bucket")).as("probed"))
+    val cand = bucketed.select(col("vec_id"), col("v").as("cv"),
+      col("nrm").as("cn"), col("bucket").as("cand_cell"))
+    annContractRows(res, qSide, cand, k, plantOffset)
+  }
+
+  /** ANN contract over the batched IVF path: train ONCE, probe and
+    * verify against the same centroids ([[knnIvfBatchWith]]). */
+  def ivfContract(corpus: DataFrame, probeIds: Seq[Long], k: Int = 10,
+                  plantOffset: Long = 1000000L,
+                  nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(corpus, nlist)
+    val res = knnIvfBatchWith(corpus, cents, probeIds, k, nprobe)
+    val e = withNorm(corpus)
+    val qSide = e.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        transform(slice(centroidRank(cents, col("v"), col("nrm")), 1, nprobe),
+          s => -s.getField("nidx")).as("probed"))
+    val cand = e.select(col("vec_id"), col("v").as("cv"),
+      col("nrm").as("cn"), cellOf(cents, col("v"), col("nrm")).as("cand_cell"))
+    annContractRows(res, qSide, cand, k, plantOffset)
   }
 
   /** Exact all-pairs cosine pairs above a threshold (the

@@ -122,6 +122,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  private def plantedCorpus(probeIds: Seq[Long]) = {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val planted = emb.filter(col("vec_id").isin(probeIds: _*))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+          .as("embedding"))
+    emb.unionByName(planted)
+  }
+
+  test("LSH and IVF contracts: every invariant TRUE on a planted corpus") {
+    val probes = Seq(1L, 5L, 9L)
+    val corpus = plantedCorpus(probes)
+    Seq(Similarity.lshContract(corpus, probes, k = 10),
+        Similarity.ivfContract(corpus, probes, k = 10)).foreach { c =>
+      val rows = c.collect()
+      assert(rows.length == probes.size)
+      assert(rows.map(_.getLong(0)).toSet == probes.toSet)
+      rows.foreach { r =>
+        (1 until r.length).foreach(i =>
+          assert(r.getBoolean(i), s"qid=${r.getLong(0)} col=$i"))
+      }
+    }
+  }
+
+  test("contracts are falsifiable: no planting => planted checks FALSE") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val c = Similarity.lshContract(emb, Seq(1L), k = 10).head()
+    assert(!c.getAs[Boolean]("planted_found"))
+    assert(!c.getAs[Boolean]("planted_rank1"))
+    // structural invariants still hold on the unplanted index
+    assert(c.getAs[Boolean]("all_in_probed"))
+    assert(c.getAs[Boolean]("scores_exact"))
+    assert(c.getAs[Boolean]("ranked_desc"))
+  }
+
   test("batched IVF over a query set equals per-query IVF") {
     val emb = Tables.embeddings(spark, sf)
     val qids = Seq(1L, 5L, 9L)
