@@ -109,18 +109,35 @@ object SparkEntry {
         .filter(col("c_acctbal") > 100.0 && col("c_acctbal") < 5000.0)
         .select(col("c_custkey"), col("c_acctbal"))
         .orderBy(col("c_custkey"))),
-    "p6_exists_filter" -> ((s, d) =>
+    "p6_exists_filter" -> ((s, d) => {
       // field-existence over array-of-structs on the denormalized docs
-      // (elastic_queries.json:30-40) — higher-order `exists`
-      Denorm.docs(s, d)
+      // (elastic_queries.json:30-40) — higher-order `exists`. Scale
+      // shape: a HOF-`exists` can't push below the aggregation that
+      // builds the array, so qualifying parent ids are derived from
+      // the RAW child table first (a pushed-down scan+project) and the
+      // nested aggregation only ever runs over qualifying orders
+      // (Denorm.docsFiltered); the declared HOF filter then runs over
+      // the surviving docs. Items only — annotations are unreferenced.
+      val keep = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      Denorm.docsFiltered(s, d, keep, withAnnotations = false)
         .filter(exists(col("items"), i => i.getField("returnflag") === "R"))
-        .select(col("id")).orderBy(col("id"))),
-    "p8_nested_match" -> ((s, d) =>
-      // nested match on an analyzed text field of an array element
-      Denorm.docs(s, d)
+        .select(col("id")).orderBy(col("id"))
+    }),
+    "p8_nested_match" -> ((s, d) => {
+      // nested match on an analyzed text field of an array element —
+      // same pre-filter shape as p6: qualifying ids from the raw
+      // child ⋈ broadcast dim, nested agg only over those orders
+      val widgets = Tables.part(s, d).filter(col("p_name").contains("widget"))
+      val keep = Tables.lineitem(s, d)
+        .join(broadcast(widgets), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .select(col("l_orderkey"))
+      Denorm.docsFiltered(s, d, keep, withItems = false)
         .filter(exists(col("annotations"),
           a => a.getField("entity").getField("name").contains("widget")))
-        .select(col("id")).orderBy(col("id"))),
+        .select(col("id")).orderBy(col("id"))
+    }),
     "p9_nested_agg" -> ((s, d) =>
       // doc-level aggregation over the nested child array (the ES
       // painless-script-over-nested analog): per-doc revenue via HOF

@@ -35,10 +35,25 @@ import graft.Tables
   */
 object Denorm {
 
+  /** Left-semi prune `df` to rows whose `key` appears in `keep` (a
+    * single-column DataFrame of order keys). The keep side is a
+    * key-only projection, so Catalyst broadcasts it when small and the
+    * probe side's scan filters push down untouched — this is how a
+    * parent-id restriction lands BELOW the child aggregations, where a
+    * higher-order `exists` over the built array can never be pushed. */
+  private def pruneTo(df: DataFrame, key: Column,
+                      keep: Option[DataFrame]): DataFrame = keep match {
+    case Some(k0) =>
+      val k = k0.toDF("keep_key")
+      df.join(k, key === k("keep_key"), "left_semi")
+    case None => df
+  }
+
   /** Array-of-structs child collection: lineitems per order, the analog
     * of the reference's links/annotations child arrays. */
-  def itemsPerOrder(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  def itemsPerOrder(spark: SparkSession, dir: String,
+                    keep: Option[DataFrame] = None): DataFrame =
+    pruneTo(Tables.lineitem(spark, dir), col("l_orderkey"), keep)
       .groupBy(col("l_orderkey").as("order_id"))
       .agg(sort_array(collect_list(struct(
         col("l_linenumber").as("linenumber"),
@@ -53,8 +68,9 @@ object Denorm {
     * `src/main.py:54-60`): part plays context_entities, the supplier's
     * nation plays context_domains. Dims are broadcast (they are small
     * relative to the fact table at every scale). */
-  def annotationsPerOrder(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+  def annotationsPerOrder(spark: SparkSession, dir: String,
+                          keep: Option[DataFrame] = None): DataFrame = {
+    val li = pruneTo(Tables.lineitem(spark, dir), col("l_orderkey"), keep)
     val part = Tables.part(spark, dir)
     val supp = Tables.supplier(spark, dir)
     val nation = Tables.nation(spark, dir)
@@ -74,33 +90,59 @@ object Denorm {
 
   /** One nested document per order — the engine's analog of the tweet
     * document (`docs/sample_document.json`, FIXTURES.md §A). */
-  def docs(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(spark, dir)
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    build(spark, dir, keep = None,
+      withItems = true, withAnnotations = true)
+
+  /** [[docs]] restricted to the parent ids in `keep` (single-column
+    * DataFrame of order keys), with unreferenced child collections
+    * skipped entirely. This is the scale shape for a selective filter
+    * over the nested docs: the semi-join prune lands on the PARENT
+    * TABLE and on EACH CHILD AGGREGATION'S INPUT, so the heavy
+    * collect_lists only ever run over qualifying orders — Catalyst
+    * cannot do this rewrite itself because a higher-order `exists`
+    * over the built array is opaque to predicate pushdown, and a left
+    * join to a grouped child can't be pruned away even when its
+    * columns go unused. */
+  def docsFiltered(spark: SparkSession, dir: String, keep: DataFrame,
+                   withItems: Boolean = true,
+                   withAnnotations: Boolean = true): DataFrame =
+    build(spark, dir, Some(keep), withItems, withAnnotations)
+
+  private def build(spark: SparkSession, dir: String,
+                    keep: Option[DataFrame], withItems: Boolean,
+                    withAnnotations: Boolean): DataFrame = {
+    val orders = pruneTo(Tables.orders(spark, dir), col("o_orderkey"), keep)
     val cust = Tables.customer(spark, dir)
-    val items = itemsPerOrder(spark, dir)
-    val anns = annotationsPerOrder(spark, dir)
 
-    val itemsType = items.schema("items").dataType
-    val annsType = anns.schema("annotations").dataType
-
-    orders
+    val base = orders
       .join(cust, orders("o_custkey") === cust("c_custkey"), "inner") // J1
-      .join(items, orders("o_orderkey") === items("order_id"), "left") // J2
-      .join(anns, orders("o_orderkey") === anns("order_id"), "left")
-      .select(
-        orders("o_orderkey").as("id"),
-        orders("o_orderstatus").as("status"),
-        orders("o_orderpriority").as("priority"),
-        orders("o_totalprice").as("total_price"),
-        orders("o_orderdate").as("created_at"),
-        struct(
-          cust("c_custkey").as("id"),
-          cust("c_name").as("name"),
-          cust("c_mktsegment").as("segment"),
-          cust("c_acctbal").as("acctbal")).as("author"),
-        coalesce(col("items"), array().cast(itemsType)).as("items"),
-        coalesce(col("annotations"),
-          array().cast(annsType)).as("annotations"))
+    val scalars = Seq(
+      orders("o_orderkey").as("id"),
+      orders("o_orderstatus").as("status"),
+      orders("o_orderpriority").as("priority"),
+      orders("o_totalprice").as("total_price"),
+      orders("o_orderdate").as("created_at"),
+      struct(
+        cust("c_custkey").as("id"),
+        cust("c_name").as("name"),
+        cust("c_mktsegment").as("segment"),
+        cust("c_acctbal").as("acctbal")).as("author"))
+
+    val withI = if (!withItems) (base, Seq.empty[Column]) else {
+      val items = itemsPerOrder(spark, dir, keep)
+      val itemsType = items.schema("items").dataType
+      (base.join(items, orders("o_orderkey") === items("order_id"), "left"), // J2
+        Seq(coalesce(col("items"), array().cast(itemsType)).as("items")))
+    }
+    val withA = if (!withAnnotations) (withI._1, Seq.empty[Column]) else {
+      val anns = annotationsPerOrder(spark, dir, keep)
+      val annsType = anns.schema("annotations").dataType
+      (withI._1.join(anns, orders("o_orderkey") === anns("order_id"), "left"),
+        Seq(coalesce(col("annotations"), array().cast(annsType))
+          .as("annotations")))
+    }
+    withA._1.select(scalars ++ withI._2 ++ withA._2: _*)
   }
 
   /** Round-trip check query: explode the nested docs back to flat

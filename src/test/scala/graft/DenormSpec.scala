@@ -32,6 +32,26 @@ class DenormSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("docsFiltered: semi-join prune equals the naive build-then-filter") {
+    val keep = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    val pushed = Denorm.docsFiltered(spark, sf, keep, withAnnotations = false)
+      .filter(exists(col("items"), i => i.getField("returnflag") === "R"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val naive = docs
+      .filter(exists(col("items"), i => i.getField("returnflag") === "R"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pushed == naive)
+    assert(pushed.nonEmpty)
+  }
+
+  test("docsFiltered skips unreferenced child collections in the schema") {
+    val keep = Tables.orders(spark, sf).select(col("o_orderkey"))
+    val fields = Denorm.docsFiltered(spark, sf, keep, withItems = false)
+      .schema.fieldNames.toSeq
+    assert(fields.contains("annotations") && !fields.contains("items"))
+  }
+
   test("items are sorted by linenumber within each doc") {
     val bad = docs.filter(exists(
       zip_with(col("items"), slice(col("items"), lit(2), size(col("items"))),
