@@ -195,11 +195,18 @@ object SparkEntry {
           col("c_name").as("parent_author"))
     }),
     "j12_parent_agg" -> ((s, d) => {
-      // decorrelated correlated json_agg (src/main.py:87-92)
+      // decorrelated correlated json_agg (src/main.py:87-92) —
+      // insertion-order array: the child sequence number leads the sort
+      // (stripped afterwards), matching the reference's id-ordered
+      // child fetch, not an alphabetical canonicalization; the brand
+      // value stays as the tiebreak for repeated sequence numbers
       val li = Tables.lineitem(s, d); val p = Tables.part(s, d)
       val brands = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(col("p_brand"))).as("brands"))
+        .agg(transform(
+          sort_array(collect_list(struct(
+            col("l_linenumber").as("seq"), col("p_brand").as("brand")))),
+          s => s.getField("brand")).as("brands"))
       val o = Tables.orders(s, d)
       o.join(brands, o("o_orderkey") === brands("l_orderkey"), "left")
         .select(col("o_orderkey"), joined(col("brands")).as("brands"))
@@ -617,7 +624,7 @@ object SparkEntry {
          FROM lineitem l ORDER BY l.l_orderkey, l.l_linenumber""",
     "j12_parent_agg" ->
       """SELECT o.o_orderkey, coalesce(array_to_string(b.brands, '|'), '') AS brands
-         FROM orders o LEFT JOIN (SELECT l_orderkey, list(p_brand ORDER BY p_brand) AS brands
+         FROM orders o LEFT JOIN (SELECT l_orderkey, list(p_brand ORDER BY l_linenumber, p_brand) AS brands
                                   FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1) b
          ON b.l_orderkey = o.o_orderkey ORDER BY o.o_orderkey""",
     "a1_agg" ->
@@ -722,7 +729,8 @@ object SparkEntry {
          LEFT JOIN (SELECT l_orderkey,
                            list(p_partkey::VARCHAR || ':' || p_name || ':' || p_type || ':' ||
                                 n_nationkey::BIGINT || ':' || n_name
-                                ORDER BY p_partkey, p_name, p_type, n_nationkey, n_name) AS annotations
+                                ORDER BY l_linenumber, p_partkey, p_name, p_type,
+                                         n_nationkey, n_name) AS annotations
                     FROM lineitem JOIN part ON l_partkey = p_partkey
                                   JOIN supplier ON l_suppkey = s_suppkey
                                   JOIN nation ON s_nationkey = n_nationkey

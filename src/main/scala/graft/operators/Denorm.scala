@@ -78,14 +78,25 @@ object Denorm {
       .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
       .groupBy(col("l_orderkey").as("order_id"))
-      .agg(sort_array(collect_list(struct(
-        struct(
-          col("p_partkey").as("id"),
-          col("p_name").as("name"),
-          col("p_type").as("description")).as("entity"),
-        struct(
-          col("n_nationkey").cast("long").as("id"),
-          col("n_name").as("name")).as("domain")))).as("annotations"))
+      // insertion order, distributed-correct: the child sequence number
+      // rides as the leading sort key and is stripped after the sort —
+      // the arrays come out as Postgres json_agg emits them from an
+      // id-ordered child fetch (src/main.py:54-60). The payload struct
+      // stays in the sort as a determinism tiebreak: the synthetic data
+      // repeats sequence numbers within a parent, and a tied sort would
+      // be arrival-order-dependent on a cluster.
+      .agg(transform(
+        sort_array(collect_list(struct(
+          col("l_linenumber").as("seq"),
+          struct(
+            col("p_partkey").as("id"),
+            col("p_name").as("name"),
+            col("p_type").as("description")).as("entity"),
+          struct(
+            col("n_nationkey").cast("long").as("id"),
+            col("n_name").as("name")).as("domain")))),
+        s => struct(s.getField("entity").as("entity"),
+          s.getField("domain").as("domain"))).as("annotations"))
   }
 
   /** One nested document per order — the engine's analog of the tweet
