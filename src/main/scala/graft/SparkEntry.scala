@@ -538,10 +538,14 @@ object SparkEntry {
     "m1_media_meta" -> ((s, d) =>
       Multimodal.mediaMeta(Multimodal.asMedia(Tables.documents(s, d)))),
     "m2_media_features" -> ((s, d) =>
-      // stub decoder is a mod-prime code-point fold → DuckDB-replayable;
-      // features verified as exact ×1000003 fixed-point integers
+      // two decode paths through one batched extractor: planted BMP
+      // fixtures exercise the REAL image parser (hand-computed pixel
+      // statistics as oracle literals); the text rows exercise the
+      // documented stub (mod-prime code-point fold → DuckDB-replayable).
+      // Features verified as exact ×1000003 fixed-point integers.
       Multimodal.extractFeatures(s,
-        Multimodal.asMedia(Tables.documents(s, d)))
+        Multimodal.asMedia(Tables.documents(s, d))
+          .unionByName(Multimodal.bmpFixtures(s)))
         .toDF()
         .select(col("media_id"), col("n_bytes"), col("format"),
           col("width"), col("height"),
@@ -933,7 +937,21 @@ object SparkEntry {
                 (((h0 // 640) % 480) + 1)::INT AS height,
                 array_to_string(list_transform(generate_series(0, 7),
                                 i -> (h0*31 + i*2654435761) % 1000003), '|') AS features
-         FROM h ORDER BY media_id""",
+         FROM h
+         UNION ALL
+         -- planted BMP fixtures (real decode path): hand-computed pixel
+         -- stats as exact x1000003 fixed-point. -1 = 2x2 pure red:
+         -- means/maxs (B,G,R)=(0,0,1), aspect 2/(2+2)=0.5, bpp 24/32;
+         -- -2 = 3x1 all black: zeros, aspect 3/(3+1)=0.75. Sizes:
+         -- 54-byte header + 4-byte-padded rows (2x2: 2*8=16 -> 70;
+         -- 3x1: 12 -> 66).
+         SELECT * FROM (VALUES
+           (-1::BIGINT, 70::BIGINT, 'bmp', 2::INT, 2::INT,
+            '0|0|1000003|0|0|1000003|500002|750002'),
+           (-2::BIGINT, 66::BIGINT, 'bmp', 3::INT, 1::INT,
+            '0|0|0|0|0|0|750002|750002'))
+           AS t(media_id, n_bytes, format, width, height, features)
+         ORDER BY media_id""",
     "m3_media_chunks" ->
       """SELECT doc_id AS media_id,
                 ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_chunks,

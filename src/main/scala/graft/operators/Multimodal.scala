@@ -21,24 +21,76 @@ object Multimodal {
                            width: Int, height: Int,
                            features: Array[Float])
 
-  /** ==== STUB ==== deterministic fake decoder standing in for a real
-    * image/audio codec (libs absent in this container). Derives
-    * "decoded" dimensions and a feature vector from the content alone,
-    * so tests are reproducible; swap `decode` for a real codec call
-    * (e.g. javax.imageio / ffmpeg bindings) in production. Expensive
-    * per-row init is modeled by `open()` being called once per
-    * partition, the pattern that matters at scale.
+  /** Per-partition media decoder. Dispatches on the typed `format`
+    * column:
     *
-    * The fake arithmetic is a mod-prime polynomial fold over the
-    * content's code points — the same SQL-expressible construction as
-    * `expressions.RollingImpl` — so the whole stub pipeline is
-    * replayable in DuckDB and `m2_media_features` is oracle-checked
-    * end to end (schema, batching, and values), not just row-counted. */
-  class StubDecoder {
+    *  - `"bmp"` — a REAL decode path: a from-scratch parser for the
+    *    public BMP format (24-bit uncompressed, BITMAPINFOHEADER —
+    *    little-endian dims at offsets 18/22, pixel rows bottom-up and
+    *    4-byte padded, BGR byte order). Features are exact pixel
+    *    statistics: per-channel mean and max, aspect, bit depth.
+    *  - anything else — ==== STUB ==== a deterministic fake standing
+    *    in for codecs whose libraries are absent in this container
+    *    (JPEG/PNG/audio); swap for javax.imageio / ffmpeg bindings in
+    *    production. The fake arithmetic is a mod-prime polynomial fold
+    *    over the content's code points — the same SQL-expressible
+    *    construction as `expressions.RollingImpl` — so even the stub
+    *    path is replayable in DuckDB and oracle-checked end to end.
+    *
+    * Expensive init is modeled by `open()` being called once per
+    * partition, the pattern that matters at scale. */
+  class MediaDecoder {
     final val Base = 1000003L
     final val Mod = 1000000007L
     def open(): Unit = () // real codec: load model / native lib here
-    def decode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+
+    def decode(format: String, bytes: Array[Byte]): (Int, Int, Array[Float]) =
+      if (format == "bmp") decodeBmp(bytes) else decodeStub(bytes)
+
+    /** 24-bit uncompressed BMP: header-declared dims; features are
+      * [meanB, meanG, meanR, maxB, maxG, maxR] / 255, w/(w+h), bpp/32.
+      * Unsupported variants (other depths / compressed) degrade to
+      * header dims with zero features rather than failing the batch. */
+    private def decodeBmp(b: Array[Byte]): (Int, Int, Array[Float]) = {
+      def i32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      def i16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      val dataOff = i32(10)
+      val w = i32(18)
+      val h = math.abs(i32(22)) // negative height = top-down row order
+      val bpp = i16(28)
+      val compression = i32(30)
+      if (bpp != 24 || compression != 0 || w <= 0 || h <= 0)
+        return (w, h, new Array[Float](8))
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val sums = new Array[Long](3)
+      val maxs = new Array[Int](3)
+      var r = 0
+      while (r < h) {
+        var x = 0
+        while (x < w) {
+          val p = dataOff + r * rowSize + 3 * x
+          var c = 0
+          while (c < 3) {
+            val v = b(p + c) & 0xFF
+            sums(c) += v
+            if (v > maxs(c)) maxs(c) = v
+            c += 1
+          }
+          x += 1
+        }
+        r += 1
+      }
+      val n = w.toLong * h
+      ( w, h,
+        Array(
+          (sums(0) / (n * 255.0)).toFloat, (sums(1) / (n * 255.0)).toFloat,
+          (sums(2) / (n * 255.0)).toFloat,
+          maxs(0) / 255.0f, maxs(1) / 255.0f, maxs(2) / 255.0f,
+          w.toFloat / (w + h), bpp / 32.0f))
+    }
+
+    private def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
       val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       var h = 0L
       var ci = 0
@@ -53,6 +105,48 @@ object Multimodal {
         ((h * 31 + i * 2654435761L) % Base) / Base.toFloat)
       (width, height, features)
     }
+  }
+
+  /** Minimal 24-bit uncompressed BMP writer (the public
+    * BITMAPFILEHEADER + BITMAPINFOHEADER layout) — used to plant
+    * byte-exact binary fixtures whose decoded statistics are
+    * hand-computable. `bgr` is row-major bottom-up, matching the
+    * format's native row order. */
+  def makeBmp(width: Int, height: Int, bgr: Seq[(Int, Int, Int)]): Array[Byte] = {
+    require(bgr.length == width * height, "pixel count != w*h")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val size = 54 + rowSize * height
+    val out = new Array[Byte](size)
+    def w32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    w32(2, size); w32(10, 54) // file size, pixel-data offset
+    w32(14, 40); w32(18, width); w32(22, height) // BITMAPINFOHEADER
+    w16(26, 1); w16(28, 24) // planes, bpp
+    w32(34, rowSize * height) // image size (compression stays 0)
+    bgr.zipWithIndex.foreach { case ((bb, g, r), i) =>
+      val p = 54 + (i / width) * rowSize + 3 * (i % width)
+      out(p) = bb.toByte; out(p + 1) = g.toByte; out(p + 2) = r.toByte
+    }
+    out
+  }
+
+  /** Planted BMP fixtures for the feature-extraction contract: real
+    * binary images built by [[makeBmp]], chosen so every decoded
+    * statistic is an exact binary fraction — the oracle carries the
+    * hand-computed values as literals. */
+  def bmpFixtures(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val red2x2 = makeBmp(2, 2, Seq.fill(4)((0, 0, 255)))
+    val black3x1 = makeBmp(3, 1, Seq.fill(3)((0, 0, 0)))
+    Seq((-1L, red2x2, "bmp", red2x2.length.toLong),
+        (-2L, black3x1, "bmp", black3x1.length.toLong))
+      .toDF("media_id", "content", "format", "n_bytes")
   }
 
   /** Wrap a text table as a binary media table — the ingest shape for
@@ -76,11 +170,11 @@ object Multimodal {
     media.select("media_id", "content", "format", "n_bytes")
       .as[MediaRow]
       .mapPartitions { rows =>
-        val dec = new StubDecoder
+        val dec = new MediaDecoder
         dec.open()
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
-            val (w, h, f) = dec.decode(r.content)
+            val (w, h, f) = dec.decode(r.format, r.content)
             MediaFeatures(r.media_id, r.n_bytes, r.format, w, h, f)
           }
         }

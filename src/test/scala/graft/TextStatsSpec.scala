@@ -73,6 +73,38 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: BMP decode recovers dims and exact pixel statistics") {
+    // round-trip through the batched extractor: planted 24-bit BMPs
+    // with hand-computable stats (means/maxs per channel, aspect, bpp)
+    val feats = Multimodal.extractFeatures(spark, Multimodal.bmpFixtures(spark))
+      .collect().map(f => f.media_id -> f).toMap
+    val red = feats(-1L) // 2x2 pure red (BGR = 0,0,255)
+    assert(red.width == 2 && red.height == 2 && red.n_bytes == 70)
+    assert(red.features.toSeq ==
+      Seq(0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 1.0f, 0.5f, 0.75f))
+    val black = feats(-2L) // 3x1 all black (tests 4-byte row padding)
+    assert(black.width == 3 && black.height == 1 && black.n_bytes == 66)
+    assert(black.features.toSeq ==
+      Seq(0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.75f, 0.75f))
+  }
+
+  test("multimodal: BMP decode handles mixed pixels and top-down rows") {
+    val dec = new Multimodal.MediaDecoder
+    // 2x2: black, white, blue, red -> channel sums B=510 G=255 R=510
+    val mixed = Multimodal.makeBmp(2, 2,
+      Seq((0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)))
+    val (w, h, f) = dec.decode("bmp", mixed)
+    assert(w == 2 && h == 2)
+    assert(f.toSeq == Seq(0.5f, 0.25f, 0.5f, 1.0f, 1.0f, 1.0f, 0.5f, 0.75f))
+    // negative height (top-down row order) decodes identically
+    val neg = mixed.clone()
+    val hh = -2
+    neg(22) = hh.toByte; neg(23) = (hh >> 8).toByte
+    neg(24) = (hh >> 16).toByte; neg(25) = (hh >> 24).toByte
+    val (_, h2, f2) = dec.decode("bmp", neg)
+    assert(h2 == 2 && f2.toSeq == f.toSeq)
+  }
+
   test("multimodal: stub feature extraction preserves rows and is deterministic") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf))
     val f1 = Multimodal.extractFeatures(spark, media).collect()
