@@ -42,7 +42,13 @@ object Sink {
     * The in-flight row count rides on `df.observe` — a plan-transparent
     * metric collection — NOT a `mapPartitions` counter, which would
     * insert a row-encode boundary and break whole-stage codegen /
-    * columnar transfer for the entire write. */
+    * columnar transfer for the entire write.
+    *
+    * The ack compares that in-flight count against the COMMITTED file
+    * metadata: parquet footer record counts summed over the written
+    * files — metadata-only, no second scan of the data (a readback
+    * `count()` would re-read the whole output, a non-starter for a
+    * 100 TB ingest). */
   def bulkWrite(spark: SparkSession, df: DataFrame, idCol: String,
                 outPath: String, shards: Int = 3,
                 batchSize: Int = 200000): Long = {
@@ -52,10 +58,26 @@ object Sink {
       .write.option("maxRecordsPerFile", batchSize.toLong)
       .mode("overwrite").parquet(outPath)
     val written = obs.get("rows_written").asInstanceOf[Long]
-    val expected = spark.read.parquet(outPath).count()
-    require(written == expected,
-      s"bulk ack mismatch: wrote $written, readback $expected")
+    val committed = committedRowCount(spark, outPath)
+    require(written == committed,
+      s"bulk ack mismatch: wrote $written, committed footers say $committed")
     written
+  }
+
+  /** Sum of parquet footer record counts under `path` — the
+    * write-committed row total, read from file METADATA only. */
+  def committedRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).iterator
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   /** Bucketed table write: pre-partition + pre-sort by the join key so
