@@ -14,10 +14,12 @@ import graft.Tables
   * `COALESCE(..., '[]')` empty-array defaults (P9, `src/main.py:47-51`).
   *
   * Scale notes (100 TB design):
-  *  - the child aggregations shuffle on the join key itself, so the
-  *    left joins that follow reuse the hash partitioning — one shuffle
-  *    per child table, no re-shuffle at the join (Catalyst reuses the
-  *    child's `HashPartitioning(l_orderkey)` for the sort-merge join);
+  *  - both child arrays come out of ONE aggregation over the
+  *    dim-enriched child table ([[childrenPerOrder]]): the fact table
+  *    shuffles once total, not once per child collection, and that
+  *    shuffle lands on the join key itself, so the left join that
+  *    follows reuses the `HashPartitioning(l_orderkey)` without a
+  *    re-exchange;
   *  - dimension lookups (part, supplier, nation) are broadcast inner
   *    joins before aggregation, so the fact table is only shuffled once;
   *  - arrays are sorted inside each group (`sort_array`) to make output
@@ -99,6 +101,53 @@ object Denorm {
           s.getField("domain").as("domain"))).as("annotations"))
   }
 
+  /** Both child collections from ONE pass over the child table: the
+    * dims join in as broadcasts (no shuffle), then a single
+    * groupBy(order key) builds items AND annotations together. The
+    * fact table shuffles once — not once per child collection — and
+    * the parent join touches one child relation instead of two; at
+    * 100 TB that halves both the shuffled row count and the number of
+    * sort-merge joins against the parent. Dim joins are LEFT so a
+    * child row with no dim match still contributes its item (the
+    * two-subquery shape's semantics); its annotation struct is
+    * conditionally null and `collect_list` drops nulls, so it simply
+    * vanishes from `annotations` — exactly what the reference's inner
+    * joins inside the annotations subquery produce. */
+  def childrenPerOrder(spark: SparkSession, dir: String,
+                       keep: Option[DataFrame] = None): DataFrame = {
+    val li = pruneTo(Tables.lineitem(spark, dir), col("l_orderkey"), keep)
+    val part = Tables.part(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"), "left")
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"), "left")
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"),
+        "left")
+      .groupBy(col("l_orderkey").as("order_id"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("l_linenumber").as("linenumber"),
+          col("l_partkey").as("partkey"),
+          col("l_suppkey").as("suppkey"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_returnflag").as("returnflag")))).as("items"),
+        transform(
+          sort_array(collect_list(
+            when(col("p_partkey").isNotNull && col("n_nationkey").isNotNull,
+              struct(
+                col("l_linenumber").as("seq"),
+                struct(
+                  col("p_partkey").as("id"),
+                  col("p_name").as("name"),
+                  col("p_type").as("description")).as("entity"),
+                struct(
+                  col("n_nationkey").cast("long").as("id"),
+                  col("n_name").as("name")).as("domain"))))),
+          s => struct(s.getField("entity").as("entity"),
+            s.getField("domain").as("domain"))).as("annotations"))
+  }
+
   /** One nested document per order — the engine's analog of the tweet
     * document (`docs/sample_document.json`, FIXTURES.md §A). */
   def docs(spark: SparkSession, dir: String): DataFrame =
@@ -140,27 +189,39 @@ object Denorm {
         cust("c_mktsegment").as("segment"),
         cust("c_acctbal").as("acctbal")).as("author"))
 
-    val withI = if (!withItems) (base, Seq.empty[Column]) else {
-      val items = itemsPerOrder(spark, dir, keep)
-      val itemsType = items.schema("items").dataType
-      (base.join(items, orders("o_orderkey") === items("order_id"), "left"), // J2
-        Seq(coalesce(col("items"), array().cast(itemsType)).as("items")))
+    // the child relation: one fused pass when both collections are
+    // wanted (single lineitem shuffle), the per-collection aggregation
+    // when the caller pruned one away
+    val child: Option[DataFrame] = (withItems, withAnnotations) match {
+      case (true, true)   => Some(childrenPerOrder(spark, dir, keep))
+      case (true, false)  => Some(itemsPerOrder(spark, dir, keep))
+      case (false, true)  => Some(annotationsPerOrder(spark, dir, keep))
+      case (false, false) => None
     }
-    val withA = if (!withAnnotations) (withI._1, Seq.empty[Column]) else {
-      val anns = annotationsPerOrder(spark, dir, keep)
-      val annsType = anns.schema("annotations").dataType
-      (withI._1.join(anns, orders("o_orderkey") === anns("order_id"), "left"),
-        Seq(coalesce(col("annotations"), array().cast(annsType))
-          .as("annotations")))
+    val joined = child match {
+      case Some(ch) =>
+        base.join(ch, orders("o_orderkey") === ch("order_id"), "left") // J2
+      case None => base
     }
-    withA._1.select(scalars ++ withI._2 ++ withA._2: _*)
+    val arrays = child.toSeq.flatMap { ch =>
+      val wanted = Seq("items" -> withItems, "annotations" -> withAnnotations)
+        .collect { case (n, true) => n }
+      wanted.map { n =>
+        coalesce(col(n), array().cast(ch.schema(n).dataType)).as(n)
+      }
+    }
+    joined.select(scalars ++ arrays: _*)
   }
 
   /** Round-trip check query: explode the nested docs back to flat
     * (order, item) rows — must equal the plain orders ⋈ customer ⋈
-    * lineitem join. Flat output ⇒ hash-friendly DuckDB oracle. */
+    * lineitem join. Flat output ⇒ hash-friendly DuckDB oracle. Only
+    * `items` is referenced, so the annotations collection is pruned
+    * from the build — the same column-pruning discipline a scan
+    * applies, which Catalyst cannot do itself across a grouped left
+    * join. */
   def roundtrip(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    build(spark, dir, keep = None, withItems = true, withAnnotations = false)
       .select(col("id"), col("author.id").as("author_id"),
         explode(col("items")).as("item"))
       .select(col("id"), col("author_id"),
