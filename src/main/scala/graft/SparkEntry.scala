@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Analyzers
 import graft.operators._
+import graft.streaming.EventStream
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 (+ the §7 M5 extensions), each with an equivalent
@@ -510,6 +511,14 @@ object SparkEntry {
           col("session_window.end").as("session_end"),
           col("user_id"), col("n_events"), col("session_value"))
         .orderBy(col("user_id"), col("session_start"))),
+
+    // ---- Structured Streaming, run to completion (SURVEY §2.9) ----
+    // Real StreamingQuery executions (file source → stateful op →
+    // memory sink, Trigger.AvailableNow); the oracle is the batch SQL
+    // the stream must converge to on a finite input.
+    "st1_stream_tumbling" -> ((s, d) => EventStream.runTumbling(s, d)),
+    "st2_stream_dedup" -> ((s, d) => EventStream.runDedupIngest(s, d)),
+    "st3_stream_state" -> ((s, d) => EventStream.runUserCounts(s, d)),
     "x5_sketch_distinct" -> ((s, d) =>
       // HLL++ sketch with its accuracy CONTRACT as the verified output:
       // the estimate itself is engine-specific (DuckDB's HLL hashes
@@ -1037,6 +1046,20 @@ object SparkEntry {
     "m1_media_meta" ->
       """SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes,
                 'txt' AS format, md5(text) AS content_md5
-         FROM documents ORDER BY media_id"""
+         FROM documents ORDER BY media_id""",
+    // streaming convergence oracles: the batch answer the finite
+    // stream must reach (st2's input is the table delivered twice —
+    // the dedup operator must collapse it back to ONE copy, so the
+    // single-copy aggregate IS the check)
+    "st1_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*)::BIGINT AS n,
+                round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "st2_stream_dedup" ->
+      """SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "st3_stream_state" ->
+      """SELECT user_id, count(*)::BIGINT AS n
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

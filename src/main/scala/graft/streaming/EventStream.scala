@@ -86,4 +86,112 @@ object EventStream {
       }
       .toDF()
   }
+
+  // ---- driver-runnable streaming entries -------------------------------
+  //
+  // Each runs a REAL StreamingQuery (file source → stateful operator →
+  // memory sink, Trigger.AvailableNow) to completion and returns the
+  // sink table as a batch frame, so the streaming operators get the
+  // same DuckDB-oracle differential check as every batch operator —
+  // the oracle is the batch SQL the stream must converge to on a
+  // finite input. Checkpoints and sink names are fresh per invocation
+  // (a restart resumes from its own checkpoint in production; here
+  // every run is a new pipeline).
+
+  /** The events table as a file-source STREAM, with the same
+    * TIMESTAMP(NANOS) → micros projection as the batch reader
+    * (`Tables.events`) so batch and streaming ingest share one schema
+    * contract. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = java.nio.file.Paths.get(dir, "events.parquet")
+    // the file source streams a DIRECTORY of arriving files; the test
+    // table is a single parquet file, so expose it through a temp dir
+    // (symlink — no data copy)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(path)) path.toString
+      else {
+        val d = java.nio.file.Paths.get(freshDir("stsrc"))
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve("events.parquet"), path)
+        d.toString
+      }
+    val schema = spark.read.parquet(path.toString).schema
+    val raw = spark.readStream.schema(schema).parquet(streamDir)
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  private def freshDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.toString
+  }
+
+  private def runToMemory(df: DataFrame, mode: OutputMode,
+                          prefix: String): String = {
+    val name =
+      prefix + java.util.UUID.randomUUID().toString.replaceAll("-", "")
+    df.writeStream
+      .outputMode(mode)
+      .format("memory").queryName(name)
+      .option("checkpointLocation", freshDir(prefix + "ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    name
+  }
+
+  /** ST1: the windowed-count stream run end-to-end; on a finite input
+    * the complete-mode result must equal the batch tumbling
+    * aggregation (EventOps.tumbling / the e1 oracle). `window(ts,
+    * '1 hour').start ≡ date_trunc('hour', ts)`, so the oracle is
+    * shared verbatim. */
+  def runTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val table = runToMemory(windowedCounts(eventsStream(spark, dir)),
+      OutputMode.Complete, "st1_")
+    spark.table(table)
+      .select(col("win_start").as("hour"), col("event_type"), col("n"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** ST2: exactly-once ingest under re-delivery. The input directory
+    * holds the events table written TWICE (an at-least-once source
+    * re-delivering every record); `dropDuplicatesWithinWatermark` on
+    * the id must collapse it back to one copy, so the per-type counts
+    * and sums equal the single-copy batch oracle. A duplicate that
+    * arrives inside the watermark horizon hits live dedup state; one
+    * that arrives later is dropped as late data — either way exactly
+    * one copy survives, which is what makes the oracle exact. */
+  def runDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    val src = freshDir("st2src")
+    val base = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    base.write.mode("append").parquet(src) // delivery 1
+    base.write.mode("append").parquet(src) // delivery 2 (duplicates)
+    val stream = spark.readStream.schema(base.schema).parquet(src)
+    val table = runToMemory(dedupedStream(stream), OutputMode.Append, "st2_")
+    spark.table(table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ST3: mapGroupsWithState run end-to-end. Update mode emits the
+    * running counter per user per micro-batch; the LAST update (= max,
+    * counters are monotone) must equal the batch per-user count. This
+    * is the driver-checkable contract for arbitrary stateful
+    * processing: converged state ≡ batch aggregation. */
+  def runUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    val table = runToMemory(
+      runningUserCounts(spark, eventsStream(spark, dir)),
+      OutputMode.Update, "st3_")
+    spark.table(table)
+      .groupBy(col("userId").as("user_id"))
+      .agg(max(col("n")).as("n"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -112,4 +112,19 @@ class StreamingSpec extends SparkSpec {
     assert(last(7L) == 3L && last(8L) == 1L)
     q.stop()
   }
+
+  test("driver streaming entries converge to the batch answer") {
+    // st2: the dedup ingest of a double-delivered input must equal the
+    // single-copy batch aggregate — the strongest of the three
+    // convergence contracts (st1/st3 share the machinery and get the
+    // full DuckDB differential in the driver gate)
+    val streamed = EventStream.runDedupIngest(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed == batch)
+  }
 }
