@@ -422,6 +422,20 @@ object SparkEntry {
           Dedup.jaccardPairs(docs, threshold = 0.5))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    "d7_dup_clusters" -> ((s, d) => {
+      // connected components over the dup-pair graph: transitive
+      // closure that pair-wise d6 can't express
+      val docs = Tables.documents(s, d)
+      Dedup.dupClusters(docs, Dedup.jaccardPairs(docs, threshold = 0.5))
+        .orderBy(col("doc_id"))
+    }),
+    "d8_cluster_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters =
+        Dedup.dupClusters(docs, Dedup.jaccardPairs(docs, threshold = 0.5))
+      Dedup.applyClusterDedup(docs, clusters)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "d5_cosine_pairs" -> ((s, d) =>
       // exact all-pairs semantics, tiled so the quadratic work shuffle-
       // partitions instead of planning a BroadcastNestedLoopJoin; the
@@ -888,6 +902,39 @@ object SparkEntry {
           SELECT id_a, id_b, round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
           FROM j WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5
           ORDER BY id_a, id_b""",
+    // d7/d8: same exact-Jaccard pair graph as d4, closed transitively
+    // with a recursive CTE — every node's cluster is the min id it can
+    // reach (singletons map to themselves via the LEFT JOIN + least)
+    "d7_dup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+          p AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
+                       any_value(b.setsize) AS sb, count(*)::INT AS inter
+                FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pr AS (SELECT id_a, id_b FROM j
+                 WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5),
+          e AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+          r AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u)
+          SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+          FROM documents d LEFT JOIN r ON d.doc_id = r.u
+          GROUP BY d.doc_id ORDER BY d.doc_id""",
+    "d8_cluster_dedup" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+          p AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
+                       any_value(b.setsize) AS sb, count(*)::INT AS inter
+                FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pr AS (SELECT id_a, id_b FROM j
+                 WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5),
+          e AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+          r AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u)
+          SELECT d.doc_id
+          FROM documents d LEFT JOIN r ON d.doc_id = r.u
+          GROUP BY d.doc_id
+          HAVING least(d.doc_id, coalesce(min(r.v), d.doc_id)) = d.doc_id
+          ORDER BY d.doc_id""",
     "d6_dedup_apply" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
           s AS (SELECT doc_id, $sqlShingles AS sh FROM t),

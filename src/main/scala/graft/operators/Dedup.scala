@@ -152,6 +152,61 @@ object Dedup {
     docs.join(pairs.select(col("id_b")),
       docs(idCol) === col("id_b"), "left_anti")
 
+  /** D7: connected components over the duplicate-pair graph — the
+    * cluster step a production dedup ships after pair detection.
+    * Pair-wise removal ([[applyDedup]]) misses transitivity: with
+    * pairs (b,c) and (a,c) only, it keeps both a and b even though
+    * {a,b,c} is one near-dup family; clustering keeps exactly one
+    * representative per family.
+    *
+    * Algorithm: min-label propagation to fixpoint — each round every
+    * node takes the minimum label among itself and its neighbors.
+    * Converges in O(component diameter) rounds (dup families are
+    * shallow in practice; the published large-star/small-star variant
+    * [Kiveris et al., "Connected Components in MapReduce and Beyond"]
+    * compresses rounds further if ever needed). Each round is one
+    * shuffle join + one shuffle min-aggregate, both on the id key, so
+    * Catalyst reuses the hash partitioning round-over-round; lineage
+    * is truncated per round (`localCheckpoint`) so the plan stays
+    * constant-size instead of doubling per iteration. The driver loop
+    * is over ROUNDS (a handful), never over rows.
+    *
+    * Returns (idCol, cluster_id) for every doc; singletons cluster to
+    * themselves. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+                  idCol: String = "doc_id", maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val prop = edges.join(labels, edges("u") === labels("id"))
+        .select(col("v").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so "no label changed" is the fixpoint
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** D8: apply cluster dedup — keep the minimum-id member of each
+    * component (the canonical representative), drop the rest. */
+  def applyClusterDedup(docs: DataFrame, clusters: DataFrame,
+                        idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** 60-bit SimHash per doc via explode + hash-aggregate (same codegen
     * rationale as [[minhashSignatures]]): per-bit majority vote of the
     * tokens' hash bits — 60 `sum` aggregates with map-side combine,

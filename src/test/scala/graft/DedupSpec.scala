@@ -82,4 +82,31 @@ class DedupSpec extends SparkSpec {
       .select(size(col("docs"))).as[Int].collect()
     assert(sizes.max <= 11)
   }
+
+  test("dup clusters close the pair graph transitively") {
+    // pair graph: (1,2), (2,3) — 1 and 3 are NOT a pair, but belong to
+    // one family; 4-5 a separate pair; 6 a singleton
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+    val kept = Dedup.applyClusterDedup(docs, Dedup.dupClusters(docs, pairs))
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 6L))
+  }
+
+  test("dup clusters converge on a long chain within the round bound") {
+    // a 12-node path has diameter 11 — min-label propagation still
+    // converges (label floods one hop per round) and labels everything
+    // with the chain head
+    val n = 12
+    val docs = (1 to n).map(_.toLong).toDF("doc_id")
+    val pairs = (1 until n).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.values.toSet == Set(1L))
+  }
 }
