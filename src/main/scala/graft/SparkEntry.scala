@@ -301,7 +301,11 @@ object SparkEntry {
 
     // ---- scoring / search (SURVEY §2.7) ----
     "f1_scored_search" -> ((s, d) =>
-      Search.scoredSearch(Denorm.docs(s, d), "NATION_1", 50)),
+      // the pushed-down plan: identical scoring to
+      // Search.scoredSearch(Denorm.docs(..)) — SearchSpec proves
+      // equality — but computed from raw tables, so the nested corpus
+      // is never built (let alone twice) just to score it
+      Search.scoredSearchRaw(s, d, "NATION_1", 50)),
     "f2_tfidf" -> ((s, d) => Search.tfidf(s, d, "spark")),
     "f3_bm25" -> ((s, d) => Search.bm25(s, d, "spark")),
     "f4_search_bm25" -> ((s, d) =>

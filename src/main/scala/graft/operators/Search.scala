@@ -77,6 +77,67 @@ object Search {
       .limit(k)
   }
 
+  /** F1, the 100 TB plan: identical scoring to [[scoredSearch]] but
+    * computed from the RAW tables instead of the materialized nested
+    * documents. tf/dl per order come straight from a
+    * lineitem ⋈ broadcast-dims groupBy (two longs per order through
+    * the shuffle — no collect_list ever runs), the returnflag filter
+    * is a left-semi join on the child table, and the corpus stats are
+    * a 1-row broadcast as before. This is the Lucene analog done
+    * relationally: ES keeps per-field index statistics NEXT TO the
+    * stored documents rather than re-deriving them from the rendered
+    * _source — here the "index stats" are the cheap pre-aggregation
+    * and the rendered document is never needed to score. scoredSearch
+    * over [[Denorm.docs]] builds the entire denormalized corpus twice
+    * (stats pass + scoring pass); this plan replaces both passes with
+    * child-table aggregations and is the one you'd run at scale.
+    * SearchSpec proves result equality against the docs-based path. */
+  def scoredSearchRaw(spark: SparkSession, dir: String,
+                      domainName: String = "ASIA nation", k: Int = 50,
+                      weight: Double = 5.0, k1: Double = 1.2,
+                      b: Double = 0.75): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val ann = li
+      .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("int").as("dl"),
+        sum(when(col("n_name").contains(domainName), 1).otherwise(0))
+          .cast("int").as("tf"))
+    val orders = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val d = orders
+      .join(cust, orders("o_custkey") === cust("c_custkey"))
+      .join(ann, orders("o_orderkey") === ann("l_orderkey"), "left")
+      .select(orders("o_orderkey").as("id"),
+        cust("c_custkey").as("author_id"),
+        cust("c_acctbal").as("acctbal"),
+        coalesce(col("dl"), lit(0)).as("dl"),
+        coalesce(col("tf"), lit(0)).as("tf"))
+    // index-level statistics over the WHOLE corpus (pre-filter),
+    // exactly like scoredSearch — but over the cheap pre-aggregation
+    val stats = d.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"),
+      sum(when(col("tf") > 0, 1).otherwise(0)).cast("double").as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    d.filter(col("acctbal") > 100.0 && col("author_id") > 10)
+      .join(li.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+        col("id") === col("l_orderkey"), "left_semi")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("author_id"),
+        round(when(col("tf") > 0, lit(weight) * idf * tfNorm)
+          .otherwise(lit(0.0)), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** F2: real TF-IDF relevance over `documents.text` for one query term
     * — the corpus statistics path the ES `match` clause implies
     * (SURVEY.md §2.7 F2): tf from the doc's own tokens, df from a

@@ -29,6 +29,17 @@ class SearchSpec extends SparkSpec {
     assert(hits.head.getAs[Double]("score") == 5.0)
   }
 
+  test("pushed-down scored search equals the docs-based plan") {
+    // same scoring, two plans: over the materialized nested corpus vs
+    // straight off the raw tables (the 100 TB path used by f1)
+    val overDocs = Search.scoredSearch(
+        graft.operators.Denorm.docs(spark, sf), "NATION_1", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pushed = Search.scoredSearchRaw(spark, sf, "NATION_1", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pushed.toSeq == overDocs.toSeq)
+  }
+
   test("filter clauses contribute no score; should clauses stack") {
     val score = Search.weightedScore(Seq(
       (col("author.followers_count") > 0) -> 2.0,
