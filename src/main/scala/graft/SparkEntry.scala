@@ -504,6 +504,11 @@ object SparkEntry {
       TextStats.quality(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "x3_token_count" -> ((s, d) =>
       TextStats.tokenCounts(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "x7_pack_chunks" -> ((s, d) =>
+      // concat-and-chunk sequence packing via distributed prefix-sum;
+      // oracle is the naive single-window running sum
+      TextStats.packChunks(Tables.documents(s, d), budget = 2048)
+        .orderBy(col("doc_id"))),
     "x4_fingerprint" -> ((s, d) =>
       TextStats.fingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "x6_rolling_fingerprint" -> ((s, d) => // custom expression: rows-only
@@ -1051,6 +1056,16 @@ object SparkEntry {
                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS ws_tokens,
                 len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))::BIGINT AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "x7_pack_chunks" ->
+      """WITH c AS (SELECT doc_id,
+                 (CASE WHEN len(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens
+          FROM documents),
+          s AS (SELECT doc_id, n_tokens,
+                 (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_offset
+          FROM c)
+          SELECT doc_id, n_tokens, start_offset, (start_offset // 2048)::BIGINT AS chunk
+          FROM s ORDER BY doc_id""",
     "x4_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, md5($sqlNorm) AS md5_full, ${sqlToks(sqlNorm)} AS toks FROM documents),
           s AS (SELECT doc_id, md5_full, $sqlShingles AS sh FROM t)

@@ -82,6 +82,57 @@ object TextStats {
       bpe.cast("long").as("bpe_tokens"))
   }
 
+  /** X7: GPT-style sequence packing (concat-and-chunk). Documents are
+    * concatenated in id order into one global token stream, which is
+    * cut every `budget` tokens into training sequences; each document
+    * records its global `start_offset` and the `chunk` its first token
+    * lands in — the standard pretraining packing layout.
+    *
+    * Scale design: a global running sum is order-dependent, and the
+    * naive plan (one window over everything) serializes the corpus
+    * through a single partition — the classic W1 total-order trap.
+    * Distributed prefix-sum instead:
+    *   1. contiguous range-buckets over the id domain (bounds from a
+    *      1-row broadcast aggregate);
+    *   2. within-bucket running sums via a window partitioned BY
+    *      BUCKET — fully parallel;
+    *   3. exclusive prefix over the B-row bucket-totals frame (the
+    *      only serial step — B rows, not N);
+    *   4. broadcast the offsets back and add.
+    * Same shape as `repartitionByRange` + per-partition offsets, kept
+    * declarative. The oracle is the plain single-window SQL. */
+  def packChunks(docs: DataFrame, budget: Long, buckets: Int = 32,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = tokenCounts(docs, textCol, idCol)
+      .select(col(idCol), col("ws_tokens").as("n_tokens"))
+    val bounds = counts.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+    val bucketed = counts.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        // integral `div`, not `/`: long / long is double division in
+        // the Column DSL (same hazard as the Tables.events nanos fix)
+        least(lit(buckets - 1),
+          expr(s"(($idCol - lo) * $buckets) div (hi - lo + 1)"))
+          .cast("int"))
+      .drop("lo", "hi")
+    val withCum = bucketed.withColumn("cum_in_bucket",
+      sum(col("n_tokens")).over(
+        Window.partitionBy("bucket").orderBy(idCol)))
+    val offsets = bucketed.groupBy("bucket")
+      .agg(sum("n_tokens").as("tot"))
+      .withColumn("offset",
+        coalesce(sum(col("tot")).over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket").as("off_bucket"), col("offset"))
+    withCum.join(broadcast(offsets), col("bucket") === col("off_bucket"))
+      .select(col(idCol), col("n_tokens"),
+        (col("offset") + col("cum_in_bucket") - col("n_tokens"))
+          .as("start_offset"))
+      .withColumn("chunk", expr(s"start_offset div $budget"))
+  }
+
   /** X4 document fingerprinting: full-text md5 of the normalized text
     * plus a content-defined partial fingerprint (min md5 over word
     * 3-gram shingles — stable under local edits, the winnowing idea). */

@@ -115,4 +115,26 @@ class TextStatsSpec extends SparkSpec {
     assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
     assert(f1.forall(r => r.features.length == 8 && r.width >= 1 && r.height >= 1))
   }
+
+  test("sequence packing: distributed prefix-sum equals the naive window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val naive = TextStats.tokenCounts(docs)
+      .select(col("doc_id"), col("ws_tokens").as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(
+          Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("chunk", expr("start_offset div 2048"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // bucket count must not change the answer (1 bucket == the naive
+    // plan; 32 and 7 exercise uneven range splits)
+    for (b <- Seq(1, 7, 32)) {
+      val packed = TextStats.packChunks(docs, budget = 2048, buckets = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(packed.toSeq == naive.toSeq, s"buckets=$b")
+    }
+  }
 }
