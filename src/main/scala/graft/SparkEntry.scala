@@ -509,6 +509,40 @@ object SparkEntry {
       // oracle is the naive single-window running sum
       TextStats.packChunks(Tables.documents(s, d), budget = 2048)
         .orderBy(col("doc_id"))),
+    "x8_hash_split" -> ((s, d) =>
+      TextStats.hashSplit(Tables.documents(s, d), valPct = 10)
+        .orderBy(col("doc_id"))),
+    "pipe1_curation" -> ((s, d) => {
+      // the full curation pipeline as ONE declarative plan: quality
+      // filter → language filter → exact dedup → train split →
+      // sequence packing. Each stage is a left-semi prune on the id —
+      // Catalyst collapses them into one scan of the corpus with the
+      // four predicates fused; packing runs only over survivors.
+      val docs = Tables.documents(s, d)
+      val q = TextStats.quality(docs)
+        .filter(col("quality") >= 0.7).select(col("doc_id"))
+      val en = docs
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang"))
+        .filter(col("lang") === "en").select(col("doc_id"))
+      val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      val train = TextStats.hashSplit(docs, valPct = 10)
+        .filter(col("split") === "train").select(col("doc_id"))
+      val survivors = docs
+        .join(q, Seq("doc_id"), "left_semi")
+        .join(en, Seq("doc_id"), "left_semi")
+        .join(keep, Seq("doc_id"), "left_semi")
+        .join(train, Seq("doc_id"), "left_semi")
+      TextStats.packChunks(survivors, budget = 2048).orderBy(col("doc_id"))
+    }),
+    "d9_contamination" -> ((s, d) => {
+      // eval set = every 20th doc (stand-in benchmark); flag training
+      // docs sharing >= 5 distinct shingles with any eval doc
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), minShared = 5)
+        .orderBy(col("doc_id"))
+    }),
     "x4_fingerprint" -> ((s, d) =>
       TextStats.fingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "x6_rolling_fingerprint" -> ((s, d) => // custom expression: rows-only
@@ -1056,6 +1090,63 @@ object SparkEntry {
                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS ws_tokens,
                 len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))::BIGINT AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "pipe1_curation" -> {
+      val hitExprs = graft.operators.TextStats.langMarkers.toSeq.sortBy(_._1)
+        .map { case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(toks, x -> list_contains($list, x))) AS h_$lang"
+        }.mkString(",\n                 ")
+      val m = "greatest(h_de, h_en, h_es, h_fr)"
+      s"""WITH t AS (SELECT doc_id, text, ${sqlToks("lower(text)")} AS toks FROM documents),
+          qual AS (SELECT doc_id,
+                 round(least(len(toks)::DOUBLE / 20.0, 1.0) * 0.4 +
+                       (1.0 - least((CASE WHEN len(text) > 0
+                            THEN (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / len(text)::INT
+                            ELSE 0.0 END) * 5.0, 1.0)) * 0.3 +
+                       least((CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, x -> list_contains($sqlStop, x)))::DOUBLE / len(toks)::INT
+                            ELSE 0.0 END) * 4.0, 1.0) * 0.3, 6) AS quality
+                 FROM t),
+          h AS (SELECT doc_id, $hitExprs FROM t),
+          lang AS (SELECT doc_id, CASE WHEN $m = 0 THEN 'und'
+                          WHEN h_fr = $m THEN 'fr' WHEN h_es = $m THEN 'es'
+                          WHEN h_en = $m THEN 'en' ELSE 'de' END AS lang_pred FROM h),
+          keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($sqlNorm)),
+          sv AS (SELECT d.doc_id,
+                  (CASE WHEN len(trim(d.text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END)::BIGINT AS n_tokens
+                 FROM documents d
+                 WHERE d.doc_id IN (SELECT doc_id FROM qual WHERE quality >= 0.7)
+                   AND d.doc_id IN (SELECT doc_id FROM lang WHERE lang_pred = 'en')
+                   AND d.doc_id IN (SELECT doc_id FROM keep)
+                   AND ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90),
+          s AS (SELECT doc_id, n_tokens,
+                 (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_offset
+                FROM sv)
+          SELECT doc_id, n_tokens, start_offset, (start_offset // 2048)::BIGINT AS chunk
+          FROM s ORDER BY doc_id"""
+    },
+    "x8_hash_split" ->
+      """SELECT doc_id,
+                (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100) AS bucket,
+                CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+                     THEN 'train' ELSE 'val' END AS split
+         FROM documents ORDER BY doc_id""",
+    "d9_contamination" ->
+      s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+          ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+          tt AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM tr),
+          ts AS (SELECT doc_id, $sqlShingles AS sh FROM tt),
+          et AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM ev),
+          es AS (SELECT DISTINCT unnest($sqlShingles) AS sh1
+                 FROM et),
+          tp AS (SELECT doc_id, unnest(sh) AS sh1 FROM ts),
+          sh AS (SELECT tp.doc_id, count(*)::BIGINT AS n_shared
+                 FROM tp JOIN es ON tp.sh1 = es.sh1 GROUP BY 1)
+          SELECT tr.doc_id, coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+                 coalesce(sh.n_shared, 0) >= 5 AS contaminated
+          FROM tr LEFT JOIN sh ON tr.doc_id = sh.doc_id
+          ORDER BY tr.doc_id""",
     "x7_pack_chunks" ->
       """WITH c AS (SELECT doc_id,
                  (CASE WHEN len(trim(text)) = 0 THEN 0

@@ -207,6 +207,35 @@ object Dedup {
       clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  /** D9: benchmark decontamination — per training doc, the number of
+    * distinct word-3-gram shingles it shares with ANY document of an
+    * evaluation set, and a contaminated flag at `minShared`. This is
+    * the standard eval-leakage guard a pretraining pipeline runs before
+    * shipping a corpus (n-gram-overlap decontamination).
+    *
+    * Scale shape: benchmark sets are tiny relative to the corpus, so
+    * the eval side collapses to a DISTINCT shingle set that rides a
+    * BROADCAST join — the training corpus is never shuffled at all;
+    * each partition probes the broadcast set and aggregates its own
+    * counts map-side. Per-doc shingles are already distinct
+    * ([[shingleSet]]), so `count(*)` after the join is the distinct
+    * shared-shingle count. */
+  def contamination(train: DataFrame, evalSet: DataFrame,
+                    minShared: Int = 5, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val trainSh = withShingleSet(train, textCol, idCol)
+      .select(col("id"), explode(col("shingles")).as("sh"))
+    val evalSh = withShingleSet(evalSet, textCol, idCol)
+      .select(explode(col("shingles")).as("sh")).distinct()
+    val shared = trainSh.join(broadcast(evalSh), "sh")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol))
+      .join(shared, train(idCol) === shared("id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
   /** 60-bit SimHash per doc via explode + hash-aggregate (same codegen
     * rationale as [[minhashSignatures]]): per-bit majority vote of the
     * tokens' hash bits — 60 `sum` aggregates with map-side combine,

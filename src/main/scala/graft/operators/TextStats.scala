@@ -82,6 +82,21 @@ object TextStats {
       bpe.cast("long").as("bpe_tokens"))
   }
 
+  /** X8: deterministic train/val split — hash the id, never
+    * `sample()`. Sampling depends on partitioning, seed plumbing and
+    * engine version; a content-hash bucket is reproducible across
+    * cluster sizes, re-runs and engines (the oracle replays it in
+    * SQL), and the assignment is stable under corpus growth: a
+    * document keeps its split forever, so eval sets never silently
+    * leak into training after an append. Pure projection — no shuffle. */
+  def hashSplit(docs: DataFrame, valPct: Int = 10,
+                idCol: String = "doc_id"): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    docs.select(col(idCol), bucket.as("bucket"),
+      when(bucket < lit(100 - valPct), "train").otherwise("val").as("split"))
+  }
+
   /** X7: GPT-style sequence packing (concat-and-chunk). Documents are
     * concatenated in id order into one global token stream, which is
     * cut every `budget` tokens into training sequences; each document
