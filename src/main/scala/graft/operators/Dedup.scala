@@ -217,15 +217,21 @@ object Dedup {
     * the eval side collapses to a DISTINCT shingle set that rides a
     * BROADCAST join — the training corpus is never shuffled at all;
     * each partition probes the broadcast set and aggregates its own
-    * counts map-side. Per-doc shingles are already distinct
-    * ([[shingleSet]]), so `count(*)` after the join is the distinct
-    * shared-shingle count. */
+    * counts map-side. Per-doc shingles are already distinct, so
+    * `count(*)` after the join is the distinct shared-shingle count.
+    *
+    * Shingles are the 64-bit codegen'd hashes ([[withHashedShingleSet]]
+    * — the same fast path as the pair detectors, and the same
+    * w.h.p.-exact relationship to the string-shingle oracle as d4): the
+    * string-HOF variant re-tokenizes per lambda element once
+    * ProjectCollapse inlines it (measured 9 s vs 1 s at sf0.1), and
+    * longs broadcast smaller than strings. */
   def contamination(train: DataFrame, evalSet: DataFrame,
                     minShared: Int = 5, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
-    val trainSh = withShingleSet(train, textCol, idCol)
+    val trainSh = withHashedShingleSet(train, textCol, idCol)
       .select(col("id"), explode(col("shingles")).as("sh"))
-    val evalSh = withShingleSet(evalSet, textCol, idCol)
+    val evalSh = withHashedShingleSet(evalSet, textCol, idCol)
       .select(explode(col("shingles")).as("sh")).distinct()
     val shared = trainSh.join(broadcast(evalSh), "sh")
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))

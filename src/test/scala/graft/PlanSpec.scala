@@ -60,4 +60,22 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("rangepartitioning"), s"$q:\n$p")
     }
   }
+
+  test("decontamination probes a broadcast eval set, corpus unshuffled") {
+    val p = plan("d9_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sequence packing windows are bucket-partitioned, not global") {
+    // the N-row running sum must shuffle by BUCKET (parallel windows);
+    // the only single-partition exchange allowed is the B-row
+    // bucket-offset prefix
+    val p = graft.operators.TextStats
+      .packChunks(Tables.documents(spark, sf), budget = 2048)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(bucket"), p)
+    // no global range sort of the corpus feeds a window (the W1 trap)
+    assert(!p.contains("rangepartitioning(doc_id"), p)
+  }
 }
