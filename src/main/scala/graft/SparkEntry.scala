@@ -512,6 +512,9 @@ object SparkEntry {
     "x8_hash_split" -> ((s, d) =>
       TextStats.hashSplit(Tables.documents(s, d), valPct = 10)
         .orderBy(col("doc_id"))),
+    "x9_repetition" -> ((s, d) =>
+      TextStats.repetition(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "pipe1_curation" -> ((s, d) => {
       // the full curation pipeline as ONE declarative plan: quality
       // filter → language filter → exact dedup → train split →
@@ -1147,6 +1150,19 @@ object SparkEntry {
                  coalesce(sh.n_shared, 0) >= 5 AS contaminated
           FROM tr LEFT JOIN sh ON tr.doc_id = sh.doc_id
           ORDER BY tr.doc_id""",
+    "x9_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          m AS (SELECT doc_id,
+                 greatest(len(toks) - 2, 0)::BIGINT AS total_3grams,
+                 (CASE WHEN len(toks) >= 3
+                       THEN len(list_distinct(list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' '))))
+                       ELSE 0 END)::BIGINT AS distinct_3grams
+                FROM t)
+          SELECT doc_id, total_3grams, distinct_3grams,
+                 CASE WHEN total_3grams > 0
+                      THEN round(1.0 - distinct_3grams::DOUBLE / total_3grams, 6)
+                      ELSE 0.0 END AS dup_ratio
+          FROM m ORDER BY doc_id""",
     "x7_pack_chunks" ->
       """WITH c AS (SELECT doc_id,
                  (CASE WHEN len(trim(text)) = 0 THEN 0

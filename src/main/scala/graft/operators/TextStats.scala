@@ -82,6 +82,29 @@ object TextStats {
       bpe.cast("long").as("bpe_tokens"))
   }
 
+  /** X9: intra-document repetition signal (the Gopher/MassiveText
+    * "fraction of duplicate n-grams" quality rule): 1 − distinct/total
+    * word-3-grams. Repetitive boilerplate and degenerate generations
+    * score high and get filtered before training. Pure projection —
+    * the distinct-shingle count reuses the dedup machinery, the total
+    * is just `n_tokens − 2`. */
+  def repetition(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val toksCol = Analyzers.tokenize(Dedup.normalize(col(textCol)))
+    docs
+      .select(col(idCol), toksCol.as("toks"))
+      .select(col(idCol),
+        greatest(size(col("toks")) - 2, lit(0)).cast("long").as("total_3grams"),
+        when(size(col("toks")) >= 3,
+          size(graft.functions.expressions.shingle_hashes(col("toks"), 3)))
+          .otherwise(lit(0)).cast("long").as("distinct_3grams"))
+      .withColumn("dup_ratio",
+        when(col("total_3grams") > 0,
+          round(lit(1.0) - col("distinct_3grams").cast("double") /
+            col("total_3grams"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** X8: deterministic train/val split — hash the id, never
     * `sample()`. Sampling depends on partitioning, seed plumbing and
     * engine version; a content-hash bucket is reproducible across
