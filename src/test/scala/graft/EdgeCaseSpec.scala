@@ -100,4 +100,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(EventOps.sessionize(e).count() == 0)
     assert(EventOps.sliding(e).count() == 0)
   }
+
+  test("dup clustering with no pairs: every doc is its own singleton") {
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(docs, noPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(Dedup.applyClusterDedup(docs, Dedup.dupClusters(docs, noPairs))
+      .count() == 3)
+  }
+
+  test("contamination against an empty eval set flags nothing") {
+    val train = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val noEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Dedup.contamination(train, noEval, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSet == Set((1L, 0L, false), (2L, 0L, false)))
+  }
+
+  test("sequence packing handles empty and single-doc corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextStats.packChunks(empty, budget = 10).count() == 0)
+    val one = Seq((7L, "a b c")).toDF("doc_id", "text")
+    val row = TextStats.packChunks(one, budget = 10).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((7L, 3L, 0L, 0L)))
+  }
 }
