@@ -518,23 +518,19 @@ object SparkEntry {
     "pipe1_curation" -> ((s, d) => {
       // the full curation pipeline as ONE declarative plan: quality
       // filter → language filter → exact dedup → train split →
-      // sequence packing. Each stage is a left-semi prune on the id —
-      // Catalyst collapses them into one scan of the corpus with the
-      // four predicates fused; packing runs only over survivors.
+      // sequence packing. Quality, language and split are row-local
+      // signals, so they ride ONE corpus scan as a fused filter; only
+      // dedup (inherently an aggregation) adds a second scan, joined
+      // back as a left-semi prune. Packing materializes its two-long
+      // projection once (localCheckpoint) — the corpus is read exactly
+      // twice end to end, at any scale.
       val docs = Tables.documents(s, d)
-      val q = TextStats.quality(docs)
-        .filter(col("quality") >= 0.7).select(col("doc_id"))
-      val en = docs
-        .select(col("doc_id"), TextStats.langId(col("text")).as("lang"))
-        .filter(col("lang") === "en").select(col("doc_id"))
+      val pruned = docs.filter(
+        TextStats.qualityScore(col("text")) >= 0.7 &&
+        TextStats.langId(col("text")) === "en" &&
+        TextStats.splitBucket(col("doc_id")) < 90)
       val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-      val train = TextStats.hashSplit(docs, valPct = 10)
-        .filter(col("split") === "train").select(col("doc_id"))
-      val survivors = docs
-        .join(q, Seq("doc_id"), "left_semi")
-        .join(en, Seq("doc_id"), "left_semi")
-        .join(keep, Seq("doc_id"), "left_semi")
-        .join(train, Seq("doc_id"), "left_semi")
+      val survivors = pruned.join(keep, Seq("doc_id"), "left_semi")
       TextStats.packChunks(survivors, budget = 2048).orderBy(col("doc_id"))
     }),
     "d9_contamination" -> ((s, d) => {

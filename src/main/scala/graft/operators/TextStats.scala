@@ -38,6 +38,24 @@ object TextStats {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** The composite quality score of [[quality]] as a standalone
+    * row-local Column, so pipelines can fuse it into a scan-side
+    * filter instead of joining the stats frame. */
+  def qualityScore(text: Column): Column = {
+    val st = graft.functions.expressions.token_stats(
+      Analyzers.tokenize(lower(text)))
+    val nChars = length(text)
+    val nToks = st.getField("n_tokens")
+    val nPunct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0)
+    val stopRatio = when(nToks > 0,
+      st.getField("n_stop").cast("double") / nToks).otherwise(0.0)
+    round(
+      least(nToks.cast("double") / 20.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.3 +
+      least(stopRatio * 4.0, lit(1.0)) * 0.3, 6)
+  }
+
   /** X2 quality signals: length, token count, mean token length,
     * punctuation ratio, stopword ratio, and a composite [0,1] score —
     * the standard cheap heuristics a pretraining pipeline filters on. */
@@ -57,16 +75,13 @@ object TextStats {
       .otherwise(lit(0.0))
     val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0)
     val stopRatio = when(nToks > 0, nStop.cast("double") / nToks).otherwise(0.0)
-    // composite: long enough, not punctuation soup, has some function words
-    val score =
-      least(nToks.cast("double") / 20.0, lit(1.0)) * 0.4 +
-      (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.3 +
-      least(stopRatio * 4.0, lit(1.0)) * 0.3
+    // composite: long enough, not punctuation soup, has some function
+    // words (the formula lives in qualityScore so filters can fuse it)
     docs.select(col(idCol), nChars.as("n_chars"), nToks.as("n_tokens"),
       round(meanTokLen, 6).as("mean_token_len"),
       round(punctRatio, 6).as("punct_ratio"),
       round(stopRatio, 6).as("stopword_ratio"),
-      round(score, 6).as("quality"))
+      qualityScore(text).as("quality"))
   }
 
   /** X3 token counting: whitespace tokens and a BPE-ish segmentation
@@ -112,10 +127,14 @@ object TextStats {
     * SQL), and the assignment is stable under corpus growth: a
     * document keeps its split forever, so eval sets never silently
     * leak into training after an append. Pure projection — no shuffle. */
+  /** The [[hashSplit]] bucket as a standalone row-local Column (fusable
+    * into a scan-side filter). */
+  def splitBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
   def hashSplit(docs: DataFrame, valPct: Int = 10,
                 idCol: String = "doc_id"): DataFrame = {
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket = splitBucket(col(idCol))
     docs.select(col(idCol), bucket.as("bucket"),
       when(bucket < lit(100 - valPct), "train").otherwise("val").as("split"))
   }
@@ -143,8 +162,13 @@ object TextStats {
                  textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the (id, n_tokens) projection feeds THREE consumers (bounds agg,
+    // per-bucket windows, bucket totals); materialize it once so the
+    // upstream corpus scan — possibly a whole filter pipeline — runs
+    // once, not three times. Two longs per doc: tiny at any scale.
     val counts = tokenCounts(docs, textCol, idCol)
       .select(col(idCol), col("ws_tokens").as("n_tokens"))
+      .localCheckpoint()
     val bounds = counts.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
     val bucketed = counts.crossJoin(broadcast(bounds))
       .withColumn("bucket",
