@@ -575,6 +575,8 @@ object SparkEntry {
     "st1_stream_tumbling" -> ((s, d) => EventStream.runTumbling(s, d)),
     "st2_stream_dedup" -> ((s, d) => EventStream.runDedupIngest(s, d)),
     "st3_stream_state" -> ((s, d) => EventStream.runUserCounts(s, d)),
+    "st4_stream_denorm" -> ((s, d) =>
+      graft.streaming.DenormStream.runDenorm(s, d)),
     "x5_sketch_distinct" -> ((s, d) =>
       // HLL++ sketch with its accuracy CONTRACT as the verified output:
       // the estimate itself is engine-specific (DuckDB's HLL hashes
@@ -1229,6 +1231,20 @@ object SparkEntry {
          FROM events GROUP BY 1 ORDER BY 1""",
     "st3_stream_state" ->
       """SELECT user_id, count(*)::BIGINT AS n
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "st4_stream_denorm" ->
+      """WITH li AS (SELECT l_orderkey, count(*)::INT AS n_items FROM lineitem GROUP BY 1),
+          ann AS (SELECT l_orderkey, count(*)::INT AS n_annotations
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                                JOIN supplier s ON l_suppkey = s.s_suppkey
+                                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                  GROUP BY 1)
+          SELECT o.o_orderkey AS id, c.c_custkey AS author_id,
+                 coalesce(li.n_items, 0)::INT AS n_items,
+                 coalesce(ann.n_annotations, 0)::INT AS n_annotations
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+          LEFT JOIN ann ON ann.l_orderkey = o.o_orderkey
+          ORDER BY id"""
   )
 }

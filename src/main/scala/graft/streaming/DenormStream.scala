@@ -42,6 +42,31 @@ object DenormStream {
           array().cast(annsType)).as("annotations"))
   }
 
+  /** ST4, driver-runnable: the flagship denorm ETL run as a REAL
+    * stream — orders arrive as a file stream, customer and the
+    * pre-aggregated child frames are static, the stream-static left
+    * joins are stateless (append mode, no watermark needed), and the
+    * memory-sink result must equal the batch denorm. The declared
+    * output is a flat per-order projection (id, author, child-array
+    * sizes) so the DuckDB oracle can hash it. */
+  def runDenorm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Paths.get(dir, "orders.parquet")
+    val schema = spark.read.parquet(path.toString).schema
+    val ordersStream = spark.readStream.schema(schema)
+      .parquet(EventStream.streamableDir(path))
+    val docs = docsFrom(ordersStream,
+      graft.Tables.customer(spark, dir),
+      graft.operators.Denorm.itemsPerOrder(spark, dir),
+      graft.operators.Denorm.annotationsPerOrder(spark, dir))
+    val table = EventStream.runToMemory(docs, OutputMode.Append, "st4_")
+    spark.table(table)
+      .select(col("id"), col("author.id").as("author_id"),
+        size(col("items")).as("n_items"),
+        size(col("annotations")).as("n_annotations"))
+      .orderBy(col("id"))
+  }
+
   /** Incremental ingest: watch `ordersDir` for new order files, denorm
     * each micro-batch against the static frames, append parquet. */
   def ingest(spark: SparkSession, ordersDir: String, sfDir: String,

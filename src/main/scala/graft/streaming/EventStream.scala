@@ -105,17 +105,7 @@ object EventStream {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = java.nio.file.Paths.get(dir, "events.parquet")
-    // the file source streams a DIRECTORY of arriving files; the test
-    // table is a single parquet file, so expose it through a temp dir
-    // (symlink — no data copy)
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(path)) path.toString
-      else {
-        val d = java.nio.file.Paths.get(freshDir("stsrc"))
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve("events.parquet"), path)
-        d.toString
-      }
+    val streamDir = streamableDir(path)
     val schema = spark.read.parquet(path.toString).schema
     val raw = spark.readStream.schema(schema).parquet(streamDir)
     if (schema("ts").dataType == LongType)
@@ -123,14 +113,24 @@ object EventStream {
     else raw
   }
 
-  private def freshDir(prefix: String): String = {
+  private[streaming] def freshDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix).toFile
     d.deleteOnExit()
     d.toString
   }
 
-  private def runToMemory(df: DataFrame, mode: OutputMode,
-                          prefix: String): String = {
+  /** Expose a single parquet FILE as a file-source stream directory
+    * (symlink — no data copy); a real directory streams as-is. */
+  private[streaming] def streamableDir(path: java.nio.file.Path): String =
+    if (java.nio.file.Files.isDirectory(path)) path.toString
+    else {
+      val d = java.nio.file.Paths.get(freshDir("stsrc"))
+      java.nio.file.Files.createSymbolicLink(d.resolve(path.getFileName), path)
+      d.toString
+    }
+
+  private[streaming] def runToMemory(df: DataFrame, mode: OutputMode,
+                                     prefix: String): String = {
     val name =
       prefix + java.util.UUID.randomUUID().toString.replaceAll("-", "")
     df.writeStream
