@@ -533,6 +533,15 @@ object SparkEntry {
       val survivors = pruned.join(keep, Seq("doc_id"), "left_semi")
       TextStats.packChunks(survivors, budget = 2048).orderBy(col("doc_id"))
     }),
+    "d10_incremental_dedup" -> ((s, d) => {
+      // standing corpus = even ids (its d1 fingerprint index), arriving
+      // batch = odd ids; each new doc resolves to the standing doc it
+      // duplicates or marks itself new
+      val docs = Tables.documents(s, d)
+      val index = Dedup.exact(docs.filter(col("doc_id") % 2 === 0))
+      Dedup.incrementalExact(docs.filter(col("doc_id") % 2 =!= 0), index)
+        .orderBy(col("doc_id"))
+    }),
     "d9_contamination" -> ((s, d) => {
       // eval set = every 20th doc (stand-in benchmark); flag training
       // docs sharing >= 5 distinct shingles with any eval doc
@@ -946,6 +955,13 @@ object SparkEntry {
           SELECT id_a, id_b, round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
           FROM j WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5
           ORDER BY id_a, id_b""",
+    "d10_incremental_dedup" ->
+      s"""WITH idx AS (SELECT md5($sqlNorm) AS fingerprint, min(doc_id) AS keep_id
+                       FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+          nb AS (SELECT doc_id, md5($sqlNorm) AS fp FROM documents WHERE doc_id % 2 <> 0)
+          SELECT nb.doc_id, idx.keep_id AS dup_of, idx.keep_id IS NULL AS is_new
+          FROM nb LEFT JOIN idx ON nb.fp = idx.fingerprint
+          ORDER BY nb.doc_id""",
     // d7/d8: same exact-Jaccard pair graph as d4, closed transitively
     // with a recursive CTE — every node's cluster is the min id it can
     // reach (singletons map to themselves via the LEFT JOIN + least)

@@ -207,6 +207,25 @@ object Dedup {
       clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  /** D10: incremental dedup — screen an ARRIVING batch against the
+    * standing corpus without re-pairing the corpus with itself. The
+    * standing side is exactly the [[exact]] fingerprint index
+    * (fingerprint → keep_id), which production maintains incrementally
+    * (new fingerprints are appended after screening); each new doc
+    * resolves to the standing doc it duplicates, or marks itself new.
+    * One equi-join on the fingerprint — the daily-ingest cost is
+    * O(batch), never O(corpus²); Spark broadcasts whichever side is
+    * small enough. */
+  def incrementalExact(newDocs: DataFrame, index: DataFrame,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    newDocs
+      .select(col(idCol), md5(normalize(col(textCol))).as("fp"))
+      .join(index.select(col("fingerprint"), col("keep_id")),
+        col("fp") === col("fingerprint"), "left")
+      .select(col(idCol), col("keep_id").as("dup_of"),
+        col("keep_id").isNull.as("is_new"))
+
   /** D9: benchmark decontamination — per training doc, the number of
     * distinct word-3-gram shingles it shares with ANY document of an
     * evaluation set, and a contaminated flag at `minShared`. This is

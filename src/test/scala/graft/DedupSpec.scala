@@ -97,6 +97,17 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 6L))
   }
 
+  test("incremental dedup resolves arriving dups against the standing index") {
+    val standing = Seq((2L, "the quick brown fox"), (4L, "something else"))
+      .toDF("doc_id", "text")
+    val arriving = Seq((5L, "The  QUICK brown fox"), // dup after normalize
+                       (7L, "entirely new content")).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(arriving, Dedup.exact(standing))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toSet
+    assert(out == Set((5L, Some(2L), false), (7L, None, true)))
+  }
+
   test("dup clusters converge on a long chain within the round bound") {
     // a 12-node path has diameter 11 — min-label propagation still
     // converges (label floods one hop per round) and labels everything
