@@ -586,6 +586,32 @@ object SparkEntry {
     "st3_stream_state" -> ((s, d) => EventStream.runUserCounts(s, d)),
     "st4_stream_denorm" -> ((s, d) =>
       graft.streaming.DenormStream.runDenorm(s, d)),
+
+    // ---- analyst SQL entry (SURVEY §3.3) ----
+    "sql1_analyst" -> ((s, d) => {
+      // the reference's standalone-SQL path (used_queries/queries.sql):
+      // ANSI SQL submitted as a string runs on the same engine/tables
+      // as the DSL — same pre-aggregate + left-join + COALESCE shape
+      // as the Postgres query, flat projection for the oracle hash
+      Seq("orders", "customer", "lineitem", "part", "supplier", "nation")
+        .foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
+      s.sql("""
+        SELECT o.o_orderkey AS id, c.c_custkey AS author_id,
+               coalesce(li.n_items, 0) AS n_items,
+               coalesce(ann.n_annotations, 0) AS n_annotations
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN (SELECT l_orderkey, count(*) AS n_items
+                   FROM lineitem GROUP BY l_orderkey) li
+          ON li.l_orderkey = o.o_orderkey
+        LEFT JOIN (SELECT l.l_orderkey, count(*) AS n_annotations
+                   FROM lineitem l
+                   JOIN part p ON l.l_partkey = p.p_partkey
+                   JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   JOIN nation n ON s.s_nationkey = n.n_nationkey
+                   GROUP BY l.l_orderkey) ann
+          ON ann.l_orderkey = o.o_orderkey
+        ORDER BY id""")
+    }),
     "x5_sketch_distinct" -> ((s, d) =>
       // HLL++ sketch with its accuracy CONTRACT as the verified output:
       // the estimate itself is engine-specific (DuckDB's HLL hashes
@@ -1248,6 +1274,20 @@ object SparkEntry {
     "st3_stream_state" ->
       """SELECT user_id, count(*)::BIGINT AS n
          FROM events GROUP BY 1 ORDER BY 1""",
+    "sql1_analyst" ->
+      """WITH li AS (SELECT l_orderkey, count(*)::BIGINT AS n_items FROM lineitem GROUP BY 1),
+          ann AS (SELECT l.l_orderkey, count(*)::BIGINT AS n_annotations
+                  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                                  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                                  JOIN nation n ON s.s_nationkey = n.n_nationkey
+                  GROUP BY 1)
+          SELECT o.o_orderkey AS id, c.c_custkey AS author_id,
+                 coalesce(li.n_items, 0)::BIGINT AS n_items,
+                 coalesce(ann.n_annotations, 0)::BIGINT AS n_annotations
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+          LEFT JOIN ann ON ann.l_orderkey = o.o_orderkey
+          ORDER BY id""",
     "st4_stream_denorm" ->
       """WITH li AS (SELECT l_orderkey, count(*)::INT AS n_items FROM lineitem GROUP BY 1),
           ann AS (SELECT l_orderkey, count(*)::INT AS n_annotations
