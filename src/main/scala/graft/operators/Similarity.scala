@@ -85,7 +85,23 @@ object Similarity {
     * ~2^nPlanes-fold; recall is tested against `knnBrute` in
     * SimilaritySpec. */
   def knnLsh(emb: DataFrame, queryId: Long, k: Int = 10,
-             nPlanes: Int = 4, seed: Long = 42L): DataFrame = {
+             nPlanes: Int = 4, seed: Long = 42L): DataFrame =
+    knnLshMultiProbe(emb, queryId, k, nPlanes, probeRadius = 0, seed)
+
+  /** Multi-probe LSH (Lv et al., "Multi-Probe LSH", VLDB '07): probe
+    * the query's bucket plus every bucket within Hamming distance
+    * `probeRadius` of it — near-miss neighbors usually differ by one
+    * flipped hyperplane sign, so each extra ring of probes recovers
+    * most of the recall a single probe loses while still scanning
+    * ~probes/2^nPlanes of the corpus. With a FIXED plane family the
+    * probed set only grows with the radius, so recall is MONOTONE in
+    * `probeRadius` and reaches brute-force exactly at radius =
+    * nPlanes (both proved in SimilaritySpec). The probe set is an
+    * O(nPlanes^radius) driver-side enumeration of bit masks — never a
+    * function of corpus size. */
+  def knnLshMultiProbe(emb: DataFrame, queryId: Long, k: Int = 10,
+                       nPlanes: Int = 4, probeRadius: Int = 1,
+                       seed: Long = 42L): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val planes = hyperplanes(dim, nPlanes, seed)
     val bucketed = withNorm(emb).withColumn("bucket",
@@ -94,9 +110,12 @@ object Similarity {
       .select(col("v"), col("bucket")).head()
     val q = qRow.getSeq[Double](0).toArray
     val qBucket = qRow.getLong(1)
+    val probes = (0 until (1 << nPlanes))
+      .filter(m => java.lang.Long.bitCount(m.toLong) <= probeRadius)
+      .map(m => qBucket ^ m.toLong)
     val qc = lit(q)
     bucketed
-      .filter(col("bucket") === qBucket && col("vec_id") =!= queryId)
+      .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
         round(dot(col("v"), qc) / (col("nrm") * norm(qc)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)

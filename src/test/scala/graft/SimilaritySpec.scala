@@ -170,4 +170,32 @@ class SimilaritySpec extends SparkSpec {
       assert(fromBatch == single, s"qid=$q")
     }
   }
+
+  test("multi-probe LSH: recall is monotone in radius, full radius = brute") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = 3L
+    val k = 10
+    val brute = Similarity.knnBrute(emb, q, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recallAt(radius: Int): Double = {
+      val got = Similarity.knnLshMultiProbe(emb, q, k, probeRadius = radius)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (got & brute).size.toDouble / k
+    }
+    // radius 0 is exactly the single-probe path
+    val single = Similarity.knnLsh(emb, q, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val r0 = Similarity.knnLshMultiProbe(emb, q, k, probeRadius = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(r0 == single)
+    // widening the probe ring never loses recall
+    val recalls = (0 to 4).map(recallAt)
+    assert(recalls.sliding(2).forall { case Seq(a, b) => b >= a })
+    // all 2^4 buckets probed == a full scan == brute force exactly
+    val full = Similarity.knnLshMultiProbe(emb, q, k, probeRadius = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val bruteRows = Similarity.knnBrute(emb, q, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(full == bruteRows)
+  }
 }
