@@ -116,4 +116,34 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("dup clustering equals driver-side union-find on random graphs") {
+    // the distributed min-label propagation must agree with the
+    // textbook sequential algorithm on arbitrary graph shapes —
+    // ScalaCheck generates the edge sets, union-find is the reference
+    val edgeGen = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(0, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(1, n); b <- Gen.choose(1, n)
+      } yield (a, b))
+    } yield (n, es.collect { case (a, b) if a != b =>
+      (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct)
+    (0 until 12).foreach { i =>
+      val (n, edges) = edgeGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (1 to n).map(v => v.toLong -> find(v).toLong).toMap
+      val got = Dedup.dupClusters(
+          (1 to n).map(_.toLong).toDF("doc_id"),
+          edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$i n=$n edges=$edges")
+    }
+  }
 }
