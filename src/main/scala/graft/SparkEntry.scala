@@ -659,6 +659,24 @@ object SparkEntry {
       Multimodal.mediaChunks(Multimodal.asMedia(Tables.documents(s, d)))
         .select(col("media_id"), col("n_chunks"),
           joined(col("chunk_md5s")).as("chunk_md5s"))
+        .orderBy(col("media_id"))),
+    "m4_media_resize" -> ((s, d) =>
+      // thumbnail/downsample stage over decoded dims (stub dims reach
+      // 640x480, so the 224-box scaling math is exercised; the planted
+      // BMPs pass through un-scaled) — columnar, no UDF
+      Multimodal.resize(
+        Multimodal.extractFeatures(s,
+          Multimodal.asMedia(Tables.documents(s, d))
+            .unionByName(Multimodal.bmpFixtures(s))))
+        .orderBy(col("media_id"))),
+    "m5_frame_sample" -> ((s, d) =>
+      // frame sampling over the chunked payload: keep every 4th chunk
+      // digest (stride sampling on the window index — the video
+      // keyframe-ish selection done entirely on the binary column)
+      Multimodal.mediaChunks(Multimodal.asMedia(Tables.documents(s, d)))
+        .select(col("media_id"), col("n_chunks"),
+          joined(filter(col("chunk_md5s"), (m, i) => i % 4 === 0))
+            .as("sampled_md5s"))
         .orderBy(col("media_id")))
   )
 
@@ -1100,6 +1118,33 @@ object SparkEntry {
                 array_to_string(
                   list_transform(generate_series(0, ceil(octet_length(encode(text)) / 64.0)::BIGINT - 1),
                                  i -> md5(substring(text, (i * 64 + 1)::INT, 64))), '|') AS chunk_md5s
+         FROM documents ORDER BY media_id""",
+    "m4_media_resize" ->
+      """WITH cp AS (SELECT doc_id AS media_id,
+                            list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS cps
+                     FROM documents),
+          h AS (SELECT media_id,
+                       list_reduce(list_prepend(0::BIGINT, cps),
+                                   (a, b) -> (a*1000003 + b) % 1000000007) AS h0
+                FROM cp),
+          dims AS (SELECT media_id, ((h0 % 640) + 1)::INT AS width,
+                          (((h0 // 640) % 480) + 1)::INT AS height FROM h
+                   UNION ALL
+                   SELECT * FROM (VALUES (-1::BIGINT, 2::INT, 2::INT),
+                                         (-2::BIGINT, 3::INT, 1::INT)) v(media_id, width, height)),
+          s AS (SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS sc FROM dims)
+          SELECT media_id, width, height,
+                 greatest(floor(width * sc), 1)::INT AS out_w,
+                 greatest(floor(height * sc), 1)::INT AS out_h
+          FROM s ORDER BY media_id""",
+    "m5_frame_sample" ->
+      """SELECT doc_id AS media_id,
+                ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_chunks,
+                array_to_string(
+                  list_transform(
+                    list_filter(generate_series(0, ceil(octet_length(encode(text)) / 64.0)::BIGINT - 1),
+                                i -> i % 4 = 0),
+                    i -> md5(substring(text, (i * 64 + 1)::INT, 64))), '|') AS sampled_md5s
          FROM documents ORDER BY media_id""",
     "n1_knn_brute" ->
       """SELECT vec_id, label,
