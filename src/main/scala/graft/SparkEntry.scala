@@ -565,6 +565,7 @@ object SparkEntry {
     "e1_tumbling" -> ((s, d) => EventOps.tumbling(Tables.events(s, d))),
     "e2_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "e3_sliding" -> ((s, d) => EventOps.sliding(Tables.events(s, d))),
+    "e5_asof_join" -> ((s, d) => EventOps.asofJoin(Tables.events(s, d))),
     "e4_session_window" -> ((s, d) =>
       // Spark-native gap sessions (SessionWindow operator) — batch twin
       // of streaming.EventStream.sessionWindows
@@ -1289,6 +1290,14 @@ object SparkEntry {
                       event_type, value
                FROM events)
          GROUP BY win_start, event_type ORDER BY win_start, event_type""",
+    "e5_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max_by(value, event_id) AS p_value
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                round(coalesce(p.p_value, 0.0), 2) AS last_purchase_value
+         FROM events e ASOF LEFT JOIN p
+           ON e.user_id = p.user_id AND e.ts >= p.ts
+         ORDER BY e.event_id""",
     "e4_session_window" ->
       """WITH g AS (SELECT user_id, ts, value,
                            CASE WHEN lag(ts) OVER w IS NULL

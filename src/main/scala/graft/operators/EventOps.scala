@@ -57,4 +57,39 @@ object EventOps {
         col("window.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("win_start"), col("event_type"))
+
+  /** E5: AS-OF join — attach to every event the value of the most
+    * recent purchase (ts ≤ event ts) by the same user; the canonical
+    * time-series enrichment Spark has no native operator for.
+    *
+    * Compose-existing-ops plan (never a range-condition join, which
+    * plans as a nested loop): union both sides tagged, one window per
+    * key ordered by (event time, tag) with right-side rows sorting
+    * BEFORE coincident left rows, then `last(value, ignoreNulls)`
+    * carries the newest right value forward; keep the left rows. One
+    * shuffle on the key and a per-key sort — the sessionization cost
+    * envelope, with no join explosion. Determinism: purchases are
+    * pre-deduplicated to one value per (user, ts) with `max_by` on the
+    * id, and left-row ties don't matter because left rows carry no
+    * value. The oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — an
+    * independent implementation of the same semantics. */
+  def asofJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(expr("max_by(value, event_id)").as("p_value"))
+    val l = events.select(col("event_id"), col("user_id"), col("ts"),
+      col("event_type"), lit(1).as("src"),
+      lit(null).cast("double").as("p_value"))
+    val r = purchases.select(lit(null).cast("long").as("event_id"),
+      col("user_id"), col("ts"), lit(null).cast("string").as("event_type"),
+      lit(0).as("src"), col("p_value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("carried", last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        round(coalesce(col("carried"), lit(0.0)), 2).as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
 }

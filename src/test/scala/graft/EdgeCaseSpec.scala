@@ -101,6 +101,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(EventOps.sliding(e).count() == 0)
   }
 
+  test("as-of join carries the newest prior purchase, inclusive at ties") {
+    val t = (s: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:0$s:00")
+    val events = Seq(
+      (1L, t(0), 7L, "click", 1.0),    // before any purchase -> 0.0
+      (2L, t(1), 7L, "purchase", 5.0), // its own purchase (ts <= ts) -> 5.0
+      (3L, t(2), 7L, "click", 1.0),    // after first purchase -> 5.0
+      (4L, t(3), 7L, "purchase", 9.0),
+      (5L, t(4), 7L, "click", 1.0),    // newest wins -> 9.0
+      (6L, t(2), 8L, "click", 1.0))    // other user, no purchases -> 0.0
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.asofJoin(events).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 5.0, 3L -> 5.0,
+      4L -> 9.0, 5L -> 9.0, 6L -> 0.0))
+  }
+
   test("dup clustering with no pairs: every doc is its own singleton") {
     val docs = Seq(1L, 2L, 3L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
