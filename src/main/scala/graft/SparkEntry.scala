@@ -566,6 +566,17 @@ object SparkEntry {
     "e2_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "e3_sliding" -> ((s, d) => EventOps.sliding(Tables.events(s, d))),
     "e5_asof_join" -> ((s, d) => EventOps.asofJoin(Tables.events(s, d))),
+    "e6_range_join" -> ((s, d) => {
+      // intervals: ±45 min around user 1's purchases (arbitrary,
+      // overlapping, not grid-aligned); count all events inside each
+      val ev = Tables.events(s, d)
+      val intervals = ev
+        .filter(col("event_type") === "purchase" && col("user_id") === 1)
+        .select(col("event_id").as("interval_id"),
+          (col("ts") - expr("INTERVAL 45 MINUTES")).as("start_ts"),
+          (col("ts") + expr("INTERVAL 45 MINUTES")).as("end_ts"))
+      EventOps.rangeJoinCounts(ev, intervals)
+    }),
     "e4_session_window" -> ((s, d) =>
       // Spark-native gap sessions (SessionWindow operator) — batch twin
       // of streaming.EventStream.sessionWindows
@@ -1298,6 +1309,15 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN p
            ON e.user_id = p.user_id AND e.ts >= p.ts
          ORDER BY e.event_id""",
+    "e6_range_join" ->
+      """WITH iv AS (SELECT event_id AS interval_id,
+                            ts - INTERVAL 45 MINUTE AS start_ts,
+                            ts + INTERVAL 45 MINUTE AS end_ts
+                     FROM events WHERE event_type = 'purchase' AND user_id = 1)
+         SELECT iv.interval_id, count(*)::BIGINT AS n_in_range,
+                round(sum(e.value), 2) AS range_value
+         FROM iv JOIN events e ON e.ts BETWEEN iv.start_ts AND iv.end_ts
+         GROUP BY 1 ORDER BY 1""",
     "e4_session_window" ->
       """WITH g AS (SELECT user_id, ts, value,
                            CASE WHEN lag(ts) OVER w IS NULL

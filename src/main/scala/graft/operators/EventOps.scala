@@ -58,6 +58,38 @@ object EventOps {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** E6: range (interval) join — aggregate the events falling inside
+    * each of a set of arbitrary time intervals. The naive non-equi
+    * join plans as a broadcast nested loop, which only survives while
+    * one side is tiny; the scale plan buckets time into fixed grains:
+    * each interval EXPLODES to the grains it overlaps, each event keys
+    * by its own grain, the join becomes an EQUI join on the grain, and
+    * the residual BETWEEN predicate refines. Every (interval, event)
+    * pair meets on exactly one grain (the event's), so no dedup is
+    * needed; work is O(events + Σ interval-grains), shuffled on the
+    * grain key, with no nested loop at any size.
+    *
+    * `intervals`: (interval_id, start_ts, end_ts). */
+  def rangeJoinCounts(events: DataFrame, intervals: DataFrame,
+                      grainSeconds: Long = 3600L): DataFrame = {
+    val g = intervals
+      .withColumn("s_epoch", unix_timestamp(col("start_ts")))
+      .withColumn("e_epoch", unix_timestamp(col("end_ts")))
+      .withColumn("g", explode(sequence(
+        expr(s"s_epoch div $grainSeconds"),
+        expr(s"e_epoch div $grainSeconds"))))
+      .select(col("interval_id"), col("start_ts"), col("end_ts"), col("g"))
+    val e = events
+      .withColumn("t_epoch", unix_timestamp(col("ts")))
+      .withColumn("g", expr(s"t_epoch div $grainSeconds"))
+    g.join(e, Seq("g"))
+      .filter(col("ts") >= col("start_ts") && col("ts") <= col("end_ts"))
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_in_range"),
+        round(sum(col("value")), 2).as("range_value"))
+      .orderBy(col("interval_id"))
+  }
+
   /** E5: AS-OF join — attach to every event the value of the most
     * recent purchase (ts ≤ event ts) by the same user; the canonical
     * time-series enrichment Spark has no native operator for.

@@ -61,6 +61,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("range join is a grain-bucketed equi join, never a nested loop") {
+    val p = plan("e6_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("decontamination probes a broadcast eval set, corpus unshuffled") {
     val p = plan("d9_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
