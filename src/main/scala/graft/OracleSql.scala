@@ -177,6 +177,24 @@ private[graft] object OracleSql {
     * `expressions.EnglishChain`. Output matches t11_englando's
     * (doc_id, tokens) '|'-joined projection; token order is preserved
     * via the pre-filter ordinal. */
+  /** SQL replay of `porter_stem` over every plain token of
+    * lower(text) — the sql2_sql_functions oracle (SQL-callable
+    * custom-expression demo; no stop/possessive stages, so this
+    * isolates the Porter rules themselves). */
+  def porterTokensSql: String =
+    s"""WITH dd AS (SELECT doc_id,
+       |       regexp_extract_all(lower(text),
+       |                          '[a-z0-9](?:[a-z0-9''’]*[a-z0-9])?') AS toks
+       |     FROM documents),
+       |  e AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM dd),
+       |  w0 AS (SELECT doc_id, pos, toks[pos] AS w FROM e),
+       |$porterSteps,
+       |  agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY pos), '|') AS stemmed
+       |          FROM stemmed GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.stemmed, '') AS stemmed
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def porterEnglandoT11: String =
     s"""WITH dd AS (SELECT doc_id,
        |       regexp_extract_all(regexp_replace(text, '<[^>]*>', ' ', 'g'),

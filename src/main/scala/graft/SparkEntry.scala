@@ -600,6 +600,21 @@ object SparkEntry {
       graft.streaming.DenormStream.runDenorm(s, d)),
 
     // ---- analyst SQL entry (SURVEY §3.3) ----
+    "sql2_sql_functions" -> ((s, d) => {
+      // the library's custom codegen'd expressions reached BY NAME from
+      // SQL (function-registry / SparkSessionExtensions path): Porter-
+      // stem every token of every document in one SQL statement
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(s"""
+        SELECT doc_id,
+               array_join(transform(
+                 regexp_extract_all(lower(text),
+                   '${Analyzers.tokenPattern
+                       .replace("\\", "\\\\").replace("'", "\\'")}', 0),
+                 t -> porter_stem(t)), '|') AS stemmed
+        FROM documents ORDER BY doc_id""")
+    }),
     "sql1_analyst" -> ((s, d) => {
       // the reference's standalone-SQL path (used_queries/queries.sql):
       // ANSI SQL submitted as a string runs on the same engine/tables
@@ -1348,6 +1363,7 @@ object SparkEntry {
     "st3_stream_state" ->
       """SELECT user_id, count(*)::BIGINT AS n
          FROM events GROUP BY 1 ORDER BY 1""",
+    "sql2_sql_functions" -> OracleSql.porterTokensSql,
     "sql1_analyst" ->
       """WITH li AS (SELECT l_orderkey, count(*)::BIGINT AS n_items FROM lineitem GROUP BY 1),
           ann AS (SELECT l.l_orderkey, count(*)::BIGINT AS n_annotations
