@@ -171,20 +171,14 @@ private[graft] object OracleSql {
   private val stopListSql = Analyzers.englishStopwords
     .map(w => s"'$w'").mkString("[", ", ", "]")
 
-  /** Full SQL replay of the `englando` analyzer over `documents`:
-    * html_strip → standard tokenize → possessive stem → lowercase →
-    * english_stop → Porter — exactly `Analyzers.englando` /
-    * `expressions.EnglishChain`. Output matches t11_englando's
-    * (doc_id, tokens) '|'-joined projection; token order is preserved
-    * via the pre-filter ordinal. */
-  /** SQL replay of `porter_stem` over every plain token of
-    * lower(text) — the sql2_sql_functions oracle (SQL-callable
-    * custom-expression demo; no stop/possessive stages, so this
-    * isolates the Porter rules themselves). */
+  /** SQL replay of `porter_stem` over every token of lower(text) — the
+    * sql2_sql_functions oracle (SQL-callable custom-expression demo; no
+    * stop/possessive stages, so this isolates the Porter rules). Token
+    * pattern derives from the same single source of truth as the Spark
+    * side ([[Analyzers.tokenPattern]] via `tokenPatternSql`). */
   def porterTokensSql: String =
     s"""WITH dd AS (SELECT doc_id,
-       |       regexp_extract_all(lower(text),
-       |                          '[a-z0-9](?:[a-z0-9''’]*[a-z0-9])?') AS toks
+       |       regexp_extract_all(lower(text), '$tokenPatternSql') AS toks
        |     FROM documents),
        |  e AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM dd),
        |  w0 AS (SELECT doc_id, pos, toks[pos] AS w FROM e),
@@ -195,6 +189,12 @@ private[graft] object OracleSql {
        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Full SQL replay of the `englando` analyzer over `documents`:
+    * html_strip → standard tokenize → possessive stem → lowercase →
+    * english_stop → Porter — exactly `Analyzers.englando` /
+    * `expressions.EnglishChain`. Output matches t11_englando's
+    * (doc_id, tokens) '|'-joined projection; token order is preserved
+    * via the pre-filter ordinal. */
   def porterEnglandoT11: String =
     s"""WITH dd AS (SELECT doc_id,
        |       regexp_extract_all(regexp_replace(text, '<[^>]*>', ' ', 'g'),

@@ -14,9 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * idempotent (re-registration replaces). */
 object GraftFunctions {
 
-  private def unary(name: String, build: Expression => Expression) =
+  private def unary(name: String, cls: Class[_],
+                    build: Expression => Expression) =
     (name,
-      new ExpressionInfo(classOf[expressions.PorterStem].getName, name),
+      new ExpressionInfo(cls.getName, name),
       (args: Seq[Expression]) => {
         require(args.length == 1, s"$name takes exactly 1 argument")
         build(args.head)
@@ -25,8 +26,10 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(
-      unary("porter_stem", expressions.PorterStem),
-      unary("ascii_fold", expressions.AsciiFold)
+      unary("porter_stem", classOf[expressions.PorterStem],
+        expressions.PorterStem),
+      unary("ascii_fold", classOf[expressions.AsciiFold],
+        expressions.AsciiFold)
     ).foreach { case (name, info, builder) =>
       reg.registerFunction(FunctionIdentifier(name), info, builder)
     }

@@ -196,6 +196,12 @@ object Dedup {
       labels = next
       round += 1
     }
+    // a silent non-converged return would hand back wrong cluster ids
+    // (far ends of a deeper-than-maxRounds chain still carry
+    // non-minimal labels) — fail loudly instead
+    require(converged,
+      s"dupClusters did not converge in $maxRounds rounds — a component's " +
+        s"diameter exceeds the bound; raise maxRounds")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

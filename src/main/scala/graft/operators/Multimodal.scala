@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (brief §extensions): image/audio/video
   * treated as opaque `binary` columns with typed metadata, batched
-  * decode/feature-extract over partitions. The actual media decode is
-  * STUBBED (no image/audio libs in this container) behind
-  * [[StubDecoder]] — a deterministic fake — but the Spark-side shape is
-  * real: binary column + metadata struct schema, partition-wise batch
-  * processing via a typed `mapPartitions` (the Scala analog of
-  * `mapInPandas`: one decoder init per partition, streamed rows), and a
-  * columnar feature output suitable for the Similarity operators.
+  * decode/feature-extract over partitions via [[MediaDecoder]] — a
+  * REAL from-scratch 24-bit BMP parser for `format = "bmp"`, a
+  * documented deterministic stub for codecs whose libraries are absent
+  * in this container. The Spark-side shape is real either way: binary
+  * column + metadata struct schema, partition-wise batch processing
+  * via a typed `mapPartitions` (the Scala analog of `mapInPandas`: one
+  * decoder init per partition, streamed rows), and a columnar feature
+  * output suitable for the Similarity operators.
   */
 object Multimodal {
 
@@ -52,6 +53,8 @@ object Multimodal {
       * Unsupported variants (other depths / compressed) degrade to
       * header dims with zero features rather than failing the batch. */
     private def decodeBmp(b: Array[Byte]): (Int, Int, Array[Float]) = {
+      // degrade, never throw: one corrupt row must not kill the batch
+      if (b.length < 54) return (0, 0, new Array[Float](8))
       def i32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
         ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
       def i16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
@@ -61,6 +64,10 @@ object Multimodal {
       val bpp = i16(28)
       val compression = i32(30)
       if (bpp != 24 || compression != 0 || w <= 0 || h <= 0)
+        return (w, h, new Array[Float](8))
+      // truncated pixel payload / bogus data offset: header dims, no stats
+      val rowBytes = ((w.toLong * 3 + 3) / 4) * 4
+      if (dataOff < 0 || dataOff + rowBytes * h > b.length)
         return (w, h, new Array[Float](8))
       val rowSize = ((w * 3 + 3) / 4) * 4
       val sums = new Array[Long](3)

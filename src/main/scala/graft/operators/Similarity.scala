@@ -110,9 +110,13 @@ object Similarity {
       .select(col("v"), col("bucket")).head()
     val q = qRow.getSeq[Double](0).toArray
     val qBucket = qRow.getLong(1)
-    val probes = (0 until (1 << nPlanes))
-      .filter(m => java.lang.Long.bitCount(m.toLong) <= probeRadius)
-      .map(m => qBucket ^ m.toLong)
+    // enumerate the masks directly as bit COMBINATIONS of size
+    // 0..radius — O(nPlanes^radius) as documented, and safe for any
+    // nPlanes up to the bucket's 63 bits (a 0-until-2^nPlanes range
+    // scan would overflow Int at 31 planes and cost 2^nPlanes)
+    val probes = (0 to math.min(probeRadius, nPlanes))
+      .flatMap(r => (0 until nPlanes).combinations(r))
+      .map(c => c.foldLeft(qBucket)((b, i) => b ^ (1L << i)))
     val qc = lit(q)
     bucketed
       .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)

@@ -16,35 +16,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 object DenormStream {
 
   /** Denorm transform over a (possibly streaming) orders frame with
-    * static customer + pre-aggregated child frames. */
-  def docsFrom(orders: DataFrame, cust: DataFrame, items: DataFrame,
-               anns: DataFrame): DataFrame = {
-    val itemsType = items.schema("items").dataType
-    val annsType = anns.schema("annotations").dataType
-    orders
-      .join(cust, orders("o_custkey") === cust("c_custkey"), "inner")
-      .join(items, orders("o_orderkey") === items("order_id"), "left")
-      .join(anns.withColumnRenamed("order_id", "a_order_id"),
-        orders("o_orderkey") === col("a_order_id"), "left")
-      .select(
-        orders("o_orderkey").as("id"),
-        orders("o_orderstatus").as("status"),
-        orders("o_orderpriority").as("priority"),
-        orders("o_totalprice").as("total_price"),
-        orders("o_orderdate").as("created_at"),
-        struct(
-          cust("c_custkey").as("id"),
-          cust("c_name").as("name"),
-          cust("c_mktsegment").as("segment"),
-          cust("c_acctbal").as("acctbal")).as("author"),
-        coalesce(col("items"), array().cast(itemsType)).as("items"),
-        coalesce(col("annotations"),
-          array().cast(annsType)).as("annotations"))
-  }
-
-  /** [[docsFrom]] over the FUSED child relation
-    * (`Denorm.childrenPerOrder` — both arrays from one aggregation):
-    * one static-side shuffle per trigger instead of two. */
+    * static customer + the FUSED child relation
+    * (`Denorm.childrenPerOrder` — both arrays from one aggregation,
+    * so the static side shuffles once per trigger, not once per child
+    * collection). */
   def docsFromChildren(orders: DataFrame, cust: DataFrame,
                        children: DataFrame): DataFrame = {
     val itemsType = children.schema("items").dataType

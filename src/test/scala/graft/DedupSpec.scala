@@ -108,6 +108,16 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((5L, Some(2L), false), (7L, None, true)))
   }
 
+  test("dup clusters refuse to return non-converged labels") {
+    val docs = (1 to 6).map(_.toLong).toDF("doc_id")
+    val pairs = (1 until 6).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b") // a path of diameter 5
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupClusters(docs, pairs, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dup clusters converge on a long chain within the round bound") {
     // a 12-node path has diameter 11 — min-label propagation still
     // converges (label floods one hop per round) and labels everything

@@ -105,6 +105,18 @@ class TextStatsSpec extends SparkSpec {
     assert(h2 == 2 && f2.toSeq == f.toSeq)
   }
 
+  test("multimodal: corrupt BMP content degrades, never throws") {
+    val dec = new Multimodal.MediaDecoder
+    // shorter than a header
+    val (w0, h0, f0) = dec.decode("bmp", Array[Byte](1, 2, 3))
+    assert(w0 == 0 && h0 == 0 && f0.forall(_ == 0f))
+    // valid header, truncated pixel payload: header dims, zero features
+    val good = Multimodal.makeBmp(2, 2, Seq.fill(4)((9, 9, 9)))
+    val truncated = good.take(58)
+    val (w1, h1, f1) = dec.decode("bmp", truncated)
+    assert(w1 == 2 && h1 == 2 && f1.forall(_ == 0f))
+  }
+
   test("multimodal: stub feature extraction preserves rows and is deterministic") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf))
     val f1 = Multimodal.extractFeatures(spark, media).collect()
