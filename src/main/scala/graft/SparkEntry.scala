@@ -894,13 +894,13 @@ object SparkEntry {
       """SELECT * FROM (VALUES
            (1496727690157588483, 'SPREAD AND SHARE, YOU CAN HELP UKRAINE #Ukraine #Russia https://t.co/rp2IFCKMi3',
             'en', 'Twitter Web App', 6085, 3, 9000, 50, '2022-02-24 20:00:00', 'one_sorrow', 1000,
-            '', 'Russia|Ukraine', '', '', '',
+            '', 'Ukraine|Russia', '', '', '',
             'spread|share|you|can|help|ukrain|ukrain|russia|http|t|co|rp2ifckmi3',
             'one|for|pocskie|onefor|forpocskie'),
            (1497032529894805509, 'RT @one_sorrow: SPREAD AND SHARE, YOU CAN HELP UKRAINE #Ukraine #Russia https://t.co/rp2IFCKMi3',
             'en', 'Twitter for Android', 6085, 0, 0, 0, '2022-02-25 02:15:43', 'michaelkinnie', 9,
             '1484601166080081920:Russo-Ukrainian conflict:123:Ongoing News Story|1484601166080081920:Russo-Ukrainian conflict:123:Ongoing News Story',
-            'Russia|Ukraine', 'UKRAINE:Place:954',
+            'Ukraine|Russia', 'UKRAINE:Place:954',
             'https://twitter.com/one_sorrow/status/1496727690157588483/photo/1',
             '1496727690157588483:retweeted:one_sorrow',
             'rt|on|sorrow|spread|share|you|can|help|ukrain|ukrain|russia|http|t|co|rp2ifckmi3',

@@ -147,11 +147,9 @@ object AnalyzerChainImpl {
 
   private val stops: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
-    // Lucene _english_ — keep in sync with Analyzers.englishStopwords
-    Seq("a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
-      "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
-      "such", "that", "the", "their", "then", "there", "these", "they",
-      "this", "to", "was", "will", "with").foreach(s.add)
+    // single source of truth — a drifted copy here would silently break
+    // the fused==staged contract
+    graft.functions.Analyzers.englishStopwords.foreach(s.add)
     s
   }
 
@@ -162,11 +160,14 @@ object AnalyzerChainImpl {
           (t.charAt(n - 2) == '\'' || t.charAt(n - 2) == '’'))
         t.substring(0, n - 2)
       else t
-    stripped.toLowerCase
+    // Locale.ROOT: executor JVMs may run any default locale, and e.g.
+    // tr-TR lowercases "IF" to a dotless "ıf" that misses the stopword
+    // set — the staged path (Spark lower()) is locale-independent
+    stripped.toLowerCase(java.util.Locale.ROOT)
   }
 
   @inline private def lowerFold(t: String): String = {
-    val lowered = t.toLowerCase
+    val lowered = t.toLowerCase(java.util.Locale.ROOT)
     Impl.asciiFold(UTF8String.fromString(lowered)).toString
   }
 
@@ -239,18 +240,14 @@ object TextStatsImpl {
     words.foreach(w => s.add(UTF8String.fromString(w)))
     s
   }
-  // language-sorted (de, en, es, fr) — keep in sync with
-  // TextStats.langMarkers
-  private val langSets: Array[java.util.HashSet[UTF8String]] = Array(
-    toSet(Seq("der", "die", "das", "und", "ist", "von", "den", "mit", "ein", "zu")),
-    toSet(Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a")),
-    toSet(Seq("el", "la", "de", "que", "y", "los", "en", "un", "por", "una")),
-    toSet(Seq("le", "la", "les", "de", "et", "des", "un", "une", "du", "est")))
-  private val stopSet: java.util.HashSet[UTF8String] = toSet(
-    Seq("a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
-      "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
-      "such", "that", "the", "their", "then", "there", "these", "they",
-      "this", "to", "was", "will", "with"))
+  // built from the canonical definitions (language-sorted, matching
+  // LangHits' index contract) — a drifted copy here would silently
+  // skew the scores
+  private val langSets: Array[java.util.HashSet[UTF8String]] =
+    graft.operators.TextStats.langMarkers.toSeq.sortBy(_._1)
+      .map { case (_, words) => toSet(words) }.toArray
+  private val stopSet: java.util.HashSet[UTF8String] =
+    toSet(graft.functions.Analyzers.englishStopwords)
 
   /** Function-word hits per candidate language, one token pass. */
   def langHits(arr: ArrayData): ArrayData = {
@@ -564,7 +561,12 @@ object expressions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      // a silent min-length truncation would score ragged embeddings
+      // with a plausible-but-wrong partial product — surface data bugs
+      if (n != y.numElements())
+        throw new IllegalArgumentException(
+          s"dot_product: dimension mismatch ($n vs ${y.numElements()})")
       var s = 0.0
       var i = 0
       while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -575,7 +577,11 @@ object expressions {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "dot_product: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
            |double ${ev.value}_s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  ${ev.value}_s += $a.getDouble($i) * $b.getDouble($i);

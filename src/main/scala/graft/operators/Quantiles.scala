@@ -36,44 +36,52 @@ object Quantiles {
     * yields a null-valued row — the one documented divergence. */
   def exactPercentiles(df: DataFrame, keyCol: String, valueCol: String,
                        ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "exactPercentiles: at least one percentile required")
+    // working columns carry a reserved prefix (the __salt convention):
+    // bare names like "v"/"n" would silently collide with user columns
+    // — withColumn("n", ...) REPLACES an existing "n", corrupting the
+    // grouping when keyCol == "n"
+    val V = "__q_v"; val CNT = "__q_cnt"; val N = "__q_n"
+    val CS = "__q_cum_start"; val CE = "__q_cum_end"
     // filter on the CAST value: a non-null input that casts to null
     // (e.g. an uncastable string) would otherwise re-introduce the
     // rank-0 null shift this filter exists to prevent
     val hist = df.filter(col(valueCol).cast("double").isNotNull)
-      .groupBy(col(keyCol), col(valueCol).cast("double").as("v"))
-      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(keyCol), col(valueCol).cast("double").as(V))
+      .agg(count(lit(1)).as(CNT))
     // cumulative window per key runs over the HISTOGRAM (distinct
     // values), not the rows; cum_start = 0-indexed rank of the first
     // occurrence of v in the key's sorted value sequence. The key's
     // total row count n rides an unbounded frame over the SAME window
     // partition — no second scan, no totals join
-    val w = Window.partitionBy(keyCol).orderBy(col("v"))
+    val w = Window.partitionBy(keyCol).orderBy(col(V))
     val wAll = Window.partitionBy(keyCol)
     val joined = hist
-      .withColumn("cum_end", sum(col("cnt")).over(w))
-      .withColumn("cum_start", col("cum_end") - col("cnt"))
-      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn(CE, sum(col(CNT)).over(w))
+      .withColumn(CS, col(CE) - col(CNT))
+      .withColumn(N, sum(col(CNT)).over(wAll))
     // per p: the two bracketing order statistics lo=floor(pos),
     // hi=ceil(pos) each live in exactly one histogram row — pick them
     // with a conditional max (all other rows contribute null)
     val aggExprs = ps.flatMap { case (name, p) =>
-      val pos = (col("n") - 1) * p
+      val pos = (col(N) - 1) * p
       val lo = floor(pos)
       val hi = ceil(pos)
       Seq(
-        max(when(col("cum_start") <= lo && lo < col("cum_end"), col("v")))
-          .as(s"${name}_lo"),
-        max(when(col("cum_start") <= hi && hi < col("cum_end"), col("v")))
-          .as(s"${name}_hi"),
-        max(pos - lo).as(s"${name}_frac")) // constant per key (depends on n only)
+        max(when(col(CS) <= lo && lo < col(CE), col(V)))
+          .as(s"__q_${name}_lo"),
+        max(when(col(CS) <= hi && hi < col(CE), col(V)))
+          .as(s"__q_${name}_hi"),
+        max(pos - lo).as(s"__q_${name}_frac")) // constant per key (depends on n only)
     }
     val picked = joined.groupBy(col(keyCol))
       .agg(aggExprs.head, aggExprs.tail: _*)
     ps.foldLeft(picked) { case (acc, (name, _)) =>
       acc.withColumn(name,
-          col(s"${name}_lo") +
-            col(s"${name}_frac") * (col(s"${name}_hi") - col(s"${name}_lo")))
-        .drop(s"${name}_lo", s"${name}_hi", s"${name}_frac")
+          col(s"__q_${name}_lo") +
+            col(s"__q_${name}_frac") *
+              (col(s"__q_${name}_hi") - col(s"__q_${name}_lo")))
+        .drop(s"__q_${name}_lo", s"__q_${name}_hi", s"__q_${name}_frac")
     }
   }
 }

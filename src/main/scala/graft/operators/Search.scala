@@ -28,7 +28,8 @@ object Search {
     * any element's analyzed tokens contain the (analyzed) query term. */
   def nestedMatch(arr: Column, field: Column => Column, term: String): Column =
     exists(arr, e => array_contains(
-      Analyzers.englando(field(e)), graft.functions.PorterStemmer.stem(term.toLowerCase)))
+      Analyzers.englando(field(e)), graft.functions.PorterStemmer.stem(
+        term.toLowerCase(java.util.Locale.ROOT))))
 
   /** P7 bool combinator: weighted sum of boolean clause matches —
     * kept as the generic constant-score building block (ES

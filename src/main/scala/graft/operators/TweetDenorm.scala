@@ -57,11 +57,21 @@ object TweetDenorm {
         col("description").as("cd_desc"))),
         col("context_domain_id") === col("cd_id"))
       .groupBy(col("conversation_id"))
-      .agg(sort_array(collect_list(struct(
-        struct(col("ce_id").as("id"), col("ce_name").as("name"),
-          col("ce_desc").as("description")).as("entity"),
-        struct(col("cd_id").as("id"), col("cd_name").as("name"),
-          col("cd_desc").as("description")).as("domain"))))
+      // insertion order, distributed-correct (same pattern as
+      // Denorm.childrenPerOrder): the child row's serial id rides as
+      // the leading sort key and is stripped after the sort — the
+      // arrays come out exactly as Postgres json_agg emits them from
+      // an id-ordered fetch. collect_list alone cannot promise any
+      // order on a cluster.
+      .agg(transform(
+        sort_array(collect_list(struct(
+          col("id").as("seq"),
+          struct(col("ce_id").as("id"), col("ce_name").as("name"),
+            col("ce_desc").as("description")).as("entity"),
+          struct(col("cd_id").as("id"), col("cd_name").as("name"),
+            col("cd_desc").as("description")).as("domain")))),
+        s => struct(s.getField("entity").as("entity"),
+          s.getField("domain").as("domain")))
         .as("context_annotations"))
 
     // J5/J6 + A1: hashtags through the bridge table
@@ -69,7 +79,9 @@ object TweetDenorm {
       .join(broadcast(hashtags.select(col("id").as("h_id"), col("tag"))),
         col("hashtag_id") === col("h_id"))
       .groupBy(col("conversation_id"))
-      .agg(sort_array(collect_list(struct(col("tag")))).as("hashtags"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("id").as("seq"), col("tag")))),
+        s => struct(s.getField("tag").as("tag"))).as("hashtags"))
     val ch = hashtagsFor(conversationHashtags)
       .withColumnRenamed("hashtags", "conversation_hashtags")
 
@@ -77,15 +89,24 @@ object TweetDenorm {
     // FloatType, documented precision divergence SURVEY §1.2)
     val an = annotations
       .groupBy(col("conversation_id"))
-      .agg(sort_array(collect_list(struct(col("value"), col("type"),
-        col("probability").cast("float").as("probability"))))
+      .agg(transform(
+        sort_array(collect_list(struct(col("id").as("seq"),
+          col("value"), col("type"),
+          col("probability").cast("float").as("probability")))),
+        s => struct(s.getField("value").as("value"),
+          s.getField("type").as("type"),
+          s.getField("probability").as("probability")))
         .as("annotations"))
 
     // J8 + A1: links (title/description stay null when absent)
     val li = links
       .groupBy(col("conversation_id"))
-      .agg(sort_array(collect_list(struct(col("url"), col("title"),
-        col("description")))).as("links"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("id").as("seq"),
+          col("url"), col("title"), col("description")))),
+        s => struct(s.getField("url").as("url"),
+          s.getField("title").as("title"),
+          s.getField("description").as("description"))).as("links"))
 
     // J9 + J10 + J11 + J12 + A1: references to parent conversations
     val parentHashtags = hashtagsFor(conversationHashtags)
@@ -99,14 +120,21 @@ object TweetDenorm {
         col("p_author_id") === col("pa_id")) // J11 decorrelated
       .join(parentHashtags, col("p_id") === col("ph_id"), "left") // J12
       .groupBy(col("conversation_id"))
-      .agg(sort_array(collect_list(struct(
-        col("p_id").as("id"),
-        col("type"),
-        col("p_content").as("content"),
-        struct(col("pa_id").as("id"), col("pa_name").as("name"),
-          col("pa_username").as("username")).as("author"),
-        coalesce(col("hashtags"),
-          array().cast("array<struct<tag:string>>")).as("hashtags"))))
+      .agg(transform(
+        sort_array(collect_list(struct(
+          col("id").as("seq"),
+          col("p_id").as("id"),
+          col("type"),
+          col("p_content").as("content"),
+          struct(col("pa_id").as("id"), col("pa_name").as("name"),
+            col("pa_username").as("username")).as("author"),
+          coalesce(col("hashtags"),
+            array().cast("array<struct<tag:string>>")).as("hashtags")))),
+        s => struct(s.getField("id").as("id"),
+          s.getField("type").as("type"),
+          s.getField("content").as("content"),
+          s.getField("author").as("author"),
+          s.getField("hashtags").as("hashtags")))
         .as("conversation_references"))
 
     // J1 + final projection

@@ -37,13 +37,19 @@ object TweetFixture {
       "following_count", "tweet_count", "listed_count")
   }
 
+  // Child/bridge tables carry the Postgres schema's serial `id`
+  // (protokol.md:53 — the author dropped those ids only from the ES
+  // MAPPING, the tables have them), which is what makes the
+  // reference's json_agg insertion order reproducible: children are
+  // fetched in id order.
   def contextAnnotations(spark: SparkSession): DataFrame = {
     import spark.implicits._
     // duplicated on purpose: the golden document repeats an identical
     // context annotation (docs/sample_document.json:26-51)
-    Seq((mainId, 1484601166080081920L, 123L),
-      (mainId, 1484601166080081920L, 123L))
-      .toDF("conversation_id", "context_entity_id", "context_domain_id")
+    Seq((1L, mainId, 1484601166080081920L, 123L),
+      (2L, mainId, 1484601166080081920L, 123L))
+      .toDF("id", "conversation_id", "context_entity_id",
+        "context_domain_id")
   }
 
   def contextEntities(spark: SparkSession): DataFrame = {
@@ -61,8 +67,11 @@ object TweetFixture {
 
   def conversationHashtags(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq((mainId, 10L), (mainId, 11L), (parentId, 10L), (parentId, 11L))
-      .toDF("conversation_id", "hashtag_id")
+    // insertion order = the sample document's array order:
+    // Ukraine (10) before Russia (11) for both conversations
+    Seq((1L, mainId, 10L), (2L, mainId, 11L),
+      (3L, parentId, 10L), (4L, parentId, 11L))
+      .toDF("id", "conversation_id", "hashtag_id")
   }
 
   def hashtags(spark: SparkSession): DataFrame = {
@@ -72,22 +81,22 @@ object TweetFixture {
 
   def annotations(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq((mainId, "UKRAINE", "Place", 0.954))
-      .toDF("conversation_id", "value", "type", "probability")
+    Seq((1L, mainId, "UKRAINE", "Place", 0.954))
+      .toDF("id", "conversation_id", "value", "type", "probability")
   }
 
   def links(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq((mainId,
+    Seq((1L, mainId,
       "https://twitter.com/one_sorrow/status/1496727690157588483/photo/1",
       Option.empty[String], Option.empty[String]))
-      .toDF("conversation_id", "url", "title", "description")
+      .toDF("id", "conversation_id", "url", "title", "description")
   }
 
   def conversationReferences(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq((mainId, parentId, "retweeted"))
-      .toDF("conversation_id", "parent_id", "type")
+    Seq((1L, mainId, parentId, "retweeted"))
+      .toDF("id", "conversation_id", "parent_id", "type")
   }
 
   /** The full denormalized fixture — the reference's ETL output shape,

@@ -65,19 +65,32 @@ object Sink {
   }
 
   /** Sum of parquet footer record counts under `path` — the
-    * write-committed row total, read from file METADATA only. */
+    * write-committed row total, read from file METADATA only. Footers
+    * are opened in a bounded thread pool: a large write commits
+    * thousands of part files, and one serial remote open each would
+    * make the ack itself minutes of driver latency on object storage. */
   def committedRowCount(spark: SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    fs.listStatus(p).iterator
+    val files = fs.listStatus(p)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(f, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+    if (files.isEmpty) return 0L
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.length))
+    try {
+      import scala.jdk.CollectionConverters._
+      pool.invokeAll(files.toSeq.map { f =>
+        new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(f, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }
+        }
+      }.asJava).asScala.map(_.get()).sum
+    } finally pool.shutdown()
   }
 
   /** Bucketed table write: pre-partition + pre-sort by the join key so
@@ -92,8 +105,12 @@ object Sink {
     // a stale managed-table location (e.g. from a previous session with
     // a fresh in-memory catalog) blocks creation — reclaim it first
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // the catalog lowercases table identifiers when laying out the
+    // managed location — mirror it, or the reclaim misses
+    // warehouse/mytable for bucketedTable(df, "MyTable", ...)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+      spark.conf.get("spark.sql.warehouse.dir") +
+        s"/${name.toLowerCase(java.util.Locale.ROOT)}")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)

