@@ -42,24 +42,38 @@ object Similarity {
     * norm division would otherwise abort the whole query with
     * DIVIDE_BY_ZERO the first time a degenerate embedding appears in
     * a corpus. */
-  private def withNorm(emb: DataFrame, idCol: String = "vec_id"): DataFrame =
+  private def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0.0)
 
+  /** Collect + validate a query vector: present, nonzero norm. A bare
+    * `.head()` would throw an uninformative NoSuchElementException for
+    * a missing id, and a zero-norm query would score every row NaN
+    * (which Spark sorts HIGHEST, silently returning arbitrary rows). */
+  private def queryVector(emb: DataFrame, queryId: Long): (Array[Double], Double) = {
+    val rows = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>")).take(1)
+    require(rows.nonEmpty, s"knn: query vec_id=$queryId not found")
+    val q = rows.head.getSeq[Double](0).toArray
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    require(qn > 0.0, s"knn: query vec_id=$queryId has zero norm")
+    (q, qn)
+  }
+
   /** Brute-force cosine top-k neighbors of the vector with id
     * `queryId`. The 1-row query side is collected and inlined as a
     * literal (the degenerate broadcast join), so the corpus is scanned
-    * exactly once with no shuffle. */
+    * exactly once with no shuffle; the query's norm is computed ONCE
+    * driver-side (an in-row `norm(lit(q))` is not constant-folded and
+    * would re-pay O(d) per corpus row). */
   def knnBrute(emb: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
-    val q = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding").cast("array<double>")).head()
-      .getSeq[Double](0).toArray
+    val (q, qn) = queryVector(emb, queryId)
     val qc = lit(q)
     withNorm(emb) // zero vectors excluded (cosine undefined for them)
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
-        round(dot(col("v"), qc) / (col("nrm") * norm(qc)), 6).as("cos_sim"))
+        round(dot(col("v"), qc) / (col("nrm") * lit(qn)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -74,6 +88,11 @@ object Similarity {
   /** Random-hyperplane LSH bucket id: one bit per plane = sign of the
     * dot product. Vectors in the same bucket are likely cosine-close. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
+    // beyond 63 planes 1L << i wraps (shift count mod 64) and planes
+    // silently alias bucket bits — coarser buckets, broken Hamming
+    // rings, and nothing downstream would notice the recall loss
+    require(planes.length <= 63,
+      s"lshBucket: at most 63 planes fit the Long bucket, got ${planes.length}")
     val bits = planes.zipWithIndex.map { case (p, i) =>
       when(dot(v, lit(p)) > 0.0, lit(1L << i)).otherwise(0L)
     }
@@ -106,10 +125,11 @@ object Similarity {
     val planes = hyperplanes(dim, nPlanes, seed)
     val bucketed = withNorm(emb).withColumn("bucket",
       lshBucket(col("v"), planes))
-    val qRow = bucketed.filter(col("vec_id") === queryId)
-      .select(col("v"), col("bucket")).head()
-    val q = qRow.getSeq[Double](0).toArray
-    val qBucket = qRow.getLong(1)
+    val (q, qn) = queryVector(emb, queryId)
+    val qBucket = planes.zipWithIndex.foldLeft(0L) { case (b, (p, i)) =>
+      val d = p.zip(q).map { case (a, x) => a * x }.sum
+      if (d > 0.0) b | (1L << i) else b
+    }
     // enumerate the masks directly as bit COMBINATIONS of size
     // 0..radius — O(nPlanes^radius) as documented, and safe for any
     // nPlanes up to the bucket's 63 bits (a 0-until-2^nPlanes range
@@ -121,7 +141,7 @@ object Similarity {
     bucketed
       .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
-        round(dot(col("v"), qc) / (col("nrm") * norm(qc)), 6).as("cos_sim"))
+        round(dot(col("v"), qc) / (col("nrm") * lit(qn)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
