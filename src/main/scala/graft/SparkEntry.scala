@@ -298,6 +298,59 @@ object SparkEntry {
         .filter(col("rn") <= 3)
         .orderBy(col("o_custkey"), col("rn"))
     }),
+    "w5_lag_lead" -> ((s, d) => {
+      // per-key lead/lag navigation (the OLAP gap/next-event shape):
+      // seconds since the user's previous event and until the next.
+      // Tie-break on event_id — event times repeat within a user, and
+      // an untied window order is arrival-order-dependent on a cluster
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      // gaps in whole seconds via MICROSECOND integer math on both
+      // engine sides: a seconds-valued cast truncates in Spark but
+      // rounds in DuckDB, so fractional-second timestamps diverge
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor((unix_micros(col("ts")) -
+              unix_micros(lag(col("ts"), 1).over(w))) / lit(1000000L))
+            .cast("long").as("gap_prev_s"),
+          floor((unix_micros(lead(col("ts"), 1).over(w)) -
+              unix_micros(col("ts"))) / lit(1000000L))
+            .cast("long").as("gap_next_s"))
+        .orderBy(col("event_id"))
+    }),
+    "a4_rollup" -> ((s, d) =>
+      // hierarchical subtotals (ROLLUP) — the OLAP cube slice the
+      // reference's dashboards aggregate by hand; one shuffle, Spark
+      // expands grouping sets map-side. Grouping null markers are
+      // materialized as 'ALL' so the row identity is hash-stable
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("n"), col("revenue"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus"))),
+    "a5_pivot" -> ((s, d) =>
+      // wide pivot: one row per day, one count column per event type.
+      // The pivot values are DECLARED (not discovered) — at 100 TB the
+      // two-pass "collect distinct values first" pivot is a full extra
+      // scan and a driver-side value list; a curated schema is both
+      // faster and stable as new event types appear
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("day"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))
+        .orderBy(col("day"))),
 
     // ---- scoring / search (SURVEY §2.7) ----
     "f1_scored_search" -> ((s, d) =>
@@ -512,6 +565,14 @@ object SparkEntry {
     "x8_hash_split" -> ((s, d) =>
       TextStats.hashSplit(Tables.documents(s, d), valPct = 10)
         .orderBy(col("doc_id"))),
+    "x11_stratified_sample" -> ((s, d) =>
+      TextStats.stratifiedSample(Tables.documents(s, d),
+        ratesPct = Map("en" -> 90, "de" -> 60, "zh" -> 45,
+          "fr" -> 30, "es" -> 10), defaultPct = 100)
+        .orderBy(col("doc_id"))),
+    "x13_mixture_stats" -> ((s, d) =>
+      TextStats.mixtureStats(Tables.documents(s, d))
+        .orderBy(col("lang"))),
     "x9_repetition" -> ((s, d) =>
       TextStats.repetition(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
@@ -802,6 +863,29 @@ object SparkEntry {
       """SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                                row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rn
                         FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "w5_lag_lead" ->
+      """SELECT event_id, user_id, ts,
+                (epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)) // 1000000 AS gap_prev_s,
+                (epoch_us(lead(ts, 1) OVER w) - epoch_us(ts)) // 1000000 AS gap_next_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+    "a4_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                (2 * grouping(l_returnflag) + grouping(l_linestatus))::BIGINT AS gid,
+                count(*)::BIGINT AS n,
+                round(sum(l_extendedprice), 2) AS revenue
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, returnflag, linestatus""",
+    "a5_pivot" ->
+      """SELECT ts::DATE AS day,
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+         FROM events GROUP BY 1 ORDER BY day""",
     "f1_scored_search" ->
       """WITH ann AS (SELECT l_orderkey, count(*)::INT AS dl,
                             sum(CASE WHEN n.n_name LIKE '%NATION_1%' THEN 1 ELSE 0 END)::INT AS tf
@@ -1247,6 +1331,24 @@ object SparkEntry {
                 CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
                      THEN 'train' ELSE 'val' END AS split
          FROM documents ORDER BY doc_id""",
+    "x11_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)
+               < (CASE lang WHEN 'en' THEN 90 WHEN 'de' THEN 60
+                            WHEN 'zh' THEN 45 WHEN 'fr' THEN 30
+                            WHEN 'es' THEN 10 ELSE 100 END)
+         ORDER BY doc_id""",
+    "x13_mixture_stats" ->
+      """WITH per AS (
+           SELECT lang, count(*)::BIGINT AS n_docs,
+                  sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END)::BIGINT AS n_tokens
+           FROM documents GROUP BY lang)
+         SELECT lang, n_docs, n_tokens,
+                round(n_tokens / (SELECT sum(n_tokens) FROM per), 6)
+                  AS token_share
+         FROM per ORDER BY lang""",
     "d9_contamination" ->
       s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
           ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),

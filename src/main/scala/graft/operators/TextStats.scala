@@ -209,4 +209,44 @@ object TextStats {
       .select(col("id").as(idCol), col("md5_full"),
         graft.functions.expressions.min_md5(col("shingles"))
           .as("min_shingle_md5"))
+
+  /** X11: deterministic stratified sampling — per-stratum keep rates
+    * for data-mixture construction (downsample over-represented
+    * languages/domains, keep the rest). The keep decision is the same
+    * content-hash bucket as [[hashSplit]], never `sample()`: stable
+    * across cluster sizes, re-runs, engines, and corpus appends, and a
+    * doc kept at 30% is also kept at any higher rate (nested samples —
+    * the property mixture ablations rely on). Row-local filter, no
+    * shuffle; at 100 TB this is a scan-side predicate. */
+  def stratifiedSample(docs: DataFrame, ratesPct: Map[String, Int],
+                       defaultPct: Int = 100,
+                       strataCol: String = "lang",
+                       idCol: String = "doc_id"): DataFrame = {
+    val rate = ratesPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, pct)) =>
+        when(col(strataCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    docs.filter(splitBucket(col(idCol)) < rate)
+      .select(col(idCol), col(strataCol))
+  }
+
+  /** X13: data-mixture report — per-stratum document and token totals
+    * plus each stratum's share of the corpus tokens, the numbers a
+    * pretraining run's mixture weights are tuned against. One shuffle
+    * (the groupBy); the grand total joins back as a broadcast 1-row
+    * aggregate, never a global window. */
+  def mixtureStats(docs: DataFrame, strataCol: String = "lang",
+                   textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val ws = when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+"))).cast("long")
+    val per = docs.select(col(strataCol), ws.as("toks"))
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val total = per.agg(sum("n_tokens").as("total_tokens"))
+    per.crossJoin(broadcast(total))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6)
+          .as("token_share"))
+  }
 }

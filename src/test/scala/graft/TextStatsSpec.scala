@@ -149,4 +149,29 @@ class TextStatsSpec extends SparkSpec {
       assert(packed.toSeq == naive.toSeq, s"buckets=$b")
     }
   }
+
+  test("stratified samples are nested and rate-accurate") {
+    val docs = Tables.documents(spark, sf)
+    val low = TextStats.stratifiedSample(docs, Map("en" -> 30), defaultPct = 0)
+      .select("doc_id").as[Long].collect().toSet
+    val high = TextStats.stratifiedSample(docs, Map("en" -> 70), defaultPct = 0)
+      .select("doc_id").as[Long].collect().toSet
+    // hash-bucket sampling nests: every doc kept at 30% is kept at 70%
+    assert(low.subsetOf(high))
+    val nEn = docs.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(low.size / nEn - 0.30) < 0.15)
+    assert(math.abs(high.size / nEn - 0.70) < 0.15)
+    // defaultPct = 0 drops every unlisted stratum
+    val langs = TextStats.stratifiedSample(docs, Map("en" -> 30), defaultPct = 0)
+      .select("lang").distinct().as[String].collect().toSeq
+    assert(langs == Seq("en"))
+  }
+
+  test("mixture stats shares sum to 1 and count every doc") {
+    val docs = Tables.documents(spark, sf)
+    val rows = TextStats.mixtureStats(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val shareSum = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+  }
 }
