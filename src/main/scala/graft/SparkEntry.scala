@@ -565,6 +565,31 @@ object SparkEntry {
     "x8_hash_split" -> ((s, d) =>
       TextStats.hashSplit(Tables.documents(s, d), valPct = 10)
         .orderBy(col("doc_id"))),
+    "x10_pii_redact" -> ((s, d) => {
+      // PII scrub over a corpus with PLANTED dirty rows: the synthetic
+      // documents contain no emails/phones/IPs, so deterministic PII
+      // is appended in-plan to a subset (same construction in the
+      // oracle) and the redaction pass must scrub exactly those — an
+      // identity redaction would fail n_pii, an over-eager one the text
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@example.com ok"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" call 555-123-4567 now")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" host 192.168.1.77 down")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          TextStats.piiCount(col("dirty")).as("n_pii"),
+          TextStats.redactPii(col("dirty")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+    "d11_chunk_dedup" -> ((s, d) =>
+      graft.operators.Dedup.chunkDedup(Tables.documents(s, d),
+        chunkTokens = 32)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     "x11_stratified_sample" -> ((s, d) =>
       TextStats.stratifiedSample(Tables.documents(s, d),
         ratesPct = Map("en" -> 90, "de" -> 60, "zh" -> 45,
@@ -1331,6 +1356,43 @@ object SparkEntry {
                 CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
                      THEN 'train' ELSE 'val' END AS split
          FROM documents ORDER BY doc_id""",
+    "x10_pii_redact" -> {
+      // the same planted-dirty construction, then RE2 replays of the
+      // java.util.regex patterns (kept lookaround-free for parity);
+      // DuckDB regexp_replace needs the 'g' flag to scrub every match
+      val plant =
+        """text ||
+           CASE WHEN doc_id % 7 = 0
+                THEN ' reach me at user' || doc_id::VARCHAR || '@example.com ok'
+                ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 now' ELSE '' END ||
+           CASE WHEN doc_id % 13 = 0 THEN ' host 192.168.1.77 down' ELSE '' END"""
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH dirty AS (SELECT doc_id, $plant AS dirty FROM documents)
+          SELECT doc_id,
+                 (len(regexp_extract_all(dirty, '$email')) +
+                  len(regexp_extract_all(dirty, '$phone')) +
+                  len(regexp_extract_all(dirty, '$ip')))::BIGINT AS n_pii,
+                 regexp_replace(regexp_replace(regexp_replace(dirty,
+                   '$email', '<EMAIL>', 'g'),
+                   '$phone', '<PHONE>', 'g'),
+                   '$ip', '<IP>', 'g') AS redacted
+          FROM dirty ORDER BY doc_id"""
+    },
+    "d11_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM documents WHERE len(trim(text)) > 0),
+          c AS (SELECT doc_id, i::BIGINT AS chunk_idx,
+                       md5(array_to_string(toks[i*32+1:i*32+32], ' ')) AS fp
+                FROM t, unnest(range((len(toks)-1)//32 + 1)) AS u(i)),
+          f AS (SELECT doc_id, chunk_idx, fp,
+                       min(ROW(doc_id, chunk_idx)) OVER (PARTITION BY fp) AS first_seen
+                FROM c)
+          SELECT doc_id, chunk_idx, fp,
+                 (ROW(doc_id, chunk_idx) <> first_seen) AS is_dup
+          FROM f ORDER BY doc_id, chunk_idx""",
     "x11_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)

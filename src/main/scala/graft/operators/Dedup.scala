@@ -370,4 +370,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** D11: chunk-level (sub-document) dedup — the C4/CCNet move of
+    * deduplicating repeated SPANS across documents, not whole docs:
+    * each document splits into fixed `chunkTokens`-word chunks, every
+    * chunk fingerprints, and a chunk is a duplicate iff an identical
+    * chunk exists earlier in (doc_id, chunk_idx) order. Downstream
+    * keeps `is_dup = false` chunks and reassembles.
+    *
+    * Scale shape: chunking is row-local (posexplode over a computed
+    * array — one scan, no shuffle); first-occurrence resolution is ONE
+    * shuffle on the fingerprint with an UNORDERED window min (whole-
+    * partition aggregate, no per-group sort). A pathologically common
+    * boilerplate chunk concentrates its fingerprint's rows on one
+    * task — the [[Skew]] salting pattern applies there; at the corpus
+    * sizes where that bites, common chunks should instead be counted
+    * first and handled as stop-chunks (same remedy as d4's capped
+    * posting lists). */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 32,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(col(textCol)), "\\s+")
+    val chunked = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("toks"))
+      // ceil(n/chunk) chunks: (n-1)/chunk is double division in the
+      // Column DSL; the int cast truncates, which is floor for n ≥ 1
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0),
+          ((size(col("toks")) - 1) / chunkTokens).cast("int")),
+        i => concat_ws(" ",
+          slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens))))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        md5(col("col")).as("fp"))
+    val firstSeen = min(struct(col(idCol), col("chunk_idx")))
+      .over(Window.partitionBy("fp"))
+    chunked
+      .withColumn("is_dup",
+        struct(col(idCol), col("chunk_idx")) =!= firstSeen)
+      .select(col(idCol), col("chunk_idx"), col("fp"), col("is_dup"))
+  }
 }

@@ -210,6 +210,30 @@ object TextStats {
         graft.functions.expressions.min_md5(col("shingles"))
           .as("min_shingle_md5"))
 
+  /** PII patterns for [[redactPii]]. Kept to constructs with identical
+    * semantics in java.util.regex and RE2 (no lookaround, no
+    * backreferences) so the DuckDB oracle replays them verbatim. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** X10: PII redaction — scrub emails, phone numbers, and IPv4
+    * addresses before training, the standard compliance pass. Pure
+    * row-local projection (scan-side at any scale); patterns chained
+    * in declared order so earlier placeholders are never re-matched. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Number of PII matches in `text` across all patterns (the audit
+    * metric logged next to a redaction run). */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all(text, lit(pat), lit(0)))
+    }.reduce(_ + _).cast("long")
+
   /** X11: deterministic stratified sampling — per-stratum keep rates
     * for data-mixture construction (downsample over-represented
     * languages/domains, keep the rest). The keep decision is the same

@@ -130,4 +130,27 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(clusters.values.toSet == Set(1L))
   }
+
+  test("chunk dedup flags later copies of a repeated span only") {
+    val span = (1 to 4).map(i => s"w$i").mkString(" ") // one 4-token chunk
+    val docs = Seq(
+      (1L, span + " unique tail one"),        // chunks: [span][unique...]
+      (2L, span + " different tail here"),    // chunk 0 duplicates doc 1's
+      (3L, "entirely fresh words only"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, chunkTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(3))
+      .toMap
+    assert(out((1L, 0L)) == false) // first occurrence keeps
+    assert(out((2L, 0L)) == true)  // later identical chunk is the dup
+    assert(out((1L, 1L)) == false && out((2L, 1L)) == false)
+    assert(out((3L, 0L)) == false)
+    assert(!out.keys.exists(_._1 == 4L)) // empty doc yields no chunks
+    // within-doc repeats dedup too: the second identical chunk in ONE
+    // doc is flagged (idx order breaks the tie)
+    val self = Seq((9L, span + " " + span)).toDF("doc_id", "text")
+    val selfOut = Dedup.chunkDedup(self, chunkTokens = 4)
+      .collect().map(r => (r.getLong(1), r.getBoolean(3))).toMap
+    assert(selfOut == Map(0L -> false, 1L -> true))
+  }
 }

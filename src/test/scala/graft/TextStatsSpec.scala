@@ -150,6 +150,23 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("PII redaction scrubs emails, phones, IPs and nothing else") {
+    val df = Seq(
+      (1L, "mail alice.smith+x@sub.example.org today"),
+      (2L, "call 555-123-4567 or 555 987 6543"),
+      (3L, "host 10.0.255.7 and plain text"),
+      (4L, "version 1.2 stays and so does a@b")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        TextStats.redactPii(col("text")).as("red"),
+        TextStats.piiCount(col("text")).as("n"))
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L) == ("mail <EMAIL> today", 1L))
+    assert(r(2L) == ("call <PHONE> or <PHONE>", 2L))
+    assert(r(3L) == ("host <IP> and plain text", 1L))
+    // short version numbers and non-domain @ are NOT PII matches
+    assert(r(4L) == ("version 1.2 stays and so does a@b", 0L))
+  }
+
   test("stratified samples are nested and rate-accurate") {
     val docs = Tables.documents(spark, sf)
     val low = TextStats.stratifiedSample(docs, Map("en" -> 30), defaultPct = 0)
