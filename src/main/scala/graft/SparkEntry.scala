@@ -598,6 +598,17 @@ object SparkEntry {
     "x13_mixture_stats" -> ((s, d) =>
       TextStats.mixtureStats(Tables.documents(s, d))
         .orderBy(col("lang"))),
+    "x14_boilerplate" -> ((s, d) =>
+      TextStats.boilerplate(Tables.documents(s, d), minDf = 3)
+        .orderBy(col("doc_id"))),
+    "n5_quantize" -> ((s, d) =>
+      // int8 scalar quantization + its reconstruction contract; codes
+      // '|'-flatten for the hash compare (repo array convention)
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          joined(transform(col("q"), c => c.cast("string"))).as("q"),
+          col("ok"))
+        .orderBy(col("vec_id"))),
     "x9_repetition" -> ((s, d) =>
       TextStats.repetition(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
@@ -1400,6 +1411,34 @@ object SparkEntry {
                             WHEN 'zh' THEN 45 WHEN 'fr' THEN 30
                             WHEN 'es' THEN 10 ELSE 100 END)
          ORDER BY doc_id""",
+    "x14_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+          p AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+          d AS (SELECT sh1, count(*)::BIGINT AS df FROM p GROUP BY 1)
+          SELECT p.doc_id, count(*)::BIGINT AS n_shingles,
+                 sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_common,
+                 round(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) / count(*), 6)
+                   AS boilerplate_ratio
+          FROM p JOIN d USING (sh1) GROUP BY 1 ORDER BY 1""",
+    "n5_quantize" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings),
+          a AS (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS amax
+                FROM e),
+          c AS (SELECT vec_id, v, amax,
+                       CASE WHEN amax > 0
+                            THEN list_transform(v, x -> floor(x / (amax / 127.0) + 0.5)::INT)
+                            ELSE list_transform(v, x -> 0) END AS q
+                FROM a)
+          SELECT vec_id, array_to_string(q, '|') AS q,
+                 (CASE WHEN amax > 0
+                       THEN list_max(list_transform(generate_series(1, len(v)),
+                              i -> abs(v[i] - q[i] * (amax / 127.0))))
+                       ELSE 0.0 END) <= 1.0000001 * amax / 254.0 AS ok
+          FROM c ORDER BY vec_id""",
     "x13_mixture_stats" ->
       """WITH per AS (
            SELECT lang, count(*)::BIGINT AS n_docs,

@@ -520,4 +520,39 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** N5: int8 scalar quantization of an embedding column (the FAISS
+    * SQ8 shape) — each vector rescales to its own max-magnitude so
+    * codes use the full [-127,127] range; storage drops 4× and
+    * distance kernels run on bytes. Row-local projection: quantization
+    * is scan-side at any scale.
+    *
+    * Every arithmetic step is plain IEEE-double ops (`floor(x+0.5)`,
+    * never `round`) so the DuckDB oracle replays it bit-for-bit —
+    * half-way cases round identically by construction, where the two
+    * engines' `round()` builtins disagree (HALF_UP vs half-even).
+    * The emitted `ok` column is the reconstruction contract: max
+    * |xᵢ − qᵢ·scale| ≤ scale/2 — the bound scalar quantization
+    * promises; a broken scale or rounding step violates it. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    // amax and the codes each materialize behind a projection boundary
+    // (referenced several times downstream, incl. inside lambdas), so
+    // CollapseProject cannot inline the array_max into a per-element
+    // recompute — the same staging discipline as Dedup.withShingleSet
+    val staged = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("amax"))
+    val scale = col("amax") / 127.0d
+    val codes = staged.select(col("vec_id"), col("v"), col("amax"),
+      when(col("amax") > 0.0d,
+        transform(col("v"), x => floor(x / scale + 0.5d).cast("int")))
+        .otherwise(transform(col("v"), _ => lit(0))).as("q"))
+    val err = when(col("amax") > 0.0d,
+      array_max(zip_with(col("v"), col("q"),
+        (x, c) => abs(x - c.cast("double") * scale))))
+      .otherwise(lit(0.0d))
+    codes.select(col("vec_id"), col("q"),
+      (err <= lit(1.0000001d) * col("amax") / 254.0d).as("ok"))
+  }
 }

@@ -234,6 +234,33 @@ object TextStats {
       size(regexp_extract_all(text, lit(pat), lit(0)))
     }.reduce(_ + _).cast("long")
 
+  /** X14: boilerplate signal — the fraction of a document's distinct
+    * word-3-gram shingles that are corpus-common (document frequency ≥
+    * `minDf`): navigation chrome, license headers, and template text
+    * score high and get filtered or reweighted before training (the
+    * RefinedWeb/CCNet repeated-span heuristic at shingle granularity).
+    *
+    * Scale shape: posting rows (doc, shingle) are built row-local, the
+    * document-frequency aggregate shuffles on the shingle, and the
+    * join back to postings REUSES that shingle partitioning (no third
+    * exchange); the per-doc ratio is the only other shuffle. No
+    * broadcast of the common-shingle set is assumed — at corpus scale
+    * the df table is as big as the vocabulary. */
+  def boilerplate(docs: DataFrame, minDf: Int = 3,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val posts = Dedup.withShingleSet(docs, textCol, idCol)
+      .select(col("id"), explode(col("shingles")).as("sh"))
+    // shingles are distinct within a doc, so count(*) IS the doc freq
+    val dfc = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+    posts.join(dfc, "sh")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("boilerplate_ratio",
+        round(col("n_common").cast("double") / col("n_shingles"), 6))
+  }
+
   /** X11: deterministic stratified sampling — per-stratum keep rates
     * for data-mixture construction (downsample over-represented
     * languages/domains, keep the rest). The keep decision is the same

@@ -198,4 +198,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(full == bruteRows)
   }
+
+  test("int8 quantization: full-range codes, bounded error, zero-safe") {
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(-2.0f, 2.0f, 1.0f, -1.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(emb).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getBoolean(2))).toMap
+    // max-magnitude element codes to ±127; halves round toward +inf
+    // (floor(x+0.5): -63.5 → -63), identically on both engines
+    assert(out(1L)._1 == Seq(127, -63, 32, 0))
+    assert(out(2L)._1 == Seq(-127, 127, 64, -63))
+    // the all-zero vector quantizes to zeros instead of dividing by 0
+    assert(out(3L)._1 == Seq(0, 0, 0, 0))
+    // reconstruction contract holds for every row
+    assert(out.values.forall(_._2))
+    // round-trip error really is within half a quantization step
+    val scale = 2.0 / 127
+    val recon = out(2L)._1.map(_ * scale)
+    Seq(-2.0, 2.0, 1.0, -1.0).zip(recon).foreach { case (x, r) =>
+      assert(math.abs(x - r) <= scale / 2 + 1e-12)
+    }
+  }
 }

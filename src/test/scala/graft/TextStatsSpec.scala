@@ -184,6 +184,24 @@ class TextStatsSpec extends SparkSpec {
     assert(langs == Seq("en"))
   }
 
+  test("boilerplate ratio separates template text from fresh text") {
+    // "alpha beta gamma" is the shared boilerplate shingle (df=3);
+    // each doc's tail is unique
+    val docs = Seq(
+      (1L, "alpha beta gamma one two three"),
+      (2L, "alpha beta gamma four five six"),
+      (3L, "alpha beta gamma seven eight nine"),
+      (4L, "totally fresh words with nothing shared")).toDF("doc_id", "text")
+    val r = TextStats.boilerplate(docs, minDf = 3).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // 6 tokens → 4 shingles; only the leading one is corpus-common
+    assert(r(1L) == (4L, 1L, 0.25))
+    assert(r(2L) == (4L, 1L, 0.25))
+    assert(r(3L) == (4L, 1L, 0.25))
+    assert(r(4L)._2 == 0L && r(4L)._3 == 0.0)
+  }
+
   test("mixture stats shares sum to 1 and count every doc") {
     val docs = Tables.documents(spark, sf)
     val rows = TextStats.mixtureStats(docs).collect()
