@@ -695,6 +695,7 @@ object SparkEntry {
     "st3_stream_state" -> ((s, d) => EventStream.runUserCounts(s, d)),
     "st4_stream_denorm" -> ((s, d) =>
       graft.streaming.DenormStream.runDenorm(s, d)),
+    "st5_stream_join" -> ((s, d) => EventStream.runStreamJoin(s, d)),
 
     // ---- analyst SQL entry (SURVEY §3.3) ----
     "sql2_sql_functions" -> ((s, d) => {
@@ -1594,6 +1595,13 @@ object SparkEntry {
           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
           LEFT JOIN li ON li.l_orderkey = o.o_orderkey
           LEFT JOIN ann ON ann.l_orderkey = o.o_orderkey
-          ORDER BY id"""
+          ORDER BY id""",
+    "st5_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+         ORDER BY purchase_id, click_id"""
   )
 }

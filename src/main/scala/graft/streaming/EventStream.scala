@@ -194,4 +194,41 @@ object EventStream {
       .agg(max(col("n")).as("n"))
       .orderBy(col("user_id"))
   }
+
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding `windowMinutes`. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions, so Spark can size the join state and evict rows as
+    * the watermark advances — the conditions append-mode stream-stream
+    * joins require; without them state grows forever. At scale, state
+    * is bounded by (events within the watermark horizon), not by the
+    * stream length. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+                        windowMinutes: Int = 30): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c, col("p_user") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+      col("c_ts") <= col("p_ts"))
+  }
+
+  /** ST5: the stream-stream join run end-to-end — purchases and clicks
+    * arrive as two INDEPENDENT file streams of the same events source;
+    * on a finite input the joined pairs must equal the batch interval
+    * join (the DuckDB non-equi-join oracle). */
+  def runStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val table = runToMemory(
+      purchaseClickJoin(eventsStream(spark, dir), eventsStream(spark, dir)),
+      OutputMode.Append, "st5_")
+    spark.table(table)
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
 }

@@ -127,4 +127,22 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(streamed == batch)
   }
+
+  test("stream-stream interval join equals the batch non-equi join") {
+    val streamed = EventStream.runStreamJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"),
+        col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+    val batch = p.join(c, col("pu") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+        col("cts") <= col("pts"))
+      .select(col("pid"), col("cid"), col("pu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
