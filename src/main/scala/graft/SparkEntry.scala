@@ -601,6 +601,34 @@ object SparkEntry {
     "x14_boilerplate" -> ((s, d) =>
       TextStats.boilerplate(Tables.documents(s, d), minDf = 3)
         .orderBy(col("doc_id"))),
+    "x12_shuffle_batches" -> ((s, d) =>
+      TextStats.shuffleBatches(Tables.documents(s, d), batchSize = 64)
+        .orderBy(col("doc_id"))),
+    "n6_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d))
+        .orderBy(col("label"))),
+    "j15_full_outer" -> ((s, d) => {
+      // full outer join with BOTH orphan sides live: the dim prunes to
+      // one segment, so orders of other segments surface as left-null
+      // rows while BUILDING customers without orders surface right-null
+      val bc = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val oc = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_spend"))
+      // orphan sides keep their rows; their null columns flatten to
+      // sentinels because the harness compare sorts column values and
+      // can't order NULL against strings
+      bc.join(oc, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_mktsegment"), lit("NONE")).as("segment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_spend"), lit(0.0d)).as("total_spend"))
+        .orderBy(col("custkey"))
+    }),
     "n5_quantize" -> ((s, d) =>
       // int8 scalar quantization + its reconstruction contract; codes
       // '|'-flatten for the hash compare (repo array convention)
@@ -1412,6 +1440,38 @@ object SparkEntry {
                             WHEN 'zh' THEN 45 WHEN 'fr' THEN 30
                             WHEN 'es' THEN 10 ELSE 100 END)
          ORDER BY doc_id""",
+    "x12_shuffle_batches" ->
+      """WITH k AS (SELECT doc_id, md5('42:' || doc_id::VARCHAR) AS skey
+                    FROM documents),
+          r AS (SELECT doc_id, skey,
+                       (row_number() OVER (ORDER BY skey, doc_id) - 1)::BIGINT AS pos
+                FROM k)
+          SELECT doc_id, skey, pos, pos // 64 AS batch_id
+          FROM r ORDER BY doc_id""",
+    "n6_label_centroids" ->
+      """WITH u AS (SELECT label, i AS pos,
+                           floor(embedding[i]::DOUBLE * 1000000 + 0.5)::BIGINT AS u6,
+                           vec_id
+                    FROM embeddings,
+                         unnest(generate_series(1, len(embedding))) AS t(i)),
+          p AS (SELECT label, pos, sum(u6)::BIGINT AS s, count(*)::BIGINT AS n
+                FROM u GROUP BY 1, 2)
+          SELECT label, max(n)::BIGINT AS n_vectors,
+                 string_agg(floor(s::DOUBLE / n + 0.5)::BIGINT::VARCHAR,
+                            '|' ORDER BY pos) AS centroid_u6
+          FROM p GROUP BY label ORDER BY label""",
+    "j15_full_outer" ->
+      """WITH bc AS (SELECT c_custkey, c_mktsegment FROM customer
+                     WHERE c_mktsegment = 'BUILDING'),
+          oc AS (SELECT o_custkey, count(*)::BIGINT AS n_orders,
+                        round(sum(o_totalprice), 2) AS total_spend
+                 FROM orders GROUP BY 1)
+          SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                 coalesce(c_mktsegment, 'NONE') AS segment,
+                 coalesce(n_orders, 0)::BIGINT AS n_orders,
+                 coalesce(total_spend, 0.0) AS total_spend
+          FROM bc FULL OUTER JOIN oc ON c_custkey = o_custkey
+          ORDER BY custkey""",
     "x14_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
           s AS (SELECT doc_id, $sqlShingles AS sh FROM t),

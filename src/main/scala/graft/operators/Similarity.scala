@@ -534,6 +534,34 @@ object Similarity {
     * The emitted `ok` column is the reconstruction contract: max
     * |xᵢ − qᵢ·scale| ≤ scale/2 — the bound scalar quantization
     * promises; a broken scale or rounding step violates it. */
+  /** N6: per-label centroids — the class means a clustering /
+    * classification / retrieval-eval pipeline reads off an embedding
+    * corpus. Floating-point addition is not associative, so a naive
+    * `avg` over partitions is not bitwise-reproducible across cluster
+    * sizes or runs; here each element first quantizes to integer
+    * micro-units (row-local, deterministic) and the aggregation is an
+    * exact BIGINT sum — the distributed mean becomes order-independent
+    * by construction (the fixed-point reproducibility pattern). Two
+    * shuffles: (label, dim) partial sums, then per-label array
+    * assembly; dims explode 64× but carry 3 longs each. */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    val u = emb
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("label"), col("pos"),
+        floor(col("col") * 1000000.0d + 0.5d).cast("long").as("u6"))
+    u.groupBy(col("label"), col("pos"))
+      .agg(sum(col("u6")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vectors"),
+        sort_array(collect_list(struct(col("pos"), col("s"), col("n"))))
+          .as("dims"))
+      .select(col("label"), col("n_vectors"),
+        concat_ws("|", transform(col("dims"),
+          d => floor(d.getField("s").cast("double") / d.getField("n") + 0.5d)
+            .cast("long").cast("string"))).as("centroid_u6"))
+  }
+
   def quantizeInt8(emb: DataFrame): DataFrame = {
     // amax and the codes each materialize behind a projection boundary
     // (referenced several times downstream, incl. inside lambdas), so

@@ -234,6 +234,39 @@ object TextStats {
       size(regexp_extract_all(text, lit(pat), lit(0)))
     }.reduce(_ + _).cast("long")
 
+  /** X12: deterministic global shuffle + training-batch assignment.
+    * Docs order by a seeded content hash (the training-order shuffle
+    * every epoch needs) and each lands in a fixed-size batch. The
+    * global rank is the W1 total-order trap at scale, so it's computed
+    * as a distributed prefix-sum over the HASH-KEY space: the first
+    * hash byte range-buckets rows (256 contiguous key ranges), ranks
+    * are per-bucket windows (parallel), and the 256 bucket counts fold
+    * into broadcast offsets — same machinery as [[packChunks]], keyed
+    * by hash instead of id. Deterministic across cluster sizes,
+    * re-runs, and engines; reshuffling is just a new seed. */
+  def shuffleBatches(docs: DataFrame, batchSize: Int, seed: Long = 42L,
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col(idCol),
+        md5(concat_ws(":", lit(seed), col(idCol))).as("skey"))
+      .withColumn("bucket", conv(substring(col("skey"), 1, 2), 16, 10)
+        .cast("int"))
+    val rn = row_number().over(
+      Window.partitionBy("bucket").orderBy(col("skey"), col(idCol)))
+    val ranked = keyed.withColumn("rn", rn.cast("long"))
+    val offsets = keyed.groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket").as("off_bucket"), col("offset"))
+    ranked.join(broadcast(offsets), col("bucket") === col("off_bucket"))
+      .select(col(idCol), col("skey"),
+        (col("offset") + col("rn") - 1).as("pos"))
+      .withColumn("batch_id", expr(s"pos div $batchSize"))
+  }
+
   /** X14: boilerplate signal — the fraction of a document's distinct
     * word-3-gram shingles that are corpus-common (document frequency ≥
     * `minDf`): navigation chrome, license headers, and template text

@@ -199,6 +199,18 @@ class SimilaritySpec extends SparkSpec {
     assert(full == bruteRows)
   }
 
+  test("label centroids: fixed-point means match hand computation") {
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, -1.0f), 0),
+      (3L, Array(0.5f, 0.5f), 1)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCentroids(emb).collect()
+      .map(x => x.getInt(0) -> (x.getLong(1), x.getString(2))).toMap
+    // label 0: mean = (2.0, 0.5) → micro-units (2000000, 500000)
+    assert(r(0) == (2L, "2000000|500000"))
+    assert(r(1) == (1L, "500000|500000"))
+  }
+
   test("int8 quantization: full-range codes, bounded error, zero-safe") {
     val emb = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),

@@ -184,6 +184,29 @@ class TextStatsSpec extends SparkSpec {
     assert(langs == Seq("en"))
   }
 
+  test("shuffle batches: a permutation in full batches, seed-sensitive") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextStats.shuffleBatches(docs, batchSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val n = docs.count()
+    // positions are exactly 0..n-1 (a permutation, no gaps or dups)
+    assert(out.map(_._2).sorted.toSeq == (0L until n).toSeq)
+    // every batch is full except possibly the last
+    val sizes = out.groupBy(_._3).map { case (b, xs) => b -> xs.length }
+    val lastBatch = (n - 1) / 16
+    sizes.foreach { case (b, sz) =>
+      if (b < lastBatch) assert(sz == 16) else assert(sz <= 16)
+    }
+    // id order and shuffle order genuinely differ, and a new seed
+    // produces a new permutation
+    val byPos = out.sortBy(_._2).map(_._1).toSeq
+    assert(byPos != byPos.sorted)
+    val seed2 = TextStats.shuffleBatches(docs, batchSize = 16, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy(_._2).map(_._1).toSeq
+    assert(seed2 != byPos)
+  }
+
   test("boilerplate ratio separates template text from fresh text") {
     // "alpha beta gamma" is the shared boilerplate shingle (df=3);
     // each doc's tail is unique
