@@ -282,8 +282,15 @@ object TextStats {
   def boilerplate(docs: DataFrame, minDf: Int = 3,
                   textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
-    val posts = Dedup.withShingleSet(docs, textCol, idCol)
+    // postings carry 64-bit shingle HASHES (codegen'd ShingleHashes —
+    // the d2/d9 fast path): the df shuffle and the join back move
+    // 8-byte keys instead of shingle strings, and the string↔hash df
+    // counts agree w.h.p. (same argument as the MinHash verify step).
+    // The two-long frame materializes once (it feeds both the df
+    // aggregate and the join probe); tokenization runs ONE scan.
+    val posts = Dedup.withHashedShingleSet(docs, textCol, idCol)
       .select(col("id"), explode(col("shingles")).as("sh"))
+      .localCheckpoint()
     // shingles are distinct within a doc, so count(*) IS the doc freq
     val dfc = posts.groupBy("sh").agg(count(lit(1)).as("df"))
     posts.join(dfc, "sh")
