@@ -333,6 +333,31 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("gid"), col("n"), col("revenue"))
         .orderBy(col("gid"), col("returnflag"), col("linestatus"))),
+    "a6_approx_percentile" -> ((s, d) => {
+      // sketch-median with its accuracy CONTRACT as the verified
+      // output (the x5 HLL pattern): the Greenwald–Khanna approximate
+      // median is engine-specific and can never hash-match an oracle,
+      // but its guarantee — rank error ≤ n/accuracy — is exactly
+      // checkable: re-rank the sketch's answer against the raw data
+      // and assert the fraction lands within 0.5 ± 2/accuracy. The
+      // production path never sorts; the exact re-rank exists only to
+      // verify the sketch.
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median"), count(lit(1)).as("n"))
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_extendedprice") <= col("approx_median"), 1L)
+            .otherwise(0L)).as("rank_le"),
+          max(col("n")).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("rank_le").cast("double") / col("n") - 0.5) <=
+            2.0 / 1000).as("ok"))
+        .orderBy(col("l_returnflag"))
+    }),
     "a5_pivot" -> ((s, d) =>
       // wide pivot: one row per day, one count column per event type.
       // The pivot values are DECLARED (not discovered) — at 100 TB the
@@ -935,6 +960,9 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY event_id""",
+    "a6_approx_percentile" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n, TRUE AS ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "a4_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                 coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -84,4 +84,16 @@ class PlanSpec extends SparkSpec {
     // no global range sort of the corpus feeds a window (the W1 trap)
     assert(!p.contains("rangepartitioning(doc_id"), p)
   }
+
+  test("epoch-shuffle ranks are bucket-partitioned, not global") {
+    // same discipline for the hash-order permutation: the per-row
+    // row_number shuffles by the hash-prefix bucket; no global range
+    // partitioning of the corpus appears anywhere in the plan
+    val p = graft.operators.TextStats
+      .shuffleBatches(Tables.documents(spark, sf), batchSize = 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(bucket"), p)
+    assert(!p.contains("rangepartitioning(skey"), p)
+    assert(!p.contains("rangepartitioning(doc_id"), p)
+  }
 }
