@@ -29,6 +29,25 @@ class CodegenSpec extends SparkSpec {
     ("c", "sphinx of black quartz judge my vow")
   ).toDF("id", "text")
 
+  test("SparkSessionExtensions injection registers the SQL functions") {
+    // drive the exact registration step Builder.getOrCreate runs for
+    // `spark.sql.extensions=graft.GraftExtensions` (the config itself
+    // is static — it needs a fresh SparkContext, impossible mid-JVM,
+    // so the injection is applied through the same private[sql] hook
+    // the builder calls). An ISOLATED session clone gets the
+    // registrations; the suite session must NOT see them.
+    val s2 = spark.newSession()
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions()(ext)
+    org.apache.spark.sql.GraftExtensionProbe.registerInto(
+      ext, s2.sessionState.functionRegistry)
+    val r = s2.sql(
+      "SELECT porter_stem('running') AS a, ascii_fold('Éva') AS b")
+      .collect().head
+    assert(r.getString(0) == "run")
+    assert(r.getString(1) == "Eva")
+  }
+
   test("shingle_hashes compiles under codegen (no silent fallback)") {
     noFallback {
       val out = docs
