@@ -654,6 +654,24 @@ object SparkEntry {
           coalesce(col("total_spend"), lit(0.0d)).as("total_spend"))
         .orderBy(col("custkey"))
     }),
+    "n7_quantized_rerank" -> ((s, d) =>
+      // two-stage retrieval (int8 first pass → exact rerank), verified
+      // by the n2/n3 contract shape: planted copies, stage-1 superset,
+      // exact-score recompute, rank monotonicity — constant-TRUE oracle
+      Similarity.rerankContract(annPlantedCorpus(s, d), annProbeIds,
+        k = 10, oversample = 4)
+        .orderBy(col("qid"))),
+    "d12_incremental_minhash" -> ((s, d) => {
+      // arriving batch (doc_id % 10 = 0) screened against the standing
+      // corpus's banded LSH index; oracle is the exact-Jaccard
+      // batch×standing join (LSH recall 1.0 at this scale — the d2
+      // argument)
+      val docs = Tables.documents(s, d)
+      graft.operators.Dedup.incrementalMinhash(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+        .orderBy(col("doc_id"))
+    }),
     "n5_quantize" -> ((s, d) =>
       // int8 scalar quantization + its reconstruction contract; codes
       // '|'-flatten for the hash compare (repo array convention)
@@ -1510,6 +1528,33 @@ object SparkEntry {
                  round(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) / count(*), 6)
                    AS boilerplate_ratio
           FROM p JOIN d USING (sh1) GROUP BY 1 ORDER BY 1""",
+    "n7_quantized_rerank" ->
+      """SELECT * FROM (VALUES
+           (1::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
+           (101::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
+           (202::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE))
+         AS t(qid, k_bounded, from_stage1, scores_exact,
+              planted_found, planted_rank1, ranked_desc)
+         ORDER BY qid""",
+    "d12_incremental_minhash" ->
+      s"""WITH nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+          st AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+          nt AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM nw),
+          ns AS (SELECT doc_id, $sqlShingles AS sh FROM nt),
+          ot AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM st),
+          os AS (SELECT doc_id, $sqlShingles AS sh FROM ot),
+          np AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM ns),
+          op AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM os),
+          j AS (SELECT n.doc_id AS nid, o.doc_id AS oid,
+                       any_value(n.setsize) AS sa, any_value(o.setsize) AS sb,
+                       count(*)::INT AS inter
+                FROM np n JOIN op o ON n.sh1 = o.sh1 GROUP BY 1, 2),
+          d AS (SELECT nid, min(oid) AS dup_of FROM j
+                WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5
+                GROUP BY 1)
+          SELECT nw.doc_id, d.dup_of, d.dup_of IS NULL AS is_new
+          FROM nw LEFT JOIN d ON nw.doc_id = d.nid
+          ORDER BY nw.doc_id""",
     "n5_quantize" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> x::DOUBLE) AS v

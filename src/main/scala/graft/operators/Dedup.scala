@@ -112,16 +112,26 @@ object Dedup {
     * s ≳ 0.5. The banded self-join shuffles both sides identically, so
     * Spark's ReuseExchange evaluates the signature plan once.
     */
-  def minhashPairs(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id", numHashes: Int = 64,
-                   bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+  /** (id, band, bucket): the banded-signature LSH index rows for
+    * `docs` — the frame a production near-dedup service MAINTAINS as
+    * its standing index (new batches append their rows after
+    * screening). */
+  def bandBuckets(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id", numHashes: Int = 64,
+                  bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignatures(docs, textCol, idCol, numHashes)
-    val buckets = sigs.select(col("id"),
+    sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           transform(slice(col("sig"), b * rows + 1, lit(rows)),
             v => v.cast("string"))), b))).as(Seq("band", "bucket")))
+  }
+
+  def minhashPairs(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", numHashes: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val buckets = bandBuckets(docs, textCol, idCol, numHashes, bands)
     val a = buckets.as("a")
     val b = buckets.as("b")
     val cand = a.join(b,
@@ -231,6 +241,47 @@ object Dedup {
         col("fp") === col("fingerprint"), "left")
       .select(col(idCol), col("keep_id").as("dup_of"),
         col("keep_id").isNull.as("is_new"))
+
+  /** D12: incremental NEAR-dedup — the LSH analog of
+    * [[incrementalExact]]: an arriving batch is screened against the
+    * STANDING banded-signature index ([[bandBuckets]] rows, maintained
+    * by the service) without ever re-pairing the corpus with itself.
+    * Batch rows band into the same buckets, the (band, bucket)
+    * equi-join yields candidates, and exact Jaccard on the shingle
+    * sets verifies — each new doc resolves to the lowest-id standing
+    * doc it near-duplicates, or marks itself new.
+    *
+    * Scale: daily cost is O(batch · bucket-collision fan-out), never
+    * O(corpus²); the standing side ships as index rows (the join
+    * shuffles only ids and band hashes), and only verified candidates'
+    * shingle sets are fetched. */
+  def incrementalMinhash(newDocs: DataFrame, standing: DataFrame,
+                         textCol: String = "text",
+                         idCol: String = "doc_id", numHashes: Int = 64,
+                         bands: Int = 16,
+                         threshold: Double = 0.5): DataFrame = {
+    val standIdx = bandBuckets(standing, textCol, idCol, numHashes, bands)
+      .select(col("id").as("old_id"), col("band"), col("bucket"))
+    val batchIdx = bandBuckets(newDocs, textCol, idCol, numHashes, bands)
+      .select(col("id").as("new_id"), col("band"), col("bucket"))
+    val cand = batchIdx.join(standIdx, Seq("band", "bucket"))
+      .select(col("new_id"), col("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    val newSets = withHashedShingleSet(newDocs, textCol, idCol)
+      .select(col("id").as("new_id"), col("shingles").as("sh_n"))
+    val oldSets = withHashedShingleSet(standing, textCol, idCol)
+      .select(col("id").as("old_id"), col("shingles").as("sh_o"))
+    val dups = cand
+      .join(newSets, "new_id").join(oldSets, "old_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
+        size(array_union(col("sh_n"), col("sh_o"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of"))
+    newDocs.select(col(idCol))
+      .join(dups, col(idCol) === col("new_id"), "left")
+      .select(col(idCol), col("dup_of"), col("dup_of").isNull.as("is_new"))
+  }
 
   /** D9: benchmark decontamination — per training doc, the number of
     * distinct word-3-gram shingles it shares with ANY document of an

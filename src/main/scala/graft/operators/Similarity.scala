@@ -562,6 +562,128 @@ object Similarity {
             .cast("long").cast("string"))).as("centroid_u6"))
   }
 
+  /** (vec_id, qd, qscale, nrm): int8 codes widened back to doubles
+    * (so the codegen'd [[dot]] primitive scores them), the per-vector
+    * dequantization scale, and the EXACT norm — the stored layout of a
+    * quantized index (codes + scale + norm ≈ d + 16 bytes/vector).
+    * Zero vectors are excluded (cosine undefined, same as
+    * [[withNorm]]). */
+  private def quantizedIndex(emb: DataFrame): DataFrame = {
+    val staged = withNorm(emb)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        array_max(transform(col("v"), x => abs(x))).as("amax"))
+    staged.select(col("vec_id"), col("nrm"),
+      (col("amax") / 127.0d).as("qscale"),
+      transform(col("v"),
+        x => floor(x / (col("amax") / 127.0d) + 0.5d).cast("double"))
+        .as("qd"))
+  }
+
+  /** Stage 1 of [[knnQuantizedRerank]]: approximate cosine on int8
+    * codes — dot(qa,qb)·sa·sb/(‖a‖·‖b‖) — keeping the top
+    * `n` candidates per query. One corpus scan for the whole query
+    * set; the shuffle carries 16·n bytes per query (bounded-heap
+    * [[graft.functions.aggregates.TopKByScore]]). */
+  private def quantizedCandidates(emb: DataFrame, queryIds: Seq[Long],
+                                  n: Int): DataFrame = {
+    val idx = quantizedIndex(emb)
+    val queries = idx.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("qd").as("qqd"),
+        col("qscale").as("qqs"), col("nrm").as("qn"))
+    val scored = idx.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qd"), col("qqd")) * col("qscale") * col("qqs") /
+          (col("nrm") * col("qn"))).as("approx_sim"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.aggregates
+        .top_k_by_score(col("approx_sim"), col("vec_id"), n).as("top"))
+      .select(col("qid"), explode(col("top")).as("s"))
+      .select(col("qid"), col("s.vec_id").as("vec_id"))
+  }
+
+  /** N7: two-stage quantized retrieval — the production ANN serving
+    * shape: a cheap first pass scores int8 codes (4× smaller scans,
+    * byte kernels) and keeps `k·oversample` candidates; the exact
+    * second pass re-scores ONLY those with full-precision cosine and
+    * returns the top k. Work drops from n·d float ops to n·d byte ops
+    * + k·oversample·d float ops per query; recall loss is bounded by
+    * the SQ8 score error and vanishes as oversample grows. */
+  def knnQuantizedRerank(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+                         oversample: Int = 4): DataFrame = {
+    val cand = quantizedCandidates(emb, queryIds, k * oversample)
+    rerankExact(emb, cand, queryIds, k)
+  }
+
+  private def rerankExact(emb: DataFrame, cand: DataFrame,
+                          queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = withNorm(emb)
+    val queries = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = cand
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("cos_sim"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.aggregates
+        .top_k_by_score(col("cos_sim"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.vec_id").as("vec_id"),
+        col("s.cos_sim").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Contract for the two-stage path (the n2/n3 shape): per probe,
+    * results bounded by k, every result drawn from the stage-1
+    * candidate set, rerank scores ≡ independently recomputed exact
+    * cosine, the planted ×2-scaled copy retrieved at rank 1 (scaling
+    * preserves codes AND direction, so a correct two-stage path can
+    * never miss it), ranks descending. All TRUE by construction on a
+    * correct implementation; constant-TRUE oracle. */
+  def rerankContract(corpus: DataFrame, probeIds: Seq[Long], k: Int = 10,
+                     oversample: Int = 4,
+                     plantOffset: Long = 1000000L): DataFrame = {
+    val cand = quantizedCandidates(corpus, probeIds, k * oversample)
+      .localCheckpoint() // reused by the rerank AND the superset check
+    val res = rerankExact(corpus, cand, probeIds, k)
+    val e = withNorm(corpus)
+    val qSide = e.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val perRow = res
+      .join(broadcast(qSide), Seq("qid"))
+      .join(e.select(col("vec_id"), col("v").as("cv"),
+        col("nrm").as("cn")), Seq("vec_id"))
+      .join(cand.withColumn("in_stage1", lit(true)),
+        Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("rank"), col("cos_sim"),
+        coalesce(col("in_stage1"), lit(false)).as("in_stage1"),
+        (col("cos_sim") ===
+          round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 6))
+          .as("score_exact"),
+        (col("vec_id") === col("qid") + plantOffset).as("is_planted"))
+    perRow.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_res"),
+        min(col("in_stage1")).as("from_stage1"),
+        min(col("score_exact")).as("scores_exact"),
+        max(col("is_planted")).as("planted_found"),
+        min(when(col("is_planted"), col("rank"))).as("planted_rank"),
+        sort_array(collect_list(struct(col("rank"), col("cos_sim"))))
+          .as("by_rank"))
+      .select(col("qid"),
+        (col("n_res") >= 1 && col("n_res") <= k).as("k_bounded"),
+        col("from_stage1"), col("scores_exact"), col("planted_found"),
+        coalesce(col("planted_rank") === 1, lit(false)).as("planted_rank1"),
+        forall(zip_with(
+            slice(col("by_rank"), lit(1), size(col("by_rank")) - 1),
+            slice(col("by_rank"), lit(2), size(col("by_rank")) - 1),
+            (a, b) => a.getField("cos_sim") >= b.getField("cos_sim")),
+          x => x).as("ranked_desc"))
+  }
+
   def quantizeInt8(emb: DataFrame): DataFrame = {
     // amax and the codes each materialize behind a projection boundary
     // (referenced several times downstream, incl. inside lambdas), so

@@ -131,6 +131,22 @@ class DedupSpec extends SparkSpec {
     assert(clusters.values.toSet == Set(1L))
   }
 
+  test("incremental minhash screens a batch against the standing index") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val standing = Seq(
+      (2L, base),
+      (4L, "completely different standing content about spark plans")
+    ).toDF("doc_id", "text")
+    val arriving = Seq(
+      (11L, base + " extra"), // near-dup of standing 2
+      (13L, "entirely novel arrival with fresh words throughout")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhash(arriving, standing, threshold = 0.5)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toSet
+    assert(out == Set((11L, Some(2L), false), (13L, None, true)))
+  }
+
   test("chunk dedup flags later copies of a repeated span only") {
     val span = (1 to 4).map(i => s"w$i").mkString(" ") // one 4-token chunk
     val docs = Seq(

@@ -199,6 +199,28 @@ class SimilaritySpec extends SparkSpec {
     assert(full == bruteRows)
   }
 
+  test("quantized rerank at full oversample equals exact brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val probes = Seq(1L, 5L)
+    // oversample covering the whole corpus → stage 1 prunes nothing →
+    // the exact rerank IS brute force
+    val full = Similarity
+      .knnQuantizedRerank(emb, probes, k = 10, oversample = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val brute = Similarity.knnBruteBatch(emb, probes, k = 10)
+      .select(col("qid"), col("vec_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute)
+    // modest oversampling still recovers most of the exact top-10:
+    // SQ8 score error is far below typical top-k score gaps
+    val os4 = Similarity
+      .knnQuantizedRerank(emb, probes, k = 10, oversample = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    assert((os4 intersect bruteIds).size >= (bruteIds.size * 7) / 10)
+  }
+
   test("label centroids: fixed-point means match hand computation") {
     val emb = Seq(
       (1L, Array(1.0f, 2.0f), 0),
