@@ -333,6 +333,29 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("gid"), col("n"), col("revenue"))
         .orderBy(col("gid"), col("returnflag"), col("linestatus"))),
+    "w6_ntile" -> ((s, d) => {
+      // decile assignment within each market segment (the analyst
+      // "bucket customers by spend" shape); per-segment windows, never
+      // a global sort
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(10).over(w).cast("long").as("decile"))
+        .orderBy(col("c_custkey"))
+    }),
+    "a7_cube" -> ((s, d) =>
+      // full CUBE over two dims — all four grouping sets in one
+      // map-side expansion; same stable-marker discipline as a4
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n"))
+        .orderBy(col("gid"), col("status"), col("priority"))),
     "a6_approx_percentile" -> ((s, d) => {
       // sketch-median with its accuracy CONTRACT as the verified
       // output (the x5 HLL pattern): the Greenwald–Khanna approximate
@@ -981,6 +1004,18 @@ object SparkEntry {
     "a6_approx_percentile" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n, TRUE AS ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "w6_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+                ntile(10) OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey)::BIGINT AS decile
+         FROM customer ORDER BY c_custkey""",
+    "a7_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                (2 * grouping(o_orderstatus) + grouping(o_orderpriority))::BIGINT AS gid,
+                count(*)::BIGINT AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, status, priority""",
     "a4_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                 coalesce(l_linestatus, 'ALL') AS linestatus,
