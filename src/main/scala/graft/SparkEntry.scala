@@ -874,6 +874,16 @@ object SparkEntry {
             f => round(f.cast("double") * 1000003, 0).cast("long")))
             .as("features"))
         .orderBy(col("media_id"))),
+    "m6_media_phash" -> ((s, d) =>
+      // perceptual near-dup over media: planted BMPs include the SAME
+      // picture at two resolutions (different bytes, equal aHash) plus
+      // its inversion; stub rows exercise the SQL-replayable path.
+      // A rescaled copy resolves to its original's group — the case
+      // byte-exact md5 dedup (m1) can never catch
+      Multimodal.phashDedup(s,
+        Multimodal.asMedia(Tables.documents(s, d))
+          .unionByName(Multimodal.phashFixtures(s)))
+        .orderBy(col("media_id"))),
     "m3_media_chunks" -> ((s, d) =>
       Multimodal.mediaChunks(Multimodal.asMedia(Tables.documents(s, d)))
         .select(col("media_id"), col("n_chunks"),
@@ -1369,6 +1379,38 @@ object SparkEntry {
             '0|0|0|0|0|0|750002|750002'))
            AS t(media_id, n_bytes, format, width, height, features)
          ORDER BY media_id""",
+    "m6_media_phash" ->
+      """WITH cp AS (SELECT doc_id AS media_id,
+                            list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS cps
+                     FROM documents),
+          h AS (SELECT media_id,
+                       list_reduce(list_prepend(0::BIGINT, cps),
+                                   (a, b) -> (a*1000003 + b) % 1000000007) AS h0
+                FROM cp),
+          c AS (SELECT media_id,
+                       list_transform(generate_series(0, 15),
+                                      i -> (h0*31 + i*2654435761) % 1000003) AS cells
+                FROM h),
+          p AS (SELECT media_id,
+                       list_aggregate(list_transform(generate_series(1, 16),
+                         i -> CASE WHEN cells[i] > list_aggregate(cells, 'sum') / 16.0
+                                   THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END),
+                         'sum') AS phash
+                FROM c),
+          -- planted BMP fixtures (real aHash path): left-white half at
+          -- 4x4 and 8x8 pool to the SAME 0x3333 grid bits; the
+          -- inverted picture flips to 0xCCCC
+          allrows AS (SELECT * FROM p UNION ALL
+                      SELECT * FROM (VALUES (-11::BIGINT, 13107::BIGINT),
+                                            (-12::BIGINT, 13107::BIGINT),
+                                            (-13::BIGINT, 52428::BIGINT))
+                        AS t(media_id, phash)),
+          canon AS (SELECT phash, min(media_id) AS canonical_id
+                    FROM allrows GROUP BY 1)
+          SELECT a.media_id, a.phash, canon.canonical_id,
+                 a.media_id <> canon.canonical_id AS is_dup
+          FROM allrows a JOIN canon USING (phash)
+          ORDER BY a.media_id""",
     "m3_media_chunks" ->
       """SELECT doc_id AS media_id,
                 ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_chunks,

@@ -97,6 +97,74 @@ object Multimodal {
           w.toFloat / (w + h), bpp / 32.0f))
     }
 
+    /** Average-hash (aHash) — the classic perceptual image fingerprint:
+      * box-pool the image to a `grid`×`grid` gray grid, set bit i when
+      * cell i's mean exceeds the global mean. Identical for the same
+      * picture at different resolutions (that is the point: byte-exact
+      * dedup can't see a rescaled copy, aHash can). BMP rows hash real
+      * pixels; stub rows hash the same deterministic pseudo-grid the
+      * stub features come from (SQL-replayable, so the oracle covers
+      * both paths). Flat images hash to 0 — the documented aHash
+      * degenerate case (no cell exceeds the mean). */
+    def aHash(format: String, bytes: Array[Byte], grid: Int = 4): Long =
+      if (format == "bmp") aHashBmp(bytes, grid) else aHashStub(bytes, grid)
+
+    private def aHashBmp(b: Array[Byte], grid: Int): Long = {
+      if (b.length < 54) return 0L
+      def i32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      def i16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      val dataOff = i32(10)
+      val w = i32(18)
+      val h = math.abs(i32(22))
+      if (i16(28) != 24 || i32(30) != 0 || w <= 0 || h <= 0) return 0L
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      if (dataOff < 0 || dataOff + rowSize.toLong * h > b.length) return 0L
+      // gray as the (b+g+r) sum — scaling by 1/3 cancels in comparisons
+      val cellSum = new Array[Long](grid * grid)
+      val cellCnt = new Array[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        val cy = (y.toLong * grid / h).toInt
+        var x = 0
+        while (x < w) {
+          val p = dataOff + y * rowSize + 3 * x
+          val g = (b(p) & 0xFF) + (b(p + 1) & 0xFF) + (b(p + 2) & 0xFF)
+          val c = cy * grid + (x.toLong * grid / w).toInt
+          cellSum(c) += g
+          cellCnt(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val total = cellSum.sum.toDouble / cellSum.indices.map(cellCnt).sum
+      var hash = 0L
+      var i = 0
+      while (i < grid * grid) {
+        if (cellCnt(i) > 0 && cellSum(i).toDouble / cellCnt(i) > total)
+          hash |= 1L << i
+        i += 1
+      }
+      hash
+    }
+
+    private def aHashStub(bytes: Array[Byte], grid: Int): Long = {
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0L
+      var ci = 0
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        h = (h * Base + cp) % Mod
+        ci += Character.charCount(cp)
+      }
+      val n = grid * grid
+      val cells = Array.tabulate(n)(i => (h * 31 + i * 2654435761L) % Base)
+      val mean = cells.sum.toDouble / n
+      cells.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v.toDouble > mean) acc | (1L << i) else acc
+      }
+    }
+
     private def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
       val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       var h = 0L
@@ -224,4 +292,50 @@ object Multimodal {
     media.select(col("media_id"), col("n_bytes"), col("format"),
       md5(col("content")).as("content_md5"))
       .orderBy(col("media_id"))
+
+  case class MediaHash(media_id: Long, phash: Long)
+
+  /** Planted fixtures for the perceptual-hash contract: the SAME
+    * left-white/right-black picture at 4×4 and 8×8 (different bytes,
+    * equal aHash — the rescaled-copy case byte dedup misses) and its
+    * inversion (different aHash). Grid cells: white column halves beat
+    * the global mean → bits 0x3333 row-wise; inverted → 0xCCCC. */
+  def phashFixtures(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    def halfImage(w: Int, h: Int, leftWhite: Boolean): Array[Byte] =
+      makeBmp(w, h, (0 until w * h).map { i =>
+        val left = (i % w) < w / 2
+        if (left == leftWhite) (255, 255, 255) else (0, 0, 0)
+      })
+    Seq((-11L, halfImage(4, 4, leftWhite = true)),
+        (-12L, halfImage(8, 8, leftWhite = true)),
+        (-13L, halfImage(4, 4, leftWhite = false)))
+      .map { case (id, b) => (id, b, "bmp", b.length.toLong) }
+      .toDF("media_id", "content", "format", "n_bytes")
+  }
+
+  /** M6: perceptual near-dup detection over a media corpus — aHash per
+    * row (batched per-partition decode, same shape as
+    * [[extractFeatures]]), then hash-exact grouping: every row resolves
+    * to the lowest media_id sharing its perceptual hash. One shuffle on
+    * the 8-byte hash; a rescaled copy of an image lands in the same
+    * group even though its bytes (and md5) differ. */
+  def phashDedup(spark: SparkSession, media: DataFrame,
+                 grid: Int = 4, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val hashed = media.select("media_id", "content", "format", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val dec = new MediaDecoder
+        dec.open()
+        rows.grouped(batchSize).flatMap(_.map(r =>
+          MediaHash(r.media_id, dec.aHash(r.format, r.content, grid))))
+      }
+      .toDF()
+    val canon = hashed.groupBy(col("phash"))
+      .agg(min(col("media_id")).as("canonical_id"))
+    hashed.join(canon, "phash")
+      .select(col("media_id"), col("phash"), col("canonical_id"),
+        (col("media_id") =!= col("canonical_id")).as("is_dup"))
+  }
 }

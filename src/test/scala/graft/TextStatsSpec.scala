@@ -73,6 +73,31 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: aHash is scale-invariant and catches rescaled dups") {
+    val dec = new Multimodal.MediaDecoder
+    def half(w: Int, h: Int, leftWhite: Boolean): Array[Byte] =
+      Multimodal.makeBmp(w, h, (0 until w * h).map { i =>
+        val left = (i % w) < w / 2
+        if (left == leftWhite) (255, 255, 255) else (0, 0, 0)
+      })
+    val h44 = dec.aHash("bmp", half(4, 4, leftWhite = true))
+    val h88 = dec.aHash("bmp", half(8, 8, leftWhite = true))
+    val h16 = dec.aHash("bmp", half(16, 16, leftWhite = true))
+    assert(h44 == 0x3333L)
+    assert(h88 == h44 && h16 == h44) // same picture, any resolution
+    assert(dec.aHash("bmp", half(4, 4, leftWhite = false)) == 0xCCCCL)
+    // flat image: no cell beats the mean — documented degenerate 0
+    val flat = Multimodal.makeBmp(2, 2, Seq.fill(4)((9, 9, 9)))
+    assert(dec.aHash("bmp", flat) == 0L)
+    // end to end: the 8x8 copy resolves to the 4x4 original's group
+    val out = Multimodal.phashDedup(spark, Multimodal.phashFixtures(spark))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out(-12L) == (-12L, false)) // group canonical: min id = -12
+    assert(out(-11L) == (-12L, true))  // the rescaled copy is the dup
+    assert(out(-13L) == (-13L, false)) // inverted picture: own group
+  }
+
   test("multimodal: BMP decode recovers dims and exact pixel statistics") {
     // round-trip through the batched extractor: planted 24-bit BMPs
     // with hand-computable stats (means/maxs per channel, aspect, bpp)
