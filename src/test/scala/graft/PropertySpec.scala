@@ -146,4 +146,54 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed=$i n=$n edges=$edges")
     }
   }
+
+  test("int8 quantization: codes in range, reconstruction within half-step") {
+    // generated float vectors (mixed magnitudes, negatives, zeros) in
+    // one Spark pass; the SQ8 bound must hold for every element
+    val vecGen = for {
+      d <- Gen.choose(1, 16)
+      v <- Gen.listOfN(d, Gen.chooseNum(-1e4f, 1e4f))
+    } yield v.toArray
+    val vecs = (0 until 150).flatMap(i =>
+      vecGen(Gen.Parameters.default, Seed(i.toLong)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.quantizeInt8(vecs)
+    assert(out.filter(!col("ok")).isEmpty)
+    assert(out.filter(
+      exists(col("q"), c => c > 127 || c < -127)).isEmpty)
+  }
+
+  test("chunk dedup: chunks partition tokens; singleton corpus has no dups") {
+    val docs = texts.filter(length(trim($"v")) > 0)
+      .withColumn("doc_id", monotonically_increasing_id())
+      .select($"doc_id", $"v".as("text")).cache()
+    val chunks = Dedup.chunkDedup(docs, chunkTokens = 4)
+    // chunk counts reconstruct ceil(tokens/4) per doc
+    val got = chunks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // ceil(tokens/4): double division + int cast truncates = floor
+    val want = docs.select($"doc_id",
+      ((size(split(trim($"text"), "\\s+")) + 3) / 4).cast("int")
+        .cast("long").as("w"))
+    assert(got.join(want, "doc_id").filter($"n" =!= $"w").isEmpty)
+    // a doc's FIRST chunk can only duplicate an earlier doc's chunk —
+    // within the frame, every fp group has exactly one is_dup=false
+    val groups = chunks.groupBy("fp")
+      .agg(sum(when(!$"is_dup", 1).otherwise(0)).as("keepers"))
+    assert(groups.filter($"keepers" =!= 1).isEmpty)
+  }
+
+  test("stratified sampling nests across every rate pair") {
+    val docs = texts.withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("lang", lit("en")).cache()
+    val rates = Seq(10, 35, 60, 90)
+    val kept = rates.map { r =>
+      r -> graft.operators.TextStats
+        .stratifiedSample(docs, Map("en" -> r), defaultPct = 0)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    kept.sliding(2).foreach { case Seq((lo, a), (hi, b)) =>
+      assert(a.subsetOf(b), s"$lo% sample not nested in $hi%")
+    }
+  }
 }
