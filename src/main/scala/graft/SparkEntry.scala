@@ -686,13 +686,17 @@ object SparkEntry {
         .orderBy(col("qid"))),
     "d12_incremental_minhash" -> ((s, d) => {
       // arriving batch (doc_id % 10 = 0) screened against the standing
-      // corpus's banded LSH index; oracle is the exact-Jaccard
-      // batch×standing join (LSH recall 1.0 at this scale — the d2
-      // argument)
+      // corpus's MAINTAINED frames — the banded index and the shingle
+      // verify-side, built here only because the harness has no
+      // persisted state (production appends to both daily); oracle is
+      // the exact-Jaccard batch×standing join (LSH recall 1.0 at this
+      // scale — the d2 argument)
       val docs = Tables.documents(s, d)
+      val standing = docs.filter(col("doc_id") % 10 =!= 0)
       graft.operators.Dedup.incrementalMinhash(
         docs.filter(col("doc_id") % 10 === 0),
-        docs.filter(col("doc_id") % 10 =!= 0))
+        graft.operators.Dedup.bandBuckets(standing),
+        graft.operators.Dedup.withHashedShingleSet(standing))
         .orderBy(col("doc_id"))
     }),
     "n5_quantize" -> ((s, d) =>
@@ -1533,16 +1537,22 @@ object SparkEntry {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phone = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
       val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      s"""WITH dirty AS (SELECT doc_id, $plant AS dirty FROM documents)
+      s"""WITH dirty AS (SELECT doc_id, $plant AS dirty FROM documents),
+          -- counts fold in REDACTION ORDER (each pattern against the
+          -- previous pattern's output), mirroring piiCount: overlapping
+          -- PII counts once, exactly as it is scrubbed
+          r1 AS (SELECT doc_id, dirty,
+                        regexp_replace(dirty, '$email', '<EMAIL>', 'g') AS t1
+                 FROM dirty),
+          r2 AS (SELECT doc_id, dirty, t1,
+                        regexp_replace(t1, '$phone', '<PHONE>', 'g') AS t2
+                 FROM r1)
           SELECT doc_id,
                  (len(regexp_extract_all(dirty, '$email')) +
-                  len(regexp_extract_all(dirty, '$phone')) +
-                  len(regexp_extract_all(dirty, '$ip')))::BIGINT AS n_pii,
-                 regexp_replace(regexp_replace(regexp_replace(dirty,
-                   '$email', '<EMAIL>', 'g'),
-                   '$phone', '<PHONE>', 'g'),
-                   '$ip', '<IP>', 'g') AS redacted
-          FROM dirty ORDER BY doc_id"""
+                  len(regexp_extract_all(t1, '$phone')) +
+                  len(regexp_extract_all(t2, '$ip')))::BIGINT AS n_pii,
+                 regexp_replace(t2, '$ip', '<IP>', 'g') AS redacted
+          FROM r2 ORDER BY doc_id"""
     },
     "d11_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -1558,7 +1568,7 @@ object SparkEntry {
           FROM f ORDER BY doc_id, chunk_idx""",
     "x11_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-         WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)
+         WHERE (('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100)
                < (CASE lang WHEN 'en' THEN 90 WHEN 'de' THEN 60
                             WHEN 'zh' THEN 45 WHEN 'fr' THEN 30
                             WHEN 'es' THEN 10 ELSE 100 END)

@@ -244,23 +244,26 @@ object Dedup {
 
   /** D12: incremental NEAR-dedup — the LSH analog of
     * [[incrementalExact]]: an arriving batch is screened against the
-    * STANDING banded-signature index ([[bandBuckets]] rows, maintained
-    * by the service) without ever re-pairing the corpus with itself.
-    * Batch rows band into the same buckets, the (band, bucket)
-    * equi-join yields candidates, and exact Jaccard on the shingle
-    * sets verifies — each new doc resolves to the lowest-id standing
-    * doc it near-duplicates, or marks itself new.
-    *
-    * Scale: daily cost is O(batch · bucket-collision fan-out), never
-    * O(corpus²); the standing side ships as index rows (the join
-    * shuffles only ids and band hashes), and only verified candidates'
-    * shingle sets are fetched. */
-  def incrementalMinhash(newDocs: DataFrame, standing: DataFrame,
+    * STANDING banded-signature index without ever re-pairing the
+    * corpus with itself. Like the exact variant, the standing side
+    * arrives as the two MAINTAINED frames a production service keeps —
+    * `standingIndex` = [[bandBuckets]] rows (id, band, bucket), and
+    * `standingSets` = the (id, shingles) verify-side frame
+    * ([[withHashedShingleSet]]) — NOT as raw documents, so the daily
+    * cost really is O(batch · bucket-collision fan-out), never a
+    * standing-corpus rebuild. Batch rows band into the same buckets,
+    * the (band, bucket) equi-join yields candidates, and exact Jaccard
+    * on the shingle sets verifies — each new doc resolves to the
+    * lowest-id standing doc it near-duplicates, or marks itself new
+    * (its index/shingle rows are then appended to the standing
+    * frames). */
+  def incrementalMinhash(newDocs: DataFrame, standingIndex: DataFrame,
+                         standingSets: DataFrame,
                          textCol: String = "text",
                          idCol: String = "doc_id", numHashes: Int = 64,
                          bands: Int = 16,
                          threshold: Double = 0.5): DataFrame = {
-    val standIdx = bandBuckets(standing, textCol, idCol, numHashes, bands)
+    val standIdx = standingIndex
       .select(col("id").as("old_id"), col("band"), col("bucket"))
     val batchIdx = bandBuckets(newDocs, textCol, idCol, numHashes, bands)
       .select(col("id").as("new_id"), col("band"), col("bucket"))
@@ -269,7 +272,7 @@ object Dedup {
       .dropDuplicates("new_id", "old_id")
     val newSets = withHashedShingleSet(newDocs, textCol, idCol)
       .select(col("id").as("new_id"), col("shingles").as("sh_n"))
-    val oldSets = withHashedShingleSet(standing, textCol, idCol)
+    val oldSets = standingSets
       .select(col("id").as("old_id"), col("shingles").as("sh_o"))
     val dups = cand
       .join(newSets, "new_id").join(oldSets, "old_id")

@@ -116,7 +116,8 @@ object Multimodal {
       def i16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
       val dataOff = i32(10)
       val w = i32(18)
-      val h = math.abs(i32(22))
+      val rawH = i32(22)
+      val h = math.abs(rawH)
       if (i16(28) != 24 || i32(30) != 0 || w <= 0 || h <= 0) return 0L
       val rowSize = ((w * 3 + 3) / 4) * 4
       if (dataOff < 0 || dataOff + rowSize.toLong * h > b.length) return 0L
@@ -125,7 +126,13 @@ object Multimodal {
       val cellCnt = new Array[Long](grid * grid)
       var y = 0
       while (y < h) {
-        val cy = (y.toLong * grid / h).toInt
+        // normalize orientation to image rows FROM THE TOP: positive
+        // header height means file rows run bottom-up, negative
+        // top-down — unlike the per-channel stats (orientation-
+        // invariant), grid cells are positional, and skipping this
+        // flip would hash the same picture differently per encoding
+        val imageRow = if (rawH < 0) y else h - 1 - y
+        val cy = (imageRow.toLong * grid / h).toInt
         var x = 0
         while (x < w) {
           val p = dataOff + y * rowSize + 3 * x
@@ -187,7 +194,8 @@ object Multimodal {
     * byte-exact binary fixtures whose decoded statistics are
     * hand-computable. `bgr` is row-major bottom-up, matching the
     * format's native row order. */
-  def makeBmp(width: Int, height: Int, bgr: Seq[(Int, Int, Int)]): Array[Byte] = {
+  def makeBmp(width: Int, height: Int, bgr: Seq[(Int, Int, Int)],
+              topDown: Boolean = false): Array[Byte] = {
     require(bgr.length == width * height, "pixel count != w*h")
     val rowSize = ((width * 3 + 3) / 4) * 4
     val size = 54 + rowSize * height
@@ -201,11 +209,14 @@ object Multimodal {
     }
     out(0) = 'B'; out(1) = 'M'
     w32(2, size); w32(10, 54) // file size, pixel-data offset
-    w32(14, 40); w32(18, width); w32(22, height) // BITMAPINFOHEADER
+    w32(14, 40); w32(18, width) // BITMAPINFOHEADER
+    w32(22, if (topDown) -height else height) // negative = top-down rows
     w16(26, 1); w16(28, 24) // planes, bpp
     w32(34, rowSize * height) // image size (compression stays 0)
     bgr.zipWithIndex.foreach { case ((bb, g, r), i) =>
-      val p = 54 + (i / width) * rowSize + 3 * (i % width)
+      // `bgr` rows arrive bottom-up; a top-down file stores them flipped
+      val fileRow = if (topDown) height - 1 - (i / width) else i / width
+      val p = 54 + fileRow * rowSize + 3 * (i % width)
       out(p) = bb.toByte; out(p + 1) = g.toByte; out(p + 2) = r.toByte
     }
     out
@@ -300,13 +311,17 @@ object Multimodal {
     * equal aHash — the rescaled-copy case byte dedup misses) and its
     * inversion (different aHash). Grid cells: white column halves beat
     * the global mean → bits 0x3333 row-wise; inverted → 0xCCCC. */
+  /** Left/right-half test picture (shared by fixtures and specs so the
+    * planted image and the tested image cannot drift apart). */
+  private[graft] def halfImage(w: Int, h: Int, leftWhite: Boolean,
+                               topDown: Boolean = false): Array[Byte] =
+    makeBmp(w, h, (0 until w * h).map { i =>
+      val left = (i % w) < w / 2
+      if (left == leftWhite) (255, 255, 255) else (0, 0, 0)
+    }, topDown)
+
   def phashFixtures(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    def halfImage(w: Int, h: Int, leftWhite: Boolean): Array[Byte] =
-      makeBmp(w, h, (0 until w * h).map { i =>
-        val left = (i % w) < w / 2
-        if (left == leftWhite) (255, 255, 255) else (0, 0, 0)
-      })
     Seq((-11L, halfImage(4, 4, leftWhite = true)),
         (-12L, halfImage(8, 8, leftWhite = true)),
         (-13L, halfImage(4, 4, leftWhite = false)))

@@ -227,12 +227,18 @@ object TextStats {
       regexp_replace(acc, pat, repl)
     }
 
-  /** Number of PII matches in `text` across all patterns (the audit
-    * metric logged next to a redaction run). */
+  /** Number of redactions [[redactPii]] performs (the audit metric
+    * logged next to a redaction run). Each pattern is counted against
+    * the text AFTER the earlier patterns' replacements — the same fold
+    * order as the redaction — so overlapping PII (a phone number
+    * inside an email local-part) counts once, exactly as it is
+    * scrubbed, instead of once per matching pattern. */
   def piiCount(text: Column): Column =
-    piiPatterns.map { case (pat, _) =>
-      size(regexp_extract_all(text, lit(pat), lit(0)))
-    }.reduce(_ + _).cast("long")
+    piiPatterns.foldLeft((lit(0L), text)) {
+      case ((cnt, t), (pat, repl)) =>
+        (cnt + size(regexp_extract_all(t, lit(pat), lit(0))).cast("long"),
+          regexp_replace(t, pat, repl))
+    }._1
 
   /** X12: deterministic global shuffle + training-batch assignment.
     * Docs order by a seeded content hash (the training-order shuffle
@@ -247,10 +253,15 @@ object TextStats {
   def shuffleBatches(docs: DataFrame, batchSize: Int, seed: Long = 42L,
                      idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // two consumers (per-bucket ranking, bucket-count offsets) — the
+    // three-column frame materializes once so the corpus scan and the
+    // md5 run once, not twice (same reason packChunks checkpoints its
+    // counts frame)
     val keyed = docs.select(col(idCol),
         md5(concat_ws(":", lit(seed), col(idCol))).as("skey"))
       .withColumn("bucket", conv(substring(col("skey"), 1, 2), 16, 10)
         .cast("int"))
+      .localCheckpoint()
     val rn = row_number().over(
       Window.partitionBy("bucket").orderBy(col("skey"), col(idCol)))
     val ranked = keyed.withColumn("rn", rn.cast("long"))
@@ -303,12 +314,20 @@ object TextStats {
 
   /** X11: deterministic stratified sampling — per-stratum keep rates
     * for data-mixture construction (downsample over-represented
-    * languages/domains, keep the rest). The keep decision is the same
-    * content-hash bucket as [[hashSplit]], never `sample()`: stable
-    * across cluster sizes, re-runs, engines, and corpus appends, and a
-    * doc kept at 30% is also kept at any higher rate (nested samples —
-    * the property mixture ablations rely on). Row-local filter, no
-    * shuffle; at 100 TB this is a scan-side predicate. */
+    * languages/domains, keep the rest). The keep decision is a
+    * content-hash bucket, never `sample()`: stable across cluster
+    * sizes, re-runs, engines, and corpus appends, and a doc kept at
+    * 30% is also kept at any higher rate (nested samples — the
+    * property mixture ablations rely on). The hash is PURPOSE-SALTED
+    * ("sample:" prefix), NOT [[splitBucket]]: sharing the split's hash
+    * would correlate the two decisions — any rate ≤ 90 would keep only
+    * train-bucket docs and silently starve the val split to zero when
+    * the stages compose. Row-local filter, no shuffle; at 100 TB this
+    * is a scan-side predicate. */
+  def sampleBucket(id: Column): Column =
+    conv(substring(md5(concat_ws(":", lit("sample"), id.cast("string"))),
+      1, 8), 16, 10).cast("long") % 100
+
   def stratifiedSample(docs: DataFrame, ratesPct: Map[String, Int],
                        defaultPct: Int = 100,
                        strataCol: String = "lang",
@@ -317,7 +336,7 @@ object TextStats {
       case (acc, (stratum, pct)) =>
         when(col(strataCol) === stratum, lit(pct)).otherwise(acc)
     }
-    docs.filter(splitBucket(col(idCol)) < rate)
+    docs.filter(sampleBucket(col(idCol)) < rate)
       .select(col(idCol), col(strataCol))
   }
 

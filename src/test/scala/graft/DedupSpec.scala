@@ -141,7 +141,9 @@ class DedupSpec extends SparkSpec {
       (11L, base + " extra"), // near-dup of standing 2
       (13L, "entirely novel arrival with fresh words throughout")
     ).toDF("doc_id", "text")
-    val out = Dedup.incrementalMinhash(arriving, standing, threshold = 0.5)
+    val out = Dedup.incrementalMinhash(arriving,
+        Dedup.bandBuckets(standing), Dedup.withHashedShingleSet(standing),
+        threshold = 0.5)
       .collect().map(r => (r.getLong(0),
         Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toSet
     assert(out == Set((11L, Some(2L), false), (13L, None, true)))

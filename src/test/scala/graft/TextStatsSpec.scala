@@ -76,10 +76,7 @@ class TextStatsSpec extends SparkSpec {
   test("multimodal: aHash is scale-invariant and catches rescaled dups") {
     val dec = new Multimodal.MediaDecoder
     def half(w: Int, h: Int, leftWhite: Boolean): Array[Byte] =
-      Multimodal.makeBmp(w, h, (0 until w * h).map { i =>
-        val left = (i % w) < w / 2
-        if (left == leftWhite) (255, 255, 255) else (0, 0, 0)
-      })
+      Multimodal.halfImage(w, h, leftWhite) // the m6 fixture generator
     val h44 = dec.aHash("bmp", half(4, 4, leftWhite = true))
     val h88 = dec.aHash("bmp", half(8, 8, leftWhite = true))
     val h16 = dec.aHash("bmp", half(16, 16, leftWhite = true))
@@ -89,6 +86,23 @@ class TextStatsSpec extends SparkSpec {
     // flat image: no cell beats the mean — documented degenerate 0
     val flat = Multimodal.makeBmp(2, 2, Seq.fill(4)((9, 9, 9)))
     assert(dec.aHash("bmp", flat) == 0L)
+    // orientation-normalized: the SAME vertically-asymmetric picture
+    // encoded bottom-up vs top-down must hash identically, and must
+    // differ from its vertical mirror (`bgr` rows are bottom-up, so
+    // white rows i >= h/2 put the white band at the TOP of the image)
+    def topWhite(topDown: Boolean): Array[Byte] =
+      Multimodal.makeBmp(4, 4, (0 until 16).map(i =>
+        if (i / 4 >= 2) (255, 255, 255) else (0, 0, 0)), topDown)
+    def bottomWhite(topDown: Boolean): Array[Byte] =
+      Multimodal.makeBmp(4, 4, (0 until 16).map(i =>
+        if (i / 4 < 2) (255, 255, 255) else (0, 0, 0)), topDown)
+    val tw = dec.aHash("bmp", topWhite(topDown = false))
+    assert(tw == dec.aHash("bmp", topWhite(topDown = true)))
+    val bw = dec.aHash("bmp", bottomWhite(topDown = false))
+    assert(bw == dec.aHash("bmp", bottomWhite(topDown = true)))
+    assert(tw != bw)
+    // image-top rows map to grid rows 0-1 → low bits (top-left origin)
+    assert(tw == 0x00FFL && bw == 0xFF00L)
     // end to end: the 8x8 copy resolves to the 4x4 original's group
     val out = Multimodal.phashDedup(spark, Multimodal.phashFixtures(spark))
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3)))
@@ -190,6 +204,15 @@ class TextStatsSpec extends SparkSpec {
     assert(r(3L) == ("host <IP> and plain text", 1L))
     // short version numbers and non-domain @ are NOT PII matches
     assert(r(4L) == ("version 1.2 stays and so does a@b", 0L))
+    // overlapping PII: a phone-shaped local-part is consumed by the
+    // email redaction — count must equal redactions (1), not patterns
+    // matched against the original (2)
+    val overlap = Seq((9L, "at 555-123-4567@example.com now"))
+      .toDF("doc_id", "text")
+      .select(TextStats.redactPii(col("text")).as("red"),
+        TextStats.piiCount(col("text")).as("n")).collect().head
+    assert(overlap.getString(0) == "at <EMAIL> now")
+    assert(overlap.getLong(1) == 1L)
   }
 
   test("stratified samples are nested and rate-accurate") {
@@ -207,6 +230,15 @@ class TextStatsSpec extends SparkSpec {
     val langs = TextStats.stratifiedSample(docs, Map("en" -> 30), defaultPct = 0)
       .select("lang").distinct().as[String].collect().toSeq
     assert(langs == Seq("en"))
+    // composition with the train/val split: the sample hash is salted,
+    // so a 45% sample still contains BOTH splits (sharing splitBucket
+    // would have starved 'val' to zero for any rate <= 90)
+    val sampled = TextStats.stratifiedSample(docs, Map("en" -> 45),
+      defaultPct = 0).select("doc_id")
+    val splits = TextStats.hashSplit(docs, valPct = 10)
+      .join(sampled, "doc_id")
+      .select("split").distinct().as[String].collect().toSet
+    assert(splits == Set("train", "val"))
   }
 
   test("shuffle batches: a permutation in full batches, seed-sensitive") {
