@@ -649,6 +649,9 @@ object SparkEntry {
     "x14_boilerplate" -> ((s, d) =>
       TextStats.boilerplate(Tables.documents(s, d), minDf = 3)
         .orderBy(col("doc_id"))),
+    "x15_unigram_score" -> ((s, d) =>
+      TextStats.unigramScore(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "x12_shuffle_batches" -> ((s, d) =>
       TextStats.shuffleBatches(Tables.documents(s, d), batchSize = 64)
         .orderBy(col("doc_id"))),
@@ -1605,6 +1608,14 @@ object SparkEntry {
                  coalesce(total_spend, 0.0) AS total_spend
           FROM bc FULL OUTER JOIN oc ON c_custkey = o_custkey
           ORDER BY custkey""",
+    "x15_unigram_score" ->
+      s"""WITH p AS (SELECT doc_id, unnest(${sqlToks(sqlNorm)}) AS tok
+                     FROM documents),
+          v AS (SELECT tok, count(*)::BIGINT AS tf FROM p GROUP BY 1)
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 sum(tf)::BIGINT AS sum_tf,
+                 round(sum(tf) / count(*), 6) AS mean_tf
+          FROM p JOIN v USING (tok) GROUP BY 1 ORDER BY 1""",
     "x14_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
           s AS (SELECT doc_id, $sqlShingles AS sh FROM t),

@@ -278,6 +278,30 @@ object TextStats {
       .withColumn("batch_id", expr(s"pos div $batchSize"))
   }
 
+  /** X15: unigram-frequency score — per document, the mean corpus
+    * frequency of its tokens: text dominated by corpus-rare tokens
+    * (OCR noise, codes, gibberish) scores low, function-word prose
+    * scores high. This is the cheap stand-in for model-based quality
+    * filtering (the CCNet/KenLM-perplexity shape: swap the corpus
+    * unigram table for LM scores and the plan is unchanged — a
+    * token-level frame joined to a broadcast-or-shuffled score table,
+    * aggregated per doc). Docs with zero tokens produce no row, same
+    * as a perplexity filter. Two shuffles: the vocabulary aggregate on
+    * the token, reused by the score join; then the per-doc mean. */
+  def unigramScore(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(Analyzers.tokenize(Dedup.normalize(col(textCol))))
+          .as("tok"))
+      .localCheckpoint() // feeds the vocab agg AND the score join
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    toks.join(vocab, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("tf").as("sum_tf"))
+      .withColumn("mean_tf",
+        round(col("sum_tf").cast("double") / col("n_tokens"), 6))
+  }
+
   /** X14: boilerplate signal — the fraction of a document's distinct
     * word-3-gram shingles that are corpus-common (document frequency ≥
     * `minDf`): navigation chrome, license headers, and template text

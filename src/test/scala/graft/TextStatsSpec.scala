@@ -264,6 +264,20 @@ class TextStatsSpec extends SparkSpec {
     assert(seed2 != byPos)
   }
 
+  test("unigram score ranks common prose above rare-token noise") {
+    val docs = Seq(
+      (1L, "the the the the"),     // all corpus-common
+      (2L, "the zzz qqq vvv"),     // mostly corpus-unique
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextStats.unigramScore(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getAs[Double]("mean_tf")))
+      .toMap
+    assert(r(1L) == (4L, 5.0))      // 'the' appears 5x corpus-wide
+    assert(r(2L) == (4L, 2.0))      // (5+1+1+1)/4
+    assert(r(2L)._2 < r(1L)._2)
+    assert(!r.contains(3L))         // zero-token doc: no row
+  }
+
   test("boilerplate ratio separates template text from fresh text") {
     // "alpha beta gamma" is the shared boilerplate shingle (df=3);
     // each doc's tail is unique
