@@ -655,6 +655,16 @@ object SparkEntry {
     "x12_shuffle_batches" -> ((s, d) =>
       TextStats.shuffleBatches(Tables.documents(s, d), batchSize = 64)
         .orderBy(col("doc_id"))),
+    "x16_source_cap" -> ((s, d) =>
+      // domain balancing: ≤15 docs per source, hash-ranked selection;
+      // plans as WindowGroupLimit (map-side per-group top-k before the
+      // shuffle) — plan-locked in PlanSpec
+      TextStats.sourceCap(Tables.documents(s, d), cap = 15)
+        .orderBy(col("source"), col("rk"))),
+    "x17_soft_filter" -> ((s, d) =>
+      // importance resampling on the quality ramp [0.4, 0.9]
+      TextStats.softFilter(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "n6_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .orderBy(col("label"))),
@@ -1626,6 +1636,31 @@ object SparkEntry {
                  round(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) / count(*), 6)
                    AS boilerplate_ratio
           FROM p JOIN d USING (sh1) GROUP BY 1 ORDER BY 1""",
+    "x16_source_cap" ->
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('cap:' || doc_id::VARCHAR), doc_id)::BIGINT AS rk
+           FROM documents) WHERE rk <= 15 ORDER BY source, rk""",
+    "x17_soft_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, ${sqlToks("lower(text)")} AS toks FROM documents),
+          m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                       CASE WHEN len(text) > 0
+                            THEN (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / len(text)::INT
+                            ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, t -> list_contains($sqlStop, t)))::DOUBLE / len(toks)::INT
+                            ELSE 0.0 END AS stop_ratio
+                FROM t),
+          q AS (SELECT doc_id,
+                       round(least(n_tokens::DOUBLE / 20.0, 1.0) * 0.4 +
+                             (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+                             least(stop_ratio * 4.0, 1.0) * 0.3, 6) AS quality
+                FROM m)
+          SELECT doc_id, quality FROM q
+          WHERE (('0x' || substr(md5('soft:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000)
+                < floor(least(greatest((quality - 0.4) / (0.9 - 0.4), 0.0), 1.0) * 10000)
+          ORDER BY doc_id""",
     "n7_quantized_rerank" ->
       """SELECT * FROM (VALUES
            (1::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),

@@ -364,6 +364,58 @@ object TextStats {
       .select(col(idCol), col(strataCol))
   }
 
+  /** X16: per-domain cap (domain balancing) — keep at most `cap`
+    * documents per `strataCol` value, the standard remedy for a handful
+    * of over-crawled hosts dominating a web corpus (C4-style per-domain
+    * page limits). Selection is deterministic: docs rank by a
+    * purpose-salted content hash with the id as tie-break, so re-runs,
+    * engines, and cluster sizes agree on the kept set and the choice
+    * inside a domain is unbiased rather than first-N-in-crawl-order.
+    *
+    * Scale design: a rank-≤-cap filter directly above the window is
+    * planned as `WindowGroupLimit` (SPARK-37099): every map task keeps
+    * only its local top-`cap` rows per domain BEFORE the exchange, so
+    * the shuffle carries at most cap·partitions rows per domain instead
+    * of the whole corpus — an unbounded hot domain never reaches the
+    * sort. Plan-locked in PlanSpec. The long cast happens AFTER the
+    * filter: a projection between Filter and Window would hide the
+    * rank-limit pattern from the optimizer. */
+  def sourceCap(docs: DataFrame, cap: Int,
+                strataCol: String = "source",
+                idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hash = md5(concat_ws(":", lit("cap"), col(idCol).cast("string")))
+    docs.select(col(idCol), col(strataCol))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(strataCol).orderBy(hash, col(idCol))))
+      .filter(col("rk") <= cap)
+      .select(col(idCol), col(strataCol), col("rk").cast("long").as("rk"))
+  }
+
+  /** X17: soft quality filter (importance resampling) — keep each
+    * document with probability ramping linearly from 0 at quality `lo`
+    * to 1 at `hi`, instead of a hard threshold (the DCLM/FineWeb-shape
+    * soft filter: borderline documents are downsampled, not
+    * guillotined, which preserves diversity near the boundary). The
+    * "coin flip" is a purpose-salted content hash against 10k buckets:
+    * deterministic across re-runs/engines/cluster sizes, independent of
+    * the split/sample salts, and monotone — raising the ramp only
+    * removes documents, so nested ablations stay nested. `floor`, not a
+    * bigint cast, on both engine sides: Spark's double→long cast
+    * truncates while DuckDB's rounds (the w5 hazard). Row-local
+    * scan-side predicate — no shuffle; at 100 TB this fuses into the
+    * reading filter pipeline like x11. */
+  def softFilter(docs: DataFrame, lo: Double = 0.4, hi: Double = 0.9,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val q = qualityScore(col(textCol))
+    val p = least(greatest((q - lit(lo)) / lit(hi - lo), lit(0.0)), lit(1.0))
+    val u = conv(substring(md5(concat_ws(":", lit("soft"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") % 10000
+    docs.filter(u < floor(p * 10000).cast("long"))
+      .select(col(idCol), q.as("quality"))
+  }
+
   /** X13: data-mixture report — per-stratum document and token totals
     * plus each stratum's share of the corpus tokens, the numbers a
     * pretraining run's mixture weights are tuned against. One shuffle

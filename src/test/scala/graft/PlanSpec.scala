@@ -96,4 +96,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning(skey"), p)
     assert(!p.contains("rangepartitioning(doc_id"), p)
   }
+
+  test("source cap plans a map-side group limit before the shuffle") {
+    // the rank-<=-cap filter must be recognized as WindowGroupLimit
+    // (SPARK-37099): each task keeps its local top-cap rows per domain
+    // BEFORE the exchange, so a hot domain never floods the sort
+    val p = plan("x16_source_cap")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }

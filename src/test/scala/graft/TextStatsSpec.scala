@@ -241,6 +241,40 @@ class TextStatsSpec extends SparkSpec {
     assert(splits == Set("train", "val"))
   }
 
+  test("source cap keeps at most N per domain, deterministically") {
+    val docs = Tables.documents(spark, sf)
+    val capped = TextStats.sourceCap(docs, cap = 3)
+    val perSource = capped.groupBy("source").count()
+      .select("count").as[Long].collect()
+    assert(perSource.forall(_ <= 3))
+    // a source with >= 3 docs is capped exactly at 3 (selection, not loss)
+    val big = docs.groupBy("source").count().filter(col("count") >= 3).count()
+    assert(perSource.count(_ == 3) == big)
+    // hash-rank selection is layout-independent: same kept set after a
+    // repartition (a crawl-order rank would depend on row order)
+    val again = TextStats.sourceCap(docs.repartition(7), cap = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == capped.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("soft filter: ramp is monotone and keeps certainties") {
+    val docs = Tables.documents(spark, sf)
+    val wide = TextStats.softFilter(docs, lo = 0.4, hi = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    val narrow = TextStats.softFilter(docs, lo = 0.5, hi = 0.95)
+      .select("doc_id").as[Long].collect().toSet
+    // raising the ramp only removes docs (same coin, higher bar)
+    assert(narrow.subsetOf(wide))
+    // quality >= hi --> p = 1: kept with certainty, no coin involved
+    val sure = docs.filter(TextStats.qualityScore(col("text")) >= 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sure.subsetOf(wide))
+    // quality <= lo --> p = 0: never kept
+    val doomed = docs.filter(TextStats.qualityScore(col("text")) <= 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(doomed.intersect(wide).isEmpty)
+  }
+
   test("shuffle batches: a permutation in full batches, seed-sensitive") {
     val docs = Tables.documents(spark, sf)
     val out = TextStats.shuffleBatches(docs, batchSize = 16)
