@@ -32,5 +32,22 @@ object GraftExtensions {
     unary("porter_stem", classOf[expressions.PorterStem],
       expressions.PorterStem),
     unary("ascii_fold", classOf[expressions.AsciiFold],
-      expressions.AsciiFold))
+      expressions.AsciiFold),
+    // the runtime-filter expressions (SPARK-32268), SQL-callable so the
+    // analyst entry can write the scalar-subquery bloom pre-filter:
+    //   WHERE might_contain((SELECT bloom_filter_agg(xxhash64(k)) FROM dim
+    //                        WHERE ...), xxhash64(fact_k))
+    unary("bloom_filter_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      c => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(c).toAggregateExpression()),
+    (FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "might_contain takes exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(args.head, args(1))
+      }))
 }

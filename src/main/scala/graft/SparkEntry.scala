@@ -665,6 +665,33 @@ object SparkEntry {
       // importance resampling on the quality ramp [0.4, 0.9]
       TextStats.softFilter(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    "bf1_bloom_prefilter" -> ((s, d) => {
+      // runtime-filter contract: the bloom pre-filter (Prune.scala) must
+      // never drop a matching fact row (one-sided error) and its false
+      // positives stay under 1% of the non-matching rows + 1. n_exact is
+      // the DuckDB-checkable anchor; the flags are constant-TRUE.
+      import graft.functions.expressions
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val bloom = dim
+        .select(expressions.bloom_agg(xxhash64(col("o_orderkey"))).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      val keys = dim.select(col("o_orderkey")).distinct()
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+      li.join(keys, li("l_orderkey") === keys("o_orderkey"), "left_outer")
+        .select(col("o_orderkey").isNotNull.as("is_exact"),
+          expressions.might_contain(lit(bloom), xxhash64(col("l_orderkey")))
+            .as("pass"))
+        .agg(
+          sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("is_exact") && !col("pass"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("is_exact") && col("pass"), 1L).otherwise(0L)).as("fp"),
+          count(lit(1)).as("n"))
+        .select(col("n_exact"),
+          (col("fn") === 0L).as("no_false_negatives"),
+          (col("fp") * 100L <= col("n") - col("n_exact") + 100L)
+            .as("fp_bounded"))
+    }),
     "n6_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .orderBy(col("label"))),
@@ -1636,6 +1663,12 @@ object SparkEntry {
                  round(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) / count(*), 6)
                    AS boilerplate_ratio
           FROM p JOIN d USING (sh1) GROUP BY 1 ORDER BY 1""",
+    "bf1_bloom_prefilter" ->
+      """SELECT (SELECT count(*) FROM lineitem l
+                 WHERE EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey
+                                 AND o.o_orderpriority = '1-URGENT'))::BIGINT AS n_exact,
+                TRUE AS no_false_negatives, TRUE AS fp_bounded""",
     "x16_source_cap" ->
       """SELECT doc_id, source, rk FROM (
            SELECT doc_id, source,

@@ -607,4 +607,18 @@ object expressions {
     GraftShim.toColumn(ShiftRight(GraftShim.toExpression(c), GraftShim.toExpression(bits)))
   def shift_right_unsigned(c: Column, bits: Column): Column =
     GraftShim.toColumn(ShiftRightUnsigned(GraftShim.toExpression(c), GraftShim.toExpression(bits)))
+
+  // Spark's runtime-filter machinery (SPARK-32268) as explicit user
+  // operators: the same BloomFilterAggregate/BloomFilterMightContain
+  // expressions AQE injects, exposed so a pipeline can pre-prune a fact
+  // scan against a dim-side key set it controls. Probe values go through
+  // xxhash64 on BOTH sides (the InjectRuntimeFilter convention).
+  import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+  def bloom_agg(c: Column): Column =
+    GraftShim.toColumn(
+      new BloomFilterAggregate(GraftShim.toExpression(c)).toAggregateExpression())
+  def might_contain(bloom: Column, v: Column): Column =
+    GraftShim.toColumn(BloomFilterMightContain(
+      GraftShim.toExpression(bloom), GraftShim.toExpression(v)))
 }
