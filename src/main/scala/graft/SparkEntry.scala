@@ -665,6 +665,17 @@ object SparkEntry {
       // importance resampling on the quality ramp [0.4, 0.9]
       TextStats.softFilter(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    "z1_zorder" -> ((s, d) => {
+      // Morton interleave of two bucketed dims — the multi-dimensional
+      // data-skipping layout key (file-skipping proved on real files in
+      // PruneSpec; here the bit math itself is oracle-checked)
+      val ev = Tables.events(s, d)
+      ev.select(col("event_id"),
+          (col("user_id") % 256L).as("ua"),
+          (floor(col("value") / 2.0).cast("long") % 256L).as("vb"))
+        .withColumn("z", operators.Prune.zvalue(col("ua"), col("vb")))
+        .orderBy(col("event_id"))
+    }),
     "bf1_bloom_prefilter" -> ((s, d) => {
       // runtime-filter contract: the bloom pre-filter (Prune.scala) must
       // never drop a matching fact row (one-sided error) and its false
@@ -1663,6 +1674,12 @@ object SparkEntry {
                  round(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) / count(*), 6)
                    AS boilerplate_ratio
           FROM p JOIN d USING (sh1) GROUP BY 1 ORDER BY 1""",
+    "z1_zorder" ->
+      s"""SELECT event_id, (user_id % 256)::BIGINT AS ua,
+                 (floor(value / 2.0)::BIGINT % 256)::BIGINT AS vb,
+                 ${operators.Prune.zvalueSql("(user_id % 256)",
+                   "(floor(value / 2.0)::BIGINT % 256)")} AS z
+          FROM events ORDER BY event_id""",
     "bf1_bloom_prefilter" ->
       """SELECT (SELECT count(*) FROM lineitem l
                  WHERE EXISTS (SELECT 1 FROM orders o
