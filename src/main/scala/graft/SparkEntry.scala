@@ -665,6 +665,31 @@ object SparkEntry {
       // importance resampling on the quality ramp [0.4, 0.9]
       TextStats.softFilter(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    "x18_heavy_hitters" -> ((s, d) =>
+      // count-min-sketch vocabulary estimates, contract-verified against
+      // exact counts for the probe tokens (x5/HLL discipline: one-sided
+      // error + eps*N overshoot bound as constant-TRUE columns)
+      TextStats.heavyHitters(Tables.documents(s, d),
+        probes = Seq("the", "and", "of", "to", "in"))
+        .orderBy(col("token"))),
+    "sk1_salted_collect" -> ((s, d) =>
+      // two-phase salted collect over a 3-key (maximally hot) grouping:
+      // result must equal the direct aggregation — the oracle IS the
+      // direct aggregation
+      operators.Skew.saltedCollect(
+        Tables.lineitem(s, d), "l_returnflag",
+        struct(col("l_orderkey").as("ok"), col("l_linenumber").as("ln")),
+        saltCol = col("l_orderkey"), salt = 16)
+        .select(col("l_returnflag"),
+          joined(transform(col("items"), i => concat_ws(":",
+            i.getField("ok"), i.getField("ln")))).as("items"))
+        .orderBy(col("l_returnflag"))),
+    "sk2_salted_sum" -> ((s, d) =>
+      operators.Skew.saltedSum(
+        Tables.lineitem(s, d), "l_returnflag",
+        col("l_quantity"), saltCol = col("l_orderkey"), salt = 16)
+        .select(col("l_returnflag"), col("total"), col("n"))
+        .orderBy(col("l_returnflag"))),
     "z1_zorder" -> ((s, d) => {
       // Morton interleave of two bucketed dims — the multi-dimensional
       // data-skipping layout key (file-skipping proved on real files in
@@ -1674,6 +1699,22 @@ object SparkEntry {
                  round(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) / count(*), 6)
                    AS boilerplate_ratio
           FROM p JOIN d USING (sh1) GROUP BY 1 ORDER BY 1""",
+    "x18_heavy_hitters" ->
+      s"""WITH p AS (SELECT unnest(${sqlToks("lower(text)")}) AS token FROM documents)
+          SELECT t.token, coalesce(c.n_exact, 0)::BIGINT AS n_exact,
+                 TRUE AS never_under, TRUE AS overshoot_bounded
+          FROM (VALUES ('the'),('and'),('of'),('to'),('in')) AS t(token)
+          LEFT JOIN (SELECT token, count(*)::BIGINT AS n_exact
+                     FROM p GROUP BY 1) c USING (token)
+          ORDER BY token""",
+    "sk1_salted_collect" ->
+      """SELECT l_returnflag,
+                array_to_string(list(l_orderkey::VARCHAR || ':' || l_linenumber
+                                     ORDER BY l_orderkey, l_linenumber), '|') AS items
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "sk2_salted_sum" ->
+      """SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "z1_zorder" ->
       s"""SELECT event_id, (user_id % 256)::BIGINT AS ua,
                  (floor(value / 2.0)::BIGINT % 256)::BIGINT AS vb,

@@ -364,6 +364,40 @@ object TextStats {
       .select(col(idCol), col(strataCol))
   }
 
+  /** X18: heavy-hitter token counts via count–min sketch — vocabulary
+    * frequency estimates WITHOUT a corpus-wide groupBy. The sketch is a
+    * fixed ~100 KB 2-D counter array that merges associatively, so the
+    * corpus shuffles nothing: one scan, partial sketches combine
+    * map-side, only the finished sketch crosses the driver (the x5/HLL
+    * discipline). Estimates are one-sided — never below the true count,
+    * and over by at most eps·N with the configured confidence — and the
+    * returned frame carries both contract columns verified against
+    * exact per-probe counts, which an exact pipeline computes only for
+    * the handful of probe tokens (a selective filter, not a full
+    * vocabulary aggregation). Deterministic for a fixed seed. */
+  def heavyHitters(docs: DataFrame, probes: Seq[String],
+                   eps: Double = 0.001, textCol: String = "text",
+                   seed: Int = 42): DataFrame = {
+    val toks = docs.select(
+      explode(Analyzers.tokenize(lower(col(textCol)))).as("token"))
+    val row = toks.agg(
+      expr(s"count_min_sketch(token, ${eps}d, 0.99d, $seed)").as("sk"),
+      count(lit(1)).as("n")).head
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sk")))
+    val nTotal = row.getAs[Long]("n")
+    import docs.sparkSession.implicits._
+    val est = probes.map(t => (t, cms.estimateCount(t))).toDF("token", "est")
+    val exact = toks.filter(col("token").isin(probes: _*))
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("token"), "left_outer")
+      .na.fill(0L, Seq("n_exact"))
+      .select(col("token"), col("n_exact"),
+        (col("est") >= col("n_exact")).as("never_under"),
+        (col("est") <= col("n_exact") + lit(math.ceil(eps * nTotal).toLong))
+          .as("overshoot_bounded"))
+  }
+
   /** X16: per-domain cap (domain balancing) — keep at most `cap`
     * documents per `strataCol` value, the standard remedy for a handful
     * of over-crawled hosts dominating a web corpus (C4-style per-domain

@@ -241,6 +241,19 @@ class TextStatsSpec extends SparkSpec {
     assert(splits == Set("train", "val"))
   }
 
+  test("heavy hitters: CMS never undercounts, overshoot bounded") {
+    val out = TextStats.heavyHitters(Tables.documents(spark, sf),
+      probes = Seq("the", "zzzneverseen"))
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getAs[Boolean]("never_under")
+      && r.getAs[Boolean]("overshoot_bounded")))
+    // an absent probe has exact count 0 (and the sketch may only
+    // overshoot within the bound, never invent a heavy hitter)
+    val miss = rows.find(_.getAs[String]("token") == "zzzneverseen").get
+    assert(miss.getAs[Long]("n_exact") == 0L)
+  }
+
   test("source cap keeps at most N per domain, deterministically") {
     val docs = Tables.documents(spark, sf)
     val capped = TextStats.sourceCap(docs, cap = 3)
