@@ -665,6 +665,23 @@ object SparkEntry {
       // importance resampling on the quality ramp [0.4, 0.9]
       TextStats.softFilter(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    "x19_bpe" -> ((s, d) => {
+      // real BPE merge application on planted fixtures; the oracle is
+      // the output of an independent reference implementation of the
+      // published apply algorithm (golden VALUES). Corpus-level
+      // losslessness is property-tested in TextStatsSpec.
+      import s.implicits._
+      val fx = Seq(
+        (1L, "The then there!"),
+        (2L, "To be or not to be"),
+        (3L, "and another thing"),
+        (4L, "rat-a-tat 42 thor"),
+        (5L, "")).toDF("doc_id", "text")
+      TextStats.bpeTokens(fx)
+        .select(col("doc_id"), joined(col("tokens")).as("tokens"),
+          col("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
     "x18_heavy_hitters" -> ((s, d) =>
       // count-min-sketch vocabulary estimates, contract-verified against
       // exact counts for the probe tokens (x5/HLL discipline: one-sided
@@ -1699,6 +1716,14 @@ object SparkEntry {
                  round(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) / count(*), 6)
                    AS boilerplate_ratio
           FROM p JOIN d USING (sh1) GROUP BY 1 ORDER BY 1""",
+    "x19_bpe" ->
+      """SELECT * FROM (VALUES
+           (1::BIGINT, 'the|the|n|the|re|!', 6::BIGINT),
+           (2::BIGINT, 'to|b|e|or|n|o|t|to|b|e', 10::BIGINT),
+           (3::BIGINT, 'and|an|o|the|r|th|in|g', 8::BIGINT),
+           (4::BIGINT, 'r|at|-|a|-|t|at|4|2|th|or', 11::BIGINT),
+           (5::BIGINT, '', 0::BIGINT))
+         AS t(doc_id, tokens, n_bpe) ORDER BY doc_id""",
     "x18_heavy_hitters" ->
       s"""WITH p AS (SELECT unnest(${sqlToks("lower(text)")}) AS token FROM documents)
           SELECT t.token, coalesce(c.n_exact, 0)::BIGINT AS n_exact,

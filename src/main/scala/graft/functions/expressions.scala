@@ -608,6 +608,29 @@ object expressions {
   def shift_right_unsigned(c: Column, bits: Column): Column =
     GraftShim.toColumn(ShiftRightUnsigned(GraftShim.toExpression(c), GraftShim.toExpression(bits)))
 
+  /** BPE merge application over a pre-token array (see [[BpeImpl]]).
+    * The merge table rides as a constant constructor param; codegen
+    * passes it through the references array (`addReferenceObj`), so the
+    * expression stays inside whole-stage codegen with zero per-row
+    * parsing — the rank map is cached per JVM by spec identity. */
+  case class BpeTokens(child: Expression, mergesSpec: String)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = stringArrayType
+    override def nullSafeEval(v: Any): Any =
+      BpeImpl.encode(v.asInstanceOf[ArrayData], mergesSpec)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = ctx.addReferenceObj("bpeMerges", mergesSpec, "java.lang.String")
+      defineCodeGen(ctx, ev, c => s"graft.functions.BpeImpl.encode($c, $m)")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeTokens =
+      copy(child = c)
+    override def prettyName: String = "bpe_tokens"
+  }
+
+  def bpe_tokens(preTokens: Column, merges: Seq[(String, String)]): Column =
+    GraftShim.toColumn(BpeTokens(GraftShim.toExpression(preTokens),
+      merges.map { case (l, r) => s"$l $r" }.mkString(",")))
+
   // Spark's runtime-filter machinery (SPARK-32268) as explicit user
   // operators: the same BloomFilterAggregate/BloomFilterMightContain
   // expressions AQE injects, exposed so a pipeline can pre-prune a fact

@@ -364,6 +364,35 @@ object TextStats {
       .select(col(idCol), col(strataCol))
   }
 
+  /** A small demonstration merge table (rank = position): enough to
+    * exercise multi-level merges (t+h → th, th+e → the) and rank
+    * priority. A production run swaps in the 50k-entry table its
+    * tokenizer trained — the operator and plan are unchanged. */
+  val demoMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n",
+    "o" -> "f", "o" -> "r", "t" -> "o", "i" -> "s", "h" -> "e")
+
+  /** X19: real BPE tokenization — apply a byte-pair merge table
+    * (lowest-rank adjacent pair first, per pre-token) instead of the
+    * regex approximation `tokenCounts` reports. One codegen'd
+    * expression over the pre-token array ([[graft.functions
+    * .expressions.BpeTokens]]); pure projection, no shuffle. BPE apply
+    * is lossless: concatenating a pre-token's BPE pieces reproduces the
+    * pre-token exactly (property-tested over the corpus in
+    * TextStatsSpec; the merge semantics are golden-checked against an
+    * independent reference implementation in the x19 oracle). */
+  def bpeTokens(docs: DataFrame,
+                merges: Seq[(String, String)] = demoMerges,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val pre = regexp_extract_all(lower(col(textCol)),
+      lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0))
+    docs.select(col(idCol),
+      graft.functions.expressions.bpe_tokens(pre, merges).as("tokens"))
+      .withColumn("n_bpe", size(col("tokens")).cast("long"))
+  }
+
   /** X18: heavy-hitter token counts via count–min sketch — vocabulary
     * frequency estimates WITHOUT a corpus-wide groupBy. The sketch is a
     * fixed ~100 KB 2-D counter array that merges associatively, so the

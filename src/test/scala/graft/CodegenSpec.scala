@@ -48,6 +48,19 @@ class CodegenSpec extends SparkSpec {
     assert(r.getString(1) == "Eva")
   }
 
+  test("bpe_tokens compiles under codegen (no silent fallback)") {
+    noFallback {
+      val out = docs
+        .select(col("id"), bpe_tokens(
+          regexp_extract_all(col("text"),
+            lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)),
+          graft.operators.TextStats.demoMerges).as("t"))
+        .select(col("id"), size(col("t")).as("n"))
+        .collect()
+      assert(out.length == 3 && out.forall(_.getInt(1) > 0))
+    }
+  }
+
   test("shingle_hashes compiles under codegen (no silent fallback)") {
     noFallback {
       val out = docs

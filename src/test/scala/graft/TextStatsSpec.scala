@@ -241,6 +241,35 @@ class TextStatsSpec extends SparkSpec {
     assert(splits == Set("train", "val"))
   }
 
+  test("BPE apply is lossless over the whole corpus") {
+    // concatenating a pre-token's BPE pieces must reproduce the
+    // pre-token exactly, for every document — the defining invariant
+    // of merge-based tokenization (merges only ever join adjacent
+    // symbols, never rewrite them)
+    val docs = Tables.documents(spark, sf)
+    val pre = regexp_extract_all(lower(col("text")),
+      lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0))
+    val both = docs.select(
+      concat_ws("", pre).as("orig"),
+      concat_ws("", graft.functions.expressions.bpe_tokens(
+        pre, TextStats.demoMerges)).as("reassembled"))
+    assert(both.filter(col("orig") =!= col("reassembled")).count() == 0)
+    // and merging strictly compresses where merges apply
+    val n = TextStats.bpeTokens(docs).agg(sum("n_bpe")).head.getLong(0)
+    val nChars = docs.select(concat_ws("", pre).as("p"))
+      .agg(sum(length(col("p")))).head.getLong(0)
+    assert(n < nChars)
+  }
+
+  test("BPE rank priority: lower-rank merge wins when pairs compete") {
+    import spark.implicits._
+    // in "the": "t h" (rank 0) must fire before "h e" (rank 14) —
+    // greedy-by-rank, not left-to-right scanning
+    val out = TextStats.bpeTokens(Seq((1L, "the he")).toDF("doc_id", "text"))
+      .select(concat_ws("|", col("tokens"))).head.getString(0)
+    assert(out == "the|he")
+  }
+
   test("heavy hitters: CMS never undercounts, overshoot bounded") {
     val out = TextStats.heavyHitters(Tables.documents(spark, sf),
       probes = Seq("the", "zzzneverseen"))
