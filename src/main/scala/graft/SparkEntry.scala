@@ -707,6 +707,20 @@ object SparkEntry {
         col("l_quantity"), saltCol = col("l_orderkey"), salt = 16)
         .select(col("l_returnflag"), col("total"), col("n"))
         .orderBy(col("l_returnflag"))),
+    "z2_rank_bucket" -> ((s, d) => {
+      // equi-depth contract for the rank bucketing behind z-order on
+      // skewed dims: every bucket within 2x the ideal depth, exact row
+      // total preserved (the constant-TRUE + exact-anchor discipline)
+      val ev = Tables.events(s, d)
+      val vb = operators.Prune.rankBucket(ev, "value", buckets = 16,
+        err = 0.001)
+      ev.select(vb.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_rows"),
+          max(col("n")).as("mx"))
+        .select(col("n_buckets"), col("n_rows"),
+          (col("mx") * lit(8) <= col("n_rows")).as("depth_balanced"))
+    }),
     "z1_zorder" -> ((s, d) => {
       // Morton interleave of two bucketed dims — the multi-dimensional
       // data-skipping layout key (file-skipping proved on real files in
@@ -1740,6 +1754,10 @@ object SparkEntry {
     "sk2_salted_sum" ->
       """SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "z2_rank_bucket" ->
+      """SELECT 16::BIGINT AS n_buckets,
+                (SELECT count(*) FROM events)::BIGINT AS n_rows,
+                TRUE AS depth_balanced""",
     "z1_zorder" ->
       s"""SELECT event_id, (user_id % 256)::BIGINT AS ua,
                  (floor(value / 2.0)::BIGINT % 256)::BIGINT AS vb,

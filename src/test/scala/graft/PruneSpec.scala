@@ -67,6 +67,28 @@ class PruneSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("rank bucketing makes the skewed dim z-orderable (equi-depth)") {
+    val evRaw = Tables.events(spark, sf)
+    // raw `value` is exponentially skewed; rank buckets are equi-depth
+    // by construction, so ANY contiguous bucket box is selective
+    val vb = Prune.rankBucket(evRaw, "value", buckets = 64)
+    val ev = evRaw.select(col("event_id"),
+      (col("user_id") % 256L).as("ua"), vb.as("vb"))
+    val n = ev.count()
+    val inBox = ev.filter(col("vb") <= 15).count()
+    assert(math.abs(inBox.toDouble / n - 0.25) < 0.10,
+      s"first-quartile box holds $inBox of $n rows - not equi-depth")
+    val dir = "/tmp/graft-zorder-rank"
+    Prune.zorderWrite(ev, col("ua"), col("vb"), dir, files = 16)
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("vb").as("lo"))
+    val hit = stats.filter(col("lo") <= 15).count()
+    val all = stats.count()
+    assert(hit * 2 <= all,
+      s"rank-bucketed z-order hit $hit/$all files for a quartile box")
+  }
+
   test("bloom functions are SQL-callable with a scalar-subquery build") {
     graft.functions.GraftFunctions.register(spark)
     Tables.lineitem(spark, sf).createOrReplaceTempView("li_bf")
