@@ -707,6 +707,30 @@ object SparkEntry {
         col("l_quantity"), saltCol = col("l_orderkey"), salt = 16)
         .select(col("l_returnflag"), col("total"), col("n"))
         .orderBy(col("l_returnflag"))),
+    "x20_winsorize" -> ((s, d) => {
+      // winsorized (p99-clipped) per-group totals — outlier clipping for
+      // mixture/stats reports. Everything stays in the x100-cents BIGINT
+      // domain (the a3 fixed-point discipline): the p99 interpolation
+      // fraction is a multiple of 1/100 over integer multiples of 100,
+      // so round() lands both engines on the same integer and the
+      // clipped sums are exact integer arithmetic — no double-sum
+      // order dependence reaches the compare.
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          (round(col("l_extendedprice") * 100, 0).cast("long") * 100L)
+            .as("pc100"))
+      val t = operators.Quantiles
+        .exactPercentiles(li, "l_returnflag", "pc100", Seq("p99" -> 0.99))
+        .select(col("l_returnflag").as("rf"),
+          round(col("p99"), 0).cast("long").as("t_c100"))
+      li.join(broadcast(t), col("l_returnflag") === col("rf"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("t_c100")).as("t_c100"),
+          sum(least(col("pc100"), col("t_c100"))).as("sum_clipped"),
+          sum(when(col("pc100") > col("t_c100"), 1L).otherwise(0L))
+            .as("n_clipped"))
+        .orderBy(col("l_returnflag"))
+    }),
     "z2_rank_bucket" -> ((s, d) => {
       // equi-depth contract for the rank bucketing behind z-order on
       // skewed dims: every bucket within 2x the ideal depth, exact row
@@ -1754,6 +1778,17 @@ object SparkEntry {
     "sk2_salted_sum" ->
       """SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "x20_winsorize" ->
+      """WITH li AS (SELECT l_returnflag,
+                            round(l_extendedprice*100, 0)::BIGINT * 100 AS pc100
+                     FROM lineitem),
+          t AS (SELECT l_returnflag,
+                       CAST(round(quantile_cont(pc100, 0.99), 0) AS BIGINT) AS t_c100
+                FROM li GROUP BY 1)
+          SELECT l.l_returnflag, max(t.t_c100)::BIGINT AS t_c100,
+                 sum(least(l.pc100, t.t_c100))::BIGINT AS sum_clipped,
+                 sum(CASE WHEN l.pc100 > t.t_c100 THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+          FROM li l JOIN t USING (l_returnflag) GROUP BY 1 ORDER BY 1""",
     "z2_rank_bucket" ->
       """SELECT 16::BIGINT AS n_buckets,
                 (SELECT count(*) FROM events)::BIGINT AS n_rows,

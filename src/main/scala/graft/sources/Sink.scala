@@ -124,6 +124,30 @@ object Sink {
   def partitionedWrite(df: DataFrame, partCol: String, outPath: String): Unit =
     df.write.partitionBy(partCol).mode("overwrite").parquet(outPath)
 
+  /** Small-file compaction — the maintenance pass every long-running
+    * ingest needs: streaming sinks and per-batch writes leave thousands
+    * of KB-sized files whose per-file open/footer cost eventually
+    * dominates scans. Rewrite the directory into ⌈rows/target⌉
+    * near-equal files: one round-robin shuffle (repartition(n) without
+    * keys — no skew possible by construction), atomic replace via
+    * write-to-tmp + rename. Returns (filesBefore, filesAfter).
+    * At 100 TB this runs per partition-directory, not per table, so
+    * the shuffle is bounded by a partition's size. */
+  def compact(spark: SparkSession, path: String, targetRows: Long): (Int, Int) = {
+    val before = spark.read.parquet(path)
+    val nFiles = before.inputFiles.length
+    val rows = before.count()
+    val want = math.max(1, math.ceil(rows.toDouble / targetRows).toInt)
+    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    before.repartition(want).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    (nFiles, spark.read.parquet(path).inputFiles.length)
+  }
+
   /** S2: streamed fetch — pull results through a server-side-cursor
     * analog; only one partition is resident at the driver at a time. */
   def streamedFetch(df: DataFrame)(f: org.apache.spark.sql.Row => Unit): Long = {

@@ -57,4 +57,24 @@ class SinkSpec extends SparkSpec {
     }
     assert(total == orders.count())
   }
+
+  test("compaction rewrites a small-file mess into near-equal files") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft-compact-test"
+    val src = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    // simulate a streaming sink's droppings: 64 tiny files
+    src.repartition(64).write.mode("overwrite").parquet(dir)
+    val checksum = spark.read.parquet(dir)
+      .agg(sum("o_orderkey")).head.getLong(0)
+    val rows = src.count()
+    val (before, after) = sources.Sink.compact(spark, dir, targetRows = rows / 4)
+    assert(before == 64)
+    assert(after == 4, s"expected 4 compacted files, got $after")
+    // data survives byte-for-byte (same keys, same totals)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == rows)
+    assert(back.agg(sum("o_orderkey")).head.getLong(0) == checksum)
+    // no leftover tmp directory
+    assert(!new java.io.File(dir + ".compact-tmp").exists())
+  }
 }
