@@ -33,6 +33,7 @@ object GraftExtensions {
       expressions.PorterStem),
     unary("ascii_fold", classOf[expressions.AsciiFold],
       expressions.AsciiFold),
+    unary("nfkc", classOf[expressions.Nfkc], expressions.Nfkc),
     // the runtime-filter expressions (SPARK-32268), SQL-callable so the
     // analyst entry can write the scalar-subquery bloom pre-filter:
     //   WHERE might_contain((SELECT bloom_filter_agg(xxhash64(k)) FROM dim

@@ -707,6 +707,24 @@ object SparkEntry {
         col("l_quantity"), saltCol = col("l_orderkey"), salt = 16)
         .select(col("l_returnflag"), col("total"), col("n"))
         .orderBy(col("l_returnflag"))),
+    "x21_nfkc" -> ((s, d) => {
+      // NFKC canonicalization on planted fixtures (ligatures, fullwidth,
+      // superscripts, halfwidth kana); goldens from an independent
+      // Unicode implementation. Idempotence + ASCII-identity are
+      // property-tested over the corpus in TextStatsSpec.
+      import s.implicits._
+      val fx = Seq(
+        (1L, "ﬁne ﬂow"),
+        (2L, "Ｈｅｌｌｏ　１２３"),
+        (3L, "x² + y³"),
+        (4L, "ﾊﾟﾝﾀﾞ"),
+        (5L, "plain ascii")).toDF("doc_id", "text")
+      fx.select(col("doc_id"),
+        graft.functions.expressions.nfkc(col("text")).as("norm"),
+        (graft.functions.expressions.nfkc(col("text")) === col("text"))
+          .as("unchanged"))
+        .orderBy(col("doc_id"))
+    }),
     "x20_winsorize" -> ((s, d) => {
       // winsorized (p99-clipped) per-group totals — outlier clipping for
       // mixture/stats reports. Everything stays in the x100-cents BIGINT
@@ -1778,6 +1796,14 @@ object SparkEntry {
     "sk2_salted_sum" ->
       """SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "x21_nfkc" ->
+      """SELECT * FROM (VALUES
+           (1::BIGINT, 'fine flow', FALSE),
+           (2::BIGINT, 'Hello 123', FALSE),
+           (3::BIGINT, 'x2 + y3', FALSE),
+           (4::BIGINT, 'パンダ', FALSE),
+           (5::BIGINT, 'plain ascii', TRUE))
+         AS t(doc_id, norm, unchanged) ORDER BY doc_id""",
     "x20_winsorize" ->
       """WITH li AS (SELECT l_returnflag,
                             round(l_extendedprice*100, 0)::BIGINT * 100 AS pc100

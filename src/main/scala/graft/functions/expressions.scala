@@ -41,6 +41,27 @@ object Impl {
           UTF8String.fromString(marks.matcher(norm).replaceAll(""))
         }
       }
+
+    /** NFKC compatibility normalization — the standard pre-hash text
+      * canonicalization in curation pipelines: fullwidth forms,
+      * ligatures, superscripts and half-width kana all fold to their
+      * canonical compatibles, so visually-identical documents hash
+      * identically before dedup. Pure-ASCII fast path skips the
+      * normalizer entirely (the overwhelmingly common case). */
+    def nfkc(s: UTF8String): UTF8String =
+      if (s == null) null
+      else {
+        val str = s.toString
+        var needs = false
+        var i = 0
+        while (i < str.length && !needs) {
+          if (str.charAt(i) >= 0x80) needs = true
+          i += 1
+        }
+        if (!needs) s
+        else UTF8String.fromString(java.text.Normalizer.normalize(
+          str, java.text.Normalizer.Form.NFKC))
+      }
 }
 
 /** Codegen'd core of the dedup family — see [[expressions.ShingleHashes]].
@@ -352,10 +373,18 @@ object expressions {
     override def prettyName: String = "ascii_fold"
   }
 
+  case class Nfkc(child: Expression) extends StaticStringCall("nfkc") {
+    override protected def call(s: UTF8String): UTF8String = Impl.nfkc(s)
+    override protected def withNewChildInternal(c: Expression): Nfkc = copy(c)
+    override def prettyName: String = "nfkc"
+  }
+
   def porter_stem(c: Column): Column =
     GraftShim.toColumn(PorterStem(GraftShim.toExpression(c)))
   def ascii_fold(c: Column): Column =
     GraftShim.toColumn(AsciiFold(GraftShim.toExpression(c)))
+  def nfkc(c: Column): Column =
+    GraftShim.toColumn(Nfkc(GraftShim.toExpression(c)))
 
   /** Distinct word-n-gram shingle hashes straight from a token array —
     * the codegen'd core of the dedup family. Equivalent (w.h.p.) to

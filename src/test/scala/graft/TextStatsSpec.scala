@@ -241,6 +241,17 @@ class TextStatsSpec extends SparkSpec {
     assert(splits == Set("train", "val"))
   }
 
+  test("NFKC is idempotent over the corpus and identity on ASCII") {
+    val docs = Tables.documents(spark, sf)
+    val once = graft.functions.expressions.nfkc(col("text"))
+    val twice = graft.functions.expressions.nfkc(once)
+    assert(docs.filter(once =!= twice).count() == 0)
+    // pure-ASCII text passes through untouched (the fast path)
+    val ascii = docs.filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+    assert(ascii.filter(once =!= col("text")).count() == 0)
+    assert(ascii.count() > 0)
+  }
+
   test("BPE apply is lossless over the whole corpus") {
     // concatenating a pre-token's BPE pieces must reproduce the
     // pre-token exactly, for every document — the defining invariant
