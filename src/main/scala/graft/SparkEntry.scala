@@ -707,6 +707,10 @@ object SparkEntry {
         col("l_quantity"), saltCol = col("l_orderkey"), salt = 16)
         .select(col("l_returnflag"), col("total"), col("n"))
         .orderBy(col("l_returnflag"))),
+    "x22_text_chunks" -> ((s, d) =>
+      // overlapping 64-token windows, 16-token overlap (RAG prep)
+      TextStats.textChunks(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     "x21_nfkc" -> ((s, d) => {
       // NFKC canonicalization on planted fixtures (ligatures, fullwidth,
       // superscripts, halfwidth kana); goldens from an independent
@@ -1796,6 +1800,17 @@ object SparkEntry {
     "sk2_salted_sum" ->
       """SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "x22_text_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          m AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+                       greatest(1, (len(toks)::BIGINT - 16 + 47) // 48) AS nc
+                FROM t WHERE len(toks) > 0),
+          u AS (SELECT doc_id, toks, n,
+                       unnest(generate_series(0, nc - 1)) AS ci FROM m)
+          SELECT doc_id, ci::BIGINT AS chunk_idx,
+                 array_to_string(toks[ci*48+1 : ci*48+64], ' ') AS chunk_text,
+                 least(64, n - ci*48)::BIGINT AS n_chunk_tokens
+          FROM u ORDER BY doc_id, chunk_idx""",
     "x21_nfkc" ->
       """SELECT * FROM (VALUES
            (1::BIGINT, 'fine flow', FALSE),

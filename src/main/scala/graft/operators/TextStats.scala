@@ -364,6 +364,37 @@ object TextStats {
       .select(col(idCol), col(strataCol))
   }
 
+  /** X22: overlapping token-window chunking — the RAG/embedding prep
+    * shape (split every document into ≤`chunkTokens`-token windows that
+    * overlap by `overlap`, so no sentence is stranded at a boundary).
+    * Row-local: tokenize once, explode a chunk-index sequence, slice
+    * the carried token array per chunk — the corpus shuffles nothing
+    * and chunk counts are exact integer math (`div`, not fp ceil — the
+    * long/long Column `/` is double division). Empty docs chunk to
+    * nothing; any other doc gets at least one chunk. */
+  def textChunks(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "textChunks: need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col(idCol),
+        Analyzers.tokenize(lower(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__nc", greatest(lit(1L),
+        expr(s"(__n - $overlap + ${stride - 1}) div $stride")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens.toLong),
+          col("__n") - col("chunk_idx") * stride).as("n_chunk_tokens"))
+  }
+
   /** A small demonstration merge table (rank = position): enough to
     * exercise multi-level merges (t+h → th, th+e → the) and rank
     * priority. A production run swaps in the 50k-entry table its

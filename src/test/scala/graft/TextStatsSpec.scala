@@ -241,6 +241,29 @@ class TextStatsSpec extends SparkSpec {
     assert(splits == Set("train", "val"))
   }
 
+  test("text chunks: coverage, overlap and edge docs") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 toks -> 2 chunks
+      (2L, "short doc"),                               // 2 toks -> 1 chunk
+      (3L, ""),                                        // empty -> no chunks
+      (4L, (1 to 64).map(i => s"t$i").mkString(" "))   // exactly one window
+    ).toDF("doc_id", "text")
+    val out = TextStats.textChunks(fx, chunkTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc(1L).length == 2 && !byDoc.contains(3L)
+      && byDoc(2L).length == 1 && byDoc(4L).length == 1)
+    // chunk 1 of doc 1 starts at token 49 (stride 48): 16-token overlap
+    val c0 = byDoc(1L)(0).getAs[String]("chunk_text").split(" ")
+    val c1 = byDoc(1L)(1).getAs[String]("chunk_text").split(" ")
+    assert(c0.length == 64 && c1.length == 52)
+    assert(c0.takeRight(16).sameElements(c1.take(16)))
+    // every token appears in some chunk (coverage)
+    assert((c0 ++ c1).distinct.length == 100)
+    assert(byDoc(2L)(0).getAs[Long]("n_chunk_tokens") == 2L)
+  }
+
   test("NFKC is idempotent over the corpus and identity on ASCII") {
     val docs = Tables.documents(spark, sf)
     val once = graft.functions.expressions.nfkc(col("text"))
