@@ -196,4 +196,28 @@ class PropertySpec extends SparkSpec {
       assert(a.subsetOf(b), s"$lo% sample not nested in $hi%")
     }
   }
+
+  test("z-value interleave is a bijection on random coordinate pairs") {
+    // de-interleaving the Morton code must recover both coordinates
+    // exactly — the property that makes z-range scans sound (a lossy
+    // interleave would assign rows to wrong curve segments silently)
+    val pairs = (0 until 400).map { i =>
+      val s = Seed(i.toLong)
+      val (a, s2) = s.long; val (b, _) = s2.long
+      ((a % 256 + 256) % 256, (b % 256 + 256) % 256)
+    }.toDF("a", "b")
+    val z = graft.operators.Prune.zvalue(col("a"), col("b"), bits = 8)
+    val back = pairs.select(col("a"), col("b"), z.as("z")).collect()
+    back.foreach { r =>
+      val (a, b, zv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var (da, db) = (0L, 0L)
+      (0 until 8).foreach { i =>
+        da |= ((zv >> (2 * i + 1)) & 1L) << i
+        db |= ((zv >> (2 * i)) & 1L) << i
+      }
+      assert(da == a && db == b, s"z=$zv decoded to ($da,$db) not ($a,$b)")
+    }
+    // and z is within the 2*bits range
+    assert(back.forall(r => r.getLong(2) >= 0 && r.getLong(2) < (1L << 16)))
+  }
 }
