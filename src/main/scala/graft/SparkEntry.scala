@@ -707,6 +707,17 @@ object SparkEntry {
         col("l_quantity"), saltCol = col("l_orderkey"), salt = 16)
         .select(col("l_returnflag"), col("total"), col("n"))
         .orderBy(col("l_returnflag"))),
+    "f5_fuzzy_match" -> ((s, d) => {
+      // ES fuzziness: docs holding a token within edit distance 1 of
+      // the (typo'd) term; count of close tokens per doc
+      val toks = functions.Analyzers.tokenize(lower(col("text")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          operators.Search.fuzzyCount(toks, "custmer", maxEdits = 1)
+            .cast("long").as("n_fuzzy"))
+        .filter(col("n_fuzzy") > 0)
+        .orderBy(col("doc_id"))
+    }),
     "x22_text_chunks" -> ((s, d) =>
       // overlapping 64-token windows, 16-token overlap (RAG prep)
       TextStats.textChunks(Tables.documents(s, d))
@@ -1800,6 +1811,13 @@ object SparkEntry {
     "sk2_salted_sum" ->
       """SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "f5_fuzzy_match" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          m AS (SELECT doc_id,
+                       len(list_filter(toks, x -> abs(len(x) - 7) <= 1
+                           AND levenshtein(x, 'custmer') <= 1))::BIGINT AS n_fuzzy
+                FROM t)
+          SELECT doc_id, n_fuzzy FROM m WHERE n_fuzzy > 0 ORDER BY doc_id""",
     "x22_text_chunks" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           m AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,

@@ -31,6 +31,19 @@ object Search {
       Analyzers.englando(field(e)), graft.functions.PorterStemmer.stem(
         term.toLowerCase(java.util.Locale.ROOT))))
 
+  /** ES `fuzzy`/`match … fuzziness` semantics: a token matches if its
+    * plain edit distance to the query term is ≤ `maxEdits`. Builtin
+    * `levenshtein` inside the HOF lambda — codegen'd, row-local, no
+    * shuffle; the corpus-scan cost is the same as an exact match
+    * (edit distance per token, short-circuit via the array filter).
+    * At 100 TB the production refinement is a length pre-filter
+    * (|len(t) − len(term)| ≤ maxEdits) before the distance — included
+    * here, it prunes most tokens with two integer ops. */
+  def fuzzyCount(toks: Column, term: String, maxEdits: Int = 1): Column =
+    size(filter(toks, t =>
+      (abs(length(t) - lit(term.length)) <= maxEdits) &&
+        (levenshtein(t, lit(term)) <= maxEdits)))
+
   /** P7 bool combinator: weighted sum of boolean clause matches —
     * kept as the generic constant-score building block (ES
     * `constant_score` / filter-context boosting). */
