@@ -707,6 +707,11 @@ object SparkEntry {
         col("l_quantity"), saltCol = col("l_orderkey"), salt = 16)
         .select(col("l_returnflag"), col("total"), col("n"))
         .orderBy(col("l_returnflag"))),
+    "a8_significant_terms" -> ((s, d) =>
+      // ES significant_terms (JLH): per-language tokens anomalously
+      // frequent vs the corpus background, top-3 per language
+      operators.Search.significantTerms(Tables.documents(s, d), "lang")
+        .orderBy(col("cat"), col("rk"))),
     "f5_fuzzy_match" -> ((s, d) => {
       // ES fuzziness: docs holding a token within edit distance 1 of
       // the (typo'd) term; count of close tokens per doc
@@ -1811,6 +1816,27 @@ object SparkEntry {
     "sk2_salted_sum" ->
       """SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a8_significant_terms" ->
+      s"""WITH raw AS (SELECT lang AS cat, doc_id AS id,
+                              unnest(${sqlToks("lower(text)")}) AS token
+                       FROM documents),
+          tok AS (SELECT DISTINCT cat, id, token FROM raw),
+          fg AS (SELECT cat, token, count(*)::BIGINT AS fg_df
+                 FROM tok GROUP BY 1, 2),
+          bg AS (SELECT token, sum(fg_df)::BIGINT AS bg_df FROM fg GROUP BY 1),
+          cs AS (SELECT lang AS cat, count(*)::BIGINT AS n_cat
+                 FROM documents GROUP BY 1),
+          tot AS (SELECT sum(n_cat)::DOUBLE AS n FROM cs),
+          sc AS (SELECT fg.cat, fg.token, fg.fg_df, bg.bg_df,
+                        round((fg.fg_df::DOUBLE / cs.n_cat - bg.bg_df::DOUBLE / tot.n)
+                              * (fg.fg_df::DOUBLE / cs.n_cat)
+                              / (bg.bg_df::DOUBLE / tot.n), 6) AS score
+                 FROM fg JOIN bg USING (token) JOIN cs USING (cat), tot),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY cat
+                              ORDER BY score DESC, token)::BIGINT AS rk
+                 FROM sc)
+          SELECT cat, token, fg_df, bg_df, score, rk
+          FROM rk WHERE rk <= 3 ORDER BY cat, rk""",
     "f5_fuzzy_match" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           m AS (SELECT doc_id,

@@ -232,4 +232,47 @@ object Search {
           log((col("n") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
       .orderBy(col("tfidf").desc, col("doc_id").asc)
   }
+
+  /** ES `significant_terms` aggregation with the JLH score: per
+    * category, the terms whose in-category document frequency is
+    * anomalously high against the corpus background —
+    * (fg% − bg%) · (fg% / bg%), top-k per category.
+    *
+    * Shape at scale: document frequencies come from ONE distinct
+    * (category, token, doc) aggregation; the background frequency is
+    * the same frame re-aggregated over categories (no second corpus
+    * scan), joined back on token — a vocabulary-sized equi-join, NOT a
+    * broadcast (50k docs is a small vocab; 100 TB of web text is not).
+    * The per-category top-k is a rank-≤-k filter directly above the
+    * window, so it plans as `WindowGroupLimit` like x16. All score
+    * arithmetic starts from exact integer counts; both engines derive
+    * identical doubles. */
+  def significantTerms(docs: DataFrame, catCol: String, k: Int = 3,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(catCol).as("cat"), col(idCol).as("id"),
+        explode(Analyzers.tokenize(lower(col(textCol)))).as("token"))
+      .distinct()
+    val fg = tok.groupBy("cat", "token").agg(count(lit(1)).as("fg_df"))
+    val bg = fg.groupBy("token").agg(sum("fg_df").as("bg_df"))
+    // one corpus scan serves both the per-category sizes and (driver-
+    // side, from the materialized handful of rows) the grand total — a
+    // separate docs.count() would be a third full scan
+    val catSizes = docs.groupBy(col(catCol).as("cat"))
+      .agg(count(lit(1)).as("n_cat")).localCheckpoint()
+    val nTotal = catSizes.agg(sum("n_cat")).head.getLong(0).toDouble
+    val scored = fg.join(bg, "token")
+      .join(broadcast(catSizes), "cat")
+      .withColumn("fg_pct", col("fg_df").cast("double") / col("n_cat"))
+      .withColumn("bg_pct", col("bg_df").cast("double") / lit(nTotal))
+      .withColumn("score",
+        round((col("fg_pct") - col("bg_pct")) * col("fg_pct") / col("bg_pct"), 6))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("cat")
+        .orderBy(col("score").desc, col("token"))))
+      .filter(col("rk") <= k)
+      .select(col("cat"), col("token"), col("fg_df"), col("bg_df"),
+        col("score"), col("rk").cast("long").as("rk"))
+  }
 }

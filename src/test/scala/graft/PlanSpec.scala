@@ -103,5 +103,7 @@ class PlanSpec extends SparkSpec {
     // BEFORE the exchange, so a hot domain never floods the sort
     val p = plan("x16_source_cap")
     assert(p.contains("WindowGroupLimit"), p)
+    // same discipline for the significant-terms per-category top-k
+    assert(plan("a8_significant_terms").contains("WindowGroupLimit"))
   }
 }

@@ -56,4 +56,26 @@ class SearchSpec extends SparkSpec {
     // tokenized entity name "Russo-Ukrainian conflict"
     assert(m.count() == 1)
   }
+
+  test("significant terms surfaces the category-enriched token") {
+    import spark.implicits._
+    // 'zebra' appears in every cat-a doc and nowhere else; common
+    // filler is uniform across categories, so JLH must rank zebra
+    // first for a and never surface it for b
+    val corpus = ((1 to 20).map(i => (s"a", i.toLong,
+        s"zebra common word filler $i")) ++
+      (21 to 40).map(i => (s"b", i.toLong,
+        s"common word filler other $i"))).toDF("cat", "doc_id", "text")
+    val top = Search.significantTerms(corpus, "cat", k = 2)
+    val aTop = top.filter(col("cat") === "a" && col("rk") === 1)
+      .select("token").head.getString(0)
+    assert(aTop == "zebra")
+    assert(top.filter(col("cat") === "b" && col("token") === "zebra")
+      .count() == 0)
+    // fuzzy match: one edit away hits, two stays out
+    val fz = corpus.select(
+      Search.fuzzyCount(graft.functions.Analyzers.tokenize(col("text")),
+        "zebre", maxEdits = 1).as("n"))
+    assert(fz.filter(col("n") > 0).count() == 20)
+  }
 }
