@@ -1079,7 +1079,188 @@ object SparkEntry {
         .select(col("media_id"), col("n_chunks"),
           joined(filter(col("chunk_md5s"), (m, i) => i % 4 === 0))
             .as("sampled_md5s"))
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    // ---- ES aggregation surface: composite / histogram / rare_terms /
+    //      pipeline aggs / runtime fields ----
+    "a9_composite_agg" -> ((s, d) =>
+      // ES composite aggregation: keyset pagination over the GROUP
+      // space (after_key = (src12, fr), page size 10). The after-key
+      // predicate is applied to the RAW rows before the aggregation —
+      // the composite key IS a row-column tuple, so the filter pushes
+      // to the parquet scan and the shuffle only ever carries
+      // surviving groups; the ordered page is TakeOrderedAndProject
+      // above the agg. This is how "page through 10⁹ buckets" stays
+      // bounded at 100 TB: each page re-filters, never re-sorts the
+      // whole group space.
+      Tables.documents(s, d)
+        .filter(col("source") > "src12" ||
+          (col("source") === "src12" && col("lang") > "fr"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"), col("lang"))
+        .limit(10)),
+    "a10_histogram" -> ((s, d) => {
+      // ES histogram agg (interval 50, min_doc_count 0): empty buckets
+      // inside the observed [min, max] are emitted. The bucket domain
+      // comes from a 1-ROW min/max aggregate expanded via sequence()
+      // — domain/interval rows, never proportional to the data — and
+      // is outer-joined to the counted buckets (one shuffle agg).
+      val docs = Tables.documents(s, d)
+      val counted = docs
+        .groupBy((floor(col("n_chars") / 50) * 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("doc_count"))
+      val domain = docs
+        .agg((floor(min(col("n_chars")) / 50) * 50).cast("long").as("lo"),
+          (floor(max(col("n_chars")) / 50) * 50).cast("long").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(50L))).as("bucket"))
+      domain.join(counted, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+        .orderBy(col("bucket"))
+    }),
+    "a11_rare_terms" -> ((s, d) =>
+      // ES rare_terms agg over the 2-shingle field: terms appearing in
+      // at most max_doc_count=2 documents — the long-tail complement
+      // of terms/significant_terms. One distinct (doc, shingle)
+      // explode + one count shuffle; the max_doc_count cut is an agg
+      // filter (never a sort). Unigrams are deliberately not used:
+      // this corpus' 31-word vocabulary has min df 25, so the rare
+      // tail only exists at the shingle level.
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(
+          Analyzers.shingleTokens(
+            Analyzers.tokenize(lower(col("text"))))))
+          .as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("doc_count"))
+        .filter(col("doc_count") <= 2)
+        .orderBy(col("term"))),
+    "w7_pipeline_aggs" -> ((s, d) => {
+      // ES date_histogram + pipeline aggs (derivative, cumulative_sum,
+      // moving avg over 3 buckets). The unpartitioned window runs over
+      // the ~30 DAY BUCKETS (the output of the shuffle agg), not the
+      // raw events — a single-partition window over bucket-count rows
+      // is the correct plan at any event volume.
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day"))
+      daily.select(col("day"), col("n"),
+        (col("n") - lag(col("n"), 1).over(w)).as("derivative"),
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .as("cum_n"),
+        round(avg(col("n")).over(w.rowsBetween(-2, 0)), 6).as("moving_avg"))
+        .orderBy(col("day"))
+    }),
+    "p11_json_extract" -> ((s, d) =>
+      // ES runtime fields / dynamic mapping: extract a typed value out
+      // of a JSON payload column at query time (codegen'd path
+      // expression, no UDF), filter on it, aggregate per event_type.
+      // avg stays in the exact integer domain (sum/count computed
+      // separately) so no float-summation order reaches the compare.
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") >= 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .select(col("event_type"), col("n"), col("sum_k"),
+          round(col("sum_k").cast("double") / col("n"), 6).as("avg_k"))
+        .orderBy(col("event_type"))),
+
+    // ---- ES search surface: phrase / more-like-this / suggest /
+    //      highlight ----
+    "p10_phrase_match" -> ((s, d) => {
+      // ES match_phrase (+ slop=1 variant): consecutive-position check
+      // over the analyzed token stream, entirely row-local — the token
+      // array zipped with its own tail(s), no positional index needed.
+      // At scale this is the same one-pass corpus scan as any match;
+      // the adjacency test is a codegen'd HOF over each row's tokens.
+      val t = Analyzers.tokenize(lower(col("text")))
+      // zip_with pads the shorter (shifted) side with nulls, so the
+      // pair-predicate array can hold nulls near the tail and
+      // array_contains then answers NULL instead of false — coalesce
+      // pins the three-valued result down to a boolean
+      def follows(at: Int) = coalesce(array_contains(
+        zip_with(col("t"),
+          slice(col("t"), lit(1 + at), greatest(size(col("t")) - at, lit(0))),
+          (a, b) => a === "fast" && b === "table"), true), lit(false))
+      Tables.documents(s, d)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          follows(1).as("phrase"),
+          (follows(1) || follows(2)).as("near_slop1"))
+        .filter(col("phrase") || col("near_slop1"))
+        .orderBy(col("doc_id"))
+    }),
+    "f6_more_like_this" -> ((s, d) => {
+      // ES more_like_this: select the seed document's top
+      // max_query_terms=10 terms by tf·idf (stopwords dropped), then
+      // retrieve the top 20 other docs by how many selected terms they
+      // contain. Shapes at scale: df is ONE distinct-token corpus
+      // aggregation; the seed-term set is ≤10 rows and broadcast into
+      // the retrieval scan; the rank-by-match-count cut is integer, so
+      // the top-k boundary is engine-independent.
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(
+          Analyzers.tokenize(lower(col("text"))))).as("token"))
+      val dfs = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      val seedTf = Tables.documents(s, d).filter(col("doc_id") === 0L)
+        .select(explode(Analyzers.tokenize(lower(col("text")))).as("token"))
+        .filter(!col("token").isin(Analyzers.englishStopwords: _*))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+      // term selection ranks on the integer key (tf desc, df asc) —
+      // the tf·idf ORDER ES uses, made engine-portable: a float tf·ln
+      // cut could straddle libm rounding between engines at the k-th
+      // term; integers cannot
+      val wTerm = Window.orderBy(
+        col("tf").desc, col("df").asc, col("token")) // ≤ seed-vocab rows
+      val terms = seedTf.join(dfs, "token")
+        .withColumn("rk", row_number().over(wTerm))
+        .filter(col("rk") <= 10)
+        .select(col("token"))
+      tok.filter(col("doc_id") =!= 0L)
+        .join(broadcast(terms), "token")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+        .orderBy(col("n_matched").desc, col("doc_id"))
+        .limit(20)
+    }),
+    "t13_autocomplete" -> ((s, d) => {
+      // ES completion suggester: an edge-ngram (1..5) index over the
+      // corpus vocabulary, weighted by document frequency; a prefix
+      // query is an exact equi-lookup on the ngram — a point read
+      // against the suggest index at any scale, never a LIKE scan of
+      // the vocabulary — and suggestions rank by weight desc.
+      val vocab = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(
+          Analyzers.tokenize(lower(col("text"))))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("weight"))
+      val index = vocab.select(col("token"), col("weight"),
+        explode(transform(
+          sequence(lit(1), least(length(col("token")), lit(5))),
+          i => col("token").substr(lit(1), i))).as("edge"))
+      index.filter(col("edge") === "s")
+        .select(col("token"), col("weight"))
+        .orderBy(col("weight").desc, col("token"))
+        .limit(5)
+    }),
+    "h1_highlight" -> ((s, d) => {
+      // ES highlighting: ±30-char fragment around the first
+      // case-insensitive occurrence, the match wrapped in <em> tags —
+      // a pure codegen'd string projection over the matching docs (the
+      // fragmenter runs beside the scan; nothing widens the plan).
+      val pos = instr(lower(col("text")), "customer")
+      val start = greatest(pos - 30, lit(1))
+      Tables.documents(s, d)
+        .filter(pos > 0)
+        .select(col("doc_id"),
+          concat(
+            col("text").substr(start, pos - start),
+            lit("<em>"), col("text").substr(pos, lit(8)), lit("</em>"),
+            col("text").substr(pos + 8, lit(30))).as("fragment"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2122,6 +2303,91 @@ object SparkEntry {
          JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
-         ORDER BY purchase_id, click_id"""
+         ORDER BY purchase_id, click_id""",
+    "a9_composite_agg" ->
+      """SELECT source, lang, count(*)::BIGINT AS doc_count,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents
+         WHERE source > 'src12' OR (source = 'src12' AND lang > 'fr')
+         GROUP BY 1, 2 ORDER BY source, lang LIMIT 10""",
+    "a10_histogram" ->
+      """WITH b AS (SELECT floor(n_chars / 50)::BIGINT * 50 AS bucket,
+                           count(*)::BIGINT AS doc_count
+                    FROM documents GROUP BY 1),
+          ext AS (SELECT floor(min(n_chars) / 50)::BIGINT * 50 AS lo,
+                         floor(max(n_chars) / 50)::BIGINT * 50 AS hi
+                  FROM documents),
+          dom AS (SELECT unnest(generate_series(lo, hi, 50)) AS bucket FROM ext)
+          SELECT dom.bucket, coalesce(b.doc_count, 0)::BIGINT AS doc_count
+          FROM dom LEFT JOIN b USING (bucket) ORDER BY bucket""",
+    "a11_rare_terms" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          sh AS (SELECT doc_id, unnest(list_distinct(toks ||
+                   list_transform(generate_series(1, len(toks)-1),
+                                  i -> toks[i] || toks[i+1]))) AS term
+                 FROM t),
+          v AS (SELECT term, count(*)::BIGINT AS doc_count FROM sh GROUP BY 1)
+          SELECT term, doc_count FROM v WHERE doc_count <= 2 ORDER BY term""",
+    "w7_pipeline_aggs" ->
+      """WITH d AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                           count(*)::BIGINT AS n
+                    FROM events GROUP BY 1)
+         SELECT day, n,
+                n - lag(n) OVER (ORDER BY day) AS derivative,
+                (sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_n,
+                round(avg(n) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+         FROM d ORDER BY day""",
+    "p11_json_extract" ->
+      """WITH e AS (SELECT event_type,
+                           json_extract_string(props, '$.k')::BIGINT AS k
+                    FROM events)
+         SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+                round(sum(k)::DOUBLE / count(*), 6) AS avg_k
+         FROM e WHERE k >= 50 GROUP BY 1 ORDER BY event_type""",
+    "p10_phrase_match" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          m AS (SELECT doc_id,
+                       ' ' || array_to_string(toks, ' ') || ' '
+                         LIKE '% fast table %' AS phrase,
+                       len(list_filter(range(1, greatest(len(toks), 1)),
+                           i -> toks[i] = 'fast'
+                                AND (toks[i+1] = 'table' OR toks[i+2] = 'table')))
+                         > 0 AS near_slop1
+                FROM t)
+          SELECT doc_id, phrase, near_slop1 FROM m
+          WHERE phrase OR near_slop1 ORDER BY doc_id""",
+    "f6_more_like_this" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(${sqlToks("lower(text)")}) AS token
+                       FROM documents),
+          dfs AS (SELECT token, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+          seed AS (SELECT t AS token, count(*)::BIGINT AS tf
+                   FROM (SELECT unnest(${sqlToks("lower(text)")}) AS t
+                         FROM documents WHERE doc_id = 0)
+                   WHERE NOT list_contains($sqlStop, t) GROUP BY 1),
+          terms AS (SELECT token FROM (
+                      SELECT seed.token,
+                             row_number() OVER (ORDER BY seed.tf DESC, dfs.df ASC,
+                                                seed.token) AS rk
+                      FROM seed JOIN dfs USING (token))
+                    WHERE rk <= 10)
+          SELECT tok.doc_id, count(*)::BIGINT AS n_matched
+          FROM tok JOIN terms USING (token) WHERE tok.doc_id <> 0
+          GROUP BY 1 ORDER BY n_matched DESC, doc_id LIMIT 20""",
+    "t13_autocomplete" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(${sqlToks("lower(text)")}) AS token
+                       FROM documents),
+          v AS (SELECT token, count(*)::BIGINT AS weight FROM tok GROUP BY 1)
+          SELECT token, weight FROM v WHERE token LIKE 's%'
+          ORDER BY weight DESC, token LIMIT 5""",
+    "h1_highlight" ->
+      """WITH m AS (SELECT doc_id, text,
+                           strpos(lower(text), 'customer') AS pos
+                    FROM documents),
+          f AS (SELECT doc_id, text, pos, greatest(pos - 30, 1) AS s
+                FROM m WHERE pos > 0)
+          SELECT doc_id,
+                 substr(text, s, pos - s) || '<em>' || substr(text, pos, 8)
+                   || '</em>' || substr(text, pos + 8, 30) AS fragment
+          FROM f ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Invariant tests for the round-4 ES-surface additions (composite
+  * agg, histogram with empty-bucket fill, rare_terms, pipeline aggs,
+  * runtime fields, phrase match, more_like_this, completion suggester,
+  * highlighting). Exact values are hash-verified against DuckDB by the
+  * driver at sf0.01; these tests lock the SEMANTIC invariants each
+  * query promises, on sf0.001.
+  */
+class EsSurfaceSpec extends SparkSpec {
+
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, sf).collect()
+
+  test("a9 composite page: ≤ size rows, all strictly after the after-key, key-ordered") {
+    val rows = run("a9_composite_agg")
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")))
+    assert(rows.length <= 10)
+    assert(rows.forall { case (s, l) =>
+      s > "src12" || (s == "src12" && l > "fr") })
+    assert(rows.sameElements(rows.sorted))
+  }
+
+  test("a10 histogram: contiguous interval-50 buckets, zero-filled, counts sum to corpus size") {
+    val rows = run("a10_histogram")
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("doc_count")))
+    val buckets = rows.map(_._1)
+    assert(buckets.zip(buckets.tail).forall { case (a, b) => b == a + 50 })
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == total)
+    assert(rows.forall(_._2 >= 0))
+  }
+
+  test("a11 rare_terms: every term within max_doc_count, none is a plain unigram") {
+    val rows = run("a11_rare_terms")
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_count") <= 2))
+  }
+
+  test("w7 pipeline aggs: derivative/cum/moving recompute from the buckets") {
+    val rows = run("w7_pipeline_aggs")
+    val n = rows.map(_.getAs[Long]("n"))
+    assert(rows.head.isNullAt(rows.head.fieldIndex("derivative")))
+    rows.zipWithIndex.drop(1).foreach { case (r, i) =>
+      assert(r.getAs[Long]("derivative") == n(i) - n(i - 1)) }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("cum_n") == n.take(i + 1).sum)
+      val win = n.slice(math.max(0, i - 2), i + 1)
+      val want = BigDecimal(win.sum.toDouble / win.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("moving_avg") - want) < 1e-9)
+    }
+    assert(rows.last.getAs[Long]("cum_n") == Tables.events(spark, sf).count())
+  }
+
+  test("p11 runtime field: typed JSON extraction, exact integer avg parts") {
+    val rows = run("p11_json_extract")
+    assert(rows.nonEmpty && rows.length <= 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val s = r.getAs[Long]("sum_k")
+      assert(n > 0 && s >= 50 * n) // filter k >= 50 holds for every summand
+      assert(math.abs(r.getAs[Double]("avg_k") - s.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("p10 phrase: three-valued logic pinned, phrase implies slop-1") {
+    val rows = run("p10_phrase_match")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("phrase")))
+      assert(!r.isNullAt(r.fieldIndex("near_slop1")))
+      val p = r.getAs[Boolean]("phrase"); val near = r.getAs[Boolean]("near_slop1")
+      assert(p || near)
+      assert(!p || near) // exact adjacency is a slop-1 match too
+    }
+  }
+
+  test("f6 more_like_this: ≤20 hits, match counts within [1, max_query_terms], descending") {
+    val rows = run("f6_more_like_this")
+    assert(rows.nonEmpty && rows.length <= 20)
+    val m = rows.map(_.getAs[Long]("n_matched"))
+    assert(m.forall(x => x >= 1 && x <= 10))
+    assert(m.zip(m.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[Long]("doc_id") != 0L)) // seed excluded
+  }
+
+  test("t13 suggester: prefix honored, weight-ranked") {
+    val rows = run("t13_autocomplete")
+    assert(rows.nonEmpty && rows.length <= 5)
+    assert(rows.forall(_.getAs[String]("token").startsWith("s")))
+    val w = rows.map(_.getAs[Long]("weight"))
+    assert(w.zip(w.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("h1 highlight: every fragment wraps the match, context clamped to ±30") {
+    val rows = run("h1_highlight")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[String]("fragment")
+      val i = f.indexOf("<em>")
+      assert(i >= 0 && i <= 30)
+      assert(f.substring(i + 4, i + 12).equalsIgnoreCase("customer"))
+      assert(f.substring(i + 12).startsWith("</em>"))
+      assert(f.length - (i + 17) <= 30)
+    }
+  }
+}
