@@ -33,7 +33,20 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query isolation, OUTSIDE the timed section: a handful of
+      // queries pin localCheckpoint blocks / broadcasts that the
+      // ContextCleaner only releases on driver GC — left alone, 123
+      // accumulated queries push the 8 GiB heap into eviction + GC
+      // thrash and charge it to whichever queries run late in the
+      // alphabet (observed: p8 2.1 s isolated vs 20.7 s in-bench).
+      // Each query is an independent job in production; measuring them
+      // against a clean storage pool is the honest number.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      System.gc()
+      (name, dt, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
