@@ -1245,6 +1245,60 @@ object SparkEntry {
         .orderBy(col("weight").desc, col("token"))
         .limit(5)
     }),
+    "f7_decay_score" -> ((s, d) => {
+      // ES function_score gauss decay on a date field: with decay=0.5
+      // the score is 0.5^((dist/scale)^2) — monotone in the integer
+      // day-distance, so the top-k cut is engine-independent even
+      // though exp/pow differ in ulps between libms (distinct
+      // distances can never swap order). Row-local projection +
+      // TakeOrderedAndProject; nothing widens the scan.
+      val dist = abs(datediff(col("o_orderdate"), lit("1998-01-01")))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), dist.cast("long").as("dist_days"),
+          round(pow(lit(0.5), pow(dist.cast("double") / 180.0, 2.0)), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+    "a13_filters_agg" -> ((s, d) =>
+      // ES filters aggregation: three NAMED predicate buckets counted
+      // in ONE scan (conditional aggregates), then unpivoted to bucket
+      // rows — never three scans, never a groupBy on a synthesized
+      // bucket id (rows can match several filters)
+      Tables.orders(s, d)
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("finished"),
+          sum(when(col("o_totalprice") > 200000.0, 1L).otherwise(0L))
+            .as("high_value"),
+          sum(when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L))
+            .as("urgent"))
+        .select(explode(array(
+          struct(lit("finished").as("bucket"), col("finished").as("doc_count")),
+          struct(lit("high_value").as("bucket"), col("high_value").as("doc_count")),
+          struct(lit("urgent").as("bucket"), col("urgent").as("doc_count"))))
+          .as("b"))
+        .select(col("b.bucket").as("bucket"), col("b.doc_count").as("doc_count"))
+        .orderBy(col("bucket"))),
+    "a14_percentile_ranks" -> ((s, d) =>
+      // ES percentile_ranks: the fraction of values ≤ each requested
+      // threshold, per group — exact integer count pairs through one
+      // shuffle; the ratio is formed AFTER aggregation so no float
+      // summation order exists to diverge
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") <= 1000.0, 1L).otherwise(0L))
+            .as("le_1k"),
+          sum(when(col("l_extendedprice") <= 5000.0, 1L).otherwise(0L))
+            .as("le_5k"),
+          sum(when(col("l_extendedprice") <= 20000.0, 1L).otherwise(0L))
+            .as("le_20k"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("le_1k").cast("double") / col("n"), 6).as("rank_1k"),
+          round(col("le_5k").cast("double") / col("n"), 6).as("rank_5k"),
+          round(col("le_20k").cast("double") / col("n"), 6).as("rank_20k"))
+        .orderBy(col("l_returnflag"))),
     "h1_highlight" -> ((s, d) => {
       // ES highlighting: ±30-char fragment around the first
       // case-insensitive occurrence, the match wrapped in <em> tags —
@@ -2379,6 +2433,28 @@ object SparkEntry {
           v AS (SELECT token, count(*)::BIGINT AS weight FROM tok GROUP BY 1)
           SELECT token, weight FROM v WHERE token LIKE 's%'
           ORDER BY weight DESC, token LIMIT 5""",
+    "f7_decay_score" ->
+      """WITH m AS (SELECT o_orderkey,
+                           abs(datediff('day', TIMESTAMP '1998-01-01',
+                                        o_orderdate))::BIGINT AS dist_days
+                    FROM orders)
+         SELECT o_orderkey, dist_days,
+                round(pow(0.5, pow(dist_days::DOUBLE / 180.0, 2.0)), 6) AS score
+         FROM m ORDER BY score DESC, o_orderkey LIMIT 20""",
+    "a13_filters_agg" ->
+      """SELECT bucket, doc_count FROM (
+           SELECT 'finished' AS bucket, count(*) FILTER (o_orderstatus = 'F')::BIGINT AS doc_count FROM orders
+           UNION ALL
+           SELECT 'high_value', count(*) FILTER (o_totalprice > 200000.0)::BIGINT FROM orders
+           UNION ALL
+           SELECT 'urgent', count(*) FILTER (o_orderpriority LIKE '1%')::BIGINT FROM orders)
+         ORDER BY bucket""",
+    "a14_percentile_ranks" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+                round(count(*) FILTER (l_extendedprice <= 1000.0)::DOUBLE / count(*), 6) AS rank_1k,
+                round(count(*) FILTER (l_extendedprice <= 5000.0)::DOUBLE / count(*), 6) AS rank_5k,
+                round(count(*) FILTER (l_extendedprice <= 20000.0)::DOUBLE / count(*), 6) AS rank_20k
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "h1_highlight" ->
       """WITH m AS (SELECT doc_id, text,
                            strpos(lower(text), 'customer') AS pos

@@ -94,6 +94,36 @@ class EsSurfaceSpec extends SparkSpec {
     assert(w.zip(w.tail).forall { case (a, b) => a >= b })
   }
 
+  test("f7 decay: score monotone-decreasing in day distance, max at smallest dist") {
+    val rows = run("f7_decay_score")
+    assert(rows.length == 20)
+    val byDist = rows.map(r =>
+      (r.getAs[Long]("dist_days"), r.getAs[Double]("score")))
+    assert(byDist.forall { case (dd, sc) =>
+      math.abs(sc - math.pow(0.5, math.pow(dd / 180.0, 2))) < 1e-6 })
+    val d = rows.map(_.getAs[Long]("dist_days"))
+    assert(d.zip(d.tail).forall { case (a, b) => a <= b }) // score desc ≡ dist asc
+  }
+
+  test("a13 filters agg: named buckets equal three independent counts") {
+    val rows = run("a13_filters_agg")
+      .map(r => r.getAs[String]("bucket") -> r.getAs[Long]("doc_count")).toMap
+    val o = Tables.orders(spark, sf)
+    assert(rows("finished") == o.filter("o_orderstatus = 'F'").count())
+    assert(rows("high_value") == o.filter("o_totalprice > 200000.0").count())
+    assert(rows("urgent") == o.filter("o_orderpriority LIKE '1%'").count())
+  }
+
+  test("a14 percentile_ranks: ranks monotone in threshold, bounded [0,1]") {
+    val rows = run("a14_percentile_ranks")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, c) = (r.getAs[Double]("rank_1k"),
+        r.getAs[Double]("rank_5k"), r.getAs[Double]("rank_20k"))
+      assert(a >= 0 && a <= b && b <= c && c <= 1.0)
+    }
+  }
+
   test("h1 highlight: every fragment wraps the match, context clamped to ±30") {
     val rows = run("h1_highlight")
     assert(rows.nonEmpty)
