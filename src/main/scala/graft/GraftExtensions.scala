@@ -14,8 +14,13 @@ import graft.functions.expressions
   * in-session [[graft.functions.GraftFunctions.register]] path remains
   * for attaching to an already-running session (same builders). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
+    // operator-optimization injection point: runs inside the main
+    // fixed-point batch, so ColumnPruning gets to delete a collect
+    // whose only consumer the rule just rewrote away
+    ext.injectOptimizerRule(_ => graft.plans.CollectStrengthReduction)
+  }
 }
 
 object GraftExtensions {

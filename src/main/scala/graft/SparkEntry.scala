@@ -1245,6 +1245,27 @@ object SparkEntry {
         .orderBy(col("weight").desc, col("token"))
         .limit(5)
     }),
+    "opt1_agg_rewrite" -> ((s, d) => {
+      // CollectStrengthReduction on a LIVE session (the extensions
+      // path is build-time; experimental.extraOptimizations is the
+      // runtime hook): the query is written naively against collected
+      // arrays and executes as count/min/max/flag aggregates — no
+      // array buffer, no ObjectHashAggregate (plan-locked in
+      // StrengthReductionSpec)
+      if (!s.experimental.extraOptimizations
+            .contains(graft.plans.CollectStrengthReduction))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            graft.plans.CollectStrengthReduction
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(size(collect_list(col("l_quantity"))).cast("long").as("n"),
+          array_min(collect_list(col("l_quantity"))).as("mn"),
+          array_max(collect_list(col("l_quantity"))).as("mx"),
+          array_contains(collect_list(col("l_linestatus")), "F").as("has_f"),
+          size(collect_set(col("l_linestatus"))).cast("long").as("n_status"))
+        .orderBy(col("l_returnflag"))
+    }),
     "f7_decay_score" -> ((s, d) => {
       // ES function_score gauss decay on a date field: with decay=0.5
       // the score is 0.5^((dist/scale)^2) — monotone in the integer
@@ -2433,6 +2454,12 @@ object SparkEntry {
           v AS (SELECT token, count(*)::BIGINT AS weight FROM tok GROUP BY 1)
           SELECT token, weight FROM v WHERE token LIKE 's%'
           ORDER BY weight DESC, token LIMIT 5""",
+    "opt1_agg_rewrite" ->
+      """SELECT l_returnflag, count(l_quantity)::BIGINT AS n,
+                min(l_quantity) AS mn, max(l_quantity) AS mx,
+                bool_or(l_linestatus = 'F') AS has_f,
+                count(DISTINCT l_linestatus)::BIGINT AS n_status
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "f7_decay_score" ->
       """WITH m AS (SELECT o_orderkey,
                            abs(datediff('day', TIMESTAMP '1998-01-01',

@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
+
+/** Aggregation strength reduction: rewrite scalar consumers of
+  * `collect_list`/`collect_set` into constant-memory aggregates, so
+  * the unbounded per-group array buffer — and with it the
+  * non-codegen `ObjectHashAggregate` — disappears whenever the array
+  * itself is never needed:
+  *
+  *   - `size(collect_list(e))`            → `count(e)`
+  *   - `size(collect_set(e))`             → `count(DISTINCT e)`
+  *   - `array_min/array_max(collect_*(e))`→ `min(e)` / `max(e)`
+  *   - `array_contains(collect_*(e), v)`  → `max(coalesce(e = v, false))`
+  *     (null-guarded on `v`: `array_contains(_, NULL)` answers NULL)
+  *   - `Filter(exists(collected, λ), Aggregate)` → a boolean
+  *     `max(coalesce(λ(e), false))` flag aggregated alongside, the
+  *     filter re-pointed at the flag (null ≡ false in filter context),
+  *     original output restored by a `Project`. When the array was
+  *     only consumed by the `exists`, `ColumnPruning` then deletes the
+  *     collect itself — the naive "build the nested doc, filter on its
+  *     array" plan loses its array build entirely.
+  *
+  * Wrappers that don't change the element multiset are seen through:
+  * `sort_array` (order is irrelevant to size/contains/min/max/exists)
+  * and `transform` (the lambda composes into the element expression).
+  *
+  * Equivalences used: collect_list/collect_set drop NULL inputs, so
+  * `count(e)` (non-null count) matches `size`; min/max/contains/exists
+  * are multiset-insensitive to both order and (for their semantics
+  * here) set-dedup; `exists` three-valued logic collapses under a
+  * Filter, where NULL and FALSE both drop the row.
+  *
+  * At 100 TB the difference is structural, not incremental: a
+  * collect-based plan shuffles every child row's payload and holds the
+  * largest group's array in one executor buffer; the reduced plan
+  * shuffles one partial aggregate per group per mapper and never
+  * leaves whole-stage codegen. Registered cluster-wide by
+  * [[graft.GraftExtensions]] (`injectOptimizerRule`, so column pruning
+  * runs after it in the same fixed point); attachable to a live
+  * session via `spark.experimental.extraOptimizations`.
+  */
+object CollectStrengthReduction extends Rule[LogicalPlan] {
+
+  /** The collected element expression behind `e`, seen through
+    * multiset-preserving wrappers. Returns the AggregateExpression to
+    * copy modes/filter from, the element expression over the
+    * aggregate's CHILD attributes, and whether elements were
+    * set-deduplicated (collect_set). */
+  private def collected(e: Expression): Option[(AggregateExpression, Expression, Boolean)] =
+    e match {
+      case ae @ AggregateExpression(cl: CollectList, _, false, _, _) =>
+        Some((ae, cl.child, false))
+      case ae @ AggregateExpression(cs: CollectSet, _, false, _, _) =>
+        Some((ae, cs.child, true))
+      case SortArray(inner, _) => collected(inner)
+      case ArrayTransform(inner, LambdaFunction(body, Seq(lv: NamedLambdaVariable), _)) =>
+        collected(inner).map { case (ae, el, dd) =>
+          (ae, body.transformUp {
+            case v: NamedLambdaVariable if v.exprId == lv.exprId => el
+          }, dd)
+        }
+      case _ => None
+    }
+
+  private def fresh(ae: AggregateExpression, f: AggregateFunction,
+                    distinct: Boolean): AggregateExpression =
+    ae.copy(aggregateFunction = f, isDistinct = distinct,
+      resultId = NamedExpression.newExprId)
+
+  /** max(coalesce(pred, false)) — TRUE iff some element satisfies
+    * pred, with the element-level NULL pinned to false. */
+  private def anyMatch(ae: AggregateExpression, pred: Expression): Expression =
+    fresh(ae, Max(Coalesce(Seq(pred, Literal(false)))), distinct = false)
+
+  private def reduceScalars(ne: NamedExpression): NamedExpression =
+    ne.transformUp {
+      case s @ Size(c, _) => collected(c) match {
+        case Some((ae, el, dd)) =>
+          Cast(fresh(ae, Count(Seq(el)), distinct = dd), IntegerType)
+        case None => s
+      }
+      case m @ ArrayMax(c) => collected(c) match {
+        case Some((ae, el, _)) => fresh(ae, Max(el), distinct = false)
+        case None => m
+      }
+      case m @ ArrayMin(c) => collected(c) match {
+        case Some((ae, el, _)) => fresh(ae, Min(el), distinct = false)
+        case None => m
+      }
+      case ac @ ArrayContains(c, v)
+          if v.deterministic && !AggregateExpression.containsAggregate(v) =>
+        collected(c) match {
+          case Some((ae, el, _)) =>
+            val flag = anyMatch(ae, EqualTo(el, v))
+            // array_contains(_, NULL) is NULL, not false
+            if (v.nullable) If(IsNull(v), Literal.create(null, BooleanType), flag)
+            else flag
+          case None => ac
+        }
+    }.asInstanceOf[NamedExpression]
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // exists over a collected array, directly above the aggregation
+    // that builds it: aggregate the predicate as a flag instead of
+    // re-walking the built array (and unlock pruning the build)
+    case f @ Filter(cond, agg: Aggregate) =>
+      val aliased = agg.aggregateExpressions.collect {
+        case a: Alias => a.toAttribute -> a.child
+      }.toMap
+      val extra = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+      val newCond = cond.transformUp {
+        case ex @ ArrayExists(attr: Attribute,
+            LambdaFunction(body, Seq(lv: NamedLambdaVariable), _), _)
+            if aliased.contains(attr) =>
+          collected(aliased(attr)) match {
+            case Some((ae, el, _)) =>
+              val pred = body.transformUp {
+                case v: NamedLambdaVariable if v.exprId == lv.exprId => el
+              }
+              // pred must close over the aggregate's CHILD scope only —
+              // a reference to another agg output can't move inside
+              if (pred.references.subsetOf(agg.child.outputSet)) {
+                val alias = Alias(anyMatch(ae, pred), s"__exists_${extra.size}")()
+                extra += alias
+                EqualTo(alias.toAttribute, Literal(true))
+              } else ex
+            case None => ex
+          }
+      }
+      if (extra.isEmpty) f
+      else Project(agg.output, Filter(newCond,
+        agg.copy(aggregateExpressions = agg.aggregateExpressions ++ extra)))
+
+    case agg: Aggregate =>
+      val reduced = agg.aggregateExpressions.map(reduceScalars)
+      if (reduced == agg.aggregateExpressions) agg
+      else agg.copy(aggregateExpressions = reduced)
+  }
+}
