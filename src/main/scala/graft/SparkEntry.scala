@@ -1245,6 +1245,101 @@ object SparkEntry {
         .orderBy(col("weight").desc, col("token"))
         .limit(5)
     }),
+    "g1_pagerank" -> ((s, d) => {
+      // iterative graph algorithm done Spark-shaped: PageRank over the
+      // conversation-reference graph (each order "replies to" orders
+      // id÷2 and id÷3 — a deterministic citation DAG both engines
+      // derive identically). THREE fixed iterations, each ONE
+      // join + ONE shuffle agg — the loop unrolls into a bounded plan,
+      // no driver-side per-node work (at real scale you'd checkpoint
+      // the rank relation between iterations to cut lineage; the
+      // shape is unchanged). All arithmetic is 10^12 FIXED-POINT
+      // integer (div, not /): damping 0.85 as (15·S + 85·Σ)div 100 —
+      // bit-identical across engines, no float summation anywhere.
+      val S = 1000000000000L
+      val nodes = Tables.orders(s, d).select(col("o_orderkey").as("id"))
+      val edges = nodes.select(col("id").as("src"), expr("id div 2").as("dst"))
+        .unionByName(
+          nodes.select(col("id").as("src"), expr("id div 3").as("dst")))
+        .filter(col("dst") >= 1L && col("dst") =!= col("src"))
+        .distinct()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outd"))
+      val contribSrc = edges.join(deg, "src")
+      var ranks = nodes.select(col("id"), lit(S).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = contribSrc
+          .join(ranks.withColumnRenamed("id", "rid"),
+            col("src") === col("rid"))
+          .select(col("dst"), expr("r div outd").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("cin"))
+        ranks = nodes
+          .join(contrib, nodes("id") === contrib("dst"), "left")
+          .select(nodes("id"),
+            (lit(15L * S) + lit(85L) * coalesce(col("cin"), lit(0L)))
+              .as("num"))
+          .select(col("id"), expr("num div 100").as("r"))
+      }
+      ranks.orderBy(col("r").desc, col("id")).limit(20)
+    }),
+    "x24_temp_mixture" -> ((s, d) => {
+      // temperature-scaled source mixing (α = 0.5, the T5/LLaMA data
+      // recipe): sampling weight p_s ∝ n_s^α flattens the source
+      // distribution; each source gets acceptance rate
+      // min(1, B·p_s/n_s) toward a total budget B = half the corpus,
+      // then the same content-hash acceptance as x11 picks documents
+      // deterministically. One count shuffle builds the 1-row-per-
+      // source rate table; the sample pass is a broadcast-joined
+      // filter over the corpus scan. sqrt is IEEE-correctly-rounded
+      // (unlike ln/exp), so the fixed-point basis-point rates match
+      // across engines.
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("n_total"),
+        sum(sqrt(col("n"))).as("z"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          least(lit(10000L), floor(
+            (col("n_total") / 2.0) * (sqrt(col("n")) / col("z")) /
+              col("n") * 10000.0).cast("long")).as("rate_bp"))
+      val sampled = Tables.documents(s, d)
+        .join(broadcast(rates), "source")
+        .filter(
+          (conv(substring(md5(concat(lit("mix:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+            % 10000L) < col("rate_bp"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+      rates.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n"), col("rate_bp"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("source"))
+    }),
+    "f9_multi_match" -> ((s, d) => {
+      // ES multi_match, most_fields: per-field scores summed — BM25 on
+      // the analyzed text field plus a boosted exact match on the
+      // keyword field. One corpus scan computes both field signals;
+      // corpus stats broadcast once; top-k two-phase.
+      val pre = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Analyzers.tokenize(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), col("source"),
+          size(filter(col("toks"), t => t === "customer")).as("tf"),
+          size(col("toks")).as("len"))
+      val stats = pre.agg(
+        count(lit(1)).cast("double").as("n"),
+        avg(col("len")).as("avgdl"),
+        sum(when(col("tf") > 0, 1).otherwise(0)).cast("double").as("df"))
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val tfNorm = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgdl")))
+      pre.filter(col("tf") > 0 || col("source") === "src3")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(when(col("tf") > 0, idf * tfNorm).otherwise(lit(0.0)) +
+            when(col("source") === "src3", 3.0).otherwise(0.0), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
     "opt1_agg_rewrite" -> ((s, d) => {
       // CollectStrengthReduction on a LIVE session (the extensions
       // path is build-time; experimental.extraOptimizations is the
@@ -2454,6 +2549,57 @@ object SparkEntry {
           v AS (SELECT token, count(*)::BIGINT AS weight FROM tok GROUP BY 1)
           SELECT token, weight FROM v WHERE token LIKE 's%'
           ORDER BY weight DESC, token LIMIT 5""",
+    "g1_pagerank" ->
+      """WITH nodes AS (SELECT o_orderkey AS id FROM orders),
+          edges AS (
+            SELECT id AS src, id // 2 AS dst FROM nodes WHERE id // 2 >= 1 AND id // 2 <> id
+            UNION
+            SELECT id AS src, id // 3 AS dst FROM nodes WHERE id // 3 >= 1 AND id // 3 <> id),
+          deg AS (SELECT src, count(*)::BIGINT AS outd FROM edges GROUP BY 1),
+          r0 AS (SELECT id, 1000000000000::BIGINT AS r FROM nodes),
+          c1 AS (SELECT e.dst AS id, sum(r0.r // d.outd)::BIGINT AS cin
+                 FROM edges e JOIN deg d ON e.src = d.src JOIN r0 ON r0.id = e.src GROUP BY 1),
+          r1 AS (SELECT n.id, ((15000000000000 + 85 * coalesce(c1.cin, 0)) // 100)::BIGINT AS r
+                 FROM nodes n LEFT JOIN c1 ON c1.id = n.id),
+          c2 AS (SELECT e.dst AS id, sum(r1.r // d.outd)::BIGINT AS cin
+                 FROM edges e JOIN deg d ON e.src = d.src JOIN r1 ON r1.id = e.src GROUP BY 1),
+          r2 AS (SELECT n.id, ((15000000000000 + 85 * coalesce(c2.cin, 0)) // 100)::BIGINT AS r
+                 FROM nodes n LEFT JOIN c2 ON c2.id = n.id),
+          c3 AS (SELECT e.dst AS id, sum(r2.r // d.outd)::BIGINT AS cin
+                 FROM edges e JOIN deg d ON e.src = d.src JOIN r2 ON r2.id = e.src GROUP BY 1),
+          r3 AS (SELECT n.id, ((15000000000000 + 85 * coalesce(c3.cin, 0)) // 100)::BIGINT AS r
+                 FROM nodes n LEFT JOIN c3 ON c3.id = n.id)
+          SELECT id, r FROM r3 ORDER BY r DESC, id LIMIT 20""",
+    "x24_temp_mixture" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+          t AS (SELECT sum(n)::BIGINT AS n_total, sum(sqrt(n)) AS z FROM c),
+          rates AS (SELECT source, n,
+            least(10000, floor((n_total / 2.0) * (sqrt(n) / z) / n * 10000.0)::BIGINT) AS rate_bp
+            FROM c, t),
+          samp AS (SELECT d.source, count(*)::BIGINT AS n_sampled
+            FROM documents d JOIN rates r USING (source)
+            WHERE (('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000)
+                  < r.rate_bp
+            GROUP BY 1)
+          SELECT rates.source, rates.n, rates.rate_bp,
+                 coalesce(samp.n_sampled, 0)::BIGINT AS n_sampled
+          FROM rates LEFT JOIN samp USING (source) ORDER BY source""",
+    "f9_multi_match" ->
+      s"""WITH pre AS (SELECT doc_id, source,
+                  len(list_filter(${sqlToks("lower(text)")}, x -> x = 'customer')) AS tf,
+                  len(${sqlToks("lower(text)")}) AS len
+           FROM documents),
+          stats AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                           sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df
+                    FROM pre)
+          SELECT doc_id,
+                 round(CASE WHEN tf > 0
+                        THEN ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))
+                        ELSE 0.0 END +
+                       CASE WHEN source = 'src3' THEN 3.0 ELSE 0.0 END, 6) AS score
+          FROM pre, stats WHERE tf > 0 OR source = 'src3'
+          ORDER BY score DESC, doc_id LIMIT 20""",
     "opt1_agg_rewrite" ->
       """SELECT l_returnflag, count(l_quantity)::BIGINT AS n,
                 min(l_quantity) AS mn, max(l_quantity) AS mx,

@@ -124,6 +124,49 @@ class EsSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("g1 pagerank: exact match against a driver-side fixed-point replay") {
+    val ids = Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val S = 1000000000000L
+    val nodes = ids.toSet
+    val edges = ids.flatMap(i => Seq(i -> i / 2, i -> i / 3))
+      .filter { case (s0, d0) => d0 >= 1 && d0 != s0 }.distinct
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    var r = nodes.map(_ -> S).toMap
+    for (_ <- 1 to 3) {
+      val cin = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s0, _) => r(s0) / deg(s0) }.sum }
+      r = nodes.map(n => n -> (15L * S + 85L * cin.getOrElse(n, 0L)) / 100L).toMap
+    }
+    val want = r.toSeq.sortBy { case (id, rk) => (-rk, id) }.take(20)
+    val got = run("g1_pagerank").map(x =>
+      (x.getAs[Long]("id"), x.getAs[Long]("r"))).toSeq
+    assert(got == want)
+  }
+
+  test("x24 temperature mixing flattens: acceptance rate non-increasing in source size") {
+    val rows = run("x24_temp_mixture")
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      assert(x.getAs[Long]("rate_bp") >= 0 && x.getAs[Long]("rate_bp") <= 10000)
+      assert(x.getAs[Long]("n_sampled") <= x.getAs[Long]("n"))
+    }
+    val bySize = rows.sortBy(_.getAs[Long]("n"))
+      .map(x => (x.getAs[Long]("n"), x.getAs[Long]("rate_bp")))
+    bySize.sliding(2).foreach { case Array((n1, r1), (n2, r2)) =>
+      if (n1 < n2) assert(r1 >= r2, s"rate must not grow with size: $bySize")
+      case _ => ()
+    }
+  }
+
+  test("f9 multi_match: keyword-field boost dominates, scores descending") {
+    val rows = run("f9_multi_match")
+    assert(rows.nonEmpty && rows.length <= 20)
+    val sc = rows.map(_.getAs[Double]("score"))
+    assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    assert(sc.forall(_ > 0))
+  }
+
   test("h1 highlight: every fragment wraps the match, context clamped to ±30") {
     val rows = run("h1_highlight")
     assert(rows.nonEmpty)
