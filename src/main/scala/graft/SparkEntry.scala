@@ -1245,6 +1245,12 @@ object SparkEntry {
         .orderBy(col("weight").desc, col("token"))
         .limit(5)
     }),
+    "d13_semantic_dedup" -> ((s, d) =>
+      // SemDeDup: cluster-scoped embedding near-dup removal — the
+      // quadratic pair work is bounded by the cluster, never the
+      // corpus (Similarity.semDedup scaladoc)
+      Similarity.semDedup(Tables.embeddings(s, d), threshold = 0.35)
+        .orderBy(col("vec_id"))),
     "g1_pagerank" -> ((s, d) => {
       // iterative graph algorithm done Spark-shaped: PageRank over the
       // conversation-reference graph (each order "replies to" orders
@@ -2549,6 +2555,24 @@ object SparkEntry {
           v AS (SELECT token, count(*)::BIGINT AS weight FROM tok GROUP BY 1)
           SELECT token, weight FROM v WHERE token LIKE 's%'
           ORDER BY weight DESC, token LIMIT 5""",
+    "d13_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, label,
+                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                    FROM embeddings WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+          d AS (SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id > b.vec_id
+                WHERE sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) > 0
+                  AND sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) > 0
+                  AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.35
+                GROUP BY 1)
+          SELECT e.vec_id, e.label::BIGINT AS cluster,
+                 d.dup_of IS NULL AS kept,
+                 coalesce(d.dup_of, -1)::BIGINT AS dup_of
+          FROM e LEFT JOIN d ON d.vec_id = e.vec_id
+          ORDER BY e.vec_id""",
     "g1_pagerank" ->
       """WITH nodes AS (SELECT o_orderkey AS id FROM orders),
           edges AS (

@@ -544,6 +544,40 @@ object Similarity {
     * by construction (the fixed-point reproducibility pattern). Two
     * shuffles: (label, dim) partial sums, then per-label array
     * assembly; dims explode 64× but carry 3 longs each. */
+  /** D13: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * dedup scoped to embedding clusters: a vector is DROPPED when a
+    * lower-id member of its own cluster sits within the cosine
+    * ε-ball (≥ `threshold`); the lowest id of each near-dup
+    * neighborhood survives as the representative. This is the
+    * parallel greedy variant the paper's pipeline uses: the keep
+    * decision is a per-vector aggregation (min lower-id neighbor),
+    * not a sequential scan, so it is one cluster-keyed pair join +
+    * one groupBy at any scale. The whole point of the CLUSTER scope
+    * is the quadratic bound: pair work is Σ|cluster|², never
+    * |corpus|² — clusters come from any upstream partitioner (here
+    * the label column; [[labelCentroids]] shows cluster ids can be
+    * derived bitwise-reproducibly). For giant clusters the in-cluster
+    * join composes with the [[cosinePairsBlocked]] tiling. */
+  def semDedup(emb: DataFrame, threshold: Double = 0.35,
+               clusterCol: String = "label"): DataFrame = {
+    val e = withNorm(emb)
+      .select(col("vec_id"), col(clusterCol).as("cl"), col("v"), col("nrm"))
+    val l = e.as("l"); val r = e.as("r")
+    val dupOf = l.join(r, col("l.cl") === col("r.cl") &&
+        col("l.vec_id") > col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_id"),
+        col("r.vec_id").as("nbr"),
+        round(dot(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm")), 6)
+          .as("cs"))
+      .filter(col("cs") >= threshold)
+      .groupBy(col("vec_id")).agg(min(col("nbr")).as("dup_of"))
+    e.select(col("vec_id"), col("cl").as("cluster"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("dup_of").isNull.as("kept"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
   def labelCentroids(emb: DataFrame): DataFrame = {
     val u = emb
       .select(col("label"),

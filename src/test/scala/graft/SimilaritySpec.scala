@@ -255,4 +255,29 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(x - r) <= scale / 2 + 1e-12)
     }
   }
+
+  test("semDedup agrees with brute-force same-cluster pairs; representatives kept") {
+    val emb = Tables.embeddings(spark, sf)
+    val tau = 0.35
+    val res = Similarity.semDedup(emb, tau).collect()
+    // ground truth from the independently-tested brute pair path,
+    // restricted to same-label pairs
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupOf = Similarity.cosinePairsBrute(emb, tau).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .filter { case (a, b) => labels(a) == labels(b) }
+      .groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    res.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("cluster") == labels(id))
+      dupOf.get(id) match {
+        case Some(rep) =>
+          assert(!r.getAs[Boolean]("kept") && r.getAs[Long]("dup_of") == rep)
+        case None =>
+          assert(r.getAs[Boolean]("kept") && r.getAs[Long]("dup_of") == -1L)
+      }
+    }
+    assert(res.exists(!_.getAs[Boolean]("kept")), "fixture should contain near-dups")
+  }
 }
