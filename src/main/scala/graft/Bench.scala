@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query isolation shared by Bench and Verify: a handful of
+    * queries pin localCheckpoint blocks / broadcasts that the
+    * ContextCleaner only releases on a driver GC — left alone, a
+    * 131-query sequential run pushes the heap into eviction + GC
+    * thrash and charges it to whichever queries run late in the
+    * alphabet (observed: p8 2.1 s isolated vs 20.7 s in-bench).
+    * Each query is an independent job in production; running them
+    * against a clean storage pool is the honest measurement. */
+  private[graft] def isolate(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    System.gc()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,18 +48,7 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      // per-query isolation, OUTSIDE the timed section: a handful of
-      // queries pin localCheckpoint blocks / broadcasts that the
-      // ContextCleaner only releases on driver GC — left alone, 123
-      // accumulated queries push the 8 GiB heap into eviction + GC
-      // thrash and charge it to whichever queries run late in the
-      // alphabet (observed: p8 2.1 s isolated vs 20.7 s in-bench).
-      // Each query is an independent job in production; measuring them
-      // against a clean storage pool is the honest number.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-      System.gc()
+      isolate(spark) // outside the timed section
       (name, dt, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -1121,13 +1121,15 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
     "a11_rare_terms" -> ((s, d) =>
-      // ES rare_terms agg over the 2-shingle field: terms appearing in
-      // at most max_doc_count=2 documents — the long-tail complement
-      // of terms/significant_terms. One distinct (doc, shingle)
-      // explode + one count shuffle; the max_doc_count cut is an agg
-      // filter (never a sort). Unigrams are deliberately not used:
-      // this corpus' 31-word vocabulary has min df 25, so the rare
-      // tail only exists at the shingle level.
+      // ES rare_terms agg over the shingle field (unigrams + joined
+      // bigrams, like the t10 analyzer): terms appearing in at most
+      // max_doc_count=2 documents — the long-tail complement of
+      // terms/significant_terms. One distinct (doc, term) explode +
+      // one count shuffle; the max_doc_count cut is an agg filter
+      // (never a sort). On THIS corpus the surviving tail is
+      // bigram-only (the 31-word vocabulary's min unigram df is 25),
+      // but unigrams pass through the same pipeline and would surface
+      // if rare.
       Tables.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(
           Analyzers.shingleTokens(
@@ -1295,18 +1297,22 @@ object SparkEntry {
       // then the same content-hash acceptance as x11 picks documents
       // deterministically. One count shuffle builds the 1-row-per-
       // source rate table; the sample pass is a broadcast-joined
-      // filter over the corpus scan. sqrt is IEEE-correctly-rounded
-      // (unlike ln/exp), so the fixed-point basis-point rates match
-      // across engines.
+      // filter over the corpus scan. Determinism discipline (lesson
+      // 12): sqrt is IEEE-exact PER ELEMENT, but a float SUM of the
+      // weights would be order-dependent — so each weight quantizes
+      // to integer micro-units row-locally (the n6 pattern) and every
+      // sum/ratio after that is exact BIGINT arithmetic; the
+      // basis-point rates cannot differ across engines or runs.
       val counts = Tables.documents(s, d)
         .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("w",
+          floor(sqrt(col("n")) * 1000000.0 + 0.5).cast("long"))
       val tot = counts.agg(sum(col("n")).as("n_total"),
-        sum(sqrt(col("n"))).as("z"))
+        sum(col("w")).as("z"))
       val rates = counts.crossJoin(broadcast(tot))
         .select(col("source"), col("n"),
-          least(lit(10000L), floor(
-            (col("n_total") / 2.0) * (sqrt(col("n")) / col("z")) /
-              col("n") * 10000.0).cast("long")).as("rate_bp"))
+          least(lit(10000L),
+            expr("(n_total * w * 10000) div (2 * z * n)")).as("rate_bp"))
       val sampled = Tables.documents(s, d)
         .join(broadcast(rates), "source")
         .filter(
@@ -1352,13 +1358,15 @@ object SparkEntry {
       // runtime hook): the query is written naively against collected
       // arrays and executes as count/min/max/flag aggregates — no
       // array buffer, no ObjectHashAggregate (plan-locked in
-      // StrengthReductionSpec)
-      if (!s.experimental.extraOptimizations
-            .contains(graft.plans.CollectStrengthReduction))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+
-            graft.plans.CollectStrengthReduction
-      Tables.lineitem(s, d)
+      // StrengthReductionSpec). The rule attaches to a CLONE of the
+      // session (same SparkContext, fresh SessionState), so the
+      // harness session's optimizer is untouched for every query that
+      // runs after this one — the same isolation discipline the bench
+      // applies to storage state.
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        Seq(graft.plans.CollectStrengthReduction)
+      Tables.lineitem(s2, d)
         .groupBy(col("l_returnflag"))
         .agg(size(collect_list(col("l_quantity"))).cast("long").as("n"),
           array_min(collect_list(col("l_quantity"))).as("mn"),
@@ -2595,10 +2603,12 @@ object SparkEntry {
                  FROM nodes n LEFT JOIN c3 ON c3.id = n.id)
           SELECT id, r FROM r3 ORDER BY r DESC, id LIMIT 20""",
     "x24_temp_mixture" ->
-      """WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
-          t AS (SELECT sum(n)::BIGINT AS n_total, sum(sqrt(n)) AS z FROM c),
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n,
+                           floor(sqrt(n) * 1000000.0 + 0.5)::BIGINT AS w
+                    FROM documents GROUP BY 1),
+          t AS (SELECT sum(n)::BIGINT AS n_total, sum(w)::BIGINT AS z FROM c),
           rates AS (SELECT source, n,
-            least(10000, floor((n_total / 2.0) * (sqrt(n) / z) / n * 10000.0)::BIGINT) AS rate_bp
+            least(10000, (n_total * w * 10000) // (2 * z * n)) AS rate_bp
             FROM c, t),
           samp AS (SELECT d.source, count(*)::BIGINT AS n_sampled
             FROM documents d JOIN rates r USING (source)

@@ -29,13 +29,7 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // same per-query isolation as Bench: drop leaked localCheckpoint
-      // blocks/broadcasts so a 123-query sequential run doesn't GC-
-      // thrash its way through the back half of the alphabet
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-      System.gc()
+      Bench.isolate(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -27,7 +27,10 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType}
   *
   * Wrappers that don't change the element multiset are seen through:
   * `sort_array` (order is irrelevant to size/contains/min/max/exists)
-  * and `transform` (the lambda composes into the element expression).
+  * and `transform` (the lambda composes into the element expression
+  * for min/max/contains/exists; `size` counts the PRE-transform
+  * element, because `transform` preserves length but not nulls or
+  * injectivity — see [[Collected]]).
   *
   * Equivalences used: collect_list/collect_set drop NULL inputs, so
   * `count(e)` (non-null count) matches `size`; min/max/contains/exists
@@ -46,26 +49,36 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType}
   */
 object CollectStrengthReduction extends Rule[LogicalPlan] {
 
-  /** The collected element expression behind `e`, seen through
-    * multiset-preserving wrappers. Returns the AggregateExpression to
-    * copy modes/filter from, the element expression over the
-    * aggregate's CHILD attributes, and whether elements were
-    * set-deduplicated (collect_set). */
-  private def collected(e: Expression): Option[(AggregateExpression, Expression, Boolean)] =
-    e match {
-      case ae @ AggregateExpression(cl: CollectList, _, false, _, _) =>
-        Some((ae, cl.child, false))
-      case ae @ AggregateExpression(cs: CollectSet, _, false, _, _) =>
-        Some((ae, cs.child, true))
-      case SortArray(inner, _) => collected(inner)
-      case ArrayTransform(inner, LambdaFunction(body, Seq(lv: NamedLambdaVariable), _)) =>
-        collected(inner).map { case (ae, el, dd) =>
-          (ae, body.transformUp {
-            case v: NamedLambdaVariable if v.exprId == lv.exprId => el
-          }, dd)
-        }
-      case _ => None
-    }
+  /** What `e` collects, seen through wrappers. Carries everything the
+    * individual rewrites need to stay SOUND:
+    *  - `ae`: the AggregateExpression to copy mode/filter from;
+    *  - `raw`: the collect's own child — the LENGTH carrier. `size`
+    *    must count this, never the transformed element: `transform`
+    *    is length-preserving but its lambda may be non-injective or
+    *    null-producing, and both `count` (skips nulls) and
+    *    `count(DISTINCT)` (post-dedup) would diverge from `size` if
+    *    the lambda were composed in;
+    *  - `el`: the element AFTER composing any `transform` lambdas —
+    *    what min/max/contains/exists actually see;
+    *  - `isSet`: collect_set (dedup before any transform). */
+  private case class Collected(ae: AggregateExpression, raw: Expression,
+                               el: Expression, isSet: Boolean,
+                               transformed: Boolean = false)
+
+  private def collected(e: Expression): Option[Collected] = e match {
+    case ae @ AggregateExpression(cl: CollectList, _, false, _, _) =>
+      Some(Collected(ae, cl.child, cl.child, isSet = false))
+    case ae @ AggregateExpression(cs: CollectSet, _, false, _, _) =>
+      Some(Collected(ae, cs.child, cs.child, isSet = true))
+    case SortArray(inner, _) => collected(inner)
+    case ArrayTransform(inner, LambdaFunction(body, Seq(lv: NamedLambdaVariable), _)) =>
+      collected(inner).map { c =>
+        c.copy(el = body.transformUp {
+          case v: NamedLambdaVariable if v.exprId == lv.exprId => c.el
+        }, transformed = true)
+      }
+    case _ => None
+  }
 
   private def fresh(ae: AggregateExpression, f: AggregateFunction,
                     distinct: Boolean): AggregateExpression =
@@ -80,27 +93,39 @@ object CollectStrengthReduction extends Rule[LogicalPlan] {
   private def reduceScalars(ne: NamedExpression): NamedExpression =
     ne.transformUp {
       case s @ Size(c, _) => collected(c) match {
-        case Some((ae, el, dd)) =>
-          Cast(fresh(ae, Count(Seq(el)), distinct = dd), IntegerType)
+        // count the RAW element (see Collected.raw): count(e) for
+        // collect_list, count(DISTINCT e) for collect_set
+        case Some(cc) =>
+          Cast(fresh(cc.ae, Count(Seq(cc.raw)), distinct = cc.isSet),
+            IntegerType)
         case None => s
       }
       case m @ ArrayMax(c) => collected(c) match {
-        case Some((ae, el, _)) => fresh(ae, Max(el), distinct = false)
+        // aggregate Min/Max ignore nulls exactly like array_min/max
+        // ignore null elements, so a null-producing transform is fine
+        case Some(cc) => fresh(cc.ae, Max(cc.el), distinct = false)
         case None => m
       }
       case m @ ArrayMin(c) => collected(c) match {
-        case Some((ae, el, _)) => fresh(ae, Min(el), distinct = false)
+        case Some(cc) => fresh(cc.ae, Min(cc.el), distinct = false)
         case None => m
       }
       case ac @ ArrayContains(c, v)
           if v.deterministic && !AggregateExpression.containsAggregate(v) =>
         collected(c) match {
-          case Some((ae, el, _)) =>
-            val flag = anyMatch(ae, EqualTo(el, v))
+          // Sound for the raw collect (null INPUTS are dropped before
+          // they ever reach the array, so they contribute false to
+          // the flag exactly as they contribute nothing to the
+          // array). A composed transform lambda, though, can inject
+          // nulls INTO the array — real array_contains then answers
+          // NULL on miss where the flag would answer false — so a
+          // transformed, still-nullable element is not rewritten.
+          case Some(cc) if !cc.transformed || !cc.el.nullable =>
+            val flag = anyMatch(cc.ae, EqualTo(cc.el, v))
             // array_contains(_, NULL) is NULL, not false
             if (v.nullable) If(IsNull(v), Literal.create(null, BooleanType), flag)
             else flag
-          case None => ac
+          case _ => ac
         }
     }.asInstanceOf[NamedExpression]
 
@@ -118,14 +143,14 @@ object CollectStrengthReduction extends Rule[LogicalPlan] {
             LambdaFunction(body, Seq(lv: NamedLambdaVariable), _), _)
             if aliased.contains(attr) =>
           collected(aliased(attr)) match {
-            case Some((ae, el, _)) =>
+            case Some(cc) =>
               val pred = body.transformUp {
-                case v: NamedLambdaVariable if v.exprId == lv.exprId => el
+                case v: NamedLambdaVariable if v.exprId == lv.exprId => cc.el
               }
               // pred must close over the aggregate's CHILD scope only —
               // a reference to another agg output can't move inside
               if (pred.references.subsetOf(agg.child.outputSet)) {
-                val alias = Alias(anyMatch(ae, pred), s"__exists_${extra.size}")()
+                val alias = Alias(anyMatch(cc.ae, pred), s"__exists_${extra.size}")()
                 extra += alias
                 EqualTo(alias.toAttribute, Literal(true))
               } else ex

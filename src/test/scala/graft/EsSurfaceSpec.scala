@@ -33,7 +33,7 @@ class EsSurfaceSpec extends SparkSpec {
     assert(rows.forall(_._2 >= 0))
   }
 
-  test("a11 rare_terms: every term within max_doc_count, none is a plain unigram") {
+  test("a11 rare_terms: nonempty tail, every term within max_doc_count") {
     val rows = run("a11_rare_terms")
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Long]("doc_count") <= 2))

@@ -128,6 +128,34 @@ class StrengthReductionSpec extends SparkSpec {
     assert(!objHash(df))
   }
 
+  test("size through a null-producing or non-injective transform stays exact") {
+    import ext.implicits._
+    val df = Seq((1, 5), (1, 6)).toDF("k", "x")
+      .groupBy(col("k"))
+      .agg(
+        // lambda maps 5 -> null: size counts it, count(el') would not
+        size(transform(collect_list(col("x")),
+          u => when(u === 5, lit(null)).otherwise(u))).as("n"),
+        // non-injective lambda AFTER set-dedup: still 2 elements
+        size(transform(collect_set(col("x")), u => u * 0)).as("n_set"))
+    assert(!hasCollect(df))
+    val r = df.head()
+    assert(r.getAs[Int]("n") == 2)
+    assert(r.getAs[Int]("n_set") == 2)
+  }
+
+  test("contains is NOT rewritten through a null-producing transform (NULL-on-miss)") {
+    import ext.implicits._
+    val df = Seq((1, 5), (1, 6)).toDF("k", "x")
+      .groupBy(col("k"))
+      .agg(array_contains(transform(collect_list(col("x")),
+        u => when(u === 5, lit(null)).otherwise(u)), 99).as("hit"))
+    // the transformed array is [null, 6]; real semantics: miss + null
+    // element => NULL. The rule must leave this shape alone.
+    val r = df.head()
+    assert(r.isNullAt(r.fieldIndex("hit")))
+  }
+
   test("array_contains NULL probe answers NULL, not false, after rewrite") {
     import ext.implicits._
     val df = Seq((1, 10, Option(10)), (1, 20, None))
