@@ -1383,6 +1383,39 @@ object SparkEntry {
           size(collect_set(col("l_linestatus"))).cast("long").as("n_status"))
         .orderBy(col("l_returnflag"))
     }),
+    "a15_weighted_avg" -> ((s, d) =>
+      // ES weighted_avg agg: value=extendedprice, weight=quantity.
+      // Both the weighted sum and the weight total stay in exact
+      // integer domains (price in cents, integral quantities), the
+      // ratio is formed once after aggregation — one shuffle, no
+      // float summation order anywhere
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("pc"),
+          round(col("l_quantity"), 0).cast("long").as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("pc") * col("q")).as("wsum_c"), sum(col("q")).as("wq"))
+        .select(col("l_returnflag"), col("wq"),
+          round(col("wsum_c").cast("double") / 100.0 / col("wq"), 6)
+            .as("weighted_avg_price"))
+        .orderBy(col("l_returnflag"))),
+    "w8_search_after" -> ((s, d) => {
+      // ES search_after: deep pagination over a RANKED result by a
+      // composite (rank-key, id) cursor — the constant after-tuple
+      // filters before the sort, so every page is a fresh top-k scan
+      // (TakeOrderedAndProject), never an OFFSET that materializes
+      // and discards the head. Rank key = the f7 decay ordering's
+      // day-distance (score is monotone in it, so paging on the
+      // integer key ≡ paging on score).
+      val dist = abs(datediff(col("o_orderdate"), lit("1998-01-01")))
+        .cast("long")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), dist.as("dist_days"))
+        .filter(col("dist_days") > 30L ||
+          (col("dist_days") === 30L && col("o_orderkey") > 0L))
+        .orderBy(col("dist_days"), col("o_orderkey"))
+        .limit(20)
+    }),
     "f7_decay_score" -> ((s, d) => {
       // ES function_score gauss decay on a date field: with decay=0.5
       // the score is 0.5^((dist/scale)^2) — monotone in the integer
@@ -2656,6 +2689,22 @@ object SparkEntry {
                 bool_or(l_linestatus = 'F') AS has_f,
                 count(DISTINCT l_linestatus)::BIGINT AS n_status
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "a15_weighted_avg" ->
+      """WITH li AS (SELECT l_returnflag,
+                            round(l_extendedprice * 100, 0)::BIGINT AS pc,
+                            round(l_quantity, 0)::BIGINT AS q
+                     FROM lineitem)
+         SELECT l_returnflag, sum(q)::BIGINT AS wq,
+                round(sum(pc * q)::DOUBLE / 100.0 / sum(q), 6) AS weighted_avg_price
+         FROM li GROUP BY 1 ORDER BY l_returnflag""",
+    "w8_search_after" ->
+      """WITH m AS (SELECT o_orderkey,
+                           abs(datediff('day', TIMESTAMP '1998-01-01',
+                                        o_orderdate))::BIGINT AS dist_days
+                    FROM orders)
+         SELECT o_orderkey, dist_days FROM m
+         WHERE dist_days > 30 OR (dist_days = 30 AND o_orderkey > 0)
+         ORDER BY dist_days, o_orderkey LIMIT 20""",
     "f7_decay_score" ->
       """WITH m AS (SELECT o_orderkey,
                            abs(datediff('day', TIMESTAMP '1998-01-01',

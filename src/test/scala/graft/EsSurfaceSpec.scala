@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 /** Invariant tests for the round-4 ES-surface additions (composite
   * agg, histogram with empty-bucket fill, rare_terms, pipeline aggs,
@@ -165,6 +166,29 @@ class EsSurfaceSpec extends SparkSpec {
     val sc = rows.map(_.getAs[Double]("score"))
     assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
     assert(sc.forall(_ > 0))
+  }
+
+  test("a15 weighted_avg matches a float recompute and stays in the value range") {
+    val rows = run("a15_weighted_avg")
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val g = li(r.getString(0))
+      val want = g.map(x => x.getDouble(1) * x.getDouble(2)).sum /
+        g.map(_.getDouble(2)).sum
+      assert(math.abs(r.getAs[Double]("weighted_avg_price") - want) < 1e-3)
+      assert(r.getAs[Long]("wq") == g.map(_.getDouble(2)).sum.round)
+    }
+  }
+
+  test("w8 search_after: page strictly after the cursor, keyset-ordered") {
+    val rows = run("w8_search_after")
+      .map(r => (r.getAs[Long]("dist_days"), r.getAs[Long]("o_orderkey")))
+    assert(rows.length == 20)
+    assert(rows.forall { case (dd, k) => dd > 30 || (dd == 30 && k > 0) })
+    assert(rows.sameElements(rows.sorted))
   }
 
   test("h1 highlight: every fragment wraps the match, context clamped to ±30") {
