@@ -1383,6 +1383,43 @@ object SparkEntry {
           size(collect_set(col("l_linestatus"))).cast("long").as("n_status"))
         .orderBy(col("l_returnflag"))
     }),
+    "a16_observed_metrics" -> ((s, d) => {
+      // A5 ingest/QC counters as a first-class VERIFIED result:
+      // df.observe rides accumulator-style metrics on the pipeline's
+      // own pass (plan-transparent — no second scan, no codegen
+      // break), the action drains them, and the harness hash-checks
+      // them against SQL recomputation. This is the production
+      // shape for pipeline telemetry: rows in, rows kept, and kept
+      // quality mass measured ON the curation filter itself.
+      import org.apache.spark.sql.Observation
+      val obs = Observation()
+      val kept = Tables.documents(s, d)
+        .withColumn("q",
+          operators.TextStats.qualityScore(col("text")))
+        .observe(obs,
+          count(lit(1)).as("rows_in"),
+          sum(when(col("q") >= 0.7, 1L).otherwise(0L)).as("rows_kept"),
+          // quality mass in integer micro-units (floor(q·1e6+0.5) is
+          // row-local IEEE-exact, the sum is exact BIGINT — lesson
+          // 12: no float summation order reaches the compare)
+          sum(when(col("q") >= 0.7,
+            floor(col("q") * 1000000.0 + 0.5).cast("long")).otherwise(0L))
+            .as("kept_quality_u6"))
+        .filter(col("q") >= 0.7)
+      kept.write.format("noop").mode("overwrite").save() // the action
+      val m = obs.get
+      s.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(m("rows_in").asInstanceOf[Long],
+          m("rows_kept").asInstanceOf[Long],
+          m("kept_quality_u6").asInstanceOf[Long])),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rows_in",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("rows_kept",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("kept_quality_u6",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }),
     "a15_weighted_avg" -> ((s, d) =>
       // ES weighted_avg agg: value=extendedprice, weight=quantity.
       // Both the weighted sum and the weight total stay in exact
@@ -2689,6 +2726,27 @@ object SparkEntry {
                 bool_or(l_linestatus = 'F') AS has_f,
                 count(DISTINCT l_linestatus)::BIGINT AS n_status
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "a16_observed_metrics" ->
+      s"""WITH t AS (SELECT doc_id, text, ${sqlToks("lower(text)")} AS toks FROM documents),
+          m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                       CASE WHEN len(text) > 0
+                            THEN (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / len(text)::INT
+                            ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, t -> list_contains($sqlStop, t)))::DOUBLE / len(toks)::INT
+                            ELSE 0.0 END AS stop_ratio
+                FROM t),
+          q AS (SELECT doc_id,
+                       round(least(n_tokens::DOUBLE / 20.0, 1.0) * 0.4 +
+                             (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+                             least(stop_ratio * 4.0, 1.0) * 0.3, 6) AS quality
+                FROM m)
+          SELECT count(*)::BIGINT AS rows_in,
+                 sum(CASE WHEN quality >= 0.7 THEN 1 ELSE 0 END)::BIGINT AS rows_kept,
+                 sum(CASE WHEN quality >= 0.7
+                          THEN floor(quality * 1000000.0 + 0.5)::BIGINT
+                          ELSE 0 END)::BIGINT AS kept_quality_u6
+          FROM q""",
     "a15_weighted_avg" ->
       """WITH li AS (SELECT l_returnflag,
                             round(l_extendedprice * 100, 0)::BIGINT AS pc,
