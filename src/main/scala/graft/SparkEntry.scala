@@ -1317,10 +1317,18 @@ object SparkEntry {
           floor(sqrt(col("n")) * 1000000.0 + 0.5).cast("long"))
       val tot = counts.agg(sum(col("n")).as("n_total"),
         sum(col("w")).as("z"))
+      // 128-bit numerator: n_total·w·10⁴ exceeds BIGINT once
+      // n_total ≳ 10⁷ with w ≈ √n·10⁶ (the scale this query is for) —
+      // Spark would wrap (or throw under ANSI) while DuckDB's BIGINT
+      // errors, so both engines compute the ratio in exact 128-bit
+      // (decimal(38,0) here, HUGEINT in the oracle) and agree for all
+      // n_total < 10¹⁸
       val rates = counts.crossJoin(broadcast(tot))
         .select(col("source"), col("n"),
           least(lit(10000L),
-            expr("(n_total * w * 10000) div (2 * z * n)")).as("rate_bp"))
+            expr("""(cast(n_total as decimal(38,0)) * w * 10000)
+                    div (2 * cast(z as decimal(38,0)) * n)"""))
+            .as("rate_bp"))
       val sampled = Tables.documents(s, d)
         .join(broadcast(rates), "source")
         .filter(
@@ -2008,10 +2016,13 @@ object SparkEntry {
                                       i -> (h0*31 + i*2654435761) % 1000003) AS cells
                 FROM h),
           p AS (SELECT media_id,
+                       -- ::BIGINT: DuckDB's list sum yields HUGEINT,
+                       -- which the harness canonicalizes differently
+                       -- from int64 even at equal values
                        list_aggregate(list_transform(generate_series(1, 16),
                          i -> CASE WHEN cells[i] > list_aggregate(cells, 'sum') / 16.0
                                    THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END),
-                         'sum') AS phash
+                         'sum')::BIGINT AS phash
                 FROM c),
           -- planted BMP fixtures (real aHash path): left-white half at
           -- 4x4 and 8x8 pool to the SAME 0x3333 grid bits; the
@@ -2359,6 +2370,14 @@ object SparkEntry {
                 < floor(least(greatest((quality - 0.4) / (0.9 - 0.4), 0.0), 1.0) * 10000)
           ORDER BY doc_id""",
     "n8_pq_adc" ->
+      // constant-TRUE by construction EXCEPT planted_found, which is
+      // fixture-dependent in one residual case: k vectors whose
+      // quantized codes score STRICTLY above the probe's own encoding
+      // would evict the planted copy (ADC ties cannot — the rank
+      // window prefers the planted row at equal ADC, and
+      // planted_score_is_self is code-equality-implied regardless of
+      // retrieval). Verified to hold on this corpus; same caveat
+      // discipline as n7's planted_rank1.
       """SELECT * FROM (VALUES
            (1::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
            (101::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
@@ -2694,7 +2713,7 @@ object SparkEntry {
                     FROM documents GROUP BY 1),
           t AS (SELECT sum(n)::BIGINT AS n_total, sum(w)::BIGINT AS z FROM c),
           rates AS (SELECT source, n,
-            least(10000, (n_total * w * 10000) // (2 * z * n)) AS rate_bp
+            least(10000, (n_total::HUGEINT * w * 10000) // (2 * z::HUGEINT * n))::BIGINT AS rate_bp
             FROM c, t),
           samp AS (SELECT d.source, count(*)::BIGINT AS n_sampled
             FROM documents d JOIN rates r USING (source)

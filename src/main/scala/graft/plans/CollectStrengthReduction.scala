@@ -73,9 +73,17 @@ object CollectStrengthReduction extends Rule[LogicalPlan] {
     case SortArray(inner, _) => collected(inner)
     case ArrayTransform(inner, LambdaFunction(body, Seq(lv: NamedLambdaVariable), _)) =>
       collected(inner).map { c =>
-        c.copy(el = body.transformUp {
-          case v: NamedLambdaVariable if v.exprId == lv.exprId => c.el
-        }, transformed = true)
+        body match {
+          // identity lambda — the shape NullPropagation leaves behind
+          // after simplifying a null-handling lambda against the
+          // non-null element of a collect output (containsNull=false).
+          // A pass-through, not a transform: keeps contains/exists
+          // rewrites available on nullable inputs
+          case v: NamedLambdaVariable if v.exprId == lv.exprId => c
+          case _ => c.copy(el = body.transformUp {
+            case v: NamedLambdaVariable if v.exprId == lv.exprId => c.el
+          }, transformed = true)
+        }
       }
     case _ => None
   }
@@ -86,9 +94,29 @@ object CollectStrengthReduction extends Rule[LogicalPlan] {
       resultId = NamedExpression.newExprId)
 
   /** max(coalesce(pred, false)) — TRUE iff some element satisfies
-    * pred, with the element-level NULL pinned to false. */
-  private def anyMatch(ae: AggregateExpression, pred: Expression): Expression =
-    fresh(ae, Max(Coalesce(Seq(pred, Literal(false)))), distinct = false)
+    * pred, with the element-level NULL pinned to false. The predicate
+    * is evaluated over EVERY group row, but collect_list/collect_set
+    * drop NULL inputs before the array is built — a row whose raw
+    * element is NULL has no counterpart array element, so it must
+    * contribute nothing. `IsNotNull(raw)` is conjoined to enforce
+    * that (without it, `exists(xs, e => e.isNull)` — always false on
+    * a real collected array — would flag true whenever any input was
+    * null, and a null-defaulting transform lambda would resurrect
+    * dropped rows). */
+  private def anyMatch(cc: Collected, pred: Expression): Expression = {
+    val guarded = if (cc.raw.nullable) And(IsNotNull(cc.raw), pred) else pred
+    fresh(cc.ae, Max(Coalesce(Seq(guarded, Literal(false)))), distinct = false)
+  }
+
+  /** The element as min/max must see it: rows dropped by the collect
+    * (null raw) contribute NULL, which aggregate Min/Max skip — the
+    * same skip a real array_min/array_max does on elements that were
+    * never collected. Only needed under a transform: untransformed,
+    * `el` IS `raw` and Min/Max already skip its nulls. */
+  private def droppedAsNull(cc: Collected): Expression =
+    if (cc.transformed && cc.raw.nullable)
+      If(IsNotNull(cc.raw), cc.el, Literal.create(null, cc.el.dataType))
+    else cc.el
 
   private def reduceScalars(ne: NamedExpression): NamedExpression =
     ne.transformUp {
@@ -103,11 +131,11 @@ object CollectStrengthReduction extends Rule[LogicalPlan] {
       case m @ ArrayMax(c) => collected(c) match {
         // aggregate Min/Max ignore nulls exactly like array_min/max
         // ignore null elements, so a null-producing transform is fine
-        case Some(cc) => fresh(cc.ae, Max(cc.el), distinct = false)
+        case Some(cc) => fresh(cc.ae, Max(droppedAsNull(cc)), distinct = false)
         case None => m
       }
       case m @ ArrayMin(c) => collected(c) match {
-        case Some(cc) => fresh(cc.ae, Min(cc.el), distinct = false)
+        case Some(cc) => fresh(cc.ae, Min(droppedAsNull(cc)), distinct = false)
         case None => m
       }
       case ac @ ArrayContains(c, v)
@@ -121,7 +149,7 @@ object CollectStrengthReduction extends Rule[LogicalPlan] {
           // NULL on miss where the flag would answer false — so a
           // transformed, still-nullable element is not rewritten.
           case Some(cc) if !cc.transformed || !cc.el.nullable =>
-            val flag = anyMatch(cc.ae, EqualTo(cc.el, v))
+            val flag = anyMatch(cc, EqualTo(cc.el, v))
             // array_contains(_, NULL) is NULL, not false
             if (v.nullable) If(IsNull(v), Literal.create(null, BooleanType), flag)
             else flag
@@ -150,7 +178,7 @@ object CollectStrengthReduction extends Rule[LogicalPlan] {
               // pred must close over the aggregate's CHILD scope only —
               // a reference to another agg output can't move inside
               if (pred.references.subsetOf(agg.child.outputSet)) {
-                val alias = Alias(anyMatch(cc.ae, pred), s"__exists_${extra.size}")()
+                val alias = Alias(anyMatch(cc, pred), s"__exists_${extra.size}")()
                 extra += alias
                 EqualTo(alias.toAttribute, Literal(true))
               } else ex

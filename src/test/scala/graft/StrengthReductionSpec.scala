@@ -156,6 +156,42 @@ class StrengthReductionSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("hit")))
   }
 
+  test("null inputs dropped by collect never satisfy a rewritten exists") {
+    import ext.implicits._
+    // collect_list drops the null x before the array exists, so
+    // exists(xs, isNull) is ALWAYS false on the real array; the flag
+    // must not resurrect the dropped row
+    val df = Seq((1, Option(5)), (1, None)).toDF("k", "x")
+      .groupBy(col("k"))
+      .agg(collect_list(col("x")).as("xs"))
+      .filter(exists(col("xs"), e => e.isNull))
+      .select(col("k"))
+    assert(!hasCollect(df), "rewrite should still fire on nullable input")
+    assert(df.count() == 0, "no array element is null — dropped rows don't count")
+  }
+
+  test("null-defaulting transform lambda cannot resurrect dropped rows (min/contains)") {
+    import ext.implicits._
+    // x = [null, 5]; real array after collect+transform is [5] (the
+    // null was dropped BEFORE transform ran). coalesce(u, 0) makes the
+    // composed element non-nullable, so the rewrite fires — it must
+    // see NULL (min) / false (contains) for the dropped row, not 0
+    val df = Seq((1, Option(5)), (1, None)).toDF("k", "x")
+      .groupBy(col("k"))
+      .agg(
+        array_min(transform(collect_list(col("x")),
+          u => coalesce(u, lit(0)))).as("mn"),
+        array_max(transform(collect_list(col("x")),
+          u => coalesce(u, lit(-99)))).as("mx"),
+        array_contains(transform(collect_list(col("x")),
+          u => coalesce(u, lit(0))), 0).as("has_zero"))
+    assert(!hasCollect(df))
+    val r = df.head()
+    assert(r.getAs[Int]("mn") == 5, "min must ignore the dropped null row")
+    assert(r.getAs[Int]("mx") == 5, "max must ignore the dropped null row")
+    assert(!r.getAs[Boolean]("has_zero"), "dropped row must not produce a 0 element")
+  }
+
   test("array_contains NULL probe answers NULL, not false, after rewrite") {
     import ext.implicits._
     val df = Seq((1, 10, Option(10)), (1, 20, None))
