@@ -1045,9 +1045,14 @@ object SparkEntry {
       // statistics as oracle literals); the text rows exercise the
       // documented stub (mod-prime code-point fold → DuckDB-replayable).
       // Features verified as exact ×1000003 fixed-point integers.
+      // the PNG fixtures ride the REAL compressed path: zlib inflate +
+      // per-row unfiltering (every filter type planted), stats checked
+      // against hand-computed literals; -3 is the same picture as BMP
+      // -1, so equal features across formats is part of the contract
       Multimodal.extractFeatures(s,
         Multimodal.asMedia(Tables.documents(s, d))
-          .unionByName(Multimodal.bmpFixtures(s)))
+          .unionByName(Multimodal.bmpFixtures(s))
+          .unionByName(Multimodal.pngFixtures(s)))
         .toDF()
         .select(col("media_id"), col("n_bytes"), col("format"),
           col("width"), col("height"),
@@ -1061,9 +1066,22 @@ object SparkEntry {
       // its inversion; stub rows exercise the SQL-replayable path.
       // A rescaled copy resolves to its original's group — the case
       // byte-exact md5 dedup (m1) can never catch
+      // -10 is the same picture PNG-encoded: a cross-FORMAT duplicate
+      // (different codec, different bytes, equal aHash) resolving into
+      // the BMP fixtures' perceptual group
       Multimodal.phashDedup(s,
         Multimodal.asMedia(Tables.documents(s, d))
-          .unionByName(Multimodal.phashFixtures(s)))
+          .unionByName(Multimodal.phashFixtures(s))
+          .unionByName(Multimodal.pngPhashFixtures(s)))
+        .orderBy(col("media_id"))),
+    "m7_audio_features" -> ((s, d) =>
+      // audio modality: real 16-bit PCM WAV parse (planted square wave
+      // + stereo ramp + corrupt header) over the same batched decoder
+      // shape; text rows take the replayable stub
+      Multimodal.audioFeatures(s,
+        Multimodal.asMedia(Tables.documents(s, d))
+          .unionByName(Multimodal.wavFixtures(s)))
+        .toDF()
         .orderBy(col("media_id"))),
     "m3_media_chunks" -> ((s, d) =>
       Multimodal.mediaChunks(Multimodal.asMedia(Tables.documents(s, d)))
@@ -2000,7 +2018,17 @@ object SparkEntry {
            (-1::BIGINT, 70::BIGINT, 'bmp', 2::INT, 2::INT,
             '0|0|1000003|0|0|1000003|500002|750002'),
            (-2::BIGINT, 66::BIGINT, 'bmp', 3::INT, 1::INT,
-            '0|0|0|0|0|0|750002|750002'))
+            '0|0|0|0|0|0|750002|750002'),
+           -- planted PNGs (real inflate+unfilter path; stored-deflate
+           -- blocks make n_bytes closed-form: 57 + h*(1+3w) + 11).
+           -- -3 = 2x2 pure red, the SAME picture as BMP -1 -> same
+           -- features; -4 = 3x3 gradient r=10+20x, g=50y, b=25(x+y):
+           -- means (B,G,R)=(50,50,30)/255, maxs (100,100,50)/255,
+           -- aspect 0.5, 24bpp -> float32 fixed-point literals
+           (-4::BIGINT, 98::BIGINT, 'png', 3::INT, 3::INT,
+            '196079|196079|117647|392158|392158|196079|500002|750002'),
+           (-3::BIGINT, 82::BIGINT, 'png', 2::INT, 2::INT,
+            '0|0|1000003|0|0|1000003|500002|750002'))
            AS t(media_id, n_bytes, format, width, height, features)
          ORDER BY media_id""",
     "m6_media_phash" ->
@@ -2024,11 +2052,13 @@ object SparkEntry {
                                    THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END),
                          'sum')::BIGINT AS phash
                 FROM c),
-          -- planted BMP fixtures (real aHash path): left-white half at
-          -- 4x4 and 8x8 pool to the SAME 0x3333 grid bits; the
+          -- planted fixtures (real aHash path): left-white half at
+          -- 4x4 BMP, 8x8 BMP and 8x8 PNG pool to the SAME 0x3333 grid
+          -- bits (cross-resolution AND cross-format duplicates); the
           -- inverted picture flips to 0xCCCC
           allrows AS (SELECT * FROM p UNION ALL
-                      SELECT * FROM (VALUES (-11::BIGINT, 13107::BIGINT),
+                      SELECT * FROM (VALUES (-10::BIGINT, 13107::BIGINT),
+                                            (-11::BIGINT, 13107::BIGINT),
                                             (-12::BIGINT, 13107::BIGINT),
                                             (-13::BIGINT, 52428::BIGINT))
                         AS t(media_id, phash)),
@@ -2038,6 +2068,39 @@ object SparkEntry {
                  a.media_id <> canon.canonical_id AS is_dup
           FROM allrows a JOIN canon USING (phash)
           ORDER BY a.media_id""",
+    "m7_audio_features" ->
+      // planted WAV literals: -21 mono square wave ±8000 (RMS = the
+      // amplitude exactly, 44+32 bytes); -22 stereo ramp L=1000i,
+      // R=3000: sumsq = 140e6+72e6 over 16 samples -> isqrt(13250000)
+      // = 3640, peak 7000; -23 truncated RIFF header -> all-zero
+      // degrade. Text rows replay the stub from the shared h0 fold.
+      """WITH cp AS (SELECT doc_id AS media_id, text,
+                            list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS cps
+                     FROM documents),
+          h AS (SELECT media_id, text,
+                       list_reduce(list_prepend(0::BIGINT, cps),
+                                   (a, b) -> (a*1000003 + b) % 1000000007) AS h0
+                FROM cp)
+          SELECT media_id,
+                 octet_length(encode(text))::BIGINT AS n_bytes,
+                 'txt' AS format,
+                 (8000 + h0 % 40001)::INT AS sample_rate,
+                 (1 + h0 % 2)::INT AS channels,
+                 (1 + h0 % 100000)::BIGINT AS n_frames,
+                 ((h0*31) % 32768)::INT AS peak,
+                 ((h0*37) % 32768)::BIGINT AS rms
+          FROM h
+          UNION ALL
+          SELECT * FROM (VALUES
+            (-21::BIGINT, 76::BIGINT, 'wav', 8000::INT, 1::INT,
+             16::BIGINT, 8000::INT, 8000::BIGINT),
+            (-22::BIGINT, 76::BIGINT, 'wav', 44100::INT, 2::INT,
+             8::BIGINT, 7000::INT, 3640::BIGINT),
+            (-23::BIGINT, 12::BIGINT, 'wav', 0::INT, 0::INT,
+             0::BIGINT, 0::INT, 0::BIGINT))
+            AS t(media_id, n_bytes, format, sample_rate, channels,
+                 n_frames, peak, rms)
+          ORDER BY media_id""",
     "m3_media_chunks" ->
       """SELECT doc_id AS media_id,
                 ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_chunks,

@@ -46,7 +46,11 @@ object Multimodal {
     def open(): Unit = () // real codec: load model / native lib here
 
     def decode(format: String, bytes: Array[Byte]): (Int, Int, Array[Float]) =
-      if (format == "bmp") decodeBmp(bytes) else decodeStub(bytes)
+      format match {
+        case "bmp" => decodeBmp(bytes)
+        case "png" => decodePng(bytes)
+        case _     => decodeStub(bytes)
+      }
 
     /** 24-bit uncompressed BMP: header-declared dims; features are
       * [meanB, meanG, meanR, maxB, maxG, maxR] / 255, w/(w+h), bpp/32.
@@ -107,7 +111,14 @@ object Multimodal {
       * both paths). Flat images hash to 0 — the documented aHash
       * degenerate case (no cell exceeds the mean). */
     def aHash(format: String, bytes: Array[Byte], grid: Int = 4): Long =
-      if (format == "bmp") aHashBmp(bytes, grid) else aHashStub(bytes, grid)
+      format match {
+        case "bmp" => aHashBmp(bytes, grid)
+        case "png" => pngPixels(bytes) match {
+          case Some((w, h, rgb)) => aHashRgb(w, h, rgb, grid)
+          case None => 0L
+        }
+        case _ => aHashStub(bytes, grid)
+      }
 
     private def aHashBmp(b: Array[Byte], grid: Int): Long = {
       if (b.length < 54) return 0L
@@ -153,6 +164,254 @@ object Multimodal {
         i += 1
       }
       hash
+    }
+
+    /** PNG (public spec, RFC 2083 layout): 8-byte signature, big-endian
+      * length-typed chunks, IHDR dims, IDAT = one zlib DEFLATE stream of
+      * filter-byte-prefixed scanlines. REAL decode — `Inflater` for the
+      * compressed stream, then per-row unfiltering (None/Sub/Up/Average/
+      * Paeth). Supports 8-bit gray / RGB / RGBA, non-interlaced; anything
+      * else degrades to header dims with no pixels, same discipline as
+      * the BMP path (one corrupt row must never kill the batch). Returns
+      * top-down RGB triplets (gray replicated, alpha dropped). */
+    private[graft] def pngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (b.length < 45) return None
+      val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      var i = 0
+      while (i < 8) { if ((b(i) & 0xFF) != sig(i)) return None; i += 1 }
+      def i32(o: Int): Int = ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+        ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+      def typ(o: Int): String = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (i32(8) != 13 || typ(12) != "IHDR") return None
+      val w = i32(16)
+      val h = i32(20)
+      val channels = (b(24), b(25)) match { // (bit depth, color type)
+        case (8, 0) => 1 // grayscale
+        case (8, 2) => 3 // RGB
+        case (8, 6) => 4 // RGBA
+        case _      => return None
+      }
+      if (w <= 0 || h <= 0 || b(28) != 0) return None // interlace unsupported
+      // walk the chunk list, concatenating the IDAT payload
+      val idat = new java.io.ByteArrayOutputStream()
+      var off = 33
+      var end = false
+      while (!end && off + 12 <= b.length) {
+        val len = i32(off)
+        if (len < 0 || off + 12 + len > b.length) return None
+        typ(off + 4) match {
+          case "IDAT" => idat.write(b, off + 8, len)
+          case "IEND" => end = true
+          case _      => ()
+        }
+        off += 12 + len
+      }
+      val stride = w * channels
+      val raw = new Array[Byte](h * (1 + stride))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      try {
+        var got = 0
+        while (got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          got += n
+        }
+        if (got < raw.length) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      // unfilter scanlines in place (prior decoded rows are the
+      // predictors, exactly the spec's a/b/c neighbor bytes)
+      val out = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (1 + stride)) & 0xFF
+        if (f > 4) return None
+        val in0 = y * (1 + stride) + 1
+        val o0 = y * stride
+        var x = 0
+        while (x < stride) {
+          val rv = raw(in0 + x) & 0xFF
+          val a = if (x >= channels) out(o0 + x - channels) & 0xFF else 0
+          val up = if (y > 0) out(o0 - stride + x) & 0xFF else 0
+          val c = if (y > 0 && x >= channels) out(o0 - stride + x - channels) & 0xFF else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => up
+            case 3 => (a + up) / 2
+            case 4 =>
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+          }
+          out(o0 + x) = (rv + pred).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val rgb = channels match {
+        case 3 => out
+        case _ =>
+          val r = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            if (channels == 1) { r(3 * p) = out(p); r(3 * p + 1) = out(p); r(3 * p + 2) = out(p) }
+            else { r(3 * p) = out(4 * p); r(3 * p + 1) = out(4 * p + 1); r(3 * p + 2) = out(4 * p + 2) }
+            p += 1
+          }
+          r
+      }
+      Some((w, h, rgb))
+    }
+
+    /** PNG feature extraction — the SAME statistics contract as the BMP
+      * path ([meanB, meanG, meanR, maxB, maxG, maxR, w/(w+h), bits/32],
+      * channel order normalized so a picture's features are
+      * format-independent). Header dims survive a pixel-level failure. */
+    private def decodePng(b: Array[Byte]): (Int, Int, Array[Float]) = {
+      // header dims even when the pixel payload is undecodable
+      def headerDims: (Int, Int) =
+        if (b.length >= 33 && (b(0) & 0xFF) == 0x89 && b(1) == 'P'.toByte) {
+          def i32(o: Int): Int = ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+            ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+          (math.max(i32(16), 0), math.max(i32(20), 0))
+        } else (0, 0)
+      pngPixels(b) match {
+        case None =>
+          val (w, h) = headerDims
+          (w, h, new Array[Float](8))
+        case Some((w, h, rgb)) =>
+          val sums = new Array[Long](3) // B, G, R — the BMP feature order
+          val maxs = new Array[Int](3)
+          var p = 0
+          while (p < w * h) {
+            val r = rgb(3 * p) & 0xFF; val g = rgb(3 * p + 1) & 0xFF; val bb = rgb(3 * p + 2) & 0xFF
+            sums(0) += bb; sums(1) += g; sums(2) += r
+            if (bb > maxs(0)) maxs(0) = bb
+            if (g > maxs(1)) maxs(1) = g
+            if (r > maxs(2)) maxs(2) = r
+            p += 1
+          }
+          val n = w.toLong * h
+          val bits = (if (b(25) == 0) 8 else if (b(25) == 2) 24 else 32)
+          (w, h, Array(
+            (sums(0) / (n * 255.0)).toFloat, (sums(1) / (n * 255.0)).toFloat,
+            (sums(2) / (n * 255.0)).toFloat,
+            maxs(0) / 255.0f, maxs(1) / 255.0f, maxs(2) / 255.0f,
+            w.toFloat / (w + h), bits / 32.0f))
+      }
+    }
+
+    /** aHash over decoded top-down RGB triplets — identical grid
+      * pooling to [[aHashBmp]], so the same picture hashes equally
+      * across BMP and PNG encodings (the cross-format duplicate case). */
+    private def aHashRgb(w: Int, h: Int, rgb: Array[Byte], grid: Int): Long = {
+      val cellSum = new Array[Long](grid * grid)
+      val cellCnt = new Array[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        val cy = (y.toLong * grid / h).toInt
+        var x = 0
+        while (x < w) {
+          val p = 3 * (y * w + x)
+          val g = (rgb(p) & 0xFF) + (rgb(p + 1) & 0xFF) + (rgb(p + 2) & 0xFF)
+          val c = cy * grid + (x.toLong * grid / w).toInt
+          cellSum(c) += g
+          cellCnt(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val total = cellSum.sum.toDouble / cellSum.indices.map(cellCnt).sum
+      var hash = 0L
+      var i = 0
+      while (i < grid * grid) {
+        if (cellCnt(i) > 0 && cellSum(i).toDouble / cellCnt(i) > total)
+          hash |= 1L << i
+        i += 1
+      }
+      hash
+    }
+
+    /** Audio decode: 16-bit PCM WAV (public RIFF/WAVE layout — "fmt "
+      * chunk for rate/channels/depth, "data" chunk of little-endian
+      * int16 frames). Real parse + exact integer statistics: peak
+      * amplitude and integer RMS (isqrt of the mean square — all
+      * arithmetic in Long, so the oracle can carry exact literals).
+      * Non-PCM / non-16-bit / corrupt input degrades to zeros; non-wav
+      * formats take the deterministic stub (same replayable h0 family
+      * as the image stub). Returns (rate, channels, frames, peak, rms). */
+    def decodeAudio(format: String, bytes: Array[Byte]): (Int, Int, Long, Int, Long) =
+      if (format == "wav") decodeWav(bytes) else audioStub(bytes)
+
+    private def decodeWav(b: Array[Byte]): (Int, Int, Long, Int, Long) = {
+      val zero = (0, 0, 0L, 0, 0L)
+      if (b.length < 44) return zero
+      def s4(o: Int): String = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def i32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      def i16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      if (s4(0) != "RIFF" || s4(8) != "WAVE") return zero
+      var off = 12
+      var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+        val id = s4(off); val len = i32(off + 4)
+        if (len < 0 || off + 8 + len > b.length) return zero
+        id match {
+          case "fmt " if len >= 16 =>
+            fmtOk = i16(off + 8) == 1 // PCM only
+            channels = i16(off + 10)
+            rate = i32(off + 12)
+            bits = i16(off + 22)
+          case "data" => dataOff = off + 8; dataLen = len
+          case _ => ()
+        }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (!fmtOk || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0)
+        return zero
+      val nSamples = dataLen / 2
+      if (nSamples == 0) return (rate, channels, 0L, 0, 0L)
+      var peak = 0
+      var sumSq = 0L
+      var s = 0
+      while (s < nSamples) {
+        val v = (i16(dataOff + 2 * s) << 16) >> 16 // sign-extend
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumSq += v.toLong * v
+        s += 1
+      }
+      def isqrt(v: Long): Long = {
+        var r = math.sqrt(v.toDouble).toLong
+        while (r > 0 && r * r > v) r -= 1
+        while ((r + 1) * (r + 1) <= v) r += 1
+        r
+      }
+      (rate, channels, (nSamples / channels).toLong, peak, isqrt(sumSq / nSamples))
+    }
+
+    /** ==== STUB ==== pseudo-audio stats for non-wav payloads, derived
+      * from the same mod-prime fold as the image stub — DuckDB-
+      * replayable so the stub path stays oracle-checked. */
+    private def audioStub(bytes: Array[Byte]): (Int, Int, Long, Int, Long) = {
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0L
+      var ci = 0
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        h = (h * Base + cp) % Mod
+        ci += Character.charCount(cp)
+      }
+      val rate = 8000 + (h % 40001L).toInt
+      val channels = 1 + (h % 2L).toInt
+      val frames = 1L + h % 100000L
+      val peak = ((h * 31L) % 32768L).toInt
+      val rms = (h * 37L) % 32768L
+      (rate, channels, frames, peak, rms)
     }
 
     private def aHashStub(bytes: Array[Byte], grid: Int): Long = {
@@ -222,6 +481,115 @@ object Multimodal {
     out
   }
 
+  /** Minimal PNG writer (the public signature/IHDR/IDAT/IEND layout)
+    * with CALLER-CHOSEN per-row filter types — each fixture row can
+    * exercise a specific unfilter path (Sub/Up/Average/Paeth) in the
+    * decoder. The zlib stream uses STORED deflate blocks, so the byte
+    * count is a closed-form function of the dims (8 + 25 IHDR +
+    * 12 + [2 + 5·⌈n/65535⌉ + n + 4] IDAT + 12 IEND, n = h·(1+3w)) and
+    * the planted `n_bytes` oracle literals stay hand-computable —
+    * no dependence on any deflate implementation's choices. */
+  def makePng(width: Int, height: Int, rgb: Seq[(Int, Int, Int)],
+              filters: Seq[Int]): Array[Byte] = {
+    require(rgb.length == width * height, "pixel count != w*h")
+    require(filters.length == height && filters.forall(f => f >= 0 && f <= 4),
+      "one filter type 0..4 per row")
+    val stride = width * 3
+    val px = new Array[Byte](height * stride) // top-down RGB
+    rgb.zipWithIndex.foreach { case ((r, g, b), i) =>
+      px(3 * i) = r.toByte; px(3 * i + 1) = g.toByte; px(3 * i + 2) = b.toByte
+    }
+    // forward-filter: encoded byte = raw − predictor (mod 256)
+    val raw = new Array[Byte](height * (1 + stride))
+    for (y <- 0 until height) {
+      val f = filters(y)
+      raw(y * (1 + stride)) = f.toByte
+      for (x <- 0 until stride) {
+        val v = px(y * stride + x) & 0xFF
+        val a = if (x >= 3) px(y * stride + x - 3) & 0xFF else 0
+        val up = if (y > 0) px((y - 1) * stride + x) & 0xFF else 0
+        val c = if (y > 0 && x >= 3) px((y - 1) * stride + x - 3) & 0xFF else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        raw(y * (1 + stride) + 1 + x) = (v - pred).toByte
+      }
+    }
+    // zlib: 2-byte header, stored (uncompressed) deflate blocks, adler32
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(0x78); z.write(0x01)
+    var o = 0
+    while (o < raw.length) {
+      val n = math.min(65535, raw.length - o)
+      z.write(if (o + n >= raw.length) 1 else 0)
+      z.write(n & 0xFF); z.write((n >> 8) & 0xFF)
+      z.write((~n) & 0xFF); z.write(((~n) >> 8) & 0xFF)
+      z.write(raw, o, n)
+      o += n
+    }
+    val ad = new java.util.zip.Adler32()
+    ad.update(raw)
+    val av = ad.getValue
+    z.write(((av >> 24) & 0xFF).toInt); z.write(((av >> 16) & 0xFF).toInt)
+    z.write(((av >> 8) & 0xFF).toInt); z.write((av & 0xFF).toInt)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+        out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+      }
+      w32(data.length)
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      w32(crc.getValue)
+      out.toByteArray
+    }
+    val ihdr = new Array[Byte](13)
+    def be32(o2: Int, v: Int): Unit = {
+      ihdr(o2) = (v >> 24).toByte; ihdr(o2 + 1) = (v >> 16).toByte
+      ihdr(o2 + 2) = (v >> 8).toByte; ihdr(o2 + 3) = v.toByte
+    }
+    be32(0, width); be32(4, height)
+    ihdr(8) = 8; ihdr(9) = 2 // 8-bit, color type 2 (RGB)
+    val head = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    head ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Minimal 16-bit PCM WAV writer (public RIFF layout) for planted
+    * audio fixtures with hand-computable sample statistics. `samples`
+    * are interleaved int16 frames. */
+  def makeWav(rate: Int, channels: Int, samples: Seq[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def asc(o: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .zipWithIndex.foreach { case (c, i) => out(o + i) = c }
+    def w32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    asc(0, "RIFF"); w32(4, 36 + dataLen); asc(8, "WAVE")
+    asc(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, channels)
+    w32(24, rate); w32(28, rate * channels * 2); w16(32, channels * 2)
+    w16(34, 16)
+    asc(36, "data"); w32(40, dataLen)
+    samples.zipWithIndex.foreach { case (s, i) => w16(44 + 2 * i, s) }
+    out
+  }
+
   /** Planted BMP fixtures for the feature-extraction contract: real
     * binary images built by [[makeBmp]], chosen so every decoded
     * statistic is an exact binary fraction — the oracle carries the
@@ -232,6 +600,42 @@ object Multimodal {
     val black3x1 = makeBmp(3, 1, Seq.fill(3)((0, 0, 0)))
     Seq((-1L, red2x2, "bmp", red2x2.length.toLong),
         (-2L, black3x1, "bmp", black3x1.length.toLong))
+      .toDF("media_id", "content", "format", "n_bytes")
+  }
+
+  /** Planted PNG fixtures — the REAL compressed-image decode path
+    * (zlib inflate + scanline unfiltering). The filter lists are chosen
+    * so every PNG filter type (None/Sub/Up/Average/Paeth) is exercised
+    * by at least one planted row; the decoded statistics are
+    * hand-computed oracle literals. `-3` is the same 2×2 pure-red
+    * picture as BMP fixture `-1`, so the feature contract is visibly
+    * format-independent. */
+  def pngFixtures(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val red2x2 = makePng(2, 2, Seq.fill(4)((255, 0, 0)), Seq(0, 1))
+    val grad3x3 = makePng(3, 3,
+      for { y <- 0 until 3; x <- 0 until 3 }
+        yield (10 + 20 * x, 50 * y, 25 * (x + y)),
+      Seq(2, 3, 4))
+    Seq((-3L, red2x2), (-4L, grad3x3))
+      .map { case (id, b) => (id, b, "png", b.length.toLong) }
+      .toDF("media_id", "content", "format", "n_bytes")
+  }
+
+  /** Planted WAV fixtures for the audio-decode contract: a mono square
+    * wave whose RMS equals its amplitude exactly, an interleaved stereo
+    * ramp with hand-computed integer RMS, and a truncated header that
+    * must degrade to zeros rather than fail the batch. */
+  def wavFixtures(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val square = makeWav(8000, 1,
+      (0 until 16).map(i => if (i % 2 == 0) 8000 else -8000))
+    val stereo = makeWav(44100, 2,
+      (0 until 8).flatMap(i => Seq(1000 * i, 3000)))
+    val corrupt =
+      "RIFFxxxxWAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    Seq((-21L, square), (-22L, stereo), (-23L, corrupt))
+      .map { case (id, b) => (id, b, "wav", b.length.toLong) }
       .toDF("media_id", "content", "format", "n_bytes")
   }
 
@@ -327,6 +731,44 @@ object Multimodal {
         (-13L, halfImage(4, 4, leftWhite = false)))
       .map { case (id, b) => (id, b, "bmp", b.length.toLong) }
       .toDF("media_id", "content", "format", "n_bytes")
+  }
+
+  /** The SAME left-white picture as the BMP phash fixtures, but
+    * PNG-encoded at 8×8 with every filter type in the scanline mix —
+    * the cross-FORMAT duplicate: different bytes, different codec,
+    * equal aHash. Lands in the −11/−12 perceptual group. */
+  def pngPhashFixtures(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val half8 = makePng(8, 8,
+      (0 until 64).map(i => if (i % 8 < 4) (255, 255, 255) else (0, 0, 0)),
+      Seq(0, 1, 2, 3, 4, 1, 2, 4))
+    Seq((-10L, half8, "png", half8.length.toLong))
+      .toDF("media_id", "content", "format", "n_bytes")
+  }
+
+  /** M7: batched audio decode/feature-extract — same partition-wise
+    * decoder shape as [[extractFeatures]], dispatching on `format`:
+    * real 16-bit PCM WAV parse for `"wav"` rows, the replayable stub
+    * for opaque rows. Exact integer statistics (peak, integer RMS) so
+    * the differential oracle is byte-for-byte. */
+  case class AudioFeatures(media_id: Long, n_bytes: Long, format: String,
+                           sample_rate: Int, channels: Int, n_frames: Long,
+                           peak: Int, rms: Long)
+
+  def audioFeatures(spark: SparkSession, media: DataFrame,
+                    batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "content", "format", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val dec = new MediaDecoder
+        dec.open()
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val (rate, ch, frames, peak, rms) = dec.decodeAudio(r.format, r.content)
+          AudioFeatures(r.media_id, r.n_bytes, r.format, rate, ch, frames,
+            peak, rms)
+        })
+      }
   }
 
   /** M6: perceptual near-dup detection over a media corpus — aHash per

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Real codec paths in [[Multimodal.MediaDecoder]]: PNG (zlib inflate +
+  * per-filter scanline reconstruction) and 16-bit PCM WAV. The writers
+  * ([[Multimodal.makePng]]/[[Multimodal.makeWav]]) forward-encode the
+  * same public formats, so every test is a true round-trip through
+  * independent encode and decode arithmetic.
+  */
+class MultimodalCodecSpec extends SparkSpec {
+
+  private val dec = new Multimodal.MediaDecoder
+
+  private def gradient(w: Int, h: Int): Seq[(Int, Int, Int)] =
+    for { y <- 0 until h; x <- 0 until w }
+      yield ((x * 37 + y * 11) % 256, (x * 91 + y * 53) % 256, (x * 17 + y * 71) % 256)
+
+  test("png: every filter type round-trips the exact pixels") {
+    val px = gradient(5, 4)
+    for (f <- 0 to 4) {
+      val bytes = Multimodal.makePng(5, 4, px, Seq.fill(4)(f))
+      val Some((w, h, rgb)) = dec.pngPixels(bytes)
+      assert((w, h) == (5, 4), s"filter $f dims")
+      val got = (0 until w * h).map(i =>
+        (rgb(3 * i) & 0xFF, rgb(3 * i + 1) & 0xFF, rgb(3 * i + 2) & 0xFF))
+      assert(got == px, s"filter $f pixels")
+    }
+    // mixed filters down the scanlines round-trip too
+    val mixed = Multimodal.makePng(5, 4, px, Seq(4, 1, 3, 2))
+    val Some((_, _, rgb)) = dec.pngPixels(mixed)
+    val got = (0 until 20).map(i =>
+      (rgb(3 * i) & 0xFF, rgb(3 * i + 1) & 0xFF, rgb(3 * i + 2) & 0xFF))
+    assert(got == px)
+  }
+
+  test("png: features match the BMP path on the same picture") {
+    val red = Seq.fill(4)((255, 0, 0))
+    val png = Multimodal.makePng(2, 2, red, Seq(0, 1))
+    // BMP writer wants BGR tuples; the picture is the same pure red
+    val bmp = Multimodal.makeBmp(2, 2, Seq.fill(4)((0, 0, 255)))
+    val (pw, ph, pf) = dec.decode("png", png)
+    val (bw, bh, bf) = dec.decode("bmp", bmp)
+    assert((pw, ph) == (bw, bh))
+    assert(pf.toSeq == bf.toSeq,
+      "feature contract must be format-independent")
+  }
+
+  test("png: aHash equals the BMP hash across format AND resolution") {
+    val half8png = Multimodal.makePng(8, 8,
+      (0 until 64).map(i => if (i % 8 < 4) (255, 255, 255) else (0, 0, 0)),
+      Seq(0, 1, 2, 3, 4, 1, 2, 4))
+    assert(dec.aHash("png", half8png) == 0x3333L)
+    assert(dec.aHash("png", half8png) ==
+      dec.aHash("bmp", Multimodal.halfImage(4, 4, leftWhite = true)))
+  }
+
+  test("png: corrupt input degrades, never throws") {
+    val good = Multimodal.makePng(3, 3, gradient(3, 3), Seq(0, 0, 0))
+    // bad signature
+    assert(dec.decode("png", "nope".getBytes)._1 == 0)
+    // truncated mid-IDAT: header dims survive, features zero
+    val cut = good.take(good.length - 20)
+    val (w, h, f) = dec.decode("png", cut)
+    assert((w, h) == (3, 3) && f.forall(_ == 0f))
+    // flipped bit inside the zlib stream: dims survive
+    val bad = good.clone(); bad(45) = (bad(45) ^ 0x7F).toByte
+    val (w2, h2, _) = dec.decode("png", bad)
+    assert((w2, h2) == (3, 3))
+    assert(dec.aHash("png", cut) == 0L)
+  }
+
+  test("wav: square wave and stereo ramp decode to exact statistics") {
+    val square = Multimodal.makeWav(8000, 1,
+      (0 until 16).map(i => if (i % 2 == 0) 8000 else -8000))
+    assert(dec.decodeAudio("wav", square) == ((8000, 1, 16L, 8000, 8000L)))
+    val stereo = Multimodal.makeWav(44100, 2,
+      (0 until 8).flatMap(i => Seq(1000 * i, 3000)))
+    // sumsq = 1e6*(0+1+4+9+16+25+36+49) + 8*9e6 = 212e6; /16 ->
+    // 13_250_000; isqrt = 3640 (3640^2 = 13_249_600)
+    assert(dec.decodeAudio("wav", stereo) == ((44100, 2, 8L, 7000, 3640L)))
+    // negative peak dominates |.|
+    val neg = Multimodal.makeWav(16000, 1, Seq(-30000, 100))
+    assert(dec.decodeAudio("wav", neg)._4 == 30000)
+  }
+
+  test("wav: corrupt or non-PCM input degrades to zeros") {
+    assert(dec.decodeAudio("wav", "RIFFxxxxWAVE".getBytes) ==
+      ((0, 0, 0L, 0, 0L)))
+    val good = Multimodal.makeWav(8000, 1, Seq(1, 2, 3))
+    val nonPcm = good.clone(); nonPcm(20) = 3 // format tag != 1
+    assert(dec.decodeAudio("wav", nonPcm) == ((0, 0, 0L, 0, 0L)))
+    val eightBit = good.clone(); eightBit(34) = 8
+    assert(dec.decodeAudio("wav", eightBit) == ((0, 0, 0L, 0, 0L)))
+  }
+
+  test("audioFeatures operator: fixture rows decode inside the batch shape") {
+    val out = Multimodal.audioFeatures(spark, Multimodal.wavFixtures(spark))
+      .toDF().orderBy(col("media_id")).collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(-21L).getInt(3) == 8000 && byId(-21L).getLong(7) == 8000L)
+    assert(byId(-22L).getInt(4) == 2 && byId(-22L).getLong(7) == 3640L)
+    assert(byId(-23L).getInt(3) == 0)
+  }
+}
