@@ -50,6 +50,35 @@ object SparkEntry {
     * behind them are unchanged. */
   private def joined(arr: Column): Column = concat_ws("|", arr)
 
+  /** Mechanically generated replay of `TextStats.bpeTrain` (the
+    * OracleSql.scala pattern: the oracle re-derives every training
+    * step, not golden literals): chained CTEs — vocab → adjacent-pair
+    * counts → argmax (count desc, lexicographic tie-break) → literal
+    * replace on the sentinel-space representation — once per step. */
+  private def sqlBpeTrain(steps: Int): String = {
+    val head =
+      s"""WITH w AS (SELECT unnest(toks) AS w
+                     FROM (SELECT ${sqlToks("lower(text)")} AS toks FROM documents)),
+          v0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS rep,
+                        count(*)::BIGINT AS freq
+                 FROM w GROUP BY w)"""
+    val stages = (0 until steps).map { i =>
+      s"""s$i AS (SELECT string_split(trim(rep), ' ') AS syms, freq FROM v$i),
+          e$i AS (SELECT unnest(generate_series(1, len(syms) - 1)) AS ix, syms, freq FROM s$i),
+          p$i AS (SELECT syms[ix] AS l, syms[ix + 1] AS r, sum(freq)::BIGINT AS c
+                  FROM e$i GROUP BY 1, 2),
+          b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+          v${i + 1} AS (SELECT replace(rep, ' ' || b.l || ' ' || b.r || ' ',
+                                       ' ' || b.l || b.r || ' ') AS rep, freq
+                        FROM v$i, b$i b)"""
+    }.mkString(",\n", ",\n", "")
+    val finals = (0 until steps).map { i =>
+      s"""SELECT ${i + 1}::BIGINT AS step, l AS left_sym, r AS right_sym,
+                 l || r AS merged, c AS pair_count FROM b$i"""
+    }.mkString("\nUNION ALL\n")
+    s"$head$stages\n$finals\nORDER BY step"
+  }
+
   /** Planted-ground-truth corpus shared by the ANN contract queries
     * (n2/n3/n4): the sf embeddings are structureless random directions
     * (recall-vs-brute gates nothing for ANY sublinear index), so the
@@ -689,6 +718,12 @@ object SparkEntry {
       TextStats.heavyHitters(Tables.documents(s, d),
         probes = Seq("the", "and", "of", "to", "in"))
         .orderBy(col("token"))),
+    "x26_bpe_train" -> ((s, d) =>
+      // BPE merge LEARNING over the corpus (x19 applies a table; this
+      // trains one): K argmax-merge steps over the (word, freq)
+      // vocabulary, 1-row collect per step, oracle replays the whole
+      // training loop step by step
+      TextStats.bpeTrain(s, Tables.documents(s, d), steps = 8)),
     "sk1_salted_collect" -> ((s, d) =>
       // two-phase salted collect over a 3-key (maximally hot) grouping:
       // result must equal the direct aggregation — the oracle IS the
@@ -960,6 +995,11 @@ object SparkEntry {
           col("session_window.end").as("session_end"),
           col("user_id"), col("n_events"), col("session_value"))
         .orderBy(col("user_id"), col("session_start"))),
+    "e7_funnel" -> ((s, d) =>
+      // staged conversion funnel: signup → click (after) → purchase
+      // (after that), earliest-completion semantics per stage
+      EventOps.funnel(Tables.events(s, d),
+        Seq("signup", "click", "purchase"))),
 
     // ---- Structured Streaming, run to completion (SURVEY §2.9) ----
     // Real StreamingQuery executions (file source → stateful op →
@@ -1386,6 +1426,87 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
     }),
+    "a17_top_hits" -> ((s, d) =>
+      // ES top_hits inside a terms agg: per source, the 2 best-scoring
+      // hits for the match query, bucket-local rank attached
+      Search.topHits(s, d, "spark", k = 2)),
+    "w9_collapse" -> ((s, d) =>
+      // ES field collapsing: globally ranked hits deduplicated per
+      // source (best hit per bucket + inner-hit count), top 10
+      Search.collapse(s, d, "spark", k = 10)),
+    "f10_rescore" -> ((s, d) =>
+      // ES rescore: BM25 primary ranks, the top-50 window re-scored by
+      // exact-phrase occurrences, final = primary + 2·phrase_n
+      Search.rescore(s, d, Seq("table", "scan"), "table scan")),
+    "f11_min_should_match" -> ((s, d) =>
+      // ES bool should, minimum_should_match=2 of 3 term clauses
+      Search.minShouldMatch(s, d, Seq("table", "spark", "merge"),
+        minMatch = 2)),
+    "t14_synonyms" -> ((s, d) =>
+      // ES synonym token filter (explicit a => b normalization applied
+      // inside the analyzer chain) — one transform over the token
+      // array, codegen'd, no shuffle
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          joined(transform(Analyzers.tokenize(lower(col("text"))),
+            t => when(t === "fast", "quick").when(t === "big", "large")
+              .when(t === "small", "little").otherwise(t)))
+            .as("tokens"))
+        .orderBy(col("doc_id"))),
+    "w10_percent_rank" -> ((s, d) => {
+      // percent_rank + cume_dist per return flag over a total order
+      // (price, orderkey, linenumber) — tie-free so both engines agree
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    }),
+    "a18_adjacency_matrix" -> ((s, d) => {
+      // ES adjacency_matrix: named term filters A/B/C, doc counts for
+      // every single and pairwise intersection — one corpus scan
+      // computes the three membership flags, one 1-row aggregate, the
+      // matrix unpivoted from that row (no per-cell scans)
+      val t = Tables.documents(s, d)
+        .select(Analyzers.tokenize(lower(col("text"))).as("toks"))
+        .select(array_contains(col("toks"), "table").as("a"),
+          array_contains(col("toks"), "spark").as("b"),
+          array_contains(col("toks"), "merge").as("c"))
+      val row = t.agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_ab"),
+        sum(when(col("a") && col("c"), 1L).otherwise(0L)).as("n_ac"),
+        sum(when(col("b") && col("c"), 1L).otherwise(0L)).as("n_bc"))
+      row.selectExpr(
+        """stack(6, 'A', n_a, 'B', n_b, 'C', n_c,
+                    'A&B', n_ab, 'A&C', n_ac, 'B&C', n_bc)
+           AS (filter_key, doc_count)""")
+        .orderBy(col("filter_key"))
+    }),
+    "x25_simpson" -> ((s, d) =>
+      // token-level Simpson diversity per doc (repetition signal with
+      // EXACT integer arithmetic — Σc(c−1)·10⁴ div n(n−1) basis
+      // points): explode → two combiner-friendly shuffles, never a
+      // per-row HOF over a computed array
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(Analyzers.tokenize(lower(col("text")))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * (col("c") - 1)).as("num"),
+          sum(col("c")).as("n"))
+        .select(col("doc_id"), col("n").as("n_toks"),
+          when(col("n") > 1,
+            expr("(num * 10000) div (n * (n - 1))"))
+            .otherwise(0L).cast("long").as("simpson_bp"))
+        .orderBy(col("doc_id"))),
     "opt1_agg_rewrite" -> ((s, d) => {
       // CollectStrengthReduction on a LIVE session (the extensions
       // path is build-time; experimental.extraOptimizations is the
@@ -2876,6 +2997,158 @@ object SparkEntry {
           SELECT doc_id,
                  substr(text, s, pos - s) || '<em>' || substr(text, pos, 8)
                    || '</em>' || substr(text, pos + 8, 30) AS fragment
-          FROM f ORDER BY doc_id"""
+          FROM f ORDER BY doc_id""",
+    "e7_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                 JOIN s1 USING (user_id)
+                 WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+          s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                 JOIN s2 USING (user_id)
+                 WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+          SELECT '1_signup' AS stage, count(*)::BIGINT AS n_users FROM s1
+          UNION ALL SELECT '2_click', count(*)::BIGINT FROM s2
+          UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM s3
+          ORDER BY stage""",
+    "a17_top_hits" ->
+      s"""WITH t AS (SELECT doc_id, source, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, source,
+                       len(list_filter(toks, x -> x = 'spark'))::INT AS tf,
+                       len(toks)::INT AS len FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df FROM p),
+          sc AS (SELECT doc_id, source,
+                        round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                              (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)), 6) AS score
+                 FROM p, s WHERE tf > 0),
+          r AS (SELECT source, row_number() OVER
+                         (PARTITION BY source ORDER BY score DESC, doc_id) AS rk,
+                       doc_id, score
+                FROM sc)
+          SELECT source, rk::BIGINT AS rk, doc_id, score FROM r
+          WHERE rk <= 2 ORDER BY source, rk""",
+    "w9_collapse" ->
+      s"""WITH t AS (SELECT doc_id, source, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, source,
+                       len(list_filter(toks, x -> x = 'spark'))::INT AS tf,
+                       len(toks)::INT AS len FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df FROM p),
+          sc AS (SELECT doc_id, source,
+                        round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                              (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)), 6) AS score
+                 FROM p, s WHERE tf > 0),
+          r AS (SELECT source, doc_id, score,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY score DESC, doc_id) AS rk,
+                       count(*) OVER (PARTITION BY source) AS n_in_group
+                FROM sc)
+          SELECT source, doc_id, score, n_in_group::BIGINT AS n_in_group
+          FROM r WHERE rk = 1
+          ORDER BY score DESC, doc_id LIMIT 10""",
+    "f10_rescore" ->
+      s"""WITH t AS (SELECT doc_id, lower(text) AS lt, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, lt, len(toks)::INT AS len,
+                       len(list_filter(toks, x -> x = 'table'))::INT AS tf0,
+                       len(list_filter(toks, x -> x = 'scan'))::INT AS tf1 FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1 FROM p),
+          pr AS (SELECT doc_id, lt,
+                        round((CASE WHEN tf0 > 0
+                                    THEN ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) *
+                                         (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                                    ELSE 0.0 END) +
+                              (CASE WHEN tf1 > 0
+                                    THEN ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) *
+                                         (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                                    ELSE 0.0 END), 6) AS primary_score
+                 FROM p, s WHERE tf0 > 0 OR tf1 > 0
+                 ORDER BY primary_score DESC, doc_id LIMIT 50),
+          rs AS (SELECT doc_id, primary_score,
+                        (len(string_split(lt, 'table scan')) - 1)::BIGINT AS phrase_n
+                 FROM pr)
+          SELECT doc_id, primary_score, phrase_n,
+                 round(primary_score + 2.0 * phrase_n, 6) AS score
+          FROM rs ORDER BY score DESC, doc_id LIMIT 20""",
+    "a18_adjacency_matrix" ->
+      s"""WITH t AS (SELECT ${sqlToks("lower(text)")} AS toks FROM documents),
+          f AS (SELECT list_contains(toks, 'table') AS a,
+                       list_contains(toks, 'spark') AS b,
+                       list_contains(toks, 'merge') AS c FROM t),
+          m AS (SELECT sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                       sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                       sum(CASE WHEN c THEN 1 ELSE 0 END)::BIGINT AS n_c,
+                       sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n_ab,
+                       sum(CASE WHEN a AND c THEN 1 ELSE 0 END)::BIGINT AS n_ac,
+                       sum(CASE WHEN b AND c THEN 1 ELSE 0 END)::BIGINT AS n_bc
+                FROM f)
+          SELECT * FROM (
+            SELECT 'A' AS filter_key, n_a AS doc_count FROM m
+            UNION ALL SELECT 'B', n_b FROM m
+            UNION ALL SELECT 'C', n_c FROM m
+            UNION ALL SELECT 'A&B', n_ab FROM m
+            UNION ALL SELECT 'A&C', n_ac FROM m
+            UNION ALL SELECT 'B&C', n_bc FROM m)
+          ORDER BY filter_key""",
+    "x26_bpe_train" -> sqlBpeTrain(8),
+    "f11_min_should_match" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(toks)::INT AS len,
+                       len(list_filter(toks, x -> x = 'table'))::INT AS tf0,
+                       len(list_filter(toks, x -> x = 'spark'))::INT AS tf1,
+                       len(list_filter(toks, x -> x = 'merge'))::INT AS tf2 FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2 FROM p)
+          SELECT doc_id,
+                 ((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END))::BIGINT AS n_matched,
+                 round((CASE WHEN tf0 > 0
+                             THEN ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) *
+                                  (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                             ELSE 0.0 END) +
+                       (CASE WHEN tf1 > 0
+                             THEN ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) *
+                                  (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                             ELSE 0.0 END) +
+                       (CASE WHEN tf2 > 0
+                             THEN ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) *
+                                  (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                             ELSE 0.0 END), 6) AS score
+          FROM p, s
+          WHERE (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) +
+                (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) +
+                (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) >= 2
+          ORDER BY score DESC, doc_id LIMIT 20""",
+    "t14_synonyms" ->
+      s"""SELECT doc_id,
+                 array_to_string(list_transform(${sqlToks("lower(text)")},
+                   t -> CASE WHEN t = 'fast' THEN 'quick'
+                             WHEN t = 'big' THEN 'large'
+                             WHEN t = 'small' THEN 'little'
+                             ELSE t END), '|') AS tokens
+         FROM documents ORDER BY doc_id""",
+    "w10_percent_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+                round(percent_rank() OVER w, 6) AS pr,
+                round(cume_dist() OVER w, 6) AS cd
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+         ORDER BY l_returnflag, l_orderkey, l_linenumber""",
+    "x25_simpson" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+          c AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM u GROUP BY 1, 2),
+          a AS (SELECT doc_id, sum(c * (c - 1))::BIGINT AS num,
+                       sum(c)::BIGINT AS n FROM c GROUP BY 1)
+          SELECT doc_id, n AS n_toks,
+                 (CASE WHEN n > 1 THEN (num * 10000) // (n * (n - 1))
+                       ELSE 0 END)::BIGINT AS simpson_bp
+          FROM a ORDER BY doc_id"""
   )
 }

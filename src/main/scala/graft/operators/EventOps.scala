@@ -124,4 +124,34 @@ object EventOps {
         round(coalesce(col("carried"), lit(0.0)), 2).as("last_purchase_value"))
       .orderBy(col("event_id"))
   }
+
+  /** E7 staged funnel: users who performed the stages IN ORDER, each
+    * strictly after their earliest completion of the previous stage
+    * (the product-analytics conversion funnel). Stage k is a
+    * `groupBy(user).min(ts)` over the stage-k events joined to the
+    * survivors of stage k−1 — per stage one filtered scan and one
+    * shuffle on `user_id`, every stage co-partitioned with the last, no
+    * window over whole user histories. Earliest-completion semantics
+    * (min-ts, then strictly-later next stage) makes the funnel
+    * deterministic under event-id ties and is replayed verbatim by the
+    * oracle. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val byUser = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val evs = events.filter(col("event_type") === stage)
+        Some(prev match {
+          case None =>
+            evs.groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+          case Some(p) =>
+            evs.join(p.select(col("user_id"), col("t").as("t_prev")), "user_id")
+              .filter(col("ts") > col("t_prev"))
+              .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        })
+    }.flatten
+    byUser.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy(col("stage"))
+  }
 }

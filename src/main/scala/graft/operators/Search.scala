@@ -275,4 +275,159 @@ object Search {
       .select(col("cat"), col("token"), col("fg_df"), col("bg_df"),
         col("score"), col("rk").cast("long").as("rk"))
   }
+
+  /** Per-doc BM25 with the bucket column kept — the shared scored base
+    * for [[topHits]]/[[collapse]]: ONE corpus scan for tf/len, 1-row
+    * stats broadcast, score rounded to 6 (the cut discipline every
+    * ranked query here uses, so rank boundaries are engine-portable). */
+  private def scoredWithBucket(spark: SparkSession, dir: String,
+                               term: String, k1: Double = 1.2,
+                               b: Double = 0.75): DataFrame = {
+    val pre = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        Analyzers.tokenize(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(filter(col("toks"), t => t === term)).as("tf"),
+        size(col("toks")).as("len"))
+    val stats = pre.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(col("len")).as("avgdl"),
+      sum(when(col("tf") > 0, 1).otherwise(0)).cast("double").as("df"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    pre.filter(col("tf") > 0)
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("source"), round(idf * tfNorm, 6).as("score"))
+  }
+
+  /** ES `top_hits` sub-aggregation: inside each bucket of a terms agg
+    * (here: `source`), the k best-scoring matching documents with their
+    * bucket-local rank. Plans as a window over the bucket key —
+    * `WindowGroupLimit` pushes the rank-≤-k cut below the full sort, so
+    * each shuffle partition retains only k rows per bucket (the
+    * query-then-fetch shape per shard). */
+  def topHits(spark: SparkSession, dir: String, term: String,
+              k: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scoredWithBucket(spark, dir, term)
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("score"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** ES field collapsing: the ranked result list deduplicated on a
+    * field — each `source` contributes only its best-scoring hit
+    * (score desc, doc_id tiebreak), the collapsed list stays globally
+    * score-ranked, and `n_in_group` carries the bucket's total match
+    * count (the inner_hits cardinality). Same window shape as
+    * [[topHits]] (rank-1 cut + per-bucket count in one pass), then a
+    * global top-k. */
+  def collapse(spark: SparkSession, dir: String, term: String,
+               k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredWithBucket(spark, dir, term)
+    // inner-hit counts as a partial-aggregating groupBy, NOT a
+    // count-over-window: a sibling unbounded count window would force
+    // every bucket's rows through the window sort and disable the
+    // rank cut's WindowGroupLimit prune. Two cheap passes beat one
+    // unprunable sort at scale; the join is bucket-cardinality-sized
+    // on both sides.
+    val groupN = scored.groupBy("source")
+      .agg(count(lit(1)).as("n_in_group"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .join(groupN, "source")
+      .select(col("source"), col("doc_id"), col("score"), col("n_in_group"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** ES bool `should` with `minimum_should_match`: a doc qualifies
+    * only when at least `minMatch` of the term clauses hit; score is
+    * the BM25 sum over the MATCHED clauses (unmatched contribute 0).
+    * Same one-scan/broadcast-stats shape as [[searchBm25]] — the
+    * clause-count filter is one more codegen'd predicate, not a pass. */
+  def minShouldMatch(spark: SparkSession, dir: String, terms: Seq[String],
+                     minMatch: Int, k: Int = 20, k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame = {
+    val pre = Tables.documents(spark, dir)
+      .select(col("doc_id"), Analyzers.tokenize(lower(col("text"))).as("toks"))
+      .select(col("doc_id") +: size(col("toks")).as("len") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === t)).as(s"tf$i") }: _*)
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      avg(col("len")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = pre.agg(aggs.head, aggs.tail: _*)
+    val matched = terms.indices
+      .map(i => when(col(s"tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
+    val score = terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      val tfn = (col(s"tf$i") * lit(k1 + 1.0)) /
+        (col(s"tf$i") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+      when(col(s"tf$i") > 0, idf * tfn).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    pre.withColumn("n_matched", matched)
+      .filter(col("n_matched") >= minMatch)
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("n_matched").cast("long").as("n_matched"),
+        round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** ES `rescore`: a cheap primary query ranks the corpus, then ONLY
+    * the top `window` hits are re-scored by a costlier secondary signal
+    * (here: exact-phrase occurrences, the proximity scorer a match
+    * query can't see), final order = primary + weighted secondary.
+    * The expensive scorer runs over `window` rows instead of the whole
+    * match set — the point of the operator at scale; the primary cut
+    * uses the rounded score (engine-portable rank boundary). */
+  def rescore(spark: SparkSession, dir: String, terms: Seq[String],
+              phrase: String, window: Int = 50, k: Int = 20,
+              phraseWeight: Double = 2.0, k1: Double = 1.2,
+              b: Double = 0.75): DataFrame = {
+    val pre = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("lt"),
+        Analyzers.tokenize(lower(col("text"))).as("toks"))
+      .select(col("doc_id") +: col("lt") +: size(col("toks")).as("len") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === t)).as(s"tf$i") }: _*)
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      avg(col("len")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = pre.agg(aggs.head, aggs.tail: _*)
+    val primary = terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      val tfn = (col(s"tf$i") * lit(k1 + 1.0)) /
+        (col(s"tf$i") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+      when(col(s"tf$i") > 0, idf * tfn).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    pre.filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("lt"), round(primary, 6).as("primary_score"))
+      // two-phase top-`window` (TakeOrderedAndProject), never a global
+      // sort: each shuffle partition surrenders at most `window` rows
+      .orderBy(col("primary_score").desc, col("doc_id"))
+      .limit(window)
+      // the costly secondary scorer — only ever computed on the window
+      .withColumn("phrase_n",
+        (size(split(col("lt"), java.util.regex.Pattern.quote(phrase), -1)) - 1)
+          .cast("long"))
+      .select(col("doc_id"), col("primary_score"), col("phrase_n"),
+        round(col("primary_score") + lit(phraseWeight) * col("phrase_n"), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

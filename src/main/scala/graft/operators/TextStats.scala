@@ -529,4 +529,71 @@ object TextStats {
         round(col("n_tokens").cast("double") / col("total_tokens"), 6)
           .as("token_share"))
   }
+
+  /** X26: distributed BPE merge LEARNING (x19 applies a trained table;
+    * this trains one). Classic iteration: weighted adjacent-pair counts
+    * over the word vocabulary, argmax pair, merge, repeat.
+    *
+    * Shape at scale: the corpus collapses ONCE into a (word, freq)
+    * vocabulary (combiner-friendly groupBy — the only corpus-sized
+    * shuffle); each of the K training steps then runs over the
+    * vocabulary alone: explode to adjacent pairs, one combiner-friendly
+    * pair-count shuffle, a 1-ROW collect (the argmax — bounded driver
+    * state, the k-means/PageRank discipline), and a literal-replace
+    * projection. Lineage is truncated per step (`localCheckpoint`), so
+    * the K-step loop never builds a K-deep plan.
+    *
+    * Merge application semantics (deliberately engine-portable): words
+    * are space-joined symbol strings with sentinel spaces, and a merge
+    * replaces non-overlapping ' l r ' occurrences left-to-right — the
+    * exact scan `replace()` performs in BOTH engines, so the oracle
+    * replays training verbatim (a run like "aaaa" merges once per
+    * pass where reference BPE merges greedily twice; the pair COUNTS
+    * stay exact under the declared semantics on both sides).
+    * Tie-break: (count desc, left, right) — total order, no RNG. */
+  def bpeTrain(spark: SparkSession, docs: DataFrame, steps: Int = 8,
+               textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(Analyzers.tokenize(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+        array_join(split(col("w"), ""), " "), lit(" ")).as("rep"),
+        col("freq"))
+      .localCheckpoint()
+    val learned = Seq.newBuilder[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to steps if !exhausted) {
+      val top = vocab
+        .select(split(trim(col("rep")), " ").as("syms"), col("freq"))
+        // zip of the array against its own tail — length-0 safe for
+        // single-symbol words (sequence(0, size-2) would descend)
+        .select(explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+                      slice(syms, 2, size(syms) - 1),
+                      (l, r) -> struct(l AS l, r AS r))"""))
+          .as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val best = top(0)
+        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        learned += ((step, l, r, l + r, c))
+        vocab = vocab
+          .withColumn("rep",
+            regexp_replace(col("rep"),
+              lit(java.util.regex.Pattern.quote(s" $l $r ")),
+              lit(java.util.regex.Matcher.quoteReplacement(s" $l$r "))))
+          .localCheckpoint()
+      }
+    }
+    learned.result()
+      .toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+      .select(col("step").cast("long"), col("left_sym"), col("right_sym"),
+        col("merged"), col("pair_count"))
+      .orderBy(col("step"))
+  }
 }

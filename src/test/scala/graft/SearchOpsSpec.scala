@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EventOps, Search}
+
+/** Round-5 search/analytics additions: top_hits, field collapsing,
+  * rescore windows, the staged funnel. Each is oracle-gated in
+  * SparkEntry; here live the plan locks and the semantic edges the
+  * differential can't pin (window membership, stage ordering).
+  */
+class SearchOpsSpec extends SparkSpec {
+
+  test("funnel stages are ordered and strictly sequential") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 completes all three in order
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 10:05:00", "click"),
+      (1L, "2024-01-01 10:10:00", "purchase"),
+      // user 2 clicked BEFORE signing up — stage 2 must not count it
+      (2L, "2024-01-01 09:00:00", "click"),
+      (2L, "2024-01-01 09:30:00", "signup"),
+      // user 3 signs up only
+      (3L, "2024-01-01 08:00:00", "signup"),
+      // user 4 purchase exactly AT the click instant — strictly-after
+      // semantics exclude stage 3
+      (4L, "2024-01-01 07:00:00", "signup"),
+      (4L, "2024-01-01 07:30:00", "click"),
+      (4L, "2024-01-01 07:30:00", "purchase"))
+      .toDF("user_id", "s", "event_type")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"),
+        col("event_type"))
+    val r = EventOps.funnel(ev, Seq("signup", "click", "purchase"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("1_signup" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L))
+  }
+
+  test("funnel counts are monotone non-increasing on real data") {
+    val r = SparkEntry.queries("e7_funnel")(spark, sf)
+      .collect().map(_.getLong(1))
+    assert(r.length == 3 && r(0) >= r(1) && r(1) >= r(2))
+    assert(r(0) > 0)
+  }
+
+  test("collapse: one hit per source, group counts match the scored base") {
+    val hits = Search.collapse(spark, sf, "spark", k = 10).collect()
+    val sources = hits.map(_.getString(0))
+    assert(sources.distinct.length == sources.length,
+      "collapsed results must be unique per field value")
+    // scores globally non-increasing
+    val scores = hits.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // n_in_group: every source's total match count from an independent
+    // aggregation of the same match query
+    val counts = Search.topHits(spark, sf, "spark", k = Int.MaxValue)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    hits.foreach { h =>
+      assert(h.getLong(3) == counts(h.getString(0)),
+        s"inner-hit count for ${h.getString(0)}")
+    }
+  }
+
+  test("top_hits and collapse plan the per-bucket cut as WindowGroupLimit") {
+    val p1 = Search.topHits(spark, sf, "spark", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("WindowGroupLimit"), p1)
+    val p2 = Search.collapse(spark, sf, "spark", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("WindowGroupLimit"), p2)
+  }
+
+  test("rescore only reorders within the primary window") {
+    val rescored = Search.rescore(spark, sf, Seq("table", "scan"),
+      "table scan", window = 50, k = 20).collect()
+    assert(rescored.nonEmpty && rescored.length <= 20)
+    // every rescored hit must come from the primary top-50 — the
+    // secondary scorer can reorder the window, never grow it
+    val primaryTop = Search.searchBm25(spark, sf, Seq("table", "scan"), k = 50)
+      .collect().map(_.getLong(0)).toSet
+    rescored.foreach(r => assert(primaryTop.contains(r.getLong(0)),
+      s"doc ${r.getLong(0)} outside the primary window"))
+    // final = primary + 2·phrase_n, recomputed from the row itself
+    rescored.foreach { r =>
+      val want = BigDecimal(r.getDouble(1) + 2.0 * r.getLong(2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - want) < 1e-9)
+    }
+    // rescore plans a two-phase top-k for the window cut, not a global
+    // sort + filter
+    val p = Search.rescore(spark, sf, Seq("table", "scan"), "table scan")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("bpe train: hand-computed merges, frequency-ordered, tie-broken") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val r = graft.operators.TextStats.bpeTrain(spark, docs, steps = 5)
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getString(3), x.getLong(4)))
+    // vocab: aa×2 → ' a a ', ab×1 → ' a b '. Step 1: (a,a) count 2
+    // beats (a,b) count 1; step 2 merges the survivor; then exhausted
+    // — the loop must stop early, not fail
+    assert(r.toSeq == Seq((1L, "a", "a", "aa", 2L), (2L, "a", "b", "ab", 1L)))
+  }
+
+  test("bpe train: run semantics are the declared non-overlapping scan") {
+    import spark.implicits._
+    // 'aaaa' = [a,a,a,a]: pair (a,a) occurs 3 times (overlapping
+    // adjacencies all count). The merge pass scans ' a a a a ' for
+    // ' a a ' non-overlapping left-to-right: the first match consumes
+    // chars 0-4 and the scan resumes in the INPUT, where 'a a ' has no
+    // leading space — exactly ONE replacement, yielding [aa, a, a].
+    // (Reference BPE would greedily merge twice; the declared scan
+    // semantics are what both engines replay.)
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val r = graft.operators.TextStats.bpeTrain(spark, docs, steps = 2)
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(4)))
+    assert(r(0) == ((1L, "a", "a", 3L)))
+    // after ' aa a a ': adjacencies (aa,a) and (a,a), both count 1 —
+    // lexicographic tie-break picks (a,a)
+    assert(r(1) == ((2L, "a", "a", 1L)))
+  }
+
+  test("min_should_match: every hit matches at least the threshold") {
+    val r = Search.minShouldMatch(spark, sf, Seq("table", "spark", "merge"),
+      minMatch = 2, k = 20).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getLong(1) >= 2 && row.getLong(1) <= 3))
+    val scores = r.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("simpson diversity: degenerate bounds") {
+    val r = SparkEntry.queries("x25_simpson")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val bp = row.getLong(2)
+      assert(bp >= 0 && bp <= 10000)
+      assert(row.getLong(1) > 0)
+    }
+  }
+}
