@@ -896,6 +896,14 @@ object SparkEntry {
       // probe's own ADC score — constant-TRUE oracle like n2/n3/n7
       Similarity.pqContract(annPlantedCorpus(s, d), annProbeIds, k = 10)
         .orderBy(col("qid"))),
+    "n9_ivf_pq" -> ((s, d) =>
+      // IVFPQ — inverted file over PQ'd RESIDUALS (the production ANN
+      // composition): coarse cells prune the scan to nprobe/nlist,
+      // residual codes rank by ADC + exact q·centroid bias. Planted
+      // contract: the ×2 copy lands in the probe's own cell with the
+      // probe's exact residual codes and self ADC score
+      Similarity.ivfPqContract(annPlantedCorpus(s, d), annProbeIds, k = 10)
+        .orderBy(col("qid"))),
     "d12_incremental_minhash" -> ((s, d) => {
       // arriving batch (doc_id % 10 = 0) screened against the standing
       // corpus's MAINTAINED frames — the banded index and the shingle
@@ -1011,6 +1019,10 @@ object SparkEntry {
     "st4_stream_denorm" -> ((s, d) =>
       graft.streaming.DenormStream.runDenorm(s, d)),
     "st5_stream_join" -> ((s, d) => EventStream.runStreamJoin(s, d)),
+    "st6_stream_funnel" -> ((s, d) =>
+      // per-user funnel state machine (mapGroupsWithState) run to
+      // completion — converged stage counts ≡ the batch e7 funnel
+      EventStream.runFunnel(s, d, Seq("signup", "click", "purchase"))),
 
     // ---- analyst SQL entry (SURVEY §3.3) ----
     "sql2_sql_functions" -> ((s, d) => {
@@ -2569,6 +2581,21 @@ object SparkEntry {
          AS t(qid, k_bounded, codes_in_range, planted_codes_match,
               planted_found, planted_score_is_self, ranked_desc)
          ORDER BY qid""",
+    "n9_ivf_pq" ->
+      // constant-TRUE by construction EXCEPT planted_found (the n8
+      // caveat: k STRICTLY-above ADC scores inside the probed cells
+      // would evict the planted copy; ties cannot — planted-first
+      // tie-break). cell/codes/bias equalities are float-exact: ×2
+      // scaling cancels in v/nrm, so the planted row's cell ranking,
+      // residual, and codes are bit-identical to the probe's.
+      """SELECT * FROM (VALUES
+           (1::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
+           (101::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
+           (202::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE))
+         AS t(qid, k_bounded, codes_in_range, cells_probed_only,
+              planted_cell_match, planted_codes_match, planted_in_probed,
+              planted_found, planted_score_is_self, ranked_desc)
+         ORDER BY qid""",
     "n7_quantized_rerank" ->
       """SELECT * FROM (VALUES
            (1::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE),
@@ -2999,6 +3026,21 @@ object SparkEntry {
                    || '</em>' || substr(text, pos + 8, 30) AS fragment
           FROM f ORDER BY doc_id""",
     "e7_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                 JOIN s1 USING (user_id)
+                 WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+          s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                 JOIN s2 USING (user_id)
+                 WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+          SELECT '1_signup' AS stage, count(*)::BIGINT AS n_users FROM s1
+          UNION ALL SELECT '2_click', count(*)::BIGINT FROM s2
+          UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM s3
+          ORDER BY stage""",
+    "st6_stream_funnel" ->
+      // the stream must converge to the batch funnel — e7's oracle,
+      // verbatim
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                      WHERE event_type = 'signup' GROUP BY 1),
           s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e

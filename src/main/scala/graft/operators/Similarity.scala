@@ -565,31 +565,40 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val ds = dim / m
     Array.tabulate(m) { j =>
-      val sub = sample.map(_.slice(j * ds, (j + 1) * ds))
-      var cents = sub.take(ksub).map(_.clone())
-      var it = 0
-      while (it < iters) {
-        val sums = Array.fill(ksub)(new Array[Double](ds))
-        val counts = new Array[Int](ksub)
-        sub.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < ksub) {
-            var d2 = 0.0; var i = 0
-            while (i < ds) { val t = v(i) - cents(c)(i); d2 += t * t; i += 1 }
-            if (d2 < bestD) { bestD = d2; best = c }
-            c += 1
-          }
-          var i = 0
-          while (i < ds) { sums(best)(i) += v(i); i += 1 }
-          counts(best) += 1
-        }
-        cents = Array.tabulate(ksub)(c =>
-          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
-        it += 1
-      }
-      cents
+      l2Kmeans(sample.map(_.slice(j * ds, (j + 1) * ds)), ksub, iters)
     }
+  }
+
+  /** Plain L2 k-means over a driver-side sample (the subspace trainer
+    * shared by [[pqTrain]] and the residual codebooks of
+    * [[ivfPqContract]]): first-ksub init, empty cells keep their
+    * centroid — deterministic for a deterministic sample. */
+  private def l2Kmeans(vecs: Array[Array[Double]], ksub: Int,
+                       iters: Int): Array[Array[Double]] = {
+    val ds = vecs.head.length
+    var cents = vecs.take(ksub).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(ksub)(new Array[Double](ds))
+      val counts = new Array[Int](ksub)
+      vecs.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < ksub) {
+          var d2 = 0.0; var i = 0
+          while (i < ds) { val t = v(i) - cents(c)(i); d2 += t * t; i += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < ds) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(ksub)(c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      it += 1
+    }
+    cents
   }
 
   /** Nearest codebook entry for the NORMALIZED subvector:
@@ -716,6 +725,163 @@ object Similarity {
         (col("n_res") >= 1 && col("n_res") <= k).as("k_bounded"),
         col("codes_in_range"), col("planted_codes_match"),
         col("planted_found"),
+        col("planted_score_is_self"),
+        forall(zip_with(
+            slice(col("by_rank"), lit(1), size(col("by_rank")) - 1),
+            slice(col("by_rank"), lit(2), size(col("by_rank")) - 1),
+            (a, b) => a.getField("adc") >= b.getField("adc")),
+          x => x).as("ranked_desc"))
+  }
+
+  /** N9: IVFPQ (Jégou et al. 2011 §V — the inverted file with
+    * product-quantized RESIDUALS, the composition production ANN
+    * actually ships): a coarse quantizer routes each vector to one of
+    * `nlist` cells, PQ codebooks are trained on residuals r = v̂ −
+    * centroid(cell), and a query scans only its `nprobe` nearest
+    * cells, ranking by ADC over the residual codes plus the exact
+    * query·centroid bias.
+    *
+    * Spark shape: centroids + residual codebooks train driver-side on
+    * the bounded deterministic sample ([[kmeansCentroids]] /
+    * [[l2Kmeans]] — FAISS's own discipline, driver state independent
+    * of corpus size); cell assignment AND residual encoding are ONE
+    * codegen'd scan-side projection. The residual never materializes
+    * as an array column: argmin‖(v̂ − cent)_j − cb‖² expands to
+    * argmax(v_sub·cb/nrm − cent_sub[cell]·cb − ‖cb‖²/2), where
+    * cent_sub[cell]·cb is a driver-precomputed constant table looked
+    * up by cell id — so encoding cost is the same dot products PQ
+    * pays, plus one array-literal lookup per (subspace, codeword).
+    * Queries ride the n4/n7/n8 planted-ground-truth contract: the
+    * ×2-scaled copy normalizes bit-identically, lands in the SAME
+    * cell (positive scaling preserves the cosine centroid ranking),
+    * has the SAME residual and codes, and must be retrieved from the
+    * probed cells with the probe's own ADC score. */
+  def ivfPqContract(corpus: DataFrame, probeIds: Seq[Long], k: Int = 10,
+                    plantOffset: Long = 1000000L, nlist: Int = 16,
+                    nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                    iters: Int = 10, sampleSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = kmeansCentroids(corpus, nlist)
+    // driver-side cell assignment under centroidRank's exact total
+    // order: (cosine desc, index asc) on the NORMALIZED vector
+    def cellOfVec(vhat: Array[Double]): Int = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(vhat).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (s, i) => (-s, i) }.head._2
+    val e = withNorm(corpus)
+    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .select(col("v"), col("nrm")).collect()
+      .map(r => r.getSeq[Double](0).map(_ / r.getDouble(1)).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val ds = dim / m
+    // residual codebooks: train each subspace on r = v̂ − cent(cell)
+    val residuals = sample.map { vhat =>
+      val c = cents(cellOfVec(vhat))
+      vhat.zip(c).map { case (a, b) => a - b }
+    }
+    val cbs = Array.tabulate(m) { j =>
+      l2Kmeans(residuals.map(_.slice(j * ds, (j + 1) * ds)), ksub, iters)
+    }
+    // constant tables: centDotCb(j)(c) = per-cell array of
+    // cent_sub_j·cb_j[c]; cbNormHalf(j)(c) = ‖cb_j[c]‖²/2
+    val centDotCb = Array.tabulate(m, ksub) { (j, c) =>
+      cents.map(_.slice(j * ds, (j + 1) * ds)
+        .zip(cbs(j)(c)).map { case (a, b) => a * b }.sum)
+    }
+    val cbNormHalf = Array.tabulate(m, ksub) { (j, c) =>
+      cbs(j)(c).map(x => x * x).sum / 2
+    }
+    // one scan-side projection: cell + m residual codes
+    val cellCol = cellOf(cents, col("v"), col("nrm"))
+    val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
+      cellCol.as("cell"))
+    val codes = assigned.select(col("vec_id") +: col("cell") +:
+      (0 until m).map { j =>
+        val sub = slice(col("v"), j * ds + 1, ds)
+        (-element_at(sort_array(array((0 until ksub).map { c =>
+          struct((dot(sub, lit(cbs(j)(c))) / col("nrm")
+            - element_at(lit(centDotCb(j)(c)), col("cell").cast("int") + 1)
+            - lit(cbNormHalf(j)(c))).as("s"), lit(-c).as("nidx"))
+        }: _*), asc = false), 1).getField("nidx")).as(s"c$j")
+      }: _*)
+    // per-probe driver state: probed cells (top-nprobe under the same
+    // total order), q·centroid bias per cell, residual ADC LUTs
+    val probes = e.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map { r =>
+        val q = r.getSeq[Double](1).map(_ / r.getDouble(2)).toArray
+        val probed = cents.zipWithIndex
+          .map { case (c, i) => (c.zip(q).map { case (a, b) => a * b }.sum, i) }
+          .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+        val bias = cents.map(_.zip(q).map { case (a, b) => a * b }.sum)
+        val luts = Array.tabulate(m) { j =>
+          cbs(j).map(_.zip(q.slice(j * ds, (j + 1) * ds))
+            .map { case (a, b) => a * b }.sum)
+        }
+        (r.getLong(0), probed, bias, luts)
+      }
+    // ONE pass over the codes: per row × probe, the probed-cell flag
+    // and the ADC score (bias[cell] + Σ_j lut_j[code_j], fixed order)
+    val scoredAll = codes.select(col("vec_id"), col("cell"),
+      (0 until m).map(j => col(s"c$j")).reduce(least(_, _)).geq(0).and(
+        (0 until m).map(j => col(s"c$j")).reduce(greatest(_, _)).lt(ksub))
+        .as("codes_ok"),
+      explode(array(probes.map { case (qid, probed, bias, luts) =>
+        struct(lit(qid).as("qid"),
+          col("cell").isin(probed.toSeq: _*).as("probed"),
+          (element_at(lit(bias), col("cell").cast("int") + 1) +:
+            (0 until m).map(j =>
+              element_at(lit(luts(j)), col(s"c$j").cast("int") + 1)))
+            .reduce(_ + _).as("adc"))
+      }: _*)).as("s"))
+      .select(col("vec_id"), col("cell"), col("codes_ok"),
+        col("s.qid").as("qid"), col("s.probed").as("probed"),
+        col("s.adc").as("adc"))
+    // candidates = probed cells only (the IVF prune); planted-first
+    // tie-break at equal ADC, same rationale as pqContract
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").desc,
+        (col("vec_id") === col("qid") + plantOffset).desc, col("vec_id"))
+    val topk = scoredAll
+      .filter(col("probed") && col("vec_id") =!= col("qid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val selfScore = scoredAll.filter(col("vec_id") === col("qid"))
+      .select(col("qid"), col("adc").as("self_adc"))
+    val plantedScore = scoredAll
+      .filter(col("vec_id") === col("qid") + plantOffset)
+      .select(col("qid"), col("adc").as("planted_adc"),
+        col("probed").as("planted_probed"))
+    val codeCols = (0 until m).map(j => col(s"c$j"))
+    val sig = codes.select(col("vec_id"), col("cell"),
+      array(codeCols: _*).as("cv"))
+    val plantedMatch = sig.as("p")
+      .join(sig.as("q"), col("p.vec_id") === col("q.vec_id") + plantOffset)
+      .select(col("q.vec_id").as("qid"),
+        (col("p.cell") === col("q.cell")).as("cell_match"),
+        (col("p.cv") === col("q.cv")).as("codes_match"))
+    topk
+      .join(broadcast(selfScore), Seq("qid"))
+      .join(broadcast(plantedScore), Seq("qid"))
+      .join(broadcast(plantedMatch), Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_res"),
+        min(col("codes_ok")).as("codes_in_range"),
+        min(col("probed")).as("cells_probed_only"),
+        min(col("cell_match")).as("planted_cell_match"),
+        min(col("codes_match")).as("planted_codes_match"),
+        min(col("planted_probed")).as("planted_in_probed"),
+        max(col("vec_id") === col("qid") + plantOffset).as("planted_found"),
+        min(col("planted_adc") === col("self_adc"))
+          .as("planted_score_is_self"),
+        sort_array(collect_list(struct(col("rank"), col("adc"))))
+          .as("by_rank"))
+      .select(col("qid"),
+        (col("n_res") >= 1 && col("n_res") <= k).as("k_bounded"),
+        col("codes_in_range"), col("cells_probed_only"),
+        col("planted_cell_match"), col("planted_codes_match"),
+        col("planted_in_probed"), col("planted_found"),
         col("planted_score_is_self"),
         forall(zip_with(
             slice(col("by_rank"), lit(1), size(col("by_rank")) - 1),

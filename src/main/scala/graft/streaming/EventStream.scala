@@ -231,4 +231,68 @@ object EventStream {
         col("p_user").as("user_id"))
       .orderBy(col("purchase_id"), col("click_id"))
   }
+
+  /** Per-user funnel STATE MACHINE (the streaming twin of
+    * `EventOps.funnel`): state carries the earliest completion time of
+    * each reached stage — (≤ stages) timestamps per user, flat and
+    * bounded, never the event history. A micro-batch's events for a
+    * user are sorted by (event time, event_id) and folded through the
+    * machine with strictly-later advancement; on a time-sorted scan
+    * the first stage-k event strictly after stage k−1's lock IS the
+    * minimum such, so the converged state reproduces the batch
+    * operator's earliest-completion semantics exactly on a finite
+    * input. Cross-batch LATE data (an earlier stage-k completion
+    * arriving after stage k was already locked) is the documented
+    * monotone approximation — a production deployment buffers events
+    * within the watermark horizon before folding, same state shape. */
+  case class FunnelState(times: Seq[Long]) // epoch-micros per stage
+  case class FunnelProgress(userId: Long, stageReached: Int)
+
+  def funnelMachine(spark: SparkSession, stream: DataFrame,
+                    stages: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    stream
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          val evs = rows.map { case (_, us, tpe, id) =>
+            (us, id, stageIdx(tpe)) }.toArray
+          scala.util.Sorting.stableSort(evs,
+            (a: (Long, Long, Int), b: (Long, Long, Int)) =>
+              a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
+          val times = scala.collection.mutable.ArrayBuffer(
+            state.getOption.map(_.times).getOrElse(Seq.empty): _*)
+          evs.foreach { case (us, _, idx) =>
+            if (idx == times.length && (times.isEmpty || us > times.last))
+              times += us
+          }
+          state.update(FunnelState(times.toSeq))
+          FunnelProgress(user, times.length)
+      }
+      .toDF()
+  }
+
+  /** ST6: the funnel state machine run end-to-end; stage counts from
+    * the converged per-user states must equal the batch staged funnel
+    * (the e7 oracle, verbatim). */
+  def runFunnel(spark: SparkSession, dir: String,
+                stages: Seq[String]): DataFrame = {
+    val table = runToMemory(
+      funnelMachine(spark, eventsStream(spark, dir), stages),
+      OutputMode.Update, "st6_")
+    val last = spark.table(table)
+      .groupBy(col("userId"))
+      .agg(max(col("stageReached")).as("reached"))
+    stages.zipWithIndex.map { case (stage, i) =>
+      last.filter(col("reached") >= i + 1)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy(col("stage"))
+  }
 }

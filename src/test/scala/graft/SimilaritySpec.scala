@@ -306,6 +306,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqContract: every invariant TRUE, including cell routing") {
+    val planted = {
+      val emb = Tables.embeddings(spark, sf)
+      val p = emb.filter(col("vec_id").isin(1L, 101L))
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      emb.unionByName(p)
+    }
+    val rows = Similarity.ivfPqContract(planted, Seq(1L, 101L), k = 10)
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      Seq("k_bounded", "codes_in_range", "cells_probed_only",
+        "planted_cell_match", "planted_codes_match", "planted_in_probed",
+        "planted_found", "planted_score_is_self", "ranked_desc")
+        .foreach(cn => assert(r.getAs[Boolean](cn), cn))
+    }
+  }
+
   test("semDedup agrees with brute-force same-cluster pairs; representatives kept") {
     val emb = Tables.embeddings(spark, sf)
     val tau = 0.35

@@ -113,6 +113,42 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("funnel state machine advances across micro-batches, in-batch order-free") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val machine = EventStream.funnelMachine(spark, df,
+      Seq("signup", "click", "purchase"))
+    val q = machine.writeStream.format("memory").queryName("funnel_t")
+      .outputMode("update").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    // batch 1: user 7's click is DELIVERED before its signup (arrival
+    // disorder inside one batch) — the in-batch time sort must still
+    // count both stages; user 8 clicks before signing up in EVENT time
+    // — must stay at stage 1
+    mem.addData(
+      (1L, t("2024-01-01 10:05:00"), 7L, "click", 1.0, "{}"),
+      (2L, t("2024-01-01 10:00:00"), 7L, "signup", 1.0, "{}"),
+      (3L, t("2024-01-01 09:00:00"), 8L, "click", 1.0, "{}"),
+      (4L, t("2024-01-01 09:30:00"), 8L, "signup", 1.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: user 7 purchases (advances to 3); user 8's later click
+    // now satisfies strictly-after (advances to 2)
+    mem.addData(
+      (5L, t("2024-01-01 10:10:00"), 7L, "purchase", 1.0, "{}"),
+      (6L, t("2024-01-01 09:45:00"), 8L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    val last = spark.sql("select * from funnel_t").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last(7L) == 3, s"user 7 reached ${last(7L)}")
+    assert(last(8L) == 2, s"user 8 reached ${last(8L)}")
+    q.stop()
+  }
+
   test("driver streaming entries converge to the batch answer") {
     // st2: the dedup ingest of a double-delivered input must equal the
     // single-copy batch aggregate — the strongest of the three
