@@ -136,6 +136,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 0L, false), (2L, 0L, false)))
   }
 
+  test("funnel on empty events and on stage-free events returns zero counts") {
+    import spark.implicits._
+    val schema = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      "view")).toDF("user_id", "ts", "event_type")
+    val empty = schema.filter(lit(false))
+    val r0 = graft.operators.EventOps
+      .funnel(empty, Seq("signup", "click")).collect()
+    assert(r0.map(_.getLong(1)).toSeq == Seq(0L, 0L),
+      "empty input still reports every stage, at zero")
+    // events exist but none is a funnel stage
+    val r1 = graft.operators.EventOps
+      .funnel(schema, Seq("signup", "click")).collect()
+    assert(r1.map(_.getLong(1)).toSeq == Seq(0L, 0L))
+  }
+
+  test("bpe train on an empty corpus learns nothing, never throws") {
+    import spark.implicits._
+    val empty = Seq((1L, "x")).toDF("doc_id", "text").filter(lit(false))
+    assert(graft.operators.TextStats.bpeTrain(spark, empty, steps = 3)
+      .collect().isEmpty)
+    // single-char vocabulary: no adjacent pairs anywhere
+    val chars = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(graft.operators.TextStats.bpeTrain(spark, chars, steps = 3)
+      .collect().isEmpty)
+  }
+
+  test("audio decode on an empty data chunk yields zero stats, valid header") {
+    val dec = new graft.operators.Multimodal.MediaDecoder
+    val empty = graft.operators.Multimodal.makeWav(8000, 1, Seq.empty)
+    assert(dec.decodeAudio("wav", empty) == ((8000, 1, 0L, 0, 0L)))
+  }
+
   test("sequence packing handles empty and single-doc corpora") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextStats.packChunks(empty, budget = 10).count() == 0)

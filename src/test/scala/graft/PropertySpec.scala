@@ -220,4 +220,59 @@ class PropertySpec extends SparkSpec {
     // and z is within the 2*bits range
     assert(back.forall(r => r.getLong(2) >= 0 && r.getLong(2) < (1L << 16)))
   }
+
+  test("png codec: encode→decode is the identity on random images and filters") {
+    // arbitrary dims, arbitrary pixels, arbitrary per-row filter types:
+    // the decoder's unfilter arithmetic must invert the writer's
+    // forward filter for every (pixel, filter) combination — driver-
+    // side, no Spark pass needed (the operator under test is the codec)
+    import graft.operators.Multimodal
+    val dec = new Multimodal.MediaDecoder
+    val caseGen = for {
+      w <- Gen.choose(1, 12)
+      h <- Gen.choose(1, 10)
+      px <- Gen.listOfN(w * h, for {
+        r <- Gen.choose(0, 255); g <- Gen.choose(0, 255)
+        b <- Gen.choose(0, 255)
+      } yield (r, g, b))
+      fs <- Gen.listOfN(h, Gen.choose(0, 4))
+    } yield (w, h, px, fs)
+    (0 until 60).foreach { i =>
+      val (w, h, px, fs) = caseGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val bytes = Multimodal.makePng(w, h, px, fs)
+      val Some((dw, dh, rgb)) = dec.pngPixels(bytes)
+      assert((dw, dh) == (w, h), s"seed=$i dims")
+      val got = (0 until w * h).map(p =>
+        (rgb(3 * p) & 0xFF, rgb(3 * p + 1) & 0xFF, rgb(3 * p + 2) & 0xFF))
+      assert(got == px, s"seed=$i w=$w h=$h filters=$fs")
+    }
+  }
+
+  test("wav codec: exact integer statistics on random PCM signals") {
+    import graft.operators.Multimodal
+    val dec = new Multimodal.MediaDecoder
+    val caseGen = for {
+      ch <- Gen.choose(1, 2)
+      frames <- Gen.choose(1, 200)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      ss <- Gen.listOfN(frames * ch, Gen.choose(-32768, 32767))
+    } yield (rate, ch, ss)
+    (0 until 40).foreach { i =>
+      val (rate, ch, ss) = caseGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val bytes = Multimodal.makeWav(rate, ch, ss)
+      val (dr, dc, frames, peak, rms) = dec.decodeAudio("wav", bytes)
+      assert((dr, dc) == (rate, ch))
+      assert(frames == ss.length / ch)
+      assert(peak == ss.map(s => math.abs(s.toLong)).max, s"seed=$i peak")
+      val sumSq = ss.map(s => s.toLong * s).sum
+      val mean = sumSq / ss.length
+      val want = {
+        var r = math.sqrt(mean.toDouble).toLong
+        while (r > 0 && r * r > mean) r -= 1
+        while ((r + 1) * (r + 1) <= mean) r += 1
+        r
+      }
+      assert(rms == want, s"seed=$i rms")
+    }
+  }
 }
