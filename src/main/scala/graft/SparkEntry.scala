@@ -1515,8 +1515,12 @@ object SparkEntry {
         .agg(sum(col("c") * (col("c") - 1)).as("num"),
           sum(col("c")).as("n"))
         .select(col("doc_id"), col("n").as("n_toks"),
+          // 128-bit numerator (the x24 discipline): num ≈ n² at full
+          // repetition, so num·10⁴ exceeds BIGINT once n ≳ 3·10⁷
+          // tokens — Spark would wrap where DuckDB errors
           when(col("n") > 1,
-            expr("(num * 10000) div (n * (n - 1))"))
+            expr("""(cast(num as decimal(38,0)) * 10000)
+                    div (n * (n - 1))"""))
             .otherwise(0L).cast("long").as("simpson_bp"))
         .orderBy(col("doc_id"))),
     "opt1_agg_rewrite" -> ((s, d) => {
@@ -3189,7 +3193,7 @@ object SparkEntry {
           a AS (SELECT doc_id, sum(c * (c - 1))::BIGINT AS num,
                        sum(c)::BIGINT AS n FROM c GROUP BY 1)
           SELECT doc_id, n AS n_toks,
-                 (CASE WHEN n > 1 THEN (num * 10000) // (n * (n - 1))
+                 (CASE WHEN n > 1 THEN (num::HUGEINT * 10000) // (n * (n - 1))
                        ELSE 0 END)::BIGINT AS simpson_bp
           FROM a ORDER BY doc_id"""
   )

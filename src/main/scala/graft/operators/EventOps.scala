@@ -151,7 +151,12 @@ object EventOps {
     }.flatten
     byUser.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
       df.agg(count(lit(1)).as("n_users"))
-        .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"))
-    }.reduce(_ unionByName _).orderBy(col("stage"))
+        .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"),
+          lit(i).as("stage_idx"))
+    }.reduce(_ unionByName _)
+      // numeric stage order: the label prefix sorts lexicographically
+      // ("10_" before "2_") once a funnel has ≥ 10 stages
+      .orderBy(col("stage_idx"))
+      .select(col("stage"), col("n_users"))
   }
 }

@@ -192,13 +192,23 @@ object Multimodal {
         case _      => return None
       }
       if (w <= 0 || h <= 0 || b(28) != 0) return None // interlace unsupported
-      // walk the chunk list, concatenating the IDAT payload
+      // header dims must be plausible BEFORE any allocation: a corrupt
+      // 100-byte file declaring 30000×30000 would otherwise overflow
+      // the Int buffer size (NegativeArraySizeException) or attempt a
+      // multi-GB allocation — both kill the batch the decoder promises
+      // to survive. Inflated size is bounded by what any real image
+      // this pipeline plants could be (all arithmetic in Long).
+      val rawLen = h.toLong * (1L + w.toLong * channels)
+      if (rawLen > (1L << 28)) return None
+      // walk the chunk list, concatenating the IDAT payload (length
+      // checks in Long: a near-Int.MaxValue declared chunk length must
+      // fail the bounds test, not wrap negative past it)
       val idat = new java.io.ByteArrayOutputStream()
       var off = 33
       var end = false
       while (!end && off + 12 <= b.length) {
         val len = i32(off)
-        if (len < 0 || off + 12 + len > b.length) return None
+        if (len < 0 || off.toLong + 12 + len > b.length) return None
         typ(off + 4) match {
           case "IDAT" => idat.write(b, off + 8, len)
           case "IEND" => end = true
@@ -207,14 +217,19 @@ object Multimodal {
         off += 12 + len
       }
       val stride = w * channels
-      val raw = new Array[Byte](h * (1 + stride))
+      val raw = new Array[Byte](rawLen.toInt)
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       try {
         var got = 0
         while (got < raw.length && !inf.finished()) {
           val n = inf.inflate(raw, got, raw.length - got)
-          if (n == 0 && inf.needsInput()) return None // truncated stream
+          // zero progress with output space available: truncated
+          // stream (needsInput), preset-dictionary stream
+          // (needsDictionary), or any other stall — degrade, never
+          // spin (the loop would otherwise hang the task forever on
+          // an FDICT zlib header)
+          if (n == 0 && !inf.finished()) return None
           got += n
         }
         if (got < raw.length) return None
@@ -359,7 +374,10 @@ object Multimodal {
       var dataOff = -1; var dataLen = 0
       while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
         val id = s4(off); val len = i32(off + 4)
-        if (len < 0 || off + 8 + len > b.length) return zero
+        // Long bounds test: a crafted chunk length near Int.MaxValue
+        // must degrade to zeros, not wrap negative past the guard and
+        // read out of bounds
+        if (len < 0 || off.toLong + 8 + len > b.length) return zero
         id match {
           case "fmt " if len >= 16 =>
             fmtOk = i16(off + 8) == 1 // PCM only

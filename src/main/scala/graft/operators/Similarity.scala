@@ -154,13 +154,22 @@ object Similarity {
     * exactly how FAISS trains IVF coarse quantizers; only ASSIGNMENT
     * touches the full corpus, and that stays distributed. Centroids are
     * L2-normalized so nearest-by-dot equals nearest-by-cosine. */
-  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 10,
-                      sampleSize: Int = 1024): Array[Array[Double]] = {
-    val e = withNorm(emb)
-    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+  /** The bounded deterministic training sample every driver-side
+    * trainer shares (k-means, PQ, IVFPQ): xxhash64 order makes it a
+    * pseudo-random-but-reproducible subset, normalized row-wise. */
+  private def normalizedSample(emb: DataFrame,
+                               sampleSize: Int): Array[Array[Double]] =
+    withNorm(emb).orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(sampleSize)
       .select(col("v"), col("nrm")).collect()
       .map(r => r.getSeq[Double](0).map(_ / r.getDouble(1)).toArray)
+
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 10,
+                      sampleSize: Int = 1024): Array[Array[Double]] =
+    kmeansFromSample(normalizedSample(emb, sampleSize), k, iters)
+
+  private def kmeansFromSample(sample: Array[Array[Double]], k: Int,
+                               iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     var cents = sample.take(k).map(_.clone())
     var it = 0
@@ -556,11 +565,7 @@ object Similarity {
   def pqTrain(emb: DataFrame, m: Int = 8, ksub: Int = 16,
               iters: Int = 10,
               sampleSize: Int = 1024): Array[Array[Array[Double]]] = {
-    val e = withNorm(emb)
-    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(sampleSize)
-      .select(col("v"), col("nrm")).collect()
-      .map(r => r.getSeq[Double](0).map(_ / r.getDouble(1)).toArray)
+    val sample = normalizedSample(emb, sampleSize)
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val ds = dim / m
@@ -761,17 +766,17 @@ object Similarity {
                     nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
                     iters: Int = 10, sampleSize: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = kmeansCentroids(corpus, nlist)
-    // driver-side cell assignment under centroidRank's exact total
-    // order: (cosine desc, index asc) on the NORMALIZED vector
+    // ONE sample collection feeds both trainers (coarse centroids and
+    // the residual codebooks)
+    val sample = normalizedSample(corpus, sampleSize)
+    val cents = kmeansFromSample(sample, nlist, iters)
+    // driver-side cell assignment for TRAINING-sample residuals (it
+    // shapes codebook quality only — contract invariants compare
+    // executor-side encodings against each other)
     def cellOfVec(vhat: Array[Double]): Int = cents.zipWithIndex
       .map { case (c, i) => (c.zip(vhat).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (s, i) => (-s, i) }.head._2
     val e = withNorm(corpus)
-    val sample = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(sampleSize)
-      .select(col("v"), col("nrm")).collect()
-      .map(r => r.getSeq[Double](0).map(_ / r.getDouble(1)).toArray)
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val ds = dim / m
@@ -806,13 +811,21 @@ object Similarity {
         }: _*), asc = false), 1).getField("nidx")).as(s"c$j")
       }: _*)
     // per-probe driver state: probed cells (top-nprobe under the same
-    // total order), q·centroid bias per cell, residual ADC LUTs
+    // total order), q·centroid bias per cell, residual ADC LUTs.
+    // Probed-cell ranking mirrors the executor's centroidRank
+    // BIT-EXACTLY: raw-vector dot in element order, division AFTER
+    // the sum — normalizing q first would reassociate the IEEE ops
+    // and a last-ulp flip at the nprobe boundary could leave the
+    // probe's own (executor-assigned) cell outside the probed set
     val probes = e.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id"), col("v"), col("nrm")).collect()
       .map { r =>
-        val q = r.getSeq[Double](1).map(_ / r.getDouble(2)).toArray
+        val vRaw = r.getSeq[Double](1).toArray
+        val qn = r.getDouble(2)
+        val q = vRaw.map(_ / qn)
         val probed = cents.zipWithIndex
-          .map { case (c, i) => (c.zip(q).map { case (a, b) => a * b }.sum, i) }
+          .map { case (c, i) =>
+            (vRaw.zip(c).map { case (a, b) => a * b }.sum / qn, i) }
           .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
         val bias = cents.map(_.zip(q).map { case (a, b) => a * b }.sum)
         val luts = Array.tabulate(m) { j =>

@@ -234,24 +234,27 @@ object EventStream {
 
   /** Per-user funnel STATE MACHINE (the streaming twin of
     * `EventOps.funnel`): state carries the earliest completion time of
-    * each reached stage — (≤ stages) timestamps per user, flat and
-    * bounded, never the event history. A micro-batch's events for a
-    * user are sorted by (event time, event_id) and folded through the
-    * machine with strictly-later advancement; on a time-sorted scan
-    * the first stage-k event strictly after stage k−1's lock IS the
-    * minimum such, so the converged state reproduces the batch
-    * operator's earliest-completion semantics exactly on a finite
-    * input. Cross-batch LATE data (an earlier stage-k completion
-    * arriving after stage k was already locked) is the documented
-    * monotone approximation — a production deployment buffers events
-    * within the watermark horizon before folding, same state shape. */
-  case class FunnelState(times: Seq[Long]) // epoch-micros per stage
+    * each LOCKED stage plus, for each still-unreached stage, a small
+    * sorted buffer of the earliest candidate event times — so a
+    * stage-k event whose stage-(k−1) prerequisite arrives in a LATER
+    * micro-batch still converts once the prerequisite lands (arrival
+    * order across batches must not lose conversions). Locks are final
+    * (earliest-completion, strictly-later advancement), so a reached
+    * stage's buffer collapses to one timestamp; state per user is
+    * stages·(1 + bufCap) longs at worst — flat and bounded, never the
+    * event history. The two documented approximations: an EARLIER
+    * stage-k completion arriving after stage k locked is ignored
+    * (monotone locks), and a candidate beyond the `bufCap` smallest
+    * for its stage is dropped (a production deployment sizes bufCap
+    * to its watermark-horizon event bound). */
+  case class FunnelState(times: Seq[Long], buf: Seq[Seq[Long]])
   case class FunnelProgress(userId: Long, stageReached: Int)
 
   def funnelMachine(spark: SparkSession, stream: DataFrame,
-                    stages: Seq[String]): DataFrame = {
+                    stages: Seq[String], bufCap: Int = 64): DataFrame = {
     import spark.implicits._
     val stageIdx = stages.zipWithIndex.toMap
+    val nStages = stages.length
     stream
       .filter(col("event_type").isin(stages: _*))
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
@@ -261,18 +264,37 @@ object EventStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, String, Long)],
          state: GroupState[FunnelState]) =>
-          val evs = rows.map { case (_, us, tpe, id) =>
-            (us, id, stageIdx(tpe)) }.toArray
-          scala.util.Sorting.stableSort(evs,
-            (a: (Long, Long, Int), b: (Long, Long, Int)) =>
-              a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
-          val times = scala.collection.mutable.ArrayBuffer(
-            state.getOption.map(_.times).getOrElse(Seq.empty): _*)
-          evs.foreach { case (us, _, idx) =>
-            if (idx == times.length && (times.isEmpty || us > times.last))
-              times += us
+          val st = state.getOption
+            .getOrElse(FunnelState(Seq.empty, Seq.fill(nStages)(Seq.empty)))
+          val times = scala.collection.mutable.ArrayBuffer(st.times: _*)
+          val buf = st.buf.map(b =>
+            scala.collection.mutable.ArrayBuffer(b: _*)).toArray
+          // merge this batch's events into the unreached stages'
+          // candidate buffers (keep the bufCap smallest, sorted)
+          rows.foreach { case (_, us, tpe, _) =>
+            val idx = stageIdx(tpe)
+            if (idx >= times.length) {
+              val ins = buf(idx).indexWhere(_ > us)
+              if (ins >= 0) buf(idx).insert(ins, us)
+              else buf(idx) += us
+              if (buf(idx).length > bufCap)
+                buf(idx).remove(bufCap, buf(idx).length - bufCap)
+            }
           }
-          state.update(FunnelState(times.toSeq))
+          // advance: lock stage k at its earliest candidate strictly
+          // after stage k−1's lock, repeatedly, until no stage can
+          var advanced = true
+          while (advanced && times.length < nStages) {
+            val k = times.length
+            val threshold = times.lastOption.getOrElse(Long.MinValue)
+            buf(k).find(_ > threshold) match {
+              case Some(t) =>
+                times += t
+                buf(k).clear() // lock is final; candidates are spent
+              case None => advanced = false
+            }
+          }
+          state.update(FunnelState(times.toSeq, buf.map(_.toSeq).toSeq))
           FunnelProgress(user, times.length)
       }
       .toDF()
@@ -292,7 +314,11 @@ object EventStream {
     stages.zipWithIndex.map { case (stage, i) =>
       last.filter(col("reached") >= i + 1)
         .agg(count(lit(1)).as("n_users"))
-        .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"))
-    }.reduce(_ unionByName _).orderBy(col("stage"))
+        .select(lit(s"${i + 1}_$stage").as("stage"), col("n_users"),
+          lit(i).as("stage_idx"))
+    }.reduce(_ unionByName _)
+      // numeric, not lexicographic, stage order (≥ 10 stages)
+      .orderBy(col("stage_idx"))
+      .select(col("stage"), col("n_users"))
   }
 }

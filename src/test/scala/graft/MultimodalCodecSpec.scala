@@ -71,6 +71,36 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(dec.aHash("png", cut) == 0L)
   }
 
+  test("png/wav: crafted headers degrade — overflow lengths, huge dims, FDICT") {
+    def w32be(a: Array[Byte], o: Int, v: Long): Unit = {
+      a(o) = (v >> 24).toByte; a(o + 1) = (v >> 16).toByte
+      a(o + 2) = (v >> 8).toByte; a(o + 3) = v.toByte
+    }
+    val good = Multimodal.makePng(3, 3, gradient(3, 3), Seq(0, 0, 0))
+    // chunk length near Int.MaxValue: the bounds test must fail in
+    // Long arithmetic, not wrap negative past it
+    val hugeChunk = good.clone()
+    w32be(hugeChunk, 33, 0x7FFFFFF4L) // first post-IHDR chunk length
+    assert(dec.decode("png", hugeChunk)._3.forall(_ == 0f))
+    // 30000×30000 declared dims from a tiny file: reject before any
+    // allocation (h·(1+3w) overflows Int)
+    val hugeDims = good.clone()
+    w32be(hugeDims, 16, 30000L); w32be(hugeDims, 20, 30000L)
+    assert(dec.pngPixels(hugeDims).isEmpty)
+    // zlib header with the FDICT bit (0x78 0x20): inflate makes no
+    // progress and must bail, not spin forever
+    val fdict = good.clone()
+    val idatData = 8 + 25 + 8 // sig + IHDR chunk + IDAT len/type
+    fdict(idatData) = 0x78.toByte; fdict(idatData + 1) = 0x20.toByte
+    assert(dec.pngPixels(fdict).isEmpty)
+    // WAV chunk length near Int.MaxValue
+    val wav = Multimodal.makeWav(8000, 1, Seq(1, 2, 3))
+    val hugeWav = wav.clone()
+    hugeWav(40) = 0xF0.toByte; hugeWav(41) = 0xFF.toByte
+    hugeWav(42) = 0xFF.toByte; hugeWav(43) = 0x7F.toByte // data len LE
+    assert(dec.decodeAudio("wav", hugeWav) == ((0, 0, 0L, 0, 0L)))
+  }
+
   test("wav: square wave and stereo ramp decode to exact statistics") {
     val square = Multimodal.makeWav(8000, 1,
       (0 until 16).map(i => if (i % 2 == 0) 8000 else -8000))
