@@ -170,8 +170,10 @@ object SparkEntry {
     }),
     "p9_nested_agg" -> ((s, d) =>
       // doc-level aggregation over the nested child array (the ES
-      // painless-script-over-nested analog): per-doc revenue via HOF
-      Denorm.docs(s, d)
+      // painless-script-over-nested analog): per-doc revenue via HOF.
+      // Only `items` is read, so the annotations collection (three dim
+      // joins + a second collect_list) is pruned from the build
+      Denorm.docs(s, d, withItems = true, withAnnotations = false)
         .select(col("id"),
           round(aggregate(col("items"), lit(0.0),
             (acc, it) => acc + it.getField("extendedprice")), 2)

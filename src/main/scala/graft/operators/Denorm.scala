@@ -149,10 +149,16 @@ object Denorm {
   }
 
   /** One nested document per order — the engine's analog of the tweet
-    * document (`docs/sample_document.json`, FIXTURES.md §A). */
-  def docs(spark: SparkSession, dir: String): DataFrame =
+    * document (`docs/sample_document.json`, FIXTURES.md §A). Callers
+    * that read only one child collection pass the flags: skipping a
+    * collection removes its dim joins and collect_lists from the plan
+    * entirely — the same column-pruning discipline a scan applies,
+    * which Catalyst cannot do itself across a grouped left join. */
+  def docs(spark: SparkSession, dir: String,
+           withItems: Boolean = true,
+           withAnnotations: Boolean = true): DataFrame =
     build(spark, dir, keep = None,
-      withItems = true, withAnnotations = true)
+      withItems = withItems, withAnnotations = withAnnotations)
 
   /** [[docs]] restricted to the parent ids in `keep` (single-column
     * DataFrame of order keys), with unreferenced child collections
