@@ -1687,7 +1687,183 @@ object SparkEntry {
             lit("<em>"), col("text").substr(pos, lit(8)), lit("</em>"),
             col("text").substr(pos + 8, lit(30))).as("fragment"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // ---- ES agg surface, round 5: multi_terms / range / sampler /
+    //      string_stats / boxplot+MAD / bucket_selector ----
+    "a19_multi_terms" -> ((s, d) =>
+      // ES multi_terms: terms over a COMPOSITE key, top buckets by
+      // doc_count — one shuffle on the pair, the top-N cut after the
+      // full agg (a total order under the cut keeps it deterministic)
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("doc_count").desc, col("source"), col("lang"))
+        .limit(10)),
+    "a20_range_agg" -> ((s, d) => {
+      // ES range aggregation: fixed [from, to) buckets over a numeric
+      // field, ES-style "*-200" keys. One conditional-projection pass
+      // + one tiny shuffle on the bucket id; empty buckets simply
+      // don't appear (ES emits them, but the driver compare is
+      // row-set-based so the present-bucket contract is the testable
+      // one)
+      val b = when(col("n_chars") < 200, "*-200")
+        .when(col("n_chars") < 400, "200-400")
+        .otherwise("400-*")
+      Tables.documents(s, d)
+        .groupBy(b.as("range_key"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("range_key"), col("doc_count"), col("sum_chars"),
+          round(col("sum_chars").cast("double") / col("doc_count"), 6)
+            .as("avg_chars"))
+        .orderBy(col("range_key"))
+    }),
+    "a21_sampler" -> ((s, d) => {
+      // ES diversified_sampler + sub-agg: at most 3 docs PER SOURCE
+      // (the diversity field), then terms(lang) over the sample. The
+      // "random" order is a Knuth multiplicative hash of doc_id — a
+      // deterministic shard-sample both engines can replay exactly,
+      // unlike ES's score-order heads. Window per source = one
+      // shuffle on the diversity key; the sample is tiny thereafter.
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+    "a22_string_stats" -> ((s, d) =>
+      // ES string_stats on the text field per lang: count, min/max/avg
+      // length. Entropy is deliberately omitted: Σ p·log2(p) is a
+      // float-log summation whose order differs per engine (the x24
+      // determinism discipline) — the integer-exact statistics carry
+      // the contract
+      Tables.documents(s, d)
+        .select(col("lang"), length(col("text")).cast("long").as("len"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          min(col("len")).as("min_len"), max(col("len")).as("max_len"),
+          sum(col("len")).as("sum_len"))
+        .select(col("lang"), col("doc_count"), col("min_len"),
+          col("max_len"),
+          round(col("sum_len").cast("double") / col("doc_count"), 6)
+            .as("avg_len"))
+        .orderBy(col("lang"))),
+    "a23_boxplot" -> ((s, d) => {
+      // ES boxplot + median_absolute_deviation aggs, EXACT percentiles
+      // (Spark `percentile` ≡ DuckDB `quantile_cont`, same linear
+      // interpolation). MAD needs the per-group median joined back for
+      // a second pass — group count is tiny, so the median frame
+      // broadcasts; the corpus shuffles twice on the same key, which
+      // is the honest cost of a two-level order statistic at any scale
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"))
+      val box = docs.groupBy(col("lang"))
+        .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+          expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("q"))
+      val med = docs.groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+      val mad = docs.join(broadcast(med), "lang")
+        .select(col("lang"), abs(col("n_chars") - col("med")).as("dev"))
+        .groupBy(col("lang"))
+        .agg(expr("percentile(dev, 0.5D)").as("mad"))
+      box.join(mad, "lang")
+        .select(col("lang"), col("lo"), col("hi"),
+          round(col("q").getItem(0), 6).as("q1"),
+          round(col("q").getItem(1), 6).as("q2"),
+          round(col("q").getItem(2), 6).as("q3"),
+          round(col("q").getItem(2) - col("q").getItem(0), 6).as("iqr"),
+          round(col("mad"), 6).as("mad"))
+        .orderBy(col("lang"))
+    }),
+    "w11_bucket_selector" -> ((s, d) => {
+      // ES bucket_selector + bucket_sort pipeline: keep day buckets
+      // whose count exceeds 1.1× the mean bucket count, then sort by
+      // count desc and cut 5. The threshold compare is INTEGER-exact
+      // (10·n·n_buckets > 11·total) — no float mean reaches the cut.
+      // The totals frame is one row, broadcast over the ~30 buckets.
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.agg(sum(col("n")).as("tot"),
+        count(lit(1)).as("nb"))
+      daily.crossJoin(broadcast(tot))
+        .filter(col("n") * 10 * col("nb") > col("tot") * 11)
+        .orderBy(col("n").desc, col("day"))
+        .limit(5)
+        .select(col("day"), col("n"))
+    }),
+
+    // ---- ES query surface, round 5: wildcard / terms_set /
+    //      span_near ----
+    "f12_wildcard" -> ((s, d) =>
+      // ES wildcard / prefix / regexp term-level queries — all three
+      // evaluated in one scan as codegen'd predicates (LIKE '%..%',
+      // LIKE 'co%', RLIKE), the union filter keeping any match. The
+      // prefix pattern is the sargable one (range-prunable at scan);
+      // the infix/regexp forms are the honest full-scan ES also pays
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          col("p_name").like("%dg%").as("wildcard"),
+          col("p_name").startsWith("co").as("prefix"),
+          col("p_name").rlike("b(olt|lue)").as("re_match"))
+        .filter(col("wildcard") || col("prefix") || col("re_match"))
+        .orderBy(col("p_partkey"))),
+    "f13_terms_set" -> ((s, d) => {
+      // ES terms_set: match when at least `required` of the given
+      // terms appear in the analyzed field. Per-term array_contains
+      // summed — row-local, codegen'd, no token explode
+      val t = Analyzers.tokenize(lower(col("text")))
+      val terms = Seq("spark", "data", "fast", "query")
+      Tables.documents(s, d)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          terms.map(w => array_contains(col("t"), w).cast("int"))
+            .reduce(_ + _).cast("long").as("n_matched"))
+        .filter(col("n_matched") >= 2)
+        .orderBy(col("doc_id"))
+    }),
+    "f14_span_near" -> ((s, d) => {
+      // ES span_near (slop=3): 'key' with 'scan' at distance 1..4 —
+      // in_order, plus the in_order=false variant (either direction).
+      // Same adjacency machinery as p10: the token array zipped with
+      // its shifted self per offset, all inside one codegen'd
+      // projection; no positional index, one corpus pass
+      val t = Analyzers.tokenize(lower(col("text")))
+      def near(a: String, b: String, at: Int) = coalesce(array_contains(
+        zip_with(col("t"),
+          slice(col("t"), lit(1 + at), greatest(size(col("t")) - at, lit(0))),
+          (x, y) => x === a && y === b), true), lit(false))
+      val ord = (1 to 4).map(near("key", "scan", _)).reduce(_ || _)
+      val rev = (1 to 4).map(near("scan", "key", _)).reduce(_ || _)
+      Tables.documents(s, d)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"), ord.as("in_order"),
+          (ord || rev).as("unordered"))
+        .filter(col("unordered"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- training-data pipeline, round 5 ----
+    "x27_gopher_rules" -> ((s, d) =>
+      // Gopher repetition/shape rules (TextStats.gopherRules):
+      // integer-exact basis-point fractions, bounds tuned to split the
+      // synthetic corpus
+      TextStats.gopherRules(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "x28_ngram_novelty" -> ((s, d) =>
+      // cross-corpus 5-gram novelty (TextStats.ngramNovelty): fraction
+      // of a doc's distinct shingles first seen in this doc
+      TextStats.ngramNovelty(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // ST7: streaming gap sessions converge to the batch e4 answer
+    "st7_stream_session" -> ((s, d) =>
+      EventStream.runSessionWindows(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3197,6 +3373,150 @@ object SparkEntry {
           SELECT doc_id, n AS n_toks,
                  (CASE WHEN n > 1 THEN (num::HUGEINT * 10000) // (n * (n - 1))
                        ELSE 0 END)::BIGINT AS simpson_bp
-          FROM a ORDER BY doc_id"""
+          FROM a ORDER BY doc_id""",
+    "a19_multi_terms" ->
+      """SELECT source, lang, count(*)::BIGINT AS doc_count,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents GROUP BY 1, 2
+         ORDER BY doc_count DESC, source, lang LIMIT 10""",
+    "a20_range_agg" ->
+      """SELECT range_key, count(*)::BIGINT AS doc_count,
+                sum(n_chars)::BIGINT AS sum_chars,
+                round(sum(n_chars)::DOUBLE / count(*)::INT, 6) AS avg_chars
+         FROM (SELECT CASE WHEN n_chars < 200 THEN '*-200'
+                           WHEN n_chars < 400 THEN '200-400'
+                           ELSE '400-*' END AS range_key, n_chars
+               FROM documents)
+         GROUP BY 1 ORDER BY range_key""",
+    "a21_sampler" ->
+      """WITH r AS (SELECT lang, n_chars,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY (doc_id * 2654435761) % 4294967296,
+                                      doc_id) AS rn
+                    FROM documents)
+         SELECT lang, count(*)::BIGINT AS doc_count,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY lang""",
+    "a22_string_stats" ->
+      """SELECT lang, count(*)::BIGINT AS doc_count,
+                min(len(text))::BIGINT AS min_len,
+                max(len(text))::BIGINT AS max_len,
+                round(sum(len(text))::DOUBLE / count(*)::INT, 6) AS avg_len
+         FROM documents GROUP BY 1 ORDER BY lang""",
+    "a23_boxplot" ->
+      """WITH m AS (SELECT lang, median(n_chars) AS med FROM documents
+                    GROUP BY 1)
+         SELECT d.lang, min(n_chars)::BIGINT AS lo, max(n_chars)::BIGINT AS hi,
+                round(quantile_cont(n_chars, 0.25), 6) AS q1,
+                round(quantile_cont(n_chars, 0.5), 6) AS q2,
+                round(quantile_cont(n_chars, 0.75), 6) AS q3,
+                round(quantile_cont(n_chars, 0.75)
+                      - quantile_cont(n_chars, 0.25), 6) AS iqr,
+                round(quantile_cont(abs(n_chars - med), 0.5), 6) AS mad
+         FROM documents d JOIN m ON d.lang = m.lang
+         GROUP BY d.lang ORDER BY d.lang""",
+    "w11_bucket_selector" ->
+      """WITH daily AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                               count(*)::BIGINT AS n
+                        FROM events GROUP BY 1),
+          t AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS nb
+                FROM daily)
+         SELECT day, n FROM daily, t
+         WHERE n * 10 * nb > tot * 11
+         ORDER BY n DESC, day LIMIT 5""",
+    "f12_wildcard" ->
+      """SELECT p_partkey, p_name,
+                p_name LIKE '%dg%' AS wildcard,
+                p_name LIKE 'co%' AS prefix,
+                regexp_matches(p_name, 'b(olt|lue)') AS re_match
+         FROM part
+         WHERE p_name LIKE '%dg%' OR p_name LIKE 'co%'
+            OR regexp_matches(p_name, 'b(olt|lue)')
+         ORDER BY p_partkey""",
+    "f13_terms_set" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks
+                     FROM documents)
+          SELECT doc_id,
+                 (list_contains(toks, 'spark')::INT
+                  + list_contains(toks, 'data')::INT
+                  + list_contains(toks, 'fast')::INT
+                  + list_contains(toks, 'query')::INT)::BIGINT AS n_matched
+          FROM t
+          WHERE list_contains(toks, 'spark')::INT
+                + list_contains(toks, 'data')::INT
+                + list_contains(toks, 'fast')::INT
+                + list_contains(toks, 'query')::INT >= 2
+          ORDER BY doc_id""",
+    "f14_span_near" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks
+                     FROM documents),
+          m AS (SELECT doc_id,
+                       len(list_filter(range(1, len(toks) + 1),
+                           i -> toks[i] = 'key'
+                                AND (toks[i+1] = 'scan' OR toks[i+2] = 'scan'
+                                     OR toks[i+3] = 'scan'
+                                     OR toks[i+4] = 'scan'))) > 0 AS in_order,
+                       len(list_filter(range(1, len(toks) + 1),
+                           i -> toks[i] = 'scan'
+                                AND (toks[i+1] = 'key' OR toks[i+2] = 'key'
+                                     OR toks[i+3] = 'key'
+                                     OR toks[i+4] = 'key'))) > 0 AS rev
+                FROM t)
+          SELECT doc_id, in_order, (in_order OR rev) AS unordered
+          FROM m WHERE in_order OR rev ORDER BY doc_id""",
+    "x27_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks
+                     FROM documents),
+          u AS (SELECT doc_id, unnest(toks) AS w FROM t),
+          wc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM u GROUP BY 1, 2),
+          ws AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+                        max(c)::BIGINT AS top_w,
+                        sum(c * len(w))::BIGINT AS sum_len
+                 FROM wc GROUP BY 1),
+          b0 AS (SELECT doc_id,
+                        unnest(list_transform(
+                          generate_series(1, greatest(len(toks) - 1, 0)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS g
+                 FROM t),
+          bc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM b0 GROUP BY 1, 2),
+          bs AS (SELECT doc_id, sum(c)::BIGINT AS n_bi,
+                        max(c)::BIGINT AS top_bi
+                 FROM bc GROUP BY 1)
+          SELECT ws.doc_id, n_words,
+                 (top_w * 10000 // n_words)::BIGINT AS top_word_bp,
+                 (top_bi * 10000 // n_bi)::BIGINT AS top_bigram_bp,
+                 (sum_len * 100 // n_words)::BIGINT AS mean_len_x100,
+                 (n_words >= 20 AND top_w * 10000 // n_words <= 1500
+                  AND sum_len * 100 // n_words BETWEEN 300 AND 480) AS keep
+          FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+          ORDER BY ws.doc_id""",
+    "x28_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks
+                     FROM documents),
+          g0 AS (SELECT doc_id,
+                        unnest(list_transform(
+                          generate_series(1, greatest(len(toks) - 4, 0)),
+                          i -> array_to_string(toks[i:i+4], ' '))) AS gram
+                 FROM t),
+          g AS (SELECT DISTINCT doc_id, gram FROM g0),
+          f AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY 1)
+          SELECT doc_id, count(*)::BIGINT AS n_grams,
+                 sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)::BIGINT AS novel,
+                 (sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) * 10000
+                  // count(*))::BIGINT AS novelty_bp
+          FROM g JOIN f USING (gram)
+          GROUP BY doc_id ORDER BY doc_id""",
+    "st7_stream_session" ->
+      """WITH g AS (SELECT user_id, ts, value,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g)
+          SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+                 user_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
   )
 }

@@ -596,4 +596,80 @@ object TextStats {
         col("merged"), col("pair_count"))
       .orderBy(col("step"))
   }
+
+  /** Gopher-style repetition/shape rules (Rae et al. 2021 §A1.1),
+    * integer-exact: top-word and top-bigram fractions in basis points,
+    * mean word length ×100, and the keep verdict under the given
+    * bounds. Explode + two-level groupBy — NEVER a nested HOF count
+    * over the computed token array (ProjectCollapse would inline the
+    * tokenizer once per lambda element). Both aggregations shuffle on
+    * doc_id only and are combiner-friendly; docs with < 2 tokens have
+    * no bigram and drop out (inner join), mirroring the oracle. */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id",
+                  minWords: Long = 20, maxTopWordBp: Long = 1500,
+                  minMeanLenX100: Long = 300,
+                  maxMeanLenX100: Long = 480): DataFrame = {
+    val t = Analyzers.tokenize(lower(col(textCol)))
+    val base = docs.select(col(idCol), t.as("t"))
+    val words = base.select(col(idCol), explode(col("t")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_w"),
+        sum(col("c") * length(col("w"))).as("sum_len"))
+    // both sides sliced to n-1: zip_with pads the shorter side with
+    // null, and concat_ws silently drops it — a trailing unigram would
+    // masquerade as a bigram
+    val bigrams = base.select(col(idCol),
+        explode(zip_with(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bi"), max(col("c")).as("top_bi"))
+    words.join(bigrams, idCol)
+      .select(col(idCol), col("n_words"),
+        expr("top_w * 10000 div n_words").as("top_word_bp"),
+        expr("top_bi * 10000 div n_bi").as("top_bigram_bp"),
+        expr("sum_len * 100 div n_words").as("mean_len_x100"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("top_word_bp") <= maxTopWordBp &&
+          col("mean_len_x100").between(minMeanLenX100, maxMeanLenX100))
+  }
+
+  /** Cross-corpus n-gram novelty: the fraction (basis points) of a
+    * doc's DISTINCT n-gram shingles whose global first occurrence
+    * (min doc id) is this doc — the contamination/freshness signal a
+    * curation pipeline tracks per source batch. Grams are built by
+    * window leads after an explode (positions stay local to the doc
+    * partition), then distinct → min-per-gram → join back on gram
+    * (co-partitioned, no extra exchange) → per-doc counts. Every
+    * stage is a key-local aggregation — no all-pairs anywhere. Docs
+    * with fewer than n tokens have no gram and drop out. */
+  def ngramNovelty(docs: DataFrame, n: Int = 5,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Analyzers.tokenize(lower(col(textCol)))
+    val pos = docs.select(col(idCol), posexplode(t).as(Seq("p", "w")))
+    val wn = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val leads = (1 until n).map(i => lead(col("w"), i).over(wn))
+    val grams = pos.select(col(idCol),
+        concat_ws(" ", col("w") +: leads: _*).as("gram"),
+        leads.last.isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col(idCol), col("gram")).distinct()
+    // first-occurrence via a window min over the gram partition — ONE
+    // shuffle on gram; the groupBy(gram)+join formulation would
+    // re-exchange the full gram set a second time for the join
+    val firstDoc = min(col(idCol))
+      .over(Window.partitionBy(col("gram")))
+    grams.withColumn("fd", firstDoc)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col(idCol), 1L).otherwise(0L)).as("novel"))
+      .select(col(idCol), col("n_grams"), col("novel"),
+        expr("novel * 10000 div n_grams").as("novelty_bp"))
+  }
 }

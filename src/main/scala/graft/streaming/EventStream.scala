@@ -180,6 +180,23 @@ object EventStream {
       .orderBy(col("event_type"))
   }
 
+  /** ST7: gap sessions run end-to-end. Complete mode (like ST1): on a
+    * finite input every session is final, and complete mode emits them
+    * all regardless of the watermark — append mode would hold back any
+    * session still inside the watermark horizon when the input ends.
+    * Must equal the batch `session_window` aggregation (the e4
+    * oracle). */
+  def runSessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val table = runToMemory(
+      sessionWindows(eventsStream(spark, dir)),
+      OutputMode.Complete, "st7_")
+    spark.table(table)
+      .select(col("session_start"), col("session_end"), col("user_id"),
+        col("n_events"),
+        round(col("session_value"), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** ST3: mapGroupsWithState run end-to-end. Update mode emits the
     * running counter per user per micro-batch; the LAST update (= max,
     * counters are monotone) must equal the batch per-user count. This
