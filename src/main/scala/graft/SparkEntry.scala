@@ -1863,7 +1863,73 @@ object SparkEntry {
 
     // ST7: streaming gap sessions converge to the batch e4 answer
     "st7_stream_session" -> ((s, d) =>
-      EventStream.runSessionWindows(s, d))
+      EventStream.runSessionWindows(s, d)),
+
+    "sm1_scripted_metric" -> ((s, d) => {
+      // ES scripted_metric: a custom map/combine/reduce statistic the
+      // stock aggs can't express — here an OLS slope of value vs time
+      // per event_type, ENTIRELY in fixed-point integer arithmetic
+      // (value floored to cents, time recentred to whole seconds, the
+      // classic n·Σxy − Σx·Σy over n·Σx² − (Σx)² in decimal(38,0))
+      // so both engines agree bit-for-bit — no float summation order
+      // anywhere. The recentre min(ts) comes from a window over the
+      // SAME key the groupBy shuffles on, so Catalyst reuses the
+      // exchange: one shuffle total, partial aggs map-side.
+      val w = Window.partitionBy(col("event_type"))
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("yc"),
+          ((unix_micros(col("ts")) -
+            min(unix_micros(col("ts"))).over(w)) / 1000000L)
+            .cast("long").as("xs"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xs")).as("sx"), sum(col("yc")).as("sy"),
+          sum(col("xs") * col("xs")).as("sxx"),
+          sum(col("xs") * col("yc")).as("sxy"))
+        .select(col("event_type"), col("n"), col("sy"),
+          // the degenerate-variance guard ALSO widens to decimal:
+          // n·Σx² ≈ 9e20 at sf0.1 already exceeds Long range
+          when(expr("cast(n as decimal(38,0)) * sxx > cast(sx as decimal(38,0)) * sx"),
+            expr("""(cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy)
+                    * 1000000
+                    div (cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)"""))
+            .otherwise(0L).cast("long").as("slope_e6"))
+        .orderBy(col("event_type"))
+    }),
+    "w12_serial_diff" -> ((s, d) => {
+      // ES serial_diff (lag 7) + moving max/min pipeline aggs over the
+      // day histogram — like w7, the window runs over the ~30 bucket
+      // rows AFTER the shuffle agg, integer counts only
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day"))
+      daily.select(col("day"), col("n"),
+        (col("n") - lag(col("n"), 7).over(w)).as("serial_diff7"),
+        max(col("n")).over(w.rowsBetween(-6, 0)).as("moving_max7"),
+        min(col("n")).over(w.rowsBetween(-6, 0)).as("moving_min7"))
+        .orderBy(col("day"))
+    }),
+    "e8_retention" -> ((s, d) => {
+      // weekly cohort retention: users bucketed by first-event week,
+      // distinct actives per (cohort, week offset). The cohort week
+      // rides a window-min over user_id, then ONE distinct-agg on
+      // (cohort, offset, user) collapses duplicate user-weeks before
+      // the count — the standard two-level exact distinct at scale
+      val w = Window.partitionBy(col("user_id"))
+      val e = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("WEEK", col("ts")).as("week"),
+          date_trunc("WEEK", min(col("ts")).over(w)).as("cohort_week"))
+        .select(col("user_id"), col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7)
+            .cast("long").as("week_offset"))
+        .distinct()
+      e.groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3517,6 +3583,50 @@ object SparkEntry {
                 FROM g)
           SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
                  user_id, count(*) AS n_events, round(sum(value), 2) AS session_value
-          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "sm1_scripted_metric" ->
+      """WITH e AS (SELECT event_type,
+                           floor(value * 100)::BIGINT AS yc,
+                           ((epoch_us(ts)
+                             - min(epoch_us(ts)) OVER (PARTITION BY event_type))
+                            // 1000000)::BIGINT AS xs
+                    FROM events),
+          a AS (SELECT event_type, count(*)::BIGINT AS n,
+                       sum(xs)::BIGINT AS sx, sum(yc)::BIGINT AS sy,
+                       sum(xs * xs)::BIGINT AS sxx,
+                       sum(xs * yc)::BIGINT AS sxy
+                FROM e GROUP BY 1)
+          SELECT event_type, n, sy,
+                 (CASE WHEN n::HUGEINT * sxx > sx::HUGEINT * sx
+                       THEN (n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+                            // (n::HUGEINT * sxx - sx::HUGEINT * sx)
+                       ELSE 0 END)::BIGINT AS slope_e6
+          FROM a ORDER BY event_type""",
+    "w12_serial_diff" ->
+      """WITH daily AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                               count(*)::BIGINT AS n
+                        FROM events GROUP BY 1)
+         SELECT day, n,
+                n - lag(n, 7) OVER (ORDER BY day) AS serial_diff7,
+                max(n) OVER (ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS moving_max7,
+                min(n) OVER (ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS moving_min7
+         FROM daily ORDER BY day""",
+    "e8_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+                           date_trunc('week',
+                             min(ts) OVER (PARTITION BY user_id))::TIMESTAMP
+                             AS cohort_week,
+                           (date_diff('day',
+                              date_trunc('week',
+                                min(ts) OVER (PARTITION BY user_id)),
+                              date_trunc('week', ts)) // 7)::BIGINT
+                             AS week_offset
+                    FROM events)
+         SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
+         FROM e GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
   )
 }
