@@ -1929,7 +1929,228 @@ object SparkEntry {
       e.groupBy(col("cohort_week"), col("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
-    })
+    }),
+
+    "pc1_percolate" -> ((s, d) =>
+      // ES percolator: stored queries matched against each document —
+      // broadcast NL join + codegen'd array clauses, zero shuffle
+      Percolate.percolate(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("query_id"))),
+    "f15_query_string" -> ((s, d) => {
+      // Lucene query_string syntax through the QueryString parser:
+      // phrase adjacency, nesting, AND/OR/NOT — compiled to pure
+      // Column algebra; the filter stays inside whole-stage codegen
+      val q = """("hash join" OR (merge AND sort)) AND NOT slow"""
+      Tables.documents(s, d)
+        .withColumn("toks", Analyzers.tokenize(lower(col("text"))))
+        .filter(graft.functions.QueryString.matches(q, col("toks")))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "f16_dis_max" -> ((s, d) => {
+      // ES dis_max, tie_breaker 0.3, two term clauses scored by raw tf:
+      // score×10 = 10·max + 3·(sum − max) — exact integers end-to-end
+      val toks = Analyzers.tokenize(lower(col("text")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(toks, t => t === "join")).as("tf_a"),
+          size(filter(toks, t => t === "stream")).as("tf_b"))
+        .select(col("doc_id"),
+          (greatest(col("tf_a"), col("tf_b")) * 10 +
+            (col("tf_a") + col("tf_b") -
+              greatest(col("tf_a"), col("tf_b"))) * 3)
+            .cast("long").as("score_x10"))
+        .filter(col("score_x10") > 0)
+        .orderBy(col("score_x10").desc, col("doc_id"))
+    }),
+    "r1_rank_eval" -> ((s, d) => {
+      // ES rank_eval: precision@10 and MRR@10 for three term-retrieval
+      // runs, judged by a deterministic labeling rule (relevant ⇔
+      // tf ≥ 2) both engines replay. Metrics are exact ×10^6 integers
+      // (p = hits·10^5; MRR = 10^6 div first-relevant-rank); the run
+      // itself is a total order (tf desc, doc_id) so rank boundaries
+      // are engine-portable.
+      import s.implicits._
+      val queries = Seq(("q1", "spark"), ("q2", "vector"), ("q3", "merge"))
+        .toDF("query_id", "term")
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), Analyzers.tokenize(lower(col("text"))).as("toks"))
+        .crossJoin(broadcast(queries))
+        .select(col("query_id"), col("doc_id"),
+          size(filter(col("toks"), t => t === col("term"))).as("tf"))
+        .filter(col("tf") > 0)
+      tf.withColumn("rk",
+          row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("tf").desc, col("doc_id"))))
+        .groupBy(col("query_id"))
+        .agg(
+          sum(when(col("rk") <= 10 && col("tf") >= 2, 1L).otherwise(0L))
+            .as("rel_in_top10"),
+          min(when(col("tf") >= 2 && col("rk") <= 10, col("rk")))
+            .as("first_rel"),
+          sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("n_rel"))
+        .select(col("query_id"),
+          (col("rel_in_top10") * 100000L).as("p_at_10_e6"),
+          coalesce(expr("cast(1000000 as bigint) div first_rel"), lit(0L))
+            .as("mrr_e6"),
+          col("n_rel"))
+        .orderBy(col("query_id"))
+    }),
+    "a24_matrix_stats" -> ((s, d) => {
+      // ES matrix_stats over (quantity, extendedprice, discount) in
+      // cents: ONE shuffle carries the exact integer sums (decimal for
+      // the squares — Σp² overflows int64 at sf0.1 already); the
+      // per-pair covariance/correlation are then SCALAR double ops on
+      // those exact integers — no float summation order anywhere, so
+      // round-6 is engine-portable. stack() unpivots the single stats
+      // row into the pair matrix without re-aggregating.
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_quantity") * 100, 0).cast("decimal(20,0)").as("q"),
+        round(col("l_extendedprice") * 100, 0).cast("decimal(20,0)").as("p"),
+        round(col("l_discount") * 100, 0).cast("decimal(20,0)").as("dd"))
+      li.agg(
+          count(lit(1)).cast("decimal(20,0)").as("n"),
+          sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+          sum(col("dd")).as("sd"),
+          sum(col("q") * col("q")).as("sqq"),
+          sum(col("p") * col("p")).as("spp"),
+          sum(col("dd") * col("dd")).as("sdd"),
+          sum(col("q") * col("p")).as("sqp"),
+          sum(col("q") * col("dd")).as("sqd"),
+          sum(col("p") * col("dd")).as("spd"))
+        .selectExpr("cast(n as bigint) as n",
+          "cast(n * sqq - sq * sq as double) as vq",
+          "cast(n * spp - sp * sp as double) as vp",
+          "cast(n * sdd - sd * sd as double) as vd",
+          "cast(n * sqp - sq * sp as double) as cqp",
+          "cast(n * sqd - sq * sd as double) as cqd",
+          "cast(n * spd - sp * sd as double) as cpd",
+          "cast(sq div n as bigint) as mq_c",
+          "cast(sp div n as bigint) as mp_c",
+          "cast(sd div n as bigint) as md_c")
+        .selectExpr("n",
+          """stack(3,
+               'quantity_price',    mq_c, mp_c,
+                 round(cqp / n / n / 10000, 6),
+                 round(cqp / sqrt(vq) / sqrt(vp), 6),
+               'quantity_discount', mq_c, md_c,
+                 round(cqd / n / n / 10000, 6),
+                 round(cqd / sqrt(vq) / sqrt(vd), 6),
+               'price_discount',    mp_c, md_c,
+                 round(cpd / n / n / 10000, 6),
+                 round(cpd / sqrt(vp) / sqrt(vd), 6))
+             as (pair, mean_x_c, mean_y_c, cov_d2, corr)""")
+        .select(col("pair"), col("n"), col("mean_x_c"), col("mean_y_c"),
+          col("cov_d2"), col("corr"))
+        .orderBy(col("pair"))
+    }),
+    "a25_auto_histogram" -> ((s, d) => {
+      // ES auto_date_histogram (target ≤ 40 buckets): the interval is
+      // picked from the minute/hour/day/week/month ladder off the data
+      // span — a 1-row broadcast steers a constant-folded bucket
+      // expression; the histogram itself is one shuffle agg
+      val ev = Tables.events(s, d)
+      val stats = ev.agg(
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("span_us"))
+      ev.crossJoin(broadcast(stats))
+        .withColumn("iv",
+          when(col("span_us") <= 40L * 60 * 1000000L, "minute")
+            .when(col("span_us") <= 40L * 3600 * 1000000L, "hour")
+            .when(col("span_us") <= 40L * 86400 * 1000000L, "day")
+            .when(col("span_us") <= 40L * 604800 * 1000000L, "week")
+            .otherwise("month"))
+        .groupBy(col("iv"),
+          when(col("iv") === "minute", date_trunc("MINUTE", col("ts")))
+            .when(col("iv") === "hour", date_trunc("HOUR", col("ts")))
+            .when(col("iv") === "day", date_trunc("DAY", col("ts")))
+            .when(col("iv") === "week", date_trunc("WEEK", col("ts")))
+            .otherwise(date_trunc("MONTH", col("ts"))).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+    "a26_nested_reverse" -> ((s, d) =>
+      // ES nested agg + reverse_nested: per nested-item returnflag, the
+      // nested hit count AND the count of distinct PARENT documents —
+      // run over the materialized nested docs (the ES shape). The
+      // oracle replays it relationally from raw lineitem (the two are
+      // equivalent by the denorm construction — and the relational
+      // plan is the one you'd run at 100 TB: no collect_list/explode
+      // round-trip, one shuffle, partial aggs map-side).
+      Denorm.docs(s, d)
+        .select(col("id"), explode(col("items")).as("it"))
+        .groupBy(col("it.returnflag").as("returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("id")).as("n_docs"))
+        .orderBy(col("returnflag"))),
+    "a27_significant_text" -> ((s, d) => {
+      // ES significant_text: JLH-scored tokens anomalously frequent in
+      // the docs matching a query term (vs the whole corpus), per-doc
+      // token dedup (the agg's filter_duplicate_text analog), query
+      // term itself excluded, top 10. Counts are exact ints; JLH is
+      // scalar double math on them, round-6.
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        array_distinct(Analyzers.tokenize(lower(col("text")))).as("toks"))
+        .withColumn("fg", array_contains(col("toks"), "spark"))
+      val sizes = base.agg(
+        sum(when(col("fg"), 1L).otherwise(0L)).as("n_fg"),
+        count(lit(1)).as("n_all"))
+      val counts = base
+        .select(col("fg"), explode(col("toks")).as("token"))
+        .filter(col("token") =!= "spark")
+        .groupBy(col("token"))
+        .agg(sum(when(col("fg"), 1L).otherwise(0L)).as("fg_df"),
+          count(lit(1)).as("bg_df"))
+        .filter(col("fg_df") > 0)
+      counts.crossJoin(broadcast(sizes))
+        .withColumn("score", round(
+          (col("fg_df").cast("double") / col("n_fg") -
+            col("bg_df").cast("double") / col("n_all")) *
+            (col("fg_df").cast("double") / col("n_fg")) /
+            (col("bg_df").cast("double") / col("n_all")), 6))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score").desc, col("token"))))
+        .filter(col("rk") <= 10)
+        .select(col("token"), col("fg_df"), col("bg_df"), col("score"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("rk"))
+    }),
+    "a28_ttest" -> ((s, d) =>
+      // ES t_test (Welch, unpaired) between click and error values:
+      // exact integer sums in cents through ONE conditional agg (no
+      // two-branch re-scan), then the t statistic as scalar double ops
+      // on those exact integers — identical IEEE sequence both
+      // engines, round-6
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .select(when(col("event_type") === "click", 1).otherwise(0).as("g"),
+          round(col("value") * 100, 0).cast("long").as("vc"))
+        .agg(
+          sum(col("g")).cast("long").as("n1"),
+          sum(lit(1) - col("g")).cast("long").as("n2"),
+          sum(col("vc") * col("g")).as("s1"),
+          sum(col("vc") * (lit(1) - col("g"))).as("s2"),
+          sum(col("vc") * col("vc") * col("g")).as("ss1"),
+          sum(col("vc") * col("vc") * (lit(1) - col("g"))).as("ss2"))
+        .selectExpr("n1", "n2",
+          """round((cast(s1 as double) / n1 - cast(s2 as double) / n2)
+                   / 100, 6) as mean_diff_d""",
+          """round((cast(s1 as double) / n1 - cast(s2 as double) / n2)
+                   / sqrt((cast(ss1 as double) - cast(s1 as double) * s1 / n1)
+                            / (n1 - 1) / n1
+                          + (cast(ss2 as double) - cast(s2 as double) * s2 / n2)
+                            / (n2 - 1) / n2), 6) as t_stat""")),
+    "a29_rate" -> ((s, d) =>
+      // ES rate agg: monthly buckets normalized to per-day rates using
+      // the bucket's true day count — exact ×10^6 integer division
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("MONTH", col("ts")).as("month"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("month"), col("n"),
+          expr("(n * 1000000) div dayofmonth(last_day(month))")
+            .as("per_day_e6"))
+        .orderBy(col("event_type"), col("month")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3627,6 +3848,166 @@ object SparkEntry {
                              AS week_offset
                     FROM events)
          SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
-         FROM e GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+         FROM e GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    "pc1_percolate" ->
+      // mirrors Percolate.stored verbatim — the stored-query table IS
+      // part of the operator contract
+      s"""WITH q(query_id, must, must_not, should, min_should) AS (VALUES
+            (1::BIGINT, ['spark','join'], ['slow'], []::VARCHAR[], 0),
+            (2::BIGINT, ['customer'], []::VARCHAR[], ['order','line','part'], 2),
+            (3::BIGINT, []::VARCHAR[], ['vector'], ['stream','window','batch'], 3),
+            (4::BIGINT, ['hash','merge','sort'], []::VARCHAR[], []::VARCHAR[], 0),
+            (5::BIGINT, ['scan'], ['filter','slow'], ['fast','big'], 1)),
+          t AS (SELECT doc_id, list_distinct(${sqlToks("lower(text)")}) AS toks
+                FROM documents)
+          SELECT doc_id, query_id,
+                 len(list_filter(should, x -> list_contains(toks, x)))::BIGINT
+                   AS n_should
+          FROM t, q
+          WHERE len(list_filter(must, x -> NOT list_contains(toks, x))) = 0
+            AND len(list_filter(must_not, x -> list_contains(toks, x))) = 0
+            AND len(list_filter(should, x -> list_contains(toks, x))) >= min_should
+          ORDER BY doc_id, query_id""",
+    "f15_query_string" ->
+      // ("hash join" OR (merge AND sort)) AND NOT slow
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents)
+          SELECT doc_id FROM t
+          WHERE ((strpos(' ' || array_to_string(toks, ' ') || ' ', ' hash join ') > 0
+                  OR (list_contains(toks, 'merge') AND list_contains(toks, 'sort')))
+                 AND NOT list_contains(toks, 'slow'))
+          ORDER BY doc_id""",
+    "f16_dis_max" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          s AS (SELECT doc_id,
+                       len(list_filter(toks, x -> x = 'join'))::BIGINT AS tf_a,
+                       len(list_filter(toks, x -> x = 'stream'))::BIGINT AS tf_b
+                FROM t)
+          SELECT doc_id,
+                 (greatest(tf_a, tf_b) * 10
+                  + (tf_a + tf_b - greatest(tf_a, tf_b)) * 3)::BIGINT AS score_x10
+          FROM s WHERE greatest(tf_a, tf_b) > 0
+          ORDER BY score_x10 DESC, doc_id""",
+    "r1_rank_eval" ->
+      s"""WITH q(query_id, term) AS (VALUES ('q1','spark'),('q2','vector'),('q3','merge')),
+          t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          tf AS (SELECT query_id, doc_id,
+                        len(list_filter(toks, x -> x = term))::BIGINT AS tf
+                 FROM t, q),
+          f AS (SELECT * FROM tf WHERE tf > 0),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY tf DESC, doc_id)::BIGINT AS rk FROM f),
+          m AS (SELECT query_id,
+                       sum(CASE WHEN rk <= 10 AND tf >= 2 THEN 1 ELSE 0 END)::BIGINT
+                         AS rel_in_top10,
+                       min(CASE WHEN tf >= 2 AND rk <= 10 THEN rk END) AS first_rel,
+                       sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rel
+                FROM r GROUP BY 1)
+          SELECT query_id, (rel_in_top10 * 100000)::BIGINT AS p_at_10_e6,
+                 coalesce(1000000 // first_rel, 0)::BIGINT AS mrr_e6, n_rel
+          FROM m ORDER BY query_id""",
+    "a24_matrix_stats" ->
+      """WITH c AS (SELECT round(l_quantity * 100)::HUGEINT AS q,
+                           round(l_extendedprice * 100)::HUGEINT AS p,
+                           round(l_discount * 100)::HUGEINT AS dd
+                    FROM lineitem),
+          s AS (SELECT count(*)::HUGEINT AS n,
+                       sum(q) AS sq, sum(p) AS sp, sum(dd) AS sd,
+                       sum(q * q) AS sqq, sum(p * p) AS spp, sum(dd * dd) AS sdd,
+                       sum(q * p) AS sqp, sum(q * dd) AS sqd, sum(p * dd) AS spd
+                FROM c),
+          v AS (SELECT n::BIGINT AS n,
+                       (n * sqq - sq * sq)::DOUBLE AS vq,
+                       (n * spp - sp * sp)::DOUBLE AS vp,
+                       (n * sdd - sd * sd)::DOUBLE AS vd,
+                       (n * sqp - sq * sp)::DOUBLE AS cqp,
+                       (n * sqd - sq * sd)::DOUBLE AS cqd,
+                       (n * spd - sp * sd)::DOUBLE AS cpd,
+                       (sq // n)::BIGINT AS mq_c,
+                       (sp // n)::BIGINT AS mp_c,
+                       (sd // n)::BIGINT AS md_c
+                FROM s)
+          SELECT pair, n, mean_x_c, mean_y_c, cov_d2, corr FROM (
+            SELECT 'quantity_price' AS pair, n, mq_c AS mean_x_c, mp_c AS mean_y_c,
+                   round(cqp / n / n / 10000, 6) AS cov_d2,
+                   round(cqp / sqrt(vq) / sqrt(vp), 6) AS corr FROM v
+            UNION ALL
+            SELECT 'quantity_discount', n, mq_c, md_c,
+                   round(cqd / n / n / 10000, 6),
+                   round(cqd / sqrt(vq) / sqrt(vd), 6) FROM v
+            UNION ALL
+            SELECT 'price_discount', n, mp_c, md_c,
+                   round(cpd / n / n / 10000, 6),
+                   round(cpd / sqrt(vp) / sqrt(vd), 6) FROM v)
+          ORDER BY pair""",
+    "a25_auto_histogram" ->
+      """WITH st AS (SELECT epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+                     FROM events),
+          b AS (SELECT ts,
+                       CASE WHEN span_us <= 40::BIGINT * 60 * 1000000 THEN 'minute'
+                            WHEN span_us <= 40::BIGINT * 3600 * 1000000 THEN 'hour'
+                            WHEN span_us <= 40::BIGINT * 86400 * 1000000 THEN 'day'
+                            WHEN span_us <= 40::BIGINT * 604800 * 1000000 THEN 'week'
+                            ELSE 'month' END AS iv
+                FROM events, st)
+          SELECT iv,
+                 CASE iv WHEN 'minute' THEN date_trunc('minute', ts)::TIMESTAMP
+                         WHEN 'hour' THEN date_trunc('hour', ts)::TIMESTAMP
+                         WHEN 'day' THEN date_trunc('day', ts)::TIMESTAMP
+                         WHEN 'week' THEN date_trunc('week', ts)::TIMESTAMP
+                         ELSE date_trunc('month', ts)::TIMESTAMP END AS bucket,
+                 count(*)::BIGINT AS n
+          FROM b GROUP BY 1, 2 ORDER BY bucket""",
+    "a26_nested_reverse" ->
+      // relational replay of the nested/reverse_nested pair: every
+      // nested item is a lineitem row, every parent doc an order
+      """SELECT l_returnflag AS returnflag, count(*)::BIGINT AS n_items,
+                count(DISTINCT l_orderkey)::BIGINT AS n_docs
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a27_significant_text" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(${sqlToks("lower(text)")}) AS toks
+                     FROM documents),
+          b AS (SELECT doc_id, toks, list_contains(toks, 'spark') AS fg FROM t),
+          sz AS (SELECT sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS n_fg,
+                        count(*)::BIGINT AS n_all
+                 FROM b),
+          cnt AS (SELECT token,
+                         sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS fg_df,
+                         count(*)::BIGINT AS bg_df
+                  FROM (SELECT fg, unnest(toks) AS token FROM b)
+                  WHERE token <> 'spark' GROUP BY 1
+                  HAVING sum(CASE WHEN fg THEN 1 ELSE 0 END) > 0),
+          sc AS (SELECT token, fg_df, bg_df,
+                        round((fg_df::DOUBLE / n_fg - bg_df::DOUBLE / n_all)
+                              * (fg_df::DOUBLE / n_fg)
+                              / (bg_df::DOUBLE / n_all), 6) AS score
+                 FROM cnt, sz),
+          rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, token)::BIGINT
+                             AS rk FROM sc)
+          SELECT token, fg_df, bg_df, score, rk FROM rk
+          WHERE rk <= 10 ORDER BY rk""",
+    "a28_ttest" ->
+      """WITH c AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+                           round(value * 100)::BIGINT AS vc
+                    FROM events WHERE event_type IN ('click', 'error')),
+          s AS (SELECT sum(g)::BIGINT AS n1, sum(1 - g)::BIGINT AS n2,
+                       sum(vc * g)::BIGINT AS s1, sum(vc * (1 - g))::BIGINT AS s2,
+                       sum(vc * vc * g)::BIGINT AS ss1,
+                       sum(vc * vc * (1 - g))::BIGINT AS ss2
+                FROM c)
+          SELECT n1, n2,
+                 round((s1::DOUBLE / n1 - s2::DOUBLE / n2) / 100, 6) AS mean_diff_d,
+                 round((s1::DOUBLE / n1 - s2::DOUBLE / n2)
+                       / sqrt((ss1::DOUBLE - s1::DOUBLE * s1 / n1) / (n1 - 1) / n1
+                              + (ss2::DOUBLE - s2::DOUBLE * s2 / n2) / (n2 - 1) / n2),
+                       6) AS t_stat
+          FROM s""",
+    "a29_rate" ->
+      """WITH m AS (SELECT event_type, date_trunc('month', ts)::TIMESTAMP AS month,
+                          count(*)::BIGINT AS n
+                   FROM events GROUP BY 1, 2)
+         SELECT event_type, month, n,
+                (n * 1000000
+                 // date_part('day', last_day(month::DATE)))::BIGINT AS per_day_e6
+         FROM m ORDER BY event_type, month"""
   )
 }

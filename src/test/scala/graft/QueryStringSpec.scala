@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.QueryString
+import graft.functions.QueryString._
+import graft.operators.Percolate
+
+/** The query_string mini-language: parser shape (precedence,
+  * associativity, phrases, query-time analysis) and compiled Column
+  * semantics, plus the percolator built on the same clause algebra. */
+class QueryStringSpec extends SparkSpec {
+
+  // --- parser ---
+
+  test("AND binds tighter than OR; left-associative") {
+    assert(parse("a AND b OR c") ==
+      Or(And(Term("a"), Term("b")), Term("c")))
+    assert(parse("a OR b OR c") ==
+      Or(Or(Term("a"), Term("b")), Term("c")))
+  }
+
+  test("adjacent terms use the implicit default operator (OR)") {
+    assert(parse("a b") == Or(Term("a"), Term("b")))
+  }
+
+  test("NOT binds tighter than AND; -/! are NOT") {
+    assert(parse("NOT a AND b") == And(Not(Term("a")), Term("b")))
+    assert(parse("-a AND !b") == And(Not(Term("a")), Not(Term("b"))))
+  }
+
+  test("parentheses override precedence; '+' is a no-op must marker") {
+    assert(parse("a AND (b OR c)") ==
+      And(Term("a"), Or(Term("b"), Term("c"))))
+    assert(parse("+a AND +b") == And(Term("a"), Term("b")))
+  }
+
+  test("phrases and query-time analysis") {
+    assert(parse("\"hash join\"") == Phrase(Seq("hash", "join")))
+    assert(parse("\"Spark\"") == Term("spark")) // 1-token phrase folds
+    // a word the analyzer splits becomes a phrase, like Lucene
+    // (an interior hyphen stays inside the word at lex time, then
+    // query-time analysis splits it)
+    assert(parse("covid-19") == Phrase(Seq("covid", "19")))
+    assert(parse("Upper") == Term("upper"))
+  }
+
+  test("malformed input throws") {
+    intercept[IllegalArgumentException](parse("(a AND b"))
+    intercept[IllegalArgumentException](parse("\"...\""))
+  }
+
+  // --- compiled semantics ---
+
+  test("compiled predicate: phrase adjacency, NOT, nesting") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "fast hash join beats sort"),
+      (2L, "join the hash crowd"),     // both words, not adjacent
+      (3L, "merge sort only"),
+      (4L, "merge sort but slow")).toDF("id", "text")
+      .withColumn("toks",
+        graft.functions.Analyzers.tokenize(lower(col("text"))))
+    def ids(q: String): Seq[Long] =
+      df.filter(QueryString.matches(q, col("toks")))
+        .select("id").as[Long].collect().toSeq.sorted
+    assert(ids("\"hash join\"") == Seq(1L))
+    assert(ids("hash AND join") == Seq(1L, 2L))
+    assert(ids("(\"hash join\" OR (merge AND sort)) AND NOT slow") ==
+      Seq(1L, 3L))
+    assert(ids("crowd beats") == Seq(1L, 2L)) // implicit OR
+  }
+
+  // --- percolator ---
+
+  test("percolate: must / must_not / minimum_should_match clauses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join fast"),            // q1 (must spark+join, no slow)
+      (2L, "spark join slow"),            // q1 blocked by must_not
+      (3L, "customer order line detail"), // q2 (2 of 3 should)
+      (4L, "customer only"),              // q2 blocked: 0 should hits
+      (5L, "hash merge sort scan fast")   // q4; q5 (scan + fast, no filter)
+    ).toDF("doc_id", "text")
+    val hits = Percolate.percolate(docs)
+      .select("doc_id", "query_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 1L), (3L, 2L), (5L, 4L), (5L, 5L)))
+  }
+
+  test("percolate n_should counts distinct satisfied should clauses") {
+    import spark.implicits._
+    val docs = Seq((9L, "customer order order line line line")).toDF("doc_id", "text")
+    val row = Percolate.percolate(docs).collect().head
+    assert(row.getAs[Long]("query_id") == 2L)
+    assert(row.getAs[Long]("n_should") == 2L) // order+line, each once
+  }
+}
