@@ -43,6 +43,28 @@ object SparkEntry {
     s"""list_transform(regexp_extract_all(regexp_replace($src, '<[^>]*>', ' ', 'g'),
         '[\\p{L}\\p{N}](?:[\\p{L}\\p{N}''’]*[\\p{L}\\p{N}])?'), t -> strip_accents(lower(t)))"""
 
+  /** Shared by `pc1_percolate` and `st8_stream_percolate` (the
+    * streaming percolator is stateless, so its finite-input output is
+    * the batch answer). Mirrors [[Percolate.stored]] verbatim — the
+    * stored-query table IS part of the operator contract. */
+  private lazy val pc1Sql =
+    s"""WITH q(query_id, must, must_not, should, min_should) AS (VALUES
+          (1::BIGINT, ['spark','join'], ['slow'], []::VARCHAR[], 0),
+          (2::BIGINT, ['customer'], []::VARCHAR[], ['order','line','part'], 2),
+          (3::BIGINT, []::VARCHAR[], ['vector'], ['stream','window','batch'], 3),
+          (4::BIGINT, ['hash','merge','sort'], []::VARCHAR[], []::VARCHAR[], 0),
+          (5::BIGINT, ['scan'], ['filter','slow'], ['fast','big'], 1)),
+        t AS (SELECT doc_id, list_distinct(${sqlToks("lower(text)")}) AS toks
+              FROM documents)
+        SELECT doc_id, query_id,
+               len(list_filter(should, x -> list_contains(toks, x)))::BIGINT
+                 AS n_should
+        FROM t, q
+        WHERE len(list_filter(must, x -> NOT list_contains(toks, x))) = 0
+          AND len(list_filter(must_not, x -> list_contains(toks, x))) = 0
+          AND len(list_filter(should, x -> list_contains(toks, x))) >= min_should
+        ORDER BY doc_id, query_id"""
+
   /** The driver's oracle harness hashes result cells with pandas, which
     * cannot hash numpy arrays — every declared query output must be
     * FLAT (scalars only). Array columns are therefore projected through
@@ -1936,6 +1958,10 @@ object SparkEntry {
       // broadcast NL join + codegen'd array clauses, zero shuffle
       Percolate.percolate(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("query_id"))),
+    "st8_stream_percolate" -> ((s, d) =>
+      // ST8: the percolator on the ingest stream (alerting) — stateless
+      // micro-batches, append output ≡ the batch pc1 answer
+      graft.streaming.PercolateStream.runPercolate(s, d)),
     "f15_query_string" -> ((s, d) => {
       // Lucene query_string syntax through the QueryString parser:
       // phrase adjacency, nesting, AND/OR/NOT — compiled to pure
@@ -3849,25 +3875,10 @@ object SparkEntry {
                     FROM events)
          SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
          FROM e GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
-    "pc1_percolate" ->
-      // mirrors Percolate.stored verbatim — the stored-query table IS
-      // part of the operator contract
-      s"""WITH q(query_id, must, must_not, should, min_should) AS (VALUES
-            (1::BIGINT, ['spark','join'], ['slow'], []::VARCHAR[], 0),
-            (2::BIGINT, ['customer'], []::VARCHAR[], ['order','line','part'], 2),
-            (3::BIGINT, []::VARCHAR[], ['vector'], ['stream','window','batch'], 3),
-            (4::BIGINT, ['hash','merge','sort'], []::VARCHAR[], []::VARCHAR[], 0),
-            (5::BIGINT, ['scan'], ['filter','slow'], ['fast','big'], 1)),
-          t AS (SELECT doc_id, list_distinct(${sqlToks("lower(text)")}) AS toks
-                FROM documents)
-          SELECT doc_id, query_id,
-                 len(list_filter(should, x -> list_contains(toks, x)))::BIGINT
-                   AS n_should
-          FROM t, q
-          WHERE len(list_filter(must, x -> NOT list_contains(toks, x))) = 0
-            AND len(list_filter(must_not, x -> list_contains(toks, x))) = 0
-            AND len(list_filter(should, x -> list_contains(toks, x))) >= min_should
-          ORDER BY doc_id, query_id""",
+    "pc1_percolate" -> pc1Sql,
+    // streaming percolate is stateless → finite-input append output ≡
+    // the batch percolator; oracle shared verbatim
+    "st8_stream_percolate" -> pc1Sql,
     "f15_query_string" ->
       // ("hash join" OR (merge AND sort)) AND NOT slow
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents)
