@@ -73,6 +73,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("percolator broadcasts the stored queries; corpus never shuffles") {
+    val p = plan("pc1_percolate")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the only exchange is the final presentation sort — the document
+    // side flows scan → project → broadcast-join → filter unshuffled
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("matrix_stats is one scan + one scalar agg, no object buffers") {
+    val p = plan("a24_matrix_stats")
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("hashpartitioning"), p)
+    assert("Exchange SinglePartition".r.findAllMatchIn(p).size == 1, p)
+  }
+
   test("sequence packing windows are bucket-partitioned, not global") {
     // the N-row running sum must shuffle by BUCKET (parallel windows);
     // the only single-partition exchange allowed is the B-row
