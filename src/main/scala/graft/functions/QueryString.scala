@@ -97,7 +97,10 @@ object QueryString {
 
   private final class P(var ts: List[Tok]) {
     private def peek: Option[Tok] = ts.headOption
-    private def advance(): Tok = { val h = ts.head; ts = ts.tail; h }
+    private def advance(): Tok = ts match {
+      case h :: t => ts = t; h
+      case Nil => throw new IllegalArgumentException("unexpected end of query")
+    }
 
     def parseOr(): Node = {
       var l = parseAnd()

@@ -50,6 +50,41 @@ class QueryStringSpec extends SparkSpec {
     intercept[IllegalArgumentException](parse("\"...\""))
   }
 
+  test("round-trip: rendering any AST with explicit syntax re-parses to it") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo")
+    def node(depth: Int): Gen[Node] =
+      if (depth == 0) Gen.oneOf(
+        word.map(Term(_)),
+        Gen.listOfN(2, word).map(ws => Phrase(ws)))
+      else Gen.frequency(
+        3 -> Gen.lzy(node(0)),
+        2 -> Gen.lzy(for { l <- node(depth - 1); r <- node(depth - 1) } yield And(l, r)),
+        2 -> Gen.lzy(for { l <- node(depth - 1); r <- node(depth - 1) } yield Or(l, r)),
+        1 -> Gen.lzy(node(depth - 1).map(Not(_))))
+    def render(n: Node): String = n match {
+      case Term(t)    => t
+      case Phrase(ts) => ts.mkString("\"", " ", "\"")
+      case Not(x)     => s"NOT (${render(x)})"
+      case And(l, r)  => s"(${render(l)} AND ${render(r)})"
+      case Or(l, r)   => s"(${render(l)} OR ${render(r)})"
+    }
+    // a 2-word phrase of equal words parses back identically; distinct
+    // draws can also collide — the property is parse(render(ast)) == ast
+    val cases = (0 until 300).flatMap(i =>
+      node(3).apply(Gen.Parameters.default, Seed(i.toLong)))
+    cases.foreach { ast =>
+      assert(parse(render(ast)) == ast, render(ast))
+    }
+  }
+
+  test("truncated and empty inputs throw IllegalArgumentException") {
+    intercept[IllegalArgumentException](parse(""))
+    intercept[IllegalArgumentException](parse("a AND"))
+    intercept[IllegalArgumentException](parse("NOT"))
+  }
+
   // --- compiled semantics ---
 
   test("compiled predicate: phrase adjacency, NOT, nesting") {
