@@ -2176,7 +2176,38 @@ object SparkEntry {
         .select(col("event_type"), col("month"), col("n"),
           expr("(n * 1000000) div dayofmonth(last_day(month))")
             .as("per_day_e6"))
-        .orderBy(col("event_type"), col("month")))
+        .orderBy(col("event_type"), col("month"))),
+
+    "geo1_geohash_grid" -> ((s, d) =>
+      // ES geo_bounding_box + geohash_grid (precision 2): REAL geohash
+      // bit-interleave in pure integer arithmetic over synthetic
+      // microdegree points; box prunes before the one cell shuffle
+      Geo.geohashGrid(Tables.customer(s, d), col("c_custkey"))
+        .orderBy(col("rk"))),
+    "geo2_geo_distance" -> ((s, d) =>
+      // ES geo_distance range + nearest-k sort in exact squared-degree
+      // integers (trig-free — no libm divergence); TakeOrderedAndProject
+      Geo.nearest(Tables.customer(s, d), col("c_custkey"),
+        col("c_custkey"))),
+    "w13_moving_percentiles" -> ((s, d) => {
+      // ES moving_percentiles: trailing-7-bucket median of the daily
+      // counts — integer counts, type-7 median as an EXACT ×2 integer
+      // (odd window → element, even → midpoint sum); window runs over
+      // the ~30 post-agg bucket rows like w7/w12
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("arr", sort_array(collect_list(col("n")).over(w)))
+        .select(col("day"), col("n"),
+          expr("""cast(CASE WHEN size(arr) % 2 = 1
+                       THEN element_at(arr, cast((size(arr) + 1) div 2 as int)) * 2
+                       ELSE element_at(arr, cast(size(arr) div 2 as int))
+                            + element_at(arr, cast(size(arr) div 2 + 1 as int))
+                  END as bigint)""").as("med7_x2"))
+        .orderBy(col("day"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4019,6 +4050,42 @@ object SparkEntry {
          SELECT event_type, month, n,
                 (n * 1000000
                  // date_part('day', last_day(month::DATE)))::BIGINT AS per_day_e6
-         FROM m ORDER BY event_type, month"""
+         FROM m ORDER BY event_type, month""",
+    "geo1_geohash_grid" ->
+      s"""WITH p AS (SELECT ((c_custkey * 2654435761) % 180000000) - 90000000 AS lat,
+                            ((c_custkey * 2654435761 * 31 + 7) % 360000000) - 180000000 AS lon
+                     FROM customer),
+          f AS (SELECT * FROM p WHERE lat BETWEEN -45000000 AND 45000000
+                                  AND lon BETWEEN -90000000 AND 90000000),
+          g AS (SELECT substring((${Geo.geohash6Sql("lat", "lon")}), 1, 2) AS cell
+                FROM f),
+          c AS (SELECT cell, count(*)::BIGINT AS n FROM g GROUP BY 1),
+          r AS (SELECT *, row_number() OVER (ORDER BY n DESC, cell)::BIGINT AS rk
+                FROM c)
+          SELECT cell, n, rk FROM r WHERE rk <= 10 ORDER BY rk""",
+    "geo2_geo_distance" ->
+      """WITH p AS (SELECT c_custkey AS id,
+                           ((c_custkey * 2654435761) % 180000000) - 90000000 AS lat,
+                           ((c_custkey * 2654435761 * 31 + 7) % 360000000) - 180000000 AS lon
+                    FROM customer),
+          d AS (SELECT id, lat::BIGINT AS lat, lon::BIGINT AS lon,
+                       (lat * lat + lon * lon)::BIGINT AS d2
+                FROM p)
+          SELECT id, lat, lon, d2 FROM d
+          WHERE d2 <= 20000000::BIGINT * 20000000
+          ORDER BY d2, id LIMIT 20""",
+    "w13_moving_percentiles" ->
+      """WITH daily AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                               count(*)::BIGINT AS n
+                        FROM events GROUP BY 1),
+          w AS (SELECT day, n,
+                       list_sort(list(n) OVER (ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+                FROM daily)
+          SELECT day, n,
+                 (CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2] * 2
+                       ELSE arr[len(arr) // 2] + arr[len(arr) // 2 + 1]
+                  END)::BIGINT AS med7_x2
+          FROM w ORDER BY day"""
   )
 }
