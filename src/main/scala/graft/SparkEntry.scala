@@ -2207,6 +2207,50 @@ object SparkEntry {
                             + element_at(arr, cast(size(arr) div 2 + 1 as int))
                   END as bigint)""").as("med7_x2"))
         .orderBy(col("day"))
+    }),
+    "t15_term_suggest" -> ((s, d) => {
+      // ES term suggester: correction candidates for misspelled inputs
+      // from the corpus vocabulary — edit distance ≤ 2 with the length
+      // pre-filter (two integer ops prune most of the vocab before any
+      // levenshtein runs), ranked (distance, freq desc, term), top 3.
+      // The vocab agg is ONE shuffle; the 4 input terms broadcast to
+      // it — never the reverse.
+      import s.implicits._
+      val inputs = Seq("custmer", "streem", "windoq", "qury", "ke")
+        .toDF("input") // "ke" is deliberately ambiguous: key/a/the all
+                       // within distance 2 — exercises the rank ties
+      Tables.documents(s, d)
+        .select(explode(Analyzers.tokenize(lower(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .join(broadcast(inputs),
+          abs(length(col("term")) - length(col("input"))) <= 2 &&
+            levenshtein(col("term"), col("input")) <= 2)
+        .withColumn("dist",
+          levenshtein(col("term"), col("input")).cast("long"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("input"))
+          .orderBy(col("dist"), col("freq").desc, col("term"))))
+        .filter(col("rk") <= 3)
+        .select(col("input"), col("term"), col("dist"), col("freq"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("input"), col("rk"))
+    }),
+    "a30_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS — the generalization that a4's rollup
+      // and a7's cube specialize: mixed-granularity totals in ONE
+      // expand + shuffle, revenue exact in cents, grouping_id making
+      // each stratum hash-stable alongside the 'ALL' markers
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               cast(grouping_id(o_orderstatus, o_orderpriority) as bigint)
+                 AS gid,
+               count(*) AS n,
+               sum(cast(round(o_totalprice * 100, 0) as bigint)) AS cents
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, status, priority""")
     })
   )
 
@@ -4086,6 +4130,33 @@ object SparkEntry {
                  (CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2] * 2
                        ELSE arr[len(arr) // 2] + arr[len(arr) // 2 + 1]
                   END)::BIGINT AS med7_x2
-          FROM w ORDER BY day"""
+          FROM w ORDER BY day""",
+    "t15_term_suggest" ->
+      s"""WITH v AS (SELECT token AS term, count(*)::BIGINT AS freq
+                     FROM (SELECT unnest(toks) AS token
+                           FROM (SELECT ${sqlToks("lower(text)")} AS toks
+                                 FROM documents))
+                     GROUP BY 1),
+          q(input) AS (VALUES ('custmer'),('streem'),('windoq'),('qury'),('ke')),
+          c AS (SELECT input, term, levenshtein(term, input)::BIGINT AS dist,
+                       freq
+                FROM v, q
+                WHERE abs(len(term) - len(input)) <= 2
+                  AND levenshtein(term, input) <= 2),
+          r AS (SELECT *, row_number() OVER (PARTITION BY input
+                             ORDER BY dist, freq DESC, term)::BIGINT AS rk
+                FROM c)
+          SELECT input, term, dist, freq, rk FROM r
+          WHERE rk <= 3 ORDER BY input, rk""",
+    "a30_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+                count(*)::BIGINT AS n,
+                sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), ())
+         ORDER BY gid, status, priority"""
   )
 }
