@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // fixed-point batch, so ColumnPruning gets to delete a collect
     // whose only consumer the rule just rewrote away
     ext.injectOptimizerRule(_ => graft.plans.CollectStrengthReduction)
+    ext.injectOptimizerRule(_ => graft.plans.TokenMatchPrefilter)
   }
 }
 

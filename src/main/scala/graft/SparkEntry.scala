@@ -2234,6 +2234,24 @@ object SparkEntry {
           col("rk").cast("long").as("rk"))
         .orderBy(col("input"), col("rk"))
     }),
+    "opt2_token_prefilter" -> ((s, d) => {
+      // TokenMatchPrefilter on a LIVE session (same clone-session
+      // isolation as opt1): a naive boolean term query over analyzed
+      // text executes with the memcmp substring prefilter conjoined
+      // ahead of the tokenizer — including the OR-propagated
+      // contains('merge') OR contains('vector') arm (plan-locked in
+      // TokenPrefilterSpec). The rewrite is verdict-preserving by
+      // construction, so the oracle replays the plain term query.
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        Seq(graft.plans.TokenMatchPrefilter)
+      val tk = Analyzers.tokenize(lower(col("text")))
+      Tables.documents(s2, d)
+        .filter((array_contains(tk, "merge") && array_contains(tk, "sort"))
+          || array_contains(tk, "vector"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "a30_grouping_sets" -> ((s, d) => {
       // explicit GROUPING SETS — the generalization that a4's rollup
       // and a7's cube specialize: mixed-granularity totals in ONE
@@ -4148,6 +4166,12 @@ object SparkEntry {
                 FROM c)
           SELECT input, term, dist, freq, rk FROM r
           WHERE rk <= 3 ORDER BY input, rk""",
+    "opt2_token_prefilter" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents)
+          SELECT doc_id FROM t
+          WHERE (list_contains(toks, 'merge') AND list_contains(toks, 'sort'))
+             OR list_contains(toks, 'vector')
+          ORDER BY doc_id""",
     "a30_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
                 coalesce(o_orderpriority, 'ALL') AS priority,
