@@ -19,23 +19,39 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a
-    * microsecond timestamp — the sub-microsecond part of the synthetic
-    * data is zero, so this is lossless here; at scale the same trick
-    * applies (nanos → micros is a plain projection). */
+  /** Upstream writers have shipped `events.ts` under several parquet
+    * encodings over time — TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects outright, hence `nanosAsLong`), plain microsecond
+    * timestamp-without-timezone (read back as TIMESTAMP_NTZ), and true
+    * TIMESTAMP. The ingest contract of this engine is a single
+    * `TimestampType` column regardless of encoding (the reference pins
+    * ingest typing the same way via an explicit date format in its
+    * mapping), so normalize all three here. NTZ → TIMESTAMP is a
+    * lossless reinterpretation under the pinned UTC session timezone. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integral `div`, NOT `/`: long / long is double division in the
-      // Column DSL, and 2024-epoch nanos exceed 2⁵³ — the round-trip
-      // through double was off by 1 µs on some rows
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.withColumn("ts", normalizeTs(df.schema("ts").dataType))
+  }
+
+  /** `ts` under any historical encoding → one `TimestampType` column.
+    * Shared by the batch reader above and the streaming ingest
+    * (`streaming.EventStream.eventsStream`). */
+  private[graft] def normalizeTs(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    dt match {
+      // nanos-as-long: integral `div`, NOT `/` — long / long is double
+      // division in the Column DSL, and 2024-epoch nanos exceed 2⁵³;
+      // the round-trip through double was off by 1 µs on some rows
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet type $other; expected " +
+        "TIMESTAMP(NANOS) long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")

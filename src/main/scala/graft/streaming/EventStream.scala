@@ -98,19 +98,17 @@ object EventStream {
   // (a restart resumes from its own checkpoint in production; here
   // every run is a new pipeline).
 
-  /** The events table as a file-source STREAM, with the same
-    * TIMESTAMP(NANOS) → micros projection as the batch reader
-    * (`Tables.events`) so batch and streaming ingest share one schema
-    * contract. */
+  /** The events table as a file-source STREAM, normalizing `ts` to
+    * `TimestampType` across all historical parquet encodings via the
+    * same projection as the batch reader (`Tables.normalizeTs`) so
+    * batch and streaming ingest share one schema contract. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = java.nio.file.Paths.get(dir, "events.parquet")
     val streamDir = streamableDir(path)
     val schema = spark.read.parquet(path.toString).schema
     val raw = spark.readStream.schema(schema).parquet(streamDir)
-    if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.withColumn("ts", graft.Tables.normalizeTs(schema("ts").dataType))
   }
 
   private[streaming] def freshDir(prefix: String): String = {
