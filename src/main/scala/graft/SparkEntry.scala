@@ -1491,15 +1491,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "w10_percent_rank" -> ((s, d) => {
       // percent_rank + cume_dist per return flag over a total order
-      // (price, orderkey, linenumber) — tie-free so both engines agree
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice"), col("l_orderkey"),
-          col("l_linenumber"))
-      Tables.lineitem(s, d)
+      // (price, orderkey, linenumber) — tie-free so both engines agree.
+      // Two-pass distributed rank (operators.Rank): a window partitioned
+      // by the 3-value flag would sort the whole fact table on three
+      // tasks; here the only fact-size shuffle is over (flag, value
+      // bucket) and the cross-bucket offsets are a tiny prefix sum.
+      operators.Rank.percentRank(Tables.lineitem(s, d),
+          partCols = Seq("l_returnflag"),
+          orderCols = Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          round(col("pr"), 6).as("pr"),
+          round(col("cume"), 6).as("cd"))
         .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
     }),
     "a18_adjacency_matrix" -> ((s, d) => {

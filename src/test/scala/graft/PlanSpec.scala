@@ -121,4 +121,21 @@ class PlanSpec extends SparkSpec {
     // same discipline for the significant-terms per-category top-k
     assert(plan("a8_significant_terms").contains("WindowGroupLimit"))
   }
+
+  test("percent_rank buckets the fact window, no 3-partition sort") {
+    // the round-5 scale flag: Window.partitionBy(l_returnflag) alone
+    // funnels the fact table into three single-task sorts. The two-pass
+    // Rank operator must shuffle the fact rows by (flag, bucket) only.
+    val p = plan("w10_percent_rank")
+    // old shape: windowspecdefinition(l_returnflag#8, l_extendedprice#5
+    // ASC, …) — a fact-ordering window partitioned by flag alone
+    assert("windowspecdefinition\\(l_returnflag#\\d+, l_extendedprice".r
+      .findFirstIn(p).isEmpty,
+      s"fact window partitioned by the low-cardinality flag alone:\n$p")
+    // ranks are arithmetic, never window percent_rank/cume_dist
+    assert(!p.contains("percent_rank(") && !p.contains("cume_dist("), p)
+    // the fact-size row_number window must include the value bucket
+    assert("windowspecdefinition\\(l_returnflag#\\d+, bucket#".r
+      .findFirstIn(p).isDefined, p)
+  }
 }
