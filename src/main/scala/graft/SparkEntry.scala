@@ -149,6 +149,34 @@ object SparkEntry {
           round(col("o_totalprice") + coalesce(col("qty"), lit(0.0)), 2)
             .as("new_total"))
     }),
+    "s8b_versioned_update" -> ((s, d) => {
+      // optimistic concurrency control on scripted updates
+      // (docs/protokol.md:590-629): each stored row carries a
+      // _seq_no-style version token; an update presents the version it
+      // read, a stale presentation is REJECTED and surfaced, an
+      // accepted merge bumps the token. Both the standing versions and
+      // the update batch are derived deterministically here so the
+      // oracle replays the same state machine. Plain broadcast-able
+      // equi-join + branch-free CASE projection — shape identical to s8.
+      val cur = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"), (col("o_orderkey") % 5 + 1).as("seq_no"))
+      // updates for even keys only; 1-in-3 presents the CURRENT token,
+      // the rest read a stale snapshot (token - 1)
+      val upd = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("u_key"),
+          when(col("o_orderkey") % 3 === 0, col("o_orderkey") % 5 + 1)
+            .otherwise(col("o_orderkey") % 5).as("expected_seq"))
+      val hit = col("expected_seq") === col("seq_no")
+      cur.join(upd, col("o_orderkey") === col("u_key"), "left")
+        .select(col("o_orderkey"),
+          coalesce(hit, lit(false)).as("applied"),
+          when(hit, col("seq_no") + 1).otherwise(col("seq_no"))
+            .as("seq_no_after"),
+          round(when(hit, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")), 2).as("total_after"))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // ---- projections / filters (SURVEY §2.2) ----
     "p1_project" -> ((s, d) =>
@@ -2284,6 +2312,23 @@ object SparkEntry {
       """SELECT o.o_orderkey, round(o.o_totalprice + coalesce(d.qty, 0.0), 2) AS new_total
          FROM orders o LEFT JOIN (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY 1) d
          ON d.l_orderkey = o.o_orderkey ORDER BY o.o_orderkey""",
+    "s8b_versioned_update" ->
+      """SELECT c.o_orderkey,
+                COALESCE(u.expected_seq = c.seq_no, FALSE) AS applied,
+                CASE WHEN u.expected_seq = c.seq_no
+                     THEN c.seq_no + 1 ELSE c.seq_no END AS seq_no_after,
+                round(CASE WHEN u.expected_seq = c.seq_no
+                           THEN c.o_totalprice + 10.0
+                           ELSE c.o_totalprice END, 2) AS total_after
+         FROM (SELECT o_orderkey, o_totalprice,
+                      o_orderkey % 5 + 1 AS seq_no FROM orders) c
+         LEFT JOIN (SELECT o_orderkey AS u_key,
+                           CASE WHEN o_orderkey % 3 = 0
+                                THEN o_orderkey % 5 + 1
+                                ELSE o_orderkey % 5 END AS expected_seq
+                    FROM orders WHERE o_orderkey % 2 = 0) u
+         ON c.o_orderkey = u.u_key
+         ORDER BY c.o_orderkey""",
     "p1_project" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice * 0.9 AS discounted
          FROM orders ORDER BY id""",

@@ -176,4 +176,78 @@ class EdgeCaseSpec extends SparkSpec {
     assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
       == ((7L, 3L, 0L, 0L)))
   }
+
+  // ---- funnelMachine's two documented approximations (EventStream
+  // docs) probed against the batch funnel it must converge to --------
+
+  private def funnelEvents = Seq(
+    // user 7: stages arrive in REVERSE order across three micro-batches
+    // (purchase, then click, then signup), event times consistent —
+    // the buffered candidates must convert once the prerequisite lands
+    (1L, "2024-01-01 10:20:00", 7L, "purchase"),
+    (2L, "2024-01-01 10:10:00", 7L, "click"),
+    (3L, "2024-01-01 10:00:00", 7L, "signup"))
+
+  private def runMachine(batches: Seq[Seq[(Long, String, Long, String)]],
+                         bufCap: Int): Map[Long, Int] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val name = "funnel_edge_" + java.util.UUID.randomUUID().toString
+      .replaceAll("-", "")
+    val q = graft.streaming.EventStream
+      .funnelMachine(spark, df, Seq("signup", "click", "purchase"), bufCap)
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .start()
+    batches.foreach { b =>
+      mem.addData(b.map { case (id, ts, u, tpe) =>
+        (id, java.sql.Timestamp.valueOf(ts), u, tpe, 1.0, "{}") })
+      q.processAllAvailable()
+    }
+    val out = spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).max }
+    q.stop()
+    out
+  }
+
+  private def batchReached(evs: Seq[(Long, String, Long, String)]): Long = {
+    // highest stage the batch e7 oracle counts the user into
+    val df = evs.map { case (id, ts, u, tpe) =>
+      (id, java.sql.Timestamp.valueOf(ts), u, tpe) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    EventOps.funnel(df, Seq("signup", "click", "purchase"))
+      .filter(col("n_users") > 0).count()
+  }
+
+  test("funnel: prerequisite arriving in a LATER micro-batch still converts") {
+    val batches = funnelEvents.map { case (id, ts, u, tpe) =>
+      Seq((id, ts, u, tpe)) } // one event per micro-batch, reverse order
+    val streamed = runMachine(batches, bufCap = 64)
+    assert(streamed(7L) == 3, s"streamed reached ${streamed(7L)}")
+    // convergence claim: equals the batch funnel over the same events
+    assert(batchReached(funnelEvents.map { case (id, ts, u, tpe) =>
+      (id, ts, u, tpe) }) == 3L)
+  }
+
+  test("funnel: bufCap overflow drops only beyond-horizon candidates") {
+    // stage-2 candidates 10:00 / 10:05 / 10:30 arrive before the
+    // prerequisite; signup then locks at 10:10, so only the 10:30
+    // candidate qualifies. With bufCap=2 the two SMALLEST are kept and
+    // 10:30 is dropped — the documented approximation: stage stays 1
+    // while the batch oracle reaches 2. An adequate bufCap converges.
+    val evs = Seq(
+      (1L, "2024-01-01 10:00:00", 9L, "click"),
+      (2L, "2024-01-01 10:05:00", 9L, "click"),
+      (3L, "2024-01-01 10:30:00", 9L, "click"),
+      (4L, "2024-01-01 10:10:00", 9L, "signup"))
+    val batches = Seq(evs.take(3), evs.drop(3))
+    val truncated = runMachine(batches, bufCap = 2)
+    assert(truncated(9L) == 1, s"bufCap=2 reached ${truncated(9L)}")
+    assert(batchReached(evs) == 2L) // what an unbounded buffer must find
+    val adequate = runMachine(batches, bufCap = 3)
+    assert(adequate(9L) == 2, s"bufCap=3 reached ${adequate(9L)}")
+  }
 }
