@@ -1988,6 +1988,14 @@ object SparkEntry {
       // broadcast NL join + codegen'd array clauses, zero shuffle
       Percolate.percolate(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("query_id"))),
+    "pc2_percolate_indexed" -> ((s, d) =>
+      // the same percolator through candidate pre-selection: a
+      // necessary-term inverted index over the stored queries prunes
+      // the (doc, query) pairs before clause evaluation — identical
+      // results (same oracle as pc1), broadcast-hash instead of
+      // nested-loop, built for 1000s of stored queries
+      Percolate.percolateIndexed(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("query_id"))),
     "st8_stream_percolate" -> ((s, d) =>
       // ST8: the percolator on the ingest stream (alerting) — stateless
       // micro-batches, append output ≡ the batch pc1 answer
@@ -4016,6 +4024,7 @@ object SparkEntry {
          SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
          FROM e GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
     "pc1_percolate" -> pc1Sql,
+    "pc2_percolate_indexed" -> pc1Sql,
     // streaming percolate is stateless → finite-input append output ≡
     // the batch percolator; oracle shared verbatim
     "st8_stream_percolate" -> pc1Sql,

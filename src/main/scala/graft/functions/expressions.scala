@@ -660,6 +660,32 @@ object expressions {
     GraftShim.toColumn(BpeTokens(GraftShim.toExpression(preTokens),
       merges.map { case (l, r) => s"$l $r" }.mkString(",")))
 
+  /** Percolator candidate pre-selection over a token array (see
+    * [[PercolateIndexImpl]]): the necessary-term → query-id inverted
+    * index rides as a constant spec through the references array;
+    * per row the kernel is |tokens| hash lookups inside whole-stage
+    * codegen. */
+  case class CandidateQueries(child: Expression, indexSpec: String)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      PercolateIndexImpl.candidates(v.asInstanceOf[ArrayData], indexSpec)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = ctx.addReferenceObj("percIndex", indexSpec, "java.lang.String")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.PercolateIndexImpl.candidates($c, $m)")
+    }
+    override protected def withNewChildInternal(c: Expression): CandidateQueries =
+      copy(child = c)
+    override def prettyName: String = "candidate_queries"
+  }
+
+  def candidate_queries(toks: Column, indexSpec: String): Column =
+    GraftShim.toColumn(
+      CandidateQueries(GraftShim.toExpression(toks), indexSpec))
+
   // Spark's runtime-filter machinery (SPARK-32268) as explicit user
   // operators: the same BloomFilterAggregate/BloomFilterMightContain
   // expressions AQE injects, exposed so a pipeline can pre-prune a fact

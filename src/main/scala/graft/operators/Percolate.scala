@@ -33,18 +33,21 @@ object Percolate {
     (4L, Seq("hash", "merge", "sort"), Seq.empty, Seq.empty, 0),
     (5L, Seq("scan"), Seq("filter", "slow"), Seq("fast", "big"), 1))
 
-  def storedQueries(spark: SparkSession): DataFrame = {
+  type StoredQuery = (Long, Seq[String], Seq[String], Seq[String], Int)
+
+  def storedQueries(spark: SparkSession,
+                    qs: Seq[StoredQuery] = stored): DataFrame = {
     import spark.implicits._
-    stored.toDF("query_id", "must", "must_not", "should", "min_should")
+    qs.toDF("query_id", "must", "must_not", "should", "min_should")
   }
 
-  /** Match every document against every stored query; emit one row per
-    * (doc, query) hit with the satisfied should-clause count. */
-  def percolate(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val toks = docs.select(col("doc_id"),
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       array_distinct(Analyzers.tokenize(lower(col("text")))).as("toks"))
-    toks.crossJoin(broadcast(storedQueries(spark)))
+
+  /** The bool-clause evaluation shared by both match paths. */
+  private def evalClauses(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("n_should",
         size(filter(col("should"), t => array_contains(col("toks"), t))))
       .filter(
@@ -53,5 +56,67 @@ object Percolate {
           col("n_should") >= col("min_should"))
       .select(col("doc_id"), col("query_id"),
         col("n_should").cast("long").as("n_should"))
+
+  /** Match every document against every stored query; emit one row per
+    * (doc, query) hit with the satisfied should-clause count. */
+  def percolate(docs: DataFrame, qs: Seq[StoredQuery] = stored): DataFrame =
+    evalClauses(tokenized(docs)
+      .crossJoin(broadcast(storedQueries(docs.sparkSession, qs))))
+
+  /** Necessary-term inverted index over a stored-query set, in the
+    * [[graft.functions.PercolateIndexImpl]] spec encoding: one must
+    * term per must-query (the longest — a rarity heuristic absent term
+    * statistics), every should term for must-free queries with
+    * `minimum_should_match ≥ 1`, and queries with no necessary
+    * condition as always-candidate residuals. */
+  def indexSpec(qs: Seq[StoredQuery]): String = {
+    val postings =
+      scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
+    val residual = Vector.newBuilder[Long]
+    qs.foreach { case (id, must, _, should, minShould) =>
+      val keys =
+        if (must.nonEmpty) Seq(must.maxBy(t => (t.length, t)))
+        else if (minShould > 0 && should.nonEmpty) should.distinct
+        else Seq.empty
+      if (keys.isEmpty) residual += id
+      else keys.foreach { t =>
+        require(!t.exists(",;:|".contains(_)), s"unindexable term $t")
+        postings(t) = postings.getOrElse(t, Vector.empty) :+ id
+      }
+    }
+    residual.result().mkString(",") + "|" +
+      postings.map { case (t, ids) => s"$t:${ids.mkString(",")}" }
+        .mkString(";")
+  }
+
+  /** Percolate with candidate pre-selection — the 100 TB / large-query-
+    * set path. Instead of evaluating all |docs|×|queries| pairs in a
+    * broadcast nested loop, each doc looks up its candidate query ids
+    * in the necessary-term index (a codegen'd per-token hash probe),
+    * explodes only those, and the clause evaluation joins the query
+    * table by id as a BROADCAST HASH join. Results are identical to
+    * [[percolate]] by construction (the index is a necessary
+    * condition); the corpus still never shuffles. */
+  def percolateIndexed(docs: DataFrame,
+                       qs: Seq[StoredQuery] = stored): DataFrame = {
+    val spec = indexSpec(qs)
+    val cand = tokenized(docs)
+      .withColumn("query_id",
+        explode(graft.functions.expressions
+          .candidate_queries(col("toks"), spec)))
+    evalClauses(
+      cand.join(broadcast(storedQueries(docs.sparkSession, qs)), "query_id"))
+  }
+
+  /** (docs×queries evaluated by the nested loop, pairs the index would
+    * evaluate) — the pre-selection win, measured. */
+  def evaluationCounts(docs: DataFrame, qs: Seq[StoredQuery]): (Long, Long) = {
+    val t = tokenized(docs)
+    val full = t.count() * qs.length
+    val cand = t.select(
+      sum(size(graft.functions.expressions
+        .candidate_queries(col("toks"), indexSpec(qs)))).as("n"))
+      .head.getLong(0)
+    (full, cand)
   }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Percolate
+
+/** The percolator's candidate pre-selection: the indexed path must be
+  * result-identical to the nested-loop path (the index is a necessary
+  * condition, never a filter on semantics), and on a large stored-query
+  * set it must actually prune — the point of the index is that a 100 TB
+  * corpus against thousands of alerting queries evaluates a few
+  * candidates per doc, not |docs|×|queries| pairs. */
+class PercolateIndexSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  /** 1000 deterministic stored queries over a vocabulary: two-thirds
+    * must-queries, a quarter should-queries, a sliver of residual
+    * match-unless queries with no necessary term. */
+  private def fixture(vocab: Seq[String]): Seq[Percolate.StoredQuery] = {
+    val v = vocab.length
+    (0 until 1000).map { i =>
+      val a = vocab(i % v); val b = vocab((i * 7 + 3) % v)
+      val c = vocab((i * 13 + 5) % v)
+      i % 12 match {
+        case k if k < 8 => // must + must_not
+          (i.toLong, Seq(a, b), Seq(c), Seq.empty[String], 0)
+        case k if k < 11 => // pure should with a floor
+          (i.toLong, Seq.empty[String], Seq.empty[String], Seq(a, b, c), 2)
+        case _ => // residual: no necessary condition
+          (i.toLong, Seq.empty[String], Seq(a), Seq.empty[String], 0)
+      }
+    }
+  }
+
+  /** Stored queries over the real corpus' own (tiny, ~31-term) vocab —
+    * every query term actually occurs, so the equality check exercises
+    * dense hit sets. */
+  private lazy val corpusFixture: Seq[Percolate.StoredQuery] =
+    fixture(docs
+      .select(explode(array_distinct(
+        graft.functions.Analyzers.tokenize(lower(col("text"))))).as("t"))
+      .groupBy("t").count()
+      .orderBy(desc("count"), asc("t"))
+      .limit(200).collect().map(_.getString(0)).toSeq)
+
+  /** A synthetic sparse corpus (2000-term vocabulary, 30 tokens/doc) —
+    * the realistic regime for the PRUNING claim: the driver corpus'
+    * 31-term vocabulary puts nearly every term in nearly every doc, so
+    * no term index could prune it. */
+  private lazy val sparseVocab: Seq[String] = (0 until 2000).map(i => s"w$i")
+  private lazy val sparseDocs = {
+    import spark.implicits._
+    (0 until 500).map { i =>
+      val text = (0 until 30)
+        .map(j => sparseVocab(((i * 31 + j * 17 + i * j) % 7919) % 2000))
+        .mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("indexed percolate equals the nested-loop percolate on 1000 queries") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    for ((corpus, qs) <- Seq((docs, corpusFixture),
+                             (sparseDocs, fixture(sparseVocab)))) {
+      val full = Percolate.percolate(corpus, qs).collect().map(key).toSet
+      val idx = Percolate.percolateIndexed(corpus, qs).collect().map(key).toSet
+      assert(full.nonEmpty, "fixture must produce hits to be meaningful")
+      assert(idx == full)
+    }
+  }
+
+  test("candidate pre-selection prunes most of the evaluation pairs") {
+    val qs = fixture(sparseVocab)
+    val (full, cand) = Percolate.evaluationCounts(sparseDocs, qs)
+    assert(full == 500L * 1000)
+    // residual (no-necessary-term) queries are always-candidates by
+    // construction — subtract that floor; the INDEXABLE queries must
+    // prune to under 10% of their pairs
+    val residualFloor =
+      qs.count { case (_, m, _, sh, ms) =>
+        m.isEmpty && (ms == 0 || sh.isEmpty) } * 500L
+    assert((cand - residualFloor) < (full - residualFloor) / 10,
+      s"index evaluated $cand of $full pairs (floor $residualFloor) — " +
+      "no real pruning")
+  }
+
+  test("the 5-query driver fixture matches across both paths too") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val full = Percolate.percolate(docs).collect().map(key).toSet
+    val idx = Percolate.percolateIndexed(docs).collect().map(key).toSet
+    assert(idx == full && full.nonEmpty)
+  }
+}
