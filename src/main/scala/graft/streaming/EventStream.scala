@@ -131,13 +131,27 @@ object EventStream {
                                      prefix: String): String = {
     val name =
       prefix + java.util.UUID.randomUUID().toString.replaceAll("-", "")
-    df.writeStream
-      .outputMode(mode)
-      .format("memory").queryName(name)
-      .option("checkpointLocation", freshDir(prefix + "ck"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
+    // Stateful queries snapshot spark.sql.shuffle.partitions at their
+    // first batch as the STATE partition count, and the HDFS-backed
+    // store commits one delta file per state partition per micro-batch
+    // — at this harness's data scale that fixed file-IO dominates
+    // (measured ~2× on st3 at 32 vs 8 partitions). Pin a harness-
+    // appropriate count for the query's lifetime and restore; a real
+    // deployment sizes this to its key space, not to this default.
+    val spark = df.sparkSession
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(oldParts.toInt, streamParts.toInt).toString)
+    try {
+      df.writeStream
+        .outputMode(mode)
+        .format("memory").queryName(name)
+        .option("checkpointLocation", freshDir(prefix + "ck"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
     name
   }
 
