@@ -2272,6 +2272,57 @@ object SparkEntry {
           col("rk").cast("long").as("rk"))
         .orderBy(col("input"), col("rk"))
     }),
+    "t16_phrase_suggest" -> ((s, d) => {
+      // ES phrase suggester: per-position term-suggester candidates for
+      // misspelled two-word phrases, whole-phrase candidates scored by
+      // the corpus BIGRAM frequency (an exact integer language model —
+      // no float log-probs to diverge cross-engine), ranked (bigram
+      // freq desc, total edit distance, summed unigram freq desc,
+      // words). "sart a" is deliberately ambiguous (sort/part both
+      // distance 1) — context picks "sort a", the frequent bigram.
+      // Scale shape: vocab + bigram tables are the only corpus
+      // shuffles (combiner-friendly counts); candidate generation
+      // broadcasts the INPUTS to the vocab, and the tiny pair frame
+      // broadcast-joins the bigram counts.
+      import s.implicits._
+      val inputs = Seq((1L, "custmer", "joun"), (2L, "sart", "a"))
+        .toDF("pid", "w1", "w2")
+      val toks = Tables.documents(s, d)
+        .select(Analyzers.tokenize(lower(col("text"))).as("toks"))
+      val vocab = toks.select(explode(col("toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val bigrams = toks.select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .groupBy(col("p.w1").as("b1"), col("p.w2").as("b2"))
+        .agg(count(lit(1)).as("bg_freq"))
+      def cands(w: String, c: String, dN: String, fN: String, rN: String) =
+        vocab.join(broadcast(inputs),
+            abs(length(col("term")) - length(col(w))) <= 1 &&
+              levenshtein(col("term"), col(w)) <= 1)
+          .select(col("pid"), col("term").as(c),
+            levenshtein(col("term"), col(w)).cast("long").as(dN),
+            col("freq").as(fN),
+            row_number().over(Window.partitionBy(col("pid"), col(w))
+              .orderBy(levenshtein(col("term"), col(w)),
+                col("freq").desc, col("term"))).as(rN))
+          .filter(col(rN) <= 5).drop(rN)
+      val pairs = cands("w1", "c1", "d1", "f1", "rk1")
+        .join(cands("w2", "c2", "d2", "f2", "rk2"), "pid")
+      pairs
+        .join(bigrams, col("c1") === col("b1") && col("c2") === col("b2"),
+          "left")
+        .withColumn("bg_freq", coalesce(col("bg_freq"), lit(0L)))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("pid"))
+          .orderBy(col("bg_freq").desc, (col("d1") + col("d2")).asc,
+            (col("f1") + col("f2")).desc, col("c1"), col("c2")))
+          .cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("pid"), col("c1").as("sug1"), col("c2").as("sug2"),
+          col("bg_freq"), col("rk"))
+        .orderBy(col("pid"), col("rk"))
+    }),
     "opt2_token_prefilter" -> ((s, d) => {
       // TokenMatchPrefilter on a LIVE session (same clone-session
       // isolation as opt1): a naive boolean term query over analyzed
@@ -4222,6 +4273,50 @@ object SparkEntry {
                 FROM c)
           SELECT input, term, dist, freq, rk FROM r
           WHERE rk <= 3 ORDER BY input, rk""",
+    "t16_phrase_suggest" ->
+      s"""WITH t AS (SELECT ${sqlToks("lower(text)")} AS toks FROM documents),
+          v AS (SELECT token AS term, count(*)::BIGINT AS freq
+                FROM (SELECT unnest(toks) AS token FROM t) GROUP BY 1),
+          bg AS (SELECT p.w1 AS b1, p.w2 AS b2, count(*)::BIGINT AS bg_freq
+                 FROM (SELECT unnest(list_transform(
+                          generate_series(1, len(toks) - 1),
+                          i -> struct_pack(w1 := toks[i], w2 := toks[i+1])))
+                          AS p FROM t)
+                 GROUP BY 1, 2),
+          q(pid, w1, w2) AS (VALUES (1::BIGINT, 'custmer', 'joun'),
+                                    (2::BIGINT, 'sart', 'a')),
+          c1 AS (SELECT * FROM (
+                   SELECT pid, term AS c1,
+                          levenshtein(term, w1)::BIGINT AS d1, freq AS f1,
+                          row_number() OVER (PARTITION BY pid, w1
+                            ORDER BY levenshtein(term, w1), freq DESC, term)
+                            AS rk1
+                   FROM v, q
+                   WHERE abs(len(term) - len(w1)) <= 1
+                     AND levenshtein(term, w1) <= 1) WHERE rk1 <= 5),
+          c2 AS (SELECT * FROM (
+                   SELECT pid, term AS c2,
+                          levenshtein(term, w2)::BIGINT AS d2, freq AS f2,
+                          row_number() OVER (PARTITION BY pid, w2
+                            ORDER BY levenshtein(term, w2), freq DESC, term)
+                            AS rk2
+                   FROM v, q
+                   WHERE abs(len(term) - len(w2)) <= 1
+                     AND levenshtein(term, w2) <= 1) WHERE rk2 <= 5),
+          p AS (SELECT c1.pid, c1.c1, c2.c2, c1.d1 + c2.d2 AS dist,
+                       c1.f1 + c2.f2 AS fsum
+                FROM c1 JOIN c2 ON c1.pid = c2.pid),
+          scored AS (SELECT p.pid, p.c1, p.c2,
+                            coalesce(bg.bg_freq, 0)::BIGINT AS bg_freq,
+                            p.dist, p.fsum
+                     FROM p LEFT JOIN bg ON p.c1 = bg.b1 AND p.c2 = bg.b2),
+          r AS (SELECT pid, c1, c2, bg_freq,
+                       row_number() OVER (PARTITION BY pid
+                         ORDER BY bg_freq DESC, dist, fsum DESC, c1, c2)
+                         ::BIGINT AS rk
+                FROM scored)
+          SELECT pid, c1 AS sug1, c2 AS sug2, bg_freq, rk FROM r
+          WHERE rk <= 3 ORDER BY pid, rk""",
     "opt2_token_prefilter" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents)
           SELECT doc_id FROM t
