@@ -22,13 +22,19 @@ import org.apache.spark.sql.functions._
   *   3. per-(partition key, bucket) counts (map-side-combined, tiny)
   *      turn into prefix-sum offsets with a window over the B-row
   *      counts frame, broadcast back;
-  *   4. global rank = bucket offset + local row_number, and
-  *      `pr = (rank−1)/(n−1)`, `cd = rank/n` are arithmetic.
+  *   4. global rank = bucket offset + local rank, and
+  *      `pr = (rank−1)/(n−1)`, `cd = count_le/n` are arithmetic.
   *
-  * Requires `orderCols` to form a TOTAL order (tie-free): with ties
-  * `rank`/`cume_dist` tie-group semantics would need an extra
-  * equal-value aggregation. All callers here order by a key suffix
-  * that makes the order total.
+  * Ties are handled with full SQL window semantics: within each
+  * (partition key, bucket) slice, `rank()` yields the tie-group MIN
+  * rank and the default RANGE frame of `count(*)` includes peers
+  * (rows equal on ALL `orderCols`), so `pr` matches `percent_rank()`
+  * and `cume` matches `cume_dist()` exactly — tie groups never span
+  * buckets because the bucket is a function of the leading order
+  * value. Both local windows share one shuffle+sort. Verified against
+  * the single-partition window oracle on tie-heavy data in
+  * PropertySpec ("two-pass rank matches window semantics under
+  * ties").
   */
 object Rank {
 
@@ -47,9 +53,11 @@ object Rank {
     // computation inside whole-stage codegen — the higher-order
     // `filter(bounds, b -> b <= v)` alternative is CodegenFallback and
     // measured ~15× slower per scan at sf0.1.
-    val boundsArr: Seq[Double] = df
+    // percentile_approx over zero rows is NULL — an empty input must
+    // degrade to a single bucket, not NPE on the driver.
+    val boundsArr: Seq[Double] = Option(df
       .agg(expr(s"percentile_approx(cast($v as double), $qs, 10000)"))
-      .head.getSeq[Double](0)
+      .head.getSeq[Double](0)).getOrElse(Seq.empty)
 
     val bucketCol = boundsArr.distinct.sorted
       .map(b => when(col(v) >= lit(b), 1).otherwise(0))
@@ -59,7 +67,13 @@ object Rank {
     val partB: Seq[Column] = (partCols :+ "bucket").map(col)
     val wLocal = Window.partitionBy(partB: _*)
       .orderBy(orderCols.map(col): _*)
-    val local = bucketed.withColumn("local_rn", row_number().over(wLocal))
+    // rank() = tie-group min rank within the bucket; count() with the
+    // default RANGE frame = rows ordered <= current INCLUDING peers
+    // (the cume_dist numerator). Same partitioning+ordering → Spark
+    // evaluates both in the one Window node over one shuffle.
+    val local = bucketed
+      .withColumn("local_rk", rank().over(wLocal))
+      .withColumn("local_le", count(lit(1)).over(wLocal))
 
     // Tiny side: partKeys×B count rows; the prefix-sum window runs over
     // that counts frame, never the fact table.
@@ -77,12 +91,14 @@ object Rank {
       .join(broadcast(offsets.select(partB :+ col("offset"): _*)),
         partCols :+ "bucket")
       .join(broadcast(nPer), partCols)
-      .withColumn("rnk", col("offset") + col("local_rn"))
+      .withColumn("rnk", col("offset") + col("local_rk"))
+      .withColumn("cnt_le", col("offset") + col("local_le"))
       .withColumn("pr",
         when(col("part_n") > 1,
           (col("rnk") - 1).cast("double") / (col("part_n") - 1))
           .otherwise(lit(0.0)))
-      .withColumn("cume", col("rnk").cast("double") / col("part_n"))
-      .drop("bucket", "local_rn", "offset", "rnk", "part_n")
+      .withColumn("cume", col("cnt_le").cast("double") / col("part_n"))
+      .drop("bucket", "local_rk", "local_le", "offset", "rnk", "cnt_le",
+        "part_n")
   }
 }

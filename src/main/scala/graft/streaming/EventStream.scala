@@ -138,6 +138,12 @@ object EventStream {
     // (measured ~2× on st3 at 32 vs 8 partitions). Pin a harness-
     // appropriate count for the query's lifetime and restore; a real
     // deployment sizes this to its key space, not to this default.
+    // CONCURRENCY: the set/restore mutates the SESSION-global conf, so
+    // a batch query running concurrently on this SparkSession would
+    // silently execute with the reduced partition count, and two
+    // overlapping runs race on the restore. The harness is strictly
+    // sequential; a parallel caller must pass a cloned session
+    // (spark.newSession) per stream, as the opt* queries already do.
     val spark = df.sparkSession
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
     val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")

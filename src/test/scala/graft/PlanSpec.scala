@@ -134,8 +134,12 @@ class PlanSpec extends SparkSpec {
       s"fact window partitioned by the low-cardinality flag alone:\n$p")
     // ranks are arithmetic, never window percent_rank/cume_dist
     assert(!p.contains("percent_rank(") && !p.contains("cume_dist("), p)
-    // the fact-size row_number window must include the value bucket
-    assert("windowspecdefinition\\(l_returnflag#\\d+, bucket#".r
+    // the fact-size rank window must include the value bucket in its
+    // PARTITION keys — require the order columns after bucket so this
+    // cannot also match the tiny offsets prefix-sum window
+    // (partitionBy(flag).orderBy(bucket)), which would leave the
+    // 3-partition-sort lock resting on the first assertion alone
+    assert("windowspecdefinition\\(l_returnflag#\\d+, bucket#\\d+, l_extendedprice".r
       .findFirstIn(p).isDefined, p)
   }
 }

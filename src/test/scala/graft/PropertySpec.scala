@@ -275,4 +275,40 @@ class PropertySpec extends SparkSpec {
       assert(rms == want, s"seed=$i rms")
     }
   }
+
+  test("two-pass rank matches window semantics under ties") {
+    import graft.operators.Rank
+    import org.apache.spark.sql.expressions.Window
+    // tie-HEAVY: 4 partitions × values drawn from only 7 distinct
+    // doubles, so nearly every row is in a multi-row tie group and
+    // many tie groups straddle the percentile_approx bucket
+    // boundaries' neighborhoods. The two-pass operator must agree
+    // with the single-partition window oracle exactly (min-rank pr,
+    // peer-inclusive cume_dist).
+    val rows = for {
+      seed <- 0 until 2000
+      part = seed % 4
+      value = (seed * 2654435761L % 7).toDouble
+    } yield (part, value, seed.toLong)
+    val df = rows.toDF("p", "v", "id")
+    val got = Rank.percentRank(df, partCols = Seq("p"),
+        orderCols = Seq("v"), buckets = 8)
+      .select($"p", $"v", $"id", $"pr", $"cume")
+    val w = Window.partitionBy($"p").orderBy($"v")
+    val want = df.select($"p", $"v", $"id",
+      percent_rank().over(w).as("pr"), cume_dist().over(w).as("cume"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      got.except(want).limit(5).collect().mkString("; "))
+  }
+
+  test("two-pass rank degrades cleanly on an empty input") {
+    import graft.operators.Rank
+    val empty = Seq.empty[(Int, Double, Long)].toDF("p", "v", "id")
+    // percentile_approx over zero rows returns NULL; the operator must
+    // fall back to a single bucket and return an empty ranked frame
+    // rather than NPE on the driver
+    val out = Rank.percentRank(empty, Seq("p"), Seq("v"))
+    assert(out.count() == 0L)
+    assert(out.columns.toSet == Set("p", "v", "id", "pr", "cume"))
+  }
 }
