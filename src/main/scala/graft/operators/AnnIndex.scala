@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ANN index as a PERSISTED INGEST ARTIFACT — the FAISS/ES
+  * discipline (FAISS trains a coarse quantizer once per corpus; ES
+  * builds its HNSW graph at index time) applied to the n-family: every
+  * trained structure and every per-vector encoding is computed by ONE
+  * maintained build job and persisted to parquet, and queries only
+  * READ it. Before this, n3/n7/n8/n9 each re-ran sample collection,
+  * k-means/PQ training, and the literal-heavy encode projection inside
+  * the query — per-query work that is pure waste at any scale and a
+  * fresh multi-second codegen cost besides.
+  *
+  * Artifact layout under `dir/`:
+  *   codebooks/    (kind, grp, idx, vec array<double>) — kind "cent"
+  *                 (coarse centroids, grp=0), "pq" (per-subspace PQ
+  *                 codebooks), "res" (IVFPQ residual codebooks)
+  *   ivf/          (vec_id, v, nrm, cell) partitionBy(cell): the
+  *                 assigned corpus — probing nprobe cells reads only
+  *                 those cells' FILES (partition pruning = the
+  *                 inverted-file access path as storage layout)
+  *   pq_codes/     (vec_id, c0..c(m-1)) — the stored PQ index
+  *   ivfpq_codes/  (vec_id, c0.., cell) partitionBy(cell)
+  *   sq8/          (vec_id, nrm, qscale, qd) — the int8 stage-1 index
+  *   _DONE         marker written last; a dir without it is a torn
+  *                 build and is rebuilt
+  *
+  * All training runs on the SAME bounded deterministic sample
+  * discipline as before (Similarity.normalizedSample), so a rebuilt
+  * artifact is bit-identical to the in-query training it replaces —
+  * the planted-ground-truth contracts hold unchanged, and
+  * [[Similarity.ivfContractWith]] additionally proves the PERSISTED
+  * assignment against an independent recomputation.
+  *
+  * One artifact serves every index family because they share the
+  * trained structures (n3 IVF-flat reads ivf/, n7 reads sq8/, n8 reads
+  * pq_codes/, n9 reads ivfpq_codes/ + cent + res). At 100 TB this job
+  * is the scheduled ingest pipeline stage that re-runs per corpus
+  * version; [[ensure]]'s fingerprint key models exactly that.
+  */
+object AnnIndex {
+
+  val Nlist = 16
+  val M = 8
+  val Ksub = 16
+  val Iters = 10
+  val SampleSize = 1024
+
+  /** Driver-side trained structures + the persisted table locations. */
+  final case class Loaded(dir: String,
+                          cents: Array[Array[Double]],
+                          pqCbs: Array[Array[Array[Double]]],
+                          resCbs: Array[Array[Array[Double]]]) {
+    def ivf(spark: SparkSession): DataFrame =
+      spark.read.parquet(s"$dir/ivf")
+    def pqCodes(spark: SparkSession): DataFrame =
+      spark.read.parquet(s"$dir/pq_codes")
+    def ivfPqCodes(spark: SparkSession): DataFrame =
+      spark.read.parquet(s"$dir/ivfpq_codes")
+    def sq8(spark: SparkSession): DataFrame =
+      spark.read.parquet(s"$dir/sq8")
+  }
+
+  /** Corpus-version fingerprint from parquet FILE metadata (names,
+    * lengths, mtimes) — cheap, no data scan, and changes whenever the
+    * driver regenerates testdata, so a stale artifact can never be
+    * served for a new corpus. */
+  def corpusKey(sfDir: String): String = {
+    val root = new java.io.File(s"$sfDir/embeddings.parquet")
+    val files: Seq[java.io.File] =
+      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
+      else Seq(root)
+    val h = files.foldLeft(1125899906842597L) { (a, f) =>
+      ((a * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
+    }
+    f"${h & Long.MaxValue}%016x"
+  }
+
+  // one build per (corpus version, JVM); concurrent ensure() callers
+  // for the same key serialize on the map value
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Loaded]()
+
+  /** The artifact for `corpus` under cache key `key` (from
+    * [[corpusKey]]): loaded from disk when a completed build exists
+    * for this corpus version, built + persisted otherwise. */
+  def ensure(corpus: DataFrame, key: String): Loaded =
+    memo.computeIfAbsent(key, { _ =>
+      val dir = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft_ann_index", key)
+        .toString
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_DONE")))
+        load(corpus.sparkSession, dir)
+      else build(corpus, dir)
+    })
+
+  /** The ingest job: train once (one bounded sample collection feeds
+    * all three trainers), encode the corpus once per index family,
+    * persist everything. */
+  def build(corpus: DataFrame, dir: String): Loaded = {
+    val spark = corpus.sparkSession
+    val sample = Similarity.normalizedSample(corpus, SampleSize)
+    val cents = Similarity.kmeansFromSample(sample, Nlist, Iters)
+    val pqCbs = Similarity.pqTrainFromSample(sample, M, Ksub, Iters)
+    val resCbs = Similarity.residualCodebooks(sample, cents, M, Ksub, Iters)
+
+    import spark.implicits._
+    val cbRows =
+      cents.zipWithIndex.map { case (v, i) => ("cent", 0, i, v.toSeq) } ++
+      (for (j <- pqCbs.indices; c <- pqCbs(j).indices)
+        yield ("pq", j, c, pqCbs(j)(c).toSeq)) ++
+      (for (j <- resCbs.indices; c <- resCbs(j).indices)
+        yield ("res", j, c, resCbs(j)(c).toSeq))
+    cbRows.toSeq.toDF("kind", "grp", "idx", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+
+    val e = Similarity.withNorm(corpus)
+    e.select(col("vec_id"), col("v"), col("nrm"),
+        Similarity.cellOf(cents, col("v"), col("nrm")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/ivf")
+    Similarity.pqEncode(corpus, pqCbs)
+      .write.mode("overwrite").parquet(s"$dir/pq_codes")
+    Similarity.ivfPqEncode(corpus, cents, resCbs)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/ivfpq_codes")
+    Similarity.quantizedIndex(corpus)
+      .write.mode("overwrite").parquet(s"$dir/sq8")
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_DONE"),
+      Array.emptyByteArray)
+    Loaded(dir, cents, pqCbs, resCbs)
+  }
+
+  /** Reload the driver-side structures from a completed artifact. */
+  def load(spark: SparkSession, dir: String): Loaded = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select(col("kind"), col("grp"), col("idx"), col("vec"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Double](3).toArray))
+    def group(kind: String): Array[Array[Array[Double]]] = {
+      val of = rows.filter(_._1 == kind)
+      of.map(_._2).distinct.sorted.map { j =>
+        of.filter(_._2 == j).sortBy(_._3).map(_._4)
+      }
+    }
+    val cents = group("cent").head
+    Loaded(dir, cents, group("pq"), group("res"))
+  }
+}

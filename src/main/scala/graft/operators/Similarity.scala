@@ -42,7 +42,7 @@ object Similarity {
     * norm division would otherwise abort the whole query with
     * DIVIDE_BY_ZERO the first time a degenerate embedding appears in
     * a corpus. */
-  private def withNorm(emb: DataFrame): DataFrame =
+  private[operators] def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0.0)
@@ -157,8 +157,8 @@ object Similarity {
   /** The bounded deterministic training sample every driver-side
     * trainer shares (k-means, PQ, IVFPQ): xxhash64 order makes it a
     * pseudo-random-but-reproducible subset, normalized row-wise. */
-  private def normalizedSample(emb: DataFrame,
-                               sampleSize: Int): Array[Array[Double]] =
+  private[operators] def normalizedSample(emb: DataFrame,
+                                          sampleSize: Int): Array[Array[Double]] =
     withNorm(emb).orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(sampleSize)
       .select(col("v"), col("nrm")).collect()
@@ -168,8 +168,8 @@ object Similarity {
                       sampleSize: Int = 1024): Array[Array[Double]] =
     kmeansFromSample(normalizedSample(emb, sampleSize), k, iters)
 
-  private def kmeansFromSample(sample: Array[Array[Double]], k: Int,
-                               iters: Int): Array[Array[Double]] = {
+  private[operators] def kmeansFromSample(sample: Array[Array[Double]], k: Int,
+                                          iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     var cents = sample.take(k).map(_.clone())
     var it = 0
@@ -210,15 +210,15 @@ object Similarity {
     * centroids are reachable (empty k-means cells keep their seed), so
     * a tie broken differently on two paths would probe different cell
     * sets. */
-  private def centroidRank(cents: Array[Array[Double]], v: Column,
-                           nrm: Column): Column =
+  private[operators] def centroidRank(cents: Array[Array[Double]], v: Column,
+                                      nrm: Column): Column =
     sort_array(array(cents.zipWithIndex.map { case (c, i) =>
       struct((dot(v, lit(c)) / nrm).as("sim"), lit(-i).as("nidx"))
     }: _*), asc = false)
 
   /** Nearest-centroid cell id under [[centroidRank]]'s total order. */
-  private def cellOf(cents: Array[Array[Double]], v: Column,
-                     nrm: Column): Column =
+  private[operators] def cellOf(cents: Array[Array[Double]], v: Column,
+                                nrm: Column): Column =
     -element_at(centroidRank(cents, v, nrm), 1).getField("nidx")
 
   /** IVF-flat ANN: coarse-quantize the corpus into `nlist` cells
@@ -337,8 +337,23 @@ object Similarity {
                       queryIds: Seq[Long], k: Int = 10,
                       nprobe: Int = 4): DataFrame = {
     val e = withNorm(emb)
-    val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
-      cellOf(cents, col("v"), col("nrm")).as("cell"))
+    knnIvfBatchAssigned(emb,
+      e.select(col("vec_id"), col("v"), col("nrm"),
+        cellOf(cents, col("v"), col("nrm")).as("cell")),
+      cents, queryIds, k, nprobe)
+  }
+
+  /** [[knnIvfBatchWith]] probing a pre-ASSIGNED corpus — `assigned` is
+    * (vec_id, v, nrm, cell), typically [[AnnIndex]]'s persisted IVF
+    * table written `partitionBy("cell")`: the cell equi-join against
+    * the tiny exploded probe side then reads only the probed cells'
+    * files (partition pruning), the inverted-file access path made of
+    * storage layout. `emb` supplies query vectors and labels only. */
+  def knnIvfBatchAssigned(emb: DataFrame, assigned: DataFrame,
+                          cents: Array[Array[Double]],
+                          queryIds: Seq[Long], k: Int = 10,
+                          nprobe: Int = 4): DataFrame = {
+    val e = withNorm(emb)
     val queries = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"),
@@ -441,7 +456,23 @@ object Similarity {
                   plantOffset: Long = 1000000L,
                   nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = kmeansCentroids(corpus, nlist)
-    val res = knnIvfBatchWith(corpus, cents, probeIds, k, nprobe)
+    val e = withNorm(corpus)
+    ivfContractWith(corpus, cents,
+      e.select(col("vec_id"), col("v"), col("nrm"),
+        cellOf(cents, col("v"), col("nrm")).as("cell")),
+      probeIds, k, plantOffset, nprobe)
+  }
+
+  /** [[ivfContract]] against a PRE-TRAINED, PRE-ASSIGNED index (the
+    * [[AnnIndex]] artifact): the result path probes `assigned`, while
+    * the verification side recomputes cell membership independently
+    * from the raw corpus + centroids — so the contract now also proves
+    * the PERSISTED assignment agrees with a fresh recomputation. */
+  def ivfContractWith(corpus: DataFrame, cents: Array[Array[Double]],
+                      assigned: DataFrame, probeIds: Seq[Long],
+                      k: Int = 10, plantOffset: Long = 1000000L,
+                      nprobe: Int = 4): DataFrame = {
+    val res = knnIvfBatchAssigned(corpus, assigned, cents, probeIds, k, nprobe)
     val e = withNorm(corpus)
     val qSide = e.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -564,13 +595,40 @@ object Similarity {
     * approximate cosine directly. */
   def pqTrain(emb: DataFrame, m: Int = 8, ksub: Int = 16,
               iters: Int = 10,
-              sampleSize: Int = 1024): Array[Array[Array[Double]]] = {
-    val sample = normalizedSample(emb, sampleSize)
+              sampleSize: Int = 1024): Array[Array[Array[Double]]] =
+    pqTrainFromSample(normalizedSample(emb, sampleSize), m, ksub, iters)
+
+  private[operators] def pqTrainFromSample(sample: Array[Array[Double]],
+                                           m: Int, ksub: Int,
+                                           iters: Int): Array[Array[Array[Double]]] = {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val ds = dim / m
     Array.tabulate(m) { j =>
       l2Kmeans(sample.map(_.slice(j * ds, (j + 1) * ds)), ksub, iters)
+    }
+  }
+
+  /** Residual PQ codebooks for IVFPQ: each subspace trains on
+    * r = v̂ − centroid(cell(v̂)) over the shared bounded sample —
+    * extracted from [[ivfPqContract]] so the [[AnnIndex]] ingest job
+    * and the in-query trainer are the same code. */
+  private[operators] def residualCodebooks(sample: Array[Array[Double]],
+                                           cents: Array[Array[Double]],
+                                           m: Int, ksub: Int,
+                                           iters: Int): Array[Array[Array[Double]]] = {
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val ds = dim / m
+    def cellOfVec(vhat: Array[Double]): Int = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(vhat).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (s, i) => (-s, i) }.head._2
+    val residuals = sample.map { vhat =>
+      val c = cents(cellOfVec(vhat))
+      vhat.zip(c).map { case (a, b) => a - b }
+    }
+    Array.tabulate(m) { j =>
+      l2Kmeans(residuals.map(_.slice(j * ds, (j + 1) * ds)), ksub, iters)
     }
   }
 
@@ -651,10 +709,22 @@ object Similarity {
   def pqContract(corpus: DataFrame, probeIds: Seq[Long], k: Int = 10,
                  plantOffset: Long = 1000000L, m: Int = 8,
                  ksub: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cbs = pqTrain(corpus, m, ksub)
+    pqContractWith(corpus, cbs, pqEncode(corpus, cbs), probeIds, k,
+      plantOffset)
+  }
+
+  /** [[pqContract]] against pre-trained codebooks and a PRE-ENCODED
+    * code table (the [[AnnIndex]] artifact's `pq_codes`): queries pay
+    * only the LUT build + one pass over the m-byte codes — the stored
+    * PQ index — never the encode projection. */
+  def pqContractWith(corpus: DataFrame, cbs: Array[Array[Array[Double]]],
+                     codes: DataFrame, probeIds: Seq[Long], k: Int = 10,
+                     plantOffset: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = cbs.length
+    val ksub = cbs.head.length
     val ds = cbs.head.head.length
-    val codes = pqEncode(corpus, cbs)
     val e = withNorm(corpus)
     val probes = e.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id"), col("v"), col("nrm")).collect()
@@ -765,29 +835,32 @@ object Similarity {
                     plantOffset: Long = 1000000L, nlist: Int = 16,
                     nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
                     iters: Int = 10, sampleSize: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // ONE sample collection feeds both trainers (coarse centroids and
-    // the residual codebooks)
-    val sample = normalizedSample(corpus, sampleSize)
+    val (cents, cbs) = ivfPqTrain(corpus, nlist, m, ksub, iters, sampleSize)
+    ivfPqContractWith(corpus, cents, cbs,
+      ivfPqEncode(corpus, cents, cbs), probeIds, k, plantOffset, nprobe)
+  }
+
+  /** IVFPQ ingest-time training: ONE bounded sample collection feeds
+    * both trainers (coarse centroids, then residual codebooks on
+    * r = v̂ − cent(cell)). Returns (centroids, residual codebooks). */
+  def ivfPqTrain(emb: DataFrame, nlist: Int = 16, m: Int = 8,
+                 ksub: Int = 16, iters: Int = 10,
+                 sampleSize: Int = 1024): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val sample = normalizedSample(emb, sampleSize)
     val cents = kmeansFromSample(sample, nlist, iters)
-    // driver-side cell assignment for TRAINING-sample residuals (it
-    // shapes codebook quality only — contract invariants compare
-    // executor-side encodings against each other)
-    def cellOfVec(vhat: Array[Double]): Int = cents.zipWithIndex
-      .map { case (c, i) => (c.zip(vhat).map { case (a, b) => a * b }.sum, i) }
-      .sortBy { case (s, i) => (-s, i) }.head._2
-    val e = withNorm(corpus)
-    val dim = sample.head.length
-    require(dim % m == 0, s"dim $dim must split into $m subspaces")
-    val ds = dim / m
-    // residual codebooks: train each subspace on r = v̂ − cent(cell)
-    val residuals = sample.map { vhat =>
-      val c = cents(cellOfVec(vhat))
-      vhat.zip(c).map { case (a, b) => a - b }
-    }
-    val cbs = Array.tabulate(m) { j =>
-      l2Kmeans(residuals.map(_.slice(j * ds, (j + 1) * ds)), ksub, iters)
-    }
+    (cents, residualCodebooks(sample, cents, m, ksub, iters))
+  }
+
+  /** IVFPQ ingest-time encoding: (vec_id, cell, c0..c(m-1)) in ONE
+    * codegen'd scan-side projection — the residual never materializes
+    * (argmin‖(v̂−cent)_j − cb‖² expands to driver-precomputed constant
+    * tables; scaladoc on [[ivfPqContract]]). This is the persisted
+    * IVFPQ index: a cell id + m bytes per vector. */
+  def ivfPqEncode(emb: DataFrame, cents: Array[Array[Double]],
+                  cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cbs.length
+    val ksub = cbs.head.length
+    val ds = cbs.head.head.length
     // constant tables: centDotCb(j)(c) = per-cell array of
     // cent_sub_j·cb_j[c]; cbNormHalf(j)(c) = ‖cb_j[c]‖²/2
     val centDotCb = Array.tabulate(m, ksub) { (j, c) =>
@@ -797,11 +870,10 @@ object Similarity {
     val cbNormHalf = Array.tabulate(m, ksub) { (j, c) =>
       cbs(j)(c).map(x => x * x).sum / 2
     }
-    // one scan-side projection: cell + m residual codes
-    val cellCol = cellOf(cents, col("v"), col("nrm"))
+    val e = withNorm(emb)
     val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
-      cellCol.as("cell"))
-    val codes = assigned.select(col("vec_id") +: col("cell") +:
+      cellOf(cents, col("v"), col("nrm")).as("cell"))
+    assigned.select(col("vec_id") +: col("cell") +:
       (0 until m).map { j =>
         val sub = slice(col("v"), j * ds + 1, ds)
         (-element_at(sort_array(array((0 until ksub).map { c =>
@@ -810,6 +882,22 @@ object Similarity {
             - lit(cbNormHalf(j)(c))).as("s"), lit(-c).as("nidx"))
         }: _*), asc = false), 1).getField("nidx")).as(s"c$j")
       }: _*)
+  }
+
+  /** [[ivfPqContract]] against the pre-trained, pre-encoded
+    * [[AnnIndex]] artifact (`ivfpq_codes`, written partitionBy(cell)):
+    * the query pays LUT construction plus one pass over the code
+    * table; training and encoding are ingest-time. */
+  def ivfPqContractWith(corpus: DataFrame, cents: Array[Array[Double]],
+                        cbs: Array[Array[Array[Double]]], codes: DataFrame,
+                        probeIds: Seq[Long], k: Int = 10,
+                        plantOffset: Long = 1000000L,
+                        nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = cbs.length
+    val ksub = cbs.head.length
+    val ds = cbs.head.head.length
+    val e = withNorm(corpus)
     // per-probe driver state: probed cells (top-nprobe under the same
     // total order), q·centroid bias per cell, residual ADC LUTs.
     // Probed-cell ranking mirrors the executor's centroidRank
@@ -961,7 +1049,9 @@ object Similarity {
     * quantized index (codes + scale + norm ≈ d + 16 bytes/vector).
     * Zero vectors are excluded (cosine undefined, same as
     * [[withNorm]]). */
-  private def quantizedIndex(emb: DataFrame): DataFrame = {
+  def sq8Index(emb: DataFrame): DataFrame = quantizedIndex(emb)
+
+  private[operators] def quantizedIndex(emb: DataFrame): DataFrame = {
     val staged = withNorm(emb)
       .select(col("vec_id"), col("v"), col("nrm"),
         array_max(transform(col("v"), x => abs(x))).as("amax"))
@@ -978,8 +1068,11 @@ object Similarity {
     * set; the shuffle carries 16·n bytes per query (bounded-heap
     * [[graft.functions.aggregates.TopKByScore]]). */
   private def quantizedCandidates(emb: DataFrame, queryIds: Seq[Long],
-                                  n: Int): DataFrame = {
-    val idx = quantizedIndex(emb)
+                                  n: Int): DataFrame =
+    quantizedCandidatesIdx(quantizedIndex(emb), queryIds, n)
+
+  private def quantizedCandidatesIdx(idx: DataFrame, queryIds: Seq[Long],
+                                     n: Int): DataFrame = {
     val queries = idx.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("qd").as("qqd"),
         col("qscale").as("qqs"), col("nrm").as("qn"))
@@ -1038,8 +1131,19 @@ object Similarity {
     * correct implementation; constant-TRUE oracle. */
   def rerankContract(corpus: DataFrame, probeIds: Seq[Long], k: Int = 10,
                      oversample: Int = 4,
-                     plantOffset: Long = 1000000L): DataFrame = {
-    val cand = quantizedCandidates(corpus, probeIds, k * oversample)
+                     plantOffset: Long = 1000000L): DataFrame =
+    rerankContractWith(corpus, quantizedIndex(corpus), probeIds, k,
+      oversample, plantOffset)
+
+  /** [[rerankContract]] over a PRE-QUANTIZED index table (the
+    * [[AnnIndex]] artifact's `sq8`: vec_id, qd, qscale, nrm — the
+    * stored int8 layout): stage 1 scans the persisted codes, never
+    * re-quantizing the corpus per query. */
+  def rerankContractWith(corpus: DataFrame, sq8: DataFrame,
+                         probeIds: Seq[Long], k: Int = 10,
+                         oversample: Int = 4,
+                         plantOffset: Long = 1000000L): DataFrame = {
+    val cand = quantizedCandidatesIdx(sq8, probeIds, k * oversample)
       .localCheckpoint() // reused by the rerank AND the superset check
     val res = rerankExact(corpus, cand, probeIds, k)
     val e = withNorm(corpus)
