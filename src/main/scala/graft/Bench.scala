@@ -42,6 +42,7 @@ object Bench {
     // indexes before it searches (and as the text analyzers already
     // run at ingest). The n-family queries then only READ it.
     SparkEntry.annIndexFor(spark, sfDir)
+    SparkEntry.textIndexFor(spark, sfDir)
     // noop sink: materializes every output column end-to-end (a bare
     // count() would let Catalyst prune the plan down to a metadata scan
     // for projection-only queries — that benchmarks nothing)

@@ -127,6 +127,14 @@ object SparkEntry {
   private[graft] def annIndexFor(s: SparkSession, d: String): AnnIndex.Loaded =
     AnnIndex.ensure(annPlantedCorpus(s, d), AnnIndex.corpusKey(d))
 
+  /** The persisted text search index over `documents`
+    * (operators.TextIndex scaladoc): the analyzer runs at ingest, the
+    * BM25/significant-terms family reads postings + statistics — ES's
+    * index-time analysis discipline. Shared by
+    * f2/f3/f4/f6/f9/f10/f11/a8/a17/a27/w9. */
+  private[graft] def textIndexFor(s: SparkSession, d: String): TextIndex.Loaded =
+    TextIndex.ensure(Tables.documents(s, d), TextIndex.corpusKey(d))
+
   // Physical row order is NOT part of the verification contract: the
   // harness canonicalizes by sorting rows (and columns by name) on both
   // the Spark and the DuckDB side before hashing. Queries keep ORDER BY
@@ -496,10 +504,13 @@ object SparkEntry {
       // equality — but computed from raw tables, so the nested corpus
       // is never built (let alone twice) just to score it
       Search.scoredSearchRaw(s, d, "NATION_1", 50)),
-    "f2_tfidf" -> ((s, d) => Search.tfidf(s, d, "spark")),
-    "f3_bm25" -> ((s, d) => Search.bm25(s, d, "spark")),
+    "f2_tfidf" -> ((s, d) =>
+      Search.tfidfIndexed(s, textIndexFor(s, d), "spark")),
+    "f3_bm25" -> ((s, d) =>
+      Search.bm25Indexed(s, textIndexFor(s, d), "spark")),
     "f4_search_bm25" -> ((s, d) =>
-      Search.searchBm25(s, d, Seq("spark", "window"), k = 20)),
+      Search.searchBm25Indexed(s, textIndexFor(s, d),
+        Seq("spark", "window"), k = 20)),
 
     // ---- denorm flagship (SURVEY §7 M1) ----
     "denorm_docs" -> ((s, d) =>
@@ -811,8 +822,12 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))),
     "a8_significant_terms" -> ((s, d) =>
       // ES significant_terms (JLH): per-language tokens anomalously
-      // frequent vs the corpus background, top-3 per language
-      operators.Search.significantTerms(Tables.documents(s, d), "lang")
+      // frequent vs the corpus background, top-3 per language — the
+      // distinct (doc, token) pairs and the background df both read
+      // from the TextIndex artifact
+      operators.Search.significantTermsIndexed(s, textIndexFor(s, d),
+          Tables.documents(s, d)
+            .select(col("doc_id").as("id"), col("lang").as("cat")))
         .orderBy(col("cat"), col("rk"))),
     "f5_fuzzy_match" -> ((s, d) => {
       // ES fuzziness: docs holding a token within edit distance 1 of
@@ -1360,14 +1375,16 @@ object SparkEntry {
       // aggregation; the seed-term set is ≤10 rows and broadcast into
       // the retrieval scan; the rank-by-match-count cut is integer, so
       // the top-k boundary is engine-independent.
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(
-          Analyzers.tokenize(lower(col("text"))))).as("token"))
-      val dfs = tok.groupBy("token").agg(count(lit(1)).as("df"))
-      val seedTf = Tables.documents(s, d).filter(col("doc_id") === 0L)
-        .select(explode(Analyzers.tokenize(lower(col("text")))).as("token"))
-        .filter(!col("token").isin(Analyzers.englishStopwords: _*))
-        .groupBy("token").agg(count(lit(1)).as("tf"))
+      // distinct (doc, token) pairs, per-term df, and the seed doc's
+      // term frequencies are all index lookups (TextIndex artifact) —
+      // no re-analysis of any document text
+      val ix = textIndexFor(s, d)
+      val tok = ix.postings(s)
+        .select(col("doc_id"), col("term").as("token"))
+      val dfs = ix.termDf(s).select(col("term").as("token"), col("df"))
+      val seedTf = ix.postings(s).filter(col("doc_id") === 0L)
+        .filter(!col("term").isin(Analyzers.englishStopwords: _*))
+        .select(col("term").as("token"), col("tf").cast("long").as("tf"))
       // term selection ranks on the integer key (tf desc, df asc) —
       // the tf·idf ORDER ES uses, made engine-portable: a float tf·ln
       // cut could straddle libm rounding between engines at the k-th
@@ -1492,18 +1509,21 @@ object SparkEntry {
     "f9_multi_match" -> ((s, d) => {
       // ES multi_match, most_fields: per-field scores summed — BM25 on
       // the analyzed text field plus a boosted exact match on the
-      // keyword field. One corpus scan computes both field signals;
-      // corpus stats broadcast once; top-k two-phase.
+      // keyword field. tf/len/df/(n, avgdl) all come from the
+      // TextIndex artifact; the stored docs contribute only the pruned
+      // (doc_id, source) columns (the keyword field needs no analysis),
+      // so no document text is ever re-tokenized.
+      val ix = textIndexFor(s, d)
       val pre = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .join(ix.doclen(s), "doc_id")
+        .join(broadcast(ix.postings(s).filter(col("term") === "customer")
+          .select(col("doc_id"), col("tf"))), Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"),
-          Analyzers.tokenize(lower(col("text"))).as("toks"))
-        .select(col("doc_id"), col("source"),
-          size(filter(col("toks"), t => t === "customer")).as("tf"),
-          size(col("toks")).as("len"))
-      val stats = pre.agg(
-        count(lit(1)).cast("double").as("n"),
-        avg(col("len")).as("avgdl"),
-        sum(when(col("tf") > 0, 1).otherwise(0)).cast("double").as("df"))
+          coalesce(col("tf"), lit(0)).as("tf"), col("len"))
+      val stats = ix.corpus(s).crossJoin(
+        ix.termDf(s).filter(col("term") === "customer")
+          .agg(coalesce(sum(col("df")), lit(0L)).cast("double").as("df")))
       val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
       val tfNorm = (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgdl")))
@@ -1518,20 +1538,23 @@ object SparkEntry {
     }),
     "a17_top_hits" -> ((s, d) =>
       // ES top_hits inside a terms agg: per source, the 2 best-scoring
-      // hits for the match query, bucket-local rank attached
-      Search.topHits(s, d, "spark", k = 2)),
+      // hits for the match query, bucket-local rank attached (match
+      // set + scores from the TextIndex artifact)
+      Search.topHitsIndexed(s, d, textIndexFor(s, d), "spark", k = 2)),
     "w9_collapse" -> ((s, d) =>
       // ES field collapsing: globally ranked hits deduplicated per
       // source (best hit per bucket + inner-hit count), top 10
-      Search.collapse(s, d, "spark", k = 10)),
+      Search.collapseIndexed(s, d, textIndexFor(s, d), "spark", k = 10)),
     "f10_rescore" -> ((s, d) =>
-      // ES rescore: BM25 primary ranks, the top-50 window re-scored by
-      // exact-phrase occurrences, final = primary + 2·phrase_n
-      Search.rescore(s, d, Seq("table", "scan"), "table scan")),
+      // ES rescore: BM25 primary ranks off the index artifact, the
+      // top-50 window fetches text and re-scores by exact-phrase
+      // occurrences, final = primary + 2·phrase_n
+      Search.rescoreIndexed(s, d, textIndexFor(s, d),
+        Seq("table", "scan"), "table scan")),
     "f11_min_should_match" -> ((s, d) =>
       // ES bool should, minimum_should_match=2 of 3 term clauses
-      Search.minShouldMatch(s, d, Seq("table", "spark", "merge"),
-        minMatch = 2)),
+      Search.minShouldMatchIndexed(s, textIndexFor(s, d),
+        Seq("table", "spark", "merge"), minMatch = 2)),
     "t14_synonyms" -> ((s, d) =>
       // ES synonym token filter (explicit a => b normalization applied
       // inside the analyzer chain) — one transform over the token
@@ -2178,16 +2201,21 @@ object SparkEntry {
       // the docs matching a query term (vs the whole corpus), per-doc
       // token dedup (the agg's filter_duplicate_text analog), query
       // term itself excluded, top 10. Counts are exact ints; JLH is
-      // scalar double math on them, round-6.
-      val base = Tables.documents(s, d).select(col("doc_id"),
-        array_distinct(Analyzers.tokenize(lower(col("text")))).as("toks"))
-        .withColumn("fg", array_contains(col("toks"), "spark"))
-      val sizes = base.agg(
-        sum(when(col("fg"), 1L).otherwise(0L)).as("n_fg"),
-        count(lit(1)).as("n_all"))
-      val counts = base
-        .select(col("fg"), explode(col("toks")).as("token"))
+      // scalar double math on them, round-6. All counts read from the
+      // TextIndex artifact: the foreground doc set is the query term's
+      // postings, per-token background df is the term dictionary, and
+      // corpus size is the stats row — no text re-analysis.
+      val ix = textIndexFor(s, d)
+      val fgDocs = ix.postings(s).filter(col("term") === "spark")
+        .select(col("doc_id"), lit(true).as("fg"))
+      val sizes = ix.corpus(s).select(col("n").cast("long").as("n_all"))
+        .crossJoin(ix.termDf(s).filter(col("term") === "spark")
+          .agg(coalesce(sum(col("df")), lit(0L)).as("n_fg")))
+        .select(col("n_fg"), col("n_all"))
+      val counts = ix.postings(s)
+        .select(col("doc_id"), col("term").as("token"))
         .filter(col("token") =!= "spark")
+        .join(broadcast(fgDocs), Seq("doc_id"), "left")
         .groupBy(col("token"))
         .agg(sum(when(col("fg"), 1L).otherwise(0L)).as("fg_df"),
           count(lit(1)).as("bg_df"))

@@ -308,9 +308,19 @@ object Search {
     * each shuffle partition retains only k rows per bucket (the
     * query-then-fetch shape per shard). */
   def topHits(spark: SparkSession, dir: String, term: String,
-              k: Int = 2): DataFrame = {
+              k: Int = 2): DataFrame =
+    topHitsFrom(scoredWithBucket(spark, dir, term), k)
+
+  /** [[topHits]] reading the [[TextIndex]] artifact instead of
+    * re-analyzing the corpus. */
+  def topHitsIndexed(spark: SparkSession, dir: String,
+                     ix: TextIndex.Loaded, term: String,
+                     k: Int = 2): DataFrame =
+    topHitsFrom(scoredWithBucketIndexed(spark, dir, ix, term), k)
+
+  private def topHitsFrom(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    scoredWithBucket(spark, dir, term)
+    scored
       .withColumn("rk", row_number().over(Window.partitionBy("source")
         .orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rk") <= k)
@@ -327,9 +337,17 @@ object Search {
     * [[topHits]] (rank-1 cut + per-bucket count in one pass), then a
     * global top-k. */
   def collapse(spark: SparkSession, dir: String, term: String,
-               k: Int = 10): DataFrame = {
+               k: Int = 10): DataFrame =
+    collapseFrom(scoredWithBucket(spark, dir, term), k)
+
+  /** [[collapse]] reading the [[TextIndex]] artifact. */
+  def collapseIndexed(spark: SparkSession, dir: String,
+                      ix: TextIndex.Loaded, term: String,
+                      k: Int = 10): DataFrame =
+    collapseFrom(scoredWithBucketIndexed(spark, dir, ix, term), k)
+
+  private def collapseFrom(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = scoredWithBucket(spark, dir, term)
     // inner-hit counts as a partial-aggregating groupBy, NOT a
     // count-over-window: a sibling unbounded count window would force
     // every bucket's rows through the window sort and disable the
@@ -429,5 +447,183 @@ object Search {
           .as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  // ---- TextIndex-backed variants -----------------------------------
+  //
+  // Identical semantics and bit-identical scores to the scan-based
+  // paths above (TextIndexSpec proves result equality): tf/len come
+  // from the persisted postings, df from the term dictionary, (n,
+  // avgdl) from the corpus-stats row — all computed ONCE at ingest by
+  // TextIndex.build with the very aggregate expressions the in-query
+  // stats passes used. What changes is the ACCESS PATH: a term query
+  // reads the term's postings (term-sorted parquet ⇒ row-group
+  // skipping) instead of tokenizing every document per query.
+
+  /** 1-row (n, avgdl, df0..df(T-1)) statistics frame from the
+    * artifact. A term absent from the dictionary gets df 0, exactly
+    * like the scan-based conditional count. */
+  private def indexedStats(spark: SparkSession, ix: TextIndex.Loaded,
+                           terms: Seq[String]): DataFrame = {
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("term") === t, col("df"))), lit(0L))
+        .cast("double").as(s"df$i")
+    }
+    ix.corpus(spark).crossJoin(
+      ix.termDf(spark).filter(col("term").isin(terms: _*))
+        .agg(dfAggs.head, dfAggs.tail: _*))
+  }
+
+  /** (doc_id, len, tf0..tf(T-1)) for every document matching ≥ 1 query
+    * term — the per-doc signals of [[searchBm25]]'s corpus scan, read
+    * from the postings instead. (doc_id, term) is unique in postings,
+    * so the conditional sum reproduces each tf exactly. */
+  private def indexedTfWide(spark: SparkSession, ix: TextIndex.Loaded,
+                            terms: Seq[String]): DataFrame = {
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(0))
+        .cast("int").as(s"tf$i")
+    }
+    ix.postings(spark).filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("len"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+  }
+
+  /** [[bm25]] from the artifact: one postings lookup + the stats row. */
+  def bm25Indexed(spark: SparkSession, ix: TextIndex.Loaded, term: String,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = indexedStats(spark, ix, Seq(term))
+      .withColumnRenamed("df0", "df")
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    ix.postings(spark).filter(col("term") === term)
+      .select(col("doc_id"), col("tf"), col("len"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(idf * tfNorm, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+  }
+
+  /** [[tfidf]] from the artifact. */
+  def tfidfIndexed(spark: SparkSession, ix: TextIndex.Loaded,
+                   term: String): DataFrame = {
+    val stats = indexedStats(spark, ix, Seq(term))
+      .withColumnRenamed("df0", "df")
+    ix.postings(spark).filter(col("term") === term)
+      .select(col("doc_id"), col("tf"), col("len"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(col("tf").cast("double") / col("len") *
+          log((col("n") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id").asc)
+  }
+
+  private def bm25Sum(terms: Seq[String], k1: Double, b: Double): Column =
+    terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      val tfn = (col(s"tf$i") * lit(k1 + 1.0)) /
+        (col(s"tf$i") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+      when(col(s"tf$i") > 0, idf * tfn).otherwise(lit(0.0))
+    }.reduce(_ + _)
+
+  /** [[searchBm25]] from the artifact. */
+  def searchBm25Indexed(spark: SparkSession, ix: TextIndex.Loaded,
+                        terms: Seq[String], k: Int = 20, k1: Double = 1.2,
+                        b: Double = 0.75): DataFrame =
+    indexedTfWide(spark, ix, terms)
+      .crossJoin(broadcast(indexedStats(spark, ix, terms)))
+      .select(col("doc_id"), round(bm25Sum(terms, k1, b), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** [[minShouldMatch]] from the artifact. */
+  def minShouldMatchIndexed(spark: SparkSession, ix: TextIndex.Loaded,
+                            terms: Seq[String], minMatch: Int, k: Int = 20,
+                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val matched = terms.indices
+      .map(i => when(col(s"tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
+    indexedTfWide(spark, ix, terms)
+      .withColumn("n_matched", matched)
+      .filter(col("n_matched") >= minMatch)
+      .crossJoin(broadcast(indexedStats(spark, ix, terms)))
+      .select(col("doc_id"), col("n_matched").cast("long").as("n_matched"),
+        round(bm25Sum(terms, k1, b), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** [[rescore]] from the artifact: the primary ranking never touches
+    * document text at all; raw text is fetched for ONLY the `window`
+    * surviving rows before the phrase pass (the ES fetch phase). */
+  def rescoreIndexed(spark: SparkSession, dir: String,
+                     ix: TextIndex.Loaded, terms: Seq[String],
+                     phrase: String, window: Int = 50, k: Int = 20,
+                     phraseWeight: Double = 2.0, k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame =
+    indexedTfWide(spark, ix, terms)
+      .crossJoin(broadcast(indexedStats(spark, ix, terms)))
+      .select(col("doc_id"), round(bm25Sum(terms, k1, b), 6).as("primary_score"))
+      .orderBy(col("primary_score").desc, col("doc_id"))
+      .limit(window)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), lower(col("text")).as("lt")), "doc_id")
+      .withColumn("phrase_n",
+        (size(split(col("lt"), java.util.regex.Pattern.quote(phrase), -1)) - 1)
+          .cast("long"))
+      .select(col("doc_id"), col("primary_score"), col("phrase_n"),
+        round(col("primary_score") + lit(phraseWeight) * col("phrase_n"), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** [[scoredWithBucket]] from the artifact: the match set comes from
+    * the term's postings; only (doc_id, source) is read from the
+    * stored documents — a pruned columnar fetch, no re-analysis. */
+  private def scoredWithBucketIndexed(spark: SparkSession, dir: String,
+                                      ix: TextIndex.Loaded, term: String,
+                                      k1: Double = 1.2,
+                                      b: Double = 0.75): DataFrame = {
+    val stats = indexedStats(spark, ix, Seq(term))
+      .withColumnRenamed("df0", "df")
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    ix.postings(spark).filter(col("term") === term)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")), "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("source"), round(idf * tfNorm, 6).as("score"))
+  }
+
+  /** [[significantTerms]] from the artifact: the distinct (doc, token)
+    * pairs ARE the postings; the background frequency is the term
+    * dictionary's df. `cats` carries every document's (id, cat) — a
+    * pruned two-column read of the stored docs (at scale the category
+    * would ride inside the postings like any indexed field). */
+  def significantTermsIndexed(spark: SparkSession, ix: TextIndex.Loaded,
+                              cats: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = ix.postings(spark)
+      .select(col("doc_id").as("id"), col("term").as("token"))
+      .join(broadcast(cats), "id")
+    val fg = tok.groupBy("cat", "token").agg(count(lit(1)).as("fg_df"))
+    val bg = ix.termDf(spark).select(col("term").as("token"),
+      col("df").as("bg_df"))
+    val catSizes = cats.groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_cat")).localCheckpoint()
+    val nTotal = catSizes.agg(sum("n_cat")).head.getLong(0).toDouble
+    val scored = fg.join(bg, "token")
+      .join(broadcast(catSizes), "cat")
+      .withColumn("fg_pct", col("fg_df").cast("double") / col("n_cat"))
+      .withColumn("bg_pct", col("bg_df").cast("double") / lit(nTotal))
+      .withColumn("score",
+        round((col("fg_pct") - col("bg_pct")) * col("fg_pct") / col("bg_pct"), 6))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("cat")
+        .orderBy(col("score").desc, col("token"))))
+      .filter(col("rk") <= k)
+      .select(col("cat"), col("token"), col("fg_df"), col("bg_df"),
+        col("score"), col("rk").cast("long").as("rk"))
   }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Search, TextIndex}
+
+/** The text index as a persisted ingest artifact (operators.TextIndex):
+  * the index-backed query paths must return BIT-IDENTICAL results to
+  * the corpus-scan paths they replace — statistics and tf/len signals
+  * round-trip exactly through the parquet artifact. */
+class TextIndexSpec extends SparkSpec {
+
+  private lazy val ix: TextIndex.Loaded = {
+    val dir = java.nio.file.Files.createTempDirectory("textix").toString
+    TextIndex.build(Tables.documents(spark, sf), dir)
+  }
+
+  private def same(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.columns.toSeq == b.columns.toSeq)
+    val as = a.collect().map(_.toSeq).toSeq
+    val bs = b.collect().map(_.toSeq).toSeq
+    assert(as == bs, s"first diff: ${as.diff(bs).take(2)} vs ${bs.diff(as).take(2)}")
+  }
+
+  test("bm25/tfidf from the index equal the corpus-scan path exactly") {
+    same(Search.bm25Indexed(spark, ix, "spark"),
+      Search.bm25(spark, sf, "spark"))
+    same(Search.tfidfIndexed(spark, ix, "spark"),
+      Search.tfidf(spark, sf, "spark"))
+    // a term missing from the dictionary degrades identically (df 0,
+    // empty result), not an error
+    same(Search.bm25Indexed(spark, ix, "zzz_not_a_term"),
+      Search.bm25(spark, sf, "zzz_not_a_term"))
+  }
+
+  test("multi-term rankings from the index equal the scan path exactly") {
+    val terms = Seq("table", "spark", "merge")
+    same(Search.searchBm25Indexed(spark, ix, terms, k = 20),
+      Search.searchBm25(spark, sf, terms, k = 20))
+    same(Search.minShouldMatchIndexed(spark, ix, terms, minMatch = 2),
+      Search.minShouldMatch(spark, sf, terms, minMatch = 2))
+    same(Search.rescoreIndexed(spark, sf, ix, Seq("table", "scan"),
+        "table scan"),
+      Search.rescore(spark, sf, Seq("table", "scan"), "table scan"))
+  }
+
+  test("bucketed rankings from the index equal the scan path exactly") {
+    same(Search.topHitsIndexed(spark, sf, ix, "spark", k = 2),
+      Search.topHits(spark, sf, "spark", k = 2))
+    same(Search.collapseIndexed(spark, sf, ix, "spark", k = 10),
+      Search.collapse(spark, sf, "spark", k = 10))
+    same(Search.significantTermsIndexed(spark, ix,
+        Tables.documents(spark, sf)
+          .select(col("doc_id").as("id"), col("lang").as("cat"))),
+      Search.significantTerms(Tables.documents(spark, sf), "lang"))
+  }
+
+  test("term predicates push into the postings scan") {
+    val p = Search.bm25Indexed(spark, ix, "spark")
+      .queryExecution.executedPlan.toString
+    // the access path: an IsNotNull+EqualTo filter lands in the parquet
+    // reader (term-sorted files ⇒ row-group skipping), and no tokenizer
+    // appears anywhere in the scoring plan
+    assert(p.contains("PushedFilters: [IsNotNull(term), EqualTo(term,spark)]"), p)
+    assert(!p.toLowerCase.contains("regexp_extract_all"), p)
+  }
+
+  test("artifact statistics equal the in-query aggregation") {
+    val stats = ix.corpus(spark).head()
+    val want = Tables.documents(spark, sf)
+      .select(size(functions.Analyzers.tokenize(lower(col("text")))).as("len"))
+      .agg(count(lit(1)).cast("double"), avg(col("len"))).head()
+    assert(stats.getDouble(0) == want.getDouble(0))
+    assert(stats.getDouble(1) == want.getDouble(1))
+    // df for one term == conditional count over the corpus
+    val dfSpark = ix.termDf(spark).filter(col("term") === "spark")
+      .head().getLong(1)
+    val wantDf = Tables.documents(spark, sf)
+      .select(array_contains(
+        functions.Analyzers.tokenize(lower(col("text"))), "spark").as("m"))
+      .filter(col("m")).count()
+    assert(dfSpark == wantDf)
+  }
+}
