@@ -193,6 +193,122 @@ object SparkEntry {
             .otherwise(col("o_totalprice")), 2).as("total_after"))
         .orderBy(col("o_orderkey"))
     }),
+    "s2_streamed_fetch" -> ((s, d) => {
+      // S2 server-side cursor (reference `src/main.py:41,133`): the
+      // driver consumes the result through Sink.streamedFetch
+      // (toLocalIterator — one partition resident at a time, never the
+      // whole frame), folding running totals exactly like the
+      // reference's fetch loop. The fold is returned as a 1-row frame:
+      // row count plus an exact integer-cents sum, so the driver-side
+      // accumulation order can't perturb the hash (no float ordering).
+      val proj = Tables.orders(s, d).select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      var cents = 0L
+      val n = graft.sources.Sink.streamedFetch(proj)(r => cents += r.getLong(1))
+      import s.implicits._
+      Seq((n, cents)).toDF("fetched_rows", "total_cents")
+    }),
+    "s4_create_table" -> ((s, d) => {
+      // S4 create-with-schema (`src/main.py:12-35`): register a catalog
+      // table over the region parquet, then prove the created table
+      // actually serves queries — its row count and its catalog-visible
+      // column list — and drop it so the query is idempotent.
+      val name = "graft_s4_region"
+      graft.sources.Sink.dropIfExists(s, name)
+      graft.sources.Sink.createTable(s, name,
+        java.nio.file.Paths.get(d, "region.parquet").toString)
+      val n = s.table(name).count()
+      val cols = s.table(name).schema.fieldNames.sorted.mkString(",")
+      graft.sources.Sink.dropIfExists(s, name)
+      import s.implicits._
+      Seq((n, cols)).toDF("n_rows", "cols")
+    }),
+    "s5_exists_drop" -> ((s, d) => {
+      // S5 existence check + conditional drop (`src/main.py:12-35`):
+      // the full DDL state machine — absent → created → dropped →
+      // absent → second drop is a no-op — surfaced as one verifiable
+      // row of booleans.
+      val name = "graft_s5_probe"
+      graft.sources.Sink.dropIfExists(s, name)
+      val before = s.catalog.tableExists(name)
+      graft.sources.Sink.createTable(s, name,
+        java.nio.file.Paths.get(d, "region.parquet").toString)
+      val created = s.catalog.tableExists(name)
+      val dropped = graft.sources.Sink.dropIfExists(s, name)
+      val after = s.catalog.tableExists(name)
+      val droppedAgain = graft.sources.Sink.dropIfExists(s, name)
+      import s.implicits._
+      Seq((before, created, dropped, after, droppedAgain)).toDF(
+        "exists_before", "exists_created", "dropped", "exists_after",
+        "dropped_again")
+    }),
+    "s6_bulk_roundtrip" -> ((s, d) => {
+      // S6 bulk sink with _id-hash shard routing (`src/main.py:137-150`,
+      // the 3-primary-shard analog): write customer through
+      // Sink.bulkWrite, read the COMMITTED files back, recover each
+      // row's shard from its part-file number, require the routing
+      // invariant (an id never lands in two shards) executor-side, and
+      // reduce to corpus-level readback aggregates the oracle recomputes
+      // from the source table.
+      val out = java.nio.file.Files.createTempDirectory("s6bulk").toString
+      graft.sources.Sink.bulkWrite(s, Tables.customer(s, d), "c_custkey",
+        out, shards = 3)
+      val back = s.read.parquet(out).withColumn("shard",
+        regexp_extract(input_file_name(), "part-(\\d+)-", 1).cast("int"))
+      val nViolations = back.groupBy(col("c_custkey"))
+        .agg(countDistinct(col("shard")).as("ns"))
+        .filter(col("ns") > 1).count()
+      require(nViolations == 0,
+        s"$nViolations ids routed to more than one shard")
+      back.agg(
+        countDistinct(col("shard")).as("n_shards"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("c_custkey")).as("n_ids"),
+        min(col("c_custkey")).as("min_id"),
+        max(col("c_custkey")).as("max_id"))
+    }),
+    "s7_sink_ack" -> ((s, d) => {
+      // S7 bulk-response ack (`src/main.py:147-148`): the in-flight
+      // observed row count vs the committed parquet footer total —
+      // metadata only, no second data scan (bulkWrite's internal
+      // `require` IS the ack; the query surfaces both numbers for the
+      // driver to hash-verify). batchSize exercises the bounded-file
+      // splitting, so the footer sum spans multiple files per shard.
+      val out = java.nio.file.Files.createTempDirectory("s7ack").toString
+      val written = graft.sources.Sink.bulkWrite(s, Tables.orders(s, d),
+        "o_orderkey", out, shards = 3, batchSize = 2000)
+      val committed = graft.sources.Sink.committedRowCount(s, out)
+      val nFiles = new java.io.File(out).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      require(nFiles >= 3, s"expected >= 3 shard files, got $nFiles")
+      import s.implicits._
+      Seq((written, committed, written == committed))
+        .toDF("written", "committed", "acked")
+    }),
+    "a5_ingest_counters" -> ((s, d) => {
+      // A5 ingest counters (`src/main.py:128-156`: docs-indexed /
+      // errors per bulk loop) riding the SINK ITSELF: observe-metrics
+      // on the write pass count rows, purchases, and an exact
+      // integer-cents value sum during a real parquet sink write — one
+      // pass, no second scan. (a16 is the QC-filter variant of the same
+      // surface; this is the ingest-side one.)
+      import org.apache.spark.sql.Observation
+      val out = java.nio.file.Files.createTempDirectory("a5ingest").toString
+      val obs = Observation()
+      Tables.events(s, d)
+        .observe(obs,
+          count(lit(1)).as("rows_in"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchase"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+        .write.mode("overwrite").parquet(out)
+      val m = obs.get
+      import s.implicits._
+      Seq((m("rows_in").asInstanceOf[Long],
+        m("n_purchase").asInstanceOf[Long],
+        m("value_cents").asInstanceOf[Long]))
+        .toDF("rows_in", "n_purchase", "value_cents")
+    }),
 
     // ---- projections / filters (SURVEY §2.2) ----
     "p1_project" -> ((s, d) =>
@@ -2047,14 +2163,21 @@ object SparkEntry {
       // broadcast NL join + codegen'd array clauses, zero shuffle
       Percolate.percolate(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("query_id"))),
-    "pc2_percolate_indexed" -> ((s, d) =>
+    "pc2_percolate_indexed" -> ((s, d) => {
       // the same percolator through candidate pre-selection: a
       // necessary-term inverted index over the stored queries prunes
       // the (doc, query) pairs before clause evaluation — identical
       // results (same oracle as pc1), broadcast-hash instead of
-      // nested-loop, built for 1000s of stored queries
-      Percolate.percolateIndexed(Tables.documents(s, d))
-        .orderBy(col("doc_id"), col("query_id"))),
+      // nested-loop, built for 1000s of stored queries. Must-term
+      // choice uses real corpus df from the persisted text index's
+      // term dictionary (rarest term = smallest candidate set — the
+      // ES term-dictionary discipline), fetched for the query terms
+      // only, never the whole vocabulary.
+      val df = Percolate.dfForQueries(textIndexFor(s, d).termDf(s),
+        Percolate.stored)
+      Percolate.percolateIndexed(Tables.documents(s, d), Percolate.stored, df)
+        .orderBy(col("doc_id"), col("query_id"))
+    }),
     "st8_stream_percolate" -> ((s, d) =>
       // ST8: the percolator on the ingest stream (alerting) — stateless
       // micro-batches, append output ≡ the batch pc1 answer
@@ -2456,6 +2579,32 @@ object SparkEntry {
                     FROM orders WHERE o_orderkey % 2 = 0) u
          ON c.o_orderkey = u.u_key
          ORDER BY c.o_orderkey""",
+    "s2_streamed_fetch" ->
+      """SELECT count(*)::BIGINT AS fetched_rows,
+                sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_cents
+         FROM orders""",
+    "s4_create_table" ->
+      """SELECT count(*)::BIGINT AS n_rows, 'r_name,r_regionkey' AS cols
+         FROM region""",
+    "s5_exists_drop" ->
+      """SELECT false AS exists_before, true AS exists_created,
+                true AS dropped, false AS exists_after,
+                false AS dropped_again""",
+    "s6_bulk_roundtrip" ->
+      """SELECT 3::BIGINT AS n_shards, count(*)::BIGINT AS n_rows,
+                count(DISTINCT c_custkey)::BIGINT AS n_ids,
+                min(c_custkey) AS min_id, max(c_custkey) AS max_id
+         FROM customer""",
+    "s7_sink_ack" ->
+      """SELECT count(*)::BIGINT AS written, count(*)::BIGINT AS committed,
+                true AS acked
+         FROM orders""",
+    "a5_ingest_counters" ->
+      """SELECT count(*)::BIGINT AS rows_in,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+                  AS n_purchase,
+                sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS value_cents
+         FROM events""",
     "p1_project" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice * 0.9 AS discounted
          FROM orders ORDER BY id""",

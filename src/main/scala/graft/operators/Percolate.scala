@@ -65,17 +65,28 @@ object Percolate {
 
   /** Necessary-term inverted index over a stored-query set, in the
     * [[graft.functions.PercolateIndexImpl]] spec encoding: one must
-    * term per must-query (the longest — a rarity heuristic absent term
-    * statistics), every should term for must-free queries with
+    * term per must-query, every should term for must-free queries with
     * `minimum_should_match ≥ 1`, and queries with no necessary
-    * condition as always-candidate residuals. */
-  def indexSpec(qs: Seq[StoredQuery]): String = {
+    * condition as always-candidate residuals.
+    *
+    * The must-term choice is what the index's selectivity hangs on —
+    * ES picks the term with the LOWEST document frequency from its
+    * term dictionary. With corpus `df` statistics (a bounded
+    * query-term-only lookup against the [[TextIndex]] term dictionary,
+    * see [[dfForQueries]]) this does the same: globally rarest term
+    * first; a term absent from the dictionary has df 0 — a must term
+    * no corpus doc contains makes the query unmatchable, the ideal
+    * candidate key. Without statistics it falls back to
+    * longest-term-as-rarity-proxy. */
+  def indexSpec(qs: Seq[StoredQuery],
+                df: Map[String, Long] = Map.empty): String = {
     val postings =
       scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
     val residual = Vector.newBuilder[Long]
     qs.foreach { case (id, must, _, should, minShould) =>
       val keys =
-        if (must.nonEmpty) Seq(must.maxBy(t => (t.length, t)))
+        if (must.nonEmpty)
+          Seq(must.minBy(t => (df.getOrElse(t, 0L), -t.length, t)))
         else if (minShould > 0 && should.nonEmpty) should.distinct
         else Seq.empty
       if (keys.isEmpty) residual += id
@@ -97,9 +108,9 @@ object Percolate {
     * table by id as a BROADCAST HASH join. Results are identical to
     * [[percolate]] by construction (the index is a necessary
     * condition); the corpus still never shuffles. */
-  def percolateIndexed(docs: DataFrame,
-                       qs: Seq[StoredQuery] = stored): DataFrame = {
-    val spec = indexSpec(qs)
+  def percolateIndexed(docs: DataFrame, qs: Seq[StoredQuery] = stored,
+                       df: Map[String, Long] = Map.empty): DataFrame = {
+    val spec = indexSpec(qs, df)
     val cand = tokenized(docs)
       .withColumn("query_id",
         explode(graft.functions.expressions
@@ -108,14 +119,30 @@ object Percolate {
       cand.join(broadcast(storedQueries(docs.sparkSession, qs)), "query_id"))
   }
 
+  /** Document frequencies for exactly the terms the stored queries
+    * mention, from a (term, df) dictionary frame (the [[TextIndex]]
+    * `term_df` artifact). The filter bounds the collect by the
+    * QUERY-SET size, never the corpus vocabulary — at 100 TB the
+    * dictionary has hundreds of millions of terms; the queries
+    * reference a few thousand. */
+  def dfForQueries(termDf: DataFrame, qs: Seq[StoredQuery]): Map[String, Long] = {
+    val wanted = qs.flatMap { case (_, must, _, should, _) => must ++ should }
+      .distinct
+    if (wanted.isEmpty) Map.empty
+    else termDf.filter(col("term").isin(wanted: _*))
+      .select(col("term"), col("df").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** (docs×queries evaluated by the nested loop, pairs the index would
     * evaluate) — the pre-selection win, measured. */
-  def evaluationCounts(docs: DataFrame, qs: Seq[StoredQuery]): (Long, Long) = {
+  def evaluationCounts(docs: DataFrame, qs: Seq[StoredQuery],
+                       df: Map[String, Long] = Map.empty): (Long, Long) = {
     val t = tokenized(docs)
     val full = t.count() * qs.length
     val cand = t.select(
       sum(size(graft.functions.expressions
-        .candidate_queries(col("toks"), indexSpec(qs)))).as("n"))
+        .candidate_queries(col("toks"), indexSpec(qs, df)))).as("n"))
       .head.getLong(0)
     (full, cand)
   }

@@ -85,6 +85,67 @@ class PercolateIndexSpec extends SparkSpec {
       "no real pruning")
   }
 
+  /** Skewed regime for the df-based must-term choice: 40 COMMON terms
+    * with long names (in ~every doc) and 2000 RARE terms with short
+    * names (a couple of docs each). Every must-query pairs one common
+    * with one rare term, so the length-as-rarity proxy always picks the
+    * WRONG (common) term while real df statistics pick the rare one —
+    * the adversarial case for the heuristic the round-6 index shipped
+    * with. */
+  private lazy val skewVocabCommon =
+    (0 until 40).map(i => s"commonheadterm$i")
+  private lazy val skewVocabRare = (0 until 2000).map(i => s"r$i")
+  private lazy val skewDocTokens: Seq[(Long, Seq[String])] =
+    (0 until 500).map { i =>
+      val common = (0 until 10).map(j => skewVocabCommon((i + j * 3) % 40))
+      val rare = Seq(skewVocabRare((i * 7) % 2000),
+        skewVocabRare((i * 13 + 1) % 2000))
+      (i.toLong, (common ++ rare).distinct)
+    }
+  private lazy val skewDocs = {
+    import spark.implicits._
+    skewDocTokens.map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+  /** Real df over the skew corpus, computed from the same token sets. */
+  private lazy val skewDf: Map[String, Long] = skewDocTokens
+    .flatMap(_._2.distinct).groupBy(identity)
+    .map { case (t, xs) => t -> xs.size.toLong }
+  private def skewFixture(n: Int): Seq[Percolate.StoredQuery] =
+    (0 until n).map { i =>
+      (i.toLong, Seq(skewVocabCommon(i % 40), skewVocabRare(i % 2000)),
+        Seq(skewVocabRare((i * 3 + 7) % 2000)), Seq.empty[String], 0)
+    }
+
+  test("df-based must-term choice beats the length heuristic on 10k skewed queries") {
+    val qs = skewFixture(10000)
+    val (full, byLength) = Percolate.evaluationCounts(skewDocs, qs)
+    val (_, byDf) = Percolate.evaluationCounts(skewDocs, qs, skewDf)
+    assert(full == 500L * 10000)
+    // the length proxy keys on the common term → candidate sets the
+    // size of that term's posting list; df keys on the rare term
+    assert(byDf * 5 < byLength,
+      s"df-based index evaluated $byDf pairs vs $byLength by length — " +
+      "no measured shrink")
+    // and the df-indexed path is still result-identical
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val fullHits = Percolate.percolate(skewDocs, qs).collect().map(key).toSet
+    val idxHits =
+      Percolate.percolateIndexed(skewDocs, qs, skewDf).collect().map(key).toSet
+    assert(fullHits.nonEmpty && idxHits == fullHits)
+  }
+
+  test("dfForQueries collects only the query terms' rows") {
+    import spark.implicits._
+    val termDf = skewDf.toSeq.toDF("term", "df")
+    val qs = skewFixture(50)
+    val m = Percolate.dfForQueries(termDf, qs)
+    val wanted = qs.flatMap { case (_, mu, _, sh, _) => mu ++ sh }.toSet
+    assert(m.keySet.subsetOf(wanted))
+    assert(m(skewVocabCommon(0)) == skewDf(skewVocabCommon(0)))
+  }
+
   test("the 5-query driver fixture matches across both paths too") {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getLong(1), r.getLong(2))
