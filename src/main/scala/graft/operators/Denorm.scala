@@ -148,6 +148,53 @@ object Denorm {
             s.getField("domain").as("domain"))).as("annotations"))
   }
 
+  /** Corpus-version fingerprint over the denorm child inputs (the same
+    * parquet-metadata discipline as [[TextIndex.corpusKey]] /
+    * [[AnnIndex.corpusKey]]): lineitem drives the aggregate, the three
+    * dims shape the annotation structs. */
+  def childrenKey(sfDir: String): String = {
+    val files = Seq("lineitem", "part", "supplier", "nation").flatMap { t =>
+      val root = new java.io.File(s"$sfDir/$t.parquet")
+      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
+      else Seq(root)
+    }
+    val h = files.foldLeft(1125899906842597L) { (a, f) =>
+      ((a * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
+    }
+    f"${h & Long.MaxValue}%016x"
+  }
+
+  private val childrenMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The child-aggregate relation as a MAINTAINED INGEST ARTIFACT: the
+    * [[childrenPerOrder]] aggregation persisted once per corpus version
+    * and RE-READ by consumers — the compacted table a production
+    * incremental-ingest deployment keeps next to the fact table (the
+    * 100 TB posture the DenormStream scaladoc describes: the child
+    * aggregate is far too large to pin in executor memory there, so
+    * each trigger re-reads the maintained table; same join plan shape).
+    * Reading parquet instead of caching the live aggregation also
+    * decouples consumers from driver-heap state — a columnar-cache
+    * build of array-of-struct rows late in a long-lived JVM is exactly
+    * the kind of GC-sensitive work a per-query stream run should not
+    * repeat. */
+  def childrenTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = childrenMemo.computeIfAbsent(childrenKey(sfDir), { key =>
+      val d = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft_denorm_children", key)
+        .toString
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_DONE"))) {
+        childrenPerOrder(spark, sfDir)
+          .write.mode("overwrite").parquet(d)
+        java.nio.file.Files.write(java.nio.file.Paths.get(d, "_DONE"),
+          Array.emptyByteArray)
+      }
+      d
+    })
+    spark.read.parquet(dir)
+  }
+
   /** One nested document per order — the engine's analog of the tweet
     * document (`docs/sample_document.json`, FIXTURES.md §A). Callers
     * that read only one child collection pass the flags: skipping a
