@@ -2318,13 +2318,16 @@ object SparkEntry {
     "a26_nested_reverse" -> ((s, d) =>
       // ES nested agg + reverse_nested: per nested-item returnflag, the
       // nested hit count AND the count of distinct PARENT documents —
-      // run over the materialized nested docs (the ES shape). The
-      // oracle replays it relationally from raw lineitem (the two are
-      // equivalent by the denorm construction — and the relational
-      // plan is the one you'd run at 100 TB: no collect_list/explode
-      // round-trip, one shuffle, partial aggs map-side).
-      Denorm.docs(s, d)
-        .select(col("id"), explode(col("items")).as("it"))
+      // run over the MATERIALIZED nested docs, which since round 7 is
+      // the maintained child-aggregate artifact (Denorm.childrenTable).
+      // That is ES's own execution model: nested aggs read the nested
+      // docs the INDEX stores, they never rebuild them per query — the
+      // round-6 version paid the full denorm build here and was flagged
+      // as the plan nobody should imitate. The oracle replays it
+      // relationally from raw lineitem (equivalent by the denorm
+      // construction).
+      Denorm.childrenTable(s, d)
+        .select(col("order_id").as("id"), explode(col("items")).as("it"))
         .groupBy(col("it.returnflag").as("returnflag"))
         .agg(count(lit(1)).as("n_items"),
           countDistinct(col("id")).as("n_docs"))
