@@ -285,6 +285,47 @@ object SparkEntry {
       Seq((written, committed, written == committed))
         .toDF("written", "committed", "acked")
     }),
+    "s12_compact" -> ((s, d) => {
+      // Small-file compaction as a VERIFIED maintenance pass: scatter
+      // documents into a 24-file mess (the long-running-ingest shape),
+      // compact to ⌈rows/5000⌉ near-equal files via Sink.compact's
+      // write-to-tmp + atomic-rename, and read the result back. Every
+      // output number is deterministic: the mess size is the
+      // repartition width, the compacted count is the ceiling division
+      // the compactor computes, and the row count must survive the
+      // rewrite untouched.
+      val out = java.nio.file.Files.createTempDirectory("s12c")
+        .resolve("t").toString
+      Tables.documents(s, d).repartition(24)
+        .write.mode("overwrite").parquet(out)
+      val (before, after) = graft.sources.Sink.compact(s, out, 5000L)
+      val rows = s.read.parquet(out).count()
+      import s.implicits._
+      Seq((before.toLong, after.toLong, rows))
+        .toDF("files_before", "files_after", "rows_after")
+    }),
+    "s13_partition_prune" -> ((s, d) => {
+      // Directory-partitioned layout with the pruning PROVED at the
+      // driver gate: write events partitioned by event_type
+      // (Sink.partitionedWrite — the coarse-key layout a 100 TB ingest
+      // keeps), read back one type, and REQUIRE the physical scan to
+      // carry the predicate as a PartitionFilter — i.e. the query
+      // reads one directory, not the table. The returned aggregates
+      // are recomputed by the oracle from the raw table.
+      val out = java.nio.file.Files.createTempDirectory("s13p")
+        .resolve("events_by_type").toString
+      graft.sources.Sink.partitionedWrite(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "event_type", out)
+      val back = s.read.parquet(out)
+        .filter(col("event_type") === "purchase")
+      val plan = back.queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters: [isnotnull(event_type"),
+        s"partition pruning missing from scan:\n$plan")
+      back.agg(count(lit(1)).as("n_purchase"),
+        sum(col("cents")).as("purchase_cents"))
+    }),
     "a5_ingest_counters" -> ((s, d) => {
       // A5 ingest counters (`src/main.py:128-156`: docs-indexed /
       // errors per bulk loop) riding the SINK ITSELF: observe-metrics
@@ -2602,6 +2643,15 @@ object SparkEntry {
       """SELECT count(*)::BIGINT AS written, count(*)::BIGINT AS committed,
                 true AS acked
          FROM orders""",
+    "s12_compact" ->
+      """SELECT 24::BIGINT AS files_before,
+                ceil(count(*)::DOUBLE / 5000)::BIGINT AS files_after,
+                count(*)::BIGINT AS rows_after
+         FROM documents""",
+    "s13_partition_prune" ->
+      """SELECT count(*)::BIGINT AS n_purchase,
+                sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS purchase_cents
+         FROM events WHERE event_type = 'purchase'""",
     "a5_ingest_counters" ->
       """SELECT count(*)::BIGINT AS rows_in,
                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
