@@ -2111,6 +2111,13 @@ object SparkEntry {
       val ord = (1 to 4).map(near("key", "scan", _)).reduce(_ || _)
       val rev = (1 to 4).map(near("scan", "key", _)).reduce(_ || _)
       Tables.documents(s, d)
+        // necessary-condition substring prefilter (the
+        // TokenMatchPrefilter discipline, hand-applied): a span hit
+        // requires BOTH tokens, and a token is always a substring of
+        // the lowered text — docs without both skip tokenization and
+        // all eight adjacency zips (memcmp vs regexp+8 array passes)
+        .filter(lower(col("text")).contains("key") &&
+          lower(col("text")).contains("scan"))
         .select(col("doc_id"), t.as("t"))
         .select(col("doc_id"), ord.as("in_order"),
           (ord || rev).as("unordered"))

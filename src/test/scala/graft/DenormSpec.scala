@@ -72,4 +72,28 @@ class DenormSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("childrenTable artifact equals the live aggregation") {
+    // the maintained ingest table must be a bit-faithful materialization
+    // of the live childrenPerOrder plan — same rows, same nested arrays
+    val live = Denorm.childrenPerOrder(spark, sf)
+    val artifact = Denorm.childrenTable(spark, sf)
+    assert(artifact.count() == live.count())
+    // parquet relaxes nullability on roundtrip; the TYPES must match
+    def ddl(df: org.apache.spark.sql.DataFrame) =
+      df.schema.toDDL.replace(" NOT NULL", "")
+    assert(ddl(artifact) == ddl(live))
+    val ids = Seq(2L, 434L, 1075L)
+    val a = artifact.filter(col("order_id").isin(ids: _*))
+      .orderBy("order_id").collect()
+    val l = live.filter(col("order_id").isin(ids: _*))
+      .orderBy("order_id").collect()
+    assert(a.sameElements(l))
+    // the artifact is on disk with its completion marker, and a second
+    // consumer reads the SAME files (no rebuild)
+    val dir = artifact.inputFiles.head.replaceAll("/[^/]+$", "")
+    assert(new java.io.File(dir.replace("file:", ""), "_DONE").exists())
+    assert(Denorm.childrenTable(spark, sf).inputFiles.sorted
+      .sameElements(artifact.inputFiles.sorted))
+  }
 }
