@@ -326,6 +326,28 @@ object SparkEntry {
       back.agg(count(lit(1)).as("n_purchase"),
         sum(col("cents")).as("purchase_cents"))
     }),
+    "ti1_segment_merge" -> ((s, d) => {
+      // Incremental index maintenance (the Lucene segment model) under
+      // the driver gate: build the text index from the even half of
+      // the corpus, append the odd half as a SEGMENT (parquet append
+      // into the postings dir + dictionary-sized merges — O(batch)
+      // ingest, never O(corpus); TextIndex.addSegment), then read back
+      // corpus invariants the oracle recomputes from the raw documents
+      // with the same analyzer: doc count, exact total token count,
+      // dictionary size, and the postings count both as dictionary-df
+      // mass and as physical posting rows (the two must agree, or the
+      // merge double-counted).
+      val docs = Tables.documents(s, d)
+      val ix = TextIndex.build(docs.filter(col("doc_id") % 2 === 0),
+        java.nio.file.Files.createTempDirectory("ti1seg").toString)
+      TextIndex.addSegment(ix, docs.filter(col("doc_id") % 2 === 1))
+      val nPhysical = ix.postings(s).count()
+      ix.corpus(s)
+        .select(col("n").cast("long").as("n_docs"), col("sum_len"))
+        .crossJoin(ix.termDf(s).agg(count(lit(1)).as("n_terms"),
+          sum(col("df")).as("n_postings")))
+        .withColumn("postings_agree", lit(nPhysical) === col("n_postings"))
+    }),
     "a5_ingest_counters" -> ((s, d) => {
       // A5 ingest counters (`src/main.py:128-156`: docs-indexed /
       // errors per bulk loop) riding the SINK ITSELF: observe-metrics
@@ -2659,6 +2681,14 @@ object SparkEntry {
       """SELECT count(*)::BIGINT AS n_purchase,
                 sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS purchase_cents
          FROM events WHERE event_type = 'purchase'""",
+    "ti1_segment_merge" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+          SELECT (SELECT count(*) FROM t)::BIGINT AS n_docs,
+                 (SELECT coalesce(sum(len(toks)), 0) FROM t)::BIGINT AS sum_len,
+                 (SELECT count(DISTINCT term) FROM p)::BIGINT AS n_terms,
+                 (SELECT count(*) FROM p)::BIGINT AS n_postings,
+                 true AS postings_agree""",
     "a5_ingest_counters" ->
       """SELECT count(*)::BIGINT AS rows_in,
                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT

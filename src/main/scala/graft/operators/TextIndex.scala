@@ -68,8 +68,11 @@ object TextIndex {
 
   def ensure(docs: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
+      // "v2": the corpus row gained sum_len (exact-long merge basis for
+      // addSegment) — a layout change, so pre-round-7 artifacts under
+      // the unversioned path are never half-read
       val dir = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft_text_index", key)
+        .get(sys.props("java.io.tmpdir"), "graft_text_index", "v2", key)
         .toString
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_DONE")))
         Loaded(dir)
@@ -87,9 +90,15 @@ object TextIndex {
     withLen.select(col("doc_id"), col("len"))
       .write.mode("overwrite").parquet(s"$dir/doclen")
     // the SAME aggregate expressions the in-query stats passes used:
-    // count → double, avg over the int len (exact long sum / count)
+    // count → double, avg over the int len (exact long sum / count).
+    // sum_len rides along as the exact LONG the avg divided — it is
+    // what makes incremental maintenance bit-exact: merged avgdl is
+    // (sum_len₁+sum_len₂)/(n₁+n₂), the identical one-division-of-
+    // exact-longs a full rebuild computes, never an average of
+    // averages.
     withLen.agg(count(lit(1)).cast("double").as("n"),
-        avg(col("len")).as("avgdl"))
+        avg(col("len")).as("avgdl"),
+        sum(col("len")).cast("long").as("sum_len"))
       .write.mode("overwrite").parquet(s"$dir/corpus")
 
     withLen.select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
@@ -106,5 +115,93 @@ object TextIndex {
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_DONE"),
       Array.emptyByteArray)
     Loaded(dir)
+  }
+
+  /** Incremental maintenance — the Lucene SEGMENT model: a new batch of
+    * documents becomes an additional set of term-sorted posting files
+    * in the SAME postings directory (parquet append — existing
+    * segments are never rewritten; each file keeps its own term
+    * min/max row-group stats, so term lookups still skip), the
+    * dictionary is merged dictionary-sized work (union + sum over
+    * (term, df) — never corpus-sized), and the corpus stats row merges
+    * exact longs. At 100 TB this is the only affordable shape: ingest
+    * cost is O(batch), not O(corpus), which is why Lucene/ES commit
+    * segments instead of rebuilding indexes.
+    *
+    * A doc id that already exists in the index is REJECTED loudly
+    * (`require`) — silently appending it would double-count df/tf and
+    * skew every score downstream; updates are delete-and-reingest in
+    * the segment model, exactly as in Lucene. */
+  def addSegment(base: Loaded, delta: DataFrame): Loaded = {
+    val spark = delta.sparkSession
+    val dir = base.dir
+    val withLen = delta
+      .select(col("doc_id"), Analyzers.tokenize(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("len"))
+
+    val dup = withLen.select(col("doc_id"))
+      .join(base.doclen(spark), Seq("doc_id"), "left_semi").count()
+    require(dup == 0,
+      s"$dup delta doc ids already indexed — segment appends must be " +
+      "disjoint (update = delete + reingest in the segment model)")
+
+    withLen.select(col("doc_id"), col("len"))
+      .write.mode("append").parquet(s"$dir/doclen")
+    withLen.select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("len"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("append").parquet(s"$dir/postings")
+
+    // dictionary + stats merges: DICTIONARY-sized, rewritten via
+    // write-to-tmp + atomic swap (the Sink.compact discipline) because
+    // the new value is derived from the file being replaced
+    val deltaDf = withLen
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    swapIn(spark, s"$dir/term_df",
+      base.termDf(spark).unionByName(deltaDf)
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .coalesce(1))
+    val deltaStats = withLen.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("len")).cast("long").as("sum_len"))
+    swapIn(spark, s"$dir/corpus",
+      base.corpus(spark).select(col("n"), col("sum_len"))
+        .unionByName(deltaStats)
+        .agg(sum(col("n")).as("n"), sum(col("sum_len")).as("sum_len"))
+        .select(col("n"),
+          (col("sum_len").cast("double") / col("n")).as("avgdl"),
+          col("sum_len")))
+    Loaded(dir)
+  }
+
+  /** Segment compaction — the maintenance pass that keeps lookup cost
+    * bounded after many small appends: rewrite the postings directory
+    * into term-partitioned, term-sorted files (restoring one-segment
+    * row-group skipping) via write-to-tmp + atomic rename. Returns
+    * (files before, files after). Run per partition-directory at
+    * scale, like [[graft.sources.Sink.compact]]. */
+  def compactPostings(spark: SparkSession, base: Loaded): (Int, Int) = {
+    val before = base.postings(spark).inputFiles.length
+    swapIn(spark, s"${base.dir}/postings",
+      base.postings(spark)
+        .repartition(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id")))
+    (before, base.postings(spark).inputFiles.length)
+  }
+
+  /** Overwrite `path` with `df` where `df` READS from `path`: write to
+    * a sibling tmp dir, then atomically swap directories. */
+  private def swapIn(spark: SparkSession, path: String,
+                     df: DataFrame): Unit = {
+    val tmp = path + ".swap-tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
   }
 }

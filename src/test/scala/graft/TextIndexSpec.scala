@@ -81,4 +81,49 @@ class TextIndexSpec extends SparkSpec {
       .filter(col("m")).count()
     assert(dfSpark == wantDf)
   }
+
+  test("segment append + merged dictionary equals a full rebuild, bit for bit") {
+    val docs = Tables.documents(spark, sf)
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val inc = TextIndex.build(half1,
+      java.nio.file.Files.createTempDirectory("textix-inc").toString)
+    TextIndex.addSegment(inc, half2)
+    val full = TextIndex.build(docs,
+      java.nio.file.Files.createTempDirectory("textix-full").toString)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(inc.postings(spark)) == rows(full.postings(spark)))
+    assert(rows(inc.termDf(spark)) == rows(full.termDf(spark)))
+    assert(rows(inc.doclen(spark)) == rows(full.doclen(spark)))
+    // (n, avgdl, sum_len) identical — avgdl from ONE division of the
+    // merged exact long, not an average of averages
+    assert(inc.corpus(spark).head().toSeq == full.corpus(spark).head().toSeq)
+    // and a consumer ranking over the merged index is bit-identical
+    same(Search.searchBm25Indexed(spark, inc, Seq("table", "spark"), k = 20),
+      Search.searchBm25Indexed(spark, full, Seq("table", "spark"), k = 20))
+  }
+
+  test("segment append rejects duplicate doc ids loudly") {
+    val docs = Tables.documents(spark, sf)
+    val ix2 = TextIndex.build(docs.filter(col("doc_id") < 100),
+      java.nio.file.Files.createTempDirectory("textix-dup").toString)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.addSegment(ix2, docs.filter(col("doc_id") < 10))
+    }
+    assert(e.getMessage.contains("already indexed"))
+  }
+
+  test("postings compaction keeps results and the pushed-filter access path") {
+    val docs = Tables.documents(spark, sf)
+    val ixc = TextIndex.build(docs.filter(col("doc_id") % 2 === 0),
+      java.nio.file.Files.createTempDirectory("textix-cmp").toString)
+    TextIndex.addSegment(ixc, docs.filter(col("doc_id") % 2 === 1))
+    val before = Search.bm25Indexed(spark, ixc, "spark").collect().toSeq
+    val (nBefore, nAfter) = TextIndex.compactPostings(spark, ixc)
+    assert(nAfter <= nBefore)
+    assert(Search.bm25Indexed(spark, ixc, "spark").collect().toSeq == before)
+    val p = Search.bm25Indexed(spark, ixc, "spark")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(term), EqualTo(term,spark)]"), p)
+  }
 }
