@@ -1176,6 +1176,34 @@ object SparkEntry {
           ix.resCbs, ix.ivfPqCodes(s), annProbeIds, k = 10)
         .orderBy(col("qid"))
     }),
+    "n10_incremental_add" -> ((s, d) => {
+      // Incremental vector ingest (the FAISS add() model,
+      // AnnIndex.addVectors): a fresh base index is trained on the raw
+      // embeddings, then ×2-scaled twins of the probe vectors arrive
+      // as a delta batch and are encoded against the FROZEN
+      // centroids/codebooks — no retraining — and appended to every
+      // index table. The invariant: an IVF probe over the merged index
+      // must return each probe's appended twin as its top hit at
+      // cosine exactly 1 (same direction ⇒ same cell ⇒ found through
+      // the pruned inverted-file path). Built in a private temp dir so
+      // the SHARED per-corpus artifact the other n-queries read stays
+      // immutable.
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val ix = AnnIndex.build(base,
+        java.nio.file.Files.createTempDirectory("n10add").toString)
+      val delta = base.filter(col("vec_id").isin(annProbeIds: _*))
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      AnnIndex.addVectors(ix, delta)
+      Similarity.knnIvfBatchAssigned(base.unionByName(delta), ix.ivf(s),
+          ix.cents, annProbeIds, k = 1)
+        .select(col("qid"),
+          (col("vec_id") === col("qid") + 2000000L).as("hit_is_twin"),
+          (col("cos_sim") === 1.0).as("cos_is_one"))
+        .orderBy(col("qid"))
+    }),
     "d12_incremental_minhash" -> ((s, d) => {
       // arriving batch (doc_id % 10 = 0) screened against the standing
       // corpus's MAINTAINED frames — the banded index and the shingle
@@ -2681,6 +2709,11 @@ object SparkEntry {
       """SELECT count(*)::BIGINT AS n_purchase,
                 sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS purchase_cents
          FROM events WHERE event_type = 'purchase'""",
+    "n10_incremental_add" ->
+      // constant-TRUE invariant contract (the n-family pattern): the
+      // appended twin is provably the unique exact-cosine top hit
+      """SELECT qid::BIGINT AS qid, true AS hit_is_twin, true AS cos_is_one
+         FROM (VALUES (1), (101), (202)) t(qid) ORDER BY qid""",
     "ti1_segment_merge" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)

@@ -96,6 +96,15 @@ object AnnIndex {
       else build(corpus, dir)
     })
 
+  /** (vec_id, v, nrm, cell): the coarse-quantizer assignment of `emb`
+    * under fixed centroids — the shared encode step of [[build]] and
+    * [[addVectors]], public so specs can recompute assignments
+    * independently of the persisted table. */
+  def assignCells(emb: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    Similarity.withNorm(emb)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        Similarity.cellOf(cents, col("v"), col("nrm")).as("cell"))
+
   /** The ingest job: train once (one bounded sample collection feeds
     * all three trainers), encode the corpus once per index family,
     * persist everything. */
@@ -116,9 +125,7 @@ object AnnIndex {
     cbRows.toSeq.toDF("kind", "grp", "idx", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
 
-    val e = Similarity.withNorm(corpus)
-    e.select(col("vec_id"), col("v"), col("nrm"),
-        Similarity.cellOf(cents, col("v"), col("nrm")).as("cell"))
+    assignCells(corpus, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/ivf")
     Similarity.pqEncode(corpus, pqCbs)
       .write.mode("overwrite").parquet(s"$dir/pq_codes")
@@ -131,6 +138,41 @@ object AnnIndex {
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_DONE"),
       Array.emptyByteArray)
     Loaded(dir, cents, pqCbs, resCbs)
+  }
+
+  /** Incremental vector ingest — the FAISS `add()` model: new vectors
+    * are encoded against the FROZEN trained structures (coarse
+    * centroids, PQ/residual codebooks stay exactly as trained; FAISS
+    * never retrains on add, it assigns and encodes) and appended to
+    * every index table as new parquet files — O(batch) work, the
+    * existing corpus is never touched. The cell-partitioned tables
+    * (ivf, ivfpq_codes) append INTO their cell directories, so
+    * partition pruning keeps working across segments. A vec_id already
+    * present is rejected loudly (silently appending would return the
+    * same id twice from every probe); updates are delete-and-reingest,
+    * as in the text index's segment model. Drift discipline: encode
+    * quality against frozen codebooks degrades as the data
+    * distribution moves — the scheduled re-train is [[build]] under a
+    * new corpus version key, exactly the FAISS retrain-when-recall-
+    * drops operational loop. */
+  def addVectors(base: Loaded, delta: DataFrame): Loaded = {
+    val spark = delta.sparkSession
+    val dup = delta.select(col("vec_id"))
+      .join(base.ivf(spark).select(col("vec_id")), Seq("vec_id"),
+        "left_semi").count()
+    require(dup == 0,
+      s"$dup delta vec_ids already indexed — vector appends must be " +
+      "disjoint (update = delete + reingest)")
+    assignCells(delta, base.cents)
+      .write.mode("append").partitionBy("cell").parquet(s"${base.dir}/ivf")
+    Similarity.pqEncode(delta, base.pqCbs)
+      .write.mode("append").parquet(s"${base.dir}/pq_codes")
+    Similarity.ivfPqEncode(delta, base.cents, base.resCbs)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"${base.dir}/ivfpq_codes")
+    Similarity.quantizedIndex(delta)
+      .write.mode("append").parquet(s"${base.dir}/sq8")
+    base
   }
 
   /** Reload the driver-side structures from a completed artifact. */

@@ -80,6 +80,62 @@ class AnnIndexSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("addVectors encodes against frozen codebooks and probes find the new vectors") {
+    // FAISS add() model: base index trained on the original corpus;
+    // a delta batch (×2-scaled twins of the probe vectors under new
+    // ids — same direction ⇒ same cell, cosine exactly 1) is appended
+    // WITHOUT retraining. Every table must grow by the batch, the
+    // appended assignments must equal an independent recompute against
+    // the SAME frozen centroids, and an IVF probe over the merged
+    // index must surface each planted twin as the exact-cosine top hit.
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ix = AnnIndex.build(base, freshDir())
+    val nBase = base.count()
+    val delta = base.filter(col("vec_id").isin(probes: _*))
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("label"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+          .as("embedding"))
+    AnnIndex.addVectors(ix, delta)
+
+    val nDelta = probes.size
+    assert(ix.ivf(spark).count() == nBase + nDelta)
+    assert(ix.pqCodes(spark).count() == nBase + nDelta)
+    assert(ix.ivfPqCodes(spark).count() == nBase + nDelta)
+    assert(ix.sq8(spark).count() == nBase + nDelta)
+
+    // appended cell assignments == independent recompute on frozen cents
+    val persisted = ix.ivf(spark)
+      .filter(col("vec_id") >= 2000000L)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val recomputed = AnnIndex.assignCells(delta, ix.cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(persisted == recomputed)
+
+    // probing each ORIGINAL probe id over the merged index returns its
+    // appended twin at cosine exactly 1 (same direction ⇒ same cell)
+    val merged = base.unionByName(delta)
+    val top = Similarity.knnIvfBatchAssigned(merged, ix.ivf(spark),
+      ix.cents, probes, k = 1)
+    val hits = top.collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("vec_id")),
+        r.getDouble(r.fieldIndex("cos_sim")))).toSet
+    assert(hits == probes.map(p => (p, p + 2000000L, 1.0)).toSet, hits)
+  }
+
+  test("addVectors rejects duplicate vec_ids loudly") {
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ix = AnnIndex.build(base, freshDir())
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.addVectors(ix, base.filter(col("vec_id") < 3))
+    }
+    assert(e.getMessage.contains("already indexed"))
+  }
+
   test("ivf table is cell-partitioned so probes prune files") {
     val corpus = plantedCorpus
     val ix = AnnIndex.build(corpus, freshDir())
