@@ -126,6 +126,16 @@ class AnnIndexSpec extends SparkSpec {
     assert(hits == probes.map(p => (p, p + 2000000L, 1.0)).toSet, hits)
   }
 
+  test("an empty vector batch is a no-op") {
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ix = AnnIndex.build(base, freshDir())
+    val n = ix.ivf(spark).count()
+    AnnIndex.addVectors(ix, base.filter(lit(false)))
+    assert(ix.ivf(spark).count() == n)
+    assert(ix.sq8(spark).count() == n)
+  }
+
   test("addVectors rejects duplicate vec_ids loudly") {
     val base = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"), col("embedding"))

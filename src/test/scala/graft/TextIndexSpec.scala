@@ -103,6 +103,19 @@ class TextIndexSpec extends SparkSpec {
       Search.searchBm25Indexed(spark, full, Seq("table", "spark"), k = 20))
   }
 
+  test("an empty segment append is a statistics no-op") {
+    val docs = Tables.documents(spark, sf)
+    val ixe = TextIndex.build(docs.filter(col("doc_id") < 50),
+      java.nio.file.Files.createTempDirectory("textix-empty").toString)
+    val corpusBefore = ixe.corpus(spark).head().toSeq
+    val nPostings = ixe.postings(spark).count()
+    TextIndex.addSegment(ixe, docs.filter(lit(false)))
+    // the empty batch's sum() is NULL — the merge must not poison the
+    // corpus row (n, avgdl, sum_len) or the postings
+    assert(ixe.corpus(spark).head().toSeq == corpusBefore)
+    assert(ixe.postings(spark).count() == nPostings)
+  }
+
   test("segment append rejects duplicate doc ids loudly") {
     val docs = Tables.documents(spark, sf)
     val ix2 = TextIndex.build(docs.filter(col("doc_id") < 100),
