@@ -135,6 +135,46 @@ object SparkEntry {
   private[graft] def textIndexFor(s: SparkSession, d: String): TextIndex.Loaded =
     TextIndex.ensure(Tables.documents(s, d), TextIndex.corpusKey(d))
 
+  /** The bucketed-layout ingest job behind z3: orders and lineitem
+    * written `bucketBy(8, key)` into the session warehouse, memoized
+    * per (corpus dir, session catalog) — built once per JVM like the
+    * ANN/text index artifacts, and untimed in Bench's indexing phase.
+    * `repartition(nb, key)` aligns task hashing with bucket hashing
+    * (both pmod(murmur3, nb)): one file per bucket, not tasks×buckets. */
+  private val bucketedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] def bucketedTablesFor(s: SparkSession,
+                                       d: String): (String, String) = {
+    val nb = 8
+    def prep(df: DataFrame, key: String, table: String): String = {
+      // a previous JVM leaves the warehouse directory behind while the
+      // in-memory catalog forgets the table — saveAsTable then refuses
+      // with LOCATION_ALREADY_EXISTS, so clear both sides first
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+      val loc = java.nio.file.Paths.get(
+        if (wh.getScheme == "file") wh.getPath else wh.toString, table)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.delete)
+      }
+      df.repartition(nb, col(key))
+        .write.mode("overwrite").bucketBy(nb, key).sortBy(key)
+        .saveAsTable(table)
+      table
+    }
+    bucketedMemo.computeIfAbsent(d, { _ =>
+      (prep(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        "o_orderkey", "graft_z3_orders"),
+       prep(Tables.lineitem(s, d)
+           .select(col("l_orderkey"), col("l_extendedprice")),
+         "l_orderkey", "graft_z3_lineitem"))
+    })
+  }
+
   // Physical row order is NOT part of the verification contract: the
   // harness canonicalizes by sorting rows (and columns by name) on both
   // the Spark and the DuckDB side before hashing. Queries keep ORDER BY
@@ -325,6 +365,34 @@ object SparkEntry {
         s"partition pruning missing from scan:\n$plan")
       back.agg(count(lit(1)).as("n_purchase"),
         sum(col("cents")).as("purchase_cents"))
+    }),
+    "z3_bucketed_join" -> ((s, d) => {
+      // Bucketed CO-LOCATED join — the layout that removes the
+      // fact⋈fact shuffle entirely at 100 TB: both tables are written
+      // `bucketBy(8, key)` (Spark's native bucketing), so matching
+      // keys land in the same bucket file on both sides and the
+      // sort-merge join reads bucket i ⋈ bucket i with NO exchange on
+      // either side — proven by a REQUIRE on the executed plan, so
+      // the driver gate itself fails if either side ever shuffles.
+      // The merge hint pins SMJ — at harness scale Spark would broadcast,
+      // which benchmarks nothing about co-location. The write is the
+      // maintained-layout ingest job (bucketedTablesFor — memoized per
+      // corpus and pre-built untimed by Bench, like the ANN/text
+      // indexes); production writes it once and every downstream join
+      // rides it.
+      val (oTab, lTab) = bucketedTablesFor(s, d)
+      val o = s.table(oTab)
+      val l = s.table(lTab)
+      val j = o.join(l.hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        s"bucketed join must be exchange-free SMJ:\n$plan")
+      j.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("rev_cents"))
+        .orderBy(col("o_orderstatus"))
     }),
     "ti1_segment_merge" -> ((s, d) => {
       // Incremental index maintenance (the Lucene segment model) under
@@ -690,6 +758,12 @@ object SparkEntry {
     "f4_search_bm25" -> ((s, d) =>
       Search.searchBm25Indexed(s, textIndexFor(s, d),
         Seq("spark", "window"), k = 20)),
+    "h2_hybrid_rrf" -> ((s, d) =>
+      // hybrid lexical+vector retrieval fused by integer RRF
+      // (Search.hybridRrf): BM25 leg from the persisted text index,
+      // exact-integer dot-product leg over the doc-aligned embeddings
+      Search.hybridRrf(s, textIndexFor(s, d), Tables.embeddings(s, d),
+        Seq("spark", "window"), probeId = 7L)),
 
     // ---- denorm flagship (SURVEY §7 M1) ----
     "denorm_docs" -> ((s, d) =>
@@ -1204,6 +1278,53 @@ object SparkEntry {
           (col("cos_sim") === 1.0).as("cos_is_one"))
         .orderBy(col("qid"))
     }),
+    "n11_filtered_knn" -> ((s, d) => {
+      // Filtered vector search — ES kNN's `filter` / FAISS IDSelector
+      // (Similarity.knnIvfBatchFiltered scaladoc: the predicate runs
+      // DURING index traversal against the label stored IN the index,
+      // never as post-filtering, never joining the raw corpus). Two
+      // passes over the planted corpus: filtering on each probe's OWN
+      // label must surface its planted twin (same direction and same
+      // label ⇒ same cell, cosine exactly 1) at rank 1; filtering on a
+      // DIFFERENT label must exclude the twin while every returned row
+      // carries the filter's label. The probe→label lookup is a 3-row
+      // bounded collect (the annProbeIds discipline); an empty result
+      // group vanishes from the groupBy and fails the oracle on row
+      // count, not silently.
+      import s.implicits._
+      val corpus = annPlantedCorpus(s, d)
+      val ix = annIndexFor(s, d)
+      val probeLabels = Tables.embeddings(s, d)
+        .filter(col("vec_id").isin(annProbeIds: _*))
+        .select(col("vec_id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toSeq.sortBy(_._1)
+      def pass(mode: String, expectTwin: Boolean,
+               ql: Seq[(Long, Int)]): DataFrame = {
+        val wanted = ql.toDF("qid", "want_label")
+        val twinOk =
+          if (expectTwin) col("twin_rank") === 1 && col("twin_cos") === 1.0
+          else col("twin_rank").isNull
+        Similarity.knnIvfBatchFiltered(corpus, ix.ivf(s), ix.cents,
+            ql, k = 10)
+          .join(broadcast(wanted), Seq("qid"))
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n"),
+            max(when(col("vec_id") === col("qid") + 1000000L,
+              col("rank"))).as("twin_rank"),
+            max(when(col("vec_id") === col("qid") + 1000000L,
+              col("cos_sim"))).as("twin_cos"),
+            min((col("label") === col("want_label")).cast("int"))
+              .as("all_match"))
+          .select(lit(mode).as("mode"), col("qid"),
+            (col("n") >= 1 && col("n") <= 10).as("k_bounded"),
+            (col("all_match") === 1).as("labels_match_filter"),
+            twinOk.as("twin_ok"))
+      }
+      pass("match", expectTwin = true, probeLabels)
+        .unionByName(pass("mismatch", expectTwin = false,
+          probeLabels.map { case (q, l) => (q, (l + 1) % 10) }))
+        .orderBy(col("mode"), col("qid"))
+    }),
     "d12_incremental_minhash" -> ((s, d) => {
       // arriving batch (doc_id % 10 = 0) screened against the standing
       // corpus's MAINTAINED frames — the banded index and the shingle
@@ -1525,6 +1646,61 @@ object SparkEntry {
       shingled.join(broadcast(rareH), xxhash64(col("term")) === col("h"))
         .select(col("term"), col("doc_count")).distinct()
         .orderBy(col("term"))
+    }),
+    "a31_terms_shard_error" -> ((s, d) => {
+      // ES terms agg ACCURACY semantics under distribution — the part
+      // of the API most engines silently drop. ES computes a terms agg
+      // by asking each shard for its local top `shard_size` terms,
+      // summing only the RETURNED per-shard counts, and reporting per
+      // term a `doc_count_error_upper_bound`: for every shard that did
+      // not return the term, the worst case is that the term sat just
+      // below that shard's last returned count, so the bound is the
+      // sum of those shards' minimum returned counts — and 0 for a
+      // shard that returned fewer than shard_size terms (it returned
+      // everything, so a missing term truly has count 0 there).
+      // Shards here are the deterministic id-hash routing s6 uses
+      // (Knuth multiplicative hash), NOT Spark partitions — the shard
+      // map is data-determined, so the oracle replays it exactly.
+      // Scale shape: doc counts come from the PERSISTED postings
+      // (term, doc_id) — one map-side-combined shuffle on
+      // (shard, term); everything after operates on the term
+      // DICTIONARY (|terms|×S rows), never the corpus, and the
+      // coordinator frames (top terms × shard minima) are
+      // broadcast-sized, exactly as in ES where the coordinating node
+      // merges shard_size-bounded shard responses.
+      val S = 4; val shardSize = 10; val topSize = 10
+      val post = textIndexFor(s, d).postings(s)
+        .select(col("term"), col("doc_id"))
+      val shardCounts = post
+        .withColumn("shard",
+          (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % S)
+            .cast("int"))
+        .groupBy(col("shard"), col("term"))
+        .agg(count(lit(1)).as("c"))
+      val kept = shardCounts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("c").desc, col("term"))))
+        .filter(col("rk") <= shardSize)
+        .select(col("shard"), col("term"), col("c"))
+      val shardMin = kept.groupBy(col("shard"))
+        .agg(min(col("c")).as("minc"), count(lit(1)).as("n_kept"))
+        .select(col("shard"),
+          when(col("n_kept") < shardSize, lit(0L))
+            .otherwise(col("minc")).as("smin"))
+      val top = kept.groupBy(col("term"))
+        .agg(sum(col("c")).as("doc_count"))
+        .orderBy(col("doc_count").desc, col("term"))
+        .limit(topSize)
+      val err = top.select(col("term"))
+        .crossJoin(broadcast(shardMin)) // topSize×S rows
+        .join(kept.select(col("shard"), col("term")),
+          Seq("shard", "term"), "left_anti")
+        .groupBy(col("term")).agg(sum(col("smin")).as("err"))
+      top.join(err, Seq("term"), "left")
+        .select(col("term"), col("doc_count"),
+          coalesce(col("err"), lit(0L)).as("doc_count_error_upper_bound"))
+        .orderBy(col("doc_count").desc, col("term"))
     }),
     "w7_pipeline_aggs" -> ((s, d) => {
       // ES date_histogram + pipeline aggs (derivative, cumulative_sum,
@@ -2190,6 +2366,12 @@ object SparkEntry {
     "st7_stream_session" -> ((s, d) =>
       EventStream.runSessionWindows(s, d)),
 
+    // ST9: the HLL++ sketch as a streaming aggregation — windowed
+    // approximate distinct users, whose streaming estimate must equal
+    // the batch sketch bit-for-bit (EventStream.runApproxUsers)
+    "st9_stream_sketch" -> ((s, d) =>
+      EventStream.runApproxUsers(s, d)),
+
     "sm1_scripted_metric" -> ((s, d) => {
       // ES scripted_metric: a custom map/combine/reduce statistic the
       // stock aggs can't express — here an OLS slope of value vs time
@@ -2680,6 +2862,13 @@ object SparkEntry {
                     FROM orders WHERE o_orderkey % 2 = 0) u
          ON c.o_orderkey = u.u_key
          ORDER BY c.o_orderkey""",
+    // z3: the values are a plain join-aggregate; the co-location claim
+    // itself is enforced by the in-query REQUIRE on the executed plan
+    "z3_bucketed_join" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_items,
+                sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT AS rev_cents
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "s2_streamed_fetch" ->
       """SELECT count(*)::BIGINT AS fetched_rows,
                 sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_cents
@@ -2910,6 +3099,50 @@ object SparkEntry {
                              ELSE 0.0 END), 6) AS score
           FROM p, s WHERE tf0 > 0 OR tf1 > 0
           ORDER BY score DESC, doc_id LIMIT 20""",
+    // h2: both legs replayed in full — the f4 BM25 CTE ranked, the
+    // vector leg as the same one-rounding-per-element BIGINT dot
+    // product, fused by exact integer reciprocal-rank contributions
+    "h2_hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(toks)::INT AS len,
+                       len(list_filter(toks, x -> x = 'spark'))::INT AS tf0,
+                       len(list_filter(toks, x -> x = 'window'))::INT AS tf1 FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1 FROM p),
+          sc AS (SELECT doc_id,
+                        round((CASE WHEN tf0 > 0
+                                    THEN ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) *
+                                         (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                                    ELSE 0.0 END) +
+                              (CASE WHEN tf1 > 0
+                                    THEN ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) *
+                                         (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                                    ELSE 0.0 END), 6) AS score
+                 FROM p, s WHERE tf0 > 0 OR tf1 > 0
+                 ORDER BY score DESC, doc_id LIMIT 20),
+          tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS text_rank
+                 FROM sc),
+          v AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+                FROM embeddings),
+          pr AS (SELECT q AS p FROM v WHERE vec_id = 7),
+          dots AS (SELECT vec_id,
+                          list_sum(list_transform(range(1, len(q) + 1),
+                                                  i -> q[i] * p[i]))::BIGINT AS dp
+                   FROM v, pr),
+          vt AS (SELECT vec_id, dp FROM dots ORDER BY dp DESC, vec_id LIMIT 20),
+          vr AS (SELECT vec_id, row_number() OVER (ORDER BY dp DESC, vec_id) AS vec_rank
+                 FROM vt),
+          f AS (SELECT coalesce(tr.doc_id, vr.vec_id) AS id,
+                       tr.text_rank::BIGINT AS text_rank,
+                       vr.vec_rank::BIGINT AS vec_rank,
+                       (coalesce(1000000000 // (60 + tr.text_rank), 0) +
+                        coalesce(1000000000 // (60 + vr.vec_rank), 0))::BIGINT AS rrf
+                FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vec_id)
+          SELECT id, text_rank, vec_rank, rrf FROM f
+          ORDER BY rrf DESC, id LIMIT 10""",
     "denorm_docs" ->
       """SELECT o.o_orderkey AS id, o.o_orderstatus AS status, o.o_orderpriority AS priority,
                 o.o_totalprice AS total_price, o.o_orderdate AS created_at,
@@ -2996,6 +3229,19 @@ object SparkEntry {
       """SELECT * FROM (VALUES ('ivf', 3::BIGINT, 3::BIGINT, TRUE),
                                ('lsh', 3::BIGINT, 3::BIGINT, TRUE))
            AS t(method, n_probes, n_found, all_found) ORDER BY method""",
+    // n11: per-(mode, probe) filtered-search invariants, TRUE by
+    // construction on a correct filtered index probe (constant-TRUE
+    // oracle pattern of n2/n4); a probe whose filtered result is
+    // empty drops its row and fails on row count
+    "n11_filtered_knn" ->
+      """SELECT * FROM (VALUES ('match', 1::BIGINT, TRUE, TRUE, TRUE),
+                               ('match', 101::BIGINT, TRUE, TRUE, TRUE),
+                               ('match', 202::BIGINT, TRUE, TRUE, TRUE),
+                               ('mismatch', 1::BIGINT, TRUE, TRUE, TRUE),
+                               ('mismatch', 101::BIGINT, TRUE, TRUE, TRUE),
+                               ('mismatch', 202::BIGINT, TRUE, TRUE, TRUE))
+           AS t(mode, qid, k_bounded, labels_match_filter, twin_ok)
+         ORDER BY mode, qid""",
     // n2/n3: per-probe ANN invariants, TRUE by construction on a
     // correct index (Similarity.annContractRows scaladoc) — the
     // constant-TRUE oracle pattern of x5/n4
@@ -3799,6 +4045,14 @@ object SparkEntry {
     "st2_stream_dedup" ->
       """SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+    // st9: exact counts + the constant-TRUE convergence contract
+    // (stream sketch ≡ batch sketch; the estimate itself is
+    // engine-specific and never compared)
+    "st9_stream_sketch" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(DISTINCT user_id)::BIGINT AS exact_users,
+                count(*) AS n, TRUE AS stream_eq_batch
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "st3_stream_state" ->
       """SELECT user_id, count(*)::BIGINT AS n
          FROM events GROUP BY 1 ORDER BY 1""",
@@ -3862,6 +4116,36 @@ object SparkEntry {
                  FROM t),
           v AS (SELECT term, count(*)::BIGINT AS doc_count FROM sh GROUP BY 1)
           SELECT term, doc_count FROM v WHERE doc_count <= 2 ORDER BY term""",
+    // a31: full replay of the ES shard-merge protocol — per-shard
+    // top-10 term counts over Knuth-hash shards, coordinator sum of
+    // returned counts, error bound from non-returning shards' minima
+    "a31_terms_shard_error" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          u0 AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          u AS (SELECT DISTINCT doc_id, term FROM u0),
+          sc AS (SELECT (doc_id * 2654435761) % 4294967296 % 4 AS shard,
+                        term, count(*)::BIGINT AS c
+                 FROM u GROUP BY 1, 2),
+          k AS (SELECT shard, term, c,
+                       row_number() OVER (PARTITION BY shard
+                                          ORDER BY c DESC, term) AS rk
+                FROM sc),
+          kept AS (SELECT shard, term, c FROM k WHERE rk <= 10),
+          sm AS (SELECT shard,
+                        CASE WHEN count(*) < 10 THEN 0 ELSE min(c) END AS smin
+                 FROM kept GROUP BY 1),
+          g AS (SELECT term, sum(c)::BIGINT AS doc_count FROM kept GROUP BY 1),
+          top AS (SELECT term, doc_count FROM g
+                  ORDER BY doc_count DESC, term LIMIT 10),
+          miss AS (SELECT top.term, sm.smin FROM top CROSS JOIN sm
+                   WHERE NOT EXISTS (SELECT 1 FROM kept
+                                     WHERE kept.term = top.term
+                                       AND kept.shard = sm.shard)),
+          e AS (SELECT term, sum(smin)::BIGINT AS err FROM miss GROUP BY 1)
+          SELECT top.term, top.doc_count,
+                 coalesce(e.err, 0)::BIGINT AS doc_count_error_upper_bound
+          FROM top LEFT JOIN e ON e.term = top.term
+          ORDER BY top.doc_count DESC, top.term""",
     "w7_pipeline_aggs" ->
       """WITH d AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
                            count(*)::BIGINT AS n

@@ -88,21 +88,29 @@ object AnnIndex {
     * for this corpus version, built + persisted otherwise. */
   def ensure(corpus: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
+      // "v2": the ivf table gained the filterable `label` column — a
+      // layout change, so pre-existing artifacts under the unversioned
+      // path are never half-read (the TextIndex versioning discipline)
       val dir = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft_ann_index", key)
+        .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v2", key)
         .toString
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_DONE")))
         load(corpus.sparkSession, dir)
       else build(corpus, dir)
     })
 
-  /** (vec_id, v, nrm, cell): the coarse-quantizer assignment of `emb`
-    * under fixed centroids — the shared encode step of [[build]] and
-    * [[addVectors]], public so specs can recompute assignments
-    * independently of the persisted table. */
+  /** (vec_id, label, v, nrm, cell): the coarse-quantizer assignment of
+    * `emb` under fixed centroids — the shared encode step of [[build]]
+    * and [[addVectors]], public so specs can recompute assignments
+    * independently of the persisted table. `label` rides along as the
+    * filterable attribute stored IN the index (the ES doc-values /
+    * FAISS id-selector discipline): filtered vector search
+    * ([[Similarity.knnIvfBatchFiltered]]) must evaluate its metadata
+    * predicate against the index rows it probes, never by joining back
+    * to the raw corpus. */
   def assignCells(emb: DataFrame, cents: Array[Array[Double]]): DataFrame =
     Similarity.withNorm(emb)
-      .select(col("vec_id"), col("v"), col("nrm"),
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
         Similarity.cellOf(cents, col("v"), col("nrm")).as("cell"))
 
   /** The ingest job: train once (one bounded sample collection feeds

@@ -537,6 +537,54 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
 
+  /** Hybrid retrieval — the RAG fusion pattern (and ES 8.x's
+    * `rrf` retriever): a lexical BM25 leg from the persisted text
+    * index and a vector leg over the embedding column, fused by
+    * reciprocal-rank fusion (Cormack & Clarke's Σ 1/(k0+rank)). Scale
+    * shape: each leg is a distributed `TakeOrderedAndProject` top-legK
+    * — the corpus is never globally sorted and the two legs never see
+    * each other's inputs — and the fusion join runs on ≤2·legK rows.
+    * Determinism: the vector leg ranks by an exact BIGINT dot product
+    * of ×1000-quantized embeddings (float→double is exact; ONE
+    * round-to-integer per element, replayed verbatim by the oracle —
+    * never a float accumulation), and each RRF contribution is the
+    * integer division 10⁹ div (k0+rank), so the fused score is an
+    * exact integer: no float summation order anywhere in the fusion.
+    * `vec_id` is doc-aligned with `doc_id` (one embedding per doc),
+    * which is what makes fusing the two rank lists by id meaningful. */
+  def hybridRrf(spark: SparkSession, ix: TextIndex.Loaded, emb: DataFrame,
+                terms: Seq[String], probeId: Long, k: Int = 10,
+                legK: Int = 20, k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // rank windows run over the already-limited legK-row leg outputs,
+    // not the corpus — single-partition is the correct plan there
+    val textRank = searchBm25Indexed(spark, ix, terms, legK)
+      .withColumn("text_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id"), col("text_rank"))
+    val q = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000, 0).cast("long")).as("q"))
+    val probe = q.filter(col("vec_id") === probeId).select(col("q").as("p"))
+    val vecRank = q.crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("q"), col("p"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dp"))
+      .orderBy(col("dp").desc, col("vec_id"))
+      .limit(legK)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("dp").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("id"), col("vec_rank"))
+    textRank.join(vecRank, Seq("id"), "full_outer")
+      .select(col("id"), col("text_rank"), col("vec_rank"),
+        (coalesce(floor(lit(1000000000L) / (lit(k0.toLong) + col("text_rank"))),
+            lit(0L)) +
+          coalesce(floor(lit(1000000000L) / (lit(k0.toLong) + col("vec_rank"))),
+            lit(0L))).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
   /** [[minShouldMatch]] from the artifact. */
   def minShouldMatchIndexed(spark: SparkSession, ix: TextIndex.Loaded,
                             terms: Seq[String], minMatch: Int, k: Int = 20,

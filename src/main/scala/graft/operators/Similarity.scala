@@ -368,6 +368,46 @@ object Similarity {
     topKPerQuery(scored, emb.select(col("vec_id"), col("label")), k)
   }
 
+  /** Filtered vector search — ES kNN's `filter` parameter / FAISS's
+    * IDSelector: each query carries its own metadata predicate (here a
+    * wanted `label`), applied DURING the index traversal to the
+    * candidates of the probed cells — never to the finished top-k.
+    * Post-filtering an unfiltered top-k is the classic wrong answer:
+    * once the filter is selective it returns fewer than k (often zero)
+    * even though k matching neighbors exist deeper in the cells, which
+    * is exactly why ES and FAISS push the predicate inside the search.
+    * The label is read from the INDEX rows (`assigned` carries it — the
+    * doc-values discipline): at 100 TB the probe never joins back to
+    * the raw corpus, and per-query predicates ride the same broadcast
+    * as the query vectors, so this stays ONE distributed pass for the
+    * whole query batch with partition pruning on the probed cells
+    * intact. */
+  def knnIvfBatchFiltered(emb: DataFrame, assigned: DataFrame,
+                          cents: Array[Array[Double]],
+                          queryLabels: Seq[(Long, Int)], k: Int = 10,
+                          nprobe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ids = queryLabels.map(_._1)
+    val wanted = queryLabels.toDF("wq", "want_label")
+    val e = withNorm(emb)
+    val queries = e.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(transform(
+          slice(centroidRank(cents, col("v"), col("nrm")), 1, nprobe),
+          s => -s.getField("nidx"))).as("cell"))
+      .join(wanted, col("qid") === col("wq"))
+      .drop("wq")
+    val scored = assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid") &&
+        col("label") === col("want_label"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("cos_sim"))
+    topKPerQuery(scored, emb.select(col("vec_id"), col("label")), k)
+  }
+
   // ---- self-verifying ANN contracts -------------------------------
   //
   // ANN results are estimate-valued (WHICH neighbors come back depends

@@ -335,6 +335,58 @@ object EventStream {
       .toDF()
   }
 
+  /** Windowed approximate-distinct users on a stream: the HLL++
+    * sketch (`approx_count_distinct`) as a streaming aggregation. The
+    * sketch's partial state merges by register-max, which is order-
+    * and batch-boundary-insensitive, so a finite streamed input
+    * converges to exactly the estimate the batch aggregation computes
+    * — at 100 TB this is the only affordable shape for continuous
+    * distinct-user dashboards: per-window state is a fixed-size
+    * register array, never the user-id set. */
+  def windowedApproxUsers(stream: DataFrame, rsd: Double): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("approx_users"))
+
+  /** ST9: the streaming sketch run end-to-end. The verified contract
+    * is CONVERGENCE, not accuracy: the streaming estimate must equal
+    * the BATCH `approx_count_distinct` estimate on the same input
+    * bit-for-bit — which the register-max merge guarantees regardless
+    * of arrival order, batch boundaries, or partitioning, and which
+    * an x5-style relative-error bound could not check here (the
+    * hour×type groups are tiny, where HLL's small-range correction is
+    * legitimately off by ±1 and 3·rsd·exact < 1; the per-sketch
+    * ACCURACY contract on production-sized groups is x5's job). The
+    * join is FULL OUTER so a group the stream missed (or invented)
+    * surfaces as a false contract row, not a silently dropped one;
+    * the estimate value itself never reaches the output (it is
+    * engine-specific — the x5 argument). */
+  def runApproxUsers(spark: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.02
+    val table = runToMemory(
+      windowedApproxUsers(eventsStream(spark, dir), rsd),
+      OutputMode.Complete, "st9_")
+    val approx = spark.table(table)
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type").as("et"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), rsd).as("batch_approx"))
+    approx.join(batch,
+        approx("win_start") === batch("hour") &&
+          approx("event_type") === batch("et"), "full_outer")
+      .select(coalesce(batch("hour"), approx("win_start")).as("hour"),
+        coalesce(batch("et"), approx("event_type")).as("event_type"),
+        col("exact_users"), col("n"),
+        coalesce(col("approx_users") === col("batch_approx"), lit(false))
+          .as("stream_eq_batch"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** ST6: the funnel state machine run end-to-end; stage counts from
     * the converged per-user states must equal the batch staged funnel
     * (the e7 oracle, verbatim). */

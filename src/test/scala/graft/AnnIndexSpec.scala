@@ -48,6 +48,44 @@ class AnnIndexSpec extends SparkSpec {
       probes, k = 10))
   }
 
+  test("filtered probe evaluates the predicate inside the traversal") {
+    val corpus = plantedCorpus
+    val ix = AnnIndex.build(corpus, freshDir())
+    val probeLabels = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(probes: _*))
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq.sortBy(_._1)
+    val res = Similarity.knnIvfBatchFiltered(corpus, ix.ivf(spark),
+      ix.cents, probeLabels, k = 10).collect()
+    // every probe answered, every row carries ITS query's wanted label
+    val want = probeLabels.toMap
+    assert(probeLabels.forall { case (q, _) =>
+      res.exists(_.getAs[Long]("qid") == q) })
+    res.foreach { r =>
+      assert(r.getAs[Int]("label") == want(r.getAs[Long]("qid")),
+        s"label leaked past the filter for qid ${r.getAs[Long]("qid")}")
+    }
+    // each probe's planted twin shares its label ⇒ rank 1 at cosine 1
+    probes.foreach { q =>
+      val top = res.filter(r => r.getAs[Long]("qid") == q &&
+        r.getAs[Int]("rank") == 1).head
+      assert(top.getAs[Long]("vec_id") == q + 1000000L)
+      assert(top.getAs[Double]("cos_sim") == 1.0)
+    }
+    // the reason the predicate must run INSIDE the traversal:
+    // post-filtering the unfiltered top-k can only ever keep a subset
+    // of k rows, while the in-traversal filter keeps drawing matching
+    // candidates from the probed cells until k are found
+    probeLabels.foreach { case (q, lbl) =>
+      val inTraversal = res.count(_.getAs[Long]("qid") == q)
+      val postFiltered = Similarity.knnIvfBatchAssigned(corpus,
+          ix.ivf(spark), ix.cents, Seq(q), k = 10)
+        .filter(col("label") === lbl).count()
+      assert(postFiltered <= inTraversal,
+        s"post-filtering returned MORE than the filtered probe for $q")
+    }
+  }
+
   test("artifact round-trips: load() equals the build's trained state") {
     val corpus = plantedCorpus
     val dir = freshDir()
