@@ -366,6 +366,37 @@ object SparkEntry {
       back.agg(count(lit(1)).as("n_purchase"),
         sum(col("cents")).as("purchase_cents"))
     }),
+    "s14_alias_swap" -> ((s, d) => {
+      // Zero-downtime reindex — the ES `_aliases` atomic-swap
+      // lifecycle (Sink.aliasSwap scaladoc) run end-to-end under the
+      // gate: v1 of a summary index is written and aliased; the
+      // reindex writes v2 WITH A NEW SCHEMA (cents column added — the
+      // mapping change that forces a reindex in ES) beside it; one
+      // atomic pointer move flips readers to v2. The readback goes
+      // THROUGH the alias, so the oracle match proves readers see
+      // wholly-v2 after the flip; v1 stays on disk for rollback.
+      val base = java.nio.file.Files.createTempDirectory("s14a")
+        .resolve("events_alias").toString
+      val events = Tables.events(s, d)
+      graft.sources.Sink.aliasWriteVersion(
+        events.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+        base, 1)
+      graft.sources.Sink.aliasSwap(base, 1)
+      val before = graft.sources.Sink.aliasVersion(base)
+      graft.sources.Sink.aliasWriteVersion(
+        events.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents")),
+        base, 2)
+      graft.sources.Sink.aliasSwap(base, 2)
+      val after = graft.sources.Sink.aliasVersion(base)
+      val v1Retained = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(base, "v1"))
+      graft.sources.Sink.aliasRead(s, base)
+        .withColumn("alias_before", lit(before))
+        .withColumn("alias_after", lit(after))
+        .withColumn("v1_retained", lit(v1Retained))
+        .orderBy(col("event_type"))
+    }),
     "z3_bucketed_join" -> ((s, d) => {
       // Bucketed CO-LOCATED join — the layout that removes the
       // fact⋈fact shuffle entirely at 100 TB: both tables are written
@@ -415,6 +446,23 @@ object SparkEntry {
         .crossJoin(ix.termDf(s).agg(count(lit(1)).as("n_terms"),
           sum(col("df")).as("n_postings")))
         .withColumn("postings_agree", lit(nPhysical) === col("n_postings"))
+    }),
+    "st10_stream_index" -> ((s, d) => {
+      // Streaming index ingest (streaming/IndexStream scaladoc): the
+      // documents table arrives as a 4-file stream, one micro-batch
+      // per file; the first batch builds the index, each later batch
+      // commits a Lucene-model segment against the standing artifact.
+      // Readback: the ti1 corpus invariants (recomputed by the oracle
+      // from the raw documents) — batch boundaries must leave no trace
+      // — plus multi_batch proving the run was genuinely incremental.
+      val (ix, nBatches) = graft.streaming.IndexStream.runIndexIngest(s, d)
+      val nPhysical = ix.postings(s).count()
+      ix.corpus(s)
+        .select(col("n").cast("long").as("n_docs"), col("sum_len"))
+        .crossJoin(ix.termDf(s).agg(count(lit(1)).as("n_terms"),
+          sum(col("df")).as("n_postings")))
+        .withColumn("postings_agree", lit(nPhysical) === col("n_postings"))
+        .withColumn("multi_batch", lit(nBatches >= 2))
     }),
     "a5_ingest_counters" -> ((s, d) => {
       // A5 ingest counters (`src/main.py:128-156`: docs-indexed /
@@ -874,6 +922,11 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 10)),
     "d4_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.5)),
+    "d14_containment" -> ((s, d) =>
+      // asymmetric containment |A∩B|/|A| in exact basis points — the
+      // partial-copy detector symmetric Jaccard misses
+      // (Dedup.containmentPairs scaladoc)
+      Dedup.containmentPairs(Tables.documents(s, d))),
     "d6_dedup_apply" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.applyDedup(docs,
@@ -2862,6 +2915,14 @@ object SparkEntry {
                     FROM orders WHERE o_orderkey % 2 = 0) u
          ON c.o_orderkey = u.u_key
          ORDER BY c.o_orderkey""",
+    // s14: the readback rides the alias — matching the recomputed v2
+    // aggregates proves the flip landed; lifecycle facts as constants
+    "s14_alias_swap" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+                sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents,
+                'v1' AS alias_before, 'v2' AS alias_after,
+                TRUE AS v1_retained
+         FROM events GROUP BY 1 ORDER BY 1""",
     // z3: the values are a plain join-aggregate; the co-location claim
     // itself is enforced by the in-query REQUIRE on the executed plan
     "z3_bucketed_join" ->
@@ -2911,6 +2972,16 @@ object SparkEntry {
                  (SELECT count(DISTINCT term) FROM p)::BIGINT AS n_terms,
                  (SELECT count(*) FROM p)::BIGINT AS n_postings,
                  true AS postings_agree""",
+    // st10: ti1's corpus invariants (the streamed, segment-at-a-time
+    // build must converge to the same index) + the multi-batch flag
+    "st10_stream_index" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+          SELECT (SELECT count(*) FROM t)::BIGINT AS n_docs,
+                 (SELECT coalesce(sum(len(toks)), 0) FROM t)::BIGINT AS sum_len,
+                 (SELECT count(DISTINCT term) FROM p)::BIGINT AS n_terms,
+                 (SELECT count(*) FROM p)::BIGINT AS n_postings,
+                 true AS postings_agree, true AS multi_batch""",
     "a5_ingest_counters" ->
       """SELECT count(*)::BIGINT AS rows_in,
                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
@@ -3321,6 +3392,21 @@ object SparkEntry {
           SELECT id_a, id_b, round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
           FROM j WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5
           ORDER BY id_a, id_b""",
+    // d14: the d4 intersection CTE scored in both directions, exact
+    // integer basis points per contained side
+    "d14_containment" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+          p AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
+                       any_value(b.setsize) AS sb, count(*)::BIGINT AS inter
+                FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          u AS (SELECT id_a AS contained, id_b AS container,
+                       (inter * 10000 // sa)::BIGINT AS containment_bp FROM j
+                UNION ALL
+                SELECT id_b, id_a, (inter * 10000 // sb)::BIGINT FROM j)
+          SELECT contained, container, containment_bp FROM u
+          WHERE containment_bp >= 8000 ORDER BY 1, 2""",
     "d10_incremental_dedup" ->
       s"""WITH idx AS (SELECT md5($sqlNorm) AS fingerprint, min(doc_id) AS keep_id
                        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),

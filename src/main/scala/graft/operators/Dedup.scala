@@ -425,6 +425,52 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** D14: asymmetric CONTAINMENT dedup — the partial-copy detector
+    * symmetric Jaccard misses: a short document quoted wholesale
+    * inside a much longer one scores a LOW Jaccard (the union is
+    * dominated by the long doc) but containment |A∩B|/|A| ≈ 1 for the
+    * short side, which is exactly the situation large-scale curation
+    * pipelines deduplicate on (quotes, boilerplate inclusions,
+    * near-subset scrapes). Same two-exchange capped posting-bucket
+    * machinery as [[jaccardPairs]] — candidate pairs only where
+    * shingles collide, never all-pairs — but each unordered candidate
+    * pair is scored in BOTH directions and reported per contained
+    * side. Containment is an exact integer: `inter·10⁴ div |A|` basis
+    * points (one integer division, engine-portable), thresholded in
+    * bp; no float enters the decision. Output: (contained, container,
+    * containment_bp) ordered pairs with containment_bp ≥ thresholdBp. */
+  def containmentPairs(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", n: Int = 3,
+                       thresholdBp: Int = 8000,
+                       maxShingleFreq: Int = 1000): DataFrame = {
+    val sets = withHashedShingleSet(docs, textCol, idCol, n)
+      .withColumn("setsize", size(col("shingles")))
+    val posts = sets
+      .select(col("id"), col("setsize"), explode(col("shingles")).as("sh"))
+    val buckets = posts.groupBy(col("sh"))
+      .agg(graft.functions.aggregates
+        .capped_collect_postings(col("id"), col("setsize"), maxShingleFreq)
+        .as("docs"))
+      .filter(size(col("docs")).between(2, maxShingleFreq))
+    val inter = buckets.select(explode(flatten(transform(col("docs"),
+      (x, i) => transform(
+        slice(col("docs"), i + 2, greatest(size(col("docs")) - i - 1, lit(0))),
+        y => struct(
+          x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          x.getField("setsize").as("size_a"),
+          y.getField("setsize").as("size_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter.select(col("id_a").as("contained"), col("id_b").as("container"),
+        expr("inter * 10000 div size_a").as("containment_bp"))
+      .unionByName(inter.select(col("id_b").as("contained"),
+        col("id_a").as("container"),
+        expr("inter * 10000 div size_b").as("containment_bp")))
+      .filter(col("containment_bp") >= thresholdBp)
+      .orderBy(col("contained"), col("container"))
+  }
+
   /** D11: chunk-level (sub-document) dedup — the C4/CCNet move of
     * deduplicating repeated SPANS across documents, not whole docs:
     * each document splits into fixed `chunkTokens`-word chunks, every

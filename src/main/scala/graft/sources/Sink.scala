@@ -162,4 +162,41 @@ object Sink {
   def keysetChunk(df: DataFrame, idCol: String, lastId: Long,
                   limit: Int): DataFrame =
     df.filter(col(idCol) > lastId).orderBy(col(idCol)).limit(limit)
+
+  // ---- S14: alias swap — zero-downtime reindex ----------------------
+  //
+  // The ES `_aliases` atomic-swap lifecycle (reindex to a fresh
+  // versioned index, flip the read alias in one atomic action, keep
+  // the old version for rollback) re-expressed as versioned parquet
+  // directories plus a one-file pointer: readers resolve the alias
+  // through the pointer, the swap is a write-to-tmp + ATOMIC_MOVE of
+  // the pointer file (a one-inode rename — the only step that needs
+  // atomicity, and the filesystem gives it), and no data files are
+  // ever rewritten in place. A reader that resolved the alias
+  // mid-swap sees wholly v1 or wholly v2, never a mix — the same
+  // guarantee the ES alias API documents.
+
+  /** Write `df` as version `v` of alias `baseDir` (does NOT flip). */
+  def aliasWriteVersion(df: DataFrame, baseDir: String, v: Int): Unit =
+    df.write.mode("overwrite").parquet(s"$baseDir/v$v")
+
+  /** Atomically point the alias at version `v`. */
+  def aliasSwap(baseDir: String, v: Int): Unit = {
+    val dir = java.nio.file.Paths.get(baseDir)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s"_alias.tmp")
+    java.nio.file.Files.write(tmp, s"v$v".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve("_alias"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Resolve the alias: the version the pointer names right now. */
+  def aliasVersion(baseDir: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(baseDir, "_alias")), "UTF-8")
+
+  /** Read through the alias. */
+  def aliasRead(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.parquet(s"$baseDir/${aliasVersion(baseDir)}")
 }

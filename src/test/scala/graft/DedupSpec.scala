@@ -53,6 +53,31 @@ class DedupSpec extends SparkSpec {
     assert(r((1L, 2L)) > 0.7 && r((1L, 2L)) < 1.0)
   }
 
+  test("containment flags the quoted-subset pair that Jaccard misses") {
+    // doc 6 is doc 5's opening quoted wholesale inside much longer
+    // unrelated text: Jaccard is low (union dominated by the long
+    // doc) but containment of 6 in 5... inverted: 6 short ⊂ 5 long
+    val quote = "the quick brown fox jumps over the lazy dog and runs"
+    val long = quote + " far beyond every known boundary of the " +
+      "ancient map through winding valleys and forgotten mountain " +
+      "passes toward distant coastal villages where sailors trade " +
+      "stories of storms and strange lights over the northern water"
+    val qd = Seq((5L, long), (6L, quote)).toDF("doc_id", "text")
+    // the quote side is fully contained: every shingle of 6 appears
+    // in 5 → containment_bp = 10000 for (contained=6, container=5)
+    val c = Dedup.containmentPairs(qd, thresholdBp = 8000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(c.get((6L, 5L)).contains(10000L), c)
+    // ...and ONLY that direction: the long doc is mostly NOT in the
+    // quote, so (5, 6) stays under threshold — the asymmetry is the
+    // point of the operator
+    assert(!c.contains((5L, 6L)), c)
+    // symmetric Jaccard misses the pair entirely at the d4 threshold
+    val j = Dedup.jaccardPairs(qd, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((5L, 6L)) && !j.contains((6L, 5L)), j)
+  }
+
   test("simhash of disjoint token sets differs, near-dups are close") {
     val sigs = Dedup.simhashSignatures(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
