@@ -1755,6 +1755,31 @@ object SparkEntry {
           coalesce(col("err"), lit(0L)).as("doc_count_error_upper_bound"))
         .orderBy(col("doc_count").desc, col("term"))
     }),
+    "a32_cumulative_cardinality" -> ((s, d) => {
+      // ES cumulative_cardinality (the pipeline agg over per-bucket
+      // HLL sketches) made EXACT by reformulation: cumulative distinct
+      // users through bucket B ≡ users whose FIRST event bucket ≤ B, so
+      // one (user → min bucket) aggregation plus per-bucket counts and
+      // a prefix sum over the bounded hour buckets replaces the sketch
+      // union entirely — one corpus shuffle on user_id, exact integers
+      // end-to-end, and the window runs over bucket rows (the w7
+      // argument), never events. (Hour buckets: this synthetic user
+      // base is fully active from day one, so a daily curve is a
+      // single point; the hourly one has real shape.) ES documents its version as
+      // approximate because merging per-bucket HLLs is all its
+      // coordinator can afford; the relational engine can afford the
+      // exact answer at any scale.
+      val firstSeen = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("HOUR", col("ts"))).as("first_hour"))
+      val hourly = firstSeen.groupBy(col("first_hour").as("hour"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hourly.select(col("hour"), col("new_users"),
+          sum(col("new_users")).over(w).as("cumulative_users"))
+        .orderBy(col("hour"))
+    }),
     "w7_pipeline_aggs" -> ((s, d) => {
       // ES date_histogram + pipeline aggs (derivative, cumulative_sum,
       // moving avg over 3 buckets). The unpartitioned window runs over
@@ -4232,6 +4257,15 @@ object SparkEntry {
                  coalesce(e.err, 0)::BIGINT AS doc_count_error_upper_bound
           FROM top LEFT JOIN e ON e.term = top.term
           ORDER BY top.doc_count DESC, top.term""",
+    // a32: the first-seen reformulation replayed directly
+    "a32_cumulative_cardinality" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('hour', ts))::TIMESTAMP AS hour
+                    FROM events GROUP BY 1),
+          d AS (SELECT hour, count(*)::BIGINT AS new_users FROM f GROUP BY 1)
+         SELECT hour, new_users,
+                (sum(new_users) OVER (ORDER BY hour
+                   ROWS UNBOUNDED PRECEDING))::BIGINT AS cumulative_users
+         FROM d ORDER BY hour""",
     "w7_pipeline_aggs" ->
       """WITH d AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
                            count(*)::BIGINT AS n
