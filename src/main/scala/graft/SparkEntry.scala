@@ -1730,12 +1730,17 @@ object SparkEntry {
             .cast("int"))
         .groupBy(col("shard"), col("term"))
         .agg(count(lit(1)).as("c"))
+      // persist: three consumers (top, shard minima, the anti-join)
+      // would otherwise each replay the postings scan + (shard, term)
+      // shuffle; kept is ≤ S·shard_size rows — exactly the bounded
+      // shard RESPONSES the ES coordinator holds in memory
       val kept = shardCounts
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("shard"))
             .orderBy(col("c").desc, col("term"))))
         .filter(col("rk") <= shardSize)
         .select(col("shard"), col("term"), col("c"))
+        .persist()
       val shardMin = kept.groupBy(col("shard"))
         .agg(min(col("c")).as("minc"), count(lit(1)).as("n_kept"))
         .select(col("shard"),
@@ -1754,6 +1759,43 @@ object SparkEntry {
         .select(col("term"), col("doc_count"),
           coalesce(col("err"), lit(0L)).as("doc_count_error_upper_bound"))
         .orderBy(col("doc_count").desc, col("term"))
+    }),
+    "a33_frequent_pairs" -> ((s, d) => {
+      // ES frequent_item_sets made EXACT at level 2 — market-basket
+      // co-occurrence: baskets are orders, items the DISTINCT part
+      // brands in each (dim join is broadcast-able; distinct is one
+      // shuffle). Pair generation is ROW-LOCAL over each basket's
+      // sorted brand array (≤ items² per order, the d4 in-bucket
+      // pattern — never a fact self-join), one count shuffle on the
+      // pair key, relative support in exact basis points
+      // (support·10⁴ div n_baskets). ES mines this with an
+      // approximate sampler because its per-shard heap can't hold the
+      // lattice; level-2 exact is one aggregation for a relational
+      // engine at any scale.
+      val b = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("brand"))
+        .distinct()
+      val baskets = b.groupBy(col("o"))
+        .agg(sort_array(collect_set(col("brand"))).as("brands"))
+      val nb = baskets.agg(count(lit(1)).as("nb"))
+      baskets.select(explode(flatten(transform(col("brands"),
+          (x, i) => transform(
+            slice(col("brands"), i + 2,
+              greatest(size(col("brands")) - i - 1, lit(0))),
+            y => struct(x.as("brand_a"), y.as("brand_b")))))).as("p"))
+        .groupBy(col("p.brand_a").as("brand_a"),
+          col("p.brand_b").as("brand_b"))
+        .agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(nb))
+        .withColumn("support_bp", expr("support * 10000 div nb"))
+        .filter(col("support_bp") >= 100)
+        .select(col("brand_a"), col("brand_b"), col("support"),
+          col("support_bp"))
+        .orderBy(col("support").desc, col("brand_a"), col("brand_b"))
+        .limit(20)
     }),
     "a32_cumulative_cardinality" -> ((s, d) => {
       // ES cumulative_cardinality (the pipeline agg over per-bucket
@@ -4257,6 +4299,20 @@ object SparkEntry {
                  coalesce(e.err, 0)::BIGINT AS doc_count_error_upper_bound
           FROM top LEFT JOIN e ON e.term = top.term
           ORDER BY top.doc_count DESC, top.term""",
+    // a33: market-basket level-2 replay (self-join form — the set
+    // semantics, not the array mechanics)
+    "a33_frequent_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, p_brand AS brand
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+          n AS (SELECT count(DISTINCT o) AS nb FROM b),
+          pr AS (SELECT a.brand AS brand_a, bb.brand AS brand_b,
+                        count(*)::BIGINT AS support
+                 FROM b a JOIN b bb ON a.o = bb.o AND a.brand < bb.brand
+                 GROUP BY 1, 2)
+         SELECT brand_a, brand_b, support,
+                (support * 10000 // nb)::BIGINT AS support_bp
+         FROM pr, n WHERE support * 10000 // nb >= 100
+         ORDER BY support DESC, brand_a, brand_b LIMIT 20""",
     // a32: the first-seen reformulation replayed directly
     "a32_cumulative_cardinality" ->
       """WITH f AS (SELECT user_id, min(date_trunc('hour', ts))::TIMESTAMP AS hour

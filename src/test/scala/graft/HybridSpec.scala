@@ -37,6 +37,22 @@ class HybridSpec extends SparkSpec {
     assert(fused.map(_.getAs[Long]("id")).distinct.length == fused.length)
   }
 
+  test("an empty text leg degrades to the pure vector ranking") {
+    // terms absent from the corpus: the BM25 leg returns zero rows and
+    // the full-outer fusion must yield exactly the vector leg's top-k,
+    // ranked by its contribution alone — not an empty or erroring result
+    val solo = Search.hybridRrf(spark, ix, emb,
+      Seq("zzzznope", "qqqqnever"), probeId = 7L).collect()
+    assert(solo.length == 10)
+    solo.foreach { r =>
+      assert(r.getAs[Any]("text_rank") == null)
+      val vr = r.getAs[Long]("vec_rank")
+      assert(r.getAs[Long]("rrf") == 1000000000L / (60L + vr))
+    }
+    val order = solo.map(_.getAs[Long]("vec_rank"))
+    assert(order.sameElements(order.sorted))
+  }
+
   test("text leg agrees with searchBm25Indexed's ranking") {
     val leg = Search.searchBm25Indexed(spark, ix, Seq("spark", "window"), 20)
       .collect().map(_.getLong(0)).zipWithIndex
