@@ -1378,6 +1378,34 @@ object SparkEntry {
           probeLabels.map { case (q, l) => (q, (l + 1) % 10) }))
         .orderBy(col("mode"), col("qid"))
     }),
+    "st11_stream_vectors" -> ((s, d) => {
+      // Streaming vector ingest (IndexStream.runVectorIngest — the
+      // FAISS add() loop as a stream, the ANN twin of st10): the base
+      // trains once on the raw embeddings, then ×2-scaled twins of
+      // the probes arrive as a 2-batch delta stream, each micro-batch
+      // encoded against the FROZEN codebooks and appended. Invariant
+      // (the n10 contract): an IVF probe over the merged corpus must
+      // surface each probe's streamed twin at rank 1 / cosine exactly
+      // 1 through the pruned inverted-file path, plus the multi-batch
+      // flag. Fresh ids (+3·10⁶) keep it disjoint from n10's appends;
+      // like n10/st10 it deliberately pays its index-build cost
+      // in-query (maintenance IS the thing measured).
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val delta = base.filter(col("vec_id").isin(annProbeIds: _*))
+        .select((col("vec_id") + 3000000L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      val (ix, nBatches) =
+        graft.streaming.IndexStream.runVectorIngest(s, base, delta)
+      Similarity.knnIvfBatchAssigned(base.unionByName(delta), ix.ivf(s),
+          ix.cents, annProbeIds, k = 1)
+        .select(col("qid"),
+          (col("vec_id") === col("qid") + 3000000L).as("hit_is_twin"),
+          (col("cos_sim") === 1.0).as("cos_is_one"))
+        .withColumn("multi_batch", lit(nBatches >= 2))
+        .orderBy(col("qid"))
+    }),
     "d12_incremental_minhash" -> ((s, d) => {
       // arriving batch (doc_id % 10 = 0) screened against the standing
       // corpus's MAINTAINED frames — the banded index and the shingle
@@ -3030,6 +3058,11 @@ object SparkEntry {
       // constant-TRUE invariant contract (the n-family pattern): the
       // appended twin is provably the unique exact-cosine top hit
       """SELECT qid::BIGINT AS qid, true AS hit_is_twin, true AS cos_is_one
+         FROM (VALUES (1), (101), (202)) t(qid) ORDER BY qid""",
+    // st11: the n10 contract through the STREAMED append path
+    "st11_stream_vectors" ->
+      """SELECT qid::BIGINT AS qid, true AS hit_is_twin, true AS cos_is_one,
+                true AS multi_batch
          FROM (VALUES (1), (101), (202)) t(qid) ORDER BY qid""",
     "ti1_segment_merge" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),

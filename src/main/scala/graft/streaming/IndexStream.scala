@@ -67,4 +67,44 @@ object IndexStream {
     } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
     (ix.getOrElse(sys.error("document stream delivered no rows")), batches)
   }
+
+  /** Streaming VECTOR ingest — the ANN twin of [[runIndexIngest]] and
+    * the FAISS `add()` loop run as a stream: the base index trains
+    * ONCE on the standing corpus (`seed`), then delta vectors arrive
+    * as a multi-batch file stream and every micro-batch is encoded
+    * against the FROZEN centroids/codebooks and appended to all four
+    * index tables ([[graft.operators.AnnIndex.addVectors]] — O(batch)
+    * commits, no retraining; drift is the scheduled rebuild's job).
+    * Returns the index and the number of non-empty delta batches. */
+  def runVectorIngest(spark: SparkSession, seed: DataFrame,
+                      delta: DataFrame, nSplits: Int = 2)
+      : (graft.operators.AnnIndex.Loaded, Long) = {
+    import graft.operators.AnnIndex
+    val src = EventStream.freshDir("st11src")
+    delta.repartition(nSplits).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val ix = AnnIndex.build(seed,
+      java.nio.file.Files.createTempDirectory("st11ix").toString)
+    var batches = 0L
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(oldParts.toInt, streamParts.toInt).toString)
+    try {
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist()
+          try {
+            if (b.count() > 0) { AnnIndex.addVectors(ix, b); batches += 1 }
+          } finally { b.unpersist(); () }
+        }
+        .option("checkpointLocation", EventStream.freshDir("st11ck"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    (ix, batches)
+  }
 }
