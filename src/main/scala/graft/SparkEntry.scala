@@ -555,6 +555,31 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
           col("s_name"))
     }),
+    "j15_asof_join" -> ((s, d) => {
+      // AS-OF join (operators/AsOf scaladoc) — each event picks up the
+      // dimension version in effect at its timestamp from a
+      // deterministic 4-version-per-type rate table whose first
+      // version starts Jan 5, so early events exercise the
+      // no-version-yet null path. Differentially tested against
+      // DuckDB's NATIVE `ASOF LEFT JOIN` — engine-vs-engine, not a
+      // replay of this implementation.
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          col("value"))
+      val dim = events.select(col("event_type")).distinct()
+        .crossJoin(s.range(0, 4).select(col("id").as("k")))
+        .select(col("event_type"),
+          expr("timestampadd(DAY, cast(k * 7 AS int), " +
+            "timestamp'2024-01-05 00:00:00')").as("eff_from"),
+          (length(col("event_type")) * 100 + col("k") * 10)
+            .cast("long").as("rate_bp"))
+      AsOf.asofLeft(events, dim, "event_type", "ts", "eff_from",
+          struct(col("rate_bp")))
+        .groupBy(col("event_type"), col("asof.rate_bp").as("rate_bp"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+        .orderBy(col("event_type"), col("rate_bp"))
+    }),
     "j10_self_join" -> ((s, d) => {
       val o1 = Tables.orders(s, d).as("o1")
       val o2 = Tables.orders(s, d).as("o2")
@@ -3114,6 +3139,19 @@ object SparkEntry {
       """SELECT o1.o_custkey AS custkey, count(*) AS n_pairs
          FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
          GROUP BY 1 ORDER BY 1""",
+    // j15: DuckDB's NATIVE ASOF JOIN as the oracle — engine-vs-engine
+    "j15_asof_join" ->
+      """WITH types AS (SELECT DISTINCT event_type FROM events),
+          dim AS (SELECT event_type,
+                         TIMESTAMP '2024-01-05 00:00:00' + (k*7) * INTERVAL 1 DAY AS eff_from,
+                         (length(event_type)*100 + k*10)::BIGINT AS rate_bp
+                  FROM types CROSS JOIN generate_series(0,3) AS g(k)),
+          j AS (SELECT e.event_type, e.value, d.rate_bp
+                FROM events e ASOF LEFT JOIN dim d
+                  ON e.event_type = d.event_type AND e.ts >= d.eff_from)
+         SELECT event_type, rate_bp, count(*)::BIGINT AS n,
+                sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
     "j13_semi" ->
       """SELECT c_custkey FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
