@@ -567,7 +567,7 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("event_type"),
           col("value"))
       val dim = events.select(col("event_type")).distinct()
-        .crossJoin(s.range(0, 4).select(col("id").as("k")))
+        .select(col("event_type"), explode(sequence(lit(0L), lit(3L))).as("k"))
         .select(col("event_type"),
           expr("timestampadd(DAY, cast(k * 7 AS int), " +
             "timestamp'2024-01-05 00:00:00')").as("eff_from"),
@@ -579,6 +579,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
         .orderBy(col("event_type"), col("rate_bp"))
+    }),
+    "j16_range_join" -> ((s, d) => {
+      // RANGE join via interval bucketing (AsOf.rangeJoin scaladoc):
+      // events against overlapping 10-day campaign windows (3 per
+      // type, starting every 7 days — overlap days match TWO
+      // campaigns, proving interval multi-match). The REQUIRE pins
+      // the scale property: the plan must contain no
+      // BroadcastNestedLoopJoin — the bucketing turned the time-range
+      // predicate into a hashable equi-join.
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          col("value"))
+      val camp = events.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(sequence(lit(0L), lit(2L))).as("c"))
+        .select(col("event_type").as("camp_type"), col("c"),
+          expr("timestampadd(DAY, cast(c * 7 AS int), " +
+            "timestamp'2024-01-01 00:00:00')").as("start_ts"),
+          expr("timestampadd(DAY, cast(c * 7 + 10 AS int), " +
+            "timestamp'2024-01-01 00:00:00')").as("end_ts"))
+      val joined = AsOf.rangeJoin(events, "ts", camp,
+          "start_ts", "end_ts",
+          struct(col("camp_type"), col("c")), binSeconds = 86400L * 7)
+        .filter(col("event_type") === col("range.camp_type"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"range join must stay an equi-join on the bin:\n$plan")
+      joined
+        .groupBy(col("event_type"), col("range.c").as("campaign"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+        .orderBy(col("event_type"), col("campaign"))
     }),
     "j10_self_join" -> ((s, d) => {
       val o1 = Tables.orders(s, d).as("o1")
@@ -3139,6 +3171,22 @@ object SparkEntry {
       """SELECT o1.o_custkey AS custkey, count(*) AS n_pairs
          FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
          GROUP BY 1 ORDER BY 1""",
+    // j16: plain non-equi BETWEEN join as the oracle (DuckDB's IEJoin
+    // evaluates it exactly) — results must be independent of the
+    // bucketing access path
+    "j16_range_join" ->
+      """WITH types AS (SELECT DISTINCT event_type FROM events),
+          camp AS (SELECT event_type,  c,
+                          TIMESTAMP '2024-01-01 00:00:00' + (c*7) * INTERVAL 1 DAY AS s,
+                          TIMESTAMP '2024-01-01 00:00:00' + (c*7+10) * INTERVAL 1 DAY AS e
+                   FROM types CROSS JOIN generate_series(0,2) AS g(c)),
+          j AS (SELECT ev.event_type, camp.c, ev.value
+                FROM events ev JOIN camp
+                  ON ev.event_type = camp.event_type
+                 AND ev.ts >= camp.s AND ev.ts < camp.e)
+         SELECT event_type, c AS campaign, count(*)::BIGINT AS n,
+                sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
     // j15: DuckDB's NATIVE ASOF JOIN as the oracle — engine-vs-engine
     "j15_asof_join" ->
       """WITH types AS (SELECT DISTINCT event_type FROM events),

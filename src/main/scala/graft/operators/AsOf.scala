@@ -58,4 +58,33 @@ object AsOf {
       .filter(col("_is_fact") === 1)
       .select(factCols.map(col) :+ col("_asof").as("asof"): _*)
   }
+
+  /** RANGE join — fact rows against dimension INTERVALS
+    * (`start ≤ ts < end`, a fact matching every overlapping interval),
+    * via INTERVAL BUCKETING: the time axis is cut into `binSeconds`
+    * bins, each dim interval explodes to the bins it covers (bounded
+    * by ⌈length/bin⌉ — size `binSeconds` near the typical interval
+    * length to keep this a small constant), each fact row maps to
+    * exactly ONE bin, and the match becomes an EQUI-join on the bin
+    * followed by the exact between-filter. This is the shape that
+    * scales: Spark's planner turns a bare non-equi time predicate
+    * into BroadcastNestedLoopJoin (every fact row against every
+    * interval — quadratic and driver-bound), while the bucketed form
+    * shuffles the fact side once on a key Catalyst can hash. The
+    * exact filter makes bucketing purely an access path — results are
+    * independent of `binSeconds`. */
+  def rangeJoin(fact: DataFrame, factTs: String, dim: DataFrame,
+                startCol: String, endCol: String, payload: Column,
+                binSeconds: Long): DataFrame = {
+    val fb = fact.withColumn("_bin",
+      floor(unix_timestamp(col(factTs)) / binSeconds))
+    val db = dim.select(col(startCol).as("_s"), col(endCol).as("_e"),
+        payload.as("range"))
+      .withColumn("_bin", explode(sequence(
+        floor(unix_timestamp(col("_s")) / binSeconds),
+        floor((unix_timestamp(col("_e")) - 1) / binSeconds))))
+    fb.join(db, Seq("_bin"))
+      .filter(col(factTs) >= col("_s") && col(factTs) < col("_e"))
+      .drop("_bin", "_s", "_e")
+  }
 }

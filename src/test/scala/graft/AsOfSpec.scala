@@ -29,4 +29,25 @@ class AsOfSpec extends SparkSpec {
       ("k", 25L, Some("v2")),   // superseded by v2@20
       ("other", 100L, None)))   // key never versioned
   }
+
+  test("range join results are independent of the bucketing bin width") {
+    // overlapping intervals: facts in the overlap match BOTH; the
+    // half-open end excludes a fact exactly at interval end
+    val fact = Seq(50L, 150L, 250L, 350L).toDF("t")
+      .select(timestamp_seconds(col("t")).as("ts"))
+    val dim = Seq(("a", 0L, 200L), ("b", 100L, 300L), ("c", 300L, 350L))
+      .toDF("name", "s0", "e0")
+      .select(col("name"), timestamp_seconds(col("s0")).as("s"),
+        timestamp_seconds(col("e0")).as("e"))
+    def run(bin: Long) = AsOf.rangeJoin(fact, "ts", dim, "s", "e",
+        struct(col("name")), bin)
+      .select(unix_timestamp(col("ts")).as("t"), col("range.name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = Set(
+      (50L, "a"), (150L, "a"), (150L, "b"),  // 150 in the a∩b overlap
+      (250L, "b"))                           // 350 = c's end — excluded
+    Seq(7L, 100L, 10000L).foreach { bin =>
+      assert(run(bin) == expected, s"bin=$bin drifted")
+    }
+  }
 }
