@@ -2902,6 +2902,27 @@ object SparkEntry {
       // integers (trig-free — no libm divergence); TakeOrderedAndProject
       Geo.nearest(Tables.customer(s, d), col("c_custkey"),
         col("c_custkey"))),
+    "geo3_centroid" -> ((s, d) => {
+      // ES geo_centroid per geohash cell, in the family's exact
+      // integer space: per-cell floored mean of the microdegree
+      // coordinates (sums ≤ 1.4e11 are exact in the double divide,
+      // floor matches DuckDB bit-for-bit — the axisBits argument).
+      // One cell shuffle with map-side partial sums, like geo1.
+      val pts = Tables.customer(s, d)
+        .select(Geo.latUdeg(col("c_custkey")).as("lat"),
+          Geo.lonUdeg(col("c_custkey")).as("lon"))
+        .filter(col("lat").between(-45000000L, 45000000L) &&
+          col("lon").between(-90000000L, 90000000L))
+      pts.select(substring(Geo.geohash6(col("lat"), col("lon")), 1, 2)
+          .as("cell"), col("lat"), col("lon"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("lat")).as("slat"),
+          sum(col("lon")).as("slon"))
+        .select(col("cell"), col("n"),
+          floor(col("slat") / col("n")).cast("long").as("cen_lat_udeg"),
+          floor(col("slon") / col("n")).cast("long").as("cen_lon_udeg"))
+        .orderBy(col("n").desc, col("cell")).limit(10)
+    }),
     "w13_moving_percentiles" -> ((s, d) => {
       // ES moving_percentiles: trailing-7-bucket median of the daily
       // counts — integer counts, type-7 median as an EXACT ×2 integer
@@ -5151,6 +5172,23 @@ object SparkEntry {
           r AS (SELECT *, row_number() OVER (ORDER BY n DESC, cell)::BIGINT AS rk
                 FROM c)
           SELECT cell, n, rk FROM r WHERE rk <= 10 ORDER BY rk""",
+    // geo3: same synthetic points + geohash replay, floored integer
+    // centroid per cell
+    "geo3_centroid" ->
+      s"""WITH p AS (SELECT ((c_custkey * 2654435761) % 180000000) - 90000000 AS lat,
+                            ((c_custkey * 2654435761 * 31 + 7) % 360000000) - 180000000 AS lon
+                     FROM customer),
+          f AS (SELECT * FROM p WHERE lat BETWEEN -45000000 AND 45000000
+                                  AND lon BETWEEN -90000000 AND 90000000),
+          g AS (SELECT substring((${Geo.geohash6Sql("lat", "lon")}), 1, 2) AS cell,
+                       lat, lon
+                FROM f),
+          c AS (SELECT cell, count(*)::BIGINT AS n,
+                       floor(sum(lat) / count(*))::BIGINT AS cen_lat_udeg,
+                       floor(sum(lon) / count(*))::BIGINT AS cen_lon_udeg
+                FROM g GROUP BY 1)
+          SELECT cell, n, cen_lat_udeg, cen_lon_udeg FROM c
+          ORDER BY n DESC, cell LIMIT 10""",
     "geo2_geo_distance" ->
       """WITH p AS (SELECT c_custkey AS id,
                            ((c_custkey * 2654435761) % 180000000) - 90000000 AS lat,
