@@ -165,14 +165,42 @@ object SparkEntry {
         .saveAsTable(table)
       table
     }
-    bucketedMemo.computeIfAbsent(d, { _ =>
-      (prep(Tables.orders(s, d)
+    // table names carry the corpus fingerprint (the AnnIndex/TextIndex
+    // version-keying discipline): two corpus dirs in one JVM get
+    // DIFFERENT tables instead of clobbering one global name while the
+    // memo still vouches for it. The memo is revalidated against the
+    // session catalog — a fresh SparkSession in the same JVM has an
+    // empty in-memory catalog even though the memo (and the warehouse
+    // files) survive, so a stale hit rebuilds instead of throwing
+    // TABLE_NOT_FOUND at read time.
+    val keyHex = {
+      // fingerprint the two INPUT tables (the corpusKey fold over
+      // names + lengths + mtimes — documents-based keys would miss an
+      // orders/lineitem-only regeneration)
+      val files = Seq("orders.parquet", "lineitem.parquet").flatMap { t =>
+        val root = new java.io.File(s"$d/$t")
+        if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
+        else Seq(root)
+      }
+      val h = files.foldLeft(1125899906842597L) { (a, f) =>
+        ((a * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
+      }
+      f"${h & Long.MaxValue}%016x".take(12)
+    }
+    val names = (s"graft_z3_orders_$keyHex", s"graft_z3_lineitem_$keyHex")
+    val hit = bucketedMemo.get(d)
+    if (hit == names && s.catalog.tableExists(names._1) &&
+        s.catalog.tableExists(names._2)) names
+    else {
+      val built = (prep(Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderstatus")),
-        "o_orderkey", "graft_z3_orders"),
-       prep(Tables.lineitem(s, d)
-           .select(col("l_orderkey"), col("l_extendedprice")),
-         "l_orderkey", "graft_z3_lineitem"))
-    })
+        "o_orderkey", names._1),
+        prep(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_extendedprice")),
+          "l_orderkey", names._2))
+      bucketedMemo.put(d, built)
+      built
+    }
   }
 
   // Physical row order is NOT part of the verification contract: the
@@ -1862,7 +1890,9 @@ object SparkEntry {
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("brand"))
-        .distinct()
+      // no pre-distinct: collect_set dedups within each basket during
+      // the ONE groupBy shuffle (map-side partial sets) — a separate
+      // distinct would double the dominant exchange for no effect
       val baskets = b.groupBy(col("o"))
         .agg(sort_array(collect_set(col("brand"))).as("brands"))
       val nb = baskets.agg(count(lit(1)).as("nb"))

@@ -36,6 +36,14 @@ object AsOf {
                factTs: String, dimTs: String,
                payload: Column): DataFrame = {
     val factCols = fact.columns.toSeq
+    // withColumn silently REPLACES same-named columns — a fact frame
+    // already carrying one of the scratch names (or the output name)
+    // would be corrupted instead of joined; fail loudly
+    val reserved = Seq("_t", "_is_fact", "_dimv", "asof")
+    val clash = factCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asofLeft reserves column names ${reserved.mkString(", ")}; " +
+        s"fact already has ${clash.mkString(", ")} — rename before joining")
     val f = fact
       .withColumn("_t", col(factTs))
       .withColumn("_is_fact", lit(1))
@@ -80,6 +88,11 @@ object AsOf {
       floor(unix_timestamp(col(factTs)) / binSeconds))
     val db = dim.select(col(startCol).as("_s"), col(endCol).as("_e"),
         payload.as("range"))
+      // empty/inverted intervals produce NO bins: without this guard,
+      // sequence(start > stop) generates a DESCENDING range, so one
+      // malformed end-before-start row would fan out to every bin
+      // between them instead of matching nothing
+      .filter(col("_e") > col("_s"))
       .withColumn("_bin", explode(sequence(
         floor(unix_timestamp(col("_s")) / binSeconds),
         floor((unix_timestamp(col("_e")) - 1) / binSeconds))))

@@ -352,19 +352,39 @@ object Similarity {
   def knnIvfBatchAssigned(emb: DataFrame, assigned: DataFrame,
                           cents: Array[Array[Double]],
                           queryIds: Seq[Long], k: Int = 10,
-                          nprobe: Int = 4): DataFrame = {
+                          nprobe: Int = 4): DataFrame =
+    ivfProbe(emb, assigned, cents, queryIds, wanted = None, k, nprobe)
+
+  /** Shared probe pipeline of [[knnIvfBatchAssigned]] and
+    * [[knnIvfBatchFiltered]] — ONE implementation of cell ranking,
+    * candidate join, scoring, and top-k, so the filtered and
+    * unfiltered paths can never silently diverge; `wanted` (per-query
+    * label predicates) is the only difference between them. */
+  private def ivfProbe(emb: DataFrame, assigned: DataFrame,
+                       cents: Array[Array[Double]], queryIds: Seq[Long],
+                       wanted: Option[Seq[(Long, Int)]], k: Int,
+                       nprobe: Int): DataFrame = {
     val e = withNorm(emb)
-    val queries = e.filter(col("vec_id").isin(queryIds: _*))
+    val base = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"),
         explode(transform(
           slice(centroidRank(cents, col("v"), col("nrm")), 1, nprobe),
           s => -s.getField("nidx"))).as("cell"))
-    val scored = assigned.join(broadcast(queries), Seq("cell"))
+    val queries = wanted.fold(base) { ql =>
+      val spark = emb.sparkSession
+      import spark.implicits._
+      base.join(ql.toDF("wq", "want_label"), col("qid") === col("wq"))
+        .drop("wq")
+    }
+    val cand = assigned.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
-          .as("cos_sim"))
+    val matching =
+      if (wanted.isDefined) cand.filter(col("label") === col("want_label"))
+      else cand
+    val scored = matching.select(col("qid"), col("vec_id"),
+      round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+        .as("cos_sim"))
     topKPerQuery(scored, emb.select(col("vec_id"), col("label")), k)
   }
 
@@ -385,28 +405,9 @@ object Similarity {
   def knnIvfBatchFiltered(emb: DataFrame, assigned: DataFrame,
                           cents: Array[Array[Double]],
                           queryLabels: Seq[(Long, Int)], k: Int = 10,
-                          nprobe: Int = 4): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val ids = queryLabels.map(_._1)
-    val wanted = queryLabels.toDF("wq", "want_label")
-    val e = withNorm(emb)
-    val queries = e.filter(col("vec_id").isin(ids: _*))
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"),
-        explode(transform(
-          slice(centroidRank(cents, col("v"), col("nrm")), 1, nprobe),
-          s => -s.getField("nidx"))).as("cell"))
-      .join(wanted, col("qid") === col("wq"))
-      .drop("wq")
-    val scored = assigned.join(broadcast(queries), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid") &&
-        col("label") === col("want_label"))
-      .select(col("qid"), col("vec_id"),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
-          .as("cos_sim"))
-    topKPerQuery(scored, emb.select(col("vec_id"), col("label")), k)
-  }
+                          nprobe: Int = 4): DataFrame =
+    ivfProbe(emb, assigned, cents, queryLabels.map(_._1),
+      wanted = Some(queryLabels), k, nprobe)
 
   // ---- self-verifying ANN contracts -------------------------------
   //

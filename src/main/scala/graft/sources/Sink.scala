@@ -180,11 +180,15 @@ object Sink {
   def aliasWriteVersion(df: DataFrame, baseDir: String, v: Int): Unit =
     df.write.mode("overwrite").parquet(s"$baseDir/v$v")
 
-  /** Atomically point the alias at version `v`. */
+  /** Atomically point the alias at version `v`. The staging file is
+    * unique per call (not a fixed `.tmp` name) so two concurrent
+    * swappers cannot overwrite each other's staged pointer — each
+    * ATOMIC_MOVE installs exactly the version its caller wrote, and
+    * last-mover wins, which is the ES `_aliases` guarantee. */
   def aliasSwap(baseDir: String, v: Int): Unit = {
     val dir = java.nio.file.Paths.get(baseDir)
     java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve(s"_alias.tmp")
+    val tmp = java.nio.file.Files.createTempFile(dir, "_alias", ".tmp")
     java.nio.file.Files.write(tmp, s"v$v".getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, dir.resolve("_alias"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

@@ -127,29 +127,34 @@ object EventStream {
       d.toString
     }
 
-  private[streaming] def runToMemory(df: DataFrame, mode: OutputMode,
-                                     prefix: String): String = {
-    val name =
-      prefix + java.util.UUID.randomUUID().toString.replaceAll("-", "")
-    // Stateful queries snapshot spark.sql.shuffle.partitions at their
-    // first batch as the STATE partition count, and the HDFS-backed
-    // store commits one delta file per state partition per micro-batch
-    // — at this harness's data scale that fixed file-IO dominates
-    // (measured ~2× on st3 at 32 vs 8 partitions). Pin a harness-
-    // appropriate count for the query's lifetime and restore; a real
-    // deployment sizes this to its key space, not to this default.
-    // CONCURRENCY: the set/restore mutates the SESSION-global conf, so
-    // a batch query running concurrently on this SparkSession would
-    // silently execute with the reduced partition count, and two
-    // overlapping runs race on the restore. The harness is strictly
-    // sequential; a parallel caller must pass a cloned session
-    // (spark.newSession) per stream, as the opt* queries already do.
-    val spark = df.sparkSession
+  /** Pin spark.sql.shuffle.partitions for a streaming run's lifetime.
+    * Stateful queries snapshot the setting at their first batch as the
+    * STATE partition count, and the HDFS-backed store commits one
+    * delta file per state partition per micro-batch — at this
+    * harness's data scale that fixed file-IO dominates (measured ~2×
+    * on st3 at 32 vs 8 partitions). A real deployment sizes this to
+    * its key space, not to this default.
+    * CONCURRENCY: the set/restore mutates the SESSION-global conf, so
+    * a batch query running concurrently on this SparkSession would
+    * silently execute with the reduced partition count, and two
+    * overlapping runs race on the restore. The harness is strictly
+    * sequential; a parallel caller must pass a cloned session
+    * (spark.newSession) per stream, as the opt* queries already do. */
+  private[streaming] def withPinnedStreamPartitions[T](
+      spark: SparkSession)(body: => T): T = {
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
     val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(oldParts.toInt, streamParts.toInt).toString)
-    try {
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+  }
+
+  private[streaming] def runToMemory(df: DataFrame, mode: OutputMode,
+                                     prefix: String): String = {
+    val name =
+      prefix + java.util.UUID.randomUUID().toString.replaceAll("-", "")
+    withPinnedStreamPartitions(df.sparkSession) {
       df.writeStream
         .outputMode(mode)
         .format("memory").queryName(name)
@@ -157,7 +162,7 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
     name
   }
 

@@ -17,54 +17,60 @@ import graft.operators.TextIndex
   */
 object IndexStream {
 
-  /** Run the documents table as a multi-file stream
-    * (`maxFilesPerTrigger = 1` forces several real micro-batches),
-    * folding every batch into the index inside `foreachBatch` — the
-    * first batch builds, each later one commits a segment against the
-    * standing artifact (O(batch) ingest, duplicate ids rejected
-    * loudly by addSegment). Returns the final index and the number of
-    * non-empty batches folded, so callers can assert the run was
-    * genuinely incremental. The converged index must be
-    * bit-equivalent to a full rebuild on every corpus invariant —
-    * batch boundaries are an ingest accident, never semantics. */
-  def runIndexIngest(spark: SparkSession, dir: String,
-                     nSplits: Int = 2): (TextIndex.Loaded, Long) = {
-    val docs = graft.Tables.documents(spark, dir)
-    val src = EventStream.freshDir("st10src")
-    docs.repartition(nSplits).write.mode("overwrite").parquet(src)
+  /** Shared ingest scaffold: land `input` as an `nSplits`-file
+    * directory, stream it back one file per micro-batch
+    * (`maxFilesPerTrigger = 1` — several REAL batches, not one), and
+    * fold every non-empty batch through `fold`. Shuffle partitions are
+    * pinned for the run (each micro-batch runs a handful of small
+    * index jobs whose shuffles would otherwise fan out to the
+    * session-wide count — the runToMemory discipline, same
+    * sequential-harness caveat). Returns the number of non-empty
+    * batches folded, so callers can assert the run was genuinely
+    * incremental. */
+  private def foldFileStream(spark: SparkSession, input: DataFrame,
+                             nSplits: Int, prefix: String)
+                            (fold: DataFrame => Unit): Long = {
+    val src = EventStream.freshDir(prefix + "src")
+    input.repartition(nSplits).write.mode("overwrite").parquet(src)
     val schema = spark.read.parquet(src).schema
-    var ix: Option[TextIndex.Loaded] = None
     var batches = 0L
-    // each micro-batch runs a handful of small index-build jobs whose
-    // shuffles would otherwise fan out to the session-wide partition
-    // count — pin the harness-appropriate width for the run's lifetime
-    // (the runToMemory discipline; same sequential-harness caveat)
-    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(oldParts.toInt, streamParts.toInt).toString)
-    try {
+    EventStream.withPinnedStreamPartitions(spark) {
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val b = batch.persist()
           try {
-            if (b.count() > 0) {
-              ix = Some(ix match {
-                case None => TextIndex.build(b, java.nio.file.Files
-                  .createTempDirectory("st10ix").toString)
-                case Some(base) => TextIndex.addSegment(base, b)
-              })
-              batches += 1
-            }
+            if (b.count() > 0) { fold(b); batches += 1 }
           } finally { b.unpersist(); () }
         }
-        .option("checkpointLocation", EventStream.freshDir("st10ck"))
+        .option("checkpointLocation", EventStream.freshDir(prefix + "ck"))
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
+    batches
+  }
+
+  /** Run the documents table as a multi-file stream, folding every
+    * batch into the index inside `foreachBatch` — the first batch
+    * builds, each later one commits a segment against the standing
+    * artifact (O(batch) ingest, duplicate ids rejected loudly by
+    * addSegment). Returns the final index and the number of non-empty
+    * batches folded. The converged index must be bit-equivalent to a
+    * full rebuild on every corpus invariant — batch boundaries are an
+    * ingest accident, never semantics. */
+  def runIndexIngest(spark: SparkSession, dir: String,
+                     nSplits: Int = 2): (TextIndex.Loaded, Long) = {
+    var ix: Option[TextIndex.Loaded] = None
+    val batches = foldFileStream(spark,
+        graft.Tables.documents(spark, dir), nSplits, "st10") { b =>
+      ix = Some(ix match {
+        case None => TextIndex.build(b, java.nio.file.Files
+          .createTempDirectory("st10ix").toString)
+        case Some(base) => TextIndex.addSegment(base, b)
+      })
+    }
     (ix.getOrElse(sys.error("document stream delivered no rows")), batches)
   }
 
@@ -80,31 +86,11 @@ object IndexStream {
                       delta: DataFrame, nSplits: Int = 2)
       : (graft.operators.AnnIndex.Loaded, Long) = {
     import graft.operators.AnnIndex
-    val src = EventStream.freshDir("st11src")
-    delta.repartition(nSplits).write.mode("overwrite").parquet(src)
-    val schema = spark.read.parquet(src).schema
     val ix = AnnIndex.build(seed,
       java.nio.file.Files.createTempDirectory("st11ix").toString)
-    var batches = 0L
-    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(oldParts.toInt, streamParts.toInt).toString)
-    try {
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val b = batch.persist()
-          try {
-            if (b.count() > 0) { AnnIndex.addVectors(ix, b); batches += 1 }
-          } finally { b.unpersist(); () }
-        }
-        .option("checkpointLocation", EventStream.freshDir("st11ck"))
-        .trigger(Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val batches = foldFileStream(spark, delta, nSplits, "st11") { b =>
+      AnnIndex.addVectors(ix, b); ()
+    }
     (ix, batches)
   }
 }
