@@ -1912,6 +1912,22 @@ object SparkEntry {
         .orderBy(col("support").desc, col("brand_a"), col("brand_b"))
         .limit(20)
     }),
+    "w14_top_metrics" -> ((s, d) =>
+      // ES top_metrics: per bucket, the metric values of the
+      // top-sorted document. ONE lexicographic struct-max per group —
+      // partial-aggregatable (map-side combine), so no per-group sort
+      // or window ever touches the events; ties on ts break by
+      // event_id inside the same ordered struct, keeping the answer
+      // deterministic rather than shard-arbitrary.
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")))
+          .as("top"))
+        .select(col("event_type"), col("top.ts").as("last_ts"),
+          col("top.event_id").as("last_event_id"),
+          col("top.cents").as("last_cents"))
+        .orderBy(col("event_type"))),
     "a32_cumulative_cardinality" -> ((s, d) => {
       // ES cumulative_cardinality (the pipeline agg over per-bucket
       // HLL sketches) made EXACT by reformulation: cumulative distinct
@@ -4483,6 +4499,16 @@ object SparkEntry {
                 (support * 10000 // nb)::BIGINT AS support_bp
          FROM pr, n WHERE support * 10000 // nb >= 100
          ORDER BY support DESC, brand_a, brand_b LIMIT 20""",
+    // w14: the ordered-struct max replayed as a rank-1 window
+    "w14_top_metrics" ->
+      """WITH r AS (SELECT event_type, ts, event_id,
+                           floor(value * 100 + 0.5)::BIGINT AS cents,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY ts DESC, event_id DESC) AS rk
+                    FROM events)
+         SELECT event_type, ts AS last_ts, event_id AS last_event_id,
+                cents AS last_cents
+         FROM r WHERE rk = 1 ORDER BY event_type""",
     // a32: the first-seen reformulation replayed directly
     "a32_cumulative_cardinality" ->
       """WITH f AS (SELECT user_id, min(date_trunc('hour', ts))::TIMESTAMP AS hour
