@@ -1912,6 +1912,25 @@ object SparkEntry {
         .orderBy(col("support").desc, col("brand_a"), col("brand_b"))
         .limit(20)
     }),
+    "a34_categorize" -> ((s, d) =>
+      // ES categorize_text as DETERMINISTIC template extraction — the
+      // drain-style log-templating core without its training-order-
+      // dependent ML merge step: digit runs collapse to a <n>
+      // placeholder, whitespace normalizes, and the template IS the
+      // category key. Row-local projection + ONE count shuffle on the
+      // template; each category reports its doc count and earliest
+      // example doc. Where ES's categories depend on which documents
+      // trained the tree first, this is a pure function of the corpus.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[0-9]+", "<n>"),
+            "\\s+", " ")).as("category"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("doc_count"),
+          min(col("doc_id")).as("example_doc"))
+        .orderBy(col("doc_count").desc, col("category"))
+        .limit(10)),
     "w14_top_metrics" -> ((s, d) =>
       // ES top_metrics: per bucket, the metric values of the
       // top-sorted document. ONE lexicographic struct-max per group —
@@ -4499,6 +4518,16 @@ object SparkEntry {
                 (support * 10000 // nb)::BIGINT AS support_bp
          FROM pr, n WHERE support * 10000 // nb >= 100
          ORDER BY support DESC, brand_a, brand_b LIMIT 20""",
+    // a34: identical pure-string templating replayed directly
+    "a34_categorize" ->
+      """WITH t AS (SELECT doc_id,
+                           trim(regexp_replace(
+                             regexp_replace(lower(text), '[0-9]+', '<n>', 'g'),
+                             '\s+', ' ', 'g')) AS category
+                    FROM documents)
+         SELECT category, count(*)::BIGINT AS doc_count,
+                min(doc_id) AS example_doc
+         FROM t GROUP BY 1 ORDER BY doc_count DESC, category LIMIT 10""",
     // w14: the ordered-struct max replayed as a rank-1 window
     "w14_top_metrics" ->
       """WITH r AS (SELECT event_type, ts, event_id,

@@ -142,4 +142,26 @@ class PlanSpec extends SparkSpec {
     assert("windowspecdefinition\\(l_returnflag#\\d+, bucket#\\d+, l_extendedprice".r
       .findFirstIn(p).isDefined, p)
   }
+
+  test("hybrid RRF legs plan as distributed top-k, fusion never sorts the corpus") {
+    // both retrieval legs must stay TakeOrderedAndProject (shard-local
+    // then global top-k) — a regression to a global Sort + Limit would
+    // range-shuffle the whole corpus per leg
+    val p = plan("h2_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+    // (BroadcastNestedLoopJoin IS present and fine here: it is the
+    // one-row probe-vector crossJoin(broadcast(...)) — the accepted
+    // tiny-stats pattern — not a corpus-pair join)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("as-of join is one keyed window pass, never a range join") {
+    val p = plan("j15_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the carry-forward runs as a keyed window over the unioned
+    // timeline (partitionBy event_type), not an unpartitioned sort
+    assert("windowspecdefinition\\(event_type#\\d+, _t#".r
+      .findFirstIn(p).isDefined, p)
+  }
 }
