@@ -1813,66 +1813,15 @@ object SparkEntry {
         .select(col("term"), col("doc_count")).distinct()
         .orderBy(col("term"))
     }),
-    "a31_terms_shard_error" -> ((s, d) => {
-      // ES terms agg ACCURACY semantics under distribution — the part
-      // of the API most engines silently drop. ES computes a terms agg
-      // by asking each shard for its local top `shard_size` terms,
-      // summing only the RETURNED per-shard counts, and reporting per
-      // term a `doc_count_error_upper_bound`: for every shard that did
-      // not return the term, the worst case is that the term sat just
-      // below that shard's last returned count, so the bound is the
-      // sum of those shards' minimum returned counts — and 0 for a
-      // shard that returned fewer than shard_size terms (it returned
-      // everything, so a missing term truly has count 0 there).
-      // Shards here are the deterministic id-hash routing s6 uses
-      // (Knuth multiplicative hash), NOT Spark partitions — the shard
-      // map is data-determined, so the oracle replays it exactly.
-      // Scale shape: doc counts come from the PERSISTED postings
-      // (term, doc_id) — one map-side-combined shuffle on
-      // (shard, term); everything after operates on the term
-      // DICTIONARY (|terms|×S rows), never the corpus, and the
-      // coordinator frames (top terms × shard minima) are
-      // broadcast-sized, exactly as in ES where the coordinating node
-      // merges shard_size-bounded shard responses.
-      val S = 4; val shardSize = 10; val topSize = 10
-      val post = textIndexFor(s, d).postings(s)
-        .select(col("term"), col("doc_id"))
-      val shardCounts = post
-        .withColumn("shard",
-          (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % S)
-            .cast("int"))
-        .groupBy(col("shard"), col("term"))
-        .agg(count(lit(1)).as("c"))
-      // persist: three consumers (top, shard minima, the anti-join)
-      // would otherwise each replay the postings scan + (shard, term)
-      // shuffle; kept is ≤ S·shard_size rows — exactly the bounded
-      // shard RESPONSES the ES coordinator holds in memory
-      val kept = shardCounts
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("shard"))
-            .orderBy(col("c").desc, col("term"))))
-        .filter(col("rk") <= shardSize)
-        .select(col("shard"), col("term"), col("c"))
-        .persist()
-      val shardMin = kept.groupBy(col("shard"))
-        .agg(min(col("c")).as("minc"), count(lit(1)).as("n_kept"))
-        .select(col("shard"),
-          when(col("n_kept") < shardSize, lit(0L))
-            .otherwise(col("minc")).as("smin"))
-      val top = kept.groupBy(col("term"))
-        .agg(sum(col("c")).as("doc_count"))
-        .orderBy(col("doc_count").desc, col("term"))
-        .limit(topSize)
-      val err = top.select(col("term"))
-        .crossJoin(broadcast(shardMin)) // topSize×S rows
-        .join(kept.select(col("shard"), col("term")),
-          Seq("shard", "term"), "left_anti")
-        .groupBy(col("term")).agg(sum(col("smin")).as("err"))
-      top.join(err, Seq("term"), "left")
-        .select(col("term"), col("doc_count"),
-          coalesce(col("err"), lit(0L)).as("doc_count_error_upper_bound"))
-        .orderBy(col("doc_count").desc, col("term"))
-    }),
+    "a31_terms_shard_error" -> ((s, d) =>
+      // ES terms-agg accuracy protocol under distribution
+      // (Search.termsShardError scaladoc: per-shard top-k from the
+      // persisted postings, coordinator sums only returned counts,
+      // doc_count_error_upper_bound from non-returning shards'
+      // minima). At shard_size = size the corpus genuinely exercises
+      // nonzero bounds; the exhausted-shard smin=0 rule is pinned by
+      // EsSurfaceSpec's planted fixture.
+      Search.termsShardError(textIndexFor(s, d).postings(s))),
     "a33_frequent_pairs" -> ((s, d) => {
       // ES frequent_item_sets made EXACT at level 2 — market-basket
       // co-occurrence: baskets are orders, items the DISTINCT part

@@ -537,6 +537,61 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
 
+  /** ES terms-agg ACCURACY semantics under distribution — the part of
+    * the API most engines silently drop. ES computes a terms agg by
+    * asking each shard for its local top `shardSize` terms, summing
+    * only the RETURNED per-shard counts, and reporting per term a
+    * `doc_count_error_upper_bound`: for every shard that did not
+    * return the term, the worst case is that the term sat just below
+    * that shard's last returned count, so the bound is the sum of
+    * those shards' minimum returned counts — and 0 for a shard that
+    * returned fewer than shardSize terms (it returned everything, so
+    * a missing term truly has count 0 there). Shards are the
+    * deterministic Knuth id-hash routing (data-determined, so an
+    * oracle can replay the shard map exactly), NOT Spark partitions.
+    *
+    * Scale shape: `postings` is one row per (term, doc_id) — one
+    * map-side-combined shuffle on (shard, term); everything after
+    * operates on the term DICTIONARY (|terms|×S rows), never the
+    * corpus, and the kept frame is persisted once at ≤ S·shardSize
+    * rows — exactly the bounded shard RESPONSES the ES coordinator
+    * holds in memory. */
+  def termsShardError(postings: DataFrame, nShards: Int = 4,
+                      shardSize: Int = 10, topSize: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shardCounts = postings.select(col("term"), col("doc_id"))
+      .withColumn("shard",
+        (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % nShards)
+          .cast("int"))
+      .groupBy(col("shard"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val kept = shardCounts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("c").desc, col("term"))))
+      .filter(col("rk") <= shardSize)
+      .select(col("shard"), col("term"), col("c"))
+      .persist()
+    val shardMin = kept.groupBy(col("shard"))
+      .agg(min(col("c")).as("minc"), count(lit(1)).as("n_kept"))
+      .select(col("shard"),
+        when(col("n_kept") < shardSize, lit(0L))
+          .otherwise(col("minc")).as("smin"))
+    val top = kept.groupBy(col("term"))
+      .agg(sum(col("c")).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("term"))
+      .limit(topSize)
+    val err = top.select(col("term"))
+      .crossJoin(broadcast(shardMin)) // topSize×S rows
+      .join(kept.select(col("shard"), col("term")),
+        Seq("shard", "term"), "left_anti")
+      .groupBy(col("term")).agg(sum(col("smin")).as("err"))
+    top.join(err, Seq("term"), "left")
+      .select(col("term"), col("doc_count"),
+        coalesce(col("err"), lit(0L)).as("doc_count_error_upper_bound"))
+      .orderBy(col("doc_count").desc, col("term"))
+  }
+
   /** Hybrid retrieval — the RAG fusion pattern (and ES 8.x's
     * `rrf` retriever): a lexical BM25 leg from the persisted text
     * index and a vector leg over the embedding column, fused by

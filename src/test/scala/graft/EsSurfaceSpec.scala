@@ -203,4 +203,43 @@ class EsSurfaceSpec extends SparkSpec {
       assert(f.length - (i + 17) <= 30)
     }
   }
+
+  test("a31 shard-merge protocol: bounds cover the truth, exhausted shards add 0") {
+    import spark.implicits._
+    import graft.operators.Search
+    // planted 4-shard fixture (shardSize=2, topSize=3): shard0 is
+    // EXHAUSTED (1 < shardSize terms -> smin = 0), 'hot' tops shards
+    // 1 and 2 but misses shard3's top-2, 'c' is kept only in shard3
+    def shardOf(id: Long): Int = ((id * 2654435761L) % 4294967296L % 4).toInt
+    val byShard = (1L to 400L).groupBy(shardOf).map { case (k, v) =>
+      k -> v.toVector }
+    def docs(shard: Int, n: Int, offset: Int): Seq[Long] =
+      byShard(shard).slice(offset, offset + n)
+    val postings = Seq(
+      // shard0: only 'a' on one doc -> returns everything, exhausted
+      docs(0, 1, 0).map(("a", _)),
+      // shard1: hot=3, a=2, b=1 -> kept: hot, a; smin=2
+      docs(1, 3, 0).map(("hot", _)), docs(1, 2, 3).map(("a", _)),
+      docs(1, 1, 5).map(("b", _)),
+      // shard2: hot=3, a=2, c=1 -> kept: hot, a; smin=2
+      docs(2, 3, 0).map(("hot", _)), docs(2, 2, 3).map(("a", _)),
+      docs(2, 1, 5).map(("c", _)),
+      // shard3: a=3, c=3, hot=1 -> kept: a, c; smin=3 (hot dropped!)
+      docs(3, 3, 0).map(("a", _)), docs(3, 3, 3).map(("c", _)),
+      docs(3, 1, 6).map(("hot", _))
+    ).flatten.toDF("term", "doc_id")
+    val out = Search.termsShardError(postings, nShards = 4,
+        shardSize = 2, topSize = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exact protocol output: a kept everywhere (bound 0); hot reported
+    // from shards 1+2 only, bound = shard3's smin (3) + exhausted
+    // shard0's 0; c reported from shard3 only, bound = 2+2+0
+    assert(out.toSeq == Seq(("a", 8L, 0L), ("hot", 6L, 3L), ("c", 3L, 4L)),
+      out.mkString(", "))
+    // the ES contract: reported + bound >= TRUE count for every term
+    val truth = Map("a" -> 8L, "hot" -> 7L, "c" -> 4L)
+    out.foreach { case (t, n, e) =>
+      assert(n + e >= truth(t), s"$t bound fails to cover the truth")
+    }
+  }
 }
