@@ -173,20 +173,7 @@ object SparkEntry {
     // empty in-memory catalog even though the memo (and the warehouse
     // files) survive, so a stale hit rebuilds instead of throwing
     // TABLE_NOT_FOUND at read time.
-    val keyHex = {
-      // fingerprint the two INPUT tables (the corpusKey fold over
-      // names + lengths + mtimes — documents-based keys would miss an
-      // orders/lineitem-only regeneration)
-      val files = Seq("orders.parquet", "lineitem.parquet").flatMap { t =>
-        val root = new java.io.File(s"$d/$t")
-        if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
-        else Seq(root)
-      }
-      val h = files.foldLeft(1125899906842597L) { (a, f) =>
-        ((a * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
-      }
-      f"${h & Long.MaxValue}%016x".take(12)
-    }
+    val keyHex = Fingerprint.ofTables(d, "orders", "lineitem").take(12)
     val names = (s"graft_z3_orders_$keyHex", s"graft_z3_lineitem_$keyHex")
     val hit = bucketedMemo.get(d)
     if (hit == names && s.catalog.tableExists(names._1) &&
@@ -318,7 +305,7 @@ object SparkEntry {
       // invariant (an id never lands in two shards) executor-side, and
       // reduce to corpus-level readback aggregates the oracle recomputes
       // from the source table.
-      val out = java.nio.file.Files.createTempDirectory("s6bulk").toString
+      val out = Scratch.dir("s6bulk")
       graft.sources.Sink.bulkWrite(s, Tables.customer(s, d), "c_custkey",
         out, shards = 3)
       val back = s.read.parquet(out).withColumn("shard",
@@ -342,7 +329,7 @@ object SparkEntry {
       // `require` IS the ack; the query surfaces both numbers for the
       // driver to hash-verify). batchSize exercises the bounded-file
       // splitting, so the footer sum spans multiple files per shard.
-      val out = java.nio.file.Files.createTempDirectory("s7ack").toString
+      val out = Scratch.dir("s7ack")
       val written = graft.sources.Sink.bulkWrite(s, Tables.orders(s, d),
         "o_orderkey", out, shards = 3, batchSize = 2000)
       val committed = graft.sources.Sink.committedRowCount(s, out)
@@ -362,8 +349,7 @@ object SparkEntry {
       // repartition width, the compacted count is the ceiling division
       // the compactor computes, and the row count must survive the
       // rewrite untouched.
-      val out = java.nio.file.Files.createTempDirectory("s12c")
-        .resolve("t").toString
+      val out = java.nio.file.Paths.get(Scratch.dir("s12c"), "t").toString
       Tables.documents(s, d).repartition(24)
         .write.mode("overwrite").parquet(out)
       val (before, after) = graft.sources.Sink.compact(s, out, 5000L)
@@ -380,8 +366,7 @@ object SparkEntry {
       // carry the predicate as a PartitionFilter — i.e. the query
       // reads one directory, not the table. The returned aggregates
       // are recomputed by the oracle from the raw table.
-      val out = java.nio.file.Files.createTempDirectory("s13p")
-        .resolve("events_by_type").toString
+      val out = java.nio.file.Paths.get(Scratch.dir("s13p"), "events_by_type").toString
       graft.sources.Sink.partitionedWrite(
         Tables.events(s, d).select(col("event_id"), col("event_type"),
           floor(col("value") * 100 + 0.5).cast("long").as("cents")),
@@ -403,8 +388,7 @@ object SparkEntry {
       // atomic pointer move flips readers to v2. The readback goes
       // THROUGH the alias, so the oracle match proves readers see
       // wholly-v2 after the flip; v1 stays on disk for rollback.
-      val base = java.nio.file.Files.createTempDirectory("s14a")
-        .resolve("events_alias").toString
+      val base = java.nio.file.Paths.get(Scratch.dir("s14a"), "events_alias").toString
       val events = Tables.events(s, d)
       graft.sources.Sink.aliasWriteVersion(
         events.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
@@ -466,7 +450,7 @@ object SparkEntry {
       // merge double-counted).
       val docs = Tables.documents(s, d)
       val ix = TextIndex.build(docs.filter(col("doc_id") % 2 === 0),
-        java.nio.file.Files.createTempDirectory("ti1seg").toString)
+        Scratch.dir("ti1seg"))
       TextIndex.addSegment(ix, docs.filter(col("doc_id") % 2 === 1))
       val nPhysical = ix.postings(s).count()
       ix.corpus(s)
@@ -500,7 +484,7 @@ object SparkEntry {
       // pass, no second scan. (a16 is the QC-filter variant of the same
       // surface; this is the ingest-side one.)
       import org.apache.spark.sql.Observation
-      val out = java.nio.file.Files.createTempDirectory("a5ingest").toString
+      val out = Scratch.dir("a5ingest")
       val obs = Observation()
       Tables.events(s, d)
         .observe(obs,
@@ -1403,7 +1387,7 @@ object SparkEntry {
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"))
       val ix = AnnIndex.build(base,
-        java.nio.file.Files.createTempDirectory("n10add").toString)
+        Scratch.dir("n10add"))
       val delta = base.filter(col("vec_id").isin(annProbeIds: _*))
         .select((col("vec_id") + 2000000L).as("vec_id"), col("label"),
           transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))

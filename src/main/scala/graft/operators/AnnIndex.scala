@@ -67,16 +67,8 @@ object AnnIndex {
     * lengths, mtimes) — cheap, no data scan, and changes whenever the
     * driver regenerates testdata, so a stale artifact can never be
     * served for a new corpus. */
-  def corpusKey(sfDir: String): String = {
-    val root = new java.io.File(s"$sfDir/embeddings.parquet")
-    val files: Seq[java.io.File] =
-      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
-      else Seq(root)
-    val h = files.foldLeft(1125899906842597L) { (a, f) =>
-      ((a * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
-    }
-    f"${h & Long.MaxValue}%016x"
-  }
+  def corpusKey(sfDir: String): String =
+    Fingerprint.ofTables(sfDir, "embeddings")
 
   // one build per (corpus version, JVM); concurrent ensure() callers
   // for the same key serialize on the map value
@@ -171,15 +163,38 @@ object AnnIndex {
     require(dup == 0,
       s"$dup delta vec_ids already indexed — vector appends must be " +
       "disjoint (update = delete + reingest)")
-    assignCells(delta, base.cents)
-      .write.mode("append").partitionBy("cell").parquet(s"${base.dir}/ivf")
-    Similarity.pqEncode(delta, base.pqCbs)
-      .write.mode("append").parquet(s"${base.dir}/pq_codes")
-    Similarity.ivfPqEncode(delta, base.cents, base.resCbs)
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"${base.dir}/ivfpq_codes")
-    Similarity.quantizedIndex(delta)
-      .write.mode("append").parquet(s"${base.dir}/sq8")
+    // ...and disjoint WITHIN the batch (the TextIndex.addSegment rule):
+    // an intra-batch repeat would pass the base check yet appear twice
+    // in every index table and twice in every probe result
+    val Array(nDelta, nDistinct) = delta
+      .agg(count(lit(1)), countDistinct(col("vec_id")))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nDelta == nDistinct,
+      s"${nDelta - nDistinct} duplicate vec_ids WITHIN the delta batch " +
+      "— dedup the batch before ingesting it")
+    // the four appends are not transactional: a failure partway leaves
+    // ivf/ ahead of pq_codes/sq8 AND blocks the retry (the dup check
+    // consults ivf) — so a partial append INVALIDATES the artifact
+    // (_DONE removed) and the next ensure() rebuilds, instead of IVF
+    // probes seeing vectors the PQ/SQ8 paths silently miss forever
+    try {
+      assignCells(delta, base.cents)
+        .write.mode("append").partitionBy("cell").parquet(s"${base.dir}/ivf")
+      Similarity.pqEncode(delta, base.pqCbs)
+        .write.mode("append").parquet(s"${base.dir}/pq_codes")
+      Similarity.ivfPqEncode(delta, base.cents, base.resCbs)
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"${base.dir}/ivfpq_codes")
+      Similarity.quantizedIndex(delta)
+        .write.mode("append").parquet(s"${base.dir}/sq8")
+    } catch {
+      case e: Throwable =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(base.dir, "_DONE"))
+        throw new IllegalStateException(
+          s"partial vector append into ${base.dir} — artifact " +
+            "invalidated (_DONE removed), next ensure() rebuilds", e)
+    }
     base
   }
 

@@ -37,6 +37,20 @@ import graft.Tables
   */
 object Denorm {
 
+  /** The orders TABLE contract as a static schema — what a streaming
+    * watcher uses when its source directory has no files yet to infer
+    * from (SchemaContractSpec pins the live table to the same shape). */
+  val ordersSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+  }
+
   /** Left-semi prune `df` to rows whose `key` appears in `keep` (a
     * single-column DataFrame of order keys). The keep side is a
     * key-only projection, so Catalyst broadcasts it when small and the
@@ -152,17 +166,8 @@ object Denorm {
     * parquet-metadata discipline as [[TextIndex.corpusKey]] /
     * [[AnnIndex.corpusKey]]): lineitem drives the aggregate, the three
     * dims shape the annotation structs. */
-  def childrenKey(sfDir: String): String = {
-    val files = Seq("lineitem", "part", "supplier", "nation").flatMap { t =>
-      val root = new java.io.File(s"$sfDir/$t.parquet")
-      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
-      else Seq(root)
-    }
-    val h = files.foldLeft(1125899906842597L) { (a, f) =>
-      ((a * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
-    }
-    f"${h & Long.MaxValue}%016x"
-  }
+  def childrenKey(sfDir: String): String =
+    Fingerprint.ofTables(sfDir, "lineitem", "part", "supplier", "nation")
 
   private val childrenMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -181,8 +186,11 @@ object Denorm {
     * repeat. */
   def childrenTable(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = childrenMemo.computeIfAbsent(childrenKey(sfDir), { key =>
+      // "v1": the layout-version segment every persisted artifact
+      // carries (the TextIndex/AnnIndex discipline) — a schema change
+      // bumps it so machine-global tmpdir survivors are never half-read
       val d = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft_denorm_children", key)
+        .get(sys.props("java.io.tmpdir"), "graft_denorm_children", "v1", key)
         .toString
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_DONE"))) {
         childrenPerOrder(spark, sfDir)

@@ -644,6 +644,15 @@ object Search {
   def minShouldMatchIndexed(spark: SparkSession, ix: TextIndex.Loaded,
                             terms: Seq[String], minMatch: Int, k: Int = 20,
                             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // the indexed path derives its doc set from postings, so it can
+    // only ever see documents matching ≥1 term; minMatch = 0 (every
+    // clause optional — zero-match docs pad the tail at score 0) is
+    // answerable only by the scan path. Fail loudly instead of
+    // silently diverging from minShouldMatch's row set.
+    require(minMatch >= 1,
+      "minShouldMatchIndexed requires minMatch >= 1 — an inverted " +
+        "index cannot enumerate zero-match documents; use the " +
+        "scan-based minShouldMatch for minimum_should_match = 0")
     val matched = terms.indices
       .map(i => when(col(s"tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
     indexedTfWide(spark, ix, terms)

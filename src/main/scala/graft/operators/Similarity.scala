@@ -1090,8 +1090,6 @@ object Similarity {
     * quantized index (codes + scale + norm ≈ d + 16 bytes/vector).
     * Zero vectors are excluded (cosine undefined, same as
     * [[withNorm]]). */
-  def sq8Index(emb: DataFrame): DataFrame = quantizedIndex(emb)
-
   private[operators] def quantizedIndex(emb: DataFrame): DataFrame = {
     val staged = withNorm(emb)
       .select(col("vec_id"), col("v"), col("nrm"),

@@ -52,16 +52,8 @@ object TextIndex {
 
   /** Corpus-version fingerprint from parquet file metadata (same
     * discipline as [[AnnIndex.corpusKey]]). */
-  def corpusKey(sfDir: String): String = {
-    val root = new java.io.File(s"$sfDir/documents.parquet")
-    val files: Seq[java.io.File] =
-      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
-      else Seq(root)
-    val h = files.foldLeft(1125899906842597L) { (a, f) =>
-      ((a * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
-    }
-    f"${h & Long.MaxValue}%016x"
-  }
+  def corpusKey(sfDir: String): String =
+    Fingerprint.ofTables(sfDir, "documents")
 
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Loaded]()
@@ -144,36 +136,58 @@ object TextIndex {
     require(dup == 0,
       s"$dup delta doc ids already indexed — segment appends must be " +
       "disjoint (update = delete + reingest in the segment model)")
+    // ...and disjoint WITHIN the batch: a doc_id repeated inside one
+    // delta would pass the base check yet double-count n, sum_len and
+    // every df it touches — the same silent corruption, intra-batch
+    val Array(nDelta, nDistinct) = withLen
+      .agg(count(lit(1)), countDistinct(col("doc_id")))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nDelta == nDistinct,
+      s"${nDelta - nDistinct} duplicate doc ids WITHIN the delta batch " +
+      "— dedup the batch before ingesting it")
 
-    withLen.select(col("doc_id"), col("len"))
-      .write.mode("append").parquet(s"$dir/doclen")
-    withLen.select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("len"))
-      .agg(count(lit(1)).cast("int").as("tf"))
-      .repartition(col("term"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("append").parquet(s"$dir/postings")
+    // the segment commit touches four structures; a failure partway
+    // (doclen appended, postings not; or a died dictionary swap) is a
+    // TORN index — invalidate (_DONE removed) so the next ensure()
+    // rebuilds, the AnnIndex.addVectors discipline
+    try {
+      withLen.select(col("doc_id"), col("len"))
+        .write.mode("append").parquet(s"$dir/doclen")
+      withLen.select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("len"))
+        .agg(count(lit(1)).cast("int").as("tf"))
+        .repartition(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("append").parquet(s"$dir/postings")
 
-    // dictionary + stats merges: DICTIONARY-sized, rewritten via
-    // write-to-tmp + atomic swap (the Sink.compact discipline) because
-    // the new value is derived from the file being replaced
-    val deltaDf = withLen
-      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    swapIn(spark, s"$dir/term_df",
-      base.termDf(spark).unionByName(deltaDf)
-        .groupBy(col("term")).agg(sum(col("df")).as("df"))
-        .coalesce(1))
-    val deltaStats = withLen.agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(col("len")).cast("long").as("sum_len"))
-    swapIn(spark, s"$dir/corpus",
-      base.corpus(spark).select(col("n"), col("sum_len"))
-        .unionByName(deltaStats)
-        .agg(sum(col("n")).as("n"), sum(col("sum_len")).as("sum_len"))
-        .select(col("n"),
-          (col("sum_len").cast("double") / col("n")).as("avgdl"),
-          col("sum_len")))
+      // dictionary + stats merges: DICTIONARY-sized, rewritten via
+      // write-to-tmp + atomic swap (the Sink.compact discipline) because
+      // the new value is derived from the file being replaced
+      val deltaDf = withLen
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      swapIn(spark, s"$dir/term_df",
+        base.termDf(spark).unionByName(deltaDf)
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+          .coalesce(1))
+      val deltaStats = withLen.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("len")).cast("long").as("sum_len"))
+      swapIn(spark, s"$dir/corpus",
+        base.corpus(spark).select(col("n"), col("sum_len"))
+          .unionByName(deltaStats)
+          .agg(sum(col("n")).as("n"), sum(col("sum_len")).as("sum_len"))
+          .select(col("n"),
+            (col("sum_len").cast("double") / col("n")).as("avgdl"),
+            col("sum_len")))
+    } catch {
+      case e: Throwable =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(dir, "_DONE"))
+        throw new IllegalStateException(
+          s"partial segment commit into $dir — artifact invalidated " +
+            "(_DONE removed), next ensure() rebuilds", e)
+    }
     Loaded(dir)
   }
 
@@ -193,15 +207,34 @@ object TextIndex {
   }
 
   /** Overwrite `path` with `df` where `df` READS from `path`: write to
-    * a sibling tmp dir, then atomically swap directories. */
+    * a sibling tmp dir, then swap directories. The delete+rename pair
+    * is NOT atomic (and rename can FAIL on cross-filesystem tmp or
+    * object stores), so both outcomes are handled loudly: a failed
+    * delete or rename — or a JVM that died between them, detected as
+    * a missing target on the next mutation — INVALIDATES the artifact
+    * by removing its `_DONE` marker before throwing, so `ensure`
+    * rebuilds instead of serving a torn index. */
   private def swapIn(spark: SparkSession, path: String,
                      df: DataFrame): Unit = {
     val tmp = path + ".swap-tmp"
     df.write.mode("overwrite").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path))
+    val target = new org.apache.hadoop.fs.Path(path)
+    def invalidate(): Unit = {
+      val done = new org.apache.hadoop.fs.Path(
+        target.getParent, "_DONE")
+      fs.delete(done, false); ()
+    }
+    if (!fs.delete(target, true) && fs.exists(target)) {
+      invalidate()
+      sys.error(s"swap failed: could not delete $path — artifact " +
+        "invalidated (_DONE removed), next ensure() rebuilds")
+    }
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target)) {
+      invalidate()
+      sys.error(s"swap failed: could not rename $tmp over $path — " +
+        "artifact invalidated (_DONE removed), next ensure() rebuilds")
+    }
   }
 }

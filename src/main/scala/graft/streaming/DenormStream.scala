@@ -99,21 +99,42 @@ object DenormStream {
   def ingestWith(spark: SparkSession, ordersDir: String, cust: DataFrame,
                  children: DataFrame, outDir: String, checkpoint: String,
                  maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    val schema = spark.read.parquet(ordersDir).schema
+    // schema from the files if any have landed, else from the orders
+    // TABLE contract — a watcher started on a still-empty directory
+    // must start fine and pick files up as they arrive (it did before
+    // the files-first inference; keep both paths working)
+    val schema =
+      try spark.read.parquet(ordersDir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("infer schema") ||
+              e.getMessage.contains("PATH_NOT_FOUND") =>
+          graft.operators.Denorm.ordersSchema
+      }
     val custP = cust.persist()
     val childrenP = children.persist()
-    childrenP.count(); custP.count()
-    val reader = spark.readStream.schema(schema)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val ordersStream = reader.parquet(ordersDir)
-    val docs = docsFromChildren(ordersStream, custP, childrenP)
-    val query = docs.writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpoint)
-      .format("parquet")
-      .option("path", outDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // anything failing before start() must release the pins — after a
+    // successful start the termination listener below owns them
+    val query =
+      try {
+        childrenP.count(); custP.count()
+        val reader = spark.readStream.schema(schema)
+        maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+        val ordersStream = reader.parquet(ordersDir)
+        val docs = docsFromChildren(ordersStream, custP, childrenP)
+        docs.writeStream
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", checkpoint)
+          .format("parquet")
+          .option("path", outDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } catch {
+        case e: Throwable =>
+          custP.unpersist(blocking = false)
+          childrenP.unpersist(blocking = false)
+          throw e
+      }
     val qid = query.id
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {

@@ -111,11 +111,10 @@ object EventStream {
     raw.withColumn("ts", graft.Tables.normalizeTs(schema("ts").dataType))
   }
 
-  private[streaming] def freshDir(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
-    d.deleteOnExit()
-    d.toString
-  }
+  private[streaming] def freshDir(prefix: String): String =
+    // Scratch registers a recursive shutdown-hook delete — the old
+    // deleteOnExit was a silent no-op on these non-empty directories
+    graft.Scratch.dir(prefix)
 
   /** Expose a single parquet FILE as a file-source stream directory
     * (symlink — no data copy); a real directory streams as-is. */

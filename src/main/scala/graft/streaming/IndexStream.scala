@@ -66,8 +66,7 @@ object IndexStream {
     val batches = foldFileStream(spark,
         graft.Tables.documents(spark, dir), nSplits, "st10") { b =>
       ix = Some(ix match {
-        case None => TextIndex.build(b, java.nio.file.Files
-          .createTempDirectory("st10ix").toString)
+        case None => TextIndex.build(b, graft.Scratch.dir("st10ix"))
         case Some(base) => TextIndex.addSegment(base, b)
       })
     }
@@ -86,8 +85,7 @@ object IndexStream {
                       delta: DataFrame, nSplits: Int = 2)
       : (graft.operators.AnnIndex.Loaded, Long) = {
     import graft.operators.AnnIndex
-    val ix = AnnIndex.build(seed,
-      java.nio.file.Files.createTempDirectory("st11ix").toString)
+    val ix = AnnIndex.build(seed, graft.Scratch.dir("st11ix"))
     val batches = foldFileStream(spark, delta, nSplits, "st11") { b =>
       AnnIndex.addVectors(ix, b); ()
     }
