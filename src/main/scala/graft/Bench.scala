@@ -71,8 +71,14 @@ object Bench {
     val total = results.map(_._2).sum
     // a failed query records near-zero time — surface it loudly instead
     // of letting it inflate the score
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(line)
+    // stdout tail-capture has a size limit that can truncate the
+    // per-query map on a 200+ query run — also persist the full result
+    // line where nothing can cut it short
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1769,34 +1769,16 @@ object SparkEntry {
           coalesce(col("doc_count"), lit(0L)).as("doc_count"))
         .orderBy(col("bucket"))
     }),
-    "a11_rare_terms" -> ((s, d) => {
-      // ES rare_terms agg over the shingle field (unigrams + joined
-      // bigrams, like the t10 analyzer): terms appearing in at most
-      // max_doc_count=2 documents — the long-tail complement of
-      // terms/significant_terms. The count shuffle carries the 8-byte
-      // xxhash64 of each shingle, never the strings: partial counts
-      // combine map-side on the hash, the ≤max_doc_count cut is an agg
-      // filter, and a second scan recovers the survivors' strings via
-      // a broadcast hash semi-join (tiny side) with no shuffle at all.
-      // Shuffle bytes drop ~3× vs hashing strings through the
-      // exchange; the hash is collision-checked by the oracle (ES's
-      // own rare_terms accepts the same approximation trade with its
-      // CuckooFilter). On THIS corpus the surviving tail is
-      // bigram-only (the 31-word vocabulary's min unigram df is 25),
-      // but unigrams pass through the same pipeline and would surface
-      // if rare.
-      def shingled = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(
-          Analyzers.shingleTokens(
-            Analyzers.tokenize(lower(col("text"))))))
-          .as("term"))
-      val rareH = shingled.select(xxhash64(col("term")).as("h"))
-        .groupBy(col("h")).agg(count(lit(1)).as("doc_count"))
-        .filter(col("doc_count") <= 2)
-      shingled.join(broadcast(rareH), xxhash64(col("term")) === col("h"))
-        .select(col("term"), col("doc_count")).distinct()
-        .orderBy(col("term"))
-    }),
+    "a11_rare_terms" -> ((s, d) =>
+      // ES rare_terms (Search.rareTerms scaladoc: hash-keyed count
+      // shuffle, ≤max_doc_count agg cut, term recovery via a
+      // SHUFFLE_HASH semi-join on the 8-byte hash — never a forced
+      // broadcast, because the rare tail is O(vocabulary) on Zipfian
+      // corpora; AQE may still promote when the measured tail is
+      // small). On THIS corpus the surviving tail is bigram-only (the
+      // 31-word vocabulary's min unigram df is 25), but unigrams pass
+      // through the same pipeline and would surface if rare.
+      Search.rareTerms(Tables.documents(s, d), maxDocCount = 2)),
     "a31_terms_shard_error" -> ((s, d) =>
       // ES terms-agg accuracy protocol under distribution
       // (Search.termsShardError scaladoc: per-shard top-k from the
@@ -2481,17 +2463,22 @@ object SparkEntry {
     }),
     "w11_bucket_selector" -> ((s, d) => {
       // ES bucket_selector + bucket_sort pipeline: keep day buckets
-      // whose count exceeds 1.1× the mean bucket count, then sort by
-      // count desc and cut 5. The threshold compare is INTEGER-exact
-      // (10·n·n_buckets > 11·total) — no float mean reaches the cut.
-      // The totals frame is one row, broadcast over the ~30 buckets.
+      // whose count exceeds the mean bucket count, then sort by count
+      // desc and cut 5. The threshold compare is INTEGER-exact
+      // (n·n_buckets > total) — no float mean reaches the cut. STRICTLY
+      // above the MEAN (not a 1.1× margin) so the expected survivor
+      // set is non-empty at every scale factor: on near-uniform data a
+      // relative margin shrinks past the ±1/√n bucket noise as buckets
+      // grow, and a gate whose expected output is zero rows can't
+      // distinguish a broken filter from a correct one. The totals
+      // frame is one row, broadcast over the ~30 buckets.
       val daily = Tables.events(s, d)
         .groupBy(date_trunc("DAY", col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
       val tot = daily.agg(sum(col("n")).as("tot"),
         count(lit(1)).as("nb"))
       daily.crossJoin(broadcast(tot))
-        .filter(col("n") * 10 * col("nb") > col("tot") * 11)
+        .filter(col("n") * col("nb") > col("tot"))
         .orderBy(col("n").desc, col("day"))
         .limit(5)
         .select(col("day"), col("n"))
@@ -3544,7 +3531,13 @@ object SparkEntry {
     "d2_minhash_pairs" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
           s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
-          p AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          p0 AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          -- mirror the impl's stop-shingle cap (maxShingleFreq=1000):
+          -- posting buckets past the cap are dropped on BOTH sides, so
+          -- the differential check stays exact on corpora where some
+          -- shingle exceeds the cap
+          p AS (SELECT * FROM p0
+                QUALIFY count(*) OVER (PARTITION BY sh1) <= 1000),
           j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
                        any_value(b.setsize) AS sb, count(*)::INT AS inter
                 FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -3590,7 +3583,13 @@ object SparkEntry {
     "d4_jaccard_pairs" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
           s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
-          p AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          p0 AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          -- mirror the impl's stop-shingle cap (maxShingleFreq=1000):
+          -- posting buckets past the cap are dropped on BOTH sides, so
+          -- the differential check stays exact on corpora where some
+          -- shingle exceeds the cap
+          p AS (SELECT * FROM p0
+                QUALIFY count(*) OVER (PARTITION BY sh1) <= 1000),
           j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
                        any_value(b.setsize) AS sb, count(*)::INT AS inter
                 FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -3602,7 +3601,13 @@ object SparkEntry {
     "d14_containment" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
           s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
-          p AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          p0 AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          -- mirror the impl's stop-shingle cap (maxShingleFreq=1000):
+          -- posting buckets past the cap are dropped on BOTH sides, so
+          -- the differential check stays exact on corpora where some
+          -- shingle exceeds the cap
+          p AS (SELECT * FROM p0
+                QUALIFY count(*) OVER (PARTITION BY sh1) <= 1000),
           j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
                        any_value(b.setsize) AS sb, count(*)::BIGINT AS inter
                 FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -3625,7 +3630,13 @@ object SparkEntry {
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
           s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
-          p AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          p0 AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          -- mirror the impl's stop-shingle cap (maxShingleFreq=1000):
+          -- posting buckets past the cap are dropped on BOTH sides, so
+          -- the differential check stays exact on corpora where some
+          -- shingle exceeds the cap
+          p AS (SELECT * FROM p0
+                QUALIFY count(*) OVER (PARTITION BY sh1) <= 1000),
           j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
                        any_value(b.setsize) AS sb, count(*)::INT AS inter
                 FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -3639,7 +3650,13 @@ object SparkEntry {
     "d8_cluster_dedup" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
           s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
-          p AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          p0 AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          -- mirror the impl's stop-shingle cap (maxShingleFreq=1000):
+          -- posting buckets past the cap are dropped on BOTH sides, so
+          -- the differential check stays exact on corpora where some
+          -- shingle exceeds the cap
+          p AS (SELECT * FROM p0
+                QUALIFY count(*) OVER (PARTITION BY sh1) <= 1000),
           j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
                        any_value(b.setsize) AS sb, count(*)::INT AS inter
                 FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -3655,7 +3672,13 @@ object SparkEntry {
     "d6_dedup_apply" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
           s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
-          p AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          p0 AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          -- mirror the impl's stop-shingle cap (maxShingleFreq=1000):
+          -- posting buckets past the cap are dropped on BOTH sides, so
+          -- the differential check stays exact on corpora where some
+          -- shingle exceeds the cap
+          p AS (SELECT * FROM p0
+                QUALIFY count(*) OVER (PARTITION BY sh1) <= 1000),
           j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
                        any_value(b.setsize) AS sb, count(*)::INT AS inter
                 FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -4892,7 +4915,7 @@ object SparkEntry {
           t AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS nb
                 FROM daily)
          SELECT day, n FROM daily, t
-         WHERE n * 10 * nb > tot * 11
+         WHERE n * nb > tot
          ORDER BY n DESC, day LIMIT 5""",
     "f12_wildcard" ->
       """SELECT p_partkey, p_name,

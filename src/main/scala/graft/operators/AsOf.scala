@@ -38,8 +38,12 @@ object AsOf {
     val factCols = fact.columns.toSeq
     // withColumn silently REPLACES same-named columns — a fact frame
     // already carrying one of the scratch names (or the output name)
-    // would be corrupted instead of joined; fail loudly
-    val reserved = Seq("_t", "_is_fact", "_dimv", "asof")
+    // would be corrupted instead of joined; fail loudly. "_asof" is on
+    // the list because the carry window writes it — without it a fact
+    // frame with its own "_asof" would be clobbered AND emitted twice
+    // by the final select, exactly the corruption this guard exists
+    // to prevent
+    val reserved = Seq("_t", "_is_fact", "_dimv", "_asof", "asof")
     val clash = factCols.filter(reserved.contains)
     require(clash.isEmpty,
       s"asofLeft reserves column names ${reserved.mkString(", ")}; " +
@@ -80,10 +84,23 @@ object AsOf {
     * interval — quadratic and driver-bound), while the bucketed form
     * shuffles the fact side once on a key Catalyst can hash. The
     * exact filter makes bucketing purely an access path — results are
-    * independent of `binSeconds`. */
+    * independent of `binSeconds`.
+    *
+    * `endInclusive = false` gives the half-open `start ≤ ts < end`
+    * interval convention; `true` gives SQL's `BETWEEN` (both bounds
+    * inclusive — a single-instant `start = end` interval is then
+    * valid and matches exactly that instant). */
   def rangeJoin(fact: DataFrame, factTs: String, dim: DataFrame,
                 startCol: String, endCol: String, payload: Column,
-                binSeconds: Long): DataFrame = {
+                binSeconds: Long, endInclusive: Boolean = false): DataFrame = {
+    // same clobber guard as asofLeft: fact columns pass through, so a
+    // fact frame already using a scratch name (or the payload output
+    // name) would be silently replaced by withColumn/select
+    val reserved = Seq("_bin", "_s", "_e", "range")
+    val clash = fact.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"rangeJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"fact already has ${clash.mkString(", ")} — rename before joining")
     val fb = fact.withColumn("_bin",
       floor(unix_timestamp(col(factTs)) / binSeconds))
     val db = dim.select(col(startCol).as("_s"), col(endCol).as("_e"),
@@ -92,12 +109,16 @@ object AsOf {
       // sequence(start > stop) generates a DESCENDING range, so one
       // malformed end-before-start row would fan out to every bin
       // between them instead of matching nothing
-      .filter(col("_e") > col("_s"))
+      .filter(if (endInclusive) col("_e") >= col("_s")
+              else col("_e") > col("_s"))
       .withColumn("_bin", explode(sequence(
         floor(unix_timestamp(col("_s")) / binSeconds),
-        floor((unix_timestamp(col("_e")) - 1) / binSeconds))))
+        if (endInclusive) floor(unix_timestamp(col("_e")) / binSeconds)
+        else floor((unix_timestamp(col("_e")) - 1) / binSeconds))))
     fb.join(db, Seq("_bin"))
-      .filter(col(factTs) >= col("_s") && col(factTs) < col("_e"))
+      .filter(col(factTs) >= col("_s") &&
+        (if (endInclusive) col(factTs) <= col("_e")
+         else col(factTs) < col("_e")))
       .drop("_bin", "_s", "_e")
   }
 }

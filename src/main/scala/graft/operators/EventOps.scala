@@ -59,69 +59,44 @@ object EventOps {
       .orderBy(col("win_start"), col("event_type"))
 
   /** E6: range (interval) join — aggregate the events falling inside
-    * each of a set of arbitrary time intervals. The naive non-equi
-    * join plans as a broadcast nested loop, which only survives while
-    * one side is tiny; the scale plan buckets time into fixed grains:
-    * each interval EXPLODES to the grains it overlaps, each event keys
-    * by its own grain, the join becomes an EQUI join on the grain, and
-    * the residual BETWEEN predicate refines. Every (interval, event)
-    * pair meets on exactly one grain (the event's), so no dedup is
-    * needed; work is O(events + Σ interval-grains), shuffled on the
-    * grain key, with no nested loop at any size.
+    * each of a set of arbitrary time intervals (both bounds
+    * inclusive, SQL `BETWEEN`). A thin adapter over the generalized
+    * [[AsOf.rangeJoin]] interval-bucketing operator (one
+    * implementation of the bucketed shape — see its scaladoc for the
+    * scale argument), followed by the per-interval aggregation.
     *
     * `intervals`: (interval_id, start_ts, end_ts). */
   def rangeJoinCounts(events: DataFrame, intervals: DataFrame,
-                      grainSeconds: Long = 3600L): DataFrame = {
-    val g = intervals
-      .withColumn("s_epoch", unix_timestamp(col("start_ts")))
-      .withColumn("e_epoch", unix_timestamp(col("end_ts")))
-      .withColumn("g", explode(sequence(
-        expr(s"s_epoch div $grainSeconds"),
-        expr(s"e_epoch div $grainSeconds"))))
-      .select(col("interval_id"), col("start_ts"), col("end_ts"), col("g"))
-    val e = events
-      .withColumn("t_epoch", unix_timestamp(col("ts")))
-      .withColumn("g", expr(s"t_epoch div $grainSeconds"))
-    g.join(e, Seq("g"))
-      .filter(col("ts") >= col("start_ts") && col("ts") <= col("end_ts"))
-      .groupBy(col("interval_id"))
+                      grainSeconds: Long = 3600L): DataFrame =
+    AsOf.rangeJoin(events, "ts", intervals, "start_ts", "end_ts",
+        struct(col("interval_id")), grainSeconds, endInclusive = true)
+      .groupBy(col("range.interval_id").as("interval_id"))
       .agg(count(lit(1)).as("n_in_range"),
         round(sum(col("value")), 2).as("range_value"))
       .orderBy(col("interval_id"))
-  }
 
   /** E5: AS-OF join — attach to every event the value of the most
     * recent purchase (ts ≤ event ts) by the same user; the canonical
-    * time-series enrichment Spark has no native operator for.
-    *
-    * Compose-existing-ops plan (never a range-condition join, which
-    * plans as a nested loop): union both sides tagged, one window per
-    * key ordered by (event time, tag) with right-side rows sorting
-    * BEFORE coincident left rows, then `last(value, ignoreNulls)`
-    * carries the newest right value forward; keep the left rows. One
-    * shuffle on the key and a per-key sort — the sessionization cost
-    * envelope, with no join explosion. Determinism: purchases are
-    * pre-deduplicated to one value per (user, ts) with `max_by` on the
-    * id, and left-row ties don't matter because left rows carry no
-    * value. The oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — an
-    * independent implementation of the same semantics. */
+    * time-series enrichment Spark has no native operator for. A thin
+    * adapter over the generalized [[AsOf.asofLeft]] union-and-window
+    * operator (one implementation of the shape; tie rule — dim
+    * effective exactly AT the fact timestamp applies — and the
+    * one-shuffle scale argument live in its scaladoc). Determinism:
+    * purchases are pre-deduplicated to one value per (user, ts) with
+    * `max_by` on the id. The oracle is DuckDB's NATIVE `ASOF LEFT
+    * JOIN` — an independent implementation of the same semantics. */
   def asofJoin(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts"))
       .agg(expr("max_by(value, event_id)").as("p_value"))
-    val l = events.select(col("event_id"), col("user_id"), col("ts"),
-      col("event_type"), lit(1).as("src"),
-      lit(null).cast("double").as("p_value"))
-    val r = purchases.select(lit(null).cast("long").as("event_id"),
-      col("user_id"), col("ts"), lit(null).cast("string").as("event_type"),
-      lit(0).as("src"), col("p_value"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("src"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("carried", last(col("p_value"), ignoreNulls = true).over(w))
-      .filter(col("src") === 1)
+    AsOf.asofLeft(
+        events.select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type")),
+        purchases, "user_id", "ts", "ts",
+        struct(col("p_value")))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-        round(coalesce(col("carried"), lit(0.0)), 2).as("last_purchase_value"))
+        round(coalesce(col("asof.p_value"), lit(0.0)), 2)
+          .as("last_purchase_value"))
       .orderBy(col("event_id"))
   }
 

@@ -586,10 +586,58 @@ object Search {
       .join(kept.select(col("shard"), col("term")),
         Seq("shard", "term"), "left_anti")
       .groupBy(col("term")).agg(sum(col("smin")).as("err"))
-    top.join(err, Seq("term"), "left")
+    val out = top.join(err, Seq("term"), "left")
       .select(col("term"), col("doc_count"),
         coalesce(col("err"), lit(0L)).as("doc_count_error_upper_bound"))
       .orderBy(col("doc_count").desc, col("term"))
+    // the output is the coordinator's merged response — topSize rows —
+    // so materialize it eagerly and RELEASE the persisted shard
+    // responses: a lazily-returned plan would pin `kept` in the block
+    // manager for the session lifetime (one leaked cache entry per
+    // invocation across repeated bench/verify passes)
+    try {
+      import scala.jdk.CollectionConverters._
+      postings.sparkSession.createDataFrame(
+        out.collect().toSeq.asJava, out.schema)
+    } finally kept.unpersist(blocking = false)
+  }
+
+  /** ES rare_terms agg over the shingle field (unigrams + joined
+    * bigrams, the t10 analyzer): terms appearing in at most
+    * `maxDocCount` documents — the long-tail complement of
+    * terms/significant_terms. The count shuffle carries the 8-byte
+    * xxhash64 of each shingle, never the strings: partial counts
+    * combine map-side on the hash, the ≤maxDocCount cut is an agg
+    * filter, and a second scan recovers the survivors' strings via a
+    * semi-join on the hash. The hash is collision-checked by the
+    * oracle (ES's own rare_terms accepts the same approximation trade
+    * with its CuckooFilter).
+    *
+    * The recovery join is deliberately NOT a forced broadcast: on a
+    * Zipfian corpus the ≤maxDocCount tail is MOST of the vocabulary —
+    * O(|vocabulary|) hashes, billions at 100 TB — and a `broadcast()`
+    * hint ignores `autoBroadcastJoinThreshold`, so the plan would OOM
+    * the driver rather than degrade (ES needs a CuckooFilter for
+    * exactly this reason). The SHUFFLE_HASH hint keeps the static
+    * plan a shuffled hash join on the 8-byte key — per-partition
+    * build side is tail/shuffle-partitions, bounded by partitioning
+    * at any tail size — while AQE remains free to promote to
+    * broadcast at runtime when the measured tail is actually small
+    * (the size-GUARDED broadcast, decided from real statistics
+    * instead of a hard-coded hint). */
+  def rareTerms(docs: DataFrame, maxDocCount: Int = 2): DataFrame = {
+    def shingled = docs
+      .select(col("doc_id"), explode(array_distinct(
+        Analyzers.shingleTokens(
+          Analyzers.tokenize(lower(col("text"))))))
+        .as("term"))
+    val rareH = shingled.select(xxhash64(col("term")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("doc_count"))
+      .filter(col("doc_count") <= maxDocCount)
+    shingled.join(rareH.hint("shuffle_hash"),
+        xxhash64(col("term")) === col("h"))
+      .select(col("term"), col("doc_count")).distinct()
+      .orderBy(col("term"))
   }
 
   /** Hybrid retrieval — the RAG fusion pattern (and ES 8.x's

@@ -50,4 +50,47 @@ class AsOfSpec extends SparkSpec {
       assert(run(bin) == expected, s"bin=$bin drifted")
     }
   }
+
+  test("inclusive-end range join admits the end instant and point intervals") {
+    val fact = Seq(100L, 200L, 300L).toDF("t")
+      .select(timestamp_seconds(col("t")).as("ts"))
+    val dim = Seq(("i", 100L, 200L), ("pt", 300L, 300L))
+      .toDF("name", "s0", "e0")
+      .select(col("name"), timestamp_seconds(col("s0")).as("s"),
+        timestamp_seconds(col("e0")).as("e"))
+    val out = AsOf.rangeJoin(fact, "ts", dim, "s", "e",
+        struct(col("name")), 60L, endInclusive = true)
+      .select(unix_timestamp(col("ts")).as("t"), col("range.name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set(
+      (100L, "i"), (200L, "i"),  // BETWEEN keeps the end instant...
+      (300L, "pt")))             // ...and a start=end point interval is valid
+  }
+
+  test("a fact frame carrying a scratch/output column fails loudly") {
+    // withColumn REPLACES same-named columns: without the guard the
+    // fact's own _asof would be clobbered and the output would carry
+    // the column twice — the corruption must be an error, not a result
+    val dim = Seq(("k", 10L, "v")).toDF("key", "t", "ver")
+      .select(col("key"), timestamp_seconds(col("t")).as("eff"), col("ver"))
+    Seq("_asof", "asof", "_t", "_is_fact", "_dimv").foreach { bad =>
+      val fact = Seq(("k", 5L, "x")).toDF("key", "t", bad)
+        .select(col("key"), timestamp_seconds(col("t")).as("ts"), col(bad))
+      val e = intercept[IllegalArgumentException] {
+        AsOf.asofLeft(fact, dim, "key", "ts", "eff", struct(col("ver")))
+      }
+      assert(e.getMessage.contains(bad), s"guard missed $bad")
+    }
+    Seq("_bin", "_s", "_e", "range").foreach { bad =>
+      val fact = Seq((5L, "x")).toDF("t", bad)
+        .select(timestamp_seconds(col("t")).as("ts"), col(bad))
+      val rdim = Seq(("a", 0L, 10L)).toDF("name", "s0", "e0")
+        .select(col("name"), timestamp_seconds(col("s0")).as("s"),
+          timestamp_seconds(col("e0")).as("e"))
+      val e = intercept[IllegalArgumentException] {
+        AsOf.rangeJoin(fact, "ts", rdim, "s", "e", struct(col("name")), 60L)
+      }
+      assert(e.getMessage.contains(bad), s"rangeJoin guard missed $bad")
+    }
+  }
 }

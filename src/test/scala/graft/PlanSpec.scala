@@ -164,4 +164,32 @@ class PlanSpec extends SparkSpec {
     assert("windowspecdefinition\\(event_type#\\d+, _t#".r
       .findFirstIn(p).isDefined, p)
   }
+
+  test("rare_terms recovery join survives a Zipfian tail (no forced broadcast)") {
+    // on a natural corpus the ≤max_doc_count tail is MOST of the
+    // vocabulary — billions of hashes at 100 TB — so the term-recovery
+    // join must NOT hard-broadcast the tail: a broadcast() hint ignores
+    // autoBroadcastJoinThreshold and OOMs instead of degrading. Fixture:
+    // every doc contributes unique rare bigrams (the all-tail corpus).
+    // With the static broadcast threshold forced off, only a FORCED
+    // hint could still produce a BroadcastExchange — its absence plus
+    // the ShuffledHashJoin is the size-guard, while AQE stays free to
+    // promote from runtime stats on corpora where the tail is small.
+    import spark.implicits._
+    val docs = (1 to 300)
+      .map(i => (i.toLong, s"common base tail$i word$i"))
+      .toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Search.rareTerms(docs, maxDocCount = 2)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("BroadcastExchange"), p)
+      // and the long tail actually comes back: ≥2 unique-to-doc
+      // bigrams per doc survive the ≤2-doc cut
+      assert(df.count() >= 600L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
