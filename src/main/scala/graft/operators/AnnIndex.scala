@@ -48,11 +48,15 @@ object AnnIndex {
   val Iters = 10
   val SampleSize = 1024
 
-  /** Driver-side trained structures + the persisted table locations. */
+  /** Driver-side trained structures + the persisted table locations.
+    * `key` is the [[ensure]] memo key when managed (empty for ad-hoc
+    * [[build]]s) — it lets invalidation evict the in-JVM memo entry,
+    * not just the on-disk `_DONE` marker. */
   final case class Loaded(dir: String,
                           cents: Array[Array[Double]],
                           pqCbs: Array[Array[Array[Double]]],
-                          resCbs: Array[Array[Array[Double]]]) {
+                          resCbs: Array[Array[Array[Double]]],
+                          key: String = "") {
     def ivf(spark: SparkSession): DataFrame =
       spark.read.parquet(s"$dir/ivf")
     def pqCodes(spark: SparkSession): DataFrame =
@@ -77,19 +81,43 @@ object AnnIndex {
 
   /** The artifact for `corpus` under cache key `key` (from
     * [[corpusKey]]): loaded from disk when a completed build exists
-    * for this corpus version, built + persisted otherwise. */
+    * for this corpus version, built + persisted otherwise — through
+    * the [[ArtifactGen]] generation-pointer lifecycle (rebuilds go to
+    * a fresh `gen-N`, `_CURRENT` swaps atomically, stale readers keep
+    * their generation wholly-old; the s14 alias discipline).
+    *
+    * "v3": generations replaced the flat per-key dir (a layout
+    * change, so pre-round-8 artifacts are never half-read). */
   def ensure(corpus: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
-      // "v2": the ivf table gained the filterable `label` column — a
-      // layout change, so pre-existing artifacts under the unversioned
-      // path are never half-read (the TextIndex versioning discipline)
-      val dir = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v2", key)
-        .toString
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_DONE")))
-        load(corpus.sparkSession, dir)
-      else build(corpus, dir)
+      val root = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v3", key)
+      ArtifactGen.currentDir(root) match {
+        case Some(gen) =>
+          load(corpus.sparkSession, gen.toString).copy(key = key)
+        case None =>
+          val gen = ArtifactGen.nextGenDir(root)
+          val built = build(corpus, gen.toString)
+          ArtifactGen.publish(root, gen)
+          built.copy(key = key)
+      }
     })
+
+  /** Invalidate a managed artifact: remove `_DONE` AND evict the
+    * in-JVM memo entry — without the eviction, ensure() in the same
+    * JVM would keep serving the torn Loaded and the "next ensure()
+    * rebuilds" promise would only hold after a JVM restart. */
+  private[graft] def invalidate(l: Loaded): Unit = {
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(l.dir, "_DONE"))
+    if (l.key.nonEmpty) memo.remove(l.key)
+    ()
+  }
+
+  /** Spec hook: forget the memoized Loaded WITHOUT invalidating the
+    * on-disk artifact — models a fresh JVM resolving the `_CURRENT`
+    * pointer. */
+  private[graft] def evictMemo(key: String): Unit = { memo.remove(key); () }
 
   /** (vec_id, label, v, nrm, cell): the coarse-quantizer assignment of
     * `emb` under fixed centroids — the shared encode step of [[build]]
@@ -189,11 +217,11 @@ object AnnIndex {
         .write.mode("append").parquet(s"${base.dir}/sq8")
     } catch {
       case e: Throwable =>
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(base.dir, "_DONE"))
+        invalidate(base)
         throw new IllegalStateException(
           s"partial vector append into ${base.dir} — artifact " +
-            "invalidated (_DONE removed), next ensure() rebuilds", e)
+            "invalidated (_DONE removed, memo evicted), next ensure() " +
+            "rebuilds", e)
     }
     base
   }

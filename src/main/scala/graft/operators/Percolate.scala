@@ -64,40 +64,58 @@ object Percolate {
       .crossJoin(broadcast(storedQueries(docs.sparkSession, qs))))
 
   /** Necessary-term inverted index over a stored-query set, in the
-    * [[graft.functions.PercolateIndexImpl]] spec encoding: one must
-    * term per must-query, every should term for must-free queries with
-    * `minimum_should_match ≥ 1`, and queries with no necessary
-    * condition as always-candidate residuals.
+    * [[graft.functions.PercolateIndexImpl]] spec encoding: the rarest
+    * must term keys the posting list per must-query — and for queries
+    * with ≥2 must terms (when `conjunctionTerms ≥ 2`) the
+    * SECOND-rarest is recorded as an additional required term, ES's
+    * conjunction pre-selection: the candidate set becomes the
+    * INTERSECTION of two posting lists, which shrinks
+    * multiplicatively for queries built from mid-frequency terms
+    * (where any single posting list stays a large fraction of the
+    * corpus). Must-free queries with `minimum_should_match ≥ 1` index
+    * every should term; queries with no necessary condition are
+    * always-candidate residuals.
     *
-    * The must-term choice is what the index's selectivity hangs on —
-    * ES picks the term with the LOWEST document frequency from its
-    * term dictionary. With corpus `df` statistics (a bounded
+    * The term ranking is what the index's selectivity hangs on — ES
+    * picks the terms with the LOWEST document frequency from its term
+    * dictionary. With corpus `df` statistics (a bounded
     * query-term-only lookup against the [[TextIndex]] term dictionary,
-    * see [[dfForQueries]]) this does the same: globally rarest term
+    * see [[dfForQueries]]) this does the same: globally rarest terms
     * first; a term absent from the dictionary has df 0 — a must term
     * no corpus doc contains makes the query unmatchable, the ideal
     * candidate key. Without statistics it falls back to
     * longest-term-as-rarity-proxy. */
   def indexSpec(qs: Seq[StoredQuery],
-                df: Map[String, Long] = Map.empty): String = {
+                df: Map[String, Long] = Map.empty,
+                conjunctionTerms: Int = 2): String = {
     val postings =
       scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
+    val second = Vector.newBuilder[(Long, String)]
     val residual = Vector.newBuilder[Long]
     qs.foreach { case (id, must, _, should, minShould) =>
       val keys =
-        if (must.nonEmpty)
-          Seq(must.minBy(t => (df.getOrElse(t, 0L), -t.length, t)))
+        if (must.nonEmpty) {
+          val ranked = must.distinct
+            .sortBy(t => (df.getOrElse(t, 0L), -t.length, t))
+          if (conjunctionTerms >= 2 && ranked.size >= 2)
+            second += ((id, ranked(1)))
+          Seq(ranked.head)
+        }
         else if (minShould > 0 && should.nonEmpty) should.distinct
         else Seq.empty
       if (keys.isEmpty) residual += id
       else keys.foreach { t =>
-        require(!t.exists(",;:|".contains(_)), s"unindexable term $t")
         postings(t) = postings.getOrElse(t, Vector.empty) :+ id
       }
     }
+    val secondv = second.result()
+    (postings.keys ++ secondv.map(_._2)).foreach { t =>
+      require(!t.exists(",;:|=".contains(_)), s"unindexable term $t")
+    }
     residual.result().mkString(",") + "|" +
       postings.map { case (t, ids) => s"$t:${ids.mkString(",")}" }
-        .mkString(";")
+        .mkString(";") + "|" +
+      secondv.map { case (id, t) => s"$id=$t" }.mkString(";")
   }
 
   /** Percolate with candidate pre-selection — the 100 TB / large-query-
@@ -109,8 +127,9 @@ object Percolate {
     * [[percolate]] by construction (the index is a necessary
     * condition); the corpus still never shuffles. */
   def percolateIndexed(docs: DataFrame, qs: Seq[StoredQuery] = stored,
-                       df: Map[String, Long] = Map.empty): DataFrame = {
-    val spec = indexSpec(qs, df)
+                       df: Map[String, Long] = Map.empty,
+                       conjunctionTerms: Int = 2): DataFrame = {
+    val spec = indexSpec(qs, df, conjunctionTerms)
     val cand = tokenized(docs)
       .withColumn("query_id",
         explode(graft.functions.expressions
@@ -137,12 +156,14 @@ object Percolate {
   /** (docs×queries evaluated by the nested loop, pairs the index would
     * evaluate) — the pre-selection win, measured. */
   def evaluationCounts(docs: DataFrame, qs: Seq[StoredQuery],
-                       df: Map[String, Long] = Map.empty): (Long, Long) = {
+                       df: Map[String, Long] = Map.empty,
+                       conjunctionTerms: Int = 2): (Long, Long) = {
     val t = tokenized(docs)
     val full = t.count() * qs.length
     val cand = t.select(
       sum(size(graft.functions.expressions
-        .candidate_queries(col("toks"), indexSpec(qs, df)))).as("n"))
+        .candidate_queries(col("toks"),
+          indexSpec(qs, df, conjunctionTerms)))).as("n"))
       .head.getLong(0)
     (full, cand)
   }

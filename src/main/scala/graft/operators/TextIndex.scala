@@ -39,7 +39,11 @@ import graft.functions.Analyzers
   */
 object TextIndex {
 
-  final case class Loaded(dir: String) {
+  /** `key` is the [[ensure]] memo key when this Loaded came from the
+    * managed lifecycle (empty for ad-hoc [[build]]s into scratch
+    * dirs) — it lets invalidation evict the in-JVM memo entry, not
+    * just the on-disk `_DONE` marker. */
+  final case class Loaded(dir: String, key: String = "") {
     def postings(spark: SparkSession): DataFrame =
       spark.read.parquet(s"$dir/postings")
     def termDf(spark: SparkSession): DataFrame =
@@ -58,18 +62,45 @@ object TextIndex {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Loaded]()
 
+  /** The artifact for `docs` under `key`, through the
+    * [[ArtifactGen]] generation-pointer lifecycle: resolve `_CURRENT`
+    * to a completed generation, else build a FRESH generation and
+    * publish it — a rebuild after invalidation never rewrites a
+    * directory a stale reader still holds (wholly-old or wholly-new,
+    * the s14 alias discipline).
+    *
+    * "v3": generations replaced the flat per-key dir (a layout
+    * change, so pre-round-8 artifacts are never half-read). */
   def ensure(docs: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
-      // "v2": the corpus row gained sum_len (exact-long merge basis for
-      // addSegment) — a layout change, so pre-round-7 artifacts under
-      // the unversioned path are never half-read
-      val dir = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft_text_index", "v2", key)
-        .toString
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_DONE")))
-        Loaded(dir)
-      else build(docs, dir)
+      val root = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft_text_index", "v3", key)
+      ArtifactGen.currentDir(root) match {
+        case Some(gen) => Loaded(gen.toString, key)
+        case None =>
+          val gen = ArtifactGen.nextGenDir(root)
+          val built = build(docs, gen.toString)
+          ArtifactGen.publish(root, gen)
+          built.copy(key = key)
+      }
     })
+
+  /** Invalidate a managed artifact: remove its `_DONE` marker (so the
+    * pointer resolves to "no live artifact") AND evict the in-JVM memo
+    * entry — without the eviction, ensure() in the same JVM would keep
+    * serving the torn Loaded and the "next ensure() rebuilds" promise
+    * would only hold after a JVM restart. */
+  private[graft] def invalidate(l: Loaded): Unit = {
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(l.dir, "_DONE"))
+    if (l.key.nonEmpty) memo.remove(l.key)
+    ()
+  }
+
+  /** Spec hook: forget the memoized Loaded WITHOUT invalidating the
+    * on-disk artifact — models a fresh JVM resolving the `_CURRENT`
+    * pointer. */
+  private[graft] def evictMemo(key: String): Unit = { memo.remove(key); () }
 
   /** The ingest job: tokenize ONCE, derive postings, term dictionary,
     * length norms and corpus statistics, persist all of it. */
@@ -166,14 +197,14 @@ object TextIndex {
       val deltaDf = withLen
         .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      swapIn(spark, s"$dir/term_df",
+      swapIn(spark, base, "term_df",
         base.termDf(spark).unionByName(deltaDf)
           .groupBy(col("term")).agg(sum(col("df")).as("df"))
           .coalesce(1))
       val deltaStats = withLen.agg(
         count(lit(1)).cast("double").as("n"),
         sum(col("len")).cast("long").as("sum_len"))
-      swapIn(spark, s"$dir/corpus",
+      swapIn(spark, base, "corpus",
         base.corpus(spark).select(col("n"), col("sum_len"))
           .unionByName(deltaStats)
           .agg(sum(col("n")).as("n"), sum(col("sum_len")).as("sum_len"))
@@ -182,13 +213,12 @@ object TextIndex {
             col("sum_len")))
     } catch {
       case e: Throwable =>
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(dir, "_DONE"))
+        invalidate(base)
         throw new IllegalStateException(
           s"partial segment commit into $dir — artifact invalidated " +
-            "(_DONE removed), next ensure() rebuilds", e)
+            "(_DONE removed, memo evicted), next ensure() rebuilds", e)
     }
-    Loaded(dir)
+    base
   }
 
   /** Segment compaction — the maintenance pass that keeps lookup cost
@@ -199,42 +229,40 @@ object TextIndex {
     * scale, like [[graft.sources.Sink.compact]]. */
   def compactPostings(spark: SparkSession, base: Loaded): (Int, Int) = {
     val before = base.postings(spark).inputFiles.length
-    swapIn(spark, s"${base.dir}/postings",
+    swapIn(spark, base, "postings",
       base.postings(spark)
         .repartition(col("term"))
         .sortWithinPartitions(col("term"), col("doc_id")))
     (before, base.postings(spark).inputFiles.length)
   }
 
-  /** Overwrite `path` with `df` where `df` READS from `path`: write to
-    * a sibling tmp dir, then swap directories. The delete+rename pair
-    * is NOT atomic (and rename can FAIL on cross-filesystem tmp or
-    * object stores), so both outcomes are handled loudly: a failed
-    * delete or rename — or a JVM that died between them, detected as
-    * a missing target on the next mutation — INVALIDATES the artifact
-    * by removing its `_DONE` marker before throwing, so `ensure`
-    * rebuilds instead of serving a torn index. */
-  private def swapIn(spark: SparkSession, path: String,
+  /** Overwrite `base`'s `sub` table with `df` where `df` READS from
+    * it: write to a sibling tmp dir, then swap directories. The
+    * delete+rename pair is NOT atomic (and rename can FAIL on
+    * cross-filesystem tmp or object stores), so both outcomes are
+    * handled loudly: a failed delete or rename — or a JVM that died
+    * between them, detected as a missing target on the next mutation
+    * — INVALIDATES the artifact ([[invalidate]]: `_DONE` removed AND
+    * the memo entry evicted) before throwing, so `ensure` rebuilds a
+    * fresh generation instead of serving a torn index. */
+  private def swapIn(spark: SparkSession, base: Loaded, sub: String,
                      df: DataFrame): Unit = {
+    val path = s"${base.dir}/$sub"
     val tmp = path + ".swap-tmp"
     df.write.mode("overwrite").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
-    def invalidate(): Unit = {
-      val done = new org.apache.hadoop.fs.Path(
-        target.getParent, "_DONE")
-      fs.delete(done, false); ()
-    }
     if (!fs.delete(target, true) && fs.exists(target)) {
-      invalidate()
+      invalidate(base)
       sys.error(s"swap failed: could not delete $path — artifact " +
-        "invalidated (_DONE removed), next ensure() rebuilds")
+        "invalidated (_DONE removed, memo evicted), next ensure() rebuilds")
     }
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target)) {
-      invalidate()
+      invalidate(base)
       sys.error(s"swap failed: could not rename $tmp over $path — " +
-        "artifact invalidated (_DONE removed), next ensure() rebuilds")
+        "artifact invalidated (_DONE removed, memo evicted), next " +
+        "ensure() rebuilds")
     }
   }
 }

@@ -113,43 +113,55 @@ object DenormStream {
       }
     val custP = cust.persist()
     val childrenP = children.persist()
-    // anything failing before start() must release the pins — after a
-    // successful start the termination listener below owns them
-    val query =
-      try {
-        childrenP.count(); custP.count()
-        val reader = spark.readStream.schema(schema)
-        maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-        val ordersStream = reader.parquet(ordersDir)
-        val docs = docsFromChildren(ordersStream, custP, childrenP)
-        docs.writeStream
-          .outputMode(OutputMode.Append)
-          .option("checkpointLocation", checkpoint)
-          .format("parquet")
-          .option("path", outDir)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } catch {
-        case e: Throwable =>
+    // The unpersisting listener must be registered BEFORE start(): an
+    // AvailableNow query over a tiny/empty directory can terminate
+    // before a post-start registration, and the missed termination
+    // event would pin both frames for the session lifetime. The
+    // listener can't know the query id pre-start, so the query gets a
+    // UNIQUE NAME and the listener learns its id from the started
+    // event (delivered on the same ordered bus as — and therefore
+    // strictly before — the termination event it must catch).
+    val qname = s"denorm_ingest_${java.util.UUID.randomUUID()}"
+    val listener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        @volatile private var qid: Option[java.util.UUID] = None
+        private def release(): Unit = {
           custP.unpersist(blocking = false)
           childrenP.unpersist(blocking = false)
-          throw e
-      }
-    val qid = query.id
-    spark.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
+          spark.streams.removeListener(this)
+        }
         override def onQueryStarted(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+          if (e.name == qname) qid = Some(e.id)
         override def onQueryProgress(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
         override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == qid) {
-            custP.unpersist(blocking = false)
-            childrenP.unpersist(blocking = false)
-            spark.streams.removeListener(this)
-          }
-      })
-    query
+          if (qid.contains(e.id)) release()
+      }
+    spark.streams.addListener(listener)
+    // anything failing before start() must release the pins — after a
+    // successful start the termination listener owns them
+    try {
+      childrenP.count(); custP.count()
+      val reader = spark.readStream.schema(schema)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val ordersStream = reader.parquet(ordersDir)
+      val docs = docsFromChildren(ordersStream, custP, childrenP)
+      docs.writeStream
+        .queryName(qname)
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", outDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } catch {
+      case e: Throwable =>
+        custP.unpersist(blocking = false)
+        childrenP.unpersist(blocking = false)
+        spark.streams.removeListener(listener)
+        throw e
+    }
   }
 }

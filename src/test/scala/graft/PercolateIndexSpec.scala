@@ -118,9 +118,14 @@ class PercolateIndexSpec extends SparkSpec {
     }
 
   test("df-based must-term choice beats the length heuristic on 10k skewed queries") {
+    // conjunctionTerms = 1 isolates the RANKING claim: with the
+    // two-term intersection on, both rankings collapse to the same
+    // (tiny) candidate set on this fixture and the comparison is moot
     val qs = skewFixture(10000)
-    val (full, byLength) = Percolate.evaluationCounts(skewDocs, qs)
-    val (_, byDf) = Percolate.evaluationCounts(skewDocs, qs, skewDf)
+    val (full, byLength) = Percolate.evaluationCounts(skewDocs, qs,
+      conjunctionTerms = 1)
+    val (_, byDf) = Percolate.evaluationCounts(skewDocs, qs, skewDf,
+      conjunctionTerms = 1)
     assert(full == 500L * 10000)
     // the length proxy keys on the common term → candidate sets the
     // size of that term's posting list; df keys on the rare term
@@ -144,6 +149,51 @@ class PercolateIndexSpec extends SparkSpec {
     val wanted = qs.flatMap { case (_, mu, _, sh, _) => mu ++ sh }.toSet
     assert(m.keySet.subsetOf(wanted))
     assert(m(skewVocabCommon(0)) == skewDf(skewVocabCommon(0)))
+  }
+
+  /** Mid-frequency regime for CONJUNCTION pre-selection: 100 terms
+    * each in ~10% of docs. A single-term key leaves candidate sets at
+    * ~10% of the corpus no matter which term it picks — rarity ranking
+    * can't help when there are no rare terms — while requiring BOTH
+    * must terms intersects two ~10% posting lists to ~1%:
+    * the multiplicative shrink, measured. */
+  private lazy val midVocab = (0 until 100).map(i => s"mid$i")
+  private lazy val midDocs = {
+    import spark.implicits._
+    (0 until 500).map { i =>
+      val toks = (0 until 10)
+        .map(j => midVocab(((i * 13 + j * 29 + i * j) % 997) % 100))
+        .distinct
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+  private def midFixture(n: Int): Seq[Percolate.StoredQuery] =
+    (0 until n).map { i =>
+      val a = i % 100
+      val b = { val x = (i * 41 + 17) % 100; if (x == a) (x + 1) % 100 else x }
+      (i.toLong, Seq(midVocab(a), midVocab(b)),
+        Seq.empty[String], Seq.empty[String], 0)
+    }
+
+  test("two-term conjunction shrinks candidates multiplicatively vs single-term") {
+    val qs = midFixture(10000)
+    val (full, single) = Percolate.evaluationCounts(midDocs, qs,
+      conjunctionTerms = 1)
+    val (_, conj) = Percolate.evaluationCounts(midDocs, qs,
+      conjunctionTerms = 2)
+    assert(full == 500L * 10000)
+    // single-term candidates ≈ |posting(rarest)| ≈ 10% of pairs; the
+    // intersection must cut that by a further multiple
+    assert(conj * 3 < single,
+      s"conjunction evaluated $conj pairs vs $single single-term — " +
+      "no multiplicative shrink")
+    // and the conjunction-indexed path is still result-identical
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val fullHits = Percolate.percolate(midDocs, qs).collect().map(key).toSet
+    val idxHits = Percolate.percolateIndexed(midDocs, qs).collect()
+      .map(key).toSet
+    assert(fullHits.nonEmpty && idxHits == fullHits)
   }
 
   test("the 5-query driver fixture matches across both paths too") {
