@@ -437,6 +437,78 @@ object SparkEntry {
             .as("rev_cents"))
         .orderBy(col("o_orderstatus"))
     }),
+    "ti2_phrase_index" -> ((s, d) =>
+      // ES match_phrase served from the POSITIONAL index
+      // (Search.phraseFromIndex scaladoc): three pushed term-equality
+      // posting reads, doc_id equi-joins, row-local adjacency over
+      // the stored position arrays — the corpus is never re-tokenized
+      // (p10 is the scan-path twin; the oracle replays the token
+      // stream positionally, so the match is engine-vs-scan)
+      Search.phraseFromIndex(s, textIndexFor(s, d),
+        Seq("row", "column", "sort"))),
+    "ti3_phrase_prefix" -> ((s, d) =>
+      // ES match_phrase_prefix from the positional index: fixed term
+      // leg + a SARGABLE term-range read for the trailing prefix
+      // (term LIKE 'col%' prunes postings row-groups), positions
+      // unioned per doc before the adjacency walk — the completion
+      // query autocomplete UIs fire per keystroke, served without a
+      // corpus pass
+      Search.phrasePrefixFromIndex(s, textIndexFor(s, d),
+        Seq("row"), "col")),
+    "f17_span_first" -> ((s, d) =>
+      // ES span_first(match=fast, end=5): the match must sit in the
+      // first 5 token positions — one pushed term read + a row-local
+      // first-position check against the sorted positions array
+      Search.spanFirstFromIndex(s, textIndexFor(s, d), "fast", end = 5)),
+    "s15_generation_swap" -> ((s, d) => {
+      // The managed-artifact GENERATION lifecycle (ArtifactGen
+      // scaladoc) under the driver gate, the way s14 gates the alias
+      // swap: build gen-1 from half the corpus, invalidate it (as a
+      // torn append would), rebuild — the rebuild must land in a
+      // FRESH gen-2 and publish atomically. The verified rows are the
+      // three reader views: the STALE reader still sees gen-1 whole
+      // (its doc count is the half-corpus, proving the rebuild never
+      // touched its directory), the rebuilt reader sees gen-2 whole,
+      // and a fresh resolve (memo evicted, pointer from disk) lands
+      // on gen-2 — wholly-old or wholly-new, never mixed.
+      val key = "s15-" + TextIndex.corpusKey(d)
+      val root = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft_text_index", "v4", key)
+      TextIndex.evictMemo(key)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      val docs = Tables.documents(s, d)
+      val a = TextIndex.ensure(docs.filter(col("doc_id") % 2 === 0), key)
+      TextIndex.invalidate(a)
+      val b = TextIndex.ensure(docs, key)
+      TextIndex.evictMemo(key)
+      val resolved = TextIndex.ensure(docs, key)
+      def gen(l: TextIndex.Loaded): Long =
+        l.dir.split("gen-").last.toLong
+      def view(phase: String, l: TextIndex.Loaded) =
+        l.doclen(s).agg(count(lit(1)).as("n_docs"))
+          .select(lit(phase).as("phase"), lit(gen(l)).as("generation"),
+            col("n_docs"))
+      view("1_stale", a)
+        .unionByName(view("2_live", b))
+        .unionByName(view("3_resolved", resolved))
+        .orderBy(col("phase"))
+    }),
+    "d15_keep_best_dedup" -> ((s, d) => {
+      // near-dup clusters as d8, but KEEP-BEST survivor selection
+      // (Dedup.applyClusterDedupBest): the longest member of each
+      // cluster survives (tie → smaller id) — the curation-pipeline
+      // policy, vs d8's keep-min-id canonical representative
+      val docs = Tables.documents(s, d)
+      val clusters =
+        Dedup.dupClusters(docs, Dedup.jaccardPairs(docs, threshold = 0.5))
+      Dedup.applyClusterDedupBest(docs, clusters, col("n_chars"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "ti1_segment_merge" -> ((s, d) => {
       // Incremental index maintenance (the Lucene segment model) under
       // the driver gate: build the text index from the even half of
@@ -3127,6 +3199,68 @@ object SparkEntry {
       """SELECT qid::BIGINT AS qid, true AS hit_is_twin, true AS cos_is_one,
                 true AS multi_batch
          FROM (VALUES (1), (101), (202)) t(qid) ORDER BY qid""",
+    // ti2/ti3/f17: positional replay of the token stream — DuckDB
+    // walks 1-based token indices where the index stores 0-based
+    // positions, so the oracle is an independent positional
+    // evaluation, not a reimplementation of the posting walk
+    "ti2_phrase_index" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          m AS (SELECT doc_id,
+                       len(list_filter(range(1, greatest(len(toks) - 1, 1)),
+                           i -> toks[i] = 'row' AND toks[i+1] = 'column'
+                                AND toks[i+2] = 'sort'))::BIGINT AS phrase_freq
+                FROM t)
+          SELECT doc_id, phrase_freq FROM m
+          WHERE phrase_freq > 0 ORDER BY doc_id""",
+    "ti3_phrase_prefix" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          m AS (SELECT doc_id,
+                       len(list_filter(range(1, greatest(len(toks), 1)),
+                           i -> toks[i] = 'row'
+                                AND starts_with(coalesce(toks[i+1], ''), 'col')))::BIGINT
+                         AS phrase_freq
+                FROM t)
+          SELECT doc_id, phrase_freq FROM m
+          WHERE phrase_freq > 0 ORDER BY doc_id""",
+    "f17_span_first" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents)
+          SELECT doc_id,
+                 (list_position(toks, 'fast') - 1)::BIGINT AS first_pos
+          FROM t
+          WHERE list_position(toks, 'fast') BETWEEN 1 AND 5
+          ORDER BY doc_id""",
+    "s15_generation_swap" ->
+      """SELECT '1_stale' AS phase, 1::BIGINT AS generation,
+                (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)::BIGINT AS n_docs
+         UNION ALL
+         SELECT '2_live', 2::BIGINT, count(*)::BIGINT FROM documents
+         UNION ALL
+         SELECT '3_resolved', 2::BIGINT, count(*)::BIGINT FROM documents
+         ORDER BY phase""",
+    // d15: the d8 recursive component closure, but the survivor per
+    // component is the longest member (tie → smaller id) instead of
+    // the min id
+    "d15_keep_best_dedup" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+          p0 AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          p AS (SELECT * FROM p0
+                QUALIFY count(*) OVER (PARTITION BY sh1) <= 1000),
+          j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
+                       any_value(b.setsize) AS sb, count(*)::INT AS inter
+                FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pr AS (SELECT id_a, id_b FROM j
+                 WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5),
+          e AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+          r AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+          lab AS (SELECT d.doc_id, any_value(d.n_chars) AS n_chars,
+                         least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+                  FROM documents d LEFT JOIN r ON d.doc_id = r.u
+                  GROUP BY d.doc_id)
+          SELECT doc_id FROM lab
+          QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id) = 1
+          ORDER BY doc_id""",
     "ti1_segment_merge" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)

@@ -223,6 +223,29 @@ object Dedup {
       clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  /** D15: cluster dedup with KEEP-BEST selection — production
+    * curation keeps the highest-QUALITY member of each duplicate
+    * cluster, not the lowest id (min-id silently biases the surviving
+    * corpus toward whatever arrived first; pipeline practice is to
+    * keep the longest / highest-scoring copy). `quality` is any
+    * orderable column over `docs`; ties break to the smaller id so
+    * the survivor is deterministic. One dictionary-sized aggregate
+    * over the cluster table (max_by on a (quality, -id) struct —
+    * partial+final, no window over the corpus) and a semi-join back;
+    * the pair graph and label propagation are [[dupClusters]]'s, the
+    * only corpus-scale work. */
+  def applyClusterDedupBest(docs: DataFrame, clusters: DataFrame,
+                            quality: Column,
+                            idCol: String = "doc_id"): DataFrame = {
+    val keep = clusters
+      .join(docs.select(col(idCol), quality.as("_q")), idCol)
+      .groupBy(col("cluster_id"))
+      .agg(expr(s"max_by($idCol, named_struct('q', _q, 'i', -$idCol))")
+        .as(idCol))
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** D10: incremental dedup — screen an ARRIVING batch against the
     * standing corpus without re-pairing the corpus with itself. The
     * standing side is exactly the [[exact]] fingerprint index

@@ -602,6 +602,74 @@ object Search {
     } finally kept.unpersist(blocking = false)
   }
 
+  /** ES match_phrase served FROM THE POSITIONAL INDEX — Lucene's
+    * phrase evaluation: each phrase term contributes its posting leg
+    * (a pushed term-equality read of the `positions` postings — file
+    * row-group skipping on the term column, never a corpus scan or
+    * re-tokenization), the legs intersect by an equi-join on
+    * `doc_id`, and the adjacency check is a row-local
+    * positions-array walk: a start position `p` survives iff leg `k`
+    * contains `p+k` for every k. Output is (doc_id, phrase_freq) —
+    * the count of valid start positions, the statistic ES feeds into
+    * phrase scoring. At 100 TB this reads |terms| posting lists and
+    * joins frames bounded by the rarest term's df; the scan path
+    * (p10) re-tokenizes the corpus per query. */
+  def phraseFromIndex(spark: SparkSession, ix: TextIndex.Loaded,
+                      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "phrase needs at least one term")
+    val legs = terms.zipWithIndex.map { case (t, i) =>
+      ix.postings(spark).filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"_p$i"))
+    }
+    val joined = legs.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val starts = terms.indices.tail.foldLeft(col("_p0")) { (acc, k) =>
+      filter(acc, p => array_contains(col(s"_p$k"), p + k))
+    }
+    joined.select(col("doc_id"), size(starts).cast("long").as("phrase_freq"))
+      .filter(col("phrase_freq") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** ES match_phrase_prefix from the positional index: the fixed
+    * terms run as [[phraseFromIndex]] legs; the trailing prefix
+    * becomes a SARGABLE term-range read of the postings
+    * (`term LIKE 'pre%'` prunes parquet row-groups via the term
+    * min/max stats — the dictionary range scan Lucene does), its
+    * per-doc positions unioned across matching terms before the same
+    * adjacency walk. */
+  def phrasePrefixFromIndex(spark: SparkSession, ix: TextIndex.Loaded,
+                            terms: Seq[String], prefix: String): DataFrame = {
+    require(terms.nonEmpty, "phrase_prefix needs at least one fixed term")
+    val k = terms.size
+    val legs = terms.zipWithIndex.map { case (t, i) =>
+      ix.postings(spark).filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"_p$i"))
+    }
+    val pre = ix.postings(spark).filter(col("term").startsWith(prefix))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(flatten(collect_list(col("positions"))))
+        .as(s"_p$k"))
+    val joined = (legs :+ pre).reduce((a, b) => a.join(b, Seq("doc_id")))
+    val starts = (1 to k).foldLeft(col("_p0")) { (acc, j) =>
+      filter(acc, p => array_contains(col(s"_p$j"), p + j))
+    }
+    joined.select(col("doc_id"), size(starts).cast("long").as("phrase_freq"))
+      .filter(col("phrase_freq") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** ES span_first(match=term, end=n) from the positional index: the
+    * match must lie entirely within the first `n` token positions —
+    * one pushed term read, then a row-local check of the FIRST stored
+    * position (the positions array is sorted at build time). */
+  def spanFirstFromIndex(spark: SparkSession, ix: TextIndex.Loaded,
+                         term: String, end: Int): DataFrame =
+    ix.postings(spark).filter(col("term") === term)
+      .select(col("doc_id"),
+        element_at(col("positions"), 1).cast("long").as("first_pos"))
+      .filter(col("first_pos") < end)
+      .orderBy(col("doc_id"))
+
   /** ES rare_terms agg over the shingle field (unigrams + joined
     * bigrams, the t10 analyzer): terms appearing in at most
     * `maxDocCount` documents — the long-tail complement of

@@ -16,9 +16,15 @@ import graft.functions.Analyzers
   *
   * Artifact layout under `dir/` (analyzer: `tokenize(lower(text))`,
   * the standard pipeline every consumer query uses):
-  *   postings/   (term, doc_id, len, tf) — the inverted index, with
-  *               the doc-length norm denormalized into the posting
-  *               (Lucene stores norms alongside). repartition(term) +
+  *   postings/   (term, doc_id, len, tf, positions) — the inverted
+  *               index, with the doc-length norm denormalized into
+  *               the posting (Lucene stores norms alongside) and the
+  *               term's 0-based token POSITIONS as a sorted int array
+  *               (Lucene's position postings — what serves
+  *               match_phrase / span queries from the index instead
+  *               of a corpus re-tokenization; ~one int per
+  *               occurrence, the same storage trade Lucene makes by
+  *               default). repartition(term) +
   *               sortWithinPartitions(term) gives parquet row-group
   *               min/max stats on `term`, so a term-equality query
   *               reads a fraction of the files (PushedFilters +
@@ -69,12 +75,13 @@ object TextIndex {
     * directory a stale reader still holds (wholly-old or wholly-new,
     * the s14 alias discipline).
     *
-    * "v3": generations replaced the flat per-key dir (a layout
-    * change, so pre-round-8 artifacts are never half-read). */
+    * "v4": generations replaced the flat per-key dir, and postings
+    * gained the `positions` column (layout changes, so earlier
+    * artifacts are never half-read). */
   def ensure(docs: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
       val root = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft_text_index", "v3", key)
+        .get(sys.props("java.io.tmpdir"), "graft_text_index", "v4", key)
       ArtifactGen.currentDir(root) match {
         case Some(gen) => Loaded(gen.toString, key)
         case None =>
@@ -124,9 +131,14 @@ object TextIndex {
         sum(col("len")).cast("long").as("sum_len"))
       .write.mode("overwrite").parquet(s"$dir/corpus")
 
-    withLen.select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
+    withLen.select(col("doc_id"), col("len"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"), col("len"))
-      .agg(count(lit(1)).cast("int").as("tf"))
+      .agg(count(lit(1)).cast("int").as("tf"),
+        // collect_list order is partition-nondeterministic — sort for
+        // a canonical artifact (phrase checks only need membership,
+        // but a byte-stable index is what makes rebuilds comparable)
+        sort_array(collect_list(col("pos").cast("int"))).as("positions"))
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$dir/postings")
@@ -184,9 +196,11 @@ object TextIndex {
     try {
       withLen.select(col("doc_id"), col("len"))
         .write.mode("append").parquet(s"$dir/doclen")
-      withLen.select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
+      withLen.select(col("doc_id"), col("len"),
+          posexplode(col("toks")).as(Seq("pos", "term")))
         .groupBy(col("term"), col("doc_id"), col("len"))
-        .agg(count(lit(1)).cast("int").as("tf"))
+        .agg(count(lit(1)).cast("int").as("tf"),
+          sort_array(collect_list(col("pos").cast("int"))).as("positions"))
         .repartition(col("term"))
         .sortWithinPartitions(col("term"), col("doc_id"))
         .write.mode("append").parquet(s"$dir/postings")

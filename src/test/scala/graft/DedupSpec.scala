@@ -122,6 +122,18 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 6L))
   }
 
+  test("keep-best cluster dedup keeps the highest-quality member, ties to min id") {
+    // same component structure as above; quality says doc 3 is the
+    // best of {1,2,3}, docs 4 and 5 tie (min id 4 survives)
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 7L), (5L, 7L),
+      (6L, 1L)).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.applyClusterDedupBest(docs,
+        Dedup.dupClusters(docs, pairs), col("quality"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 6L))
+  }
+
   test("incremental dedup resolves arriving dups against the standing index") {
     val standing = Seq((2L, "the quick brown fox"), (4L, "something else"))
       .toDF("doc_id", "text")

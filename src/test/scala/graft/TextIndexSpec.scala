@@ -55,6 +55,50 @@ class TextIndexSpec extends SparkSpec {
       Search.significantTerms(Tables.documents(spark, sf), "lang"))
   }
 
+  test("phrase/span queries from the positional index equal a scan-path replay") {
+    val docs = Tables.documents(spark, sf)
+    def toks = graft.functions.Analyzers.tokenize(lower(col("text")))
+    // scan-path phrase evaluation: positions walked over the live
+    // token array — an independent computation of the same semantics
+    def scanPhrase(terms: Seq[String]): DataFrame = docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(filter(
+        sequence(lit(0), greatest(size(col("t")) - terms.size, lit(-1))),
+        i => terms.zipWithIndex
+          .map { case (t, k) => element_at(col("t"), i + k + 1) === t }
+          .reduce(_ && _))).cast("long").as("phrase_freq"))
+      .filter(col("phrase_freq") > 0)
+      .orderBy(col("doc_id"))
+    same(Search.phraseFromIndex(spark, ix, Seq("row", "column", "sort")),
+      scanPhrase(Seq("row", "column", "sort")))
+    same(Search.phraseFromIndex(spark, ix, Seq("fast", "table")),
+      scanPhrase(Seq("fast", "table")))
+    // span_first: first occurrence within the leading positions
+    val scanFirst = docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        (array_position(col("t"), "fast") - 1).cast("long").as("first_pos"))
+      .filter(col("first_pos").between(0, 4))
+      .orderBy(col("doc_id"))
+    same(Search.spanFirstFromIndex(spark, ix, "fast", end = 5), scanFirst)
+    // phrase_prefix: trailing prefix leg unioned across matching terms
+    val scanPrefix = docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(filter(
+        sequence(lit(0), greatest(size(col("t")) - 2, lit(-1))),
+        i => element_at(col("t"), i + 1) === "row" &&
+          coalesce(element_at(col("t"), i + 2).startsWith("col"),
+            lit(false)))).cast("long").as("phrase_freq"))
+      .filter(col("phrase_freq") > 0)
+      .orderBy(col("doc_id"))
+    same(Search.phrasePrefixFromIndex(spark, ix, Seq("row"), "col"),
+      scanPrefix)
+    // and the phrase legs stay pushed term reads, never a postings scan
+    val p = Search.phraseFromIndex(spark, ix, Seq("row", "column", "sort"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(term,row"), p)
+  }
+
   test("term predicates push into the postings scan") {
     val p = Search.bm25Indexed(spark, ix, "spark")
       .queryExecution.executedPlan.toString
