@@ -437,6 +437,79 @@ object SparkEntry {
             .as("rev_cents"))
         .orderBy(col("o_orderstatus"))
     }),
+    "s16_delete_by_query" -> ((s, d) => {
+      // The Lucene/ES DELETE lifecycle under the gate
+      // (TextIndex.deleteByQuery scaladoc): tombstone-append
+      // (O(deleted), postings untouched) → masked reads (liveView —
+      // the query-time live-docs mask; df('fast') must already
+      // exclude tombstoned docs while postings physically contain
+      // them) → purgeDeletes (the merge: postings/doclen rewritten,
+      // dictionary + exact-long corpus stats recomputed). A PRIVATE
+      // index copy so the shared artifact stays immutable. Note the
+      // global-id tombstone design means re-adding a deleted id
+      // requires the purge first — addSegment's dup check is against
+      // the unmasked doclen by design.
+      val docs = Tables.documents(s, d)
+      val ix = TextIndex.build(docs, Scratch.dir("s16ix"))
+      val nBefore = ix.doclen(s).count()
+      val nDel = TextIndex.deleteByQuery(s, ix,
+        docs.filter(col("lang") === "de").select(col("doc_id")))
+      val maskedDf = TextIndex.liveView(s, ix, ix.postings(s))
+        .filter(col("term") === "fast").count()
+      TextIndex.purgeDeletes(s, ix)
+      val purgedDf = ix.postings(s).filter(col("term") === "fast").count()
+      val st = ix.corpus(s)
+        .select(col("n").cast("long"), col("sum_len")).head
+      val nTerms = ix.termDf(s).count()
+      import s.implicits._
+      Seq((nBefore, nDel, st.getLong(0), st.getLong(1), nTerms,
+          maskedDf, purgedDf, maskedDf == purgedDf))
+        .toDF("n_before", "n_deleted", "n_after", "sum_len_after",
+          "n_terms_after", "masked_df_fast", "purged_df_fast",
+          "mask_agrees")
+    }),
+    "n12_vector_delete" -> ((s, d) => {
+      // Vector deletes (AnnIndex.deleteVectors scaladoc): tombstone →
+      // masked probe → purge across all four index tables. The probe
+      // invariant: the nearest live neighbor of vec 1 by the exact
+      // BIGINT quantized dot (the h2 vector-leg arithmetic — no float
+      // accumulation) is IDENTICAL through the pre-purge mask and
+      // after the physical purge, and equals the oracle's replay over
+      // the retained vectors.
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val ix = AnnIndex.build(emb, Scratch.dir("n12ix"))
+      val nBefore = ix.ivf(s).count()
+      val nDel = AnnIndex.deleteVectors(s, ix,
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+      val q = emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000, 0).cast("long")).as("q"))
+      val probe = q.filter(col("vec_id") === 1L).select(col("q").as("p"))
+      def nn(ids: DataFrame): (Long, Long) = {
+        val r = q.join(ids.select(col("vec_id")), Seq("vec_id"))
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"),
+            aggregate(zip_with(col("q"), col("p"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).as("dp"))
+          .filter(col("vec_id") =!= 1L)
+          .orderBy(col("dp").desc, col("vec_id")).limit(1).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val (mnn, mdp) = nn(AnnIndex.liveView(s, ix,
+        ix.ivf(s).select(col("vec_id"))))
+      AnnIndex.purgeDeletes(s, ix)
+      val (pnn, pdp) = nn(ix.ivf(s).select(col("vec_id")))
+      val nAfter = ix.ivf(s).count()
+      val tablesAgree = ix.pqCodes(s).count() == nAfter &&
+        ix.sq8(s).count() == nAfter && ix.ivfPqCodes(s).count() == nAfter
+      import s.implicits._
+      Seq((nBefore, nDel, nAfter, mnn, mdp, pnn, pdp,
+          mnn == pnn && mdp == pdp, tablesAgree))
+        .toDF("n_before", "n_deleted", "n_after", "masked_nn",
+          "masked_dp", "purged_nn", "purged_dp", "mask_agrees",
+          "tables_agree")
+    }),
     "ti2_phrase_index" -> ((s, d) =>
       // ES match_phrase served from the POSITIONAL index
       // (Search.phraseFromIndex scaladoc): three pushed term-equality
@@ -472,8 +545,7 @@ object SparkEntry {
       // and a fresh resolve (memo evicted, pointer from disk) lands
       // on gen-2 — wholly-old or wholly-new, never mixed.
       val key = "s15-" + TextIndex.corpusKey(d)
-      val root = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft_text_index", "v4", key)
+      val root = TextIndex.rootFor(key)
       TextIndex.evictMemo(key)
       if (java.nio.file.Files.exists(root)) {
         import scala.jdk.CollectionConverters._
@@ -3199,6 +3271,37 @@ object SparkEntry {
       """SELECT qid::BIGINT AS qid, true AS hit_is_twin, true AS cos_is_one,
                 true AS multi_batch
          FROM (VALUES (1), (101), (202)) t(qid) ORDER BY qid""",
+    "s16_delete_by_query" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${sqlToks("lower(text)")} AS toks FROM documents),
+          r AS (SELECT * FROM t WHERE lang <> 'de' OR lang IS NULL),
+          p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM r)
+          SELECT (SELECT count(*) FROM t)::BIGINT AS n_before,
+                 (SELECT count(*) FROM t WHERE lang = 'de')::BIGINT AS n_deleted,
+                 (SELECT count(*) FROM r)::BIGINT AS n_after,
+                 (SELECT coalesce(sum(len(toks)), 0) FROM r)::BIGINT AS sum_len_after,
+                 (SELECT count(DISTINCT term) FROM p)::BIGINT AS n_terms_after,
+                 (SELECT count(*) FROM p WHERE term = 'fast')::BIGINT AS masked_df_fast,
+                 (SELECT count(*) FROM p WHERE term = 'fast')::BIGINT AS purged_df_fast,
+                 true AS mask_agrees""",
+    "n12_vector_delete" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+                    FROM embeddings),
+          live AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
+          pr AS (SELECT q AS pq FROM e WHERE vec_id = 1),
+          dp AS (SELECT vec_id,
+                        CAST(list_sum(list_transform(range(1, len(q) + 1),
+                          i -> q[i] * pq[i])) AS BIGINT) AS dp
+                 FROM live, pr WHERE vec_id <> 1),
+          nn AS (SELECT vec_id, dp FROM dp ORDER BY dp DESC, vec_id LIMIT 1)
+          SELECT (SELECT count(*) FROM e)::BIGINT AS n_before,
+                 (SELECT count(*) FROM e WHERE vec_id % 7 = 0)::BIGINT AS n_deleted,
+                 (SELECT count(*) FROM live)::BIGINT AS n_after,
+                 (SELECT vec_id FROM nn) AS masked_nn,
+                 (SELECT dp FROM nn) AS masked_dp,
+                 (SELECT vec_id FROM nn) AS purged_nn,
+                 (SELECT dp FROM nn) AS purged_dp,
+                 true AS mask_agrees, true AS tables_agree""",
     // ti2/ti3/f17: positional replay of the token stream — DuckDB
     // walks 1-based token indices where the index stores 0-based
     // positions, so the oracle is an independent positional

@@ -90,8 +90,7 @@ object AnnIndex {
     * change, so pre-round-8 artifacts are never half-read). */
   def ensure(corpus: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
-      val root = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v3", key)
+      val root = rootFor(key)
       ArtifactGen.currentDir(root) match {
         case Some(gen) =>
           load(corpus.sparkSession, gen.toString).copy(key = key)
@@ -118,6 +117,12 @@ object AnnIndex {
     * on-disk artifact — models a fresh JVM resolving the `_CURRENT`
     * pointer. */
   private[graft] def evictMemo(key: String): Unit = { memo.remove(key); () }
+
+  /** The managed root for `key` — the one place the layout version
+    * lives (the [[TextIndex.rootFor]] discipline). */
+  private[graft] def rootFor(key: String): java.nio.file.Path =
+    java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v3", key)
 
   /** (vec_id, label, v, nrm, cell): the coarse-quantizer assignment of
     * `emb` under fixed centroids — the shared encode step of [[build]]
@@ -224,6 +229,87 @@ object AnnIndex {
             "rebuilds", e)
     }
     base
+  }
+
+  /** Delete-by-id, the tombstone model [[TextIndex.deleteByQuery]]
+    * applies to postings, here for vectors (FAISS `remove_ids` is
+    * eager; Lucene-backed ES kNN tombstones like any doc): victim
+    * vec_ids append to a `deletes/` table in O(deleted) work, probes
+    * mask through [[liveView]], and [[purgeDeletes]] is the merge
+    * that drops them from all four index tables. Ids not in the index
+    * are ignored. */
+  def deleteVectors(spark: SparkSession, base: Loaded,
+                    ids: DataFrame): Long = {
+    val victims = ids.select(col("vec_id"))
+      .join(liveView(spark, base,
+        base.ivf(spark).select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      .distinct()
+    val n = victims.count()
+    if (n > 0)
+      victims.write.mode("append").parquet(s"${base.dir}/deletes")
+    n
+  }
+
+  /** An index table restricted to LIVE (non-tombstoned) vectors — the
+    * query-time mask every probe must apply between a delete and its
+    * purge. Empty-safe: no deletes dir ⇒ pass-through. */
+  def liveView(spark: SparkSession, base: Loaded,
+               table: DataFrame): DataFrame = {
+    val delDir = java.nio.file.Paths.get(base.dir, "deletes")
+    if (!java.nio.file.Files.exists(delDir)) table
+    else table.join(spark.read.parquet(delDir.toString),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Physically drop tombstoned vectors from ivf, pq_codes,
+    * ivfpq_codes and sq8 (write-tmp + swap per table; a torn swap
+    * invalidates the artifact and evicts the memo, the
+    * [[TextIndex]] swapIn discipline), then clear the tombstones.
+    * Corpus-sized by design — the scheduled merge, like
+    * [[TextIndex.purgeDeletes]]. */
+  def purgeDeletes(spark: SparkSession, base: Loaded): Loaded = {
+    val delDir = java.nio.file.Paths.get(base.dir, "deletes")
+    if (!java.nio.file.Files.exists(delDir)) return base
+    swapIn(spark, base, "ivf",
+      liveView(spark, base, base.ivf(spark)), partitionCols = Seq("cell"))
+    swapIn(spark, base, "pq_codes",
+      liveView(spark, base, base.pqCodes(spark)))
+    swapIn(spark, base, "ivfpq_codes",
+      liveView(spark, base, base.ivfPqCodes(spark)),
+      partitionCols = Seq("cell"))
+    swapIn(spark, base, "sq8",
+      liveView(spark, base, base.sq8(spark)))
+    val fs = new org.apache.hadoop.fs.Path(base.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${base.dir}/deletes"), true)
+    base
+  }
+
+  /** Overwrite `base`'s `sub` table with `df` where `df` READS from
+    * it — write-tmp + swap, invalidating (marker + memo) on either
+    * failure mode, exactly [[TextIndex]]'s swapIn. */
+  private def swapIn(spark: SparkSession, base: Loaded, sub: String,
+                     df: DataFrame,
+                     partitionCols: Seq[String] = Seq.empty): Unit = {
+    val path = s"${base.dir}/$sub"
+    val tmp = path + ".swap-tmp"
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (!fs.delete(target, true) && fs.exists(target)) {
+      invalidate(base)
+      sys.error(s"swap failed: could not delete $path — artifact " +
+        "invalidated (_DONE removed, memo evicted), next ensure() rebuilds")
+    }
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target)) {
+      invalidate(base)
+      sys.error(s"swap failed: could not rename $tmp over $path — " +
+        "artifact invalidated (_DONE removed, memo evicted), next " +
+        "ensure() rebuilds")
+    }
   }
 
   /** Reload the driver-side structures from a completed artifact. */

@@ -80,8 +80,7 @@ object TextIndex {
     * artifacts are never half-read). */
   def ensure(docs: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
-      val root = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft_text_index", "v4", key)
+      val root = rootFor(key)
       ArtifactGen.currentDir(root) match {
         case Some(gen) => Loaded(gen.toString, key)
         case None =>
@@ -108,6 +107,13 @@ object TextIndex {
     * on-disk artifact — models a fresh JVM resolving the `_CURRENT`
     * pointer. */
   private[graft] def evictMemo(key: String): Unit = { memo.remove(key); () }
+
+  /** The managed root for `key` — the ONE place the layout version
+    * lives, so lifecycle callers (s15, specs) can never wipe or probe
+    * a stale version's directory. */
+  private[graft] def rootFor(key: String): java.nio.file.Path =
+    java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_text_index", "v4", key)
 
   /** The ingest job: tokenize ONCE, derive postings, term dictionary,
     * length norms and corpus statistics, persist all of it. */
@@ -232,6 +238,78 @@ object TextIndex {
           s"partial segment commit into $dir — artifact invalidated " +
             "(_DONE removed, memo evicted), next ensure() rebuilds", e)
     }
+    base
+  }
+
+  /** Delete-by-query, the Lucene TOMBSTONE model: deletion appends the
+    * victim doc ids to a `deletes/` table (O(deleted) work — the
+    * live-docs bitmap Lucene keeps per segment; postings are NOT
+    * rewritten), queries mask tombstoned docs at read time
+    * ([[liveView]]), and [[purgeDeletes]] is the merge that physically
+    * drops them. Returns the number of newly tombstoned docs. Ids not
+    * in the index are ignored (deleting an absent doc is a no-op, as
+    * in ES delete_by_query). */
+  def deleteByQuery(spark: SparkSession, base: Loaded,
+                    ids: DataFrame): Long = {
+    val victims = ids.select(col("doc_id"))
+      .join(liveView(spark, base, base.doclen(spark)), Seq("doc_id"),
+        "left_semi")
+      .distinct()
+    val n = victims.count()
+    if (n > 0)
+      victims.write.mode("append").parquet(s"${base.dir}/deletes")
+    n
+  }
+
+  /** A table of the artifact, restricted to LIVE (non-tombstoned)
+    * docs — the query-time live-docs mask. An anti-join against the
+    * deletes table, which is empty-safe (no deletes dir ⇒ the frame
+    * passes through unchanged). At scale the deletes side is small
+    * until a purge is due, so this broadcasts. */
+  def liveView(spark: SparkSession, base: Loaded,
+               table: DataFrame): DataFrame = {
+    val delDir = java.nio.file.Paths.get(base.dir, "deletes")
+    if (!java.nio.file.Files.exists(delDir)) table
+    else table.join(spark.read.parquet(delDir.toString),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The merge that makes tombstones physical: rewrite postings and
+    * doclen without the deleted docs (swapIn discipline — write-tmp +
+    * swap, torn swap invalidates), recompute the dictionary from the
+    * retained postings and the corpus stats from the retained doclen
+    * (exact longs, the [[build]] expressions), then drop the deletes
+    * table. Corpus-sized work by design — this IS the segment merge
+    * Lucene amortizes deletes into; per-partition at scale like
+    * [[compactPostings]]. */
+  def purgeDeletes(spark: SparkSession, base: Loaded): Loaded = {
+    val delDir = java.nio.file.Paths.get(base.dir, "deletes")
+    if (!java.nio.file.Files.exists(delDir)) return base
+    // re-select the original column order: the anti-join leads with
+    // its key, and a purged artifact must keep the exact layout a
+    // fresh build writes (schema-identical generations)
+    val pCols = base.postings(spark).columns.map(col).toSeq
+    swapIn(spark, base, "postings",
+      liveView(spark, base, base.postings(spark))
+        .select(pCols: _*)
+        .repartition(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id")))
+    swapIn(spark, base, "doclen",
+      liveView(spark, base, base.doclen(spark))
+        .select(col("doc_id"), col("len")))
+    swapIn(spark, base, "term_df",
+      base.postings(spark)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .coalesce(1))
+    swapIn(spark, base, "corpus",
+      base.doclen(spark).agg(count(lit(1)).cast("double").as("n"),
+        avg(col("len")).as("avgdl"),
+        sum(col("len")).cast("long").as("sum_len")))
+    // tombstones are now physical — clear them (a failure here leaves
+    // a consistent index + stale tombstones: deletes are idempotent)
+    val fs = new org.apache.hadoop.fs.Path(base.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${base.dir}/deletes"), true)
     base
   }
 

@@ -174,6 +174,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(ix.sq8(spark).count() == n)
   }
 
+  test("vector deletes: tombstones mask probes; purge drops from all four tables") {
+    val corpus = plantedCorpus
+    val ix = AnnIndex.build(corpus, freshDir())
+    val n = ix.ivf(spark).count()
+    val victims = corpus.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"))
+    val nDel = AnnIndex.deleteVectors(spark, ix, victims)
+    assert(nDel == victims.count())
+    assert(AnnIndex.deleteVectors(spark, ix, victims) == 0L)
+    assert(AnnIndex.liveView(spark, ix, ix.ivf(spark)).count() == n - nDel)
+    assert(ix.ivf(spark).count() == n) // physically intact pre-purge
+    AnnIndex.purgeDeletes(spark, ix)
+    Seq(ix.ivf(spark), ix.pqCodes(spark), ix.ivfPqCodes(spark),
+      ix.sq8(spark)).foreach { t =>
+      assert(t.count() == n - nDel)
+      assert(t.filter(col("vec_id") % 5 === 0).count() == 0)
+    }
+    // cell partitioning survives the purge (the pruning access path)
+    assert(ix.ivf(spark).columns.contains("cell"))
+    AnnIndex.purgeDeletes(spark, ix) // no tombstones: no-op
+    assert(ix.ivf(spark).count() == n - nDel)
+  }
+
   test("addVectors rejects duplicate vec_ids loudly") {
     val base = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"), col("embedding"))

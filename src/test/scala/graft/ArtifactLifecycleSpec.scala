@@ -23,8 +23,7 @@ class ArtifactLifecycleSpec extends SparkSpec {
 
   test("text index: rebuild publishes a fresh generation; stale reader stays wholly-old") {
     val key = "lifecycle-spec-text"
-    val root = java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft_text_index", "v3", key)
+    val root = TextIndex.rootFor(key)
     TextIndex.evictMemo(key)
     wipe(root)
     val docs1 = Seq((1L, "alpha beta"), (2L, "beta gamma"))
@@ -58,8 +57,7 @@ class ArtifactLifecycleSpec extends SparkSpec {
 
   test("ann index: rebuild publishes a fresh generation; stale reader stays wholly-old") {
     val key = "lifecycle-spec-ann"
-    val root = java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v3", key)
+    val root = AnnIndex.rootFor(key)
     AnnIndex.evictMemo(key)
     wipe(root)
     val corpus = Tables.embeddings(spark, sf)

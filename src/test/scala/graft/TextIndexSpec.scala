@@ -99,6 +99,37 @@ class TextIndexSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("EqualTo(term,row"), p)
   }
 
+  test("delete tombstones mask reads; purge makes them physical and exact") {
+    val docs = Tables.documents(spark, sf)
+    val dix = TextIndex.build(docs,
+      java.nio.file.Files.createTempDirectory("textixdel").toString)
+    val n = dix.doclen(spark).count()
+    val victims = docs.filter(col("doc_id") < 10).select(col("doc_id"))
+    val nDel = TextIndex.deleteByQuery(spark, dix, victims)
+    assert(nDel == victims.count())
+    // re-deleting and deleting absent ids are no-ops
+    assert(TextIndex.deleteByQuery(spark, dix, victims) == 0L)
+    // the mask hides tombstones while the tables still hold them
+    assert(TextIndex.liveView(spark, dix, dix.doclen(spark)).count()
+      == n - nDel)
+    assert(dix.doclen(spark).count() == n)
+    TextIndex.purgeDeletes(spark, dix)
+    assert(dix.doclen(spark).count() == n - nDel)
+    assert(dix.postings(spark).filter(col("doc_id") < 10).count() == 0)
+    // purged index ≡ a fresh build on the filtered corpus: stats,
+    // dictionary, and postings all agree
+    val fresh = TextIndex.build(docs.filter(col("doc_id") >= 10),
+      java.nio.file.Files.createTempDirectory("textixfresh").toString)
+    same(dix.corpus(spark), fresh.corpus(spark))
+    same(dix.termDf(spark).orderBy("term"),
+      fresh.termDf(spark).orderBy("term"))
+    same(dix.postings(spark).orderBy("term", "doc_id"),
+      fresh.postings(spark).orderBy("term", "doc_id"))
+    // a second purge with no tombstones is a no-op
+    TextIndex.purgeDeletes(spark, dix)
+    assert(dix.doclen(spark).count() == n - nDel)
+  }
+
   test("term predicates push into the postings scan") {
     val p = Search.bm25Indexed(spark, ix, "spark")
       .queryExecution.executedPlan.toString
