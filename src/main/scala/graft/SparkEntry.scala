@@ -437,6 +437,68 @@ object SparkEntry {
             .as("rev_cents"))
         .orderBy(col("o_orderstatus"))
     }),
+    "s18_rollover" -> ((s, d) => {
+      // ES ILM rollover under the gate (Sink.rollover scaladoc):
+      // weekly event batches ingest in time order; the write index
+      // rolls at 5000 docs. The oracle replays the greedy
+      // segmentation from the weekly counts with a recursive CTE —
+      // generation boundaries, per-generation doc counts, and which
+      // generation holds the write alias must all agree.
+      // one cached pass feeds the week listing plus every batch's
+      // count+write (the rollover loop is eager, so the pin is
+      // released before returning)
+      val ev = Tables.events(s, d).persist()
+      try {
+        val weeks = ev.select(date_trunc("WEEK", col("ts")).as("wk"))
+          .distinct().orderBy(col("wk"))
+          .collect().map(_.getTimestamp(0)) // bounded: one row per week
+        val batches = weeks.toSeq.map(w =>
+          ev.filter(date_trunc("WEEK", col("ts")) === w))
+        graft.sources.Sink.rollover(s, Scratch.dir("s18roll"),
+            batches, maxDocs = 5000L)
+          .orderBy(col("index_name"))
+      } finally ev.unpersist(blocking = false)
+    }),
+    "f18_msearch" -> ((s, d) =>
+      // ES _msearch: three queries, ONE shared postings pass
+      // (Search.msearchBm25 scaladoc — a single pushed term-IN read,
+      // one broadcast stats row, per-query top-k as a rank-filtered
+      // window the planner runs as WindowGroupLimit)
+      Search.msearchBm25(s, textIndexFor(s, d),
+        Seq(("q_merge", "merge"), ("q_spark", "spark"),
+          ("q_window", "window")), k = 5)),
+    "x29_model_filter" -> ((s, d) => {
+      // model-based quality filtering with FROZEN weights — the
+      // fasttext-classifier stage of curation pipelines (vs x2's
+      // hand-rule heuristics and x27's threshold rules): a linear
+      // score over engineered features. All-integer arithmetic
+      // (counts, basis-point ratios via div, abs deviations) so the
+      // keep decision replays exactly on any engine — no float
+      // weight can flip a borderline doc differently per platform.
+      // Row-local: one scan, no shuffle; the model is the SQL
+      // expression, frozen weights inlined (at 100 TB this is a
+      // codegen'd projection at scan speed).
+      val toks = Analyzers.tokenize(lower(col("text")))
+      val stops = Analyzers.englishStopwords
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          size(filter(col("t"), x => x.isin(stops: _*)))
+            .cast("long").as("n_stop"),
+          aggregate(transform(col("t"), x => length(x)), lit(0L),
+            (a, x) => a + x).as("sum_wlen"))
+        .select(col("doc_id"),
+          least(col("n_tokens"), lit(300L)).as("f_len"),
+          expr("n_stop * 10000 div greatest(n_tokens, 1L)").as("stop_bp"),
+          expr("sum_wlen * 10 div greatest(n_tokens, 1L)").as("wlen_x10"))
+        .select(col("doc_id"),
+          expr("10 * f_len - abs(stop_bp - 4000) div 2" +
+            " - 20 * abs(wlen_x10 - 45)").as("score_bp"))
+        .select(col("doc_id"), col("score_bp"),
+          (col("score_bp") >= 1500).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
     "s16_delete_by_query" -> ((s, d) => {
       // The Lucene/ES DELETE lifecycle under the gate
       // (TextIndex.deleteByQuery scaladoc): tombstone-append
@@ -3271,6 +3333,76 @@ object SparkEntry {
       """SELECT qid::BIGINT AS qid, true AS hit_is_twin, true AS cos_is_one,
                 true AS multi_batch
          FROM (VALUES (1), (101), (202)) t(qid) ORDER BY qid""",
+    "s18_rollover" ->
+      """WITH RECURSIVE w AS (SELECT date_trunc('week', ts) AS wk, count(*)::BIGINT AS n
+                              FROM events GROUP BY 1),
+          o AS (SELECT wk, n, row_number() OVER (ORDER BY wk)::INT AS rn FROM w),
+          seg AS (SELECT 1::INT AS rn, 1::INT AS idx,
+                         (SELECT n FROM o WHERE rn = 1) AS acc
+                  UNION ALL
+                  SELECT o.rn,
+                         (CASE WHEN seg.acc >= 5000 THEN seg.idx + 1 ELSE seg.idx END)::INT,
+                         (CASE WHEN seg.acc >= 5000 THEN 0 ELSE seg.acc END) + o.n
+                  FROM seg JOIN o ON o.rn = seg.rn + 1),
+          peridx AS (SELECT seg.idx, sum(o.n)::BIGINT AS n_docs
+                     FROM seg JOIN o ON o.rn = seg.rn GROUP BY 1),
+          wr AS (SELECT CASE WHEN acc >= 5000 THEN idx + 1 ELSE idx END AS widx
+                 FROM seg ORDER BY rn DESC LIMIT 1)
+          SELECT 'v' || idx AS index_name, n_docs,
+                 idx = (SELECT widx FROM wr) AS is_write_index
+          FROM peridx
+          UNION ALL
+          SELECT 'v' || widx, 0::BIGINT, true FROM wr
+          WHERE widx > (SELECT max(idx) FROM peridx)
+          ORDER BY index_name""",
+    "f18_msearch" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(toks)::INT AS len,
+                       len(list_filter(toks, x -> x = 'merge'))::INT AS tf0,
+                       len(list_filter(toks, x -> x = 'spark'))::INT AS tf1,
+                       len(list_filter(toks, x -> x = 'window'))::INT AS tf2
+                FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+                FROM p),
+          u AS (SELECT 'q_merge' AS query_id, doc_id,
+                       round(ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) *
+                             (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)), 6) AS score
+                FROM p, s WHERE tf0 > 0
+                UNION ALL
+                SELECT 'q_spark', doc_id,
+                       round(ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) *
+                             (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)), 6)
+                FROM p, s WHERE tf1 > 0
+                UNION ALL
+                SELECT 'q_window', doc_id,
+                       round(ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) *
+                             (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)), 6)
+                FROM p, s WHERE tf2 > 0),
+          r AS (SELECT query_id, doc_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id)::BIGINT AS rank
+                FROM u)
+          SELECT query_id, doc_id, score, rank FROM r
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "x29_model_filter" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                       len(list_filter(toks, x -> list_contains($sqlStop, x)))::BIGINT AS n_stop,
+                       coalesce(list_sum(list_transform(toks, x -> len(x))), 0)::BIGINT AS sum_wlen
+                FROM t),
+          f AS (SELECT doc_id, least(n_tokens, 300) AS f_len,
+                       n_stop * 10000 // greatest(n_tokens, 1) AS stop_bp,
+                       sum_wlen * 10 // greatest(n_tokens, 1) AS wlen_x10
+                FROM m),
+          sc AS (SELECT doc_id,
+                        (10 * f_len - (abs(stop_bp - 4000) // 2)
+                         - 20 * abs(wlen_x10 - 45))::BIGINT AS score_bp
+                 FROM f)
+          SELECT doc_id, score_bp, score_bp >= 1500 AS keep
+          FROM sc ORDER BY doc_id""",
     "s16_delete_by_query" ->
       s"""WITH t AS (SELECT doc_id, lang, ${sqlToks("lower(text)")} AS toks FROM documents),
           r AS (SELECT * FROM t WHERE lang <> 'de' OR lang IS NULL),

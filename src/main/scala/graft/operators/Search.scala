@@ -537,6 +537,49 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
 
+  /** ES `_msearch`: a BATCH of independent queries answered in ONE
+    * index pass — the point of bundling is shared work, and here the
+    * sharing is literal: all queries' terms go into a single pushed
+    * `term IN (...)` postings read (one scan, row-group skipping per
+    * term), the statistics frame is one broadcast row covering every
+    * term, and per-query ranking is a rank-filtered window over the
+    * MATCHED postings only — which Spark plans with WindowGroupLimit,
+    * i.e. a map-side per-group top-k before the shuffle, the
+    * distributed shard-local-then-global top-k per query. N queries
+    * cost one postings access instead of N.
+    *
+    * `queries`: (query_id, term) single-term queries; scoring is the
+    * exact [[bm25Indexed]] arithmetic per query. */
+  def msearchBm25(spark: SparkSession, ix: TextIndex.Loaded,
+                  queries: Seq[(String, String)], k: Int = 5,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = queries.map(_._2).distinct
+    val stats = indexedStats(spark, ix, terms)
+    // per-row df: the term's slot in the stats row
+    val dfCol = coalesce(terms.zipWithIndex
+      .map { case (t, i) => when(col("term") === t, col(s"df$i")) }: _*)
+    val idf = log((col("n") - dfCol + 0.5) / (dfCol + 0.5) + 1.0)
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    val qdf = {
+      import spark.implicits._
+      queries.toDF("query_id", "term")
+    }
+    ix.postings(spark).filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("len"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), round(idf * tfNorm, 6).as("score"))
+      .join(broadcast(qdf), Seq("term"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ES terms-agg ACCURACY semantics under distribution — the part of
     * the API most engines silently drop. ES computes a terms agg by
     * asking each shard for its local top `shardSize` terms, summing

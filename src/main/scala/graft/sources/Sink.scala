@@ -176,6 +176,41 @@ object Sink {
   // mid-swap sees wholly v1 or wholly v2, never a mix — the same
   // guarantee the ES alias API documents.
 
+  /** ES ILM ROLLOVER: the write alias names the newest index
+    * generation; every ingested batch appends to the current write
+    * index, and once that index reaches `maxDocs` the alias rolls to
+    * a fresh generation — subsequent batches land there (ES checks
+    * rollover conditions after the write, exactly this loop). Old
+    * generations become immutable read indices (query them all
+    * through a union / wildcard read), which is how ES bounds both
+    * index size and the blast radius of retention deletes: dropping
+    * expired data is `DROP` of a whole generation, never a
+    * delete-by-query against a monolith. Batches append as parquet
+    * files — O(batch) per ingest, nothing rewritten.
+    *
+    * Returns one row per generation: (index_name, n_docs,
+    * is_write_index) — including a trailing EMPTY write index when
+    * the last batch itself triggered the roll. */
+  def rollover(spark: SparkSession, baseDir: String,
+               batches: Seq[DataFrame], maxDocs: Long): DataFrame = {
+    var cur = 1
+    aliasSwap(baseDir, cur)
+    val counts = scala.collection.mutable.LinkedHashMap(1 -> 0L)
+    batches.foreach { b =>
+      val n = b.count()
+      b.write.mode("append").parquet(s"$baseDir/v$cur")
+      counts(cur) = counts(cur) + n
+      if (counts(cur) >= maxDocs) {
+        cur += 1
+        counts(cur) = 0L
+        aliasSwap(baseDir, cur)
+      }
+    }
+    import spark.implicits._
+    counts.toSeq.map { case (v, n) => (s"v$v", n, v == cur) }
+      .toDF("index_name", "n_docs", "is_write_index")
+  }
+
   /** Write `df` as version `v` of alias `baseDir` (does NOT flip). */
   def aliasWriteVersion(df: DataFrame, baseDir: String, v: Int): Unit =
     df.write.mode("overwrite").parquet(s"$baseDir/v$v")

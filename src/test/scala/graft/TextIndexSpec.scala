@@ -99,6 +99,23 @@ class TextIndexSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("EqualTo(term,row"), p)
   }
 
+  test("msearch equals each query run alone; one shared postings read") {
+    val queries = Seq(("q_spark", "spark"), ("q_table", "table"))
+    val batch = Search.msearchBm25(spark, ix, queries, k = 5)
+    queries.foreach { case (qid, term) =>
+      val alone = Search.bm25Indexed(spark, ix, term).limit(5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch.filter(col("query_id") === qid)
+        .orderBy("rank")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(fromBatch == alone, s"$qid diverged from its solo run")
+    }
+    // the sharing is structural: exactly ONE postings scan in the plan
+    val p = batch.queryExecution.executedPlan.toString
+    assert("Location: InMemoryFileIndex(?:\\(1 paths\\))?\\[[^\\]]*postings"
+      .r.findAllIn(p).length == 1, p)
+  }
+
   test("delete tombstones mask reads; purge makes them physical and exact") {
     val docs = Tables.documents(spark, sf)
     val dix = TextIndex.build(docs,
