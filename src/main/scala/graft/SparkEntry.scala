@@ -1743,6 +1743,16 @@ object SparkEntry {
           docs.filter(col("doc_id") % 20 === 0), minShared = 5)
         .orderBy(col("doc_id"))
     }),
+    "d16_contamination_fraction" -> ((s, d) => {
+      // per-EVAL-doc overlap fraction (Dedup.contaminationFraction
+      // scaladoc) — the GPT-3-appendix decontamination metric: what
+      // fraction of each benchmark doc's grams leak from the training
+      // corpus; ≥50% → drop the example
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFraction(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+    }),
     "x4_fingerprint" -> ((s, d) =>
       TextStats.fingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "x6_rolling_fingerprint" -> ((s, d) => // custom expression: rows-only
@@ -4630,6 +4640,22 @@ object SparkEntry {
                  coalesce(sh.n_shared, 0) >= 5 AS contaminated
           FROM tr LEFT JOIN sh ON tr.doc_id = sh.doc_id
           ORDER BY tr.doc_id""",
+    "d16_contamination_fraction" ->
+      s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+          ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+          tt AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM tr),
+          trg AS (SELECT DISTINCT unnest($sqlShingles) AS g
+                  FROM (SELECT doc_id, toks FROM tt)),
+          et AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM ev),
+          eg AS (SELECT doc_id, unnest(sh) AS g
+                 FROM (SELECT doc_id, $sqlShingles AS sh FROM et)),
+          m AS (SELECT eg.doc_id, count(*)::BIGINT AS n_grams,
+                       sum(CASE WHEN trg.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+                FROM eg LEFT JOIN trg ON eg.g = trg.g GROUP BY 1)
+          SELECT doc_id, n_grams, n_hit,
+                 (n_hit * 10000 // greatest(n_grams, 1))::BIGINT AS overlap_bp,
+                 n_hit * 10000 // greatest(n_grams, 1) >= 5000 AS contaminated
+          FROM m ORDER BY doc_id""",
     "x9_repetition" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
           m AS (SELECT doc_id,

@@ -344,6 +344,41 @@ object Dedup {
       .withColumn("contaminated", col("n_shared") >= minShared)
   }
 
+  /** D16: contamination FRACTION per eval doc — the benchmark-side
+    * report ([[contamination]] flags TRAIN docs; training-data papers
+    * report per-EVAL-example overlap: the fraction of an eval doc's
+    * distinct n-grams that appear anywhere in the training corpus,
+    * thresholded to drop the example). Exact integers end to end:
+    * gram counts and one `div` to basis points.
+    *
+    * Scale shape: the eval set is benchmark-sized, so its gram set
+    * BROADCASTS; the corpus streams through ONE scan joined against
+    * it (never shuffled), and the surviving matched-gram set — by
+    * construction ≤ |eval grams| — reduces to a distinct set that
+    * joins back to the per-doc eval grams. No corpus-sized shuffle
+    * anywhere. */
+  def contaminationFraction(train: DataFrame, evalSet: DataFrame,
+                            thresholdBp: Int = 5000,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val evalSh = withHashedShingleSet(evalSet, textCol, idCol)
+      .select(col("id"), explode(col("shingles")).as("sh"))
+    val evalGrams = evalSh.select(col("sh")).distinct()
+    val hitGrams = withHashedShingleSet(train, textCol, idCol)
+      .select(explode(col("shingles")).as("sh"))
+      .join(broadcast(evalGrams), "sh")
+      .select(col("sh")).distinct()
+    evalSh
+      .join(hitGrams.withColumn("hit", lit(1L)), Seq("sh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_hit"),
+        expr("n_hit * 10000 div greatest(n_grams, 1L)").as("overlap_bp"))
+      .withColumn("contaminated", col("overlap_bp") >= thresholdBp)
+      .orderBy(col(idCol))
+  }
+
   /** 60-bit SimHash per doc via explode + hash-aggregate (same codegen
     * rationale as [[minhashSignatures]]): per-bit majority vote of the
     * tokens' hash bits — 60 `sum` aggregates with map-side combine,

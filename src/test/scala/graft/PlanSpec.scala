@@ -73,6 +73,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("contamination fraction broadcasts the eval gram set, corpus unshuffled") {
+    val p = plan("d16_contamination_fraction")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("percolator broadcasts the stored queries; corpus never shuffles") {
     val p = plan("pc1_percolate")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
