@@ -665,6 +665,25 @@ object SparkEntry {
           sum(col("df")).as("n_postings")))
         .withColumn("postings_agree", lit(nPhysical) === col("n_postings"))
     }),
+    "st12_stream_deletes" -> ((s, d) => {
+      // Streaming DELETE ingest (IndexStream.runDeleteIngest
+      // scaladoc): retention delete requests arrive as a multi-batch
+      // stream, each micro-batch tombstones in O(batch), one final
+      // purge merge reclaims. Readback: ti1-style corpus invariants
+      // over the RETAINED docs (the oracle recomputes them from the
+      // filtered corpus), the tombstone total, and multi_batch
+      // proving the requests really arrived incrementally.
+      val (ix, nBatches, nDeleted) =
+        graft.streaming.IndexStream.runDeleteIngest(s, d)
+      val nPhysical = ix.postings(s).count()
+      ix.corpus(s)
+        .select(col("n").cast("long").as("n_docs"), col("sum_len"))
+        .crossJoin(ix.termDf(s).agg(count(lit(1)).as("n_terms"),
+          sum(col("df")).as("n_postings")))
+        .withColumn("n_deleted", lit(nDeleted))
+        .withColumn("postings_agree", lit(nPhysical) === col("n_postings"))
+        .withColumn("multi_batch", lit(nBatches >= 2))
+    }),
     "st10_stream_index" -> ((s, d) => {
       // Streaming index ingest (streaming/IndexStream scaladoc): the
       // documents table arrives as a 4-file stream, one micro-batch
@@ -3514,6 +3533,18 @@ object SparkEntry {
                  (SELECT count(DISTINCT term) FROM p)::BIGINT AS n_terms,
                  (SELECT count(*) FROM p)::BIGINT AS n_postings,
                  true AS postings_agree""",
+    // st12: ti1's invariants over the RETAINED corpus after the
+    // streamed tombstones are purged, + the tombstone total
+    "st12_stream_deletes" ->
+      s"""WITH r AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+          t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM r),
+          p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+          SELECT (SELECT count(*) FROM t)::BIGINT AS n_docs,
+                 (SELECT coalesce(sum(len(toks)), 0) FROM t)::BIGINT AS sum_len,
+                 (SELECT count(DISTINCT term) FROM p)::BIGINT AS n_terms,
+                 (SELECT count(*) FROM p)::BIGINT AS n_postings,
+                 (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)::BIGINT AS n_deleted,
+                 true AS postings_agree, true AS multi_batch""",
     // st10: ti1's corpus invariants (the streamed, segment-at-a-time
     // build must converge to the same index) + the multi-batch flag
     "st10_stream_index" ->

@@ -73,6 +73,29 @@ object IndexStream {
     (ix.getOrElse(sys.error("document stream delivered no rows")), batches)
   }
 
+  /** Streaming DELETE ingest — retention / right-to-be-forgotten
+    * delete requests arriving as a STREAM, folded into the standing
+    * index as tombstone appends per micro-batch
+    * ([[TextIndex.deleteByQuery]] — O(batch), postings untouched),
+    * then ONE scheduled [[TextIndex.purgeDeletes]] merge makes them
+    * physical. This is exactly ES's shape: delete_by_query requests
+    * tombstone as they arrive; segment merges reclaim on their own
+    * cadence — the deletion stream never triggers corpus-sized work.
+    * Returns the purged index, the number of non-empty request
+    * batches, and the total docs tombstoned. */
+  def runDeleteIngest(spark: SparkSession, dir: String,
+                      nSplits: Int = 2): (TextIndex.Loaded, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+    val ix = TextIndex.build(docs, graft.Scratch.dir("st12ix"))
+    val victims = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    var deleted = 0L
+    val batches = foldFileStream(spark, victims, nSplits, "st12") { b =>
+      deleted += TextIndex.deleteByQuery(spark, ix, b)
+    }
+    (TextIndex.purgeDeletes(spark, ix), batches, deleted)
+  }
+
   /** Streaming VECTOR ingest — the ANN twin of [[runIndexIngest]] and
     * the FAISS `add()` loop run as a stream: the base index trains
     * ONCE on the standing corpus (`seed`), then delta vectors arrive

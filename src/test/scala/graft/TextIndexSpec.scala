@@ -99,6 +99,23 @@ class TextIndexSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("EqualTo(term,row"), p)
   }
 
+  test("positional/batched paths degrade to empty on absent terms, not errors") {
+    // an unindexed term empties the intersection (the dictionary-miss
+    // path): no exceptions, no partial matches
+    assert(Search.phraseFromIndex(spark, ix,
+      Seq("row", "zzz_not_a_term")).isEmpty)
+    assert(Search.phraseFromIndex(spark, ix, Seq("zzz_not_a_term")).isEmpty)
+    assert(Search.phrasePrefixFromIndex(spark, ix,
+      Seq("row"), "zzzprefix").isEmpty)
+    assert(Search.spanFirstFromIndex(spark, ix, "zzz_not_a_term", 5).isEmpty)
+    // msearch: the absent-term query contributes zero rows; the live
+    // one is unaffected
+    val m = Search.msearchBm25(spark, ix,
+      Seq(("q_live", "spark"), ("q_dead", "zzz_not_a_term")), k = 3)
+    assert(m.filter(col("query_id") === "q_dead").isEmpty)
+    assert(m.filter(col("query_id") === "q_live").count() == 3)
+  }
+
   test("msearch equals each query run alone; one shared postings read") {
     val queries = Seq(("q_spark", "spark"), ("q_table", "table"))
     val batch = Search.msearchBm25(spark, ix, queries, k = 5)
