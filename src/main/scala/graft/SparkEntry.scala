@@ -459,6 +459,12 @@ object SparkEntry {
           .orderBy(col("index_name"))
       } finally ev.unpersist(blocking = false)
     }),
+    "f19_explain" -> ((s, d) =>
+      // ES _explain: the BM25 factor decomposition per matching doc
+      // (Search.explainBm25 scaladoc) — the oracle recomputes every
+      // factor from the raw corpus, so the explanation itself is
+      // differentially verified, not just the final score
+      Search.explainBm25(s, textIndexFor(s, d), "spark", k = 10)),
     "f18_msearch" -> ((s, d) =>
       // ES _msearch: three queries, ONE shared postings pass
       // (Search.msearchBm25 scaladoc — a single pushed term-IN read,
@@ -3384,6 +3390,19 @@ object SparkEntry {
           SELECT 'v' || widx, 0::BIGINT, true FROM wr
           WHERE widx > (SELECT max(idx) FROM peridx)
           ORDER BY index_name""",
+    "f19_explain" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(list_filter(toks, x -> x = 'spark'))::INT AS tf,
+                       len(toks)::INT AS len FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df FROM p)
+          SELECT doc_id, tf, len, df::BIGINT AS df,
+                 round(ln((n - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf,
+                 round((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)), 6) AS tf_norm,
+                 round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                       (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)), 6) AS bm25
+          FROM p, s WHERE tf > 0
+          ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "f18_msearch" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           p AS (SELECT doc_id, len(toks)::INT AS len,

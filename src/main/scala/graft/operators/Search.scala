@@ -537,6 +537,34 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
 
+  /** ES `_explain` endpoint: the per-document score DECOMPOSITION for
+    * a term query — every factor the BM25 product multiplies (tf,
+    * doc length, df, the idf term, the tf-norm term) emitted as
+    * columns next to the final score, served from the index like
+    * [[bm25Indexed]] (whose arithmetic this reproduces factor by
+    * factor). One pushed term read + the broadcast stats row; the
+    * explanation costs nothing beyond the query it explains. */
+  def explainBm25(spark: SparkSession, ix: TextIndex.Loaded,
+                  term: String, k: Int = 10, k1: Double = 1.2,
+                  b: Double = 0.75): DataFrame = {
+    val stats = indexedStats(spark, ix, Seq(term))
+      .withColumnRenamed("df0", "df")
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    ix.postings(spark).filter(col("term") === term)
+      .select(col("doc_id"), col("tf"), col("len"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tf"), col("len"),
+        col("df").cast("long").as("df"),
+        round(idf, 6).as("idf"),
+        round(tfNorm, 6).as("tf_norm"),
+        round(idf * tfNorm, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** ES `_msearch`: a BATCH of independent queries answered in ONE
     * index pass — the point of bundling is shared work, and here the
     * sharing is literal: all queries' terms go into a single pushed

@@ -77,4 +77,29 @@ class SinkSpec extends SparkSpec {
     // no leftover tmp directory
     assert(!new java.io.File(dir + ".compact-tmp").exists())
   }
+
+  test("rollover: thresholds split generations; a final-batch roll leaves an empty write index") {
+    import spark.implicits._
+    def batch(ids: Range) = ids.map(_.toLong).toDF("id")
+    // 3+3 under a threshold of 5: batch2 tips v1 to 6 ≥ 5 → roll;
+    // batch3 (4 rows) lands in v2, under threshold → v2 stays writable
+    val base1 = Scratch.dir("rollspec1")
+    val out1 = Sink.rollover(spark, base1,
+        Seq(batch(1 to 3), batch(4 to 6), batch(7 to 10)), maxDocs = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .toList
+    assert(out1 == List(("v1", 6L, false), ("v2", 4L, true)))
+    assert(Sink.aliasVersion(base1) == "v2")
+    // generations hold exactly their rows on disk
+    assert(spark.read.parquet(s"$base1/v1").count() == 6)
+    assert(spark.read.parquet(s"$base1/v2").count() == 4)
+    // the LAST batch triggers the roll → a fresh EMPTY write index
+    val base2 = Scratch.dir("rollspec2")
+    val out2 = Sink.rollover(spark, base2,
+        Seq(batch(1 to 5)), maxDocs = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .toList
+    assert(out2 == List(("v1", 5L, false), ("v2", 0L, true)))
+    assert(Sink.aliasVersion(base2) == "v2")
+  }
 }
