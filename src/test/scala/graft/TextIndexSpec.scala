@@ -162,6 +162,13 @@ class TextIndexSpec extends SparkSpec {
     // a second purge with no tombstones is a no-op
     TextIndex.purgeDeletes(spark, dix)
     assert(dix.doclen(spark).count() == n - nDel)
+    // the UPDATE path: a purged id can re-ingest as a fresh segment
+    // (delete + purge + add — Lucene's delete-and-reindex; pre-purge
+    // the global-id tombstone blocks re-add by design, see
+    // deleteByQuery scaladoc)
+    TextIndex.addSegment(dix, docs.filter(col("doc_id") === 3))
+    assert(dix.doclen(spark).count() == n - nDel + 1)
+    assert(dix.doclen(spark).filter(col("doc_id") === 3).count() == 1)
   }
 
   test("term predicates push into the postings scan") {
