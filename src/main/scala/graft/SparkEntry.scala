@@ -135,6 +135,18 @@ object SparkEntry {
   private[graft] def textIndexFor(s: SparkSession, d: String): TextIndex.Loaded =
     TextIndex.ensure(Tables.documents(s, d), TextIndex.corpusKey(d))
 
+  /** The persisted standing dedup indexes (operators.DedupIndex
+    * scaladoc) — the state a daily-ingest dedup service screens
+    * against, fingerprint-keyed per corpus version like the other two
+    * artifacts. Two standing splits exist because d10 (even ids) and
+    * d12 (ids % 10 ≠ 0) model different standing corpora. */
+  private[graft] def dedupIndexEven(s: SparkSession, d: String): DedupIndex.Loaded =
+    DedupIndex.ensure(Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+      "even-" + TextIndex.corpusKey(d))
+  private[graft] def dedupIndexMost(s: SparkSession, d: String): DedupIndex.Loaded =
+    DedupIndex.ensure(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0),
+      "most-" + TextIndex.corpusKey(d))
+
   /** The bucketed-layout ingest job behind z3: orders and lineitem
     * written `bucketBy(8, key)` into the session warehouse, memoized
     * per (corpus dir, session catalog) — built once per JVM like the
@@ -1708,18 +1720,41 @@ object SparkEntry {
     }),
     "d12_incremental_minhash" -> ((s, d) => {
       // arriving batch (doc_id % 10 = 0) screened against the standing
-      // corpus's MAINTAINED frames — the banded index and the shingle
-      // verify-side, built here only because the harness has no
-      // persisted state (production appends to both daily); oracle is
-      // the exact-Jaccard batch×standing join (LSH recall 1.0 at this
-      // scale — the d2 argument)
+      // corpus's MAINTAINED frames — the banded LSH index and shingle
+      // verify-side now read from the PERSISTED DedupIndex artifact
+      // (production appends to it daily — d17 gates that loop); oracle
+      // is the exact-Jaccard batch×standing join (LSH recall 1.0 at
+      // this scale — the d2 argument)
+      val docs = Tables.documents(s, d)
+      DedupIndex.screenNear(s, dedupIndexMost(s, d),
+          docs.filter(col("doc_id") % 10 === 0))
+        .orderBy(col("doc_id"))
+    }),
+    "d17_standing_index" -> ((s, d) => {
+      // the daily-ingest MAINTENANCE loop on a private index copy
+      // (the ti1/s16 discipline — the shared artifact stays
+      // immutable): build the standing index, screen the arriving
+      // batch, append the survivors (O(batch) — DedupIndex.addBatch),
+      // then RE-SCREEN the same batch: every doc must now resolve as
+      // known — the idempotence a production dedup service relies on
+      // (a re-delivered batch adds nothing twice).
       val docs = Tables.documents(s, d)
       val standing = docs.filter(col("doc_id") % 10 =!= 0)
-      graft.operators.Dedup.incrementalMinhash(
-        docs.filter(col("doc_id") % 10 === 0),
-        graft.operators.Dedup.bandBuckets(standing),
-        graft.operators.Dedup.withHashedShingleSet(standing))
-        .orderBy(col("doc_id"))
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val ix = DedupIndex.build(standing, Scratch.dir("d17ix"))
+      val before = ix.fingerprints(s).count()
+      val n1new = DedupIndex.screenExact(s, ix, batch)
+        .filter(col("is_new")).count()
+      val (nNew, nFps) = DedupIndex.addBatch(s, ix, batch)
+      val after = ix.fingerprints(s).count()
+      val n2new = DedupIndex.screenExact(s, ix, batch)
+        .filter(col("is_new")).count()
+      import s.implicits._
+      Seq((before, batch.count(), n1new, nFps, after,
+          n2new == 0L, nNew == n1new, after == before + nFps))
+        .toDF("n_index_before", "n_batch", "n_new", "n_fps_added",
+          "n_index_after", "rescreen_all_known",
+          "append_matches_screen", "growth_consistent")
     }),
     "n5_quantize" -> ((s, d) =>
       // int8 scalar quantization + its reconstruction contract; codes
@@ -1751,12 +1786,15 @@ object SparkEntry {
       TextStats.packChunks(survivors, budget = 2048).orderBy(col("doc_id"))
     }),
     "d10_incremental_dedup" -> ((s, d) => {
-      // standing corpus = even ids (its d1 fingerprint index), arriving
-      // batch = odd ids; each new doc resolves to the standing doc it
-      // duplicates or marks itself new
+      // standing corpus = even ids, arriving batch = odd ids; each new
+      // doc resolves to the standing doc it duplicates or marks itself
+      // new. The standing fingerprint index is the PERSISTED artifact
+      // (operators.DedupIndex) — screening READS it; the per-batch
+      // rebuild this query used to pay is gone (the d17 query
+      // exercises the maintenance side).
       val docs = Tables.documents(s, d)
-      val index = Dedup.exact(docs.filter(col("doc_id") % 2 === 0))
-      Dedup.incrementalExact(docs.filter(col("doc_id") % 2 =!= 0), index)
+      DedupIndex.screenExact(s, dedupIndexEven(s, d),
+          docs.filter(col("doc_id") % 2 =!= 0))
         .orderBy(col("doc_id"))
     }),
     "d9_contamination" -> ((s, d) => {
@@ -4046,6 +4084,21 @@ object SparkEntry {
                 SELECT id_b, id_a, (inter * 10000 // sb)::BIGINT FROM j)
           SELECT contained, container, containment_bp FROM u
           WHERE containment_bp >= 8000 ORDER BY 1, 2""",
+    "d17_standing_index" ->
+      s"""WITH st AS (SELECT md5($sqlNorm) AS fp FROM documents WHERE doc_id % 10 <> 0),
+          sfp AS (SELECT DISTINCT fp FROM st),
+          b AS (SELECT doc_id, md5($sqlNorm) AS fp FROM documents WHERE doc_id % 10 = 0),
+          nw AS (SELECT b.doc_id, b.fp FROM b LEFT JOIN sfp ON b.fp = sfp.fp
+                 WHERE sfp.fp IS NULL)
+          SELECT (SELECT count(*) FROM sfp)::BIGINT AS n_index_before,
+                 (SELECT count(*) FROM b)::BIGINT AS n_batch,
+                 (SELECT count(*) FROM nw)::BIGINT AS n_new,
+                 (SELECT count(DISTINCT fp) FROM nw)::BIGINT AS n_fps_added,
+                 ((SELECT count(*) FROM sfp)
+                  + (SELECT count(DISTINCT fp) FROM nw))::BIGINT AS n_index_after,
+                 true AS rescreen_all_known,
+                 true AS append_matches_screen,
+                 true AS growth_consistent""",
     "d10_incremental_dedup" ->
       s"""WITH idx AS (SELECT md5($sqlNorm) AS fingerprint, min(doc_id) AS keep_id
                        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The STANDING DEDUP INDEX as a persisted ingest artifact — the
+  * [[TextIndex]]/[[AnnIndex]] discipline applied to the third
+  * query-many structure a training-data platform maintains: the
+  * state a daily-ingest dedup service screens every arriving batch
+  * against. Before this artifact, d10/d12 rebuilt their standing
+  * frames in-query (their scaladocs said so: "built here only
+  * because the harness has no persisted state") — at 100 TB that is
+  * a full-corpus fingerprint+signature pass per arriving batch, the
+  * exact waste the artifact model exists to remove. Production keeps
+  * these frames ON DISK and appends the screened batch's survivors:
+  * screening cost O(batch), maintenance cost O(batch).
+  *
+  * Artifact layout under `dir/` (normalize + tokenize + hashed
+  * 3-gram shingles — the d-family's shared analyzer):
+  *   fingerprints/  (fingerprint, keep_id) — the md5 exact-dup index
+  *                  ([[Dedup.exact]] minus the count column)
+  *   buckets/       (id, band, bucket) — the banded MinHash LSH
+  *                  index rows ([[Dedup.bandBuckets]])
+  *   shingle_sets/  (id, shingles) — the exact-Jaccard verify side
+  *                  ([[Dedup.withHashedShingleSet]])
+  *   _DONE          written last; torn build ⇒ rebuild
+  *
+  * Lifecycle: generation-pointer managed ([[ArtifactGen]]) like the
+  * other two artifacts — rebuilds land in fresh generations,
+  * invalidation evicts the in-JVM memo.
+  */
+object DedupIndex {
+
+  final case class Loaded(dir: String, key: String = "") {
+    def fingerprints(spark: SparkSession): DataFrame =
+      spark.read.parquet(s"$dir/fingerprints")
+    def buckets(spark: SparkSession): DataFrame =
+      spark.read.parquet(s"$dir/buckets")
+    def shingleSets(spark: SparkSession): DataFrame =
+      spark.read.parquet(s"$dir/shingle_sets")
+  }
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Loaded]()
+
+  private[graft] def rootFor(key: String): java.nio.file.Path =
+    java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_dedup_index", "v1", key)
+
+  private[graft] def evictMemo(key: String): Unit = { memo.remove(key); () }
+
+  private[graft] def invalidate(l: Loaded): Unit = {
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(l.dir, "_DONE"))
+    if (l.key.nonEmpty) memo.remove(l.key)
+    ()
+  }
+
+  def ensure(docs: DataFrame, key: String): Loaded =
+    memo.computeIfAbsent(key, { _ =>
+      val root = rootFor(key)
+      ArtifactGen.currentDir(root) match {
+        case Some(gen) => Loaded(gen.toString, key)
+        case None =>
+          val gen = ArtifactGen.nextGenDir(root)
+          val built = build(docs, gen.toString)
+          ArtifactGen.publish(root, gen)
+          built.copy(key = key)
+      }
+    })
+
+  /** The ingest job: fingerprint, signature-band, and shingle the
+    * standing corpus ONCE; every screening batch thereafter only
+    * reads. */
+  def build(docs: DataFrame, dir: String): Loaded = {
+    Dedup.exact(docs).select(col("fingerprint"), col("keep_id"))
+      .write.mode("overwrite").parquet(s"$dir/fingerprints")
+    Dedup.bandBuckets(docs)
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    Dedup.withHashedShingleSet(docs)
+      .write.mode("overwrite").parquet(s"$dir/shingle_sets")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_DONE"),
+      Array.emptyByteArray)
+    Loaded(dir)
+  }
+
+  /** Exact screening from the artifact — [[Dedup.incrementalExact]]
+    * against the persisted fingerprint index. */
+  def screenExact(spark: SparkSession, ix: Loaded,
+                  batch: DataFrame): DataFrame =
+    Dedup.incrementalExact(batch, ix.fingerprints(spark))
+
+  /** Near-dup screening from the artifact —
+    * [[Dedup.incrementalMinhash]] against the persisted band buckets
+    * and shingle verify-side. */
+  def screenNear(spark: SparkSession, ix: Loaded,
+                 batch: DataFrame): DataFrame =
+    Dedup.incrementalMinhash(batch, ix.buckets(spark),
+      ix.shingleSets(spark))
+
+  /** The maintenance append — the production daily loop: after
+    * screening, the batch's SURVIVORS (is_new exact-screen verdicts)
+    * enter the standing index so tomorrow's batch screens against
+    * them. O(batch) parquet appends to all three tables; fingerprints
+    * new to the index are keyed by the batch's min doc id (intra-batch
+    * duplicates collapse to one survivor). A failure partway tears
+    * the artifact — `_DONE` removed and the memo evicted so the next
+    * ensure() rebuilds a fresh generation, the [[TextIndex]]
+    * discipline. Returns (batch docs that screened new, fingerprints
+    * added). */
+  def addBatch(spark: SparkSession, ix: Loaded,
+               batch: DataFrame): (Long, Long) = {
+    val screened = screenExact(spark, ix, batch)
+    val survivors = batch.join(
+      screened.filter(col("is_new")).select(col("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val newFps = Dedup.exact(survivors)
+      .select(col("fingerprint"), col("keep_id"))
+      .join(ix.fingerprints(spark).select(col("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+    // one representative per new fingerprint enters every table: the
+    // standing index stores the kept corpus, not raw arrivals
+    val kept = survivors.join(
+      newFps.select(col("keep_id").as("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val nFps = newFps.count()
+    val nNew = survivors.count()
+    try {
+      newFps.write.mode("append").parquet(s"${ix.dir}/fingerprints")
+      Dedup.bandBuckets(kept)
+        .write.mode("append").parquet(s"${ix.dir}/buckets")
+      Dedup.withHashedShingleSet(kept)
+        .write.mode("append").parquet(s"${ix.dir}/shingle_sets")
+    } catch {
+      case e: Throwable =>
+        invalidate(ix)
+        throw new IllegalStateException(
+          s"partial batch append into ${ix.dir} — artifact invalidated " +
+            "(_DONE removed, memo evicted), next ensure() rebuilds", e)
+    }
+    (nNew, nFps)
+  }
+}
