@@ -627,12 +627,7 @@ object SparkEntry {
       val key = "s15-" + TextIndex.corpusKey(d)
       val root = TextIndex.rootFor(key)
       TextIndex.evictMemo(key)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      ArtifactGen.wipe(root)
       val docs = Tables.documents(s, d)
       val a = TextIndex.ensure(docs.filter(col("doc_id") % 2 === 0), key)
       TextIndex.invalidate(a)
@@ -1743,18 +1738,28 @@ object SparkEntry {
       val batch = docs.filter(col("doc_id") % 10 === 0)
       val ix = DedupIndex.build(standing, Scratch.dir("d17ix"))
       val before = ix.fingerprints(s).count()
+      val bucketsBefore = ix.buckets(s).count()
+      val setsBefore = ix.shingleSets(s).count()
       val n1new = DedupIndex.screenExact(s, ix, batch)
         .filter(col("is_new")).count()
-      val (nNew, nFps) = DedupIndex.addBatch(s, ix, batch)
+      val (_, nFps) = DedupIndex.addBatch(s, ix, batch)
       val after = ix.fingerprints(s).count()
       val n2new = DedupIndex.screenExact(s, ix, batch)
         .filter(col("is_new")).count()
+      // INDEPENDENT structural evidence that all three tables moved in
+      // lockstep: the appended representatives carry exactly `bands`
+      // bucket rows and one shingle-set row each — counted from the
+      // tables themselves, not from addBatch's own bookkeeping (a gate
+      // that compares a computation with itself can never fail)
+      val lockstep =
+        ix.buckets(s).count() == bucketsBefore + 16L * nFps &&
+        ix.shingleSets(s).count() == setsBefore + nFps
       import s.implicits._
       Seq((before, batch.count(), n1new, nFps, after,
-          n2new == 0L, nNew == n1new, after == before + nFps))
+          n2new == 0L, lockstep, after == before + nFps))
         .toDF("n_index_before", "n_batch", "n_new", "n_fps_added",
           "n_index_after", "rescreen_all_known",
-          "append_matches_screen", "growth_consistent")
+          "tables_in_lockstep", "growth_consistent")
     }),
     "n5_quantize" -> ((s, d) =>
       // int8 scalar quantization + its reconstruction contract; codes
@@ -4097,7 +4102,7 @@ object SparkEntry {
                  ((SELECT count(*) FROM sfp)
                   + (SELECT count(DISTINCT fp) FROM nw))::BIGINT AS n_index_after,
                  true AS rescreen_all_known,
-                 true AS append_matches_screen,
+                 true AS tables_in_lockstep,
                  true AS growth_consistent""",
     "d10_incremental_dedup" ->
       s"""WITH idx AS (SELECT md5($sqlNorm) AS fingerprint, min(doc_id) AS keep_id

@@ -90,16 +90,9 @@ object AnnIndex {
     * change, so pre-round-8 artifacts are never half-read). */
   def ensure(corpus: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
-      val root = rootFor(key)
-      ArtifactGen.currentDir(root) match {
-        case Some(gen) =>
-          load(corpus.sparkSession, gen.toString).copy(key = key)
-        case None =>
-          val gen = ArtifactGen.nextGenDir(root)
-          val built = build(corpus, gen.toString)
-          ArtifactGen.publish(root, gen)
-          built.copy(key = key)
-      }
+      ArtifactGen.resolveOrBuild(rootFor(key),
+        load = dir => load(corpus.sparkSession, dir).copy(key = key),
+        build = dir => build(corpus, dir).copy(key = key))
     })
 
   /** Invalidate a managed artifact: remove `_DONE` AND evict the
@@ -234,10 +227,12 @@ object AnnIndex {
   /** Delete-by-id, the tombstone model [[TextIndex.deleteByQuery]]
     * applies to postings, here for vectors (FAISS `remove_ids` is
     * eager; Lucene-backed ES kNN tombstones like any doc): victim
-    * vec_ids append to a `deletes/` table in O(deleted) work, probes
-    * mask through [[liveView]], and [[purgeDeletes]] is the merge
-    * that drops them from all four index tables. Ids not in the index
-    * are ignored. */
+    * vec_ids append to a `deletes/` table, probes mask through
+    * [[liveView]], and [[purgeDeletes]] is the merge that drops them
+    * from all four index tables. Ids not in the index are ignored.
+    * Cost note as in [[TextIndex.deleteByQuery]]: the append is
+    * O(deleted); the counted-contract membership check is one pruned
+    * id-column pass over the ivf table. */
   def deleteVectors(spark: SparkSession, base: Loaded,
                     ids: DataFrame): Long = {
     val victims = ids.select(col("vec_id"))

@@ -50,14 +50,47 @@ object ArtifactGen {
     * died before publishing is never half-overwritten. */
   def nextGenDir(root: Path): Path = {
     Files.createDirectories(root)
-    val existing = Files.list(root).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("gen-") =>
-        s.stripPrefix("gen-").toIntOption.getOrElse(0)
-      }
-      .foldLeft(0)(math.max)
+    // Files.list keeps a DirectoryStream open until closed — an
+    // unclosed stream leaks one fd per ensure() miss
+    val listing = Files.list(root)
+    val existing =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("gen-") =>
+          s.stripPrefix("gen-").toIntOption.getOrElse(0)
+        }
+        .foldLeft(0)(math.max)
+      finally listing.close()
     root.resolve(s"gen-${existing + 1}")
   }
+
+  /** Recursive delete (deepest-first), stream closed — the shared
+    * lifecycle-reset helper for specs and the s15 gated replay. */
+  def wipe(root: Path): Unit =
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      val paths =
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        finally walk.close()
+      paths.foreach(p => Files.deleteIfExists(p))
+    }
+
+  /** The shared resolve-or-build body of every managed `ensure()`:
+    * resolve `_CURRENT` to a completed generation and `load` it, else
+    * `build` into a FRESH generation and publish it. One
+    * implementation for all three artifact families (text, vector,
+    * dedup) so a lifecycle fix is single-site — the per-family
+    * objects keep only their memo and their table readers. */
+  def resolveOrBuild[L](root: Path, load: String => L,
+                        build: String => L): L =
+    currentDir(root) match {
+      case Some(gen) => load(gen.toString)
+      case None =>
+        val gen = nextGenDir(root)
+        val built = build(gen.toString)
+        publish(root, gen)
+        built
+    }
 
   /** Point `_CURRENT` at `gen` — write-to-tmp + ATOMIC_MOVE, the
     * aliasSwap pattern: readers resolve either the old pointer or the

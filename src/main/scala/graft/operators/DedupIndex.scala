@@ -58,15 +58,9 @@ object DedupIndex {
 
   def ensure(docs: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
-      val root = rootFor(key)
-      ArtifactGen.currentDir(root) match {
-        case Some(gen) => Loaded(gen.toString, key)
-        case None =>
-          val gen = ArtifactGen.nextGenDir(root)
-          val built = build(docs, gen.toString)
-          ArtifactGen.publish(root, gen)
-          built.copy(key = key)
-      }
+      ArtifactGen.resolveOrBuild(rootFor(key),
+        load = dir => Loaded(dir, key),
+        build = dir => build(docs, dir).copy(key = key))
     })
 
   /** The ingest job: fingerprint, signature-band, and shingle the
@@ -110,21 +104,45 @@ object DedupIndex {
     * added). */
   def addBatch(spark: SparkSession, ix: Loaded,
                batch: DataFrame): (Long, Long) = {
-    val screened = screenExact(spark, ix, batch)
-    val survivors = batch.join(
-      screened.filter(col("is_new")).select(col("doc_id")), Seq("doc_id"),
-      "left_semi")
-    val newFps = Dedup.exact(survivors)
+    // MATERIALIZE the screening verdict to scratch parquet before
+    // anything consumes it, for two reasons. (1) Cost: without a
+    // stable snapshot, the two counts and the three appends each
+    // re-run the batch normalization + screening + the
+    // standing-fingerprint anti-join (~5 redundant O(batch) passes in
+    // the daily loop). (2) CORRECTNESS under lazy re-evaluation: the
+    // first append below writes INTO the very fingerprints table the
+    // screening plan reads — a later consumer that re-evaluated the
+    // screening after that append (memory-cache eviction recomputes;
+    // a fresh file listing then sees the appended rows) would find
+    // every survivor "already known" and silently append EMPTY bucket
+    // and shingle tables. A parquet snapshot is immune to both: the
+    // downstream appends replay fixed files, never the live query.
+    val scratch = graft.Scratch.dir("dedupAddBatch")
+    Dedup.exact(batch.join(
+        screenExact(spark, ix, batch)
+          .filter(col("is_new")).select(col("doc_id")), Seq("doc_id"),
+        "left_semi"))
       .select(col("fingerprint"), col("keep_id"))
       .join(ix.fingerprints(spark).select(col("fingerprint")),
         Seq("fingerprint"), "left_anti")
+      .write.parquet(s"$scratch/newfps")
+    val newFps = spark.read.parquet(s"$scratch/newfps")
     // one representative per new fingerprint enters every table: the
     // standing index stores the kept corpus, not raw arrivals
-    val kept = survivors.join(
+    val kept = batch.join(
       newFps.select(col("keep_id").as("doc_id")), Seq("doc_id"),
       "left_semi")
     val nFps = newFps.count()
-    val nNew = survivors.count()
+    // survivors (docs that screened new) = distinct batch docs whose
+    // fingerprint is newly added OR duplicates-within-batch of one —
+    // recovered from the snapshot so no second screening pass runs
+    val nNew = batch
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.md5(
+          Dedup.normalize(col("text"))).as("fp"))
+      .join(newFps.select(col("fingerprint").as("fp")), Seq("fp"),
+        "left_semi")
+      .count()
     try {
       newFps.write.mode("append").parquet(s"${ix.dir}/fingerprints")
       Dedup.bandBuckets(kept)

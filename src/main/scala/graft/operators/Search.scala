@@ -642,7 +642,6 @@ object Search {
           .orderBy(col("c").desc, col("term"))))
       .filter(col("rk") <= shardSize)
       .select(col("shard"), col("term"), col("c"))
-      .persist()
     val shardMin = kept.groupBy(col("shard"))
       .agg(min(col("c")).as("minc"), count(lit(1)).as("n_kept"))
       .select(col("shard"),
@@ -657,20 +656,18 @@ object Search {
       .join(kept.select(col("shard"), col("term")),
         Seq("shard", "term"), "left_anti")
       .groupBy(col("term")).agg(sum(col("smin")).as("err"))
-    val out = top.join(err, Seq("term"), "left")
+    // `kept` appears three times in the final plan (shardMin, top,
+    // the anti-join). It is deliberately NOT persisted: a persist
+    // here either leaks one cache entry per invocation (lazy return)
+    // or forces eager execution at construction (collect-and-release)
+    // — instead the three occurrences share one identical exchange
+    // subtree, which Spark's ReuseExchange computes once (locked by
+    // EsSurfaceSpec); the frame itself is ≤ S·shardSize rows, exactly
+    // the bounded shard responses the ES coordinator holds.
+    top.join(err, Seq("term"), "left")
       .select(col("term"), col("doc_count"),
         coalesce(col("err"), lit(0L)).as("doc_count_error_upper_bound"))
       .orderBy(col("doc_count").desc, col("term"))
-    // the output is the coordinator's merged response — topSize rows —
-    // so materialize it eagerly and RELEASE the persisted shard
-    // responses: a lazily-returned plan would pin `kept` in the block
-    // manager for the session lifetime (one leaked cache entry per
-    // invocation across repeated bench/verify passes)
-    try {
-      import scala.jdk.CollectionConverters._
-      postings.sparkSession.createDataFrame(
-        out.collect().toSeq.asJava, out.schema)
-    } finally kept.unpersist(blocking = false)
   }
 
   /** ES match_phrase served FROM THE POSITIONAL INDEX — Lucene's

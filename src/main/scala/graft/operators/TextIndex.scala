@@ -80,15 +80,9 @@ object TextIndex {
     * artifacts are never half-read). */
   def ensure(docs: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
-      val root = rootFor(key)
-      ArtifactGen.currentDir(root) match {
-        case Some(gen) => Loaded(gen.toString, key)
-        case None =>
-          val gen = ArtifactGen.nextGenDir(root)
-          val built = build(docs, gen.toString)
-          ArtifactGen.publish(root, gen)
-          built.copy(key = key)
-      }
+      ArtifactGen.resolveOrBuild(rootFor(key),
+        load = dir => Loaded(dir, key),
+        build = dir => build(docs, dir).copy(key = key))
     })
 
   /** Invalidate a managed artifact: remove its `_DONE` marker (so the
@@ -242,13 +236,20 @@ object TextIndex {
   }
 
   /** Delete-by-query, the Lucene TOMBSTONE model: deletion appends the
-    * victim doc ids to a `deletes/` table (O(deleted) work — the
-    * live-docs bitmap Lucene keeps per segment; postings are NOT
-    * rewritten), queries mask tombstoned docs at read time
-    * ([[liveView]]), and [[purgeDeletes]] is the merge that physically
-    * drops them. Returns the number of newly tombstoned docs. Ids not
-    * in the index are ignored (deleting an absent doc is a no-op, as
-    * in ES delete_by_query). */
+    * victim doc ids to a `deletes/` table (the live-docs bitmap Lucene
+    * keeps per segment; postings are NOT rewritten), queries mask
+    * tombstoned docs at read time ([[liveView]]), and [[purgeDeletes]]
+    * is the merge that physically drops them. Returns the number of
+    * newly tombstoned docs. Ids not in the index are ignored (deleting
+    * an absent doc is a no-op, as in ES delete_by_query).
+    *
+    * Cost, honestly: the APPEND is O(deleted), but the
+    * live-membership check behind the returned count reads the
+    * doclen id column (one pruned columnar pass over the corpus) —
+    * the same corpus read ES's delete_by_query pays to find its
+    * victims. A count-free pipeline can append tombstones blindly
+    * (liveView's anti-join ignores absent/duplicate ids) and skip
+    * that pass; the counted contract is what the gate verifies. */
   def deleteByQuery(spark: SparkSession, base: Loaded,
                     ids: DataFrame): Long = {
     val victims = ids.select(col("doc_id"))
@@ -285,9 +286,12 @@ object TextIndex {
   def purgeDeletes(spark: SparkSession, base: Loaded): Loaded = {
     val delDir = java.nio.file.Paths.get(base.dir, "deletes")
     if (!java.nio.file.Files.exists(delDir)) return base
-    // re-select the original column order: the anti-join leads with
-    // its key, and a purged artifact must keep the exact layout a
-    // fresh build writes (schema-identical generations)
+    // re-select the original column order: a using-column anti-join
+    // moves the join key to the FRONT of the output (observed: purged
+    // postings came back (doc_id, term, ...) without this), and a
+    // purged artifact must keep the exact layout a fresh build writes
+    // (schema-identical generations). The AnnIndex tables don't need
+    // it only because vec_id already leads every one of them.
     val pCols = base.postings(spark).columns.map(col).toSeq
     swapIn(spark, base, "postings",
       liveView(spark, base, base.postings(spark))

@@ -193,16 +193,26 @@ object Sink {
     * the last batch itself triggered the roll. */
   def rollover(spark: SparkSession, baseDir: String,
                batches: Seq[DataFrame], maxDocs: Long): DataFrame = {
+    require(batches.nonEmpty, "rollover needs at least one batch")
     var cur = 1
-    aliasSwap(baseDir, cur)
     val counts = scala.collection.mutable.LinkedHashMap(1 -> 0L)
+    var aliasLive = false
     batches.foreach { b =>
       val n = b.count()
       b.write.mode("append").parquet(s"$baseDir/v$cur")
+      // the alias NEVER points at a directory that doesn't exist yet:
+      // it goes live only after the first write lands (the s14
+      // write-then-flip discipline) ...
+      if (!aliasLive) { aliasSwap(baseDir, cur); aliasLive = true }
       counts(cur) = counts(cur) + n
       if (counts(cur) >= maxDocs) {
         cur += 1
         counts(cur) = 0L
+        // ... and a roll CREATES the new write index before flipping,
+        // exactly as ES's rollover API does — an empty schema-carrying
+        // segment, so a reader through the alias between the roll and
+        // the next batch sees an empty index, never a dangling path
+        b.limit(0).write.mode("append").parquet(s"$baseDir/v$cur")
         aliasSwap(baseDir, cur)
       }
     }

@@ -80,9 +80,13 @@ object IndexStream {
     * then ONE scheduled [[TextIndex.purgeDeletes]] merge makes them
     * physical. This is exactly ES's shape: delete_by_query requests
     * tombstone as they arrive; segment merges reclaim on their own
-    * cadence — the deletion stream never triggers corpus-sized work.
-    * Returns the purged index, the number of non-empty request
-    * batches, and the total docs tombstoned. */
+    * cadence — the deletion stream never REWRITES the index
+    * (per-batch work is the tombstone append plus the counted
+    * contract's id-column membership pass — see the
+    * [[TextIndex.deleteByQuery]] cost note; the one corpus-sized
+    * rewrite is the single scheduled purge). Returns the purged
+    * index, the number of non-empty request batches, and the total
+    * docs tombstoned. */
   def runDeleteIngest(spark: SparkSession, dir: String,
                       nSplits: Int = 2): (TextIndex.Loaded, Long, Long) = {
     import org.apache.spark.sql.functions.col

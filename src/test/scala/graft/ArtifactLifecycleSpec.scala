@@ -14,12 +14,7 @@ class ArtifactLifecycleSpec extends SparkSpec {
   import spark.implicits._
 
   private def wipe(root: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    graft.operators.ArtifactGen.wipe(root)
 
   test("text index: rebuild publishes a fresh generation; stale reader stays wholly-old") {
     val key = "lifecycle-spec-text"

@@ -241,5 +241,20 @@ class EsSurfaceSpec extends SparkSpec {
     out.foreach { case (t, n, e) =>
       assert(n + e >= truth(t), s"$t bound fails to cover the truth")
     }
+    // the kept frame appears three times in the plan and is NOT
+    // persisted (a cache pin here would leak per invocation, an eager
+    // collect would break laziness); the three occurrences must share
+    // ONE computed exchange — ReuseExchange is the mechanism, locked
+    // here so a plan change that silently recomputes the shard
+    // responses three times fails loudly. (AQE's pre-execution plan
+    // string hides the reuse markers, so assert with AQE off — the
+    // adaptive path reuses shuffle stages by the same identity.)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Search.termsShardError(postings, nShards = 4,
+        shardSize = 2, topSize = 3).queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }

@@ -101,5 +101,11 @@ class SinkSpec extends SparkSpec {
       .toList
     assert(out2 == List(("v1", 5L, false), ("v2", 0L, true)))
     assert(Sink.aliasVersion(base2) == "v2")
+    // the alias is READABLE immediately after the roll: the fresh
+    // write index exists as an empty schema-carrying segment — a
+    // dangling pointer here would crash every reader between a roll
+    // and the next batch's arrival
+    assert(Sink.aliasRead(spark, base2).count() == 0)
+    assert(Sink.aliasRead(spark, base2).columns.toSeq == Seq("id"))
   }
 }
