@@ -1747,12 +1747,14 @@ object SparkEntry {
       val n2new = DedupIndex.screenExact(s, ix, batch)
         .filter(col("is_new")).count()
       // INDEPENDENT structural evidence that all three tables moved in
-      // lockstep: the appended representatives carry exactly `bands`
-      // bucket rows and one shingle-set row each — counted from the
-      // tables themselves, not from addBatch's own bookkeeping (a gate
-      // that compares a computation with itself can never fail)
+      // lockstep: the appended representatives carry exactly
+      // Dedup.Bands bucket rows and one shingle-set row each — counted
+      // from the tables themselves, not from addBatch's own
+      // bookkeeping (a gate that compares a computation with itself
+      // can never fail)
       val lockstep =
-        ix.buckets(s).count() == bucketsBefore + 16L * nFps &&
+        ix.buckets(s).count() ==
+          bucketsBefore + Dedup.Bands.toLong * nFps &&
         ix.shingleSets(s).count() == setsBefore + nFps
       import s.implicits._
       Seq((before, batch.count(), n1new, nFps, after,

@@ -25,6 +25,14 @@ import graft.functions.Analyzers
   */
 object Dedup {
 
+  /** LSH banding defaults shared by every MinHash surface (signature
+    * width and band count; rows per band = NumHashes / Bands). d17's
+    * lockstep gate derives its buckets-per-representative multiplier
+    * from [[Bands]] — tune the S-curve HERE, never by editing a
+    * call-site literal. */
+  val NumHashes = 64
+  val Bands = 16
+
   /** Canonical text normalization used by every dedup variant:
     * lowercase, collapse whitespace, trim. */
   def normalize(c: Column): Column =
@@ -117,8 +125,8 @@ object Dedup {
     * its standing index (new batches append their rows after
     * screening). */
   def bandBuckets(docs: DataFrame, textCol: String = "text",
-                  idCol: String = "doc_id", numHashes: Int = 64,
-                  bands: Int = 16): DataFrame = {
+                  idCol: String = "doc_id", numHashes: Int = NumHashes,
+                  bands: Int = Bands): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignatures(docs, textCol, idCol, numHashes)
     sigs.select(col("id"),
@@ -129,8 +137,8 @@ object Dedup {
   }
 
   def minhashPairs(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id", numHashes: Int = 64,
-                   bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                   idCol: String = "doc_id", numHashes: Int = NumHashes,
+                   bands: Int = Bands, threshold: Double = 0.5): DataFrame = {
     val buckets = bandBuckets(docs, textCol, idCol, numHashes, bands)
     val a = buckets.as("a")
     val b = buckets.as("b")
@@ -283,8 +291,8 @@ object Dedup {
   def incrementalMinhash(newDocs: DataFrame, standingIndex: DataFrame,
                          standingSets: DataFrame,
                          textCol: String = "text",
-                         idCol: String = "doc_id", numHashes: Int = 64,
-                         bands: Int = 16,
+                         idCol: String = "doc_id", numHashes: Int = NumHashes,
+                         bands: Int = Bands,
                          threshold: Double = 0.5): DataFrame = {
     val standIdx = standingIndex
       .select(col("id").as("old_id"), col("band"), col("bucket"))

@@ -100,8 +100,11 @@ object DedupIndex {
     * duplicates collapse to one survivor). A failure partway tears
     * the artifact — `_DONE` removed and the memo evicted so the next
     * ensure() rebuilds a fresh generation, the [[TextIndex]]
-    * discipline. Returns (batch docs that screened new, fingerprints
-    * added). */
+    * discipline. Returns (batch docs whose fingerprint entered the
+    * index, fingerprints added); NULL-text docs are excluded from
+    * both — they are unindexable by content (see the in-body note)
+    * and re-screen as arrivals every delivery, matching d10's oracle
+    * semantics. */
   def addBatch(spark: SparkSession, ix: Loaded,
                batch: DataFrame): (Long, Long) = {
     // MATERIALIZE the screening verdict to scratch parquet before
@@ -118,44 +121,57 @@ object DedupIndex {
     // and shingle tables. A parquet snapshot is immune to both: the
     // downstream appends replay fixed files, never the live query.
     val scratch = graft.Scratch.dir("dedupAddBatch")
-    Dedup.exact(batch.join(
-        screenExact(spark, ix, batch)
-          .filter(col("is_new")).select(col("doc_id")), Seq("doc_id"),
-        "left_semi"))
-      .select(col("fingerprint"), col("keep_id"))
-      .join(ix.fingerprints(spark).select(col("fingerprint")),
-        Seq("fingerprint"), "left_anti")
-      .write.parquet(s"$scratch/newfps")
-    val newFps = spark.read.parquet(s"$scratch/newfps")
-    // one representative per new fingerprint enters every table: the
-    // standing index stores the kept corpus, not raw arrivals
-    val kept = batch.join(
-      newFps.select(col("keep_id").as("doc_id")), Seq("doc_id"),
-      "left_semi")
-    val nFps = newFps.count()
-    // survivors (docs that screened new) = distinct batch docs whose
-    // fingerprint is newly added OR duplicates-within-batch of one —
-    // recovered from the snapshot so no second screening pass runs
-    val nNew = batch
-      .select(col("doc_id"),
-        org.apache.spark.sql.functions.md5(
-          Dedup.normalize(col("text"))).as("fp"))
-      .join(newFps.select(col("fingerprint").as("fp")), Seq("fp"),
-        "left_semi")
-      .count()
     try {
-      newFps.write.mode("append").parquet(s"${ix.dir}/fingerprints")
-      Dedup.bandBuckets(kept)
-        .write.mode("append").parquet(s"${ix.dir}/buckets")
-      Dedup.withHashedShingleSet(kept)
-        .write.mode("append").parquet(s"${ix.dir}/shingle_sets")
-    } catch {
-      case e: Throwable =>
-        invalidate(ix)
-        throw new IllegalStateException(
-          s"partial batch append into ${ix.dir} — artifact invalidated " +
-            "(_DONE removed, memo evicted), next ensure() rebuilds", e)
-    }
-    (nNew, nFps)
+      Dedup.exact(batch.join(
+          screenExact(spark, ix, batch)
+            .filter(col("is_new")).select(col("doc_id")), Seq("doc_id"),
+          "left_semi"))
+        .select(col("fingerprint"), col("keep_id"))
+        .join(ix.fingerprints(spark).select(col("fingerprint")),
+          Seq("fingerprint"), "left_anti")
+        // a NULL-text doc has a NULL fingerprint, which can never
+        // match under SQL join semantics — on BOTH engines (d10's
+        // oracle agrees): it would screen "new" on every delivery and
+        // re-append forever, breaking idempotence. Such docs are
+        // unindexable by content; they stay perpetual arrivals and
+        // never enter the standing index.
+        .filter(col("fingerprint").isNotNull)
+        .write.parquet(s"$scratch/newfps")
+      val newFps = spark.read.parquet(s"$scratch/newfps")
+      // one representative per new fingerprint enters every table: the
+      // standing index stores the kept corpus, not raw arrivals
+      val kept = batch.join(
+        newFps.select(col("keep_id").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      val nFps = newFps.count()
+      // docs whose fingerprint entered the index (newly added, or an
+      // intra-batch duplicate of one) — recovered from the snapshot so
+      // no second screening pass runs
+      val nNew = batch
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.md5(
+            Dedup.normalize(col("text"))).as("fp"))
+        .join(newFps.select(col("fingerprint").as("fp")), Seq("fp"),
+          "left_semi")
+        .count()
+      try {
+        newFps.write.mode("append").parquet(s"${ix.dir}/fingerprints")
+        Dedup.bandBuckets(kept)
+          .write.mode("append").parquet(s"${ix.dir}/buckets")
+        Dedup.withHashedShingleSet(kept)
+          .write.mode("append").parquet(s"${ix.dir}/shingle_sets")
+      } catch {
+        case e: Throwable =>
+          invalidate(ix)
+          throw new IllegalStateException(
+            s"partial batch append into ${ix.dir} — artifact invalidated " +
+              "(_DONE removed, memo evicted), next ensure() rebuilds", e)
+      }
+      (nNew, nFps)
+    } finally
+      // the snapshot is consumed once the appends land; a long-lived
+      // ingest service calling this daily must not accumulate one
+      // scratch dir per batch until JVM exit
+      ArtifactGen.wipe(java.nio.file.Paths.get(scratch))
   }
 }

@@ -624,9 +624,11 @@ object Search {
     * Scale shape: `postings` is one row per (term, doc_id) — one
     * map-side-combined shuffle on (shard, term); everything after
     * operates on the term DICTIONARY (|terms|×S rows), never the
-    * corpus, and the kept frame is persisted once at ≤ S·shardSize
-    * rows — exactly the bounded shard RESPONSES the ES coordinator
-    * holds in memory. */
+    * corpus; the kept frame — ≤ S·shardSize rows, exactly the bounded
+    * shard RESPONSES the ES coordinator holds in memory — appears
+    * three times in the plan and is computed ONCE via ReuseExchange
+    * (deliberately NOT persisted: see the in-body note; spec-locked).
+    */
   def termsShardError(postings: DataFrame, nShards: Int = 4,
                       shardSize: Int = 10, topSize: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

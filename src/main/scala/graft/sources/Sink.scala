@@ -190,7 +190,10 @@ object Sink {
     *
     * Returns one row per generation: (index_name, n_docs,
     * is_write_index) — including a trailing EMPTY write index when
-    * the last batch itself triggered the roll. */
+    * the last batch itself triggered the roll. Requires ≥ 1 batch:
+    * with nothing ever written there is no index to alias, and a
+    * pointer to a nonexistent v1 is exactly the dangling-alias state
+    * this method exists to prevent. */
   def rollover(spark: SparkSession, baseDir: String,
                batches: Seq[DataFrame], maxDocs: Long): DataFrame = {
     require(batches.nonEmpty, "rollover needs at least one batch")
