@@ -58,13 +58,19 @@ class AsOfSpec extends SparkSpec {
       .toDF("name", "s0", "e0")
       .select(col("name"), timestamp_seconds(col("s0")).as("s"),
         timestamp_seconds(col("e0")).as("e"))
-    val out = AsOf.rangeJoin(fact, "ts", dim, "s", "e",
-        struct(col("name")), 60L, endInclusive = true)
+    def run(bin: Long) = AsOf.rangeJoin(fact, "ts", dim, "s", "e",
+        struct(col("name")), bin, endInclusive = true)
       .select(unix_timestamp(col("ts")).as("t"), col("range.name"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(out == Set(
+    val expected = Set(
       (100L, "i"), (200L, "i"),  // BETWEEN keeps the end instant...
-      (300L, "pt")))             // ...and a start=end point interval is valid
+      (300L, "pt"))              // ...and a start=end point interval is valid
+    // bucketing is purely an access path in this mode too: the result
+    // must not depend on where bin boundaries fall relative to the
+    // inclusive end instants
+    Seq(7L, 60L, 100L, 10000L).foreach { bin =>
+      assert(run(bin) == expected, s"bin=$bin drifted")
+    }
   }
 
   test("a fact frame carrying a scratch/output column fails loudly") {
