@@ -636,13 +636,34 @@ object SparkEntry {
       val resolved = TextIndex.ensure(docs, key)
       def gen(l: TextIndex.Loaded): Long =
         l.dir.split("gen-").last.toLong
-      def view(phase: String, l: TextIndex.Loaded) =
-        l.doclen(s).agg(count(lit(1)).as("n_docs"))
-          .select(lit(phase).as("phase"), lit(gen(l)).as("generation"),
-            col("n_docs"))
-      view("1_stale", a)
-        .unionByName(view("2_live", b))
-        .unionByName(view("3_resolved", resolved))
+      // counts taken EAGERLY: phase 5's gc sweeps gen-1, so a lazy
+      // gen-1 read deferred to collect time would read a deleted dir
+      // (lesson 13 — never defer reads across your own mutations)
+      val staleCount = a.doclen(s).count()    // gen-1, read AFTER the
+                                              // gen-2 rebuild: whole
+      val liveCount = b.doclen(s).count()
+      val resolvedCount = resolved.doclen(s).count()
+      // second rebuild (gen-3), then the keep-last-K janitor: gen-1
+      // is swept, gen-2 is the retained rollback window, gen-3 live
+      TextIndex.invalidate(resolved)
+      val c = TextIndex.ensure(docs, key)
+      val rebuiltCount = c.doclen(s).count()
+      val swept = ArtifactGen.gc(root, keepLast = 2)
+      TextIndex.evictMemo(key)
+      val afterGc = TextIndex.ensure(docs, key)
+      val gcOk = swept.map(_.getFileName.toString) == Seq("gen-1") &&
+        !java.nio.file.Files.exists(root.resolve("gen-1")) &&
+        java.nio.file.Files.exists(root.resolve("gen-2")) &&
+        gen(afterGc) == 3L
+      val gcCount = if (gcOk) afterGc.doclen(s).count() else -1L
+      import s.implicits._
+      Seq(
+        ("1_stale", gen(a), staleCount),
+        ("2_live", gen(b), liveCount),
+        ("3_resolved", gen(resolved), resolvedCount),
+        ("4_rebuilt", gen(c), rebuiltCount),
+        ("5_gc", gen(afterGc), gcCount))
+        .toDF("phase", "generation", "n_docs")
         .orderBy(col("phase"))
     }),
     "d15_keep_best_dedup" -> ((s, d) => {
@@ -3564,6 +3585,10 @@ object SparkEntry {
          SELECT '2_live', 2::BIGINT, count(*)::BIGINT FROM documents
          UNION ALL
          SELECT '3_resolved', 2::BIGINT, count(*)::BIGINT FROM documents
+         UNION ALL
+         SELECT '4_rebuilt', 3::BIGINT, count(*)::BIGINT FROM documents
+         UNION ALL
+         SELECT '5_gc', 3::BIGINT, count(*)::BIGINT FROM documents
          ORDER BY phase""",
     // d15: the d8 recursive component closure, but the survivor per
     // component is the longest member (tie → smaller id) instead of

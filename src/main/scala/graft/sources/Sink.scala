@@ -201,8 +201,15 @@ object Sink {
     val counts = scala.collection.mutable.LinkedHashMap(1 -> 0L)
     var aliasLive = false
     batches.foreach { b =>
-      val n = b.count()
-      b.write.mode("append").parquet(s"$baseDir/v$cur")
+      // the batch count rides the SAME pass that writes it (observe's
+      // accumulator fires on the written rows): one computation per
+      // batch, and the tally can never diverge from what landed on
+      // disk even for a nondeterministic source — the round-8 advisor
+      // finding on the count()-then-write double-compute
+      val obs = org.apache.spark.sql.Observation()
+      b.observe(obs, count(lit(1)).as("n"))
+        .write.mode("append").parquet(s"$baseDir/v$cur")
+      val n = obs.get("n").asInstanceOf[Long]
       // the alias NEVER points at a directory that doesn't exist yet:
       // it goes live only after the first write lands (the s14
       // write-then-flip discipline) ...
@@ -251,4 +258,44 @@ object Sink {
   /** Read through the alias. */
   def aliasRead(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.parquet(s"$baseDir/${aliasVersion(baseDir)}")
+
+  /** Keep-last-K sweep over an alias/rollover family's `v*` dirs —
+    * the retention step of the ES ILM lifecycle (`delete` phase):
+    * generations strictly older than the alias target are dropped
+    * whole (never a delete-by-query against a monolith), retaining
+    * the live version, `keepLast - 1` of its newest predecessors as
+    * the rollback window, and every version NEWER than live (a
+    * reindex in flight toward a future swap is never swept). With no
+    * readable `_alias` nothing is deleted. All filesystem traffic
+    * goes through the Hadoop `FileSystem` that wrote the data — the
+    * same-FS discipline the advisor flagged for the deletes-dir
+    * probes. Returns the deleted version names. */
+  def gcVersions(spark: SparkSession, baseDir: String,
+                 keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 1, "keepLast must retain at least the live version")
+    val aliasPath = java.nio.file.Paths.get(baseDir, "_alias")
+    if (!java.nio.file.Files.exists(aliasPath)) return Seq.empty
+    val liveOpt = aliasVersion(baseDir).trim.stripPrefix("v").toIntOption
+    liveOpt match {
+      case None => Seq.empty
+      case Some(live) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val base = new org.apache.hadoop.fs.Path(baseDir)
+        if (!fs.exists(base)) return Seq.empty
+        val versions = fs.listStatus(base).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .collect { case s if s.startsWith("v") =>
+            s.stripPrefix("v").toIntOption
+          }
+          .flatten
+        versions.filter(_ < live).sorted(Ordering[Int].reverse)
+          .drop(keepLast - 1)
+          .map { v =>
+            fs.delete(new org.apache.hadoop.fs.Path(base, s"v$v"), true)
+            s"v$v"
+          }
+    }
+  }
 }

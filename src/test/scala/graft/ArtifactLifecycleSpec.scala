@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{AnnIndex, TextIndex}
+import scala.jdk.CollectionConverters._
 
 /** The generation-pointer artifact lifecycle (operators.ArtifactGen):
   * a rebuild of the SAME corpus version — e.g. after a torn-append
@@ -74,5 +75,104 @@ class ArtifactLifecycleSpec extends SparkSpec {
 
     AnnIndex.evictMemo(key)
     assert(AnnIndex.ensure(corpus, key).dir == b.dir)
+  }
+
+  test("generation claim is atomic: two racing builders get distinct dirs and a consistent _CURRENT") {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.ArtifactGen
+    // Two "JVMs": resolveOrBuild called directly (the per-family memo
+    // deliberately bypassed — that is exactly what a second process
+    // looks like). The barrier inside build() guarantees both racers
+    // are PAST their claim before either publishes, i.e. the exact
+    // interleaving that used to put both builders into one gen dir.
+    val root = Files.createTempDirectory("graft_gen_race")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val dirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def racer(tag: String): Thread = {
+      val t = new Thread(() =>
+        try {
+          val built = ArtifactGen.resolveOrBuild[String](root,
+            load = dir => dir,
+            build = { dir =>
+              barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+              Files.write(Paths.get(dir, "payload.txt"),
+                tag.getBytes("UTF-8"))
+              Files.write(Paths.get(dir, "_DONE"), Array.empty[Byte])
+              dir
+            })
+          dirs.add(built); ()
+        } catch { case e: Throwable => errs.add(e); () })
+      t.start(); t
+    }
+    val threads = Seq(racer("racer-a"), racer("racer-b"))
+    threads.foreach(_.join(30000))
+    assert(errs.isEmpty, s"racer failed: ${errs.asScala.toSeq}")
+    val built = dirs.asScala.toSeq.sorted
+    assert(built.size == 2 && built.distinct.size == 2,
+      s"each racer must claim its OWN generation dir: $built")
+    // neither directory is torn: each holds exactly its owner's file
+    built.foreach { d =>
+      val payload = new String(
+        Files.readAllBytes(Paths.get(d, "payload.txt")), "UTF-8")
+      assert(payload.startsWith("racer-"), payload)
+      assert(Files.exists(Paths.get(d, "_DONE")))
+    }
+    // _CURRENT resolves to one COMPLETE generation (last publisher
+    // wins; both candidates are individually whole, so either is a
+    // consistent outcome)
+    val current = ArtifactGen.currentDir(root)
+    assert(current.isDefined && built.contains(current.get.toString),
+      s"_CURRENT must name one of the racers' dirs: $current vs $built")
+    ArtifactGen.wipe(root)
+  }
+
+  test("gc keeps the live generation, the rollback window, and in-flight builds; sweeps the rest") {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.ArtifactGen
+    val root = Files.createTempDirectory("graft_gen_gc")
+    def mkGen(n: Int, done: Boolean): Unit = {
+      val d = root.resolve(s"gen-$n")
+      Files.createDirectories(d)
+      Files.write(d.resolve("data.txt"), s"g$n".getBytes("UTF-8"))
+      if (done) Files.write(d.resolve("_DONE"), Array.empty[Byte])
+      ()
+    }
+    // gen-1..gen-3 complete, live = gen-3, gen-4 claimed but still
+    // building (no _DONE) — the in-flight racer gc must never touch
+    (1 to 3).foreach(mkGen(_, done = true))
+    mkGen(4, done = false)
+    ArtifactGen.publish(root, root.resolve("gen-3"))
+
+    val swept = ArtifactGen.gc(root, keepLast = 2)
+    assert(swept.map(_.getFileName.toString) == Seq("gen-1"), swept)
+    assert(!Files.exists(root.resolve("gen-1")), "gen-1 must be swept")
+    assert(Files.exists(root.resolve("gen-2")), "rollback gen retained")
+    assert(Files.exists(root.resolve("gen-3")), "live gen retained")
+    assert(Files.exists(root.resolve("gen-4")), "in-flight build retained")
+    // the pointer never dangles: it still resolves to the live gen
+    assert(ArtifactGen.currentDir(root).map(_.getFileName.toString)
+      .contains("gen-3"))
+    // idempotent: nothing older remains
+    assert(ArtifactGen.gc(root, keepLast = 2).isEmpty)
+    // keepLast=1 drops the rollback window too
+    assert(ArtifactGen.gc(root, keepLast = 1)
+      .map(_.getFileName.toString) == Seq("gen-2"))
+    ArtifactGen.wipe(root)
+  }
+
+  test("gc with no resolvable _CURRENT deletes nothing") {
+    import java.nio.file.Files
+    import graft.operators.ArtifactGen
+    val root = Files.createTempDirectory("graft_gen_gc_nocur")
+    val d = root.resolve("gen-1")
+    Files.createDirectories(d)
+    // no _CURRENT at all
+    assert(ArtifactGen.gc(root).isEmpty && Files.exists(d))
+    // _CURRENT present but its target has no _DONE (torn build):
+    // still no sweep — gc must not eat the only complete candidate
+    ArtifactGen.publish(root, d)
+    assert(ArtifactGen.gc(root).isEmpty && Files.exists(d))
+    ArtifactGen.wipe(root)
   }
 }

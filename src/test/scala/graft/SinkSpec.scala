@@ -108,4 +108,37 @@ class SinkSpec extends SparkSpec {
     assert(Sink.aliasRead(spark, base2).count() == 0)
     assert(Sink.aliasRead(spark, base2).columns.toSeq == Seq("id"))
   }
+
+  test("gcVersions: sweeps old generations, keeps live + rollback + in-flight; alias never dangles") {
+    import spark.implicits._
+    def batch(ids: Range) = ids.map(_.toLong).toDF("id")
+    val base = Scratch.dir("rollgc")
+    // four 5-row batches at maxDocs=5: every batch tips its write
+    // index → v1..v4 full, v5 the trailing empty write index (live)
+    Sink.rollover(spark, base,
+      Seq(batch(1 to 5), batch(6 to 10), batch(11 to 15), batch(16 to 20)),
+      maxDocs = 5)
+    assert(Sink.aliasVersion(base) == "v5")
+    // a reindex in flight toward a FUTURE swap (written, not flipped)
+    Sink.aliasWriteVersion(batch(100 to 101), base, 7)
+
+    val swept = Sink.gcVersions(spark, base, keepLast = 2)
+    assert(swept == Seq("v3", "v2", "v1"), swept)
+    def exists(v: Int) = new java.io.File(s"$base/v$v").exists()
+    assert(!exists(1) && !exists(2) && !exists(3), "old gens swept")
+    assert(exists(4), "rollback predecessor retained")
+    assert(exists(5), "live version retained")
+    assert(exists(7), "in-flight future reindex retained")
+    // the alias still resolves and reads
+    assert(Sink.aliasVersion(base) == "v5")
+    assert(Sink.aliasRead(spark, base).count() == 0)
+    // idempotent
+    assert(Sink.gcVersions(spark, base, keepLast = 2).isEmpty)
+
+    // no alias on disk → nothing is ever deleted
+    val base2 = Scratch.dir("rollgc2")
+    Sink.aliasWriteVersion(batch(1 to 3), base2, 1)
+    assert(Sink.gcVersions(spark, base2).isEmpty)
+    assert(new java.io.File(s"$base2/v1").exists())
+  }
 }
