@@ -485,6 +485,16 @@ object SparkEntry {
       Search.msearchBm25(s, textIndexFor(s, d),
         Seq(("q_merge", "merge"), ("q_spark", "spark"),
           ("q_window", "window")), k = 5)),
+    "f20_msearch_multi" -> ((s, d) =>
+      // the real _msearch shape: each batched query a multi-term OR
+      // (searchBm25Indexed semantics), the whole batch one pushed
+      // term-IN postings read + a broadcast (term, df) dictionary
+      // slice — constant-width rows at ANY batch size, where the
+      // when-chain predecessor hit codegen's 64 KB method limit
+      // (Search.msearchBm25Multi scaladoc)
+      Search.msearchBm25Multi(s, textIndexFor(s, d),
+        Seq(("q_ms", Seq("merge", "spark")),
+          ("q_wt", Seq("window", "table"))), k = 5)),
     "x29_model_filter" -> ((s, d) => {
       // model-based quality filtering with FROZEN weights — the
       // fasttext-classifier stage of curation pipelines (vs x2's
@@ -3495,6 +3505,47 @@ object SparkEntry {
                        round(ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) *
                              (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)), 6)
                 FROM p, s WHERE tf2 > 0),
+          r AS (SELECT query_id, doc_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id)::BIGINT AS rank
+                FROM u)
+          SELECT query_id, doc_id, score, rank FROM r
+          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "f20_msearch_multi" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(toks)::INT AS len,
+                       len(list_filter(toks, x -> x = 'merge'))::INT AS tf0,
+                       len(list_filter(toks, x -> x = 'spark'))::INT AS tf1,
+                       len(list_filter(toks, x -> x = 'window'))::INT AS tf2,
+                       len(list_filter(toks, x -> x = 'table'))::INT AS tf3
+                FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2,
+                       sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df3
+                FROM p),
+          u AS (SELECT 'q_ms' AS query_id, doc_id,
+                       round((CASE WHEN tf0 > 0
+                                   THEN ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) *
+                                        (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                                   ELSE 0.0 END) +
+                             (CASE WHEN tf1 > 0
+                                   THEN ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) *
+                                        (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                                   ELSE 0.0 END), 6) AS score
+                FROM p, s WHERE tf0 > 0 OR tf1 > 0
+                UNION ALL
+                SELECT 'q_wt', doc_id,
+                       round((CASE WHEN tf2 > 0
+                                   THEN ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) *
+                                        (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                                   ELSE 0.0 END) +
+                             (CASE WHEN tf3 > 0
+                                   THEN ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) *
+                                        (tf3 * 2.2) / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                                   ELSE 0.0 END), 6) AS score
+                FROM p, s WHERE tf2 > 0 OR tf3 > 0),
           r AS (SELECT query_id, doc_id, score,
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY score DESC, doc_id)::BIGINT AS rank

@@ -133,6 +133,31 @@ class TextIndexSpec extends SparkSpec {
       .r.findAllIn(p).length == 1, p)
   }
 
+  test("multi-term msearch equals per-query searchBm25Indexed; still one postings scan") {
+    // the real _msearch shape: each query a multi-term OR — the
+    // batched scores must equal each query's solo searchBm25Indexed
+    // run, and the whole batch still reads postings exactly once
+    val queries = Seq(
+      ("q_st", Seq("spark", "table")),
+      ("q_mw", Seq("merge", "window")),
+      ("q_solo", Seq("fast")))
+    val batch = Search.msearchBm25Multi(spark, ix, queries, k = 5)
+    queries.foreach { case (qid, terms) =>
+      val alone = Search.searchBm25Indexed(spark, ix, terms, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch.filter(col("query_id") === qid)
+        .orderBy("rank")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(fromBatch == alone, s"$qid diverged from its solo run")
+    }
+    val p = batch.queryExecution.executedPlan.toString
+    assert("Location: InMemoryFileIndex(?:\\(1 paths\\))?\\[[^\\]]*postings"
+      .r.findAllIn(p).length == 1, p)
+    // and the batched read is PUSHED: a term IN (...) filter reaches
+    // the postings scan instead of a full-dictionary pass
+    assert(p.contains("PushedFilters") && p.contains("In(term, "), p)
+  }
+
   test("delete tombstones mask reads; purge makes them physical and exact") {
     val docs = Tables.documents(spark, sf)
     val dix = TextIndex.build(docs,
