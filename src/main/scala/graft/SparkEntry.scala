@@ -2087,15 +2087,15 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
     "a11_rare_terms" -> ((s, d) =>
-      // ES rare_terms (Search.rareTerms scaladoc: hash-keyed count
-      // shuffle, ≤max_doc_count agg cut, term recovery via a
-      // SHUFFLE_HASH semi-join on the 8-byte hash — never a forced
-      // broadcast, because the rare tail is O(vocabulary) on Zipfian
-      // corpora; AQE may still promote when the measured tail is
-      // small). On THIS corpus the surviving tail is bigram-only (the
-      // 31-word vocabulary's min unigram df is 25), but unigrams pass
-      // through the same pipeline and would surface if rare.
-      Search.rareTerms(Tables.documents(s, d), maxDocCount = 2)),
+      // ES rare_terms SERVED FROM THE INDEX (Search.rareTermsIndexed
+      // scaladoc): the shingle dictionary persists per-shingle df, so
+      // the rare tail is one pruned dictionary read + a df ≤
+      // max_doc_count filter — zero corpus passes at query time. The
+      // scan-path twin (Search.rareTerms: hash-keyed count shuffle +
+      // SHUFFLE_HASH term recovery, which tokenized the corpus twice
+      // per query) remains for index-less corpora and is
+      // equality-locked against this path in TextIndexSpec.
+      Search.rareTermsIndexed(s, textIndexFor(s, d), maxDocCount = 2)),
     "a31_terms_shard_error" -> ((s, d) =>
       // ES terms-agg accuracy protocol under distribution
       // (Search.termsShardError scaladoc: per-shard top-k from the

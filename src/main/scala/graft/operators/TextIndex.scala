@@ -32,6 +32,18 @@ import graft.functions.Analyzers
   *               as storage layout, proved in TextIndexSpec).
   *   term_df/    (term, df) — per-term document frequency (the term
   *               dictionary statistics).
+  *   shingles/   (term, doc_id) — doc-membership postings over the
+  *               unigram+bigram SHINGLE stream (`shingleTokens`),
+  *               distinct per doc: what serves rare_terms and the
+  *               significant-shingles family without re-tokenizing
+  *               the corpus per query. No positions/tf — membership
+  *               is all shingle statistics need, so the table is a
+  *               fraction of the positional postings' size. Kept as
+  *               postings (not just df) so delete/purge can rebuild
+  *               the dictionary from retained docs exactly.
+  *   shingle_df/ (term, df) — the shingle dictionary statistics
+  *               derived from `shingles/`; rare_terms IS a pruned
+  *               read of this table.
   *   doclen/     (doc_id, len) — every document's token count, also
   *               the docs with no postings (empty/punct-only text).
   *   corpus/     1 row (n, avgdl) — index-level statistics, computed
@@ -54,6 +66,10 @@ object TextIndex {
       spark.read.parquet(s"$dir/postings")
     def termDf(spark: SparkSession): DataFrame =
       spark.read.parquet(s"$dir/term_df")
+    def shingles(spark: SparkSession): DataFrame =
+      spark.read.parquet(s"$dir/shingles")
+    def shingleDf(spark: SparkSession): DataFrame =
+      spark.read.parquet(s"$dir/shingle_df")
     def doclen(spark: SparkSession): DataFrame =
       spark.read.parquet(s"$dir/doclen")
     def corpus(spark: SparkSession): DataFrame =
@@ -75,9 +91,9 @@ object TextIndex {
     * directory a stale reader still holds (wholly-old or wholly-new,
     * the s14 alias discipline).
     *
-    * "v4": generations replaced the flat per-key dir, and postings
-    * gained the `positions` column (layout changes, so earlier
-    * artifacts are never half-read). */
+    * "v5": the shingle membership postings + dictionary joined the
+    * layout ("v4" added generations and positional postings) — each
+    * a layout change, so earlier artifacts are never half-read. */
   def ensure(docs: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
       ArtifactGen.resolveOrBuild(rootFor(key),
@@ -107,7 +123,7 @@ object TextIndex {
     * a stale version's directory. */
   private[graft] def rootFor(key: String): java.nio.file.Path =
     java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft_text_index", "v4", key)
+      .get(sys.props("java.io.tmpdir"), "graft_text_index", "v5", key)
 
   /** The ingest job: tokenize ONCE, derive postings, term dictionary,
     * length norms and corpus statistics, persist all of it. */
@@ -146,6 +162,19 @@ object TextIndex {
     spark.read.parquet(s"$dir/postings")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/term_df")
+
+    // shingle stream DISTINCT per doc — one membership row per
+    // (shingle, doc), the exact row set rare_terms' per-doc
+    // array_distinct counted; a unigram and a separator-free bigram
+    // that collide on the same string stay ONE row per doc here too
+    withLen.select(col("doc_id"), explode(array_distinct(
+        Analyzers.shingleTokens(col("toks")))).as("term"))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    spark.read.parquet(s"$dir/shingles")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/shingle_df")
 
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_DONE"),
       Array.emptyByteArray)
@@ -213,6 +242,19 @@ object TextIndex {
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       swapIn(spark, base, "term_df",
         base.termDf(spark).unionByName(deltaDf)
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+          .coalesce(1))
+      withLen.select(col("doc_id"), explode(array_distinct(
+          Analyzers.shingleTokens(col("toks")))).as("term"))
+        .repartition(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("append").parquet(s"$dir/shingles")
+      val deltaShingleDf = withLen
+        .select(col("doc_id"), explode(array_distinct(
+          Analyzers.shingleTokens(col("toks")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      swapIn(spark, base, "shingle_df",
+        base.shingleDf(spark).unionByName(deltaShingleDf)
           .groupBy(col("term")).agg(sum(col("df")).as("df"))
           .coalesce(1))
       val deltaStats = withLen.agg(
@@ -303,6 +345,19 @@ object TextIndex {
         .select(col("doc_id"), col("len")))
     swapIn(spark, base, "term_df",
       base.postings(spark)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .coalesce(1))
+    // shingle membership is (term, doc_id) with term leading — the
+    // doc_id-keyed anti-join would move doc_id to the front, so
+    // re-select like postings
+    val shCols = base.shingles(spark).columns.map(col).toSeq
+    swapIn(spark, base, "shingles",
+      liveView(spark, base, base.shingles(spark))
+        .select(shCols: _*)
+        .repartition(col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id")))
+    swapIn(spark, base, "shingle_df",
+      base.shingles(spark)
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .coalesce(1))
     swapIn(spark, base, "corpus",

@@ -184,6 +184,10 @@ class TextIndexSpec extends SparkSpec {
       fresh.termDf(spark).orderBy("term"))
     same(dix.postings(spark).orderBy("term", "doc_id"),
       fresh.postings(spark).orderBy("term", "doc_id"))
+    same(dix.shingles(spark).orderBy("term", "doc_id"),
+      fresh.shingles(spark).orderBy("term", "doc_id"))
+    same(dix.shingleDf(spark).orderBy("term"),
+      fresh.shingleDf(spark).orderBy("term"))
     // a second purge with no tombstones is a no-op
     TextIndex.purgeDeletes(spark, dix)
     assert(dix.doclen(spark).count() == n - nDel)
@@ -194,6 +198,21 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.addSegment(dix, docs.filter(col("doc_id") === 3))
     assert(dix.doclen(spark).count() == n - nDel + 1)
     assert(dix.doclen(spark).filter(col("doc_id") === 3).count() == 1)
+  }
+
+  test("rare_terms from the shingle dictionary equals the scan path; no tokenizer in-plan") {
+    val docs = Tables.documents(spark, sf)
+    val fromIndex = Search.rareTermsIndexed(spark, ix, maxDocCount = 2)
+    // doc_count dtype differs in provenance (dictionary df vs scan
+    // count) but both are exact longs — compare values
+    same(fromIndex, Search.rareTerms(docs, maxDocCount = 2))
+    // served from the artifact: the plan reads shingle_df and never
+    // tokenizes — zero corpus passes at query time (the round-8
+    // double-tokenization finding)
+    val p = fromIndex.queryExecution.executedPlan.toString
+    assert(p.contains("shingle_df"), p)
+    assert(!p.toLowerCase.contains("regexp_extract_all"), p)
+    assert(!p.contains("documents.parquet"), p)
   }
 
   test("term predicates push into the postings scan") {
@@ -236,6 +255,12 @@ class TextIndexSpec extends SparkSpec {
     assert(rows(inc.postings(spark)) == rows(full.postings(spark)))
     assert(rows(inc.termDf(spark)) == rows(full.termDf(spark)))
     assert(rows(inc.doclen(spark)) == rows(full.doclen(spark)))
+    assert(rows(inc.shingles(spark)) == rows(full.shingles(spark)))
+    assert(rows(inc.shingleDf(spark)) == rows(full.shingleDf(spark)))
+    // the shingle-served rare tail is maintained by the append: the
+    // merged dictionary answers rare_terms exactly as the full build
+    same(Search.rareTermsIndexed(spark, inc, maxDocCount = 2),
+      Search.rareTermsIndexed(spark, full, maxDocCount = 2))
     // (n, avgdl, sum_len) identical — avgdl from ONE division of the
     // merged exact long, not an average of averages
     assert(inc.corpus(spark).head().toSeq == full.corpus(spark).head().toSeq)
