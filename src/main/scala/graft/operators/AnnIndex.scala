@@ -249,11 +249,18 @@ object AnnIndex {
     * query-time mask every probe must apply between a delete and its
     * purge. Empty-safe: no deletes dir ⇒ pass-through. */
   def liveView(spark: SparkSession, base: Loaded,
-               table: DataFrame): DataFrame = {
-    val delDir = java.nio.file.Paths.get(base.dir, "deletes")
-    if (!java.nio.file.Files.exists(delDir)) table
-    else table.join(spark.read.parquet(delDir.toString),
+               table: DataFrame): DataFrame =
+    if (!hasDeletes(spark, base)) table
+    else table.join(spark.read.parquet(s"${base.dir}/deletes"),
       Seq("vec_id"), "left_anti")
+
+  /** Tombstone-table probe through the Hadoop `FileSystem` that
+    * writes it — the [[TextIndex]] discipline; a `java.nio` probe
+    * answers false off the local tmpdir and silently unmasks every
+    * tombstone. */
+  private def hasDeletes(spark: SparkSession, base: Loaded): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${base.dir}/deletes")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Physically drop tombstoned vectors from ivf, pq_codes,
@@ -263,8 +270,7 @@ object AnnIndex {
     * Corpus-sized by design — the scheduled merge, like
     * [[TextIndex.purgeDeletes]]. */
   def purgeDeletes(spark: SparkSession, base: Loaded): Loaded = {
-    val delDir = java.nio.file.Paths.get(base.dir, "deletes")
-    if (!java.nio.file.Files.exists(delDir)) return base
+    if (!hasDeletes(spark, base)) return base
     swapIn(spark, base, "ivf",
       liveView(spark, base, base.ivf(spark)), partitionCols = Seq("cell"))
     swapIn(spark, base, "pq_codes",

@@ -304,18 +304,26 @@ object TextIndex {
     n
   }
 
+  /** Does the tombstone table exist? Probed through the Hadoop
+    * `FileSystem` that WRITES it (the swapIn discipline) — a
+    * `java.nio` probe silently answers false the day artifacts move
+    * off the local tmpdir, masking every tombstone (the round-8
+    * advisor finding). */
+  private def hasDeletes(spark: SparkSession, base: Loaded): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${base.dir}/deletes")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** A table of the artifact, restricted to LIVE (non-tombstoned)
     * docs — the query-time live-docs mask. An anti-join against the
     * deletes table, which is empty-safe (no deletes dir ⇒ the frame
     * passes through unchanged). At scale the deletes side is small
     * until a purge is due, so this broadcasts. */
   def liveView(spark: SparkSession, base: Loaded,
-               table: DataFrame): DataFrame = {
-    val delDir = java.nio.file.Paths.get(base.dir, "deletes")
-    if (!java.nio.file.Files.exists(delDir)) table
-    else table.join(spark.read.parquet(delDir.toString),
+               table: DataFrame): DataFrame =
+    if (!hasDeletes(spark, base)) table
+    else table.join(spark.read.parquet(s"${base.dir}/deletes"),
       Seq("doc_id"), "left_anti")
-  }
 
   /** The merge that makes tombstones physical: rewrite postings and
     * doclen without the deleted docs (swapIn discipline — write-tmp +
@@ -326,8 +334,7 @@ object TextIndex {
     * Lucene amortizes deletes into; per-partition at scale like
     * [[compactPostings]]. */
   def purgeDeletes(spark: SparkSession, base: Loaded): Loaded = {
-    val delDir = java.nio.file.Paths.get(base.dir, "deletes")
-    if (!java.nio.file.Files.exists(delDir)) return base
+    if (!hasDeletes(spark, base)) return base
     // re-select the original column order: a using-column anti-join
     // moves the join key to the FRONT of the output (observed: purged
     // postings came back (doc_id, term, ...) without this), and a
@@ -370,6 +377,28 @@ object TextIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"${base.dir}/deletes"), true)
     base
+  }
+
+  /** Tombstone-pressure purge policy — ES's merge-policy discipline
+    * (`index.merge.policy.deletes_pct_allowed`): the corpus-sized
+    * [[purgeDeletes]] merge runs only when tombstones exceed
+    * `maxRatio` of the LIVE doc count, so a steady trickle of deletes
+    * costs O(deleted) appends until pressure accumulates, and the
+    * merge amortizes over many delete batches. The check itself is
+    * cheap: two parquet metadata counts (row-group footers, no data
+    * pages). Returns whether a purge ran. A streaming delete ingest
+    * calls this per micro-batch ([[graft.streaming.IndexStream
+    * .runDeleteIngest]]). */
+  def maybePurge(spark: SparkSession, base: Loaded,
+                 maxRatio: Double = 0.1): Boolean = {
+    require(maxRatio > 0.0, "maxRatio must be positive")
+    if (!hasDeletes(spark, base)) return false
+    val tomb = spark.read.parquet(s"${base.dir}/deletes").count()
+    val live = base.doclen(spark).count() - tomb
+    if (tomb.toDouble > maxRatio * math.max(live, 1L).toDouble) {
+      purgeDeletes(spark, base)
+      true
+    } else false
   }
 
   /** Segment compaction — the maintenance pass that keeps lookup cost

@@ -96,7 +96,17 @@ object IndexStream {
     var deleted = 0L
     val batches = foldFileStream(spark, victims, nSplits, "st12") { b =>
       deleted += TextIndex.deleteByQuery(spark, ix, b)
+      // ES's merge-policy discipline per micro-batch: the corpus-sized
+      // merge runs only under tombstone PRESSURE (here every batch
+      // deletes ~1/6 of the corpus, far past the 10% threshold, so
+      // each batch purges — a retention trickle would instead
+      // accumulate O(deleted) tombstones until the ratio trips)
+      TextIndex.maybePurge(spark, ix, maxRatio = 0.1)
+      ()
     }
+    // stream close = the terminal merge (ES forcemerge on rollover):
+    // a final sub-threshold remainder must not outlive the stream,
+    // because the readback's corpus invariants describe LIVE docs
     (TextIndex.purgeDeletes(spark, ix), batches, deleted)
   }
 

@@ -215,6 +215,35 @@ class TextIndexSpec extends SparkSpec {
     assert(!p.contains("documents.parquet"), p)
   }
 
+  test("maybePurge: below the tombstone-pressure threshold is a no-op; crossing it merges") {
+    val docs = Tables.documents(spark, sf)
+    val pix = TextIndex.build(docs,
+      java.nio.file.Files.createTempDirectory("textixpress").toString)
+    val n = pix.doclen(spark).count()
+    // no tombstones at all → no-op, nothing to read
+    assert(!TextIndex.maybePurge(spark, pix, maxRatio = 0.1))
+    // tombstone ~2% of the corpus: 0.02/0.98 ≈ 2% of live — far under
+    // a 10% threshold, so the merge must NOT run (tombstones persist,
+    // the mask keeps serving)
+    val few = docs.filter(col("doc_id") % 50 === 0).select(col("doc_id"))
+    val nFew = TextIndex.deleteByQuery(spark, pix, few)
+    assert(nFew > 0)
+    assert(!TextIndex.maybePurge(spark, pix, maxRatio = 0.1))
+    assert(pix.doclen(spark).count() == n,
+      "below threshold the tables must be untouched (tombstones only)")
+    assert(TextIndex.liveView(spark, pix, pix.doclen(spark)).count()
+      == n - nFew)
+    // pile on to ~1/3 of the corpus: ratio vs live crosses 10% → the
+    // merge runs and the tombstones become physical
+    val many = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val nMany = TextIndex.deleteByQuery(spark, pix, many)
+    assert(TextIndex.maybePurge(spark, pix, maxRatio = 0.1))
+    assert(pix.doclen(spark).count() == n - nFew - nMany,
+      "crossing the threshold must purge physically")
+    // and the pressure is relieved: the next check is a no-op again
+    assert(!TextIndex.maybePurge(spark, pix, maxRatio = 0.1))
+  }
+
   test("term predicates push into the postings scan") {
     val p = Search.bm25Indexed(spark, ix, "spark")
       .queryExecution.executedPlan.toString
