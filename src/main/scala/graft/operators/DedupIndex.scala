@@ -58,10 +58,40 @@ object DedupIndex {
 
   def ensure(docs: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
-      ArtifactGen.resolveOrBuild(rootFor(key),
+      val root = rootFor(key)
+      def resolve() = ArtifactGen.resolveOrBuild(root,
         load = dir => Loaded(dir, key),
         build = dir => build(docs, dir).copy(key = key))
+      val first = resolve()
+      // the three tables must be in LOCKSTEP (the round-8 advisor
+      // finding): addBatch's appends are exception-safe but not
+      // crash-safe — a hard JVM kill after the fingerprints append
+      // but before buckets/shingle_sets leaves _DONE intact while the
+      // exact screen knows docs the near-dup verify side doesn't.
+      // Three metadata counts catch every such tear; a torn artifact
+      // is invalidated and rebuilt into a fresh generation.
+      if (lockstepValid(docs.sparkSession, first)) first
+      else {
+        // invalidate ON DISK only — we're inside computeIfAbsent, so
+        // touching the memo here would be a recursive map update (the
+        // key isn't mapped yet anyway)
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(first.dir, "_DONE"))
+        resolve()
+      }
     })
+
+  /** The cross-table invariants a complete artifact always satisfies:
+    * one shingle row per fingerprint (each admitted representative is
+    * both exact- and near-screenable), and bucket rows a whole
+    * multiple of the band count, at most [[Dedup.Bands]] per
+    * fingerprint (shingle-less docs band to nothing, so ≤, not ==). */
+  private def lockstepValid(spark: SparkSession, l: Loaded): Boolean = {
+    val f = l.fingerprints(spark).count()
+    val s = l.shingleSets(spark).count()
+    val b = l.buckets(spark).count()
+    f == s && b % Dedup.Bands == 0 && b <= f * Dedup.Bands
+  }
 
   /** The ingest job: fingerprint, signature-band, and shingle the
     * standing corpus ONCE; every screening batch thereafter only
@@ -88,9 +118,9 @@ object DedupIndex {
     * [[Dedup.incrementalMinhash]] against the persisted band buckets
     * and shingle verify-side. */
   def screenNear(spark: SparkSession, ix: Loaded,
-                 batch: DataFrame): DataFrame =
+                 batch: DataFrame, threshold: Double = 0.5): DataFrame =
     Dedup.incrementalMinhash(batch, ix.buckets(spark),
-      ix.shingleSets(spark))
+      ix.shingleSets(spark), threshold = threshold)
 
   /** The maintenance append — the production daily loop: after
     * screening, the batch's SURVIVORS (is_new exact-screen verdicts)
@@ -104,9 +134,22 @@ object DedupIndex {
     * index, fingerprints added); NULL-text docs are excluded from
     * both — they are unindexable by content (see the in-body note)
     * and re-screen as arrivals every delivery, matching d10's oracle
-    * semantics. */
-  def addBatch(spark: SparkSession, ix: Loaded,
-               batch: DataFrame): (Long, Long) = {
+    * semantics.
+    *
+    * `nearThreshold` opts into STRICT admission: admission is
+    * otherwise keyed on exact screening only, so a RE-WORDED
+    * duplicate (new fingerprint, high Jaccard against a standing doc)
+    * would enter the index and be reported as a dup-pair forever —
+    * arriving daily with fresh rewordings, it would grow the index
+    * every day. Under `Some(t)`, exact-new representatives are
+    * additionally near-screened against the standing side and those
+    * with verified Jaccard ≥ t are refused admission to ALL three
+    * tables (they stay perpetual near-dup arrivals, exactly like the
+    * default policy's reports — but the index stays
+    * distinct-content-sized). Default `None` keeps the established
+    * exact-only admission. */
+  def addBatch(spark: SparkSession, ix: Loaded, batch: DataFrame,
+               nearThreshold: Option[Double] = None): (Long, Long) = {
     // MATERIALIZE the screening verdict to scratch parquet before
     // anything consumes it, for two reasons. (1) Cost: without a
     // stable snapshot, the two counts and the three appends each
@@ -137,7 +180,26 @@ object DedupIndex {
         // never enter the standing index.
         .filter(col("fingerprint").isNotNull)
         .write.parquet(s"$scratch/newfps")
-      val newFps = spark.read.parquet(s"$scratch/newfps")
+      val exactNew = spark.read.parquet(s"$scratch/newfps")
+      val newFps = nearThreshold match {
+        case None => exactNew
+        case Some(t) =>
+          // strict admission: near-screen the exact-new REPRESENTATIVES
+          // (not the whole batch) against the standing side; a verified
+          // near-duplicate's fingerprint is refused. Snapshotted like
+          // the exact verdict — the screen reads the very bucket and
+          // shingle tables the appends below write into.
+          val reps = batch.join(
+            exactNew.select(col("keep_id").as("doc_id")), Seq("doc_id"),
+            "left_semi")
+          exactNew.join(
+              screenNear(spark, ix, reps, t).filter(col("is_new"))
+                .select(col("doc_id").as("keep_id")),
+              Seq("keep_id"), "left_semi")
+            .select(col("fingerprint"), col("keep_id"))
+            .write.parquet(s"$scratch/admitfps")
+          spark.read.parquet(s"$scratch/admitfps")
+      }
       // one representative per new fingerprint enters every table: the
       // standing index stores the kept corpus, not raw arrivals
       val kept = batch.join(
