@@ -273,35 +273,55 @@ object EventStream {
 
   /** Per-user funnel STATE MACHINE (the streaming twin of
     * `EventOps.funnel`): state carries the earliest completion time of
-    * each LOCKED stage plus, for each still-unreached stage, a small
-    * sorted buffer of the earliest candidate event times — so a
-    * stage-k event whose stage-(k−1) prerequisite arrives in a LATER
-    * micro-batch still converts once the prerequisite lands (arrival
-    * order across batches must not lose conversions). Locks are final
-    * (earliest-completion, strictly-later advancement), so a reached
-    * stage's buffer collapses to one timestamp; state per user is
-    * stages·(1 + bufCap) longs at worst — flat and bounded, never the
-    * event history. The two documented approximations: an EARLIER
+    * each LOCKED stage plus, for each still-unreached stage, a sorted
+    * buffer of candidate event times — so a stage-k event whose
+    * stage-(k−1) prerequisite arrives in a LATER micro-batch still
+    * converts once the prerequisite lands (arrival order across
+    * batches must not lose conversions).
+    *
+    * The buffers are bounded by the WATERMARK HORIZON, not a fixed
+    * count (which was the round-8 approximation: a candidate beyond
+    * the cap was dropped and a late-locking prerequisite could then
+    * miss its conversion). The bound is a provable prune, so the
+    * convergence contract is unconditional for any disorder the
+    * watermark admits: locks are strictly increasing, and the first
+    * unreached stage's future lock can only come from an arrival the
+    * watermark filter lets through (ts ≥ current watermark) — so
+    * every subsequent stage's lock exceeds `max(deepest lock,
+    * watermark)`, and any candidate at or below that line can never
+    * satisfy the strictly-after condition again. State per user is
+    * therefore O(candidate events inside the horizon), the same bound
+    * every watermarked stateful operator carries — never the stream
+    * history. The one remaining documented approximation: an EARLIER
     * stage-k completion arriving after stage k locked is ignored
-    * (monotone locks), and a candidate beyond the `bufCap` smallest
-    * for its stage is dropped (a production deployment sizes bufCap
-    * to its watermark-horizon event bound). */
+    * (monotone locks).
+    *
+    * `horizon` is the `withWatermark` delay: the max disorder the
+    * machine absorbs. A REPLAY of historical data has disorder as
+    * large as the history — replays pass a horizon covering the
+    * table's time span ([[runFunnel]]); a live deployment passes its
+    * real late-arrival bound. */
   case class FunnelState(times: Seq[Long], buf: Seq[Seq[Long]])
   case class FunnelProgress(userId: Long, stageReached: Int)
 
   def funnelMachine(spark: SparkSession, stream: DataFrame,
-                    stages: Seq[String], bufCap: Int = 64): DataFrame = {
+                    stages: Seq[String],
+                    horizon: String = "1 hour"): DataFrame = {
     import spark.implicits._
     val stageIdx = stages.zipWithIndex.toMap
     val nStages = stages.length
     stream
+      .withWatermark("ts", horizon)
       .filter(col("event_type").isin(stages: _*))
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
-        col("event_type"), col("event_id"))
-      .as[(Long, Long, String, Long)]
+      // the watermarked ts column must SURVIVE the projection —
+      // dropping it detaches the event-time watermark from the plan
+      // and the stateful operator can no longer read it
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
          state: GroupState[FunnelState]) =>
           val st = state.getOption
             .getOrElse(FunnelState(Seq.empty, Seq.fill(nStages)(Seq.empty)))
@@ -309,15 +329,13 @@ object EventStream {
           val buf = st.buf.map(b =>
             scala.collection.mutable.ArrayBuffer(b: _*)).toArray
           // merge this batch's events into the unreached stages'
-          // candidate buffers (keep the bufCap smallest, sorted)
-          rows.foreach { case (_, us, tpe, _) =>
+          // candidate buffers (sorted insert, no cap)
+          rows.foreach { case (_, _, us, tpe) =>
             val idx = stageIdx(tpe)
             if (idx >= times.length) {
               val ins = buf(idx).indexWhere(_ > us)
               if (ins >= 0) buf(idx).insert(ins, us)
               else buf(idx) += us
-              if (buf(idx).length > bufCap)
-                buf(idx).remove(bufCap, buf(idx).length - bufCap)
             }
           }
           // advance: lock stage k at its earliest candidate strictly
@@ -332,6 +350,24 @@ object EventStream {
                 buf(k).clear() // lock is final; candidates are spent
               case None => advanced = false
             }
+          }
+          // the horizon-bound prune. For the first unreached stage the
+          // threshold is KNOWN (the deepest lock) and the advance loop
+          // just proved no candidate clears it — its buffer empties.
+          // Deeper stages' future thresholds strictly exceed
+          // max(deepest lock, watermark): their lock chain starts at
+          // the first unreached stage, whose lock must come from a
+          // future arrival the watermark filter admits (ts ≥ wm).
+          // Candidates at or below the line can never be strictly
+          // after such a threshold — dropping them loses nothing.
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val deepest = times.lastOption.getOrElse(Long.MinValue)
+          val k0 = times.length
+          var k = k0
+          while (k < nStages) {
+            val bound = if (k == k0) deepest else math.max(deepest, wmUs)
+            buf(k).filterInPlace(_ > bound)
+            k += 1
           }
           state.update(FunnelState(times.toSeq, buf.map(_.toSeq).toSeq))
           FunnelProgress(user, times.length)
@@ -397,7 +433,12 @@ object EventStream {
   def runFunnel(spark: SparkSession, dir: String,
                 stages: Seq[String]): DataFrame = {
     val table = runToMemory(
-      funnelMachine(spark, eventsStream(spark, dir), stages),
+      // a historical REPLAY's disorder spans the whole table (the file
+      // stream re-partitions years of events into micro-batches), so
+      // the horizon must cover the span — a live deployment would pass
+      // its real late-arrival bound instead
+      funnelMachine(spark, eventsStream(spark, dir), stages,
+        horizon = "36500 days"),
       OutputMode.Update, "st6_")
     val last = spark.table(table)
       .groupBy(col("userId"))

@@ -177,8 +177,9 @@ class EdgeCaseSpec extends SparkSpec {
       == ((7L, 3L, 0L, 0L)))
   }
 
-  // ---- funnelMachine's two documented approximations (EventStream
-  // docs) probed against the batch funnel it must converge to --------
+  // ---- funnelMachine's convergence contract and its one remaining
+  // documented approximation (monotone locks) probed against the
+  // batch funnel it must converge to ---------------------------------
 
   private def funnelEvents = Seq(
     // user 7: stages arrive in REVERSE order across three micro-batches
@@ -189,7 +190,7 @@ class EdgeCaseSpec extends SparkSpec {
     (3L, "2024-01-01 10:00:00", 7L, "signup"))
 
   private def runMachine(batches: Seq[Seq[(Long, String, Long, String)]],
-                         bufCap: Int): Map[Long, Int] = {
+                         horizon: String = "1 hour"): Map[Long, Int] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
@@ -198,7 +199,7 @@ class EdgeCaseSpec extends SparkSpec {
     val name = "funnel_edge_" + java.util.UUID.randomUUID().toString
       .replaceAll("-", "")
     val q = graft.streaming.EventStream
-      .funnelMachine(spark, df, Seq("signup", "click", "purchase"), bufCap)
+      .funnelMachine(spark, df, Seq("signup", "click", "purchase"), horizon)
       .writeStream.format("memory").queryName(name).outputMode("update")
       .start()
     batches.foreach { b =>
@@ -225,29 +226,47 @@ class EdgeCaseSpec extends SparkSpec {
   test("funnel: prerequisite arriving in a LATER micro-batch still converts") {
     val batches = funnelEvents.map { case (id, ts, u, tpe) =>
       Seq((id, ts, u, tpe)) } // one event per micro-batch, reverse order
-    val streamed = runMachine(batches, bufCap = 64)
+    val streamed = runMachine(batches)
     assert(streamed(7L) == 3, s"streamed reached ${streamed(7L)}")
     // convergence claim: equals the batch funnel over the same events
     assert(batchReached(funnelEvents.map { case (id, ts, u, tpe) =>
       (id, ts, u, tpe) }) == 3L)
   }
 
-  test("funnel: bufCap overflow drops only beyond-horizon candidates") {
+  test("funnel: early candidates never crowd out the late qualifier (horizon-bounded buffer)") {
     // stage-2 candidates 10:00 / 10:05 / 10:30 arrive before the
     // prerequisite; signup then locks at 10:10, so only the 10:30
-    // candidate qualifies. With bufCap=2 the two SMALLEST are kept and
-    // 10:30 is dropped — the documented approximation: stage stays 1
-    // while the batch oracle reaches 2. An adequate bufCap converges.
+    // candidate qualifies. The round-8 machine capped the buffer at
+    // the K smallest candidates and an inadequate K dropped 10:30,
+    // losing the conversion. The horizon-bounded buffer retains every
+    // candidate the watermark could still let qualify, so convergence
+    // to the batch oracle is UNCONDITIONAL for in-horizon disorder —
+    // no tuning knob to get wrong.
     val evs = Seq(
       (1L, "2024-01-01 10:00:00", 9L, "click"),
       (2L, "2024-01-01 10:05:00", 9L, "click"),
       (3L, "2024-01-01 10:30:00", 9L, "click"),
       (4L, "2024-01-01 10:10:00", 9L, "signup"))
     val batches = Seq(evs.take(3), evs.drop(3))
-    val truncated = runMachine(batches, bufCap = 2)
-    assert(truncated(9L) == 1, s"bufCap=2 reached ${truncated(9L)}")
-    assert(batchReached(evs) == 2L) // what an unbounded buffer must find
-    val adequate = runMachine(batches, bufCap = 3)
-    assert(adequate(9L) == 2, s"bufCap=3 reached ${adequate(9L)}")
+    val streamed = runMachine(batches)
+    assert(batchReached(evs) == 2L)
+    assert(streamed(9L) == 2, s"streamed reached ${streamed(9L)}")
+  }
+
+  test("funnel: the horizon prune drops only spent candidates, never convergence") {
+    // a purchase candidate BELOW the eventual lock chain (10:00) plus
+    // the true qualifier (10:40) buffer for two micro-batches before
+    // click and signup land last — the prune may spend the former,
+    // must keep the latter
+    val evs = Seq(
+      (1L, "2024-01-01 10:00:00", 11L, "purchase"),
+      (2L, "2024-01-01 10:40:00", 11L, "purchase"),
+      (3L, "2024-01-01 10:20:00", 11L, "click"),
+      (4L, "2024-01-01 10:10:00", 11L, "signup"))
+    val batches = evs.map(e => Seq(e)) // one per micro-batch
+    val streamed = runMachine(batches)
+    // batch oracle: signup 10:10 → click 10:20 → purchase 10:40
+    assert(batchReached(evs) == 3L)
+    assert(streamed(11L) == 3, s"streamed reached ${streamed(11L)}")
   }
 }
