@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The one-decade SCALE PROBE: every 100-TB claim in this repo is
+  * otherwise argued from plan shape; this main measures one decade of
+  * actual scaling for the flagship query families so a hidden
+  * super-linear term shows up as a number, not a review comment.
+  *
+  * Method: replicate the sf0.1 tables `scale`× (default 10×) with key
+  * offsets that preserve referential integrity — `nation`/`region`
+  * stay fixed (the TPC-H scaling model: dimensions don't grow with
+  * SF) — then run ~10 representative queries against both the base
+  * and the scaled directory with the exact [[Bench]] harness (noop
+  * sink, per-query isolation, artifacts pre-built untimed but timed
+  * separately as build rows).
+  *
+  * Content DE-CORRELATION across replicas: a naive 10× copy makes
+  * every document an exact duplicate of 9 others and every vector
+  * cosine-1 to 9 others — the pair-finding families would then
+  * measure a pathological all-duplicates corpus (output itself grows
+  * ×100) instead of scaling. Replica k ≥ 1 therefore prefixes every
+  * word with a replica tag (token streams disjoint across replicas —
+  * shingle/fingerprint structure WITHIN a replica identical to the
+  * base corpus) and sign-flips embedding elements by the Walsh
+  * pattern (-1)^popcount(i & k) (norms preserved; cross-replica
+  * cosine of the same vector is the Walsh sum ≈ 0, so no replica
+  * pair lands above a similarity threshold). The scaled corpus
+  * behaves like `scale` independent sf0.1 corpora — which is what a
+  * 10× bigger real corpus looks like to these operators.
+  *
+  * Emits one JSON line (also written to `bench_scale.json`):
+  * per-query {base, scaled, ratio} plus artifact build times and the
+  * replication cost. Interpretation: ratio ≈ scale (±JVM noise) is
+  * linear; d5 is the documented exact-quadratic contract and is
+  * expected at ratio ≈ scale². */
+object BenchScale {
+
+  private def stride(df: DataFrame, idCol: String): Long = {
+    val m = df.agg(max(col(idCol))).head.getLong(0)
+    var s = 10L
+    while (s <= m) s *= 10
+    s
+  }
+
+  /** Word-prefix de-correlation for replica k (identity at k=0). */
+  private def tagText(c: org.apache.spark.sql.Column, k: Int) =
+    if (k == 0) c else regexp_replace(c, "(\\p{L}+)", s"r${k}x$$1")
+
+  /** Walsh sign-flip de-correlation for replica k (identity at k=0):
+    * element i multiplied by (-1)^popcount(i & k). */
+  private def flipVec(c: org.apache.spark.sql.Column, k: Int) =
+    if (k == 0) c
+    else transform(c, (x, i) =>
+      when(bit_count(i.bitwiseAND(lit(k))) % 2 === 0, x)
+        .otherwise(x * lit(-1.0f)))
+
+  def replicate(spark: SparkSession, base: String, out: String,
+                scale: Int): Unit = {
+    val ready = java.nio.file.Paths.get(out, "_READY")
+    if (java.nio.file.Files.exists(ready) &&
+      new String(java.nio.file.Files.readAllBytes(ready), "UTF-8")
+        .trim == s"$scale") return
+    operators.ArtifactGen.wipe(java.nio.file.Paths.get(out))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    def union(mk: Int => DataFrame): DataFrame =
+      (0 until scale).map(mk).reduce(_ unionByName _)
+
+    // fixed dimensions — the TPC-H model
+    write("nation", Tables.nation(spark, base))
+    write("region", Tables.region(spark, base))
+
+    val cust = Tables.customer(spark, base)
+    val supp = Tables.supplier(spark, base)
+    val part = Tables.part(spark, base)
+    val ord = Tables.orders(spark, base)
+    val docs = Tables.documents(spark, base)
+    val emb = Tables.embeddings(spark, base)
+    val cS = stride(cust, "c_custkey")
+    val sS = stride(supp, "s_suppkey")
+    val pS = stride(part, "p_partkey")
+    val oS = stride(ord, "o_orderkey")
+    val dS = stride(docs, "doc_id")
+    val vS = stride(emb, "vec_id")
+
+    write("customer", union(k => cust
+      .withColumn("c_custkey", col("c_custkey") + lit(k * cS))))
+    write("supplier", union(k => supp
+      .withColumn("s_suppkey", col("s_suppkey") + lit(k * sS))))
+    write("part", union(k => part
+      .withColumn("p_partkey", col("p_partkey") + lit(k * pS))))
+    write("orders", union(k => ord
+      .withColumn("o_orderkey", col("o_orderkey") + lit(k * oS))
+      .withColumn("o_custkey", col("o_custkey") + lit(k * cS))))
+    write("lineitem", union(k => Tables.lineitem(spark, base)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(k * oS))
+      .withColumn("l_partkey", col("l_partkey") + lit(k * pS))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(k * sS))))
+    write("documents", union(k => docs
+      .withColumn("doc_id", col("doc_id") + lit(k * dS))
+      .withColumn("text", tagText(col("text"), k))
+      .withColumn("n_chars", length(tagText(col("text"), k)))))
+    write("embeddings", union(k => emb
+      .withColumn("vec_id", col("vec_id") + lit(k * vS))
+      .withColumn("embedding", flipVec(col("embedding"), k))))
+
+    java.nio.file.Files.write(ready, s"$scale\n".getBytes("UTF-8"))
+    ()
+  }
+
+  /** The probe set the round-8 verdict prescribed: one query per
+    * flagship family — denorm fan-join, capped shingle pairs, exact
+    * quadratic cosine pairs (the documented ≈scale² row), incremental
+    * screen against the standing artifact, IVF probe, index-served
+    * BM25, prefix-sum packing, df-based boilerplate, dictionary-served
+    * rare terms, two-pass distributed rank. */
+  private val probeNames = Seq("denorm_docs", "d4_jaccard_pairs",
+    "d5_cosine_pairs", "d10_incremental_dedup", "n3_knn_ivf",
+    "f4_search_bm25", "x7_pack_chunks", "x14_boilerplate",
+    "a11_rare_terms", "w10_percent_rank")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALED_DIR",
+      sys.props("java.io.tmpdir") + s"/graft_scaled_x$scale")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (_, repSec) = timed { replicate(spark, base, out, scale) }
+
+    // per-dir measurement: warm the reader paths, pre-build the
+    // artifacts (timed as build rows — index BUILD scaling is as
+    // load-bearing as query scaling), then the probes under the Bench
+    // harness
+    def measure(dir: String): (Map[String, Double], Map[String, Double]) = {
+      Seq("nation", "region", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+        .foreach(t => Tables(spark, dir, t)
+          .write.format("noop").mode("overwrite").save())
+      // build times must measure a BUILD, not a memo/pointer hit from
+      // an earlier bench run against the same corpus fingerprint
+      val tKey = operators.TextIndex.corpusKey(dir)
+      operators.TextIndex.evictMemo(tKey)
+      operators.ArtifactGen.wipe(operators.TextIndex.rootFor(tKey))
+      val aKey = operators.AnnIndex.corpusKey(dir)
+      operators.AnnIndex.evictMemo(aKey)
+      operators.ArtifactGen.wipe(operators.AnnIndex.rootFor(aKey))
+      operators.DedupIndex.evictMemo("even-" + tKey)
+      operators.ArtifactGen.wipe(operators.DedupIndex.rootFor("even-" + tKey))
+      val builds = Seq(
+        "text_index_build" -> (() => { SparkEntry.textIndexFor(spark, dir); () }),
+        "ann_index_build" -> (() => { SparkEntry.annIndexFor(spark, dir); () }),
+        "dedup_index_build" -> (() => { SparkEntry.dedupIndexEven(spark, dir); () })
+      ).map { case (n, f) =>
+        val (_, s) = timed(f()); Bench.isolate(spark); n -> s
+      }.toMap
+      val queries = probeNames.map { n =>
+        val fn = SparkEntry.queries(n)
+        val (_, s) = timed {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+        }
+        Bench.isolate(spark)
+        System.err.println(f"[scale] $dir $n $s%.1fs")
+        n -> s
+      }.toMap
+      (builds, queries)
+    }
+
+    val (bBase, qBase) = measure(base)
+    val (bScaled, qScaled) = measure(out)
+
+    def obj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val ratios = (qBase.keys ++ bBase.keys).map { k =>
+      val b = qBase.getOrElse(k, bBase(k))
+      val s = qScaled.getOrElse(k, bScaled(k))
+      k -> (if (b > 0) s / b else 0.0)
+    }.toMap
+    val line =
+      s"""{"metric":"scale_probe","scale":$scale,"replicate_sec":$repSec,""" +
+        s""""base":${obj(qBase ++ bBase)},"scaled":${obj(qScaled ++ bScaled)},""" +
+        s""""ratio":${obj(ratios)},"base_dir":"$base","scaled_dir":"$out"}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale.json"),
+      (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
