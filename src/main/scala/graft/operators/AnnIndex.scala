@@ -90,10 +90,35 @@ object AnnIndex {
     * change, so pre-round-8 artifacts are never half-read). */
   def ensure(corpus: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
-      ArtifactGen.resolveOrBuild(rootFor(key),
+      val root = rootFor(key)
+      def resolve() = ArtifactGen.resolveOrBuild(root,
         load = dir => load(corpus.sparkSession, dir).copy(key = key),
         build = dir => build(corpus, dir).copy(key = key))
+      val first = resolve()
+      // cross-table LOCKSTEP validation (the DedupIndex/TextIndex
+      // discipline): addVectors' four appends are exception-safe but
+      // not crash-safe — a hard kill partway leaves _DONE intact with
+      // some encodings missing vectors the ivf table serves. Every
+      // per-vector table must agree on the row count.
+      if (lockstepValid(corpus.sparkSession, first)) first
+      else {
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(first.dir, "_DONE"))
+        resolve()
+      }
     })
+
+  /** One row per vector in EVERY encoding table — the invariant each
+    * addVectors tear point breaks (the four appends land in order:
+    * ivf, pq_codes, ivfpq_codes, sq8). */
+  private def lockstepValid(spark: SparkSession, l: Loaded): Boolean =
+    try {
+      val n = l.ivf(spark).count()
+      l.pqCodes(spark).count() == n &&
+        l.ivfPqCodes(spark).count() == n && l.sq8(spark).count() == n
+    } catch {
+      case _: Exception => false
+    }
 
   /** Invalidate a managed artifact: remove `_DONE` AND evict the
     * in-JVM memo entry — without the eviction, ensure() in the same

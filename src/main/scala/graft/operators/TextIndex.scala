@@ -96,10 +96,50 @@ object TextIndex {
     * a layout change, so earlier artifacts are never half-read. */
   def ensure(docs: DataFrame, key: String): Loaded =
     memo.computeIfAbsent(key, { _ =>
-      ArtifactGen.resolveOrBuild(rootFor(key),
+      val root = rootFor(key)
+      def resolve() = ArtifactGen.resolveOrBuild(root,
         load = dir => Loaded(dir, key),
         build = dir => build(docs, dir).copy(key = key))
+      val first = resolve()
+      // cross-table LOCKSTEP validation (the DedupIndex discipline):
+      // addSegment's appends are exception-safe but not crash-safe — a
+      // hard JVM kill between the doclen append and the corpus swap
+      // leaves _DONE intact with stats that no longer describe the
+      // postings. Three cheap aggregate checks catch every tear point
+      // in the append order; a torn artifact rebuilds fresh.
+      if (lockstepValid(docs.sparkSession, first)) first
+      else {
+        // on-disk invalidation only — inside computeIfAbsent, touching
+        // the memo would be a recursive map update
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(first.dir, "_DONE"))
+        resolve()
+      }
     })
+
+  /** Invariants every complete artifact satisfies, tombstones or not
+    * (deletes never touch these tables until a purge, which swaps all
+    * of them): the corpus row's doc count matches doclen, the
+    * dictionary's df mass matches the physical posting rows, and the
+    * shingle dictionary's mass matches the membership rows. Each
+    * addSegment tear point (crash after doclen; after postings;
+    * after a dictionary swap but before the corpus swap) breaks at
+    * least one of the three. */
+  private def lockstepValid(spark: SparkSession, l: Loaded): Boolean =
+    try {
+      val n = l.corpus(spark).head.getDouble(0).toLong
+      if (n != l.doclen(spark).count()) return false
+      val dfMass = l.termDf(spark)
+        .agg(coalesce(sum(col("df")), lit(0L))).head.getLong(0)
+      if (dfMass != l.postings(spark).count()) return false
+      val shMass = l.shingleDf(spark)
+        .agg(coalesce(sum(col("df")), lit(0L))).head.getLong(0)
+      shMass == l.shingles(spark).count()
+    } catch {
+      // a table missing entirely (crash before its first write) is
+      // the same tear, just louder
+      case _: Exception => false
+    }
 
   /** Invalidate a managed artifact: remove its `_DONE` marker (so the
     * pointer resolves to "no live artifact") AND evict the in-JVM memo
