@@ -471,6 +471,37 @@ object SparkEntry {
           .orderBy(col("index_name"))
       } finally ev.unpersist(blocking = false)
     }),
+    "s19_rollover_gc" -> ((s, d) => {
+      // ES ILM's DELETE phase under the gate: the s18 rollover
+      // followed by the keep-last-K retention sweep
+      // (Sink.gcVersions scaladoc) — expired generations drop WHOLE
+      // (never a delete-by-query against a monolith), the live write
+      // index and its rollback predecessor survive, and the verified
+      // rows are the retained generations READ BACK from disk (their
+      // counts must match the oracle's greedy segmentation replay —
+      // a sweep that damaged a survivor or left an expired gen would
+      // change the row set)
+      val ev = Tables.events(s, d).persist()
+      try {
+        val weeks = ev.select(date_trunc("WEEK", col("ts")).as("wk"))
+          .distinct().orderBy(col("wk"))
+          .collect().map(_.getTimestamp(0)) // bounded: one row per week
+        val batches = weeks.toSeq.map(w =>
+          ev.filter(date_trunc("WEEK", col("ts")) === w))
+        val base = Scratch.dir("s19roll")
+        graft.sources.Sink.rollover(s, base, batches, maxDocs = 5000L)
+        graft.sources.Sink.gcVersions(s, base, keepLast = 2)
+        val live = graft.sources.Sink.aliasVersion(base)
+        val remaining = Option(new java.io.File(base).listFiles()).get
+          .filter(f => f.isDirectory && f.getName.startsWith("v"))
+          .map(_.getName).toSeq.sorted
+        import s.implicits._
+        remaining.map { v =>
+          (v, s.read.parquet(s"$base/$v").count(), v == live)
+        }.toDF("index_name", "n_docs", "is_write_index")
+          .orderBy(col("index_name"))
+      } finally ev.unpersist(blocking = false)
+    }),
     "f19_explain" -> ((s, d) =>
       // ES _explain: the BM25 factor decomposition per matching doc
       // (Search.explainBm25 scaladoc) — the oracle recomputes every
@@ -1798,6 +1829,41 @@ object SparkEntry {
         .toDF("n_index_before", "n_batch", "n_new", "n_fps_added",
           "n_index_after", "rescreen_all_known",
           "tables_in_lockstep", "growth_consistent")
+    }),
+    "d18_strict_admission" -> ((s, d) => {
+      // the STRICT near-dup admission policy under the gate
+      // (DedupIndex.addBatch(nearThreshold) scaladoc): exact-new
+      // representatives are additionally near-screened against the
+      // standing side, and a verified Jaccard ≥ 0.5 is refused
+      // admission — the policy that keeps the standing index
+      // distinct-content-sized when re-worded duplicates arrive
+      // daily. Verified per batch doc: exact_new (its fingerprint was
+      // unknown) and admitted (its fingerprint entered the index) —
+      // the oracle replays both from raw text, including the rep
+      // selection and the near-dup verify. Private index copy, the
+      // d17 discipline; the before-fingerprints snapshot is
+      // materialized to scratch (lesson 13 — the membership join
+      // must not re-list the directory the append writes into).
+      val docs = Tables.documents(s, d)
+      val standing = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val ix = DedupIndex.build(standing, Scratch.dir("d18ix"))
+      val scratch = Scratch.dir("d18before")
+      ix.fingerprints(s).select(col("fingerprint"))
+        .write.mode("overwrite").parquet(s"$scratch/before")
+      val beforeFps = s.read.parquet(s"$scratch/before")
+      DedupIndex.addBatch(s, ix, batch, nearThreshold = Some(0.5))
+      batch.select(col("doc_id"),
+          md5(Dedup.normalize(col("text"))).as("fp"))
+        .join(beforeFps.select(col("fingerprint").as("fp"),
+          lit(true).as("known")), Seq("fp"), "left")
+        .join(ix.fingerprints(s).select(col("fingerprint").as("fp"),
+          lit(true).as("now")), Seq("fp"), "left")
+        .select(col("doc_id"),
+          (col("known").isNull && col("fp").isNotNull).as("exact_new"),
+          (col("known").isNull && coalesce(col("now"), lit(false)))
+            .as("admitted"))
+        .orderBy(col("doc_id"))
     }),
     "n5_quantize" -> ((s, d) =>
       // int8 scalar quantization + its reconstruction contract; codes
@@ -3471,6 +3537,33 @@ object SparkEntry {
           SELECT 'v' || widx, 0::BIGINT, true FROM wr
           WHERE widx > (SELECT max(idx) FROM peridx)
           ORDER BY index_name""",
+    // s19: the s18 greedy segmentation replay, filtered to the
+    // keep-last-2 retention window (live write index + rollback
+    // predecessor) — what survives the ILM delete-phase sweep
+    "s19_rollover_gc" ->
+      """WITH RECURSIVE w AS (SELECT date_trunc('week', ts) AS wk, count(*)::BIGINT AS n
+                              FROM events GROUP BY 1),
+          o AS (SELECT wk, n, row_number() OVER (ORDER BY wk)::INT AS rn FROM w),
+          seg AS (SELECT 1::INT AS rn, 1::INT AS idx,
+                         (SELECT n FROM o WHERE rn = 1) AS acc
+                  UNION ALL
+                  SELECT o.rn,
+                         (CASE WHEN seg.acc >= 5000 THEN seg.idx + 1 ELSE seg.idx END)::INT,
+                         (CASE WHEN seg.acc >= 5000 THEN 0 ELSE seg.acc END) + o.n
+                  FROM seg JOIN o ON o.rn = seg.rn + 1),
+          peridx AS (SELECT seg.idx, sum(o.n)::BIGINT AS n_docs
+                     FROM seg JOIN o ON o.rn = seg.rn GROUP BY 1),
+          wr AS (SELECT CASE WHEN acc >= 5000 THEN idx + 1 ELSE idx END AS widx
+                 FROM seg ORDER BY rn DESC LIMIT 1),
+          allv AS (SELECT idx, 'v' || idx AS index_name, n_docs,
+                          idx = (SELECT widx FROM wr) AS is_write_index
+                   FROM peridx
+                   UNION ALL
+                   SELECT widx, 'v' || widx, 0::BIGINT, true FROM wr
+                   WHERE widx > (SELECT max(idx) FROM peridx))
+          SELECT index_name, n_docs, is_write_index FROM allv
+          WHERE idx >= (SELECT widx FROM wr) - 1
+          ORDER BY index_name""",
     "f19_explain" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           p AS (SELECT doc_id, len(list_filter(toks, x -> x = 'spark'))::INT AS tf,
@@ -4787,6 +4880,40 @@ object SparkEntry {
           SELECT nw.doc_id, d.dup_of, d.dup_of IS NULL AS is_new
           FROM nw LEFT JOIN d ON nw.doc_id = d.nid
           ORDER BY nw.doc_id""",
+    // d18: full replay of the strict admission policy — exact-new
+    // fingerprints, one representative per fingerprint (min id),
+    // near-dup verify of the representatives against the standing
+    // side (the d12 CTE), admission = exact-new AND rep not near-dup
+    "d18_strict_admission" ->
+      s"""WITH nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+          st AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+          bf AS (SELECT doc_id, md5($sqlNorm) AS fp FROM nw),
+          sf AS (SELECT DISTINCT md5($sqlNorm) AS fp FROM st),
+          reps AS (SELECT fp, min(doc_id) AS rep FROM bf
+                   WHERE fp IS NOT NULL
+                     AND fp NOT IN (SELECT fp FROM sf WHERE fp IS NOT NULL)
+                   GROUP BY fp),
+          rt AS (SELECT r.rep AS doc_id, ${sqlToks(sqlNorm)} AS toks
+                 FROM reps r JOIN nw n ON n.doc_id = r.rep),
+          rs AS (SELECT doc_id, $sqlShingles AS sh FROM rt),
+          ot AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM st),
+          os AS (SELECT doc_id, $sqlShingles AS sh FROM ot),
+          rp AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM rs),
+          op AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM os),
+          j AS (SELECT r.doc_id AS rid, o.doc_id AS oid,
+                       any_value(r.setsize) AS sa, any_value(o.setsize) AS sb,
+                       count(*)::INT AS inter
+                FROM rp r JOIN op o ON r.sh1 = o.sh1 GROUP BY 1, 2),
+          nd AS (SELECT DISTINCT rid FROM j
+                 WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5),
+          adm AS (SELECT fp FROM reps
+                  WHERE rep NOT IN (SELECT rid FROM nd))
+          SELECT b.doc_id,
+                 coalesce(b.fp IS NOT NULL AND
+                   b.fp NOT IN (SELECT fp FROM sf WHERE fp IS NOT NULL),
+                   false) AS exact_new,
+                 coalesce(b.fp IN (SELECT fp FROM adm), false) AS admitted
+          FROM bf b ORDER BY b.doc_id""",
     "n5_quantize" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> x::DOUBLE) AS v
