@@ -100,10 +100,14 @@ object BenchScale {
       .withColumn("l_orderkey", col("l_orderkey") + lit(k * oS))
       .withColumn("l_partkey", col("l_partkey") + lit(k * pS))
       .withColumn("l_suppkey", col("l_suppkey") + lit(k * sS))))
+    // n_chars from the ALREADY-tagged text column (a second tagText
+    // here would double-prefix: withColumn re-resolves col("text") to
+    // the replaced column) — n_chars == length(text) holds in the
+    // base corpus and must keep holding in every replica
     write("documents", union(k => docs
       .withColumn("doc_id", col("doc_id") + lit(k * dS))
       .withColumn("text", tagText(col("text"), k))
-      .withColumn("n_chars", length(tagText(col("text"), k)))))
+      .withColumn("n_chars", length(col("text")))))
     write("embeddings", union(k => emb
       .withColumn("vec_id", col("vec_id") + lit(k * vS))
       .withColumn("embedding", flipVec(col("embedding"), k))))

@@ -689,17 +689,22 @@ object SparkEntry {
                                               // gen-2 rebuild: whole
       val liveCount = b.doclen(s).count()
       val resolvedCount = resolved.doclen(s).count()
-      // second rebuild (gen-3), then the keep-last-K janitor: gen-1
-      // is swept, gen-2 is the retained rollback window, gen-3 live
+      // second rebuild (gen-3), then the keep-last-K janitor: BOTH
+      // predecessors were invalidated (that is why they were rebuilt)
+      // so neither has rollback value — the sweep reclaims both, and
+      // the rollback window only ever retains COMPLETE generations
+      // (ArtifactGen.gc scaladoc; the complete-predecessor retention
+      // case is ArtifactLifecycleSpec's)
       TextIndex.invalidate(resolved)
       val c = TextIndex.ensure(docs, key)
       val rebuiltCount = c.doclen(s).count()
       val swept = ArtifactGen.gc(root, keepLast = 2)
       TextIndex.evictMemo(key)
       val afterGc = TextIndex.ensure(docs, key)
-      val gcOk = swept.map(_.getFileName.toString) == Seq("gen-1") &&
+      val gcOk =
+        swept.map(_.getFileName.toString).sorted == Seq("gen-1", "gen-2") &&
         !java.nio.file.Files.exists(root.resolve("gen-1")) &&
-        java.nio.file.Files.exists(root.resolve("gen-2")) &&
+        !java.nio.file.Files.exists(root.resolve("gen-2")) &&
         gen(afterGc) == 3L
       val gcCount = if (gcOk) afterGc.doclen(s).count() else -1L
       import s.implicits._

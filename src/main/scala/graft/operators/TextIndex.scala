@@ -136,9 +136,11 @@ object TextIndex {
         .agg(coalesce(sum(col("df")), lit(0L))).head.getLong(0)
       shMass == l.shingles(spark).count()
     } catch {
-      // a table missing entirely (crash before its first write) is
-      // the same tear, just louder
-      case _: Exception => false
+      // a table missing entirely (hard crash between swapIn's delete
+      // and rename) is the same tear, just louder; any OTHER failure
+      // propagates — a transient read error must not destroy a
+      // healthy artifact's _DONE and trigger a corpus-sized rebuild
+      case _: org.apache.spark.sql.AnalysisException => false
     }
 
   /** Invalidate a managed artifact: remove its `_DONE` marker (so the
@@ -239,9 +241,17 @@ object TextIndex {
   def addSegment(base: Loaded, delta: DataFrame): Loaded = {
     val spark = delta.sparkSession
     val dir = base.dir
+    // pinned for the whole commit: SIX consumers below (dup check,
+    // intra-batch check, doclen, postings, shingles, dictionary
+    // deltas) would otherwise each re-run the tokenization — the
+    // "tokenize ONCE" discipline the build path gets from deriving
+    // tables off the written files (the round-9 review finding on the
+    // doubled shingle pass)
     val withLen = delta
       .select(col("doc_id"), Analyzers.tokenize(lower(col("text"))).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("len"))
+      .persist()
+    try {
 
     val dup = withLen.select(col("doc_id"))
       .join(base.doclen(spark), Seq("doc_id"), "left_semi").count()
@@ -315,6 +325,7 @@ object TextIndex {
             "(_DONE removed, memo evicted), next ensure() rebuilds", e)
     }
     base
+    } finally withLen.unpersist(blocking = false)
   }
 
   /** Delete-by-query, the Lucene TOMBSTONE model: deletion appends the
@@ -349,7 +360,8 @@ object TextIndex {
     * `java.nio` probe silently answers false the day artifacts move
     * off the local tmpdir, masking every tombstone (the round-8
     * advisor finding). */
-  private def hasDeletes(spark: SparkSession, base: Loaded): Boolean = {
+  private[graft] def hasDeletes(spark: SparkSession,
+                                base: Loaded): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"${base.dir}/deletes")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }

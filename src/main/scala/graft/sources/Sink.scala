@@ -266,22 +266,29 @@ object Sink {
     * the live version, `keepLast - 1` of its newest predecessors as
     * the rollback window, and every version NEWER than live (a
     * reindex in flight toward a future swap is never swept). With no
-    * readable `_alias` nothing is deleted. All filesystem traffic
-    * goes through the Hadoop `FileSystem` that wrote the data — the
-    * same-FS discipline the advisor flagged for the deletes-dir
-    * probes. Returns the deleted version names. */
+    * readable `_alias` nothing is deleted. Listing, probing and
+    * deleting go through the Hadoop `FileSystem` derived from
+    * `baseDir` — the same-FS discipline the advisor flagged for the
+    * deletes-dir probes (the alias pointer's CONTENT is still read by
+    * the nio-based [[aliasVersion]], the pointer family's documented
+    * local-atomic-rename design). Returns the deleted version
+    * names. */
   def gcVersions(spark: SparkSession, baseDir: String,
                  keepLast: Int = 2): Seq[String] = {
     require(keepLast >= 1, "keepLast must retain at least the live version")
-    val aliasPath = java.nio.file.Paths.get(baseDir, "_alias")
-    if (!java.nio.file.Files.exists(aliasPath)) return Seq.empty
+    // the filesystem DERIVED FROM THE PATH, not fs.defaultFS — with a
+    // default of hdfs:// and a file:/ baseDir (or vice versa), the
+    // default-FS resolution would list/delete same-named directories
+    // on the wrong filesystem (the round-9 review finding); the alias
+    // pointer is probed through the same fs
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(base, "_alias")))
+      return Seq.empty
     val liveOpt = aliasVersion(baseDir).trim.stripPrefix("v").toIntOption
     liveOpt match {
       case None => Seq.empty
       case Some(live) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val base = new org.apache.hadoop.fs.Path(baseDir)
         if (!fs.exists(base)) return Seq.empty
         val versions = fs.listStatus(base).toSeq
           .filter(_.isDirectory)

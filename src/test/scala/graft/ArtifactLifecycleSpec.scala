@@ -206,6 +206,36 @@ class ArtifactLifecycleSpec extends SparkSpec {
     ArtifactGen.wipe(root)
   }
 
+  test("gc's rollback window counts only COMPLETE generations; torn predecessors are swept") {
+    import java.nio.file.Files
+    import graft.operators.ArtifactGen
+    // the review scenario: gen-1 complete, gen-2 TORN (invalidated by
+    // a failed append), gen-3 live. A window that counted gen-2 would
+    // sweep the only real rollback candidate while retaining a
+    // useless directory; the correct sweep reclaims torn gen-2 and
+    // keeps complete gen-1 as the rollback.
+    val root = Files.createTempDirectory("graft_gen_gc_torn")
+    def mkGen(n: Int, done: Boolean): Unit = {
+      val d = root.resolve(s"gen-$n")
+      Files.createDirectories(d)
+      Files.write(d.resolve("data.txt"), s"g$n".getBytes("UTF-8"))
+      if (done) Files.write(d.resolve("_DONE"), Array.empty[Byte])
+      ()
+    }
+    mkGen(1, done = true)
+    mkGen(2, done = false)
+    mkGen(3, done = true)
+    ArtifactGen.publish(root, root.resolve("gen-3"))
+    val swept = ArtifactGen.gc(root, keepLast = 2)
+    assert(swept.map(_.getFileName.toString) == Seq("gen-2"), swept)
+    assert(Files.exists(root.resolve("gen-1")),
+      "the only complete predecessor is the rollback window — kept")
+    assert(Files.exists(root.resolve("gen-3")), "live retained")
+    assert(ArtifactGen.currentDir(root).map(_.getFileName.toString)
+      .contains("gen-3"))
+    ArtifactGen.wipe(root)
+  }
+
   test("gc with no resolvable _CURRENT deletes nothing") {
     import java.nio.file.Files
     import graft.operators.ArtifactGen
