@@ -296,6 +296,25 @@ object AnnIndex {
     * [[TextIndex]] swapIn discipline), then clear the tombstones.
     * Corpus-sized by design — the scheduled merge, like
     * [[TextIndex.purgeDeletes]]. */
+  /** Tombstone-pressure purge policy — the [[TextIndex.maybePurge]]
+    * discipline for vectors (FAISS deployments likewise batch
+    * `remove_ids` and rebuild/merge on accumulated deletions): the
+    * four-table [[purgeDeletes]] merge runs only when tombstones
+    * exceed `maxRatio` of the LIVE vector count; a retention trickle
+    * stays O(deleted) appends until pressure accumulates. Returns
+    * whether a purge ran. */
+  def maybePurge(spark: SparkSession, base: Loaded,
+                 maxRatio: Double = 0.1): Boolean = {
+    require(maxRatio > 0.0, "maxRatio must be positive")
+    if (!hasDeletes(spark, base)) return false
+    val tomb = spark.read.parquet(s"${base.dir}/deletes").count()
+    val live = base.ivf(spark).count() - tomb
+    if (tomb.toDouble > maxRatio * math.max(live, 1L).toDouble) {
+      purgeDeletes(spark, base)
+      true
+    } else false
+  }
+
   def purgeDeletes(spark: SparkSession, base: Loaded): Loaded = {
     if (!hasDeletes(spark, base)) return base
     swapIn(spark, base, "ivf",

@@ -197,6 +197,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(ix.ivf(spark).count() == n - nDel)
   }
 
+  test("maybePurge: sub-threshold tombstones persist; crossing the ratio merges") {
+    val corpus = plantedCorpus
+    val ix = AnnIndex.build(corpus, freshDir())
+    val n = ix.ivf(spark).count()
+    // nothing tombstoned → nothing to read, no-op
+    assert(!AnnIndex.maybePurge(spark, ix, maxRatio = 0.1))
+    // ~2% deleted: far under a 10% pressure threshold — the merge
+    // must NOT run (tables intact, mask keeps serving)
+    val few = corpus.filter(col("vec_id") % 50 === 0).select(col("vec_id"))
+    val nFew = AnnIndex.deleteVectors(spark, ix, few)
+    assert(nFew > 0)
+    assert(!AnnIndex.maybePurge(spark, ix, maxRatio = 0.1))
+    assert(ix.ivf(spark).count() == n)
+    assert(AnnIndex.liveView(spark, ix, ix.ivf(spark)).count() == n - nFew)
+    // pile on past the ratio → the four-table merge runs
+    val many = corpus.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+    val nMany = AnnIndex.deleteVectors(spark, ix, many)
+    assert(AnnIndex.maybePurge(spark, ix, maxRatio = 0.1))
+    Seq(ix.ivf(spark), ix.pqCodes(spark), ix.ivfPqCodes(spark),
+      ix.sq8(spark)).foreach(t => assert(t.count() == n - nFew - nMany))
+    // pressure relieved: the next check is a no-op again
+    assert(!AnnIndex.maybePurge(spark, ix, maxRatio = 0.1))
+  }
+
   test("addVectors rejects duplicate vec_ids loudly") {
     val base = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"), col("embedding"))
