@@ -122,10 +122,19 @@ object BenchScale {
     * screen against the standing artifact, IVF probe, index-served
     * BM25, prefix-sum packing, df-based boilerplate, dictionary-served
     * rare terms, two-pass distributed rank. */
-  private val probeNames = Seq("denorm_docs", "d4_jaccard_pairs",
+  private val defaultProbes = Seq("denorm_docs", "d4_jaccard_pairs",
     "d5_cosine_pairs", "d10_incremental_dedup", "n3_knn_ivf",
     "f4_search_bm25", "x7_pack_chunks", "x14_boilerplate",
     "a11_rare_terms", "w10_percent_rank")
+
+  /** Override with SPARK_GRAFT_PROBES (comma-separated query names)
+    * — e.g. a two-decade ×100 run drops the exact-quadratic d5
+    * (work ×10⁴ by contract) and probes the document/vector
+    * families. */
+  private def probeNames: Seq[String] =
+    sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(defaultProbes)
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -201,7 +210,9 @@ object BenchScale {
         s""""base":${obj(qBase ++ bBase)},"scaled":${obj(qScaled ++ bScaled)},""" +
         s""""ratio":${obj(ratios)},"base_dir":"$base","scaled_dir":"$out"}"""
     println(line)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale.json"),
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "bench_scale.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
