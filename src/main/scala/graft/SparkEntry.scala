@@ -492,9 +492,13 @@ object SparkEntry {
         graft.sources.Sink.rollover(s, base, batches, maxDocs = 5000L)
         graft.sources.Sink.gcVersions(s, base, keepLast = 2)
         val live = graft.sources.Sink.aliasVersion(base)
-        val remaining = Option(new java.io.File(base).listFiles()).get
-          .filter(f => f.isDirectory && f.getName.startsWith("v"))
-          .map(_.getName).toSeq.sorted
+        // read-back listing through the same Hadoop FS the sweep used
+        val basePath = new org.apache.hadoop.fs.Path(base)
+        val fs = basePath
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val remaining = fs.listStatus(basePath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+          .map(_.getPath.getName).sorted
         import s.implicits._
         remaining.map { v =>
           (v, s.read.parquet(s"$base/$v").count(), v == live)
@@ -1849,6 +1853,12 @@ object SparkEntry {
       // d17 discipline; the before-fingerprints snapshot is
       // materialized to scratch (lesson 13 — the membership join
       // must not re-list the directory the append writes into).
+      // Shares d12's documented assumption: the oracle's exact
+      // all-pairs join equals the LSH-banded candidate set because
+      // banding recall is 1.0 on this corpus's actual >= 0.5 pairs
+      // (deterministic xxhash banding — same verdict every run; a
+      // future corpus with a borderline-0.5 pair that misses all 16
+      // bands would surface here exactly as it would in d12).
       val docs = Tables.documents(s, d)
       val standing = docs.filter(col("doc_id") % 10 =!= 0)
       val batch = docs.filter(col("doc_id") % 10 === 0)

@@ -111,16 +111,23 @@ object AnnIndex {
   /** One row per vector in EVERY encoding table — the invariant each
     * addVectors tear point breaks (the four appends land in order:
     * ivf, pq_codes, ivfpq_codes, sq8). */
-  private def lockstepValid(spark: SparkSession, l: Loaded): Boolean =
-    try {
+  private def lockstepValid(spark: SparkSession, l: Loaded): Boolean = {
+    def checks(): Boolean = {
       val n = l.ivf(spark).count()
       l.pqCodes(spark).count() == n &&
         l.ivfPqCodes(spark).count() == n && l.sq8(spark).count() == n
-    } catch {
-      // missing table = tear; transient read errors propagate (the
-      // TextIndex discipline — never destroy _DONE on a flake)
-      case _: org.apache.spark.sql.AnalysisException => false
     }
+    // missing table = tear; other failures get one retry (transient
+    // flake passes, persistent corruption fails twice = tear) — the
+    // TextIndex discipline
+    try checks() catch {
+      case _: org.apache.spark.sql.AnalysisException => false
+      case scala.util.control.NonFatal(_) =>
+        try checks() catch {
+          case scala.util.control.NonFatal(_) => false
+        }
+    }
+  }
 
   /** Invalidate a managed artifact: remove `_DONE` AND evict the
     * in-JVM memo entry — without the eviction, ensure() in the same
@@ -290,12 +297,6 @@ object AnnIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Physically drop tombstoned vectors from ivf, pq_codes,
-    * ivfpq_codes and sq8 (write-tmp + swap per table; a torn swap
-    * invalidates the artifact and evicts the memo, the
-    * [[TextIndex]] swapIn discipline), then clear the tombstones.
-    * Corpus-sized by design — the scheduled merge, like
-    * [[TextIndex.purgeDeletes]]. */
   /** Tombstone-pressure purge policy — the [[TextIndex.maybePurge]]
     * discipline for vectors (FAISS deployments likewise batch
     * `remove_ids` and rebuild/merge on accumulated deletions): the
@@ -315,6 +316,12 @@ object AnnIndex {
     } else false
   }
 
+  /** Physically drop tombstoned vectors from ivf, pq_codes,
+    * ivfpq_codes and sq8 (write-tmp + swap per table; a torn swap
+    * invalidates the artifact and evicts the memo, the
+    * [[TextIndex]] swapIn discipline), then clear the tombstones.
+    * Corpus-sized by design — the scheduled merge, like
+    * [[TextIndex.purgeDeletes]]. */
   def purgeDeletes(spark: SparkSession, base: Loaded): Loaded = {
     if (!hasDeletes(spark, base)) return base
     swapIn(spark, base, "ivf",

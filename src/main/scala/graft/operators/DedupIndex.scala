@@ -95,15 +95,21 @@ object DedupIndex {
     * nothing, so ≤, not ==). A missing table is the same tear,
     * louder; any other read failure propagates — a transient FS error
     * must not destroy a healthy artifact's `_DONE`. */
-  private def lockstepValid(spark: SparkSession, l: Loaded): Boolean =
-    try {
+  private def lockstepValid(spark: SparkSession, l: Loaded): Boolean = {
+    def checks(): Boolean = {
       val f = l.fingerprints(spark).count()
       val s = l.shingleSets(spark).count()
       val b = l.buckets(spark).count()
       f == s && b % Dedup.Bands == 0 && b <= f * Dedup.Bands
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => false
     }
+    try checks() catch {
+      case _: org.apache.spark.sql.AnalysisException => false
+      case scala.util.control.NonFatal(_) =>
+        try checks() catch {
+          case scala.util.control.NonFatal(_) => false
+        }
+    }
+  }
 
   /** The ingest job: fingerprint, signature-band, and shingle the
     * standing corpus ONCE; every screening batch thereafter only

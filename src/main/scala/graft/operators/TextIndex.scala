@@ -125,8 +125,8 @@ object TextIndex {
     * addSegment tear point (crash after doclen; after postings;
     * after a dictionary swap but before the corpus swap) breaks at
     * least one of the three. */
-  private def lockstepValid(spark: SparkSession, l: Loaded): Boolean =
-    try {
+  private def lockstepValid(spark: SparkSession, l: Loaded): Boolean = {
+    def checks(): Boolean = {
       val n = l.corpus(spark).head.getDouble(0).toLong
       if (n != l.doclen(spark).count()) return false
       val dfMass = l.termDf(spark)
@@ -135,13 +135,22 @@ object TextIndex {
       val shMass = l.shingleDf(spark)
         .agg(coalesce(sum(col("df")), lit(0L))).head.getLong(0)
       shMass == l.shingles(spark).count()
-    } catch {
-      // a table missing entirely (hard crash between swapIn's delete
-      // and rename) is the same tear, just louder; any OTHER failure
-      // propagates — a transient read error must not destroy a
-      // healthy artifact's _DONE and trigger a corpus-sized rebuild
-      case _: org.apache.spark.sql.AnalysisException => false
     }
+    // a table missing entirely (hard crash between swapIn's delete
+    // and rename) is the same tear, just louder. Any other read
+    // failure gets ONE retry: a transient flake passes the second
+    // attempt (and must not destroy a healthy artifact's _DONE),
+    // while persistent corruption — a present-but-truncated file
+    // with _DONE intact — fails twice and is treated as the tear it
+    // is, instead of wedging every ensure() forever.
+    try checks() catch {
+      case _: org.apache.spark.sql.AnalysisException => false
+      case scala.util.control.NonFatal(_) =>
+        try checks() catch {
+          case scala.util.control.NonFatal(_) => false
+        }
+    }
+  }
 
   /** Invalidate a managed artifact: remove its `_DONE` marker (so the
     * pointer resolves to "no live artifact") AND evict the in-JVM memo

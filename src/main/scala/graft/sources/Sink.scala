@@ -235,12 +235,26 @@ object Sink {
   def aliasWriteVersion(df: DataFrame, baseDir: String, v: Int): Unit =
     df.write.mode("overwrite").parquet(s"$baseDir/v$v")
 
+  /** The alias-pointer family (swap/read/gc) is a LOCAL-path design:
+    * the pointer's atomicity comes from `java.nio` ATOMIC_MOVE, which
+    * a scheme-qualified URI silently breaks (`Paths.get("file:/x")`
+    * is a cwd-RELATIVE path — the pointer would land under
+    * `./file:/x/_alias` while Hadoop-FS readers probe the real
+    * location). Reject the mismatch loudly instead of diverging. */
+  private def requireLocalAliasPath(baseDir: String): Unit =
+    require(!baseDir.contains(":"),
+      s"alias pointers are java.nio-local by design; got the " +
+        s"scheme-qualified '$baseDir' — pass a plain local path " +
+        "(an object-store deployment swaps aliases via its own " +
+        "atomic-pointer primitive)")
+
   /** Atomically point the alias at version `v`. The staging file is
     * unique per call (not a fixed `.tmp` name) so two concurrent
     * swappers cannot overwrite each other's staged pointer — each
     * ATOMIC_MOVE installs exactly the version its caller wrote, and
     * last-mover wins, which is the ES `_aliases` guarantee. */
   def aliasSwap(baseDir: String, v: Int): Unit = {
+    requireLocalAliasPath(baseDir)
     val dir = java.nio.file.Paths.get(baseDir)
     java.nio.file.Files.createDirectories(dir)
     val tmp = java.nio.file.Files.createTempFile(dir, "_alias", ".tmp")
@@ -281,6 +295,7 @@ object Sink {
     // default-FS resolution would list/delete same-named directories
     // on the wrong filesystem (the round-9 review finding); the alias
     // pointer is probed through the same fs
+    requireLocalAliasPath(baseDir)
     val base = new org.apache.hadoop.fs.Path(baseDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(base, "_alias")))
