@@ -773,6 +773,39 @@ object SparkEntry {
         .withColumn("postings_agree", lit(nPhysical) === col("n_postings"))
         .withColumn("multi_batch", lit(nBatches >= 2))
     }),
+    "st13_stream_vector_deletes" -> ((s, d) => {
+      // Streaming VECTOR delete ingest (IndexStream
+      // .runVectorDeleteIngest scaladoc): the ANN twin of st12 —
+      // delete requests arrive as a multi-batch stream, each batch
+      // tombstones O(batch) and applies the pressure policy
+      // (AnnIndex.maybePurge), terminal merge at close. Readback:
+      // live counts across all four encoding tables, the nearest
+      // LIVE neighbor of vec 1 by the exact BIGINT quantized dot
+      // (n12's invariant, through the streamed lifecycle), and
+      // multi_batch proving incremental arrival.
+      val (ix, nBatches, nDeleted) =
+        graft.streaming.IndexStream.runVectorDeleteIngest(s, d)
+      val emb = Tables.embeddings(s, d)
+      val nAfter = ix.ivf(s).count()
+      val tablesAgree = ix.pqCodes(s).count() == nAfter &&
+        ix.sq8(s).count() == nAfter && ix.ivfPqCodes(s).count() == nAfter
+      val q = emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000, 0).cast("long")).as("q"))
+      val probe = q.filter(col("vec_id") === 1L).select(col("q").as("p"))
+      val r = q.join(ix.ivf(s).select(col("vec_id")), Seq("vec_id"))
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          aggregate(zip_with(col("q"), col("p"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("dp"))
+        .filter(col("vec_id") =!= 1L)
+        .orderBy(col("dp").desc, col("vec_id")).limit(1).head
+      import s.implicits._
+      Seq((emb.count(), nDeleted, nAfter, r.getLong(0), r.getLong(1),
+          tablesAgree, nBatches >= 2))
+        .toDF("n_before", "n_deleted", "n_after", "live_nn", "live_dp",
+          "tables_agree", "multi_batch")
+    }),
     "st10_stream_index" -> ((s, d) => {
       // Streaming index ingest (streaming/IndexStream scaladoc): the
       // documents table arrives as a 4-file stream, one micro-batch
@@ -3712,6 +3745,26 @@ object SparkEntry {
                  (SELECT vec_id FROM nn) AS purged_nn,
                  (SELECT dp FROM nn) AS purged_dp,
                  true AS mask_agrees, true AS tables_agree""",
+    // st13: the n12 replay over the STREAMED delete lifecycle —
+    // retained vectors are % 5 <> 0, nearest-live of vec 1 by the
+    // same one-rounding-per-element BIGINT dot
+    "st13_stream_vector_deletes" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+                    FROM embeddings),
+          live AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+          pr AS (SELECT q AS pq FROM e WHERE vec_id = 1),
+          dp AS (SELECT vec_id,
+                        CAST(list_sum(list_transform(range(1, len(q) + 1),
+                          i -> q[i] * pq[i])) AS BIGINT) AS dp
+                 FROM live, pr WHERE vec_id <> 1),
+          nn AS (SELECT vec_id, dp FROM dp ORDER BY dp DESC, vec_id LIMIT 1)
+          SELECT (SELECT count(*) FROM e)::BIGINT AS n_before,
+                 (SELECT count(*) FROM e WHERE vec_id % 5 = 0)::BIGINT AS n_deleted,
+                 (SELECT count(*) FROM live)::BIGINT AS n_after,
+                 (SELECT vec_id FROM nn) AS live_nn,
+                 (SELECT dp FROM nn) AS live_dp,
+                 true AS tables_agree, true AS multi_batch""",
     // ti2/ti3/f17: positional replay of the token stream — DuckDB
     // walks 1-based token indices where the index stores 0-based
     // positions, so the oracle is an independent positional

@@ -110,6 +110,34 @@ object IndexStream {
     (TextIndex.purgeDeletes(spark, ix), batches, deleted)
   }
 
+  /** ST13: streaming VECTOR delete ingest — the ANN twin of
+    * [[runDeleteIngest]] (and the streaming face of n12's batch
+    * lifecycle): vector retention/right-to-be-forgotten requests
+    * arrive as a multi-batch stream, each micro-batch tombstones in
+    * O(batch) ([[graft.operators.AnnIndex.deleteVectors]] — the four
+    * encoding tables untouched) and applies the tombstone-pressure
+    * policy ([[graft.operators.AnnIndex.maybePurge]]), with the
+    * terminal four-table merge at stream close. Returns the purged
+    * index, the number of non-empty request batches, and the total
+    * vectors tombstoned. */
+  def runVectorDeleteIngest(spark: SparkSession, dir: String,
+                            nSplits: Int = 2)
+      : (graft.operators.AnnIndex.Loaded, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnIndex
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ix = AnnIndex.build(emb, graft.Scratch.dir("st13ix"))
+    val victims = emb.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+    var deleted = 0L
+    val batches = foldFileStream(spark, victims, nSplits, "st13") { b =>
+      deleted += AnnIndex.deleteVectors(spark, ix, b)
+      AnnIndex.maybePurge(spark, ix, maxRatio = 0.1)
+      ()
+    }
+    (AnnIndex.purgeDeletes(spark, ix), batches, deleted)
+  }
+
   /** Streaming VECTOR ingest — the ANN twin of [[runIndexIngest]] and
     * the FAISS `add()` loop run as a stream: the base index trains
     * ONCE on the standing corpus (`seed`), then delta vectors arrive
