@@ -285,11 +285,13 @@ object EventStream {
     * miss its conversion). The bound is a provable prune, so the
     * convergence contract is unconditional for any disorder the
     * watermark admits: locks are strictly increasing, and the first
-    * unreached stage's future lock can only come from an arrival the
-    * watermark filter lets through (ts ≥ current watermark) — so
-    * every subsequent stage's lock exceeds `max(deepest lock,
-    * watermark)`, and any candidate at or below that line can never
-    * satisfy the strictly-after condition again. State per user is
+    * unreached stage's future lock can only come from an ADMITTED
+    * arrival (ts ≥ current watermark — the machine enforces this
+    * late-drop itself, because mapGroupsWithState, unlike stateful
+    * aggregations, does not auto-filter late rows) — so every
+    * subsequent stage's lock exceeds `max(deepest lock, watermark)`,
+    * and any candidate at or below that line can never satisfy the
+    * strictly-after condition again. State per user is
     * therefore O(candidate events inside the horizon), the same bound
     * every watermarked stateful operator carries — never the stream
     * history. The one remaining documented approximation: an EARLIER
@@ -328,11 +330,21 @@ object EventStream {
           val times = scala.collection.mutable.ArrayBuffer(st.times: _*)
           val buf = st.buf.map(b =>
             scala.collection.mutable.ArrayBuffer(b: _*)).toArray
-          // merge this batch's events into the unreached stages'
-          // candidate buffers (sorted insert, no cap)
+          // enforce the late-drop OURSELVES: unlike stateful
+          // aggregations, mapGroupsWithState does NOT auto-filter
+          // rows older than the watermark — and the horizon prune's
+          // soundness rests on "every admitted arrival has ts ≥ the
+          // watermark it was processed under" (a late event admitted
+          // below the watermark could lock a stage BENEATH already-
+          // pruned candidates and silently lose a conversion).
+          // Events beyond the horizon are dropped, the same contract
+          // a watermarked aggregation applies.
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // merge this batch's admitted events into the unreached
+          // stages' candidate buffers (sorted insert, no cap)
           rows.foreach { case (_, _, us, tpe) =>
             val idx = stageIdx(tpe)
-            if (idx >= times.length) {
+            if (us >= wmUs && idx >= times.length) {
               val ins = buf(idx).indexWhere(_ > us)
               if (ins >= 0) buf(idx).insert(ins, us)
               else buf(idx) += us
@@ -357,10 +369,10 @@ object EventStream {
           // Deeper stages' future thresholds strictly exceed
           // max(deepest lock, watermark): their lock chain starts at
           // the first unreached stage, whose lock must come from a
-          // future arrival the watermark filter admits (ts ≥ wm).
-          // Candidates at or below the line can never be strictly
-          // after such a threshold — dropping them loses nothing.
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // future ADMITTED arrival (ts ≥ wm, enforced above; future
+          // batches only raise wm). Candidates at or below the line
+          // can never be strictly after such a threshold — dropping
+          // them loses nothing.
           val deepest = times.lastOption.getOrElse(Long.MinValue)
           val k0 = times.length
           var k = k0

@@ -253,6 +253,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(streamed(9L) == 2, s"streamed reached ${streamed(9L)}")
   }
 
+  test("funnel: disorder beyond the horizon is dropped by the watermark, by contract") {
+    // the flip side of the unconditional-convergence claim: the
+    // claim is scoped to IN-HORIZON disorder. A prerequisite arriving
+    // more than `horizon` behind the stream's max event time is
+    // filtered by the watermark before the state machine sees it —
+    // the stage must NOT convert (silently absorbing arbitrarily
+    // late data would mean unbounded state, the knob the horizon
+    // replaces). Batch 1 advances the watermark to 12:00 - 10min =
+    // 11:50; the 10:00 signup in batch 2 is late beyond the horizon.
+    val evs = Seq(
+      (1L, "2024-01-01 12:00:00", 13L, "click"),
+      (2L, "2024-01-01 10:00:00", 13L, "signup"))
+    val batches = Seq(evs.take(1), evs.drop(1))
+    val streamed = runMachine(batches, horizon = "10 minutes")
+    assert(streamed(13L) == 0,
+      s"beyond-horizon prerequisite must be dropped: ${streamed(13L)}")
+    // the batch oracle (which has no lateness concept) reaches 2
+    // (signup 10:00 → click 12:00) — the divergence IS the
+    // documented horizon contract
+    assert(batchReached(evs) == 2L)
+    // and the same arrival inside a generous horizon fully converts
+    val inHorizon = runMachine(batches, horizon = "3 hours")
+    assert(inHorizon(13L) == 2,
+      s"in-horizon prerequisite must convert: ${inHorizon(13L)}")
+  }
+
   test("funnel: the horizon prune drops only spent candidates, never convergence") {
     // a purchase candidate BELOW the eventual lock chain (10:00) plus
     // the true qualifier (10:40) buffer for two micro-batches before
