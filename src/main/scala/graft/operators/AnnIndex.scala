@@ -102,6 +102,7 @@ object AnnIndex {
       // per-vector table must agree on the row count.
       if (lockstepValid(corpus.sparkSession, first)) first
       else {
+        ArtifactGen.warnTearRebuild("AnnIndex", key, first.dir)
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(first.dir, "_DONE"))
         resolve()

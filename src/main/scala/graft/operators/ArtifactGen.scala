@@ -77,6 +77,14 @@ object ArtifactGen {
       val gen = root.resolve(s"gen-${maxGen(root) + 1}")
       try {
         Files.createDirectory(gen)
+        // timestamped claim marker: gc() treats a claimed-but-not-yet
+        // `_DONE` directory as an in-flight build while the marker is
+        // fresh, closing the documented residual race where a builder
+        // whose claim fell below live (a later claimant published
+        // first) could be swept mid-build and then publish a
+        // torn-but-`_DONE` generation
+        Files.write(gen.resolve("_CLAIM"),
+          s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
         return gen
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => attempt += 1
@@ -85,6 +93,22 @@ object ArtifactGen {
     throw new IllegalStateException(
       s"could not claim a generation under $root after 1000 attempts")
   }
+
+  /** Operator-visible warning for the lockstep-tear rebuild path
+    * (the round-9 advisor finding): a rebuild triggered by ensure-time
+    * validation rebuilds solely from the DataFrame captured at the
+    * ensure() call, silently discarding every addSegment/addBatch/
+    * addVectors applied since the original build. That is consistent
+    * with the invalidate-rebuild model, but a silent data regression
+    * for a long-lived incrementally-maintained index — so every
+    * family logs the generation + key here, telling operators which
+    * appended deltas to re-ingest. */
+  def warnTearRebuild(family: String, key: String, dir: String): Unit =
+    org.slf4j.LoggerFactory.getLogger("graft.ArtifactGen").warn(
+      s"$family artifact for key '$key' failed ensure-time lockstep " +
+        s"validation (torn generation at $dir); rebuilding fresh from " +
+        "the ensure() snapshot — segments/batches appended to the torn " +
+        "generation since its build are DROPPED and must be re-ingested")
 
   /** Recursive delete (deepest-first), stream closed — the shared
     * lifecycle-reset helper for specs and the s15 gated replay. */
@@ -127,16 +151,23 @@ object ArtifactGen {
     * under its builder). Everything else strictly older than live is
     * deleted, torn or complete: in the invalidate-then-rebuild
     * lifecycle the predecessors are precisely the invalidated
-    * garbage this janitor exists to reclaim. Residual race, accepted
-    * and documented: a builder whose claim fell BELOW live because a
-    * later claimant published first could have its directory swept
-    * mid-build; it would then publish a torn-but-marked generation —
-    * which the per-family ensure() lockstep validation catches and
-    * rebuilds (the backstop that makes this policy safe). With no
+    * garbage this janitor exists to reclaim — EXCEPT a directory
+    * whose `_CLAIM` marker is fresher than `claimGraceMs` and that
+    * has no `_DONE` yet: that is an in-flight build whose claim fell
+    * BELOW live because a later claimant published first, and
+    * sweeping it mid-build would let it publish a torn-but-marked
+    * generation. Such directories are skipped until the grace
+    * expires; a crashed build's stale claim is reclaimed on a later
+    * sweep. The grace window makes gc safe for ANY resolveOrBuild
+    * caller; builds expected to exceed the grace must either pass a
+    * larger `claimGraceMs` or pair gc with ensure-time lockstep
+    * validation (the TextIndex/AnnIndex/DedupIndex backstop, which
+    * catches and rebuilds a torn generation regardless). With no
     * resolvable `_CURRENT` nothing is deleted — a torn pointer must
     * not trigger a sweep that could eat the only complete build.
     * Returns the deleted directories. */
-  def gc(root: Path, keepLast: Int = 2): Seq[Path] = {
+  def gc(root: Path, keepLast: Int = 2,
+         claimGraceMs: Long = 15 * 60 * 1000L): Seq[Path] = {
     require(keepLast >= 1, "keepLast must retain at least the live generation")
     currentDir(root) match {
       case None => Seq.empty
@@ -158,10 +189,20 @@ object ArtifactGen {
               .filter(g =>
                 Files.exists(root.resolve(s"gen-$g").resolve("_DONE")))
               .take(keepLast - 1).toSet
-            older.filterNot(window).map { g =>
+            def inFlight(dir: Path): Boolean = {
+              val claim = dir.resolve("_CLAIM")
+              !Files.exists(dir.resolve("_DONE")) &&
+                Files.exists(claim) &&
+                (try {
+                  val t = new String(Files.readAllBytes(claim), "UTF-8")
+                    .trim.toLongOption.getOrElse(0L)
+                  System.currentTimeMillis() - t < claimGraceMs
+                } catch { case _: java.io.IOException => true })
+            }
+            older.filterNot(window).flatMap { g =>
               val dir = root.resolve(s"gen-$g")
-              wipe(dir)
-              dir
+              if (inFlight(dir)) None
+              else { wipe(dir); Some(dir) }
             }
         }
     }
@@ -169,8 +210,14 @@ object ArtifactGen {
 
   /** Point `_CURRENT` at `gen` — write-to-tmp + ATOMIC_MOVE, the
     * aliasSwap pattern: readers resolve either the old pointer or the
-    * new one, never a partial write. */
+    * new one, never a partial write. Publishing RETIRES the `_CLAIM`
+    * marker: the claim means "still building", and only while it is
+    * present (and fresh) does gc() protect a claimed-but-not-`_DONE`
+    * directory. A generation that completed and was later INVALIDATED
+    * (`_DONE` removed) has neither marker and is ordinary sweepable
+    * garbage — the s15 lifecycle depends on that distinction. */
   def publish(root: Path, gen: Path): Unit = {
+    Files.deleteIfExists(gen.resolve("_CLAIM"))
     val tmp = Files.createTempFile(root, "_current", ".tmp")
     Files.write(tmp, gen.getFileName.toString.getBytes("UTF-8"))
     Files.move(tmp, root.resolve("_CURRENT"),

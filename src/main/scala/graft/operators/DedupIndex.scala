@@ -81,6 +81,7 @@ object DedupIndex {
         // invalidate ON DISK only — we're inside computeIfAbsent, so
         // touching the memo here would be a recursive map update (the
         // key isn't mapped yet anyway)
+        ArtifactGen.warnTearRebuild("DedupIndex", key, first.dir)
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(first.dir, "_DONE"))
         resolve()

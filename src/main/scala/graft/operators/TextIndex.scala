@@ -111,6 +111,7 @@ object TextIndex {
       else {
         // on-disk invalidation only — inside computeIfAbsent, touching
         // the memo would be a recursive map update
+        ArtifactGen.warnTearRebuild("TextIndex", key, first.dir)
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(first.dir, "_DONE"))
         resolve()

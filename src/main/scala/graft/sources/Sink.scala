@@ -240,9 +240,15 @@ object Sink {
     * a scheme-qualified URI silently breaks (`Paths.get("file:/x")`
     * is a cwd-RELATIVE path — the pointer would land under
     * `./file:/x/_alias` while Hadoop-FS readers probe the real
-    * location). Reject the mismatch loudly instead of diverging. */
+    * location). Reject the mismatch loudly instead of diverging.
+    * Only an actual URI-scheme PREFIX (`scheme:` at the path start,
+    * per RFC 3986) is rejected — a colon later in the path (e.g. an
+    * ISO-timestamped run directory `/runs/2026-08-14T10:30/idx`) is
+    * a legal local path segment, not a scheme. A RELATIVE first
+    * segment containing a colon is indistinguishable from a scheme;
+    * disambiguate with a `./` prefix or an absolute path. */
   private def requireLocalAliasPath(baseDir: String): Unit =
-    require(!baseDir.contains(":"),
+    require(!baseDir.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*"),
       s"alias pointers are java.nio-local by design; got the " +
         s"scheme-qualified '$baseDir' — pass a plain local path " +
         "(an object-store deployment swaps aliases via its own " +

@@ -236,6 +236,46 @@ class ArtifactLifecycleSpec extends SparkSpec {
     ArtifactGen.wipe(root)
   }
 
+  test("gc skips an older-than-live dir with a FRESH claim; sweeps it once the claim is stale") {
+    import java.nio.file.Files
+    import graft.operators.ArtifactGen
+    // the residual race the claim grace closes: a builder claims
+    // gen-2 while live is gen-1, a later claimant builds gen-3 and
+    // publishes FIRST — now the in-flight gen-2 is older than live
+    // with no _DONE. Sweeping it mid-build would let it publish a
+    // torn-but-marked generation; the fresh _CLAIM marker written by
+    // claimNextGen must protect it until the grace expires.
+    val root = Files.createTempDirectory("graft_gen_gc_claim")
+    def mkDone(n: Int): Unit = {
+      val d = root.resolve(s"gen-$n")
+      Files.createDirectories(d)
+      Files.write(d.resolve("_DONE"), Array.empty[Byte])
+      ()
+    }
+    mkDone(1)
+    val claimed = ArtifactGen.claimNextGen(root) // gen-2, fresh _CLAIM
+    assert(claimed.getFileName.toString == "gen-2")
+    assert(Files.exists(claimed.resolve("_CLAIM")),
+      "claimNextGen must timestamp its claim")
+    mkDone(3)
+    ArtifactGen.publish(root, root.resolve("gen-3"))
+
+    // keepLast=1: gen-1 (complete, older) is swept; gen-2 survives —
+    // its claim is fresh, so gc treats it as an in-flight build
+    val swept = ArtifactGen.gc(root, keepLast = 1)
+    assert(swept.map(_.getFileName.toString) == Seq("gen-1"), swept)
+    assert(Files.exists(claimed), "fresh-claimed in-flight dir retained")
+
+    // once the claim is stale (grace 0) the crashed build is garbage
+    // and the sweep reclaims it
+    val swept2 = ArtifactGen.gc(root, keepLast = 1, claimGraceMs = 0L)
+    assert(swept2.map(_.getFileName.toString) == Seq("gen-2"), swept2)
+    assert(!Files.exists(claimed), "stale claim reclaimed")
+    assert(ArtifactGen.currentDir(root).map(_.getFileName.toString)
+      .contains("gen-3"))
+    ArtifactGen.wipe(root)
+  }
+
   test("gc with no resolvable _CURRENT deletes nothing") {
     import java.nio.file.Files
     import graft.operators.ArtifactGen

@@ -141,4 +141,21 @@ class SinkSpec extends SparkSpec {
     assert(Sink.gcVersions(spark, base2).isEmpty)
     assert(new java.io.File(s"$base2/v1").exists())
   }
+
+  test("alias path guard: rejects URI schemes, accepts colons in later segments") {
+    // a scheme-qualified URI silently breaks java.nio ATOMIC_MOVE
+    // (Paths.get("file:/x") is cwd-relative) — rejected loudly
+    intercept[IllegalArgumentException](Sink.aliasSwap("file:/tmp/idx", 1))
+    intercept[IllegalArgumentException](Sink.aliasSwap("hdfs://nn/idx", 1))
+    // a colon INSIDE a later path segment is a legal local path (the
+    // round-9 advisor finding: ISO-timestamped run dirs) — the swap
+    // itself is pure java.nio and must accept it (whether a given
+    // Hadoop table format tolerates colon segments is the table
+    // writer's business, not the pointer's)
+    val base = Scratch.dir("aliascolon") + "/run-2026-08-14T10:30"
+    Sink.aliasSwap(base, 1)
+    assert(Sink.aliasVersion(base) == "v1")
+    // absolute paths are never mistaken for schemes
+    Sink.aliasSwap(Scratch.dir("aliasplain"), 2)
+  }
 }
