@@ -1467,6 +1467,12 @@ object SparkEntry {
       graft.operators.Dedup.chunkDedup(Tables.documents(s, d),
         chunkTokens = 32)
         .orderBy(col("doc_id"), col("chunk_idx"))),
+    "d19_substring_dedup" -> ((s, d) =>
+      // exact repeated-substring masking (Dedup.substringDedup): every
+      // word 8-gram present in >= 2 distinct docs is masked wherever
+      // it occurs; cleaned_text is the surviving token sequence
+      graft.operators.Dedup.substringDedup(Tables.documents(s, d),
+        n = 8, minDocs = 2)),
     "x11_stratified_sample" -> ((s, d) =>
       TextStats.stratifiedSample(Tables.documents(s, d),
         ratesPct = Map("en" -> 90, "de" -> 60, "zh" -> 45,
@@ -4710,6 +4716,38 @@ object SparkEntry {
           SELECT doc_id, chunk_idx, fp,
                  (ROW(doc_id, chunk_idx) <> first_seen) AS is_dup
           FROM f ORDER BY doc_id, chunk_idx""",
+    "d19_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          g AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks)-7)) AS pos
+                      FROM t WHERE len(toks) >= 8)),
+          rep AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+                  GROUP BY gram HAVING count(*) >= 2),
+          mp AS (SELECT DISTINCT doc_id, p FROM (
+                  SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 7)) AS p
+                  FROM g JOIN rep USING (gram))),
+          sp AS (SELECT doc_id, count(*)::BIGINT AS n_masked,
+                        sum(CASE WHEN prev IS NULL OR prev <> p - 1
+                                 THEN 1 ELSE 0 END)::BIGINT AS n_spans
+                 FROM (SELECT doc_id, p,
+                              lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                       FROM mp)
+                 GROUP BY doc_id),
+          tk AS (SELECT doc_id, pos, toks[pos] AS tok
+                 FROM (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks))) AS pos
+                       FROM t)),
+          cl AS (SELECT tk.doc_id,
+                        string_agg(tk.tok, ' ' ORDER BY tk.pos) AS cleaned
+                 FROM tk LEFT JOIN mp ON tk.doc_id = mp.doc_id AND tk.pos = mp.p
+                 WHERE mp.p IS NULL GROUP BY tk.doc_id)
+          SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
+                 coalesce(sp.n_masked, 0)::BIGINT AS n_masked,
+                 coalesce(sp.n_spans, 0)::BIGINT AS n_spans,
+                 coalesce(cl.cleaned, '') AS cleaned_text
+          FROM t LEFT JOIN sp USING (doc_id) LEFT JOIN cl USING (doc_id)
+          ORDER BY doc_id""",
     "x11_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE (('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100)

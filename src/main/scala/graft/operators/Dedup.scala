@@ -577,4 +577,79 @@ object Dedup {
         struct(col(idCol), col("chunk_idx")) =!= firstSeen)
       .select(col(idCol), col("chunk_idx"), col("fp"), col("is_dup"))
   }
+
+  /** D19: exact repeated-substring MASKING — the suffix-array
+    * ExactSubstr dedup of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better") re-expressed relationally at
+    * word granularity: any word `n`-gram occurring in ≥ `minDocs`
+    * DISTINCT documents is repeated material, every token position
+    * covered by at least one occurrence of a repeated gram is masked
+    * (in EVERY document, at every start offset), and the cleaned text
+    * keeps the unmasked tokens in order. Differs from [[chunkDedup]]
+    * on both axes that matter for curation: boundaries are sliding
+    * (a span repeated at different offsets still matches — fixed
+    * 32-token chunks only catch aligned copies) and the policy is
+    * remove-everywhere, not first-occurrence-wins.
+    *
+    * Scale shape: gram extraction is row-local (explode over the
+    * position sequence; `toks` is a materialized attribute so
+    * tokenize runs once per row — the [[withShingleSet]] discipline);
+    * doc-frequency is a distinct + count on the 8-byte gram hash,
+    * both with map-side partials; the mask-back is an equi-join on
+    * the same hash (AQE broadcasts the repeated-gram side when it is
+    * dictionary-sized, which corpus-wide boilerplate usually is);
+    * span expansion and reassembly are row-local. No posting list is
+    * ever pairwise-expanded — a corpus-wide boilerplate gram costs
+    * O(occurrences), never O(occurrences²), so unlike [[jaccardPairs]]
+    * no stop-gram cap is needed.
+    *
+    * Output: (doc_id, n_tokens, n_masked, n_spans, cleaned_text) for
+    * every input document — n_spans counts maximal contiguous masked
+    * runs, the "how many distinct boilerplate regions" statistic. */
+  def substringDedup(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val toksDf = docs
+      .select(col(idCol).as("id"),
+        Analyzers.tokenize(normalize(col(textCol))).as("toks"))
+    // (doc, start position, gram hash) — one row per sliding window
+    val grams = toksDf
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("pos"))
+      .select(col("id"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("pos"), lit(n))))
+          .as("gram"))
+    // grams present in >= minDocs distinct docs (exact distinct count)
+    val repeated = grams.select(col("gram"), col("id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("gram"))
+    // masked token positions: the union of [pos, pos+n) over every
+    // occurrence of a repeated gram, per doc
+    val spans = grams.join(repeated, "gram")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val perDoc = spans
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("p"))).as("mpos"))
+      .select(col("id"), col("mpos"),
+        size(col("mpos")).cast("long").as("n_masked"),
+        // a span starts wherever the masked-position sequence jumps
+        size(filter(col("mpos"), (p, i) =>
+          (i === 0) || (p =!= element_at(col("mpos"), i) + 1)))
+          .cast("long").as("n_spans"))
+    toksDf.join(perDoc, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        when(col("mpos").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ",
+            filter(col("toks"), (t, i) =>
+              !array_contains(col("mpos"), i + 1))))
+          .as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
 }

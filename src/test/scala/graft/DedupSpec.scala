@@ -208,4 +208,42 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getBoolean(3))).toMap
     assert(selfOut == Map(0L -> false, 1L -> true))
   }
+
+  test("substring dedup masks cross-doc repeated n-grams at any offset, everywhere") {
+    // docs 1 and 2 share an 8-token boilerplate span at DIFFERENT
+    // offsets (the case fixed-boundary chunk dedup misses); doc 3 is
+    // clean; doc 4 repeats a span only WITHIN itself (distinct-doc df
+    // stays 1 — not masked); doc 5 is shorter than n
+    val boiler = "please subscribe to our newsletter for all future updates"
+    val corpus = Seq(
+      (1L, s"alpha bravo $boiler charlie delta"),
+      (2L, s"echo $boiler foxtrot golf hotel india juliet"),
+      (3L, "kilo lima mike november oscar papa quebec romeo sierra tango"),
+      (4L, "one two three four five six seven eight nine " +
+        "one two three four five six seven eight nine"),
+      (5L, "whiskey xray yankee")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(corpus, n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // the 9-token boilerplate is covered by two overlapping 8-grams →
+    // all 9 positions masked in both docs, as ONE contiguous span
+    assert(out(1L) == (13L, 9L, 1L, "alpha bravo charlie delta"))
+    assert(out(2L) == (15L, 9L, 1L,
+      "echo foxtrot golf hotel india juliet"))
+    assert(out(3L)._2 == 0L && out(3L)._4.startsWith("kilo lima"))
+    // within-doc repetition alone never masks (df counts DISTINCT docs)
+    assert(out(4L)._2 == 0L, s"within-doc repeat must not mask: ${out(4L)}")
+    // shorter than n: untouched, still present in the output
+    assert(out(5L) == (3L, 0L, 0L, "whiskey xray yankee"))
+
+    // two disjoint repeated regions → two spans
+    val two = Seq(
+      (1L, s"$boiler aaa bbb ccc ddd eee fff ggg hhh $boiler"),
+      (2L, s"$boiler zzz yyy xxx www vvv uuu ttt sss $boiler")
+    ).toDF("doc_id", "text")
+    val t = Dedup.substringDedup(two, n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(t == Map(1L -> 2L, 2L -> 2L), s"expected two spans each: $t")
+  }
 }
