@@ -44,18 +44,31 @@ object BenchScale {
     s
   }
 
-  /** Word-prefix de-correlation for replica k (identity at k=0). */
-  private def tagText(c: org.apache.spark.sql.Column, k: Int) =
-    if (k == 0) c else regexp_replace(c, "(\\p{L}+)", s"r${k}x$$1")
+  /** Word-prefix de-correlation for replica `k` (a COLUMN — identity
+    * at k=0): every word gets an `r<k>x` prefix, so token streams are
+    * disjoint across replicas. */
+  private def tagText(c: org.apache.spark.sql.Column,
+                      k: org.apache.spark.sql.Column) =
+    when(k === 0, c).otherwise(regexp_replace(c, lit("(\\p{L}+)"),
+      concat(lit("r"), k.cast("string"), lit("x$1"))))
 
-  /** Walsh sign-flip de-correlation for replica k (identity at k=0):
-    * element i multiplied by (-1)^popcount(i & k). */
-  private def flipVec(c: org.apache.spark.sql.Column, k: Int) =
-    if (k == 0) c
-    else transform(c, (x, i) =>
-      when(bit_count(i.bitwiseAND(lit(k))) % 2 === 0, x)
+  /** Walsh sign-flip de-correlation for replica `k` (identity at k=0
+    * falls out: popcount(i & 0) = 0): element i multiplied by
+    * (-1)^popcount(i & k). */
+  private def flipVec(c: org.apache.spark.sql.Column,
+                      k: org.apache.spark.sql.Column) =
+    transform(c, (x, i) =>
+      when(bit_count(i.bitwiseAND(k)) % 2 === 0, x)
         .otherwise(x * lit(-1.0f)))
 
+  /** Replica expansion as ONE scan per table: crossJoin against a
+    * broadcast `range(scale)` replica index and compute the key
+    * offsets / de-correlation from the `k` COLUMN. The previous
+    * formulation unioned `scale` re-reads of the base table — a
+    * `scale`-branch plan whose analysis cost and scan count both grow
+    * with the replication factor, exactly the non-scalable shape this
+    * probe exists to catch (at 1000× it is a 1000-branch union).
+    * This one is constant-size: plan ∝ 1, scans ∝ 1, rows ∝ scale. */
   def replicate(spark: SparkSession, base: String, out: String,
                 scale: Int): Unit = {
     val ready = java.nio.file.Paths.get(out, "_READY")
@@ -67,8 +80,10 @@ object BenchScale {
 
     def write(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-    def union(mk: Int => DataFrame): DataFrame =
-      (0 until scale).map(mk).reduce(_ unionByName _)
+    val k = col("__k")
+    def expand(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(spark.range(scale).toDF("__k")))
+    def done(df: DataFrame): DataFrame = df.drop("__k")
 
     // fixed dimensions — the TPC-H model
     write("nation", Tables.nation(spark, base))
@@ -87,29 +102,30 @@ object BenchScale {
     val dS = stride(docs, "doc_id")
     val vS = stride(emb, "vec_id")
 
-    write("customer", union(k => cust
-      .withColumn("c_custkey", col("c_custkey") + lit(k * cS))))
-    write("supplier", union(k => supp
-      .withColumn("s_suppkey", col("s_suppkey") + lit(k * sS))))
-    write("part", union(k => part
-      .withColumn("p_partkey", col("p_partkey") + lit(k * pS))))
-    write("orders", union(k => ord
-      .withColumn("o_orderkey", col("o_orderkey") + lit(k * oS))
-      .withColumn("o_custkey", col("o_custkey") + lit(k * cS))))
-    write("lineitem", union(k => Tables.lineitem(spark, base)
-      .withColumn("l_orderkey", col("l_orderkey") + lit(k * oS))
-      .withColumn("l_partkey", col("l_partkey") + lit(k * pS))
-      .withColumn("l_suppkey", col("l_suppkey") + lit(k * sS))))
+    write("customer", done(expand(cust)
+      .withColumn("c_custkey", col("c_custkey") + k * cS)))
+    write("supplier", done(expand(supp)
+      .withColumn("s_suppkey", col("s_suppkey") + k * sS)))
+    write("part", done(expand(part)
+      .withColumn("p_partkey", col("p_partkey") + k * pS)))
+    write("orders", done(expand(ord)
+      .withColumn("o_orderkey", col("o_orderkey") + k * oS)
+      .withColumn("o_custkey", col("o_custkey") + k * cS)))
+    write("lineitem", done(expand(Tables.lineitem(spark, base))
+      .withColumn("l_orderkey", col("l_orderkey") + k * oS)
+      .withColumn("l_partkey", col("l_partkey") + k * pS)
+      .withColumn("l_suppkey", col("l_suppkey") + k * sS)))
     // n_chars from the ALREADY-tagged text column (a second tagText
     // here would double-prefix: withColumn re-resolves col("text") to
     // the replaced column) — n_chars == length(text) holds in the
     // base corpus and must keep holding in every replica
-    write("documents", union(k => docs
-      .withColumn("doc_id", col("doc_id") + lit(k * dS))
+    write("documents", done(expand(docs)
+      .withColumn("doc_id", col("doc_id") + k * dS)
       .withColumn("text", tagText(col("text"), k))
-      .withColumn("n_chars", length(col("text")))))
-    write("embeddings", union(k => emb
-      .withColumn("vec_id", col("vec_id") + lit(k * vS))
+      // cast matches the base schema (BIGINT) — length() is INT
+      .withColumn("n_chars", length(col("text")).cast("long"))))
+    write("embeddings", done(expand(emb)
+      .withColumn("vec_id", col("vec_id") + k * vS)
       .withColumn("embedding", flipVec(col("embedding"), k))))
 
     java.nio.file.Files.write(ready, s"$scale\n".getBytes("UTF-8"))

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
 
 /** BenchScale.replicate's `_READY` memo (the round-9 advisor flagged
   * it as never written — it IS written, last, after every table; this
@@ -23,6 +24,41 @@ class BenchScaleSpec extends SparkSpec {
     val baseDocs = spark.read.parquet(s"$base/documents.parquet").count()
     assert(spark.read.parquet(s"$out/documents.parquet").count()
       == 2 * baseDocs)
+
+    // replica semantics (the union→crossJoin rewrite must preserve
+    // them bit-for-bit): replica 0 is the base corpus verbatim;
+    // replica 1 word-prefixes text (token streams disjoint), keeps
+    // n_chars == length(text), Walsh-flips odd embedding elements
+    // (popcount(i & 1)), and offsets FKs by the key stride
+    val b = spark.read.parquet(s"$base/documents.parquet")
+      .filter(col("doc_id") === 1L).select("text").head.getString(0)
+    val r = spark.read.parquet(s"$out/documents.parquet")
+    val dS = { var s = 10L
+      val m = spark.read.parquet(s"$base/documents.parquet")
+        .agg(max("doc_id")).head.getLong(0)
+      while (s <= m) s *= 10; s }
+    val rep0 = r.filter(col("doc_id") === 1L)
+      .select("text").head.getString(0)
+    assert(rep0 == b, "replica 0 must be the base corpus verbatim")
+    val rep1 = r.filter(col("doc_id") === dS + 1L)
+      .select(col("text"), col("n_chars")).head
+    assert(rep1.getString(0) == b.replaceAll("(\\p{L}+)", "r1x$1"),
+      "replica 1 must word-prefix the text")
+    assert(rep1.getLong(1) == rep1.getString(0).length.toLong,
+      "n_chars must track the TAGGED text")
+    val eb = spark.read.parquet(s"$base/embeddings.parquet")
+      .filter(col("vec_id") === 1L).select("embedding").head
+      .getSeq[Float](0)
+    val vS = { var s = 10L
+      val m = spark.read.parquet(s"$base/embeddings.parquet")
+        .agg(max("vec_id")).head.getLong(0)
+      while (s <= m) s *= 10; s }
+    val er = spark.read.parquet(s"$out/embeddings.parquet")
+      .filter(col("vec_id") === vS + 1L).select("embedding").head
+      .getSeq[Float](0)
+    assert(er.zipWithIndex.forall { case (x, i) =>
+      x == (if (i % 2 == 0) eb(i) else -eb(i)) },
+      "replica 1 must Walsh-flip odd embedding elements")
 
     // memo hit: nothing on disk is touched by a same-scale re-run
     val docsDir = Paths.get(out, "documents.parquet")
