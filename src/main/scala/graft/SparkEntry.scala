@@ -520,6 +520,12 @@ object SparkEntry {
       Search.msearchBm25(s, textIndexFor(s, d),
         Seq(("q_merge", "merge"), ("q_spark", "spark"),
           ("q_window", "window")), k = 5)),
+    "f21_terms_enum" -> ((s, d) =>
+      // ES _terms_enum: lexicographic prefix enumeration of index
+      // terms with doc counts, a pure dictionary range read (SARGable
+      // startsWith on the term-sorted (term, df) table — no postings,
+      // no corpus; Search.termsEnum scaladoc)
+      Search.termsEnum(s, textIndexFor(s, d), "s", k = 10)),
     "f20_msearch_multi" -> ((s, d) =>
       // the real _msearch shape: each batched query a multi-term OR
       // (searchBm25Indexed semantics), the whole batch one pushed
@@ -3663,6 +3669,12 @@ object SparkEntry {
                 FROM u)
           SELECT query_id, doc_id, score, rank FROM r
           WHERE rank <= 5 ORDER BY query_id, rank""",
+    "f21_terms_enum" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+          SELECT term, count(*)::BIGINT AS df FROM p
+          WHERE term LIKE 's%' GROUP BY term
+          ORDER BY term LIMIT 10""",
     "f20_msearch_multi" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           p AS (SELECT doc_id, len(toks)::INT AS len,

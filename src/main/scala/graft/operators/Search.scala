@@ -544,6 +544,26 @@ object Search {
     * [[bm25Indexed]] (whose arithmetic this reproduces factor by
     * factor). One pushed term read + the broadcast stats row; the
     * explanation costs nothing beyond the query it explains. */
+  /** ES `_terms_enum` API: lexicographic enumeration of the index
+    * terms matching a prefix, with their doc counts — served entirely
+    * from the persisted (term, df) dictionary. The startsWith
+    * predicate is SARGable (`StartsWith` pushes to the parquet scan,
+    * where the term-sorted dictionary's row-group min/max statistics
+    * prune — the Lucene terms-dictionary range seek in Spark terms);
+    * neither postings nor corpus are touched, so the cost is a
+    * dictionary range read at ANY corpus size. Like ES, counts
+    * reflect the dictionary's view (maintained by segment append,
+    * swapped at purge): delete-by-query tombstones are not subtracted
+    * until a purge rewrites the artifact — the documented `ti`-family
+    * freshness contract. */
+  def termsEnum(spark: SparkSession, ix: TextIndex.Loaded,
+                prefix: String, k: Int = 10): DataFrame =
+    ix.termDf(spark)
+      .filter(col("term").startsWith(prefix))
+      .select(col("term"), col("df").cast("long").as("df"))
+      .orderBy(col("term"))
+      .limit(k)
+
   def explainBm25(spark: SparkSession, ix: TextIndex.Loaded,
                   term: String, k: Int = 10, k1: Double = 1.2,
                   b: Double = 0.75): DataFrame = {

@@ -245,5 +245,16 @@ class DedupSpec extends SparkSpec {
     val t = Dedup.substringDedup(two, n = 8, minDocs = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(t == Map(1L -> 2L, 2L -> 2L), s"expected two spans each: $t")
+
+    // conservation: the cleaned text holds exactly the unmasked tokens
+    (Dedup.substringDedup(corpus, n = 8, minDocs = 2).collect() ++
+      Dedup.substringDedup(two, n = 8, minDocs = 2).collect()).foreach { r =>
+      val survivors =
+        if (r.getString(4).isEmpty) 0L
+        else r.getString(4).split(" ").length.toLong
+      assert(survivors == r.getLong(1) - r.getLong(2),
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} tokens - ${r.getLong(2)} " +
+          s"masked != $survivors surviving")
+    }
   }
 }

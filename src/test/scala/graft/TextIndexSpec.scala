@@ -334,4 +334,25 @@ class TextIndexSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: [IsNotNull(term), EqualTo(term,spark)]"), p)
   }
+
+  test("terms_enum: prefix-pruned dictionary range read with exact doc counts") {
+    val out = Search.termsEnum(spark, ix, "s", k = 10)
+    // the prefix predicate reaches the dictionary scan (SARGable)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("StringStartsWith(term,s)"), p)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.forall(_._1.startsWith("s")))
+    assert(rows.map(_._1).sorted.toSeq == rows.map(_._1).toSeq,
+      "lexicographic enumeration")
+    // doc counts equal an independent corpus recount per term
+    val docs = Tables.documents(spark, sf)
+    rows.foreach { case (t, df) =>
+      val n = docs.filter(array_contains(
+        graft.functions.Analyzers.tokenize(lower(col("text"))), t)).count()
+      assert(n == df, s"df($t): dictionary $df vs corpus $n")
+    }
+    // k bounds the enumeration; an absent prefix enumerates nothing
+    assert(Search.termsEnum(spark, ix, "s", k = 2).count() == 2)
+    assert(Search.termsEnum(spark, ix, "zzzz", k = 5).count() == 0)
+  }
 }
