@@ -506,6 +506,33 @@ object SparkEntry {
           .orderBy(col("index_name"))
       } finally ev.unpersist(blocking = false)
     }),
+    "s20_reindex" -> ((s, d) => {
+      // ES _reindex (conflicts=proceed, op_type=create): dest is
+      // pre-seeded with the doc_id%3==0 slice at ORIGINAL values;
+      // reindexing the whole corpus in applies the painless-style
+      // script (n_chars += 1000 marks migrated copies) and every
+      // seeded id noops — create never overwrites. The verified row
+      // is the _reindex response (total/created/noops) PLUS a dest
+      // readback aggregate: the sum splits exactly into untouched
+      // seed values + transformed new arrivals, so an overwrite, a
+      // double-append, or a dropped conflict all move a counter or
+      // the checksum (Sink.reindex scaladoc for the anti-join +
+      // additive-append shape).
+      val out = Scratch.dir("s20reindex")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.Sink.bulkWrite(s,
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", out)
+      val transformed = docs
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val (total, created, noops) =
+        graft.sources.Sink.reindex(s, transformed, "doc_id", out)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("dest_rows"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(lit(total).as("total"), lit(created).as("created"),
+          lit(noops).as("noops"), col("dest_rows"), col("sum_chars"))
+    }),
     "f19_explain" -> ((s, d) =>
       // ES _explain: the BM25 factor decomposition per matching doc
       // (Search.explainBm25 scaladoc) — the oracle recomputes every
@@ -526,6 +553,31 @@ object SparkEntry {
       // startsWith on the term-sorted (term, df) table — no postings,
       // no corpus; Search.termsEnum scaladoc)
       Search.termsEnum(s, textIndexFor(s, d), "s", k = 10)),
+    "f22_termvectors" -> ((s, d) =>
+      // ES _termvectors (term_statistics=true): one doc's terms with
+      // in-doc tf + first position + corpus df — the realtime path: a
+      // pushed doc_id point-read re-analyzes the ONE row, the corpus
+      // statistics stream once from the persisted term dictionary
+      // against a broadcast probe of the doc's term set
+      // (Search.termVectors scaladoc; no corpus scan, no shuffle)
+      Search.termVectors(s, textIndexFor(s, d),
+        Tables.documents(s, d), docId = 42L)),
+    "f23_random_score" -> ((s, d) =>
+      // ES function_score random_score (seeded + field-keyed):
+      // deterministic per-doc uniform score — consistent random
+      // sampling whose pagination is stable across re-runs, replicas,
+      // and engines. The x11/x12 md5 discipline keyed on (seed, _id)
+      // in exact integer micro-units (first 8 md5 hex chars → 32-bit
+      // uniform, mod 10^6); the filter is scan-side, the top-k plans
+      // as TakeOrderedAndProject (shard-local then global — ES's
+      // query-phase shape), nothing shuffles but k rows per task.
+      Tables.documents(s, d)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"),
+          (conv(substring(md5(concat_ws(":", lit("rs42"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 1000000L).as("score_e6"))
+        .orderBy(col("score_e6").desc, col("doc_id")).limit(20)),
     "f20_msearch_multi" -> ((s, d) =>
       // the real _msearch shape: each batched query a multi-term OR
       // (searchBm25Indexed semantics), the whole batch one pushed
@@ -1805,6 +1857,39 @@ object SparkEntry {
         .unionByName(pass("mismatch", expectTwin = false,
           probeLabels.map { case (q, l) => (q, (l + 1) % 10) }))
         .orderBy(col("mode"), col("qid"))
+    }),
+    "n13_hard_negatives" -> ((s, d) => {
+      // Hard-negative mining for contrastive training
+      // (Similarity.knnIvfBatchHardNegatives scaladoc): per probe, the
+      // nearest vectors of a DIFFERENT class via the in-traversal
+      // label-exclusion filter over the pruned IVF cells. Contract
+      // (n11's discipline): the planted twin — same direction AND same
+      // label, the nearest vector in the whole corpus — must be
+      // EXCLUDED, every returned negative's label must differ from the
+      // probe's own, and the result is k-bounded; an empty probe group
+      // vanishes and fails the oracle on row count.
+      import s.implicits._
+      val corpus = annPlantedCorpus(s, d)
+      val ix = annIndexFor(s, d)
+      val probeLabels = Tables.embeddings(s, d)
+        .filter(col("vec_id").isin(annProbeIds: _*))
+        .select(col("vec_id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toSeq.sortBy(_._1)
+      val own = probeLabels.toDF("qid", "own_label")
+      Similarity.knnIvfBatchHardNegatives(corpus, ix.ivf(s), ix.cents,
+          probeLabels, k = 10)
+        .join(broadcast(own), Seq("qid"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n"),
+          max(when(col("vec_id") === col("qid") + 1000000L,
+            col("rank"))).as("twin_rank"),
+          min((col("label") =!= col("own_label")).cast("int"))
+            .as("all_differ"))
+        .select(col("qid"),
+          (col("n") >= 1 && col("n") <= 10).as("k_bounded"),
+          (col("all_differ") === 1).as("labels_differ"),
+          col("twin_rank").isNull.as("twin_excluded"))
+        .orderBy(col("qid"))
     }),
     "st11_stream_vectors" -> ((s, d) => {
       // Streaming vector ingest (IndexStream.runVectorIngest — the
@@ -3323,6 +3408,31 @@ object SparkEntry {
           expr("(n * 1000000) div dayofmonth(last_day(month))")
             .as("per_day_e6"))
         .orderBy(col("event_type"), col("month"))),
+    "a35_mad" -> ((s, d) => {
+      // ES median_absolute_deviation agg (the robust dispersion metric
+      // next to a23_boxplot's quartiles): per group, the median of
+      // |x − median(x)| — two EXACT distributed medians in the x20
+      // ×100-cents BIGINT domain. Spark's `percentile` is the exact
+      // (type-7 interpolating) percentile; on cents the interpolated
+      // midpoints are k or k+0.5, exactly representable, and DuckDB's
+      // median() interpolates identically, so no float divergence can
+      // reach the compare. Two group shuffles (med, then mad) with
+      // map-side partials; group count is dictionary-sized (5 rows),
+      // the per-group sorted-percentile state is bounded by the
+      // group's value multiset — the same trade a23/w10 document.
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val med = o.groupBy(col("prio"))
+        .agg(expr("percentile(cents, 0.5d)").as("med_cents"),
+          count(lit(1)).as("n"))
+      o.join(broadcast(med), Seq("prio"))
+        .select(col("prio"), col("n"), col("med_cents"),
+          abs(col("cents") - col("med_cents")).as("dev"))
+        .groupBy(col("prio"), col("n"), col("med_cents"))
+        .agg(expr("percentile(dev, 0.5d)").as("mad_cents"))
+        .orderBy(col("prio"))
+    }),
 
     "geo1_geohash_grid" -> ((s, d) =>
       // ES geo_bounding_box + geohash_grid (precision 2): REAL geohash
@@ -3354,6 +3464,27 @@ object SparkEntry {
         .select(col("cell"), col("n"),
           floor(col("slat") / col("n")).cast("long").as("cen_lat_udeg"),
           floor(col("slon") / col("n")).cast("long").as("cen_lon_udeg"))
+        .orderBy(col("n").desc, col("cell")).limit(10)
+    }),
+    "geo4_geo_bounds" -> ((s, d) => {
+      // ES geo_bounds agg per geohash bucket: the tightest lat/lon box
+      // enclosing each cell's box-filtered points, in the geo family's
+      // exact microdegree-integer space (no trig, no floats — min/max
+      // over BIGINT microdegrees cross-engine-exact by construction).
+      // One cell shuffle with map-side min/max partials; at 100 TB the
+      // partial aggregation reduces each map task to |cells| rows
+      // before anything moves.
+      val pts = Tables.customer(s, d)
+        .select(Geo.latUdeg(col("c_custkey")).as("lat"),
+          Geo.lonUdeg(col("c_custkey")).as("lon"))
+        .filter(col("lat").between(-45000000L, 45000000L) &&
+          col("lon").between(-90000000L, 90000000L))
+      pts.select(substring(Geo.geohash6(col("lat"), col("lon")), 1, 2)
+          .as("cell"), col("lat"), col("lon"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          max(col("lat")).as("top"), min(col("lat")).as("bottom"),
+          min(col("lon")).as("left"), max(col("lon")).as("right"))
         .orderBy(col("n").desc, col("cell")).limit(10)
     }),
     "w13_moving_percentiles" -> ((s, d) => {
@@ -3624,6 +3755,19 @@ object SparkEntry {
           SELECT index_name, n_docs, is_write_index FROM allv
           WHERE idx >= (SELECT widx FROM wr) - 1
           ORDER BY index_name""",
+    // s20: the _reindex response replay — seed slice noops at original
+    // values, the rest arrives with the +1000 script applied
+    "s20_reindex" ->
+      """WITH src AS (SELECT doc_id, n_chars FROM documents),
+          seed AS (SELECT * FROM src WHERE doc_id % 3 = 0),
+          fresh AS (SELECT * FROM src WHERE doc_id % 3 <> 0)
+          SELECT (SELECT count(*) FROM src)::BIGINT AS total,
+                 (SELECT count(*) FROM fresh)::BIGINT AS created,
+                 (SELECT count(*) FROM seed)::BIGINT AS noops,
+                 (SELECT count(*) FROM src)::BIGINT AS dest_rows,
+                 ((SELECT sum(n_chars) FROM seed)
+                  + (SELECT sum(n_chars + 1000) FROM fresh))::BIGINT
+                   AS sum_chars""",
     "f19_explain" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           p AS (SELECT doc_id, len(list_filter(toks, x -> x = 'spark'))::INT AS tf,
@@ -3675,6 +3819,29 @@ object SparkEntry {
           SELECT term, count(*)::BIGINT AS df FROM p
           WHERE term LIKE 's%' GROUP BY term
           ORDER BY term LIMIT 10""",
+    // f22: per-term tf + 0-based first position of doc 42 (DuckDB's
+    // parallel unnest zips term with its 1-based subscript), df across
+    // the corpus from the distinct-membership replay
+    "f22_termvectors" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          d AS (SELECT unnest(toks) AS term,
+                       unnest(generate_series(1, len(toks))) AS pos
+                FROM t WHERE doc_id = 42),
+          g AS (SELECT term, count(*)::BIGINT AS tf,
+                       (min(pos) - 1)::BIGINT AS first_pos
+                FROM d GROUP BY term),
+          df AS (SELECT term, count(*)::BIGINT AS df
+                 FROM (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+                 GROUP BY term)
+          SELECT g.term, g.tf, g.first_pos, df.df
+          FROM g JOIN df USING (term) ORDER BY g.term""",
+    // f23: the x11 md5 uniform replayed on (seed, doc_id)
+    "f23_random_score" ->
+      """SELECT doc_id,
+                (('0x' || substr(md5('rs42:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 % 1000000) AS score_e6
+         FROM documents WHERE lang = 'en'
+         ORDER BY score_e6 DESC, doc_id LIMIT 20""",
     "f20_msearch_multi" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           p AS (SELECT doc_id, len(toks)::INT AS len,
@@ -4239,6 +4406,15 @@ object SparkEntry {
                                ('mismatch', 202::BIGINT, TRUE, TRUE, TRUE))
            AS t(mode, qid, k_bounded, labels_match_filter, twin_ok)
          ORDER BY mode, qid""",
+    // n13: the same constant-TRUE contract discipline — the planted
+    // same-label twin must be excluded by the flipped in-traversal
+    // filter, all negatives carry a different label
+    "n13_hard_negatives" ->
+      """SELECT * FROM (VALUES (1::BIGINT, TRUE, TRUE, TRUE),
+                               (101::BIGINT, TRUE, TRUE, TRUE),
+                               (202::BIGINT, TRUE, TRUE, TRUE))
+           AS t(qid, k_bounded, labels_differ, twin_excluded)
+         ORDER BY qid""",
     // n2/n3: per-probe ANN invariants, TRUE by construction on a
     // correct index (Similarity.annContractRows scaladoc) — the
     // constant-TRUE oracle pattern of x5/n4
@@ -6032,6 +6208,21 @@ object SparkEntry {
                 (n * 1000000
                  // date_part('day', last_day(month::DATE)))::BIGINT AS per_day_e6
          FROM m ORDER BY event_type, month""",
+    // a35: exact per-group median + median-absolute-deviation in the
+    // ×100-cents integer domain; DuckDB median() interpolates even
+    // counts exactly like Spark's percentile (both type-7)
+    "a35_mad" ->
+      """WITH o AS (SELECT o_orderpriority AS prio,
+                           floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+                    FROM orders),
+          m AS (SELECT prio, median(cents) AS med_cents,
+                       count(*)::BIGINT AS n
+                FROM o GROUP BY 1)
+          SELECT o.prio, m.n, m.med_cents,
+                 median(abs(o.cents - m.med_cents)) AS mad_cents
+          FROM o JOIN m USING (prio)
+          GROUP BY o.prio, m.n, m.med_cents
+          ORDER BY o.prio""",
     "geo1_geohash_grid" ->
       s"""WITH p AS (SELECT ((c_custkey * 2654435761) % 180000000) - 90000000 AS lat,
                             ((c_custkey * 2654435761 * 31 + 7) % 360000000) - 180000000 AS lon
@@ -6060,6 +6251,23 @@ object SparkEntry {
                        floor(sum(lon) / count(*))::BIGINT AS cen_lon_udeg
                 FROM g GROUP BY 1)
           SELECT cell, n, cen_lat_udeg, cen_lon_udeg FROM c
+          ORDER BY n DESC, cell LIMIT 10""",
+    // geo4: same synthetic points + geohash replay, per-cell
+    // enclosing box (integer min/max)
+    "geo4_geo_bounds" ->
+      s"""WITH p AS (SELECT ((c_custkey * 2654435761) % 180000000) - 90000000 AS lat,
+                            ((c_custkey * 2654435761 * 31 + 7) % 360000000) - 180000000 AS lon
+                     FROM customer),
+          f AS (SELECT * FROM p WHERE lat BETWEEN -45000000 AND 45000000
+                                  AND lon BETWEEN -90000000 AND 90000000),
+          g AS (SELECT substring((${Geo.geohash6Sql("lat", "lon")}), 1, 2) AS cell,
+                       lat, lon
+                FROM f),
+          c AS (SELECT cell, count(*)::BIGINT AS n,
+                       max(lat)::BIGINT AS top, min(lat)::BIGINT AS bottom,
+                       min(lon)::BIGINT AS "left", max(lon)::BIGINT AS "right"
+                FROM g GROUP BY 1)
+          SELECT cell, n, top, bottom, "left", "right" FROM c
           ORDER BY n DESC, cell LIMIT 10""",
     "geo2_geo_distance" ->
       """WITH p AS (SELECT c_custkey AS id,

@@ -564,6 +564,42 @@ object Search {
       .orderBy(col("term"))
       .limit(k)
 
+  /** ES `_termvectors` with `term_statistics=true`: for one document,
+    * every term of the standard analyzer chain with its in-doc term
+    * frequency, first token position, and corpus-wide document
+    * frequency. ES answers this from stored per-doc term vectors or —
+    * the `realtime` path — by re-analyzing the ONE document; postings
+    * here are term-partitioned (a doc_id probe would scan the whole
+    * inverted index, the forward-index problem ES stores term vectors
+    * to avoid), so this takes the realtime path: a pushed doc_id
+    * point-read re-analyzes the single row row-locally, and corpus
+    * statistics come from the persisted term dictionary, streamed ONCE
+    * against a broadcast semi-join probe of the doc's term set (the
+    * only join whose build side Spark may broadcast here — Lucene's
+    * per-term dictionary seeks as a single O(vocab) pass, independent
+    * of corpus size, no shuffle anywhere). A dictionary miss (a doc
+    * appended after the last index build) surfaces as df=0 rather than
+    * dropping the term — `found=false` per-term, the ES realtime
+    * semantics. Statistics freshness follows the ti-family contract:
+    * the dictionary reflects segment appends, and delete tombstones
+    * subtract only at purge. */
+  def termVectors(spark: SparkSession, ix: TextIndex.Loaded,
+                  docs: DataFrame, docId: Long): DataFrame = {
+    val doc = docs.filter(col("doc_id") === docId)
+      .select(posexplode(Analyzers.tokenize(lower(col("text"))))
+        .as(Seq("pos", "term")))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"),
+        min(col("pos")).cast("long").as("first_pos"))
+    // dictionary slice: one streamed pass, broadcast semi probe
+    val dict = ix.termDf(spark)
+      .join(broadcast(doc.select(col("term"))), Seq("term"), "leftsemi")
+    doc.join(broadcast(dict), Seq("term"), "left")
+      .select(col("term"), col("tf"), col("first_pos"),
+        coalesce(col("df").cast("long"), lit(0L)).as("df"))
+      .orderBy(col("term"))
+  }
+
   def explainBm25(spark: SparkSession, ix: TextIndex.Loaded,
                   term: String, k: Int = 10, k1: Double = 1.2,
                   b: Double = 0.75): DataFrame = {

@@ -363,7 +363,7 @@ object Similarity {
   private def ivfProbe(emb: DataFrame, assigned: DataFrame,
                        cents: Array[Array[Double]], queryIds: Seq[Long],
                        wanted: Option[Seq[(Long, Int)]], k: Int,
-                       nprobe: Int): DataFrame = {
+                       nprobe: Int, labelMatch: Boolean = true): DataFrame = {
     val e = withNorm(emb)
     val base = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -380,7 +380,9 @@ object Similarity {
     val cand = assigned.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
     val matching =
-      if (wanted.isDefined) cand.filter(col("label") === col("want_label"))
+      if (wanted.isDefined)
+        cand.filter(if (labelMatch) col("label") === col("want_label")
+                    else col("label") =!= col("want_label"))
       else cand
     val scored = matching.select(col("qid"), col("vec_id"),
       round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
@@ -408,6 +410,26 @@ object Similarity {
                           nprobe: Int = 4): DataFrame =
     ivfProbe(emb, assigned, cents, queryLabels.map(_._1),
       wanted = Some(queryLabels), k, nprobe)
+
+  /** Hard-negative mining — the contrastive-training data op: a
+    * retriever/embedding model trains best against the nearest vectors
+    * of a DIFFERENT class (in-batch random negatives are too easy;
+    * the near-misses define the decision boundary — the ANCE/DPR
+    * recipe). Per query, the top-k most-similar candidates whose
+    * stored label differs from the query's own label: exactly
+    * [[knnIvfBatchFiltered]]'s in-traversal predicate with the
+    * polarity flipped — the same single broadcast-probe pass over the
+    * pruned IVF cells, labels read from the index rows (doc-values),
+    * never a post-filter (post-filtering a finished top-k of
+    * mostly-same-class neighbors yields fewer than k hard negatives
+    * even though k exist deeper in the probed cells). `queryLabels`
+    * carries each query's OWN label to exclude. */
+  def knnIvfBatchHardNegatives(emb: DataFrame, assigned: DataFrame,
+                               cents: Array[Array[Double]],
+                               queryLabels: Seq[(Long, Int)], k: Int = 10,
+                               nprobe: Int = 4): DataFrame =
+    ivfProbe(emb, assigned, cents, queryLabels.map(_._1),
+      wanted = Some(queryLabels), k, nprobe, labelMatch = false)
 
   // ---- self-verifying ANN contracts -------------------------------
   //

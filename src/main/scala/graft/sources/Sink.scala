@@ -93,6 +93,39 @@ object Sink {
     } finally pool.shutdown()
   }
 
+  /** ES `_reindex` with `conflicts: proceed` + `op_type: create`: copy
+    * `source` (already carrying any script transform — the painless
+    * `ctx._source` rewrite is a caller-side projection) into an
+    * EXISTING destination, skipping every id the destination already
+    * holds: the version-conflict → noop path, so seeded documents are
+    * never overwritten. Returns the `_reindex` response counters
+    * `(total, created, noops)`.
+    *
+    * Scale shape: the conflict screen is a left-ANTI equi-join against
+    * the dest's id column alone (column pruning reaches the dest scan —
+    * ids only, never documents); both sides shuffle on the id, the same
+    * key the dest's shard routing already hashes, and survivors append
+    * through [[bulkWrite]]'s id-routed sharding as NEW files — the
+    * additive segment commit, existing dest files untouched. The dest
+    * file listing is snapshotted when the id frame is created, before
+    * any append lands, so the screen never reads its own output. Both
+    * counters ride `observe` on the single write action — no extra
+    * pass over either side. */
+  def reindex(spark: SparkSession, source: DataFrame, idCol: String,
+              destDir: String, shards: Int = 3): (Long, Long, Long) = {
+    val destIds = spark.read.parquet(destDir).select(col(idCol))
+    val obsTotal = org.apache.spark.sql.Observation()
+    val obsNew = org.apache.spark.sql.Observation()
+    source.observe(obsTotal, count(lit(1)).as("total"))
+      .join(destIds, Seq(idCol), "left_anti")
+      .observe(obsNew, count(lit(1)).as("created"))
+      .repartition(shards, col(idCol))
+      .write.mode("append").parquet(destDir)
+    val total = obsTotal.get("total").asInstanceOf[Long]
+    val created = obsNew.get("created").asInstanceOf[Long]
+    (total, created, total - created)
+  }
+
   /** Bucketed table write: pre-partition + pre-sort by the join key so
     * repeated joins/aggregations on that key run with ZERO exchanges
     * (the cluster-scale answer to "co-locate the big join" —

@@ -86,6 +86,36 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("hard-negative mining excludes the query's own class in-traversal") {
+    val corpus = plantedCorpus
+    val ix = AnnIndex.build(corpus, freshDir())
+    val probeLabels = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(probes: _*))
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq.sortBy(_._1)
+    val res = Similarity.knnIvfBatchHardNegatives(corpus, ix.ivf(spark),
+      ix.cents, probeLabels, k = 10).collect()
+    val byQ = res.groupBy(_.getAs[Long]("qid"))
+    probeLabels.foreach { case (q, lbl) =>
+      val rows = byQ.getOrElse(q, Array.empty)
+      assert(rows.nonEmpty && rows.length <= 10, s"qid=$q size")
+      // no negative may carry the query's own class — in particular
+      // the planted SAME-label twin (the corpus-wide nearest vector)
+      // must be excluded by the flipped in-traversal predicate
+      assert(rows.forall(_.getAs[Int]("label") != lbl), s"qid=$q label leak")
+      assert(!rows.exists(_.getAs[Long]("vec_id") == q + 1000000L),
+        s"qid=$q twin leaked into the negatives")
+      // the in-traversal exclusion keeps drawing candidates from the
+      // probed cells; post-filtering an unfiltered top-k only ever
+      // keeps a subset of k rows
+      val postFiltered = Similarity.knnIvfBatchAssigned(corpus,
+          ix.ivf(spark), ix.cents, Seq(q), k = 10)
+        .filter(col("label") =!= lbl).count()
+      assert(postFiltered <= rows.length,
+        s"post-filtering returned MORE than the hard-negative probe for $q")
+    }
+  }
+
   test("artifact round-trips: load() equals the build's trained state") {
     val corpus = plantedCorpus
     val dir = freshDir()

@@ -58,6 +58,29 @@ class SinkSpec extends SparkSpec {
     assert(total == orders.count())
   }
 
+  test("reindex op_type=create: conflicts noop, appends are additive, rerun is all-noop") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-reindex").toString
+    // seed dest with two ids at ORIGINAL values
+    Sink.bulkWrite(spark,
+      Seq((1L, "a", 10L), (3L, "c", 30L)).toDF("id", "s", "v"),
+      "id", tmp)
+    // source carries the script-transformed values (+100)
+    val src = Seq((1L, "a", 110L), (2L, "b", 120L),
+      (3L, "c", 130L), (4L, "d", 140L)).toDF("id", "s", "v")
+    val (total, created, noops) = Sink.reindex(spark, src, "id", tmp)
+    assert((total, created, noops) == ((4L, 2L, 2L)))
+    val back = spark.read.parquet(tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // create never overwrites: seeded ids keep their original values,
+    // absent ids arrive transformed
+    assert(back == Map(1L -> 10L, 2L -> 120L, 3L -> 30L, 4L -> 140L))
+    // idempotence: a second identical reindex is a full noop
+    val (t2, c2, n2) = Sink.reindex(spark, src, "id", tmp)
+    assert((t2, c2, n2) == ((4L, 0L, 4L)))
+    assert(spark.read.parquet(tmp).count() == 4)
+  }
+
   test("compaction rewrites a small-file mess into near-equal files") {
     import org.apache.spark.sql.functions._
     val dir = "/tmp/graft-compact-test"

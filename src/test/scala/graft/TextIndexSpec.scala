@@ -55,6 +55,35 @@ class TextIndexSpec extends SparkSpec {
       Search.significantTerms(Tables.documents(spark, sf), "lang"))
   }
 
+  test("_termvectors equals an independent per-doc replay; unindexed docs get df 0") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val someId = docs.agg(min(col("doc_id"))).head.getLong(0)
+    val got = Search.termVectors(spark, ix, docs, someId).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // tf + 0-based first position replayed from the one document
+    val toks = docs.filter(col("doc_id") === someId)
+      .select(graft.functions.Analyzers.tokenize(lower(col("text"))).as("t"))
+      .head.getSeq[String](0)
+    val exp = toks.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (t, occ) => (t, occ.size.toLong, occ.map(_._2).min.toLong)
+    }
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == exp)
+    // df replayed as corpus-wide distinct membership
+    val dfMap = docs.select(explode(array_distinct(
+        graft.functions.Analyzers.tokenize(lower(col("text"))))).as("term"))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(r._4 == dfMap(r._1), s"df for ${r._1}"))
+    // realtime path on a doc the index never saw: its novel terms
+    // surface with df 0 (found=false), known terms keep corpus df
+    val extra = Seq((999999L, "zzzuniq zzzuniq spark")).toDF("doc_id", "text")
+    val tv2 = Search.termVectors(spark, ix, extra, 999999L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(tv2("zzzuniq") == ((2L, 0L)))
+    assert(tv2("spark")._2 == dfMap("spark"))
+  }
+
   test("phrase/span queries from the positional index equal a scan-path replay") {
     val docs = Tables.documents(spark, sf)
     def toks = graft.functions.Analyzers.tokenize(lower(col("text")))
