@@ -578,6 +578,45 @@ object SparkEntry {
             col("doc_id").cast("string"))), 1, 8), 16, 10)
             .cast("long") % 1000000L).as("score_e6"))
         .orderBy(col("score_e6").desc, col("doc_id")).limit(20)),
+    "f24_rank_feature" -> ((s, d) =>
+      // ES rank_feature query, saturation function: score =
+      // x/(x+pivot) over a numeric feature field (n_chars, pivot
+      // 500), here in exact ×10^6 integer division so the rational
+      // saturation curve is engine-exact; scan-side lang filter +
+      // TakeOrderedAndProject top-k — a pure projection, no shuffle
+      Tables.documents(s, d)
+        .filter(col("lang") === "de")
+        .select(col("doc_id"),
+          expr("(n_chars * 1000000L) div (n_chars + 500L)").as("sat_e6"))
+        .orderBy(col("sat_e6").desc, col("doc_id")).limit(15)),
+    "f25_pinned" -> ((s, d) => {
+      // ES pinned query (searchable promotions): the pinned ids rank
+      // first IN THE GIVEN ORDER carrying the above-any-organic
+      // constant score (ES implements pinning exactly so — a huge
+      // constant _score per pinned hit; 10^9 here, NULL would break
+      // the harness's mixed-type row sort), the organic BM25 leg
+      // follows with pinned ids deduplicated out —
+      // index-served (one pushed term read), and the organic rank
+      // window runs AFTER the top-k limit so it sorts k rows, never
+      // the corpus.
+      import s.implicits._
+      val pinnedIds = Seq(5L, 17L, 29L)
+      val pinnedDf = pinnedIds.zipWithIndex
+        .map { case (id, i) => (id, (i + 1).toLong) }
+        .toDF("doc_id", "rank")
+        .select(col("rank"), col("doc_id"), lit(true).as("pinned"),
+          lit(1.0e9).as("bm25"))
+      val organic = Search.bm25Indexed(s, textIndexFor(s, d), "spark")
+        .filter(!col("doc_id").isin(pinnedIds: _*))
+        .limit(10)
+      val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+      pinnedDf.unionByName(organic
+          .withColumn("rank",
+            (row_number().over(w) + pinnedIds.size).cast("long"))
+          .select(col("rank"), col("doc_id"), lit(false).as("pinned"),
+            col("bm25")))
+        .orderBy(col("rank"))
+    }),
     "f20_msearch_multi" -> ((s, d) =>
       // the real _msearch shape: each batched query a multi-term OR
       // (searchBm25Indexed semantics), the whole batch one pushed
@@ -620,6 +659,14 @@ object SparkEntry {
           (col("score_bp") >= 1500).as("keep"))
         .orderBy(col("doc_id"))
     }),
+    "x30_fertility" -> ((s, d) =>
+      // Tokenizer fertility per language (TextStats.fertility
+      // scaladoc): subword tokens per whitespace word + chars per
+      // token, the tokenizer-eval diagnostic that drives per-language
+      // vocab sizing and mixture reweighting; one combiner-friendly
+      // shuffle to a dictionary-sized report, exact integer ratios
+      TextStats.fertility(Tables.documents(s, d))
+        .orderBy(col("lang"))),
     "s16_delete_by_query" -> ((s, d) => {
       // The Lucene/ES DELETE lifecycle under the gate
       // (TextIndex.deleteByQuery scaladoc): tombstone-append
@@ -3587,6 +3634,14 @@ object SparkEntry {
           col("bg_freq"), col("rk"))
         .orderBy(col("pid"), col("rk"))
     }),
+    "t17_search_as_you_type" -> ((s, d) =>
+      // ES search_as_you_type / match_bool_prefix: "merge ba…" — the
+      // full term scores BM25, the still-being-typed last term
+      // matches as a constant-score prefix; both legs index-served
+      // (one pushed term-equality read + one SARGable term-range
+      // read; Search.matchBoolPrefix scaladoc)
+      Search.matchBoolPrefix(s, textIndexFor(s, d),
+        terms = Seq("merge"), prefix = "ba", k = 10)),
     "opt2_token_prefilter" -> ((s, d) => {
       // TokenMatchPrefilter on a LIVE session (same clone-session
       // isolation as opt1): a naive boolean term query over analyzed
@@ -3842,6 +3897,36 @@ object SparkEntry {
                  % 1000000) AS score_e6
          FROM documents WHERE lang = 'en'
          ORDER BY score_e6 DESC, doc_id LIMIT 20""",
+    // f24: the integer saturation curve replayed verbatim
+    "f24_rank_feature" ->
+      """SELECT doc_id,
+                (n_chars * 1000000 // (n_chars + 500))::BIGINT AS sat_e6
+         FROM documents WHERE lang = 'de'
+         ORDER BY sat_e6 DESC, doc_id LIMIT 15""",
+    // f25: pinned literals first, then the f3 BM25 replay minus the
+    // pinned ids, rank offset by the pinned count
+    "f25_pinned" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(list_filter(toks, x -> x = 'spark'))::INT AS tf,
+                       len(toks)::INT AS len FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df FROM p),
+          org AS (SELECT doc_id,
+                         round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                               (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)), 6) AS bm25
+                  FROM p, s
+                  WHERE tf > 0 AND doc_id NOT IN (5, 17, 29)
+                  ORDER BY bm25 DESC, doc_id LIMIT 10),
+          orgr AS (SELECT (row_number() OVER (ORDER BY bm25 DESC, doc_id) + 3)::BIGINT AS rank,
+                          doc_id, false AS pinned, bm25
+                   FROM org)
+          SELECT * FROM (
+            SELECT 1::BIGINT AS rank, 5::BIGINT AS doc_id, true AS pinned,
+                   1000000000.0::DOUBLE AS bm25
+            UNION ALL SELECT 2::BIGINT, 17::BIGINT, true, 1000000000.0::DOUBLE
+            UNION ALL SELECT 3::BIGINT, 29::BIGINT, true, 1000000000.0::DOUBLE
+            UNION ALL SELECT rank, doc_id, pinned, bm25 FROM orgr)
+          ORDER BY rank""",
     "f20_msearch_multi" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           p AS (SELECT doc_id, len(toks)::INT AS len,
@@ -4819,6 +4904,19 @@ object SparkEntry {
                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS ws_tokens,
                 len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))::BIGINT AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+    // x30: x3's per-doc counting expressions aggregated per lang,
+    // ratios as exact integer division
+    "x30_fertility" ->
+      """WITH p AS (SELECT lang, n_chars,
+                           CASE WHEN len(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS ws,
+                           len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))::BIGINT AS bpe
+                    FROM documents)
+          SELECT lang, count(*)::BIGINT AS n_docs,
+                 sum(ws)::BIGINT AS ws_tokens, sum(bpe)::BIGINT AS bpe_tokens,
+                 (sum(bpe) * 1000000 // sum(ws))::BIGINT AS fertility_e6,
+                 (sum(n_chars) * 1000 // sum(bpe))::BIGINT AS chars_per_tok_e3
+          FROM p GROUP BY lang ORDER BY lang""",
     "pipe1_curation" -> {
       val hitExprs = graft.operators.TextStats.langMarkers.toSeq.sortBy(_._1)
         .map { case (lang, words) =>
@@ -6354,6 +6452,25 @@ object SparkEntry {
                 FROM scored)
           SELECT pid, c1 AS sug1, c2 AS sug2, bg_freq, rk FROM r
           WHERE rk <= 3 ORDER BY pid, rk""",
+    // t17: full-term BM25 (f3's replay) + constant-score 1.0 for any
+    // 'ba'-prefixed token, should semantics (either leg matches)
+    "t17_search_as_you_type" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(toks)::INT AS len,
+                       len(list_filter(toks, x -> x = 'merge'))::INT AS tf,
+                       len(list_filter(toks, x -> x LIKE 'ba%'))::INT AS npre
+                FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df FROM p),
+          u AS (SELECT doc_id,
+                       round((CASE WHEN tf > 0
+                                   THEN ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                                        (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                                   ELSE 0.0 END)
+                             + (CASE WHEN npre > 0 THEN 1.0 ELSE 0.0 END), 6) AS score
+                FROM p, s WHERE tf > 0 OR npre > 0)
+          SELECT doc_id, score FROM u
+          ORDER BY score DESC, doc_id LIMIT 10""",
     "opt2_token_prefilter" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents)
           SELECT doc_id FROM t

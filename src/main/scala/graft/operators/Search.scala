@@ -564,6 +564,38 @@ object Search {
       .orderBy(col("term"))
       .limit(k)
 
+  /** ES `search_as_you_type` / `match_bool_prefix`: every query term
+    * but the last matches as a full analyzed term; the LAST, still
+    * being typed, matches as a prefix. Clauses are shoulds — a doc
+    * matches if it matches ANY clause — scored as the full terms'
+    * summed BM25 plus a constant 1.0 for the prefix clause (ES runs
+    * prefix legs constant-score). Both legs are index-served: the
+    * full terms ride one pushed term-equality postings read, the
+    * prefix leg is a SARGable `[prefix, prefix+1)` term-RANGE read
+    * collapsed to doc membership — the as-you-type latency budget
+    * allows exactly these two pruned reads, never a corpus
+    * re-tokenization. The two legs meet in a full-outer doc_id join
+    * (each leg is already reduced to its matching docs), one final
+    * round so both engines sum in the same double order. */
+  def matchBoolPrefix(spark: SparkSession, ix: TextIndex.Loaded,
+                      terms: Seq[String], prefix: String, k: Int = 10,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val fullScores = indexedTfWide(spark, ix, terms)
+      .crossJoin(broadcast(indexedStats(spark, ix, terms)))
+      .select(col("doc_id"), bm25Sum(terms, k1, b).as("fscore"))
+    val hi = prefix.init + (prefix.last + 1).toChar
+    val preDocs = ix.postings(spark)
+      .filter(col("term") >= prefix && col("term") < hi)
+      .select(col("doc_id")).distinct()
+      .withColumn("pscore", lit(1.0))
+    fullScores.join(preDocs, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(col("fscore"), lit(0.0)) +
+          coalesce(col("pscore"), lit(0.0)), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** ES `_termvectors` with `term_statistics=true`: for one document,
     * every term of the standard analyzer chain with its in-doc term
     * frequency, first token position, and corpus-wide document

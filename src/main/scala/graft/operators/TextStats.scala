@@ -97,6 +97,31 @@ object TextStats {
       bpe.cast("long").as("bpe_tokens"))
   }
 
+  /** Tokenizer fertility report per language — the standard
+    * tokenizer-eval diagnostic over a training mixture: fertility =
+    * subword tokens per whitespace word, plus chars per token. A
+    * high-fertility stratum over-pays its token budget (more compute
+    * per byte of text) — the signal that drives per-language vocab
+    * sizing and mixture reweighting. Reuses [[tokenCounts]]'s
+    * row-local counting expressions, summed in ONE combiner-friendly
+    * group shuffle to a dictionary-sized report; ratios as exact
+    * integer micro-units so the report is engine-reproducible. */
+  def fertility(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val ws = when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+"))).cast("long")
+    val bpe = size(regexp_extract_all(text,
+      lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0))).cast("long")
+    docs.select(col("lang"), col("n_chars"), ws.as("ws"), bpe.as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"),
+        expr("bpe_tokens * 1000000L div ws_tokens").as("fertility_e6"),
+        expr("sum_chars * 1000L div bpe_tokens").as("chars_per_tok_e3"))
+  }
+
   /** X9: intra-document repetition signal (the Gopher/MassiveText
     * "fraction of duplicate n-grams" quality rule): 1 − distinct/total
     * word-3-grams. Repetitive boilerplate and degenerate generations

@@ -55,6 +55,27 @@ class TextIndexSpec extends SparkSpec {
       Search.significantTerms(Tables.documents(spark, sf), "lang"))
   }
 
+  test("match_bool_prefix: should semantics over full term + typed prefix") {
+    val res = Search.matchBoolPrefix(spark, ix, Seq("merge"), "ba", k = 10)
+      .collect()
+    assert(res.length == 10)
+    val toks = Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.Analyzers.tokenize(lower(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    res.foreach { r =>
+      val t = toks(r.getLong(0))
+      val hasFull = t.contains("merge")
+      val hasPre = t.exists(_.startsWith("ba"))
+      assert(hasFull || hasPre, s"doc ${r.getLong(0)} matches no clause")
+      // the prefix clause is constant-score: prefix-only docs score
+      // exactly 1.0, both-clause docs strictly above it
+      if (!hasFull) assert(r.getDouble(1) == 1.0)
+      if (hasFull && hasPre) assert(r.getDouble(1) > 1.0)
+    }
+    val scores = res.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse, "ranked by score desc")
+  }
+
   test("_termvectors equals an independent per-doc replay; unindexed docs get df 0") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

@@ -36,6 +36,26 @@ class TextStatsSpec extends SparkSpec {
     assert(r(3L) == (0L, 0L))
   }
 
+  test("fertility report aggregates the per-doc token signals exactly") {
+    val docs = Tables.documents(spark, sf)
+    val counts = TextStats.tokenCounts(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(sum("ws_tokens").as("w"), sum("bpe_tokens").as("b"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val rep = TextStats.fertility(docs).collect()
+    assert(rep.map(_.getString(0)).toSet == counts.keySet)
+    rep.foreach { r =>
+      val (w, b, n) = counts(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == w && r.getLong(3) == b,
+        s"sums for ${r.getString(0)}")
+      assert(r.getLong(4) == b * 1000000L / w, "fertility_e6")
+    }
+  }
+
   test("fingerprint is stable under whitespace/case noise") {
     val df = Seq((1L, "Hello  World Again Ok"), (2L, "hello world again ok"))
       .toDF("doc_id", "text")
