@@ -506,6 +506,28 @@ object SparkEntry {
           .orderBy(col("index_name"))
       } finally ev.unpersist(blocking = false)
     }),
+    "s21_snapshot_restore" -> ((s, d) => {
+      // ES snapshot/restore (Sink.snapshot/restore scaladoc): bulk
+      // write an index, snapshot it into a repository (per-file md5
+      // manifest written LAST), restore into a fresh directory with
+      // every checksum re-verified as the bytes stream, and prove the
+      // restored index answers queries identically — the verified row
+      // is the source-table replay, so a dropped file, a truncated
+      // copy, or an unverified restore moves a number.
+      val src = Scratch.dir("s21src")
+      val repo = Scratch.dir("s21repo")
+      val dest = Scratch.dir("s21dest")
+      graft.sources.Sink.bulkWrite(s, Tables.customer(s, d),
+        "c_custkey", src)
+      val nSnap = graft.sources.Sink.snapshot(s, src, repo)
+      val nRest = graft.sources.Sink.restore(s, repo, dest)
+      s.read.parquet(dest)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_custkey")).as("n_ids"),
+          sum(col("c_custkey")).as("sum_key"))
+        .select(col("n_rows"), col("n_ids"), col("sum_key"),
+          lit(nSnap == nRest && nSnap > 0).as("files_match"))
+    }),
     "s20_reindex" -> ((s, d) => {
       // ES _reindex (conflicts=proceed, op_type=create): dest is
       // pre-seeded with the doc_id%3==0 slice at ORIGINAL values;
@@ -667,6 +689,26 @@ object SparkEntry {
       // shuffle to a dictionary-sized report, exact integer ratios
       TextStats.fertility(Tables.documents(s, d))
         .orderBy(col("lang"))),
+    "x31_length_buckets" -> ((s, d) =>
+      // sequence-length histogram in power-of-2 buckets — the packing
+      // diagnostic behind max_len choices (how much padding or
+      // truncation each length band costs a loader). The bucket is
+      // ⌊log2(tokens)⌋ computed EXACTLY as binary-string length
+      // (length(bin(n))−1 — no float log2 wobble at power-of-2
+      // boundaries); x3's row-local token count + one
+      // combiner-friendly shuffle over ≤ ~20 bucket rows
+      Tables.documents(s, d)
+        .select(size(regexp_extract_all(col("text"),
+          lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+          .cast("long").as("n"))
+        .select(col("n"),
+          when(col("n") === 0L, lit(-1L))
+            .otherwise((length(bin(col("n"))) - 1).cast("long"))
+            .as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"),
+          min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+        .orderBy(col("bucket"))),
     "s16_delete_by_query" -> ((s, d) => {
       // The Lucene/ES DELETE lifecycle under the gate
       // (TextIndex.deleteByQuery scaladoc): tombstone-append
@@ -1043,6 +1085,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
         .orderBy(col("event_type"), col("rate_bp"))
+    }),
+    "j17_overlap_join" -> ((s, d) => {
+      // Interval-OVERLAP join (EventOps.overlapJoin scaladoc): the
+      // third temporal-join shape next to as-of (j15) and
+      // point-in-range (j16) — both sides are intervals (per-user
+      // sessions), paired when they intersect. Hour-bucket banding
+      // turns the range predicate into an equi-join; the REQUIRE pins
+      // the same scale property as j16: no BroadcastNestedLoopJoin
+      // anywhere in the plan.
+      val res = EventOps.overlapJoin(Tables.events(s, d))
+      require(!res.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "overlap join must plan as a banded equi-join")
+      res
     }),
     "j16_range_join" -> ((s, d) => {
       // RANGE join via interval bucketing (AsOf.rangeJoin scaladoc):
@@ -2309,6 +2365,14 @@ object SparkEntry {
           joined(filter(col("chunk_md5s"), (m, i) => i % 4 === 0))
             .as("sampled_md5s"))
         .orderBy(col("media_id"))),
+    "m8_scene_cut" -> ((s, d) =>
+      // scene-cut segmentation over the frame stream
+      // (Multimodal.sceneCuts scaladoc): per media, a cut wherever
+      // consecutive frame features jump past the threshold —
+      // replayable stub features standing in for decoder frame means,
+      // per-media lag window, explode+agg (never nested lambdas over
+      // a computed array)
+      Multimodal.sceneCuts(Multimodal.asMedia(Tables.documents(s, d)))),
 
     // ---- ES aggregation surface: composite / histogram / rare_terms /
     //      pipeline aggs / runtime fields ----
@@ -3292,6 +3356,46 @@ object SparkEntry {
           col("n_rel"))
         .orderBy(col("query_id"))
     }),
+    "r2_ndcg" -> ((s, d) => {
+      // ES rank_eval dcg metric: NDCG@10 for the r1 runs, with the
+      // 1/log2(rank+1) discount table FROZEN as integer ×10^6
+      // literals (the metric spec — both engines read the SAME
+      // table, so no libm log2 ulp can flip a comparison; binary
+      // relevance ⇔ tf ≥ 2 as in r1). DCG sums the discount of each
+      // relevant held rank; the ideal DCG fills ranks 1..min(n_rel,10)
+      // — ndcg reported in exact basis points.
+      import s.implicits._
+      val wLit = array(Seq(1000000L, 630929L, 500000L, 430676L,
+        386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+        .map(lit): _*)
+      val queries = Seq(("q1", "spark"), ("q2", "vector"), ("q3", "merge"))
+        .toDF("query_id", "term")
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"),
+          Analyzers.tokenize(lower(col("text"))).as("toks"))
+        .crossJoin(broadcast(queries))
+        .select(col("query_id"), col("doc_id"),
+          size(filter(col("toks"), t => t === col("term"))).as("tf"))
+        .filter(col("tf") > 0)
+      tf.withColumn("rk",
+          row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("tf").desc, col("doc_id"))))
+        .groupBy(col("query_id"))
+        .agg(
+          sum(when(col("rk") <= 10 && col("tf") >= 2,
+            element_at(wLit, col("rk"))).otherwise(0L)).as("dcg_e6"),
+          sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("n_rel"))
+        .select(col("query_id"), col("dcg_e6"), col("n_rel"),
+          expr("""aggregate(slice(array(1000000L, 630929L, 500000L,
+                    430676L, 386852L, 356207L, 333333L, 315464L,
+                    301029L, 289064L), 1, int(least(n_rel, 10L))),
+                  0L, (a, x) -> a + x)""").as("idcg_e6"))
+        .select(col("query_id"), col("dcg_e6"), col("idcg_e6"),
+          when(col("idcg_e6") > 0L,
+            expr("dcg_e6 * 10000L div idcg_e6")).otherwise(0L)
+            .as("ndcg_bp"))
+        .orderBy(col("query_id"))
+    }),
     "a24_matrix_stats" -> ((s, d) => {
       // ES matrix_stats over (quantity, extendedprice, discount) in
       // cents: ONE shuffle carries the exact integer sums (decimal for
@@ -3455,6 +3559,21 @@ object SparkEntry {
           expr("(n * 1000000) div dayofmonth(last_day(month))")
             .as("per_day_e6"))
         .orderBy(col("event_type"), col("month"))),
+    "a36_bucket_sort" -> ((s, d) => {
+      // ES bucket_sort pipeline agg: re-sort the date-histogram
+      // buckets by a metric and paginate (from=2, size=5) — the
+      // offset window runs over the ~30 POST-AGG bucket rows (the
+      // w13/w7 single-partition-after-agg discipline), never raw
+      // events; value sums in exact cents like the a-family
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      daily.withColumn("rk", row_number()
+          .over(Window.orderBy(col("cents").desc, col("day"))).cast("long"))
+        .filter(col("rk") > 2 && col("rk") <= 7)
+        .orderBy(col("rk"))
+    }),
     "a35_mad" -> ((s, d) => {
       // ES median_absolute_deviation agg (the robust dispersion metric
       // next to a23_boxplot's quartiles): per group, the median of
@@ -3810,6 +3929,38 @@ object SparkEntry {
           SELECT index_name, n_docs, is_write_index FROM allv
           WHERE idx >= (SELECT widx FROM wr) - 1
           ORDER BY index_name""",
+    // s21: the restored index must answer exactly like the source
+    // table it was snapshotted from
+    "s21_snapshot_restore" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+                count(DISTINCT c_custkey)::BIGINT AS n_ids,
+                sum(c_custkey)::BIGINT AS sum_key,
+                true AS files_match
+         FROM customer""",
+    // j17: the e2 sessionize replay with bounds, paired by the direct
+    // overlap predicate (the oracle affords the quadratic join)
+    "j17_overlap_join" ->
+      """WITH g AS (SELECT user_id, ts,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+                FROM g),
+          sess AS (SELECT user_id, session_idx, min(ts) AS st, max(ts) AS en
+                   FROM s GROUP BY 1, 2),
+          pr AS (SELECT a.user_id AS u1, a.session_idx AS i1,
+                        b.user_id AS u2, b.session_idx AS i2,
+                        date_diff('second', greatest(a.st, b.st),
+                                  least(a.en, b.en))::BIGINT AS ov_s
+                 FROM sess a JOIN sess b
+                   ON a.user_id < b.user_id
+                  AND a.st <= b.en AND b.st <= a.en)
+          SELECT u1, u2, count(*)::BIGINT AS n_overlaps,
+                 sum(ov_s)::BIGINT AS overlap_s
+          FROM pr GROUP BY 1, 2
+          ORDER BY overlap_s DESC, u1, u2 LIMIT 15""",
     // s20: the _reindex response replay — seed slice noops at original
     // values, the rest arrives with the +1000 script applied
     "s20_reindex" ->
@@ -4845,6 +4996,21 @@ object SparkEntry {
                   list_transform(generate_series(0, ceil(octet_length(encode(text)) / 64.0)::BIGINT - 1),
                                  i -> md5(substring(text, (i * 64 + 1)::INT, 64))), '|') AS chunk_md5s
          FROM documents ORDER BY media_id""",
+    // m8: the m3 chunk-digest replay folded to 32-bit frame features,
+    // consecutive-delta cuts
+    "m8_scene_cut" ->
+      """WITH c AS (SELECT doc_id AS media_id,
+                           list_transform(
+                             generate_series(0, ceil(octet_length(encode(text)) / 64.0)::BIGINT - 1),
+                             i -> ('0x' || substr(md5(substring(text, (i * 64 + 1)::INT, 64)), 1, 8))::BIGINT) AS f
+                    FROM documents),
+          s AS (SELECT media_id, len(f)::BIGINT AS n_frames,
+                       len(list_filter(generate_series(2, len(f)),
+                                       i -> abs(f[i] - f[i - 1]) > 3000000000))::BIGINT AS n_cuts
+                FROM c)
+          SELECT media_id, n_frames, n_cuts,
+                 (CASE WHEN n_frames = 0 THEN 0 ELSE n_cuts + 1 END)::BIGINT AS n_scenes
+          FROM s ORDER BY media_id""",
     "m4_media_resize" ->
       """WITH cp AS (SELECT doc_id AS media_id,
                             list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS cps
@@ -4917,6 +5083,17 @@ object SparkEntry {
                  (sum(bpe) * 1000000 // sum(ws))::BIGINT AS fertility_e6,
                  (sum(n_chars) * 1000 // sum(bpe))::BIGINT AS chars_per_tok_e3
           FROM p GROUP BY lang ORDER BY lang""",
+    // x31: ⌊log2⌋ buckets via binary-string length on both engines
+    "x31_length_buckets" ->
+      """WITH p AS (SELECT len(regexp_extract_all(text,
+                             '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]'))::BIGINT AS n
+                    FROM documents),
+          b AS (SELECT n, CASE WHEN n = 0 THEN -1
+                               ELSE length(bin(n)) - 1 END::BIGINT AS bucket
+                FROM p)
+          SELECT bucket, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS sum_tokens,
+                 min(n)::BIGINT AS min_tokens, max(n)::BIGINT AS max_tokens
+          FROM b GROUP BY bucket ORDER BY bucket""",
     "pipe1_curation" -> {
       val hitExprs = graft.operators.TextStats.langMarkers.toSeq.sortBy(_._1)
         .map { case (lang, words) =>
@@ -6202,6 +6379,35 @@ object SparkEntry {
           SELECT query_id, (rel_in_top10 * 100000)::BIGINT AS p_at_10_e6,
                  coalesce(1000000 // first_rel, 0)::BIGINT AS mrr_e6, n_rel
           FROM m ORDER BY query_id""",
+    // r2: NDCG@10 with the frozen ×10^6 discount-literal table (the
+    // metric spec both engines share — no libm log2 in either plan)
+    "r2_ndcg" ->
+      s"""WITH q(query_id, term) AS (VALUES ('q1','spark'),('q2','vector'),('q3','merge')),
+          w(rk, disc) AS (VALUES (1,1000000),(2,630929),(3,500000),(4,430676),
+                                 (5,386852),(6,356207),(7,333333),(8,315464),
+                                 (9,301029),(10,289064)),
+          t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          tf AS (SELECT query_id, doc_id,
+                        len(list_filter(toks, x -> x = term))::BIGINT AS tf
+                 FROM t, q),
+          f AS (SELECT * FROM tf WHERE tf > 0),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY tf DESC, doc_id)::BIGINT AS rk FROM f),
+          m AS (SELECT r.query_id,
+                       sum(CASE WHEN r.rk <= 10 AND r.tf >= 2
+                                THEN w.disc ELSE 0 END)::BIGINT AS dcg_e6,
+                       sum(CASE WHEN r.tf >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rel
+                FROM r LEFT JOIN w ON r.rk = w.rk GROUP BY 1),
+          i AS (SELECT m.query_id, m.dcg_e6, m.n_rel,
+                       coalesce((SELECT sum(disc) FROM w
+                                 WHERE rk <= least(m.n_rel, 10)), 0)::BIGINT
+                         AS idcg_e6
+                FROM m)
+          SELECT query_id, dcg_e6, idcg_e6,
+                 CASE WHEN idcg_e6 > 0
+                      THEN (dcg_e6 * 10000 // idcg_e6) ELSE 0 END::BIGINT
+                   AS ndcg_bp
+          FROM i ORDER BY query_id""",
     "a24_matrix_stats" ->
       """WITH c AS (SELECT round(l_quantity * 100)::HUGEINT AS q,
                            round(l_extendedprice * 100)::HUGEINT AS p,
@@ -6306,6 +6512,17 @@ object SparkEntry {
                 (n * 1000000
                  // date_part('day', last_day(month::DATE)))::BIGINT AS per_day_e6
          FROM m ORDER BY event_type, month""",
+    // a36: the daily histogram re-sorted by the cents metric with
+    // from/size pagination
+    "a36_bucket_sort" ->
+      """WITH daily AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                               count(*)::BIGINT AS n,
+                               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+                        FROM events GROUP BY 1),
+          r AS (SELECT *, row_number() OVER (ORDER BY cents DESC, day)::BIGINT AS rk
+                FROM daily)
+          SELECT day, n, cents, rk FROM r
+          WHERE rk > 2 AND rk <= 7 ORDER BY rk""",
     // a35: exact per-group median + median-absolute-deviation in the
     // ×100-cents integer domain; DuckDB median() interpolates even
     // counts exactly like Spark's percentile (both type-7)

@@ -75,6 +75,58 @@ object EventOps {
         round(sum(col("value")), 2).as("range_value"))
       .orderBy(col("interval_id"))
 
+  /** Interval-OVERLAP join over per-user sessions — "which users were
+    * active at the same time": pairs of sessions from DIFFERENT users
+    * whose [start, end] intervals intersect, aggregated per user
+    * pair. The third temporal-join shape next to as-of (e5/j15) and
+    * point-in-range (e6/j16): here BOTH sides are intervals.
+    *
+    * The quadratic hazard is the join itself — intervals have no
+    * equi-key, and a raw range-condition join plans as a cross
+    * product. The scale shape is temporal BANDING (the standard
+    * interval-join decomposition, same family as AsOf.rangeJoin's
+    * grain bucketing): each session explodes to the hour buckets it
+    * spans, candidate pairs equi-join on the bucket, the exact
+    * overlap predicate filters inside the bucket, and a distinct
+    * collapses pairs that co-occupy several buckets. Candidate work
+    * is Σ_bucket |sessions in bucket|² — bounded by per-hour
+    * concurrency, never |all sessions|². Overlap seconds are exact
+    * integers (least/greatest on epoch seconds). */
+  def overlapJoin(events: DataFrame, gapMinutes: Int = 30,
+                  k: Int = 15): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val sessions = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >
+            gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val banded = sessions.select(col("user_id"), col("session_idx"),
+      col("s"), col("e"),
+      explode(sequence(date_trunc("HOUR", col("s")),
+        date_trunc("HOUR", col("e")), expr("interval 1 hour"))).as("hb"))
+    val lhs = banded.select(col("hb"), col("user_id").as("u1"),
+      col("session_idx").as("i1"), col("s").as("s1"), col("e").as("e1"))
+    val rhs = banded.select(col("hb"), col("user_id").as("u2"),
+      col("session_idx").as("i2"), col("s").as("s2"), col("e").as("e2"))
+    val pairs = lhs.join(rhs, Seq("hb"))
+      .filter(col("u1") < col("u2") &&
+        col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .select(col("u1"), col("i1"), col("u2"), col("i2"),
+        (unix_timestamp(least(col("e1"), col("e2"))) -
+          unix_timestamp(greatest(col("s1"), col("s2")))).as("ov_s"))
+      .distinct()
+    pairs.groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n_overlaps"), sum(col("ov_s")).as("overlap_s"))
+      .orderBy(col("overlap_s").desc, col("u1"), col("u2"))
+      .limit(k)
+  }
+
   /** E5: AS-OF join — attach to every event the value of the most
     * recent purchase (ts ≤ event ts) by the same user; the canonical
     * time-series enrichment Spark has no native operator for. A thin

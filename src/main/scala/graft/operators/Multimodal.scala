@@ -719,6 +719,45 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Scene-cut detection over a media item's frame stream — the
+    * video-curation segmentation op (shot boundaries gate what a
+    * video training pipeline dedups, captions, and clip-samples): a
+    * cut opens wherever consecutive frame features differ by more
+    * than `threshold`; scenes = cuts + 1. Frames here are the chunked
+    * payload's per-chunk digests folded to 32-bit integer features —
+    * the m-family's DuckDB-replayable stub for the pixel path (a real
+    * decoder's pooled frame means slot into the same feature column;
+    * MultimodalCodecSpec drives planted real-pixel fixtures through
+    * the same delta contract). Shapes: frame pairs come from ONE
+    * posexplode + a per-media lag window (explode + agg, not nested
+    * lambdas over a computed array — the ProjectCollapse recompute
+    * trap); the window partitions by media_id, so state is one media
+    * item's frames, never the corpus; zero-frame media survive via
+    * the left join back to the chunk projection. */
+  def sceneCuts(media: DataFrame, chunkBytes: Int = 64,
+                threshold: Long = 3000000000L): DataFrame = {
+    val chunks = mediaChunks(media, chunkBytes)
+    val frames = chunks
+      .select(col("media_id"),
+        posexplode(col("chunk_md5s")).as(Seq("frame_no", "m")))
+      .select(col("media_id"), col("frame_no"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_no"))
+    val cuts = frames
+      .withColumn("prev", lag(col("f"), 1).over(w))
+      .groupBy(col("media_id"))
+      .agg(sum(when(abs(col("f") - col("prev")) > threshold, 1L)
+        .otherwise(0L)).as("n_cuts"))
+    chunks.select(col("media_id"), col("n_chunks").as("n_frames"))
+      .join(cuts, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"),
+        coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+        when(col("n_frames") === 0L, 0L)
+          .otherwise(coalesce(col("n_cuts"), lit(0L)) + 1L).as("n_scenes"))
+      .orderBy(col("media_id"))
+  }
+
   /** Oracle-friendly metadata projection (no stubbed math): byte size
     * and content digest of the binary column. */
   def mediaMeta(media: DataFrame): DataFrame =

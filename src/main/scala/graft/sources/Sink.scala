@@ -126,6 +126,95 @@ object Sink {
     (total, created, total - created)
   }
 
+  /** ES snapshot: copy an index directory's committed files into a
+    * repository, writing a MANIFEST of per-file (md5, length, name)
+    * LAST — the `_DONE` discipline: a snapshot interrupted mid-copy
+    * has no manifest and [[restore]] refuses it, so a repository can
+    * never serve a torn snapshot. Checksums are computed WHILE the
+    * bytes stream (one read per file, no second pass); files stream
+    * through the Hadoop FS API, so the repository can live on any
+    * supported filesystem — the ES repository-plugin analog. Hidden
+    * and in-flight files (`_temporary`, dotfiles) are skipped like
+    * Spark's own committed-file readers. Returns the file count. */
+  def snapshot(spark: SparkSession, srcDir: String,
+               repoDir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val repo = new org.apache.hadoop.fs.Path(repoDir)
+    val sfs = src.getFileSystem(conf)
+    val rfs = repo.getFileSystem(conf)
+    rfs.mkdirs(repo)
+    val files = sfs.listStatus(src).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith(".") &&
+      !st.getPath.getName.startsWith("_temporary"))
+    val manifest = files.sortBy(_.getPath.getName).map { st =>
+      val name = st.getPath.getName
+      val md5 = copyWithMd5(sfs, st.getPath, rfs,
+        new org.apache.hadoop.fs.Path(repo, name))
+      s"$md5 ${st.getLen} $name"
+    }
+    val out = rfs.create(
+      new org.apache.hadoop.fs.Path(repo, "MANIFEST"), true)
+    try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    files.length.toLong
+  }
+
+  /** ES restore: copy a [[snapshot]] repository back into `destDir`,
+    * re-verifying every manifest checksum AS the bytes stream —
+    * bit-rot, truncation, or a torn snapshot (no MANIFEST) refuse
+    * loudly instead of restoring silently wrong data. (On a
+    * checksummed filesystem — LocalFileSystem keeps `.crc` sidecars —
+    * the FS-level verification may refuse first; the manifest md5 is
+    * the backstop for filesystems without one, e.g. object stores.)
+    * Returns the restored file count. */
+  def restore(spark: SparkSession, repoDir: String,
+              destDir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val repo = new org.apache.hadoop.fs.Path(repoDir)
+    val dest = new org.apache.hadoop.fs.Path(destDir)
+    val rfs = repo.getFileSystem(conf)
+    val dfs = dest.getFileSystem(conf)
+    val mPath = new org.apache.hadoop.fs.Path(repo, "MANIFEST")
+    require(rfs.exists(mPath),
+      s"$repoDir has no MANIFEST — torn or not a snapshot repository")
+    val lines = {
+      val in = rfs.open(mPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    dfs.mkdirs(dest)
+    lines.foreach { line =>
+      val Array(md5, len, name) = line.split(" ", 3)
+      val from = new org.apache.hadoop.fs.Path(repo, name)
+      val got = copyWithMd5(rfs, from, dfs,
+        new org.apache.hadoop.fs.Path(dest, name))
+      require(got == md5 && rfs.getFileStatus(from).getLen == len.toLong,
+        s"checksum mismatch restoring $name — repository corrupt")
+    }
+    lines.length.toLong
+  }
+
+  /** Stream-copy one file, returning the md5 of the bytes copied. */
+  private def copyWithMd5(sfs: org.apache.hadoop.fs.FileSystem,
+                          from: org.apache.hadoop.fs.Path,
+                          dfs: org.apache.hadoop.fs.FileSystem,
+                          to: org.apache.hadoop.fs.Path): String = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+    val in = new java.security.DigestInputStream(sfs.open(from), dig)
+    val out = dfs.create(to, true)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally { in.close(); out.close() }
+    dig.digest().map("%02x".format(_)).mkString
+  }
+
   /** Bucketed table write: pre-partition + pre-sort by the join key so
     * repeated joins/aggregations on that key run with ZERO exchanges
     * (the cluster-scale answer to "co-locate the big join" —

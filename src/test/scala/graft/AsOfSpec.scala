@@ -7,6 +7,28 @@ import graft.operators.AsOf
 class AsOfSpec extends SparkSpec {
   import spark.implicits._
 
+  test("overlap join pairs intersecting sessions exactly once across hour buckets") {
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // u1 [10:50, 11:10] spans two hour buckets; u4 [10:55, 11:15] too
+    // (their pair surfaces in BOTH buckets — distinct must collapse
+    // it); u2 is a point session at 11:00; u3 is disjoint.
+    val events = Seq(
+      (1L, ts(10, 50)), (1L, ts(11, 10)),
+      (2L, ts(11, 0)),
+      (3L, ts(9, 0)),
+      (4L, ts(10, 55)), (4L, ts(11, 15))
+    ).toDF("user_id", "ts")
+    val got = graft.operators.EventOps.overlapJoin(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      (1L, 2L) -> ((1L, 0L)),   // point touch: one overlap, 0 seconds
+      (1L, 4L) -> ((1L, 900L)), // [10:55, 11:10] — once, despite 2 buckets
+      (2L, 4L) -> ((1L, 0L))
+    ))
+  }
+
   test("inclusive bound, carry-forward, and the no-version-yet null") {
     val fact = Seq(
       ("k", 5L), ("k", 10L), ("k", 15L), ("k", 25L), // around v1@10, v2@20

@@ -17,6 +17,39 @@ class MultimodalCodecSpec extends SparkSpec {
     for { y <- 0 until h; x <- 0 until w }
       yield ((x * 37 + y * 11) % 256, (x * 91 + y * 53) % 256, (x * 17 + y * 71) % 256)
 
+  test("scene cuts: delta segmentation matches an independent digest replay") {
+    import spark.implicits._
+    val a64 = "a" * 64; val b64 = "b" * 64
+    val media = Seq(
+      (1L, a64 + b64 + a64 + a64), // 4 frames, repeated tail
+      (2L, "x" * 30),              // single short frame
+      (3L, "")                     // zero-byte media
+    ).toDF("doc_id", "text")
+    // independent replay: chunk → md5 → first-8-hex feature → deltas
+    def feat(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 8), 16)
+    }
+    def expect(content: String): (Long, Long, Long) = {
+      val chunks = content.grouped(64).toSeq
+      val fs = chunks.map(feat)
+      val cuts = fs.zip(fs.drop(1))
+        .count { case (p, c) => math.abs(c - p) > 3000000000L }
+      (chunks.size.toLong, cuts.toLong,
+        if (chunks.isEmpty) 0L else cuts + 1L)
+    }
+    val got = Multimodal.sceneCuts(Multimodal.asMedia(media)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == expect(a64 + b64 + a64 + a64))
+    // identical consecutive frames can never cut: the aa tail is one scene
+    assert(got(1L)._2 == expect(a64 + b64 + a64 + a64)._2)
+    assert(got(2L) == ((1L, 0L, 1L)), "single frame: no cuts, one scene")
+    assert(got(3L) == ((0L, 0L, 0L)), "zero-byte media survives as 0/0/0")
+  }
+
   test("png: every filter type round-trips the exact pixels") {
     val px = gradient(5, 4)
     for (f <- 0 to 4) {

@@ -58,6 +58,38 @@ class SinkSpec extends SparkSpec {
     assert(total == orders.count())
   }
 
+  test("snapshot/restore: checksummed round-trip; corrupt and torn repos refuse") {
+    val src = Files.createTempDirectory("graft-snap-src").toString
+    val repo = Files.createTempDirectory("graft-snap-repo").toString
+    val dest = Files.createTempDirectory("graft-snap-dest").toString
+    Sink.bulkWrite(spark, Tables.region(spark, sf), "r_regionkey", src)
+    val n = Sink.snapshot(spark, src, repo)
+    assert(n > 0)
+    assert(Sink.restore(spark, repo, dest) == n)
+    // the restored index answers identically
+    assert(spark.read.parquet(dest).collect().map(_.toSeq).toSet ==
+      spark.read.parquet(src).collect().map(_.toSeq).toSet)
+    // one flipped byte in the repository → restore refuses loudly
+    val victim = new java.io.File(repo).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0xff).toByte
+    java.nio.file.Files.write(victim.toPath, bytes)
+    val dest2 = Files.createTempDirectory("graft-snap-dest2").toString
+    // on a checksummed FS (LocalFileSystem keeps .crc sidecars) the
+    // FS-level verification may fire before the manifest md5 — either
+    // way the restore refuses loudly
+    val ex = intercept[Exception] { Sink.restore(spark, repo, dest2) }
+    assert(ex.isInstanceOf[IllegalArgumentException] ||
+      ex.isInstanceOf[org.apache.hadoop.fs.ChecksumException],
+      s"unexpected refusal type: ${ex.getClass}")
+    // a torn repository (no MANIFEST) refuses
+    val repo2 = Files.createTempDirectory("graft-snap-repo2").toString
+    intercept[IllegalArgumentException] {
+      Sink.restore(spark, repo2, dest2)
+    }
+  }
+
   test("reindex op_type=create: conflicts noop, appends are additive, rerun is all-noop") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-reindex").toString
