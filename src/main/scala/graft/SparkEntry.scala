@@ -218,6 +218,25 @@ object SparkEntry {
       Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
     "s11_point_lookup" -> ((s, d) =>
       Tables.orders(s, d).filter(col("o_orderkey") === 42L)),
+    "s22_mget" -> ((s, d) => {
+      // ES _mget: one batched multi-id lookup returning a row PER
+      // REQUESTED id with found=false for misses (ES's contract — the
+      // response mirrors the request, hits carry the source). The id
+      // set pushes as one In filter (row-group pruning at the scan,
+      // a single read for the whole batch — never one query per id);
+      // the request frame is broadcast, never shuffled.
+      import s.implicits._
+      val ids = Seq(7L, 42L, 123L, 424242L, 9999999L)
+      val hits = Tables.documents(s, d)
+        .filter(col("doc_id").isin(ids: _*))
+        .select(col("doc_id"), lit(true).as("hit"),
+          col("lang"), col("n_chars"))
+      broadcast(ids.toDF("doc_id")).join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("hit"), lit(false)).as("found"),
+          col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "s3_keyset_chunk" -> ((s, d) =>
       Tables.orders(s, d).filter(col("o_orderkey") > 500L)
         .orderBy(col("o_orderkey")).limit(100)),
@@ -569,6 +588,12 @@ object SparkEntry {
       Search.msearchBm25(s, textIndexFor(s, d),
         Seq(("q_merge", "merge"), ("q_spark", "spark"),
           ("q_window", "window")), k = 5)),
+    "f26_suffix_wildcard" -> ((s, d) =>
+      // leading-wildcard (*er) query served Lucene-style from the
+      // index (Search.suffixWildcard scaladoc): dictionary scan for
+      // the matching terms — O(vocab), never the corpus — broadcast
+      // semi-join into the postings, per-doc matched-term frequency
+      Search.suffixWildcard(s, textIndexFor(s, d), "er", k = 15)),
     "f21_terms_enum" -> ((s, d) =>
       // ES _terms_enum: lexicographic prefix enumeration of index
       // terms with doc counts, a pure dictionary range read (SARGable
@@ -1648,6 +1673,19 @@ object SparkEntry {
     "x15_unigram_score" -> ((s, d) =>
       TextStats.unigramScore(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    "x32_dsir" -> ((s, d) =>
+      // DSIR importance weights (TextStats.dsirWeights scaladoc):
+      // hashed-unigram likelihood ratio of the lang='en' target slice
+      // vs the raw corpus, exact ×10^6 integer micro-units; 256-row
+      // feature dictionary broadcast back onto one token pass
+      TextStats.dsirWeights(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+    "x33_bigram_lm" -> ((s, d) =>
+      // Stupid-Backoff bigram LM quality score (TextStats.bigramScore
+      // scaladoc): LM trained on the doc_id%10==0 reference slice,
+      // every doc scored by its mean bigram likelihood in exact
+      // integer micro-units — the CCNet perplexity-filter analog
+      TextStats.bigramScore(Tables.documents(s, d))),
     "x12_shuffle_batches" -> ((s, d) =>
       TextStats.shuffleBatches(Tables.documents(s, d), batchSize = 64)
         .orderBy(col("doc_id"))),
@@ -2215,6 +2253,12 @@ object SparkEntry {
       // (after that), earliest-completion semantics per stage
       EventOps.funnel(Tables.events(s, d),
         Seq("signup", "click", "purchase"))),
+    "e9_retention" -> ((s, d) =>
+      // cohort retention matrix (EventOps.retention scaladoc): users
+      // bucketed by first-seen ISO week, counted in every later week
+      // they were active; exact integer week offsets + basis-point
+      // retention against the offset-0 cohort size
+      EventOps.retention(Tables.events(s, d))),
 
     // ---- Structured Streaming, run to completion (SURVEY §2.9) ----
     // Real StreamingQuery executions (file source → stateful op →
@@ -3803,6 +3847,15 @@ object SparkEntry {
     "s10_match_all" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "s9_count" -> "SELECT count(*) AS cnt FROM lineitem",
     "s11_point_lookup" -> "SELECT * FROM orders WHERE o_orderkey = 42",
+    // s22: a row per requested id, found=false for misses
+    "s22_mget" ->
+      """WITH req(doc_id) AS (VALUES (7),(42),(123),(424242),(9999999)),
+          h AS (SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id IN (7, 42, 123, 424242, 9999999))
+          SELECT req.doc_id::BIGINT AS doc_id,
+                 h.doc_id IS NOT NULL AS found, h.lang, h.n_chars
+          FROM req LEFT JOIN h ON req.doc_id = h.doc_id
+          ORDER BY req.doc_id""",
     "s3_keyset_chunk" ->
       "SELECT * FROM orders WHERE o_orderkey > 500 ORDER BY o_orderkey LIMIT 100",
     "s8_merge_update" ->
@@ -4025,6 +4078,17 @@ object SparkEntry {
           SELECT term, count(*)::BIGINT AS df FROM p
           WHERE term LIKE 's%' GROUP BY term
           ORDER BY term LIMIT 10""",
+    // f26: the token replay of the dictionary-served wildcard — per
+    // doc, distinct '%er' terms and their summed frequency
+    "f26_suffix_wildcard" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                WHERE tok LIKE '%er' GROUP BY 1, 2)
+          SELECT doc_id, count(*)::BIGINT AS n_terms,
+                 sum(tf)::BIGINT AS sum_tf
+          FROM p GROUP BY doc_id
+          ORDER BY sum_tf DESC, doc_id LIMIT 15""",
     // f22: per-term tf + 0-based first position of doc 42 (DuckDB's
     // parallel unnest zips term with its 1-based subscript), df across
     // the corpus from the distinct-membership replay
@@ -5258,6 +5322,56 @@ object SparkEntry {
                  sum(tf)::BIGINT AS sum_tf,
                  round(sum(tf) / count(*), 6) AS mean_tf
           FROM p JOIN v USING (tok) GROUP BY 1 ORDER BY 1""",
+    // x32: hashed-unigram DSIR likelihood ratios — identical md5
+    // bucketing and ×10^6 integer division on both engines
+    "x32_dsir" ->
+      s"""WITH p AS (SELECT doc_id, lang, unnest(${sqlToks(sqlNorm)}) AS tok
+                     FROM documents),
+          f AS (SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 6))::BIGINT % 256 AS f,
+                       lang
+                FROM p),
+          s AS (SELECT f,
+                       (sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)::BIGINT AS nt,
+                       (count(*) + 1)::BIGINT AS nr
+                FROM f GROUP BY 1),
+          j AS (SELECT doc_id, (nt * 1000000) // nr AS c
+                FROM f JOIN s USING (f))
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 (sum(c) // count(*))::BIGINT AS dsir_e6
+          FROM j GROUP BY 1 ORDER BY 1""",
+    // x33: the Stupid-Backoff bigram LM replay — same reference
+    // slice, same integer micro-unit arithmetic
+    "x33_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          bg AS (SELECT doc_id, unnest(list_transform(
+                          generate_series(1, len(toks) - 1),
+                          i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+                 FROM t WHERE len(toks) >= 2),
+          bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+          c1 AS (SELECT w, count(*)::BIGINT AS c1
+                 FROM (SELECT unnest(toks) AS w FROM t WHERE doc_id % 10 = 0)
+                 GROUP BY 1),
+          c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bgf
+                 WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+          nr AS (SELECT coalesce(sum(len(toks)), 0)::BIGINT AS n_ref
+                 FROM t WHERE doc_id % 10 = 0),
+          sc AS (SELECT bgf.doc_id,
+                        CASE WHEN c2.c2 IS NOT NULL AND a.c1 IS NOT NULL
+                             THEN (c2.c2 * 1000000) // a.c1
+                             ELSE (coalesce(b2.c1, 0) * 400000)
+                                  // greatest(nr.n_ref, 1) END AS s
+                 FROM bgf
+                 LEFT JOIN c2 ON bgf.w1 = c2.w1 AND bgf.w2 = c2.w2
+                 LEFT JOIN c1 a ON bgf.w1 = a.w
+                 LEFT JOIN c1 b2 ON bgf.w2 = b2.w, nr),
+          pd AS (SELECT doc_id, count(*)::BIGINT AS nb,
+                        sum(s)::BIGINT AS sum_e6
+                 FROM sc GROUP BY 1)
+          SELECT t.doc_id, coalesce(pd.nb, 0)::BIGINT AS n_bigrams,
+                 (CASE WHEN pd.nb IS NULL THEN 0
+                       ELSE pd.sum_e6 // pd.nb END)::BIGINT AS lm_e6
+          FROM t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id""",
     "x14_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
           s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
@@ -6010,6 +6124,24 @@ object SparkEntry {
           UNION ALL SELECT '2_click', count(*)::BIGINT FROM s2
           UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM s3
           ORDER BY stage""",
+    // e9: cohort retention — both engines truncate to the same ISO
+    // Monday, so the day diff is an exact multiple of 7
+    "e9_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+                            date_trunc('week', ts)::TIMESTAMP AS wk
+                     FROM events),
+          fst AS (SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY 1),
+          m AS (SELECT cohort_week,
+                       (date_diff('day', cohort_week, wk) // 7)::BIGINT
+                         AS week_offset,
+                       count(*)::BIGINT AS n_users
+                FROM wk JOIN fst USING (user_id) GROUP BY 1, 2),
+          sz AS (SELECT cohort_week, n_users AS cohort_size FROM m
+                 WHERE week_offset = 0)
+          SELECT m.cohort_week, m.week_offset, m.n_users, sz.cohort_size,
+                 (m.n_users * 10000 // sz.cohort_size)::BIGINT AS retention_bp
+          FROM m JOIN sz USING (cohort_week)
+          ORDER BY m.cohort_week, m.week_offset""",
     "a17_top_hits" ->
       s"""WITH t AS (SELECT doc_id, source, ${sqlToks("lower(text)")} AS toks FROM documents),
           p AS (SELECT doc_id, source,

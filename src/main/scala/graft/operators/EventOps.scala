@@ -127,6 +127,41 @@ object EventOps {
       .limit(k)
   }
 
+  /** E9: cohort retention matrix — the product-analytics "of the
+    * users first seen in week W, how many were active k weeks later"
+    * triangle. Cohort = ISO week of a user's FIRST event; activity =
+    * the distinct (user, week) grid; each activity row lands in its
+    * cohort row at offset (week − cohort)/7 days — exact integers,
+    * both engines truncate to the same Monday so the day difference
+    * is always a multiple of 7. retention_bp joins the offset-0 row
+    * back as the cohort size (offset 0 always exists: the first week
+    * IS an active week).
+    *
+    * Scale shape: one distinct on (user, week) — combiner-friendly,
+    * the grid is |users| × |weeks active|, far below raw events — one
+    * min-per-user agg over that grid, a join back on user_id that
+    * reuses the grid's hash partitioning, and a final dictionary-sized
+    * (cohort, offset) agg; the cohort-size join is over the tiny
+    * matrix itself. No window over whole user histories. */
+  def retention(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"), date_trunc("WEEK", col("ts")).as("wk"))
+      .distinct()
+    val first = weeks.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    val matrix = weeks.join(first, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(wk, cohort_week) div 7").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = matrix.filter(col("week_offset") === 0L)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    matrix.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("cohort_size"),
+        expr("n_users * 10000L div cohort_size").as("retention_bp"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** E5: AS-OF join — attach to every event the value of the most
     * recent purchase (ts ≤ event ts) by the same user; the canonical
     * time-series enrichment Spark has no native operator for. A thin

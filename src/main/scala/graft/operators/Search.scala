@@ -564,6 +564,39 @@ object Search {
       .orderBy(col("term"))
       .limit(k)
 
+  /** ES leading-wildcard query (`*suffix`) served from the INDEX:
+    * Lucene resolves a wildcard by enumerating the term DICTIONARY
+    * and taking the union of the matching terms' postings — never by
+    * re-analyzing documents. Same two-stage shape here: stage 1 scans
+    * the (term, df) dictionary — O(vocabulary), orders of magnitude
+    * below the corpus — for `endsWith(suffix)`; stage 2 semi-joins
+    * the (few) matched terms into the postings read via BROADCAST
+    * (a wildcard that matches a corpus-sized term set is a query
+    * error, as in ES's `indices.query.bool.max_clause_count`), then
+    * one per-doc aggregate ranks by total matched-term frequency.
+    * (doc_id, term) is unique in postings, so `count(1)` IS the
+    * distinct matched-term count — no countDistinct expand.
+    *
+    * The leading wildcard is the dictionary scan's worst case (no
+    * prefix to range-prune on); the production upgrade ES uses — a
+    * `wildcard`-type field indexing `reverse(term)` so `*suffix`
+    * becomes a SARGable `[rev(suffix), rev(suffix)+1)` range read,
+    * exactly [[termsEnum]]'s shape — slots in by persisting one extra
+    * reversed-sorted dictionary column; the postings stage is
+    * unchanged. */
+  def suffixWildcard(spark: SparkSession, ix: TextIndex.Loaded,
+                     suffix: String, k: Int = 15): DataFrame = {
+    val matched = ix.termDf(spark)
+      .filter(col("term").endsWith(suffix))
+      .select(col("term"))
+    ix.postings(spark).join(broadcast(matched), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf")).cast("long").as("sum_tf"))
+      .orderBy(col("sum_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** ES `search_as_you_type` / `match_bool_prefix`: every query term
     * but the last matches as a full analyzed term; the LAST, still
     * being typed, matches as a prefix. Clauses are shoulds — a doc

@@ -327,6 +327,101 @@ object TextStats {
         round(col("sum_tf").cast("double") / col("n_tokens"), 6))
   }
 
+  /** X32: DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — per-document
+    * importance of a raw-corpus doc under a TARGET distribution
+    * (here: the `lang = targetLang` slice), estimated over hashed
+    * unigram features: bucket = md5(token) mod `buckets`, per-bucket
+    * counts under target (n_t, add-one smoothed) and under the raw
+    * corpus (n_r), and each token contributes the likelihood ratio
+    * n_t/n_r in exact ×10^6 integer micro-units — the constant
+    * T_total/R_total normalizer is dropped (it scales every document
+    * identically, so top-k resampling is unchanged) which keeps every
+    * intermediate a small exact integer (≤ 10^6 per token; no libm
+    * log in either engine). High-weight docs read like the target and
+    * get up-sampled into the training mixture.
+    *
+    * Scale shape: one tokenize+explode pass (localCheckpoint feeds
+    * the bucket aggregate AND the scoring join without re-tokenizing),
+    * a `buckets`-row combiner-friendly aggregate, a BROADCAST join of
+    * that dictionary back onto the token stream (256 rows — never a
+    * shuffle), and one per-doc aggregate. */
+  def dsirWeights(docs: DataFrame, buckets: Int = 256,
+                  targetLang: String = "en"): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(Analyzers.tokenize(Dedup.normalize(col("text")))).as("tok"))
+      .withColumn("f",
+        conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long")
+          % buckets)
+      .localCheckpoint()
+    val stats = toks.groupBy(col("f")).agg(
+        (sum(when(col("lang") === targetLang, 1L).otherwise(0L)) + 1L)
+          .as("nt"),
+        (count(lit(1)) + 1L).as("nr"))
+    toks.join(broadcast(stats), "f")
+      .withColumn("c_e6", expr("nt * 1000000L div nr"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c_e6")).as("sum_e6"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_e6 div n_tokens").as("dsir_e6"))
+  }
+
+  /** X33: bigram language-model quality score with Stupid Backoff
+    * (Brants et al. 2007) — the CCNet-style "does this doc read like
+    * the reference corpus" perplexity proxy. The LM trains on the
+    * `doc_id % refMod == 0` reference slice: bigram counts c2(w1,w2),
+    * unigram counts c1(w), total token count N. Every adjacent pair
+    * in a document scores `c2/c1(w1)` when the bigram was seen, else
+    * backs off to `0.4 · c1(w2)/N` — all in exact ×10^6 integer
+    * micro-units (`c2·10^6 div c1`, `c1·400000 div N`; both engines
+    * run the identical integer expressions, no float log). The
+    * per-doc mean is the quality signal; degenerate and
+    * out-of-domain text scores near zero.
+    *
+    * Scale shape: bigrams are built ROW-LOCAL (one transform over the
+    * token array — no self-join, no window); the LM tables are
+    * vocabulary-sized aggregates; scoring is three shuffle joins on
+    * (w1,w2) / w1 / w2 — the LM-table join IS the classic distributed
+    * KenLM-application shape, and none of the three sides is the raw
+    * corpus. Zero-bigram docs (< 2 tokens) survive via the left join
+    * back to the id projection. */
+  def bigramScore(docs: DataFrame, refMod: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      Analyzers.tokenize(Dedup.normalize(col("text"))).as("toks"))
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> struct(toks[i] as w1, toks[i + 1] as w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val refToks = toks.filter(col("doc_id") % refMod === 0)
+    val c1 = refToks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val c2 = bigrams.filter(col("doc_id") % refMod === 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val nRef = refToks.agg(
+      coalesce(sum(size(col("toks"))), lit(0)).cast("long").as("n_ref"))
+    val perDoc = bigrams
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.select(col("w").as("w1"), col("c1").as("c1w1")),
+        Seq("w1"), "left")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1w2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(nRef))
+      .withColumn("s_e6",
+        when(col("c2").isNotNull && col("c1w1").isNotNull,
+          expr("c2 * 1000000L div c1w1"))
+          .otherwise(
+            expr("coalesce(c1w2, 0L) * 400000L div greatest(n_ref, 1L)")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("s_e6")).as("sum_e6"))
+    toks.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        when(col("nb").isNull, 0L)
+          .otherwise(expr("sum_e6 div nb")).as("lm_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X14: boilerplate signal — the fraction of a document's distinct
     * word-3-gram shingles that are corpus-common (document frequency ≥
     * `minDf`): navigation chrome, license headers, and template text

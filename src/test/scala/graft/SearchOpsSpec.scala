@@ -143,4 +143,27 @@ class SearchOpsSpec extends SparkSpec {
       assert(row.getLong(1) > 0)
     }
   }
+
+  test("retention: cohorts by first ISO week, offsets exact, bp against offset-0") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday. u1 active weeks 0,1,2; u2 only week 0
+    // (two events, one active week — distinct collapses); u3 first
+    // seen week 1, active weeks 1,2.
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-16 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00")), (2L, ts("2024-01-05 23:00:00")),
+      (3L, ts("2024-01-10 10:00:00")), (3L, ts("2024-01-17 10:00:00"))
+    ).toDF("user_id", "ts")
+    val rows = EventOps.retention(ev).collect().map(r =>
+      (r.getTimestamp(0).toString.take(10), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 10000L)),
+      ("2024-01-01", 1L) -> ((1L, 2L, 5000L)),
+      ("2024-01-01", 2L) -> ((1L, 2L, 5000L)),
+      ("2024-01-08", 0L) -> ((1L, 1L, 10000L)),
+      ("2024-01-08", 1L) -> ((1L, 1L, 10000L))))
+  }
 }

@@ -405,4 +405,29 @@ class TextIndexSpec extends SparkSpec {
     assert(Search.termsEnum(spark, ix, "s", k = 2).count() == 2)
     assert(Search.termsEnum(spark, ix, "zzzz", k = 5).count() == 0)
   }
+
+  test("suffix wildcard: dictionary-served union matches a corpus recount") {
+    val out = Search.suffixWildcard(spark, ix, "er", k = 15)
+    // scale-shape lock: the matched-terms semi-join into postings is
+    // a broadcast, never a shuffle
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.nonEmpty)
+    // per returned doc: recount matching terms straight from the text
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(rows.keys.toSeq: _*))
+      .select(col("doc_id"),
+        graft.functions.Analyzers.tokenize(lower(col("text"))).as("toks"))
+      .collect()
+    docs.foreach { r =>
+      val ts = r.getSeq[String](1).filter(_.endsWith("er"))
+      assert(rows(r.getLong(0)) == ((ts.distinct.size.toLong, ts.size.toLong)),
+        s"doc ${r.getLong(0)}")
+    }
+    // an absent suffix matches no dictionary entry → no docs
+    assert(Search.suffixWildcard(spark, ix, "qqqq").count() == 0)
+  }
 }

@@ -433,4 +433,56 @@ class TextStatsSpec extends SparkSpec {
     val shareSum = rows.map(_.getAs[Double]("token_share")).sum
     assert(math.abs(shareSum - 1.0) < 1e-4)
   }
+
+  test("dsir weights match an independent hashed-ratio replay") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "spark spark merge"),
+      (2L, "en", "merge table"),
+      (3L, "de", "der tisch tisch")).toDF("doc_id", "lang", "text")
+    // independent replay: md5-bucket each token, add-one counts under
+    // target (en) and raw, per-token (nt*10^6) floor-div nr, doc mean
+    def bucket(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 6), 16) % 256
+    }
+    val toks = Seq(
+      (1L, true, Seq("spark", "spark", "merge")),
+      (2L, true, Seq("merge", "table")),
+      (3L, false, Seq("der", "tisch", "tisch")))
+    val all = toks.flatMap { case (_, en, ts) => ts.map(t => (bucket(t), en)) }
+    val nt = all.groupBy(_._1).map { case (f, xs) =>
+      f -> (xs.count(_._2) + 1L) }
+    val nr = all.groupBy(_._1).map { case (f, xs) => f -> (xs.size + 1L) }
+    val want = toks.map { case (id, _, ts) =>
+      val cs = ts.map(t => nt(bucket(t)) * 1000000L / nr(bucket(t)))
+      id -> ((ts.size.toLong, cs.sum / ts.size))
+    }.toMap
+    val got = TextStats.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    // the target-language doc outweighs the out-of-target doc
+    assert(got(1L)._2 > got(3L)._2)
+  }
+
+  test("bigram LM: stupid backoff against a hand-computed reference") {
+    import spark.implicits._
+    // reference slice (doc_id % 10 == 0): c1 = {a:3, b:3, c:1, x:1},
+    // N = 8; c2 = {(a,b):3, (b,a):1, (b,c):1, (b,x):1}
+    val docs = Seq(
+      (0L, "a b a b c"), (10L, "a b x"),
+      (1L, "a b c"),          // 10^6 + 333333 → mean 666666
+      (2L, "q"),              // no bigram → (0, 0)
+      (3L, "z z")             // unseen both sides → backoff c1(z)=0 → 0
+    ).toDF("doc_id", "text")
+    val got = TextStats.bigramScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L) == ((4L, 666666L)))
+    assert(got(10L) == ((2L, 666666L)))
+    assert(got(1L) == ((2L, 666666L)))
+    assert(got(2L) == ((0L, 0L)))
+    assert(got(3L) == ((1L, 0L)))
+  }
 }
