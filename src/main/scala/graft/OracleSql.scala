@@ -195,10 +195,15 @@ private[graft] object OracleSql {
     * `expressions.EnglishChain`. Output matches t11_englando's
     * (doc_id, tokens) '|'-joined projection; token order is preserved
     * via the pre-filter ordinal. */
-  def porterEnglandoT11: String =
+  def porterEnglandoT11: String = englandoJoined("documents")
+
+  /** The same full-pipeline replay over ANY (doc_id, text) relation
+    * (a parenthesized SELECT works) — t18_analyze runs it over a
+    * one-row literal sample. */
+  def englandoJoined(from: String): String =
     s"""WITH dd AS (SELECT doc_id,
        |       regexp_extract_all(regexp_replace(text, '<[^>]*>', ' ', 'g'),
-       |                          '$tokenPatternSql') AS toks FROM documents),
+       |                          '$tokenPatternSql') AS toks FROM $from),
        |  e AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM dd),
        |  filt AS (SELECT doc_id, pos,
        |             lower(regexp_replace(toks[pos], '(?i)[''’]s$$', '')) AS w
@@ -208,6 +213,6 @@ private[graft] object OracleSql {
        |  agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY pos), '|') AS tokens
        |          FROM stemmed GROUP BY doc_id)
        |SELECT d.doc_id, coalesce(a.tokens, '') AS tokens
-       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |FROM $from d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 }

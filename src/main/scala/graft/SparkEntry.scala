@@ -72,6 +72,13 @@ object SparkEntry {
     * behind them are unchanged. */
   private def joined(arr: Column): Column = concat_ws("|", arr)
 
+  // t18_analyze's sample text — exercises html_strip, possessives,
+  // case folding, accents, stopwords and numerics in one string; the
+  // SQL twin escapes the apostrophe
+  private val analyzeSample =
+    "The Spark-Jobs' <b>Cafés</b> run FASTER than 42 résumés!"
+  private val analyzeSampleSql = analyzeSample.replace("'", "''")
+
   /** Mechanically generated replay of `TextStats.bpeTrain` (the
     * OracleSql.scala pattern: the oracle re-derives every training
     * step, not golden literals): chained CTEs — vocab → adjacent-pair
@@ -674,6 +681,17 @@ object SparkEntry {
       Search.msearchBm25Multi(s, textIndexFor(s, d),
         Seq(("q_ms", Seq("merge", "spark")),
           ("q_wt", Seq("window", "table"))), k = 5)),
+    "x34_calibration" -> ((s, d) =>
+      // reliability-diagram table for the stopword-ratio language
+      // signal vs the lang ground truth (TextStats.calibration
+      // scaladoc): ≤11 equal-width bins, positive rate in exact bp
+      TextStats.calibration(Tables.documents(s, d))),
+    "x35_kappa" -> ((s, d) =>
+      // Cohen's kappa between the stopword-hit langid heuristic and
+      // the lang column (TextStats.kappa scaladoc): one aggregate to
+      // the 2×2 confusion matrix, chance-corrected agreement in
+      // exact ×10^6 integer micro-units
+      TextStats.kappa(Tables.documents(s, d))),
     "x29_model_filter" -> ((s, d) => {
       // model-based quality filtering with FROZEN weights — the
       // fasttext-classifier stage of curation pipelines (vs x2's
@@ -1503,6 +1521,27 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), joined(Analyzers.englando(col("text"))).as("tokens"))
         .orderBy(col("doc_id"))),
+    "t18_analyze" -> ((s, d) => {
+      // ES _analyze endpoint: the token stream a given analyzer
+      // produces for a caller-provided sample string — the mapping
+      // debugger. One row per registered pipeline, tokens '|'-joined
+      // in stream order (positions implicit); the oracle replays all
+      // four pipelines (englando via the generated full-Porter SQL
+      // over a one-row literal relation). Row-local by definition —
+      // the sample never touches a table scan.
+      val sample = lit(analyzeSample)
+      Seq(
+        ("custom_ngram", Analyzers.customNgram(sample)),
+        ("custom_shingles", Analyzers.customShingles(sample)),
+        ("englando", Analyzers.englando(sample)),
+        ("keyword_lowercase", Analyzers.keywordLowercase(sample)))
+        .map { case (name, c) =>
+          s.range(1).select(lit(name).as("analyzer"),
+            size(c).cast("long").as("n_tokens"), joined(c).as("tokens"))
+        }
+        .reduce(_ unionAll _)
+        .orderBy(col("analyzer"))
+    }),
     "t9_ngram" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -1529,6 +1568,11 @@ object SparkEntry {
       // partial-copy detector symmetric Jaccard misses
       // (Dedup.containmentPairs scaladoc)
       Dedup.containmentPairs(Tables.documents(s, d))),
+    "d20_split_leakage" -> ((s, d) =>
+      // train/val split-leakage audit (Dedup.splitLeakage scaladoc):
+      // near-dup pairs CROSSING the x8 hash-split boundary — the
+      // eval-integrity failure in-split dedup can't see
+      Dedup.splitLeakage(Tables.documents(s, d))),
     "d6_dedup_apply" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.applyDedup(docs,
@@ -3618,6 +3662,21 @@ object SparkEntry {
         .filter(col("rk") > 2 && col("rk") <= 7)
         .orderBy(col("rk"))
     }),
+    "a38_percentiles_bucket" -> ((s, d) => {
+      // ES percentiles_bucket pipeline agg: exact quartiles OF the
+      // daily bucket metric (never raw events) — ~30 post-agg rows
+      // feed one percentile aggregate in the ×100-cents integer
+      // domain; quarter interpolations are dyadic (k, k.25, k.5,
+      // k.75 — exactly representable), and DuckDB's quantile_cont
+      // interpolates identically (the a35 discipline)
+      Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+        .agg(count(lit(1)).as("n_buckets"),
+          expr("percentile(cents, 0.25d)").as("p25"),
+          expr("percentile(cents, 0.5d)").as("p50"),
+          expr("percentile(cents, 0.75d)").as("p75"))
+    }),
     "a35_mad" -> ((s, d) => {
       // ES median_absolute_deviation agg (the robust dispersion metric
       // next to a23_boxplot's quartiles): per group, the median of
@@ -4183,6 +4242,53 @@ object SparkEntry {
                 FROM u)
           SELECT query_id, doc_id, score, rank FROM r
           WHERE rank <= 5 ORDER BY query_id, rank""",
+    // x34: the stopword-ratio calibration table — same integer bp
+    // bins on both engines
+    "x34_calibration" ->
+      s"""WITH p AS (SELECT lang = 'en' AS pos,
+                            len(list_filter(${sqlToks(sqlNorm)},
+                                t -> list_contains($sqlStop, t)))::BIGINT
+                              * 10000 AS hits10k,
+                            greatest(len(${sqlToks(sqlNorm)}), 1)::BIGINT AS n
+                     FROM documents),
+          b AS (SELECT pos, ((hits10k // n) // 1000)::BIGINT AS bin FROM p)
+          SELECT bin, count(*)::BIGINT AS n_docs,
+                 sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+                 (sum(CASE WHEN pos THEN 1 ELSE 0 END) * 10000
+                  // count(*))::BIGINT AS pos_bp
+          FROM b GROUP BY bin ORDER BY bin""",
+    // x35: the 2×2 confusion matrix + chance-corrected agreement in
+    // exact micro-units; labeler A replays x1's marker argmax (ties →
+    // lexicographically later language, the pipe1 CASE)
+    "x35_kappa" -> {
+      val hitExprs = graft.operators.TextStats.langMarkers.toSeq.sortBy(_._1)
+        .map { case (lang, words) =>
+          val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(toks, x -> list_contains($list, x))) AS h_$lang"
+        }.mkString(",\n                 ")
+      val m = "greatest(h_de, h_en, h_es, h_fr)"
+      s"""WITH t AS (SELECT doc_id, lang, ${sqlToks("lower(text)")} AS toks FROM documents),
+          h AS (SELECT doc_id, lang, $hitExprs FROM t),
+          p AS (SELECT (CASE WHEN $m = 0 THEN 'und'
+                             WHEN h_fr = $m THEN 'fr' WHEN h_es = $m THEN 'es'
+                             WHEN h_en = $m THEN 'en' ELSE 'de' END) = 'en' AS a,
+                       lang = 'en' AS b
+                FROM h),
+          c AS (SELECT count(*)::BIGINT AS n,
+                       sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS tp,
+                       sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS fp,
+                       sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS fn,
+                       sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS tn
+                FROM p),
+          e AS (SELECT *, ((tp + tn) * 1000000 // n)::BIGINT AS po_e6,
+                       (((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                        * 1000000 // (n * n))::BIGINT AS pe_e6
+                FROM c)
+          SELECT n, tp, fp, fn, tn, po_e6, pe_e6,
+                 ((po_e6 - pe_e6) * 1000000
+                  // (1000000 - pe_e6))::BIGINT AS kappa_e6
+          FROM e"""
+    },
     "x29_model_filter" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
@@ -4685,6 +4791,34 @@ object SparkEntry {
     // generated single-statement replay of the full englando chain
     // incl. every Porter rule (see OracleSql scaladoc)
     "t11_englando" -> OracleSql.porterEnglandoT11,
+    // t18: all four pipelines replayed over the one-row literal
+    // sample — englando through the generated full-Porter SQL
+    "t18_analyze" -> {
+      val src = s"(SELECT 0::BIGINT AS doc_id, '$analyzeSampleSql' AS text)"
+      s"""WITH smp(text) AS (VALUES ('$analyzeSampleSql')),
+          ft AS (SELECT ${sqlFoldedToks("text")} AS toks FROM smp),
+          rows AS (
+            SELECT 'englando' AS analyzer, tokens
+            FROM (${OracleSql.englandoJoined(src)})
+            UNION ALL
+            SELECT 'custom_ngram',
+                   array_to_string(flatten(list_transform(toks, t ->
+                     flatten(list_transform(generate_series(1, least(10, length(t))), n ->
+                       list_transform(generate_series(1, length(t)-n+1), st -> substring(t, st, n)))))), '|')
+            FROM ft
+            UNION ALL
+            SELECT 'custom_shingles',
+                   array_to_string(list_concat(toks,
+                     list_transform(generate_series(1, len(toks)-1), i -> toks[i] || toks[i+1])), '|')
+            FROM ft
+            UNION ALL
+            SELECT 'keyword_lowercase', lower(text) FROM smp)
+          SELECT analyzer,
+                 (CASE WHEN tokens = '' THEN 0
+                       ELSE len(string_split(tokens, '|')) END)::BIGINT AS n_tokens,
+                 tokens
+          FROM rows ORDER BY analyzer"""
+    },
     "x5_sketch_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
                 count(*) AS n, TRUE AS approx_ok
@@ -4805,6 +4939,29 @@ object SparkEntry {
                 FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2)
           SELECT id_a, id_b, round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
           FROM j WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5
+          ORDER BY id_a, id_b""",
+    // d20: the d4 pair replay with the x8 split labels joined onto
+    // both sides, keeping only boundary-crossing pairs
+    "d20_split_leakage" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+          p0 AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          p AS (SELECT * FROM p0
+                QUALIFY count(*) OVER (PARTITION BY sh1) <= 1000),
+          j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
+                       any_value(b.setsize) AS sb, count(*)::INT AS inter
+                FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          sp AS (SELECT doc_id,
+                        CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+                             THEN 'train' ELSE 'val' END AS split
+                 FROM documents)
+          SELECT id_a, id_b,
+                 round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard,
+                 sa2.split AS split_a, sb2.split AS split_b
+          FROM j JOIN sp sa2 ON j.id_a = sa2.doc_id
+                 JOIN sp sb2 ON j.id_b = sb2.doc_id
+          WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5
+            AND sa2.split <> sb2.split
           ORDER BY id_a, id_b""",
     // d14: the d4 intersection CTE scored in both directions, exact
     // integer basis points per contained side
@@ -6658,6 +6815,17 @@ object SparkEntry {
     // a35: exact per-group median + median-absolute-deviation in the
     // ×100-cents integer domain; DuckDB median() interpolates even
     // counts exactly like Spark's percentile (both type-7)
+    // a38: exact quartiles of the daily-cents buckets; quantile_cont
+    // interpolates type-7 like Spark percentile, quarters are dyadic
+    "a38_percentiles_bucket" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+                        FROM events GROUP BY 1)
+          SELECT count(*)::BIGINT AS n_buckets,
+                 quantile_cont(cents, 0.25) AS p25,
+                 quantile_cont(cents, 0.5) AS p50,
+                 quantile_cont(cents, 0.75) AS p75
+          FROM daily""",
     "a35_mad" ->
       """WITH o AS (SELECT o_orderpriority AS prio,
                            floor(o_totalprice * 100 + 0.5)::BIGINT AS cents

@@ -491,6 +491,34 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** D20: train/val split-LEAKAGE audit — near-duplicate pairs that
+    * CROSS the hash-split boundary, i.e. validation documents whose
+    * near-copy sits in train (the eval-integrity failure dedup inside
+    * a split can't see: each side looks clean alone, the split leaks
+    * anyway). Pairs come from the same exact capped posting-bucket
+    * Jaccard machinery as [[jaccardPairs]] (candidates only where
+    * shingles collide — never all-pairs); the split label is
+    * TextStats.hashSplit's deterministic md5 bucket, joined onto both
+    * pair sides (two joins against the dictionary-thin (id, split)
+    * projection), keeping only split_a ≠ split_b. A leaked val doc is
+    * then actionable two ways: drop it from val, or drop its train
+    * twin. */
+  def splitLeakage(docs: DataFrame, valPct: Int = 10,
+                   threshold: Double = 0.5,
+                   idCol: String = "doc_id"): DataFrame = {
+    val splits = TextStats.hashSplit(docs, valPct, idCol)
+      .select(col(idCol).as("id"), col("split"))
+    jaccardPairs(docs, idCol = idCol, threshold = threshold)
+      .join(splits.select(col("id").as("id_a"), col("split").as("split_a")),
+        "id_a")
+      .join(splits.select(col("id").as("id_b"), col("split").as("split_b")),
+        "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** D14: asymmetric CONTAINMENT dedup — the partial-copy detector
     * symmetric Jaccard misses: a short document quoted wholesale
     * inside a much longer one scores a LOW Jaccard (the union is

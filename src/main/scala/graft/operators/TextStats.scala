@@ -327,6 +327,63 @@ object TextStats {
         round(col("sum_tf").cast("double") / col("n_tokens"), 6))
   }
 
+  /** X34: classifier calibration report (the reliability diagram in
+    * table form) — the eval every model-based curation filter (x29)
+    * needs before its threshold is trusted: bucket a score into
+    * equal-width bins and report the observed positive rate per bin;
+    * a calibrated score has pos_bp tracking the bin midpoint.
+    * Score here: English-stopword ratio in basis points (row-local
+    * exact integers — the x1-family language signal); ground truth:
+    * `lang = 'en'`. One row-local projection + one combiner-friendly
+    * shuffle to ≤ 11 bin rows; rates as exact basis points. */
+  def calibration(docs: DataFrame): DataFrame = {
+    val toks = Analyzers.tokenize(Dedup.normalize(col("text")))
+    val stopArr = array(Analyzers.englishStopwords.map(lit): _*)
+    docs.select(
+        (col("lang") === "en").as("pos"),
+        (size(filter(toks, t => array_contains(stopArr, t))) * 10000L)
+          .cast("long").as("hits10k"),
+        greatest(size(toks), lit(1)).cast("long").as("n"))
+      .select(col("pos"), expr("hits10k div n div 1000L").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 10000L div n_docs").as("pos_bp"))
+      .orderBy(col("bin"))
+  }
+
+  /** X35: Cohen's kappa between a heuristic labeler and ground truth
+    * — the agreement statistic that discounts chance, the standard
+    * number for "is this cheap classifier good enough to filter 100 TB
+    * with". Labeler A: [[langId]]'s marker-argmax prediction collapsed
+    * to en/not-en; labeler B: the `lang` column. One row-local
+    * projection, ONE aggregate to the 2×2 confusion matrix, kappa
+    * from the four cells in exact ×10^6 integer micro-units:
+    * po = agree/n, pe = (a1·b1 + a0·b0)/n², kappa = (po − pe)/(1 − pe)
+    * — each division one integer div. (The n² product holds to
+    * ~3·10^9 rows in int64; past that, compute pe from the e6-scaled
+    * marginal RATES — same expressions, one extra rescale — so the
+    * report stays exact at any corpus size.) */
+  def kappa(docs: DataFrame): DataFrame = {
+    docs.select(
+        (langId(col("text")) === "en").as("a"),
+        (col("lang") === "en").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("tn"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(tp + tn) * 1000000L div n").as("po_e6"),
+        expr("((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) * 1000000L div (n * n)")
+          .as("pe_e6"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        col("po_e6"), col("pe_e6"),
+        expr("(po_e6 - pe_e6) * 1000000L div (1000000L - pe_e6)")
+          .as("kappa_e6"))
+  }
+
   /** X32: DSIR importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling") — per-document
     * importance of a raw-corpus doc under a TARGET distribution

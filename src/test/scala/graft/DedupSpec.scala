@@ -257,4 +257,23 @@ class DedupSpec extends SparkSpec {
           s"masked != $survivors surviving")
     }
   }
+
+  test("split leakage: only boundary-crossing near-dup pairs survive") {
+    import spark.implicits._
+    // md5-bucket splits: ids 1, 2, 3 → train (<90); id 8 → val (93).
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val docs = Seq(
+      (1L, near),                     // train — leaks against 8
+      (8L, near + " kappa"),          // val twin of 1
+      (2L, near + " lambda"),         // train near-dup of 1: SAME side
+      (3L, "totally unrelated words about nothing shared at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.splitLeakage(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(3), r.getString(4)))).toMap
+    // pair (1,2) is train-train → absent; (1,8) and (2,8) cross
+    assert(got.keySet == Set((1L, 8L), (2L, 8L)), got.toString)
+    assert(got((1L, 8L)) == (("train", "val")))
+    assert(got((2L, 8L)) == (("train", "val")))
+  }
 }

@@ -467,6 +467,39 @@ class TextStatsSpec extends SparkSpec {
     assert(got(1L)._2 > got(3L)._2)
   }
 
+  test("kappa: confusion cells and chance-corrected agreement, exact") {
+    import spark.implicits._
+    // langId predictions: d1, d2, d3 argmax 'en'; d4 argmax 'de'
+    val docs = Seq(
+      (1L, "en", "the and of to in"),   // TP
+      (2L, "en", "the of is that"),     // TP
+      (3L, "de", "the and with for"),   // FP (predicted en, truth de)
+      (4L, "de", "der die das und")     // TN
+    ).toDF("doc_id", "lang", "text")
+    val r = TextStats.kappa(docs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 2L, 1L, 0L, 1L)))
+    // po = 3/4, pe = (3·2 + 1·2)/16 = 1/2, kappa = (1/4)/(1/2) = 1/2
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((750000L, 500000L, 500000L)))
+  }
+
+  test("calibration: stopword-ratio bins with exact positive rates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the and of to in"), // ratio 1.0  → bin 10, positive
+      (2L, "en", "the xyz"),          // ratio 0.5  → bin 5, positive
+      (3L, "de", "xyz abc")           // ratio 0    → bin 0, negative
+    ).toDF("doc_id", "lang", "text")
+    val rows = TextStats.calibration(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == Map(
+      0L -> ((1L, 0L, 0L)),
+      5L -> ((1L, 1L, 10000L)),
+      10L -> ((1L, 1L, 10000L))))
+  }
+
   test("bigram LM: stupid backoff against a hand-computed reference") {
     import spark.implicits._
     // reference slice (doc_id % 10 == 0): c1 = {a:3, b:3, c:1, x:1},
