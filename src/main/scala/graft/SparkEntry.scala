@@ -595,6 +595,11 @@ object SparkEntry {
       Search.msearchBm25(s, textIndexFor(s, d),
         Seq(("q_merge", "merge"), ("q_spark", "spark"),
           ("q_window", "window")), k = 5)),
+    "f27_boosting" -> ((s, d) =>
+      // ES boosting query (Search.boosting scaladoc): positive-term
+      // BM25 with soft demotion of negative-term matches — both legs
+      // pushed postings reads, demoted docs stay ranked (vs must_not)
+      Search.boosting(s, textIndexFor(s, d), "spark", "slow", k = 15)),
     "f26_suffix_wildcard" -> ((s, d) =>
       // leading-wildcard (*er) query served Lucene-style from the
       // index (Search.suffixWildcard scaladoc): dictionary scan for
@@ -1573,6 +1578,12 @@ object SparkEntry {
       // near-dup pairs CROSSING the x8 hash-split boundary — the
       // eval-integrity failure in-split dedup can't see
       Dedup.splitLeakage(Tables.documents(s, d))),
+    "d21_dedup_report" -> ((s, d) =>
+      // dedup audit report (Dedup.dupReport scaladoc): the
+      // cluster-size histogram over d7's exact transitive clusters —
+      // how many duplicate families of each size, absorbing how many
+      // docs
+      Dedup.dupReport(Tables.documents(s, d))),
     "d6_dedup_apply" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.applyDedup(docs,
@@ -3662,6 +3673,23 @@ object SparkEntry {
         .filter(col("rk") > 2 && col("rk") <= 7)
         .orderBy(col("rk"))
     }),
+    "a39_bucket_script" -> ((s, d) =>
+      // ES bucket_script pipeline agg: a per-bucket derived metric
+      // across two sibling aggregations — the purchase share of each
+      // day's value in exact basis points (one shuffle carries both
+      // conditional sums; the ratio is post-agg row-local arithmetic
+      // over ~30 bucket rows)
+      Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long"))
+            .as("total_cents"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
+            .as("purchase_cents"))
+        .select(col("day"), col("total_cents"), col("purchase_cents"),
+          expr("purchase_cents * 10000L div greatest(total_cents, 1L)")
+            .as("share_bp"))
+        .orderBy(col("day"))),
     "a38_percentiles_bucket" -> ((s, d) => {
       // ES percentiles_bucket pipeline agg: exact quartiles OF the
       // daily bucket metric (never raw events) — ~30 post-agg rows
@@ -4137,6 +4165,22 @@ object SparkEntry {
           SELECT term, count(*)::BIGINT AS df FROM p
           WHERE term LIKE 's%' GROUP BY term
           ORDER BY term LIMIT 10""",
+    // f27: the f3 BM25 replay for 'spark' with the 0.5 demotion
+    // factor on docs that also contain 'slow'
+    "f27_boosting" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(list_filter(toks, x -> x = 'spark'))::INT AS tf,
+                       len(toks)::INT AS len,
+                       len(list_filter(toks, x -> x = 'slow')) > 0 AS demoted
+                FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df FROM p)
+          SELECT doc_id, demoted,
+                 round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                       (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)) *
+                       (CASE WHEN demoted THEN 0.5 ELSE 1.0 END), 6) AS score
+          FROM p, s WHERE tf > 0
+          ORDER BY score DESC, doc_id LIMIT 15""",
     // f26: the token replay of the dictionary-served wildcard — per
     // doc, distinct '%er' terms and their summed frequency
     "f26_suffix_wildcard" ->
@@ -4940,6 +4984,29 @@ object SparkEntry {
           SELECT id_a, id_b, round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
           FROM j WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5
           ORDER BY id_a, id_b""",
+    // d21: the d7 transitive-closure replay folded to the
+    // cluster-size histogram
+    "d21_dedup_report" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+          p0 AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          p AS (SELECT * FROM p0
+                QUALIFY count(*) OVER (PARTITION BY sh1) <= 1000),
+          j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
+                       any_value(b.setsize) AS sb, count(*)::INT AS inter
+                FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pr AS (SELECT id_a, id_b FROM j
+                 WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5),
+          e AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+          r AS (SELECT u, v FROM e UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+          cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+                 FROM documents d LEFT JOIN r ON d.doc_id = r.u
+                 GROUP BY d.doc_id),
+          sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                 FROM cl GROUP BY 1)
+          SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+                 sum(cluster_size)::BIGINT AS n_docs
+          FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
     // d20: the d4 pair replay with the x8 split labels joined onto
     // both sides, keeping only boundary-crossing pairs
     "d20_split_leakage" ->
@@ -6815,6 +6882,17 @@ object SparkEntry {
     // a35: exact per-group median + median-absolute-deviation in the
     // ×100-cents integer domain; DuckDB median() interpolates even
     // counts exactly like Spark's percentile (both type-7)
+    // a39: both conditional sums in one pass, the bp share post-agg
+    "a39_bucket_script" ->
+      """WITH daily AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS total_cents,
+                               sum(CASE WHEN event_type = 'purchase'
+                                        THEN floor(value * 100 + 0.5)::BIGINT
+                                        ELSE 0 END)::BIGINT AS purchase_cents
+                        FROM events GROUP BY 1)
+          SELECT day, total_cents, purchase_cents,
+                 (purchase_cents * 10000 // greatest(total_cents, 1))::BIGINT AS share_bp
+          FROM daily ORDER BY day""",
     // a38: exact quartiles of the daily-cents buckets; quantile_cont
     // interpolates type-7 like Spark percentile, quarters are dyadic
     "a38_percentiles_bucket" ->

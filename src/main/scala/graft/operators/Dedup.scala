@@ -491,6 +491,24 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** D21: dedup AUDIT report — the cluster-size histogram a curation
+    * run ships next to its dedup pass: how many duplicate families of
+    * each size exist and how many documents they absorb (size 1 =
+    * unique docs; the tail sizes are the copy-paste families worth
+    * eyeballing). Built on [[dupClusters]]' exact transitive
+    * clustering; two combiner-friendly aggregates past it
+    * (cluster → size, size → histogram), both dictionary-small. */
+  def dupReport(docs: DataFrame, threshold: Double = 0.5,
+                idCol: String = "doc_id"): DataFrame =
+    dupClusters(docs, jaccardPairs(docs, idCol = idCol,
+        threshold = threshold), idCol)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** D20: train/val split-LEAKAGE audit — near-duplicate pairs that
     * CROSS the hash-split boundary, i.e. validation documents whose
     * near-copy sits in train (the eval-integrity failure dedup inside

@@ -564,6 +564,40 @@ object Search {
       .orderBy(col("term"))
       .limit(k)
 
+  /** ES `boosting` query: documents matching the positive term are
+    * scored by BM25, and any that ALSO match the negative term are
+    * demoted by `negativeBoost` (ES's soft-exclusion — unlike must_not
+    * the demoted docs stay in the result, ranked down). Both legs are
+    * index-served: the positive leg is [[bm25Indexed]]'s pushed
+    * postings read, the negative leg reduces to a doc_id membership
+    * frame from one more pushed term read, met in a left join (the
+    * negative side is postings-thin — at most df(neg) rows). One
+    * round of the final score so both engines multiply then round
+    * identically. */
+  def boosting(spark: SparkSession, ix: TextIndex.Loaded,
+               posTerm: String, negTerm: String,
+               negativeBoost: Double = 0.5, k: Int = 15,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = indexedStats(spark, ix, Seq(posTerm))
+      .withColumnRenamed("df0", "df")
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    val neg = ix.postings(spark).filter(col("term") === negTerm)
+      .select(col("doc_id"), lit(true).as("demoted"))
+    ix.postings(spark).filter(col("term") === posTerm)
+      .select(col("doc_id"), col("tf"), col("len"))
+      .crossJoin(broadcast(stats))
+      .join(neg, Seq("doc_id"), "left")
+      .withColumn("demoted", coalesce(col("demoted"), lit(false)))
+      .select(col("doc_id"), col("demoted"),
+        round(idf * tfNorm *
+          when(col("demoted"), lit(negativeBoost)).otherwise(lit(1.0)), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** ES leading-wildcard query (`*suffix`) served from the INDEX:
     * Lucene resolves a wildcard by enumerating the term DICTIONARY
     * and taking the union of the matching terms' postings — never by

@@ -406,6 +406,24 @@ class TextIndexSpec extends SparkSpec {
     assert(Search.termsEnum(spark, ix, "zzzz", k = 5).count() == 0)
   }
 
+  test("boosting: demoted docs stay ranked at exactly the factored score") {
+    val base = Search.bm25Indexed(spark, ix, "spark").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val slowDocs = Tables.documents(spark, sf)
+      .filter(array_contains(
+        graft.functions.Analyzers.tokenize(lower(col("text"))), "slow"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = Search.boosting(spark, ix, "spark", "slow", k = 500).collect()
+    assert(rows.exists(_.getBoolean(1)), "soft demotion keeps the doc")
+    rows.foreach { r =>
+      val (id, demoted, score) = (r.getLong(0), r.getBoolean(1), r.getDouble(2))
+      assert(demoted == slowDocs.contains(id), s"doc $id demotion flag")
+      val factor = if (demoted) 0.5 else 1.0
+      // base is rounded to 6 then we re-derive: compare at 1e-5 slack
+      assert(math.abs(score - base(id) * factor) < 1e-5, s"doc $id score")
+    }
+  }
+
   test("suffix wildcard: dictionary-served union matches a corpus recount") {
     val out = Search.suffixWildcard(spark, ix, "er", k = 15)
     // scale-shape lock: the matched-terms semi-join into postings is
