@@ -71,10 +71,13 @@ object BenchScale {
     * This one is constant-size: plan ∝ 1, scans ∝ 1, rows ∝ scale. */
   def replicate(spark: SparkSession, base: String, out: String,
                 scale: Int): Unit = {
+    // rev bumps when the replicated table SET changes (rev2 added
+    // events) so a pre-existing scaled dir from an older layout
+    // re-replicates instead of serving an incomplete corpus
     val ready = java.nio.file.Paths.get(out, "_READY")
     if (java.nio.file.Files.exists(ready) &&
       new String(java.nio.file.Files.readAllBytes(ready), "UTF-8")
-        .trim == s"$scale") return
+        .trim == s"$scale rev2") return
     operators.ArtifactGen.wipe(java.nio.file.Paths.get(out))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
 
@@ -128,7 +131,19 @@ object BenchScale {
       .withColumn("vec_id", col("vec_id") + k * vS)
       .withColumn("embedding", flipVec(col("embedding"), k))))
 
-    java.nio.file.Files.write(ready, s"$scale\n".getBytes("UTF-8"))
+    // events grow HORIZONTALLY: ×scale users over the SAME time
+    // window (replicas are fresh users with identical temporal
+    // patterns — per-hour concurrency scales, the stress axis of the
+    // interval/session operators). Written as standard TIMESTAMP;
+    // Tables.normalizeTs passes it through.
+    val ev = Tables.events(spark, base)
+    val evS = stride(ev, "event_id")
+    val evU = stride(ev, "user_id")
+    write("events", done(expand(ev)
+      .withColumn("event_id", col("event_id") + k * evS)
+      .withColumn("user_id", col("user_id") + k * evU)))
+
+    java.nio.file.Files.write(ready, s"$scale rev2\n".getBytes("UTF-8"))
     ()
   }
 

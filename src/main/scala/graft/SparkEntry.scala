@@ -2464,6 +2464,16 @@ object SparkEntry {
           joined(filter(col("chunk_md5s"), (m, i) => i % 4 === 0))
             .as("sampled_md5s"))
         .orderBy(col("media_id"))),
+    "m9_silence_split" -> ((s, d) =>
+      // VAD-style silence segmentation (Multimodal.silenceSegments
+      // scaladoc): exact integer window RMS over real PCM (planted
+      // fixtures incl. the -24 gap wave: voiced/silent/voiced → 2
+      // segments), bit-pattern stub for text rows; row-local
+      Multimodal.silenceSegments(s,
+        Multimodal.asMedia(Tables.documents(s, d))
+          .unionByName(Multimodal.wavFixtures(s)))
+        .toDF()
+        .orderBy(col("media_id"))),
     "m8_scene_cut" -> ((s, d) =>
       // scene-cut segmentation over the frame stream
       // (Multimodal.sceneCuts scaladoc): per media, a cut wherever
@@ -5273,7 +5283,11 @@ object SparkEntry {
             (-22::BIGINT, 76::BIGINT, 'wav', 44100::INT, 2::INT,
              8::BIGINT, 7000::INT, 3640::BIGINT),
             (-23::BIGINT, 12::BIGINT, 'wav', 0::INT, 0::INT,
-             0::BIGINT, 0::INT, 0::BIGINT))
+             0::BIGINT, 0::INT, 0::BIGINT),
+            -- -24 gap wave (m9's fixture): 48 mono samples, sumsq =
+            -- 16·2000² + 16·0 + 16·3000² = 208e6 → isqrt(208e6/48) = 2081
+            (-24::BIGINT, 140::BIGINT, 'wav', 8000::INT, 1::INT,
+             48::BIGINT, 3000::INT, 2081::BIGINT))
             AS t(media_id, n_bytes, format, sample_rate, channels,
                  n_frames, peak, rms)
           ORDER BY media_id""",
@@ -5284,6 +5298,32 @@ object SparkEntry {
                   list_transform(generate_series(0, ceil(octet_length(encode(text)) / 64.0)::BIGINT - 1),
                                  i -> md5(substring(text, (i * 64 + 1)::INT, 64))), '|') AS chunk_md5s
          FROM documents ORDER BY media_id""",
+    // m9: stub rows replay the 8-bit voiced pattern from the shared
+    // h0 fold (runs via one regexp over the padded bin string); the
+    // planted PCM fixtures are hand-computed VALUES
+    "m9_silence_split" ->
+      """WITH cp AS (SELECT doc_id AS media_id,
+                            list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS cps
+                     FROM documents),
+          h AS (SELECT media_id,
+                       list_reduce(list_prepend(0::BIGINT, cps),
+                                   (a, b) -> (a*1000003 + b) % 1000000007) AS h0
+                FROM cp),
+          bits AS (SELECT media_id, lpad(bin((h0 % 256)::INT), 8, '0') AS bs FROM h)
+          SELECT media_id, 8::BIGINT AS n_windows,
+                 (len(bs) - len(replace(bs, '1', '')))::BIGINT AS n_voiced,
+                 len(regexp_extract_all(bs, '1+'))::BIGINT AS n_segments,
+                 coalesce(list_max(list_transform(regexp_extract_all(bs, '0+'),
+                                                  x -> len(x))), 0)::BIGINT AS longest_silence
+          FROM bits
+          UNION ALL
+          SELECT * FROM (VALUES
+            (-21::BIGINT, 1::BIGINT, 1::BIGINT, 1::BIGINT, 0::BIGINT),
+            (-22::BIGINT, 1::BIGINT, 1::BIGINT, 1::BIGINT, 0::BIGINT),
+            (-23::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT),
+            (-24::BIGINT, 3::BIGINT, 2::BIGINT, 2::BIGINT, 1::BIGINT))
+            AS t(media_id, n_windows, n_voiced, n_segments, longest_silence)
+          ORDER BY media_id""",
     // m8: the m3 chunk-digest replay folded to 32-bit frame features,
     // consecutive-delta cuts
     "m8_scene_cut" ->

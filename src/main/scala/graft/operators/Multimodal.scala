@@ -361,14 +361,16 @@ object Multimodal {
     def decodeAudio(format: String, bytes: Array[Byte]): (Int, Int, Long, Int, Long) =
       if (format == "wav") decodeWav(bytes) else audioStub(bytes)
 
-    private def decodeWav(b: Array[Byte]): (Int, Int, Long, Int, Long) = {
-      val zero = (0, 0, 0L, 0, 0L)
-      if (b.length < 44) return zero
+    /** Header walk shared by every WAV reader: (rate, channels,
+      * dataOff, nSamples), or null for anything that isn't clean
+      * 16-bit PCM (the callers degrade to zeros). */
+    private def wavPcm(b: Array[Byte]): Array[Int] = {
+      if (b.length < 44) return null
       def s4(o: Int): String = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
       def i32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
         ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
       def i16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
-      if (s4(0) != "RIFF" || s4(8) != "WAVE") return zero
+      if (s4(0) != "RIFF" || s4(8) != "WAVE") return null
       var off = 12
       var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
       var dataOff = -1; var dataLen = 0
@@ -377,7 +379,7 @@ object Multimodal {
         // Long bounds test: a crafted chunk length near Int.MaxValue
         // must degrade to zeros, not wrap negative past the guard and
         // read out of bounds
-        if (len < 0 || off.toLong + 8 + len > b.length) return zero
+        if (len < 0 || off.toLong + 8 + len > b.length) return null
         id match {
           case "fmt " if len >= 16 =>
             fmtOk = i16(off + 8) == 1 // PCM only
@@ -390,8 +392,16 @@ object Multimodal {
         off += 8 + len + (len & 1) // chunks are word-aligned
       }
       if (!fmtOk || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0)
-        return zero
-      val nSamples = dataLen / 2
+        return null
+      Array(rate, channels, dataOff, dataLen / 2)
+    }
+
+    private def decodeWav(b: Array[Byte]): (Int, Int, Long, Int, Long) = {
+      val zero = (0, 0, 0L, 0, 0L)
+      val hdr = wavPcm(b)
+      if (hdr == null) return zero
+      val Array(rate, channels, dataOff, nSamples) = hdr
+      def i16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
       if (nSamples == 0) return (rate, channels, 0L, 0, 0L)
       var peak = 0
       var sumSq = 0L
@@ -403,13 +413,76 @@ object Multimodal {
         sumSq += v.toLong * v
         s += 1
       }
-      def isqrt(v: Long): Long = {
-        var r = math.sqrt(v.toDouble).toLong
-        while (r > 0 && r * r > v) r -= 1
-        while ((r + 1) * (r + 1) <= v) r += 1
-        r
-      }
       (rate, channels, (nSamples / channels).toLong, peak, isqrt(sumSq / nSamples))
+    }
+
+    private def isqrt(v: Long): Long = {
+      var r = math.sqrt(v.toDouble).toLong
+      while (r > 0 && r * r > v) r -= 1
+      while ((r + 1) * (r + 1) <= v) r += 1
+      r
+    }
+
+    /** Silence segmentation (the VAD-style pre-step of a speech
+      * curation pipeline — what gets transcribed/kept is the voiced
+      * SEGMENTS, not raw files): fixed windows of `windowSamples`
+      * interleaved samples, a window is VOICED when its exact integer
+      * RMS ≥ `threshold`; returns (n_windows, n_voiced, n_segments,
+      * longest_silence) where segments are maximal voiced runs and
+      * longest_silence is the longest silent run in windows. The
+      * final partial window counts with its own sample count. Non-wav
+      * payloads take the replayable stub: 8 pseudo-windows whose
+      * voiced bits are the 8-bit pattern of (h0 mod 256), MSB first —
+      * the same mod-prime fold as every m-family stub, so DuckDB
+      * replays runs with one regexp over the padded bin string. */
+    def audioSegments(format: String, bytes: Array[Byte],
+                      windowSamples: Int = 16,
+                      threshold: Long = 100L): (Long, Long, Long, Long) = {
+      val voicedBits: Seq[Boolean] =
+        if (format == "wav") {
+          val hdr = wavPcm(bytes)
+          if (hdr == null) Seq.empty
+          else {
+            val Array(_, _, dataOff, nSamples) = hdr
+            def i16(o: Int): Int =
+              (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+            (0 until nSamples by windowSamples).map { w0 =>
+              val end = math.min(w0 + windowSamples, nSamples)
+              var sumSq = 0L
+              var s = w0
+              while (s < end) {
+                val v = (i16(dataOff + 2 * s) << 16) >> 16
+                sumSq += v.toLong * v
+                s += 1
+              }
+              isqrt(sumSq / (end - w0)) >= threshold
+            }
+          }
+        } else {
+          val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          var h = 0L
+          var ci = 0
+          while (ci < s.length) {
+            val cp = s.codePointAt(ci)
+            h = (h * Base + cp) % Mod
+            ci += Character.charCount(cp)
+          }
+          val m = (h % 256L).toInt
+          (0 until 8).map(i => ((m >> (7 - i)) & 1) == 1)
+        }
+      def runs(target: Boolean): Seq[Int] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var cur = 0
+        voicedBits.foreach { v =>
+          if (v == target) cur += 1
+          else { if (cur > 0) out += cur; cur = 0 }
+        }
+        if (cur > 0) out += cur
+        out.toSeq
+      }
+      (voicedBits.size.toLong, voicedBits.count(identity).toLong,
+        runs(true).size.toLong,
+        if (runs(false).isEmpty) 0L else runs(false).max.toLong)
     }
 
     /** ==== STUB ==== pseudo-audio stats for non-wav payloads, derived
@@ -652,7 +725,13 @@ object Multimodal {
       (0 until 8).flatMap(i => Seq(1000 * i, 3000)))
     val corrupt =
       "RIFFxxxxWAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    Seq((-21L, square), (-22L, stereo), (-23L, corrupt))
+    // voiced(16×2000) → silent(16×0) → voiced(16×3000): with the
+    // 16-sample windows of m9 that is voiced/silent/voiced — two
+    // segments around one silent window
+    val gap = makeWav(8000, 1,
+      (0 until 16).map(_ => 2000) ++ (0 until 16).map(_ => 0) ++
+        (0 until 16).map(_ => 3000))
+    Seq((-21L, square), (-22L, stereo), (-23L, corrupt), (-24L, gap))
       .map { case (id, b) => (id, b, "wav", b.length.toLong) }
       .toDF("media_id", "content", "format", "n_bytes")
   }
@@ -824,6 +903,34 @@ object Multimodal {
           val (rate, ch, frames, peak, rms) = dec.decodeAudio(r.format, r.content)
           AudioFeatures(r.media_id, r.n_bytes, r.format, rate, ch, frames,
             peak, rms)
+        })
+      }
+  }
+
+  case class AudioSegments(media_id: Long, n_windows: Long,
+                           n_voiced: Long, n_segments: Long,
+                           longest_silence: Long)
+
+  /** M9: silence segmentation over the audio corpus — the VAD-style
+    * pre-step of a speech pipeline (voiced segments are what gets
+    * transcribed, deduped and kept; long silences are cut points).
+    * Same batched per-partition decoder shape as [[audioFeatures]];
+    * per row, MediaDecoder.audioSegments windows the PCM stream and
+    * counts voiced runs with exact integer RMS — non-wav rows take
+    * the replayable bit-pattern stub. Row-local, no shuffle. */
+  def silenceSegments(spark: SparkSession, media: DataFrame,
+                      windowSamples: Int = 16, threshold: Long = 100L,
+                      batchSize: Int = 64): Dataset[AudioSegments] = {
+    import spark.implicits._
+    media.select("media_id", "content", "format", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val dec = new MediaDecoder
+        dec.open()
+        rows.grouped(batchSize).flatMap(_.map { r =>
+          val (w, v, seg, sil) =
+            dec.audioSegments(r.format, r.content, windowSamples, threshold)
+          AudioSegments(r.media_id, w, v, seg, sil)
         })
       }
   }

@@ -19,7 +19,7 @@ class BenchScaleSpec extends SparkSpec {
     BenchScale.replicate(spark, base, out, 2)
     val ready = Paths.get(out, "_READY")
     assert(Files.exists(ready), "_READY written after the last table")
-    assert(new String(Files.readAllBytes(ready), "UTF-8").trim == "2")
+    assert(new String(Files.readAllBytes(ready), "UTF-8").trim == "2 rev2")
     // the replicated corpus is real: 2x the base rows
     val baseDocs = spark.read.parquet(s"$base/documents.parquet").count()
     assert(spark.read.parquet(s"$out/documents.parquet").count()
@@ -60,6 +60,20 @@ class BenchScaleSpec extends SparkSpec {
       x == (if (i % 2 == 0) eb(i) else -eb(i)) },
       "replica 1 must Walsh-flip odd embedding elements")
 
+    // events replicate horizontally: ×scale rows, replica users are
+    // FRESH ids (stride-offset), the time window unchanged (rev2)
+    val evBase = graft.Tables.events(spark, base)
+    val evOut = graft.Tables.events(spark, out)
+    assert(evOut.count() == 2 * evBase.count())
+    val uS = { var s = 10L
+      val m = evBase.agg(max("user_id")).head.getLong(0)
+      while (s <= m) s *= 10; s }
+    assert(evOut.agg(max("user_id")).head.getLong(0)
+      == evBase.agg(max("user_id")).head.getLong(0) + uS)
+    assert(evOut.agg(max("ts")).head.getTimestamp(0)
+      == evBase.agg(max("ts")).head.getTimestamp(0),
+      "the time window must not grow")
+
     // memo hit: nothing on disk is touched by a same-scale re-run
     val docsDir = Paths.get(out, "documents.parquet")
     val t0 = Files.getLastModifiedTime(docsDir)
@@ -72,7 +86,7 @@ class BenchScaleSpec extends SparkSpec {
 
     // a different scale misses the memo and re-replicates
     BenchScale.replicate(spark, base, out, 3)
-    assert(new String(Files.readAllBytes(ready), "UTF-8").trim == "3")
+    assert(new String(Files.readAllBytes(ready), "UTF-8").trim == "3 rev2")
     assert(spark.read.parquet(s"$out/documents.parquet").count()
       == 3 * baseDocs)
     graft.operators.ArtifactGen.wipe(Paths.get(out))

@@ -50,6 +50,33 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0L, 0L)), "zero-byte media survives as 0/0/0")
   }
 
+  test("silence segmentation: PCM windows and stub bits match replays") {
+    import spark.implicits._
+    val media = Multimodal.wavFixtures(spark)
+      .unionByName(Multimodal.asMedia(
+        Seq((1L, "hello world")).toDF("doc_id", "text")))
+    val got = Multimodal.silenceSegments(spark, media).collect()
+      .map(r => r.media_id ->
+        ((r.n_windows, r.n_voiced, r.n_segments, r.longest_silence))).toMap
+    assert(got(-21L) == ((1L, 1L, 1L, 0L)), "square wave: one voiced window")
+    assert(got(-22L) == ((1L, 1L, 1L, 0L)), "stereo ramp")
+    assert(got(-23L) == ((0L, 0L, 0L, 0L)), "corrupt header degrades")
+    assert(got(-24L) == ((3L, 2L, 2L, 1L)),
+      "gap wave: voiced/silent/voiced = 2 segments around 1 silent window")
+    // stub replay: same mod-prime fold, 8-bit MSB-first voiced pattern
+    val h = "hello world".codePoints().toArray
+      .foldLeft(0L)((a, c) => (a * 1000003L + c) % 1000000007L)
+    val bits = (0 until 8).map(i => ((h % 256 >> (7 - i)) & 1) == 1)
+    def runs(t: Boolean) = bits.foldLeft(List.empty[Int]) {
+      case (acc, v) if v == t => if (acc.isEmpty || acc.head == 0) 1 :: acc
+        else (acc.head + 1) :: acc.tail
+      case (acc, _) => 0 :: acc
+    }.filter(_ > 0)
+    assert(got(1L) == ((8L, bits.count(identity).toLong,
+      runs(true).size.toLong,
+      if (runs(false).isEmpty) 0L else runs(false).max.toLong)))
+  }
+
   test("png: every filter type round-trips the exact pixels") {
     val px = gradient(5, 4)
     for (f <- 0 to 4) {
@@ -161,10 +188,13 @@ class MultimodalCodecSpec extends SparkSpec {
   test("audioFeatures operator: fixture rows decode inside the batch shape") {
     val out = Multimodal.audioFeatures(spark, Multimodal.wavFixtures(spark))
       .toDF().orderBy(col("media_id")).collect()
-    assert(out.length == 3)
+    assert(out.length == 4)
     val byId = out.map(r => r.getLong(0) -> r).toMap
     assert(byId(-21L).getInt(3) == 8000 && byId(-21L).getLong(7) == 8000L)
     assert(byId(-22L).getInt(4) == 2 && byId(-22L).getLong(7) == 3640L)
     assert(byId(-23L).getInt(3) == 0)
+    // -24 gap wave: 48 frames, sumsq 208e6 → rms isqrt(208e6/48) = 2081
+    assert(byId(-24L).getLong(5) == 48L && byId(-24L).getInt(6) == 3000 &&
+      byId(-24L).getLong(7) == 2081L)
   }
 }
