@@ -2308,6 +2308,13 @@ object SparkEntry {
       // (after that), earliest-completion semantics per stage
       EventOps.funnel(Tables.events(s, d),
         Seq("signup", "click", "purchase"))),
+    "e10_eql_sequence" -> ((s, d) =>
+      // EQL sequence-with-maxspan (EventOps.eqlSequence scaladoc):
+      // signup → click → purchase within 6 h, greedy-latest chains in
+      // stages−1 linear window passes; the oracle is the quadratic
+      // exists-triple specification
+      EventOps.eqlSequence(Tables.events(s, d),
+        Seq("signup", "click", "purchase"), maxspanSeconds = 21600L)),
     "e9_retention" -> ((s, d) =>
       // cohort retention matrix (EventOps.retention scaladoc): users
       // bucketed by first-seen ISO week, counted in every later week
@@ -6388,6 +6395,25 @@ object SparkEntry {
           UNION ALL SELECT '2_click', count(*)::BIGINT FROM s2
           UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM s3
           ORDER BY stage""",
+    // e10: the quadratic exists-triple SPECIFICATION of the sequence
+    // match (the impl's greedy-latest window chain must agree);
+    // ordering and the span bound in exact epoch microseconds
+    "e10_eql_sequence" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us,
+                           event_type
+                    FROM events),
+          v AS (SELECT DISTINCT p.user_id, p.event_id
+                FROM e s
+                JOIN e c ON c.user_id = s.user_id
+                        AND c.event_type = 'click' AND c.us > s.us
+                JOIN e p ON p.user_id = s.user_id
+                        AND p.event_type = 'purchase' AND p.us > c.us
+                        AND p.us - s.us <= 21600000000
+                WHERE s.event_type = 'signup')
+          SELECT 21600::BIGINT AS maxspan_s,
+                 count(DISTINCT user_id)::BIGINT AS n_users,
+                 count(*)::BIGINT AS n_matches
+          FROM v""",
     // e9: cohort retention — both engines truncate to the same ISO
     // Monday, so the day diff is an exact multiple of 7
     "e9_retention" ->

@@ -127,6 +127,49 @@ object EventOps {
       .limit(k)
   }
 
+  /** E10: EQL sequence with maxspan — ES's Event Query Language
+    * `sequence by user_id with maxspan=6h [signup][click][purchase]`:
+    * users with the stages in strict time order where the WHOLE chain
+    * fits inside the span (e7's funnel has no span bound). Match
+    * rule: a final-stage event completes a sequence iff ANY valid
+    * chain ends at it; existence is decided by the GREEDY-LATEST
+    * chain (take the latest prior-stage event carrying a defined
+    * start — monotone: a later stage-k event sees a superset of
+    * stage-(k−1) history, so its carried start is never worse), which
+    * turns the exists-a-chain triple join into stages−1 LINEAR window
+    * passes per user. Ordering and the span bound compare exact
+    * MICROSECONDS on both engines (strictly-before via a range frame
+    * over unix_micros — peers at the same microsecond are excluded,
+    * the oracle's strict `>` on epoch_us agrees). The oracle replays
+    * the specification instead: the quadratic exists-triple join the
+    * window formulation avoids at scale. */
+  def eqlSequence(events: DataFrame, stages: Seq[String],
+                  maxspanSeconds: Long): DataFrame = {
+    require(stages.size >= 2)
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    var cur = events.filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("start0",
+        when(col("event_type") === stages.head, col("us")))
+    stages.indices.tail.foreach { i =>
+      cur = cur
+        .withColumn(s"start$i",
+          when(col("event_type") === stages(i),
+            last(when(col("event_type") === stages(i - 1),
+              col(s"start${i - 1}")), ignoreNulls = true).over(w)))
+    }
+    val k = stages.size - 1
+    cur.filter(col("event_type") === stages.last &&
+        col(s"start$k").isNotNull &&
+        col("us") - col(s"start$k") <= maxspanSeconds * 1000000L)
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_matches"))
+      .select(lit(maxspanSeconds).as("maxspan_s"),
+        col("n_users"), col("n_matches"))
+  }
+
   /** E9: cohort retention matrix — the product-analytics "of the
     * users first seen in week W, how many were active k weeks later"
     * triangle. Cohort = ISO week of a user's FIRST event; activity =

@@ -144,6 +144,30 @@ class SearchOpsSpec extends SparkSpec {
     }
   }
 
+  test("eql sequence: greedy-latest chains, strict order, inclusive span bound") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = Seq(
+      // u1: the EARLY signup overruns the 1h span, the later one fits
+      // — only the greedy-latest chain finds it
+      (1L, ts("00:00:00"), "signup"), (1L, ts("01:45:00"), "signup"),
+      (1L, ts("02:00:00"), "click"), (1L, ts("02:30:00"), "purchase"),
+      // u2: no click between signup and purchase
+      (2L, ts("10:00:00"), "signup"), (2L, ts("10:30:00"), "purchase"),
+      // u3: click BEFORE the signup — strict order fails
+      (3L, ts("05:00:00"), "click"), (3L, ts("05:30:00"), "signup"),
+      (3L, ts("06:00:00"), "purchase"),
+      // u4: chain spanning exactly maxspan — inclusive bound counts it
+      (4L, ts("07:00:00"), "signup"), (4L, ts("07:20:00"), "click"),
+      (4L, ts("08:00:00"), "purchase")
+    ).zipWithIndex.map { case ((u, t, ty), i) => (i.toLong, u, t, ty) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = graft.operators.EventOps.eqlSequence(ev,
+      Seq("signup", "click", "purchase"), maxspanSeconds = 3600L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3600L, 2L, 2L)))
+  }
+
   test("retention: cohorts by first ISO week, offsets exact, bp against offset-0") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
