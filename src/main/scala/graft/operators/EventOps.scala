@@ -180,25 +180,29 @@ object EventOps {
     * back as the cohort size (offset 0 always exists: the first week
     * IS an active week).
     *
-    * Scale shape: one distinct on (user, week) — combiner-friendly,
-    * the grid is |users| × |weeks active|, far below raw events — one
-    * min-per-user agg over that grid, a join back on user_id that
-    * reuses the grid's hash partitioning, and a final dictionary-sized
-    * (cohort, offset) agg; the cohort-size join is over the tiny
-    * matrix itself. No window over whole user histories. */
+    * Scale shape: ONE events scan. The (user, week) distinct grid —
+    * combiner-friendly, |users| × |weeks active|, far below raw
+    * events — feeds a per-user min WINDOW (state = one user's active
+    * weeks, never raw history) instead of a min-agg + self-join,
+    * which would re-derive the grid from a second scan (the plan
+    * audit caught exactly that); the (cohort, offset) matrix is
+    * dictionary-sized, and the cohort-size lookup is a window over
+    * IT, not another self-join. */
   def retention(events: DataFrame): DataFrame = {
     val weeks = events
       .select(col("user_id"), date_trunc("WEEK", col("ts")).as("wk"))
       .distinct()
-    val first = weeks.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
-    val matrix = weeks.join(first, "user_id")
+    val matrix = weeks
+      .withColumn("cohort_week",
+        min(col("wk")).over(Window.partitionBy("user_id")))
       .select(col("cohort_week"),
         expr("datediff(wk, cohort_week) div 7").as("week_offset"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
-    val sizes = matrix.filter(col("week_offset") === 0L)
-      .select(col("cohort_week"), col("n_users").as("cohort_size"))
-    matrix.join(sizes, "cohort_week")
+    matrix
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0L, col("n_users")))
+          .over(Window.partitionBy("cohort_week")))
       .select(col("cohort_week"), col("week_offset"), col("n_users"),
         col("cohort_size"),
         expr("n_users * 10000L div cohort_size").as("retention_bp"))

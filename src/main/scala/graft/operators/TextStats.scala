@@ -443,8 +443,13 @@ object TextStats {
     * corpus. Zero-bigram docs (< 2 tokens) survive via the left join
     * back to the id projection. */
   def bigramScore(docs: DataFrame, refMod: Int = 10): DataFrame = {
+    // one tokenization pass shared by the bigram stream, both LM
+    // count tables, the N scalar and the id projection (five
+    // consumers — without the checkpoint each re-tokenizes the
+    // corpus; materializing tokens once is the x15 trade)
     val toks = docs.select(col("doc_id"),
       Analyzers.tokenize(Dedup.normalize(col("text"))).as("toks"))
+      .localCheckpoint()
     val bigrams = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2)," +
