@@ -168,6 +168,47 @@ class SearchOpsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3600L, 2L, 2L)))
   }
 
+  test("eql sequence: randomized equivalence with the exists-triple spec") {
+    import spark.implicits._
+    // 40 random scenarios, users namespaced per scenario, ONE Spark
+    // pass; the greedy-latest window chain must agree with a plain
+    // Scala brute force of the specification — including planted
+    // EQUAL timestamps (strictness) and span-boundary chains
+    val rnd = new scala.util.Random(42)
+    val stages = Seq("signup", "click", "purchase")
+    val types = stages ++ Seq("view", "error")
+    val span = 3000L
+    val events = (0 until 40).flatMap { set =>
+      val nUsers = 3 + rnd.nextInt(6)
+      (0 until nUsers).flatMap { u =>
+        val user = set * 1000L + u
+        (0 until 3 + rnd.nextInt(10)).map { _ =>
+          // coarse second grid so equal timestamps actually occur
+          (user, rnd.nextInt(50) * 100L, types(rnd.nextInt(types.size)))
+        }
+      }
+    }.zipWithIndex.map { case ((u, sec, ty), i) => (i.toLong, u, sec, ty) }
+    // brute force over microseconds, strict ordering, inclusive span
+    val byUser = events.groupBy(_._2)
+    val validPurchases = events.filter { case (_, u, pSec, ty) =>
+      ty == "purchase" && byUser(u).exists { case (_, _, cSec, cTy) =>
+        cTy == "click" && cSec < pSec && byUser(u).exists {
+          case (_, _, sSec, sTy) =>
+            sTy == "signup" && sSec < cSec && pSec - sSec <= span
+        }
+      }
+    }
+    val df = events.toDF("event_id", "user_id", "sec", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("sec")).as("ts"), col("event_type"))
+    val r = graft.operators.EventOps.eqlSequence(df, stages, span)
+      .collect().head
+    assert(r.getLong(1) == validPurchases.map(_._2).distinct.size.toLong,
+      "n_users must match the brute-force specification")
+    assert(r.getLong(2) == validPurchases.size.toLong,
+      "n_matches must match the brute-force specification")
+  }
+
   test("retention: cohorts by first ISO week, offsets exact, bp against offset-0") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
