@@ -1578,6 +1578,11 @@ object SparkEntry {
       // near-dup pairs CROSSING the x8 hash-split boundary — the
       // eval-integrity failure in-split dedup can't see
       Dedup.splitLeakage(Tables.documents(s, d))),
+    "d22_leakage_fix" -> ((s, d) =>
+      // the remediation the d20 audit calls for (Dedup.splitLeakageFix
+      // scaladoc): leaked val docs move to train; before/after split
+      // census with the moved count
+      Dedup.splitLeakageFix(Tables.documents(s, d))),
     "d21_dedup_report" -> ((s, d) =>
       // dedup audit report (Dedup.dupReport scaladoc): the
       // cluster-size histogram over d7's exact transitive clusters —
@@ -5001,6 +5006,34 @@ object SparkEntry {
           SELECT id_a, id_b, round(inter::DOUBLE / (sa + sb - inter)::DOUBLE, 6) AS jaccard
           FROM j WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5
           ORDER BY id_a, id_b""",
+    // d22: the d20 replay's leaked-val set applied as a split
+    // reassignment, then the census
+    "d22_leakage_fix" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks(sqlNorm)} AS toks FROM documents),
+          s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+          p0 AS (SELECT doc_id, len(sh)::INT AS setsize, unnest(sh) AS sh1 FROM s),
+          p AS (SELECT * FROM p0
+                QUALIFY count(*) OVER (PARTITION BY sh1) <= 1000),
+          j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, any_value(a.setsize) AS sa,
+                       any_value(b.setsize) AS sb, count(*)::INT AS inter
+                FROM p a JOIN p b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          sp AS (SELECT doc_id,
+                        CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+                             THEN 'train' ELSE 'val' END AS split
+                 FROM documents),
+          lk AS (SELECT DISTINCT
+                        CASE WHEN sa2.split = 'val' THEN j.id_a ELSE j.id_b END AS id
+                 FROM j JOIN sp sa2 ON j.id_a = sa2.doc_id
+                        JOIN sp sb2 ON j.id_b = sb2.doc_id
+                 WHERE inter::DOUBLE / (sa + sb - inter)::DOUBLE >= 0.5
+                   AND sa2.split <> sb2.split),
+          fixed AS (SELECT CASE WHEN lk.id IS NOT NULL THEN 'train'
+                                ELSE sp.split END AS split,
+                           lk.id IS NOT NULL AS moved
+                    FROM sp LEFT JOIN lk ON sp.doc_id = lk.id)
+          SELECT split, count(*)::BIGINT AS n_docs,
+                 sum(CASE WHEN moved THEN 1 ELSE 0 END)::BIGINT AS n_moved_in
+          FROM fixed GROUP BY split ORDER BY split""",
     // d21: the d7 transitive-closure replay folded to the
     // cluster-size histogram
     "d21_dedup_report" ->

@@ -491,6 +491,37 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** D22: split-leakage REMEDIATION — the action [[splitLeakage]]'s
+    * audit calls for: every val document with a near-copy in train
+    * moves to train (keeping it in val would leak training signal
+    * into the eval; moving it is the conservative fix that never
+    * shrinks train). Returns the per-split document counts plus how
+    * many moved: the before/after report a curation run logs. The
+    * moved set is a dictionary-thin distinct projection of the pair
+    * frame — one anti-join-shaped membership flag via a left join,
+    * then one tiny aggregate. */
+  def splitLeakageFix(docs: DataFrame, valPct: Int = 10,
+                      threshold: Double = 0.5,
+                      idCol: String = "doc_id"): DataFrame = {
+    val pairs = splitLeakage(docs, valPct, threshold, idCol)
+    val leakedVal = pairs
+      .select(when(col("split_a") === "val", col("id_a"))
+        .otherwise(col("id_b")).as("id"))
+      .distinct()
+      .withColumn("moved", lit(true))
+    TextStats.hashSplit(docs, valPct, idCol)
+      .select(col(idCol).as("id"), col("split"))
+      .join(leakedVal, Seq("id"), "left")
+      .select(
+        when(coalesce(col("moved"), lit(false)), lit("train"))
+          .otherwise(col("split")).as("split"),
+        coalesce(col("moved"), lit(false)).as("moved"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved_in"))
+      .orderBy(col("split"))
+  }
+
   /** D21: dedup AUDIT report — the cluster-size histogram a curation
     * run ships next to its dedup pass: how many duplicate families of
     * each size exist and how many documents they absorb (size 1 =

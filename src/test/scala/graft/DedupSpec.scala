@@ -275,5 +275,11 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet == Set((1L, 8L), (2L, 8L)), got.toString)
     assert(got((1L, 8L)) == (("train", "val")))
     assert(got((2L, 8L)) == (("train", "val")))
+
+    // remediation: the leaked val doc (8) moves to train — the census
+    // shows all four docs in train, exactly one moved in
+    val fix = Dedup.splitLeakageFix(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fix == Map("train" -> ((4L, 1L))), fix.toString)
   }
 }
