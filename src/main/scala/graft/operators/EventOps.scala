@@ -93,7 +93,8 @@ object EventOps {
     * concurrency, never |all sessions|². Overlap seconds are exact
     * integers (least/greatest on epoch seconds). */
   def overlapJoin(events: DataFrame, gapMinutes: Int = 30,
-                  k: Int = 15): DataFrame = {
+                  k: Int = 15,
+                  maxPerBucket: Int = Int.MaxValue): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     val sessions = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
@@ -106,10 +107,25 @@ object EventOps {
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
-    val banded = sessions.select(col("user_id"), col("session_idx"),
+    val bandedAll = sessions.select(col("user_id"), col("session_idx"),
       col("s"), col("e"),
       explode(sequence(date_trunc("HOUR", col("s")),
         date_trunc("HOUR", col("e")), expr("interval 1 hour"))).as("hb"))
+    // the escape hatch for buckets denser than the deployment's
+    // quadratic budget (the d4 maxShingleFreq discipline transplanted
+    // to the temporal grain): keep a DETERMINISTIC earliest-first
+    // prefix of each hour bucket, so candidate work is bounded by
+    // cap² per bucket no matter how hot the hour. Default ∞ — the
+    // gated query keeps the exact pair contract; a capped run trades
+    // recall in storm hours for a hard bound, which the caller opts
+    // into explicitly.
+    val banded =
+      if (maxPerBucket == Int.MaxValue) bandedAll
+      else bandedAll
+        .withColumn("rk", row_number().over(Window.partitionBy("hb")
+          .orderBy(col("s"), col("user_id"), col("session_idx"))))
+        .filter(col("rk") <= maxPerBucket)
+        .drop("rk")
     val lhs = banded.select(col("hb"), col("user_id").as("u1"),
       col("session_idx").as("i1"), col("s").as("s1"), col("e").as("e1"))
     val rhs = banded.select(col("hb"), col("user_id").as("u2"),

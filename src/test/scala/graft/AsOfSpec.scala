@@ -27,6 +27,15 @@ class AsOfSpec extends SparkSpec {
       (1L, 4L) -> ((1L, 900L)), // [10:55, 11:10] — once, despite 2 buckets
       (2L, 4L) -> ((1L, 0L))
     ))
+
+    // the concurrency cap: keep only the 2 earliest sessions per hour
+    // bucket — u2's point session (11:00) falls out of the 11:00
+    // bucket behind u1/u4 (earlier starts), so only (1,4) survives;
+    // deterministic earliest-first prefix, a strict subset of exact
+    val capped = graft.operators.EventOps
+      .overlapJoin(events, maxPerBucket = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 4L)), capped.toString)
   }
 
   test("inclusive bound, carry-forward, and the no-version-yet null") {
