@@ -595,6 +595,14 @@ object SparkEntry {
       Search.msearchBm25(s, textIndexFor(s, d),
         Seq(("q_merge", "merge"), ("q_spark", "spark"),
           ("q_window", "window")), k = 5)),
+    "f28_sparse_vector" -> ((s, d) =>
+      // learned-sparse retrieval (Search.sparseVectorSearch scaladoc):
+      // sparse term-weight query vector dotted against index-served
+      // integer doc impacts — the ELSER/SPLADE serving shape, one
+      // pushed postings read, no floats
+      Search.sparseVectorSearch(s, textIndexFor(s, d),
+        Seq(("spark", 800000L), ("merge", 500000L), ("vector", 250000L)),
+        k = 15)),
     "f27_boosting" -> ((s, d) =>
       // ES boosting query (Search.boosting scaladoc): positive-term
       // BM25 with soft demotion of negative-term matches — both legs
@@ -686,6 +694,22 @@ object SparkEntry {
       Search.msearchBm25Multi(s, textIndexFor(s, d),
         Seq(("q_ms", Seq("merge", "spark")),
           ("q_wt", Seq("window", "table"))), k = 5)),
+    "x36_corpus_diff" -> ((s, d) => {
+      // corpus version diff (TextStats.corpusDiff scaladoc) against a
+      // deterministically-derived v2: every 13th doc removed, every
+      // 7th survivor edited, every 11th cloned under a fresh id — the
+      // same construction in the oracle; the OPERATOR diffs by
+      // content fingerprint, the construction only plants the data
+      val v1 = Tables.documents(s, d)
+      val kept = v1.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2-edit"))).otherwise(col("text")))
+      val added = v1.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000000L)
+        .withColumn("text", concat(col("text"), lit(" new")))
+      TextStats.corpusDiff(v1, kept.unionByName(added))
+    }),
     "x34_calibration" -> ((s, d) =>
       // reliability-diagram table for the stopword-ratio language
       // signal vs the lang ground truth (TextStats.calibration
@@ -4187,6 +4211,22 @@ object SparkEntry {
           SELECT term, count(*)::BIGINT AS df FROM p
           WHERE term LIKE 's%' GROUP BY term
           ORDER BY term LIMIT 10""",
+    // f28: the sparse dot product replayed from tokens — per-term
+    // tf and df recomputed, same integer divisions
+    "f28_sparse_vector" ->
+      s"""WITH q(term, q_w) AS (VALUES ('spark', 800000), ('merge', 500000),
+                                       ('vector', 250000)),
+          t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                GROUP BY 1, 2),
+          dfs AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY 1),
+          sc AS (SELECT p.doc_id,
+                        (q.q_w * ((p.tf * 1000000) // dfs.df)) // 1000000 AS c
+                 FROM p JOIN q USING (term) JOIN dfs ON p.term = dfs.term)
+          SELECT doc_id, sum(c)::BIGINT AS score_e6, count(*)::BIGINT AS n_terms
+          FROM sc GROUP BY doc_id
+          ORDER BY score_e6 DESC, doc_id LIMIT 15""",
     // f27: the f3 BM25 replay for 'spark' with the 0.5 demotion
     // factor on docs that also contain 'slow'
     "f27_boosting" ->
@@ -4308,6 +4348,29 @@ object SparkEntry {
                 FROM u)
           SELECT query_id, doc_id, score, rank FROM r
           WHERE rank <= 5 ORDER BY query_id, rank""",
+    // x36: the same v2 construction, diffed by md5 fingerprint
+    "x36_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+          kept AS (SELECT doc_id, source,
+                          CASE WHEN doc_id % 7 = 0 THEN text || ' v2-edit'
+                               ELSE text END AS text
+                   FROM v1 WHERE doc_id % 13 <> 0),
+          added AS (SELECT doc_id + 1000000000 AS doc_id, source,
+                           text || ' new' AS text
+                    FROM v1 WHERE doc_id % 11 = 0),
+          v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+          j AS (SELECT coalesce(a.source, b.source) AS source,
+                       CASE WHEN a.doc_id IS NULL THEN 'added'
+                            WHEN b.doc_id IS NULL THEN 'removed'
+                            WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                            ELSE 'unchanged' END AS status
+                FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+          SELECT source,
+                 sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+                 sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+                 sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+                 sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+          FROM j GROUP BY source ORDER BY source""",
     // x34: the stopword-ratio calibration table — same integer bp
     // bins on both engines
     "x34_calibration" ->

@@ -564,6 +564,40 @@ object Search {
       .orderBy(col("term"))
       .limit(k)
 
+  /** Learned-sparse retrieval (the ELSER/SPLADE serving shape): the
+    * query is a SPARSE TERM-WEIGHT VECTOR, documents score by the
+    * integer dot product of query weights against index-served doc
+    * impacts. Doc impact here is the rational `tf·10^6 div df` (term
+    * frequency damped by document frequency — the exact-integer
+    * stand-in for a learned expansion weight; a model-produced impact
+    * column would ride the same postings layout). One pushed
+    * `term IN` postings read for ALL query terms, the query vector
+    * and the (term, df) stats broadcast, one per-doc sum — the same
+    * single-scan plan as [[searchBm25Indexed]], no floats anywhere.
+    * Scores in ×10^12-scaled micro-unit products divided back once:
+    * `Σ (q_w · impact_e6) div 10^6`. */
+  def sparseVectorSearch(spark: SparkSession, ix: TextIndex.Loaded,
+                         queryVec: Seq[(String, Long)],
+                         k: Int = 15): DataFrame = {
+    import spark.implicits._
+    val terms = queryVec.map(_._1)
+    val qdf = broadcast(queryVec.toDF("term", "q_w"))
+    val dfs = broadcast(ix.termDf(spark)
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("df").cast("long").as("df")))
+    ix.postings(spark).filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"))
+      .join(qdf, "term")
+      .join(dfs, "term")
+      .withColumn("contrib_e6",
+        expr("q_w * (tf * 1000000L div df) div 1000000L"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_e6")).as("score_e6"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** ES `boosting` query: documents matching the positive term are
     * scored by BM25, and any that ALSO match the negative term are
     * demoted by `negativeBoost` (ES's soft-exclusion — unlike must_not

@@ -327,6 +327,37 @@ object TextStats {
         round(col("sum_tf").cast("double") / col("n_tokens"), 6))
   }
 
+  /** X36: corpus VERSION DIFF — the report a crawl-refresh pipeline
+    * ships when corpus v2 lands next to v1: per source, how many
+    * documents were added, removed, changed (same id, different
+    * content fingerprint) or untouched — the number that decides
+    * whether downstream artifacts (indexes, dedup state, mixtures)
+    * re-ingest a delta or rebuild. One full-outer join on the id with
+    * md5 content fingerprints computed scan-side (row-local), then a
+    * source-keyed conditional-sum aggregate — two scans, one join
+    * shuffle, one combiner-friendly agg; never a text comparison
+    * (fingerprints travel, texts don't). */
+  def corpusDiff(v1: DataFrame, v2: DataFrame,
+                 idCol: String = "doc_id"): DataFrame = {
+    val a = v1.select(col(idCol).as("id"), col("source").as("src_a"),
+      md5(col("text")).as("fp_a"))
+    val b = v2.select(col(idCol).as("id"), col("source").as("src_b"),
+      md5(col("text")).as("fp_b"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy(col("source"))
+  }
+
   /** X34: classifier calibration report (the reliability diagram in
     * table form) — the eval every model-based curation filter (x29)
     * needs before its threshold is trusted: bucket a score into
