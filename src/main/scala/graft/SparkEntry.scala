@@ -4415,7 +4415,7 @@ object SparkEntry {
                 FROM c)
           SELECT n, tp, fp, fn, tn, po_e6, pe_e6,
                  ((po_e6 - pe_e6) * 1000000
-                  // (1000000 - pe_e6))::BIGINT AS kappa_e6
+                  // greatest(1000000 - pe_e6, 1))::BIGINT AS kappa_e6
           FROM e"""
     },
     "x29_model_filter" ->

@@ -411,7 +411,10 @@ object TextStats {
           .as("pe_e6"))
       .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
         col("po_e6"), col("pe_e6"),
-        expr("(po_e6 - pe_e6) * 1000000L div (1000000L - pe_e6)")
+        // greatest(…, 1): pe = 1 only when both labelers are
+        // constant (kappa undefined) — the guard returns 0/1 = 0
+        // there instead of a null-vs-error engine divergence
+        expr("(po_e6 - pe_e6) * 1000000L div greatest(1000000L - pe_e6, 1L)")
           .as("kappa_e6"))
   }
 
