@@ -554,6 +554,32 @@ object SparkEntry {
         .select(col("n_rows"), col("n_ids"), col("sum_key"),
           lit(nSnap == nRest && nSnap > 0).as("files_match"))
     }),
+    "s21b_artifact_snapshot" -> ((s, d) => {
+      // Recursive artifact snapshot/restore: the engine's real state
+      // is a gen-N artifact TREE (postings/dict/stats/... tables), not
+      // a flat parquet dir — ES snapshots cover a whole index incl.
+      // every segment file. Snapshot the LIVE text-index generation,
+      // restore it under a fresh artifact root, publish the `_CURRENT`
+      // pointer there, resolve it like a fresh JVM would, and serve
+      // f4's BM25 search from the restored artifact. The oracle is
+      // f4's full corpus replay, so a dropped subdirectory, a torn
+      // table, or an unverified copy moves a score.
+      val ix = textIndexFor(s, d)
+      val repo = Scratch.dir("s21brepo")
+      val root = java.nio.file.Paths.get(Scratch.dir("s21broot"))
+      val nSnap = graft.sources.Sink.snapshot(s, ix.dir, repo)
+      val nRest = graft.sources.Sink.restore(s, repo,
+        root.resolve("gen-1").toString)
+      require(nSnap == nRest && nSnap > 0,
+        s"artifact snapshot/restore file-count mismatch: $nSnap vs $nRest")
+      graft.operators.ArtifactGen.publish(root, root.resolve("gen-1"))
+      val restored = graft.operators.ArtifactGen.currentDir(root)
+        .getOrElse(throw new IllegalStateException(
+          "restored generation did not resolve — _DONE missing from snapshot"))
+      Search.searchBm25Indexed(s,
+        graft.operators.TextIndex.Loaded(restored.toString, "s21b"),
+        Seq("spark", "window"), k = 20)
+    }),
     "s20_reindex" -> ((s, d) => {
       // ES _reindex (conflicts=proceed, op_type=create): dest is
       // pre-seeded with the doc_id%3==0 slice at ORIGINAL values;
@@ -1170,6 +1196,20 @@ object SparkEntry {
       require(!res.queryExecution.executedPlan.toString
         .contains("BroadcastNestedLoopJoin"),
         "overlap join must plan as a banded equi-join")
+      res
+    }),
+    "j17b_overlap_capped" -> ((s, d) => {
+      // j17's maxPerBucket escape hatch, ORACLE-GATED: a storm hour
+      // keeps only the DETERMINISTIC earliest-first prefix (cap 5) of
+      // its bucket, bounding candidate work at cap² per bucket no
+      // matter how hot the hour. The oracle replays the identical
+      // prefix (same row_number order: start, user, session), pinning
+      // the capped semantics cross-engine — the trade is explicit:
+      // pairs whose only shared buckets were truncated are dropped.
+      val res = EventOps.overlapJoin(Tables.events(s, d), maxPerBucket = 5)
+      require(!res.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "capped overlap join must stay a banded equi-join")
       res
     }),
     "j16_range_join" -> ((s, d) => {
@@ -2344,6 +2384,15 @@ object SparkEntry {
       // exists-triple specification
       EventOps.eqlSequence(Tables.events(s, d),
         Seq("signup", "click", "purchase"), maxspanSeconds = 21600L)),
+    "e10b_eql_hits" -> ((s, d) =>
+      // the EQL sequence's per-match HITS — the matched event chains
+      // ES EQL returns (EventOps.eqlHits scaladoc): one row per
+      // matched final-stage event with every stage's exact-µs
+      // timestamp; the oracle replays the identical greedy-latest
+      // scalar windows, so the CHAIN itself is pinned cross-engine,
+      // not just its existence
+      EventOps.eqlHits(Tables.events(s, d),
+        Seq("signup", "click", "purchase"), maxspanSeconds = 21600L)),
     "e9_retention" -> ((s, d) =>
       // cohort retention matrix (EventOps.retention scaladoc): users
       // bucketed by first-seen ISO week, counted in every later week
@@ -3351,6 +3400,13 @@ object SparkEntry {
     "st9_stream_sketch" -> ((s, d) =>
       EventStream.runApproxUsers(s, d)),
 
+    // ST14: cohort retention as a per-user streaming state machine —
+    // the converged distinct-week sets fold to the e9 matrix
+    // bit-for-bit (EventStream.runRetention; st9's full-outer
+    // convergence contract)
+    "st14_stream_retention" -> ((s, d) =>
+      EventStream.runRetention(s, d)),
+
     "sm1_scripted_metric" -> ((s, d) => {
       // ES scripted_metric: a custom map/combine/reduce statistic the
       // stock aggs can't express — here an OLS slope of value vs time
@@ -4147,6 +4203,42 @@ object SparkEntry {
                  sum(ov_s)::BIGINT AS overlap_s
           FROM pr GROUP BY 1, 2
           ORDER BY overlap_s DESC, u1, u2 LIMIT 15""",
+    // j17b: the capped variant replays the hour-bucket banding
+    // EXPLICITLY (j17's oracle can skip it — uncapped banding is
+    // lossless — but the cap is defined ON the buckets): per bucket
+    // the earliest-first prefix of 5 survives, pairs must share a
+    // surviving bucket, DISTINCT collapses multi-bucket co-occupancy
+    "j17b_overlap_capped" ->
+      """WITH g AS (SELECT user_id, ts,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                                THEN 1 ELSE 0 END AS new_s
+                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+                FROM g),
+          sess AS (SELECT user_id, session_idx, min(ts) AS st, max(ts) AS en
+                   FROM s GROUP BY 1, 2),
+          bb AS (SELECT user_id, session_idx, st, en,
+                        unnest(generate_series(date_trunc('hour', st)::TIMESTAMP,
+                                               date_trunc('hour', en)::TIMESTAMP,
+                                               INTERVAL 1 HOUR)) AS hb
+                 FROM sess),
+          cap AS (SELECT * FROM (SELECT *, row_number() OVER
+                                   (PARTITION BY hb
+                                    ORDER BY st, user_id, session_idx) AS rk
+                                 FROM bb) WHERE rk <= 5),
+          pr AS (SELECT DISTINCT a.user_id AS u1, a.session_idx AS i1,
+                        b.user_id AS u2, b.session_idx AS i2,
+                        date_diff('second', greatest(a.st, b.st),
+                                  least(a.en, b.en))::BIGINT AS ov_s
+                 FROM cap a JOIN cap b
+                   ON a.hb = b.hb AND a.user_id < b.user_id
+                  AND a.st <= b.en AND b.st <= a.en)
+          SELECT u1, u2, count(*)::BIGINT AS n_overlaps,
+                 sum(ov_s)::BIGINT AS overlap_s
+          FROM pr GROUP BY 1, 2
+          ORDER BY overlap_s DESC, u1, u2 LIMIT 15""",
     // s20: the _reindex response replay — seed slice noops at original
     // values, the rest arrives with the +1000 script applied
     "s20_reindex" ->
@@ -4409,10 +4501,14 @@ object SparkEntry {
                        sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS fn,
                        sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS tn
                 FROM p),
-          e AS (SELECT *, ((tp + tn) * 1000000 // n)::BIGINT AS po_e6,
-                       (((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
-                        * 1000000 // (n * n))::BIGINT AS pe_e6
-                FROM c)
+          r AS (SELECT *, ((tp + tn) * 1000000 // n)::BIGINT AS po_e6,
+                       ((tp + fp) * 1000000 // n)::BIGINT AS a1_e6,
+                       ((tp + fn) * 1000000 // n)::BIGINT AS b1_e6
+                FROM c),
+          e AS (SELECT n, tp, fp, fn, tn, po_e6,
+                       ((a1_e6 * b1_e6 + (1000000 - a1_e6) * (1000000 - b1_e6))
+                        // 1000000)::BIGINT AS pe_e6
+                FROM r)
           SELECT n, tp, fp, fn, tn, po_e6, pe_e6,
                  ((po_e6 - pe_e6) * 1000000
                   // greatest(1000000 - pe_e6, 1))::BIGINT AS kappa_e6
@@ -4780,6 +4876,27 @@ object SparkEntry {
     "t3_keyword" ->
       "SELECT doc_id, lower(source) AS tokens FROM documents ORDER BY doc_id",
     "f4_search_bm25" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(toks)::INT AS len,
+                       len(list_filter(toks, x -> x = 'spark'))::INT AS tf0,
+                       len(list_filter(toks, x -> x = 'window'))::INT AS tf1 FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1 FROM p)
+          SELECT doc_id,
+                 round((CASE WHEN tf0 > 0
+                             THEN ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) *
+                                  (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                             ELSE 0.0 END) +
+                       (CASE WHEN tf1 > 0
+                             THEN ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) *
+                                  (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                             ELSE 0.0 END), 6) AS score
+          FROM p, s WHERE tf0 > 0 OR tf1 > 0
+          ORDER BY score DESC, doc_id LIMIT 20""",
+    // s21b: IDENTICAL to f4's replay by design — the snapshot→restore
+    // cycle must serve BM25 bit-for-bit like the source-built artifact
+    "s21b_artifact_snapshot" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           p AS (SELECT doc_id, len(toks)::INT AS len,
                        len(list_filter(toks, x -> x = 'spark'))::INT AS tf0,
@@ -5511,8 +5628,8 @@ object SparkEntry {
                     FROM documents)
           SELECT lang, count(*)::BIGINT AS n_docs,
                  sum(ws)::BIGINT AS ws_tokens, sum(bpe)::BIGINT AS bpe_tokens,
-                 (sum(bpe) * 1000000 // sum(ws))::BIGINT AS fertility_e6,
-                 (sum(n_chars) * 1000 // sum(bpe))::BIGINT AS chars_per_tok_e3
+                 (sum(bpe) * 1000000 // greatest(sum(ws), 1))::BIGINT AS fertility_e6,
+                 (sum(n_chars) * 1000 // greatest(sum(bpe), 1))::BIGINT AS chars_per_tok_e3
           FROM p GROUP BY lang ORDER BY lang""",
     // x31: ⌊log2⌋ buckets via binary-string length on both engines
     "x31_length_buckets" ->
@@ -6510,6 +6627,48 @@ object SparkEntry {
                  count(DISTINCT user_id)::BIGINT AS n_users,
                  count(*)::BIGINT AS n_matches
           FROM v""",
+    // e10b: the greedy-latest chain replayed component-by-component —
+    // the same scalar last(..ignore nulls) windows over strict
+    // microsecond order, so both engines emit identical chains
+    "e10b_eql_hits" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT AS us
+                    FROM events
+                    WHERE event_type IN ('signup', 'click', 'purchase')),
+          c0 AS (SELECT *, CASE WHEN event_type = 'signup' THEN us END AS t0_0
+                 FROM e),
+          c1 AS (SELECT *,
+                   CASE WHEN event_type = 'click' THEN
+                     last_value(CASE WHEN event_type = 'signup' THEN t0_0 END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY us
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   END AS t1_0 FROM c0),
+          c1b AS (SELECT *, CASE WHEN event_type = 'click'
+                                  AND t1_0 IS NOT NULL THEN us END AS t1_1
+                  FROM c1),
+          c2 AS (SELECT *,
+                   CASE WHEN event_type = 'purchase' THEN
+                     last_value(CASE WHEN event_type = 'click' THEN t1_0 END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY us
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   END AS t2_0,
+                   CASE WHEN event_type = 'purchase' THEN
+                     last_value(CASE WHEN event_type = 'click' THEN t1_1 END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY us
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   END AS t2_1
+                 FROM c1b),
+          c2b AS (SELECT *, CASE WHEN event_type = 'purchase'
+                                  AND t2_0 IS NOT NULL THEN us END AS t2_2
+                  FROM c2)
+          SELECT user_id, t2_0 AS t_signup_us, t2_1 AS t_click_us,
+                 t2_2 AS t_purchase_us
+          FROM c2b
+          WHERE event_type = 'purchase' AND t2_0 IS NOT NULL
+            AND us - t2_0 <= 21600000000
+          ORDER BY user_id, t_signup_us, t_click_us, t_purchase_us""",
     // e9: cohort retention — both engines truncate to the same ISO
     // Monday, so the day diff is an exact multiple of 7
     "e9_retention" ->
@@ -6526,6 +6685,25 @@ object SparkEntry {
                  WHERE week_offset = 0)
           SELECT m.cohort_week, m.week_offset, m.n_users, sz.cohort_size,
                  (m.n_users * 10000 // sz.cohort_size)::BIGINT AS retention_bp
+          FROM m JOIN sz USING (cohort_week)
+          ORDER BY m.cohort_week, m.week_offset""",
+    // st14: e9's matrix replay + the constant-TRUE convergence
+    // contract (the stream must fold to the batch matrix bit-for-bit)
+    "st14_stream_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+                            date_trunc('week', ts)::TIMESTAMP AS wk
+                     FROM events),
+          fst AS (SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY 1),
+          m AS (SELECT cohort_week,
+                       (date_diff('day', cohort_week, wk) // 7)::BIGINT
+                         AS week_offset,
+                       count(*)::BIGINT AS n_users
+                FROM wk JOIN fst USING (user_id) GROUP BY 1, 2),
+          sz AS (SELECT cohort_week, n_users AS cohort_size FROM m
+                 WHERE week_offset = 0)
+          SELECT m.cohort_week, m.week_offset, m.n_users, sz.cohort_size,
+                 (m.n_users * 10000 // sz.cohort_size)::BIGINT AS retention_bp,
+                 TRUE AS stream_eq_batch
           FROM m JOIN sz USING (cohort_week)
           ORDER BY m.cohort_week, m.week_offset""",
     "a17_top_hits" ->

@@ -165,7 +165,19 @@ object ArtifactGen {
     * catches and rebuilds a torn generation regardless). With no
     * resolvable `_CURRENT` nothing is deleted — a torn pointer must
     * not trigger a sweep that could eat the only complete build.
-    * Returns the deleted directories. */
+    *
+    * Clock-skew contract: the claim's freshness compares the BUILDER's
+    * wall clock (written into `_CLAIM`) against the SWEEPER's — on a
+    * shared filesystem with skewed host clocks a fresh claim could
+    * look expired. The check therefore takes the max of the written
+    * timestamp and the claim file's mtime (often stamped by the
+    * filesystem server, a third clock): any one clock running ahead
+    * keeps the claim looking in-flight — the SAFE direction, since
+    * skipping a sweep only delays reclamation to a later pass, while
+    * sweeping a live build mid-flight produces the torn-but-`_DONE`
+    * tear this marker exists to prevent. Deployments with skew
+    * approaching `claimGraceMs` (default 15 min) must raise the grace
+    * by their skew bound. Returns the deleted directories. */
   def gc(root: Path, keepLast: Int = 2,
          claimGraceMs: Long = 15 * 60 * 1000L): Seq[Path] = {
     require(keepLast >= 1, "keepLast must retain at least the live generation")
@@ -194,9 +206,12 @@ object ArtifactGen {
               !Files.exists(dir.resolve("_DONE")) &&
                 Files.exists(claim) &&
                 (try {
-                  val t = new String(Files.readAllBytes(claim), "UTF-8")
+                  val written = new String(Files.readAllBytes(claim), "UTF-8")
                     .trim.toLongOption.getOrElse(0L)
-                  System.currentTimeMillis() - t < claimGraceMs
+                  val mtime = Files.getLastModifiedTime(claim).toMillis
+                  // max of builder clock and FS clock: skew in either
+                  // direction errs toward in-flight (never mid-build sweep)
+                  System.currentTimeMillis() - math.max(written, mtime) < claimGraceMs
                 } catch { case _: java.io.IOException => true })
             }
             older.filterNot(window).flatMap { g =>

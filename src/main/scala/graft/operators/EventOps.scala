@@ -186,6 +186,51 @@ object EventOps {
         col("n_users"), col("n_matches"))
   }
 
+  /** E10b: the EQL sequence's per-match HITS — ES EQL returns the
+    * matched event chains, not just counts ([[eqlSequence]] projects
+    * only the (n_users, n_matches) summary). Same greedy-latest window
+    * state, but each stage CARRIES ITS WHOLE PREFIX CHAIN as scalar
+    * per-component columns: stage i inherits component j from the
+    * latest stage-(i−1) event whose chain is defined. Chains are
+    * all-or-nothing by induction (component 0 defined ⇔ every
+    * component defined), so the per-component `last(..., ignoreNulls)`
+    * windows all select the SAME row — the chain stays consistent
+    * without carrying an array through window state, and the oracle
+    * replays the identical scalar windows. Emits one row per matched
+    * final-stage event: the user and every stage's exact-microsecond
+    * timestamp. Still stages−1 linear window passes over one events
+    * scan — the hits projection costs O(stages²) COLUMNS, not extra
+    * shuffles. */
+  def eqlHits(events: DataFrame, stages: Seq[String],
+              maxspanSeconds: Long): DataFrame = {
+    require(stages.size >= 2)
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    var cur = events.filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("t0_0", when(col("event_type") === stages.head, col("us")))
+    stages.indices.tail.foreach { i =>
+      (0 until i).foreach { j =>
+        cur = cur.withColumn(s"t${i}_$j",
+          when(col("event_type") === stages(i),
+            last(when(col("event_type") === stages(i - 1), col(s"t${i - 1}_$j")),
+              ignoreNulls = true).over(w)))
+      }
+      cur = cur.withColumn(s"t${i}_$i",
+        when(col("event_type") === stages(i) && col(s"t${i}_0").isNotNull,
+          col("us")))
+    }
+    val k = stages.size - 1
+    cur.filter(col("event_type") === stages.last &&
+        col(s"t${k}_0").isNotNull &&
+        col("us") - col(s"t${k}_0") <= maxspanSeconds * 1000000L)
+      .select(col("user_id") +:
+        stages.indices.map(j => col(s"t${k}_$j").as(s"t_${stages(j)}_us")): _*)
+      .orderBy(col("user_id") +:
+        stages.indices.map(j => col(s"t_${stages(j)}_us")): _*)
+  }
+
   /** E9: cohort retention matrix — the product-analytics "of the
     * users first seen in week W, how many were active k weeks later"
     * triangle. Cohort = ISO week of a user's FIRST event; activity =

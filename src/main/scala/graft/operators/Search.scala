@@ -681,12 +681,22 @@ object Search {
   def matchBoolPrefix(spark: SparkSession, ix: TextIndex.Loaded,
                       terms: Seq[String], prefix: String, k: Int = 10,
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(prefix.nonEmpty, "match_bool_prefix needs a non-empty prefix")
     val fullScores = indexedTfWide(spark, ix, terms)
       .crossJoin(broadcast(indexedStats(spark, ix, terms)))
       .select(col("doc_id"), bm25Sum(terms, k1, b).as("fscore"))
-    val hi = prefix.init + (prefix.last + 1).toChar
-    val preDocs = ix.postings(spark)
-      .filter(col("term") >= prefix && col("term") < hi)
+    // SARGable upper bound: bump the last char. A last char of
+    // Char.MaxValue would wrap to an empty/inverted range, so fall
+    // back to the open-ended >= read with a startsWith residual —
+    // still one pruned range scan, just without the upper fence.
+    val preRange = ix.postings(spark).filter(
+      if (prefix.last == Char.MaxValue)
+        col("term") >= prefix && col("term").startsWith(prefix)
+      else {
+        val hi = prefix.init + (prefix.last + 1).toChar
+        col("term") >= prefix && col("term") < hi
+      })
+    val preDocs = preRange
       .select(col("doc_id")).distinct()
       .withColumn("pscore", lit(1.0))
     fullScores.join(preDocs, Seq("doc_id"), "full_outer")

@@ -118,8 +118,11 @@ object TextStats {
         sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"))
       .select(col("lang"), col("n_docs"), col("ws_tokens"),
         col("bpe_tokens"),
-        expr("bpe_tokens * 1000000L div ws_tokens").as("fertility_e6"),
-        expr("sum_chars * 1000L div bpe_tokens").as("chars_per_tok_e3"))
+        // greatest(…, 1): a stratum of only empty/whitespace docs has
+        // 0 tokens — Spark's div would yield null where DuckDB's //
+        // raises, so guard the divisor like bigramScore/kappa do
+        expr("bpe_tokens * 1000000L div greatest(ws_tokens, 1L)").as("fertility_e6"),
+        expr("sum_chars * 1000L div greatest(bpe_tokens, 1L)").as("chars_per_tok_e3"))
   }
 
   /** X9: intra-document repetition signal (the Gopher/MassiveText
@@ -391,11 +394,15 @@ object TextStats {
     * to en/not-en; labeler B: the `lang` column. One row-local
     * projection, ONE aggregate to the 2×2 confusion matrix, kappa
     * from the four cells in exact ×10^6 integer micro-units:
-    * po = agree/n, pe = (a1·b1 + a0·b0)/n², kappa = (po − pe)/(1 − pe)
-    * — each division one integer div. (The n² product holds to
-    * ~3·10^9 rows in int64; past that, compute pe from the e6-scaled
-    * marginal RATES — same expressions, one extra rescale — so the
-    * report stays exact at any corpus size.) */
+    * po = agree/n, pe = a1·b1 + a0·a0 over the e6-scaled marginal
+    * RATES, kappa = (po − pe)/(1 − pe) — each division one integer
+    * div. pe is deliberately NOT the textbook (tp+fp)(tp+fn)/n² form:
+    * that n²-sized product (×10^6) wraps int64 silently at ~3·10^6
+    * rows on Spark while DuckDB raises — the worst kind of engine
+    * divergence for a 100 TB corpus. Rescaling each marginal to a
+    * ≤10^6 rate first bounds every product at 10^12, so the same
+    * exact arithmetic holds to ~9·10^12 rows (marginal·10^6 vs
+    * int64), at the cost of one extra floor per marginal. */
   def kappa(docs: DataFrame): DataFrame = {
     docs.select(
         (langId(col("text")) === "en").as("a"),
@@ -407,7 +414,11 @@ object TextStats {
         sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("tn"))
       .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
         expr("(tp + tn) * 1000000L div n").as("po_e6"),
-        expr("((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) * 1000000L div (n * n)")
+        expr("(tp + fp) * 1000000L div n").as("a1_e6"),
+        expr("(tp + fn) * 1000000L div n").as("b1_e6"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        col("po_e6"),
+        expr("(a1_e6 * b1_e6 + (1000000L - a1_e6) * (1000000L - b1_e6)) div 1000000L")
           .as("pe_e6"))
       .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
         col("po_e6"), col("pe_e6"),

@@ -110,7 +110,17 @@ object Sink {
     * file listing is snapshotted when the id frame is created, before
     * any append lands, so the screen never reads its own output. Both
     * counters ride `observe` on the single write action — no extra
-    * pass over either side. */
+    * pass over either side.
+    *
+    * SINGLE-WRITER contract: the conflict screen is a point-in-time
+    * listing snapshot, so two CONCURRENT reindex calls into the same
+    * destination can both pass the anti-join for the same id and both
+    * append — ES resolves that per-doc via `op_type=create` version
+    * conflicts, a per-document atomic this file-level sink does not
+    * have. Callers must serialize writers per destination (the same
+    * discipline the artifact families enforce via `_CLAIM` markers);
+    * sequential reindex calls — the replay/retry path — are safe, the
+    * second run noops every id the first created. */
   def reindex(spark: SparkSession, source: DataFrame, idCol: String,
               destDir: String, shards: Int = 3): (Long, Long, Long) = {
     val destIds = spark.read.parquet(destDir).select(col(idCol))
@@ -126,16 +136,22 @@ object Sink {
     (total, created, total - created)
   }
 
-  /** ES snapshot: copy an index directory's committed files into a
-    * repository, writing a MANIFEST of per-file (md5, length, name)
-    * LAST — the `_DONE` discipline: a snapshot interrupted mid-copy
-    * has no manifest and [[restore]] refuses it, so a repository can
-    * never serve a torn snapshot. Checksums are computed WHILE the
-    * bytes stream (one read per file, no second pass); files stream
-    * through the Hadoop FS API, so the repository can live on any
-    * supported filesystem — the ES repository-plugin analog. Hidden
-    * and in-flight files (`_temporary`, dotfiles) are skipped like
-    * Spark's own committed-file readers. Returns the file count. */
+  /** ES snapshot: copy an index directory's committed files — walked
+    * RECURSIVELY, so a gen-N artifact tree (a text index's
+    * postings/dict/stats subdirectories, an ANN index's four tables, a
+    * dedup index) snapshots as one unit, not just a flat parquet sink —
+    * into a repository, writing a MANIFEST of per-file (md5, length,
+    * repo-relative path) LAST — the `_DONE` discipline: a snapshot
+    * interrupted mid-copy has no manifest and [[restore]] refuses it,
+    * so a repository can never serve a torn snapshot. Checksums are
+    * computed WHILE the bytes stream (one read per file, no second
+    * pass); files stream through the Hadoop FS API, so the repository
+    * can live on any supported filesystem — the ES repository-plugin
+    * analog (ES snapshots likewise cover a whole index incl. every
+    * segment file). Hidden and in-flight files (`_temporary`,
+    * dotfiles) are skipped at EVERY level like Spark's own
+    * committed-file readers; lifecycle markers (`_DONE`, `_SUCCESS`)
+    * are data and travel with the tree. Returns the file count. */
   def snapshot(spark: SparkSession, srcDir: String,
                repoDir: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -144,14 +160,23 @@ object Sink {
     val sfs = src.getFileSystem(conf)
     val rfs = repo.getFileSystem(conf)
     rfs.mkdirs(repo)
-    val files = sfs.listStatus(src).filter(st => st.isFile &&
-      !st.getPath.getName.startsWith(".") &&
-      !st.getPath.getName.startsWith("_temporary"))
-    val manifest = files.sortBy(_.getPath.getName).map { st =>
-      val name = st.getPath.getName
+    def walk(dir: org.apache.hadoop.fs.Path,
+             prefix: String): Seq[(org.apache.hadoop.fs.FileStatus, String)] =
+      sfs.listStatus(dir).toSeq
+        .filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith(".") || n.startsWith("_temporary")
+        }
+        .flatMap { st =>
+          if (st.isDirectory) walk(st.getPath, prefix + st.getPath.getName + "/")
+          else Seq((st, prefix + st.getPath.getName))
+        }
+    val files = walk(src, "").sortBy(_._2)
+    val manifest = files.map { case (st, rel) =>
+      // Hadoop create() makes parent dirs, so subtrees need no mkdirs
       val md5 = copyWithMd5(sfs, st.getPath, rfs,
-        new org.apache.hadoop.fs.Path(repo, name))
-      s"$md5 ${st.getLen} $name"
+        new org.apache.hadoop.fs.Path(repo, rel))
+      s"$md5 ${st.getLen} $rel"
     }
     val out = rfs.create(
       new org.apache.hadoop.fs.Path(repo, "MANIFEST"), true)
@@ -160,7 +185,10 @@ object Sink {
     files.length.toLong
   }
 
-  /** ES restore: copy a [[snapshot]] repository back into `destDir`,
+  /** ES restore: copy a [[snapshot]] repository back into `destDir` —
+    * manifest paths are repo-relative, so a snapshotted artifact TREE
+    * restores with its subdirectory structure intact (Hadoop `create`
+    * makes parent directories) —
     * re-verifying every manifest checksum AS the bytes stream —
     * bit-rot, truncation, or a torn snapshot (no MANIFEST) refuse
     * loudly instead of restoring silently wrong data. (On a

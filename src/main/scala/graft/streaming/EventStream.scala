@@ -439,6 +439,94 @@ object EventStream {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Per-user RETENTION state machine — the streaming twin of
+    * `EventOps.retention` (the e9 cohort matrix). State per user is
+    * the SORTED SET of distinct active week-starts (epoch days):
+    * retention is pure set-union + min, so unlike the funnel it is
+    * completely order- and batch-boundary-insensitive — no watermark,
+    * no late-drop, no candidate buffers; convergence is unconditional
+    * for ANY arrival order. State is O(distinct active weeks) per
+    * user — calendar-bounded (52/user/year), never the event history;
+    * the only shuffle is the groupByKey on `user_id`, the same key the
+    * batch twin shuffles on. Each batch emits the user's full snapshot
+    * (cohort + relative offsets); snapshots strictly GROW (any state
+    * change adds a week — an earlier-week arrival that moves the
+    * cohort also adds its own week), so the converged state is the
+    * max-`nWeeks` emission per user. */
+  case class RetentionState(weeks: Seq[Long])
+  case class RetentionSnapshot(userId: Long, nWeeks: Int,
+                               cohortDays: Long, offsets: Seq[Long])
+
+  def retentionMachine(spark: SparkSession, stream: DataFrame): DataFrame = {
+    import spark.implicits._
+    stream
+      // week-start as exact epoch DAYS: date_trunc is midnight UTC, so
+      // the micros division is exact and the reverse mapping
+      // (timestamp_seconds(days·86400)) reconstructs the batch twin's
+      // TimestampType value bit-for-bit
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('week', ts)) div 86400000000").as("wkday"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[RetentionState]) =>
+          val seen = scala.collection.mutable.SortedSet(
+            state.getOption.map(_.weeks).getOrElse(Seq.empty): _*)
+          rows.foreach { case (_, w) => seen += w }
+          state.update(RetentionState(seen.toSeq))
+          val cohort = seen.head
+          RetentionSnapshot(user, seen.size, cohort,
+            seen.toSeq.map(w => (w - cohort) / 7))
+      }
+      .toDF()
+  }
+
+  /** ST14: the retention machine run end-to-end. The verified contract
+    * is the st9 convergence discipline: the matrix folded from the
+    * converged per-user states must equal batch `EventOps.retention`
+    * BIT-FOR-BIT, full-outer-joined on (cohort_week, week_offset) so a
+    * cohort row the stream missed (or invented) surfaces as a false
+    * contract row — never a silently dropped one. The emitted values
+    * are the batch side's; `stream_eq_batch` carries the comparison of
+    * all three measures (n_users, cohort_size, retention_bp). */
+  def runRetention(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val table = runToMemory(
+      retentionMachine(spark, eventsStream(spark, dir)),
+      OutputMode.Update, "st14_")
+    // converged snapshot per user: max nWeeks (snapshots only grow; a
+    // re-emission at equal nWeeks is an identical row, so ties are
+    // value-identical and max_by's pick is deterministic in value)
+    val matrix = spark.table(table)
+      .groupBy(col("userId"))
+      .agg(max_by(struct(col("cohortDays"), col("offsets")),
+        col("nWeeks")).as("st"))
+      .select(col("st.cohortDays").as("cohortDays"),
+        explode(col("st.offsets")).as("s_off"))
+      .groupBy(col("cohortDays"), col("s_off"))
+      .agg(count(lit(1)).as("s_users"))
+      .withColumn("s_size",
+        max(when(col("s_off") === 0L, col("s_users")))
+          .over(Window.partitionBy("cohortDays")))
+      .select(timestamp_seconds(col("cohortDays") * 86400L).as("s_cohort"),
+        col("s_off"), col("s_users"), col("s_size"),
+        expr("s_users * 10000L div s_size").as("s_bp"))
+    val batch = graft.operators.EventOps.retention(
+      graft.Tables.events(spark, dir))
+    batch.join(matrix,
+        batch("cohort_week") === matrix("s_cohort") &&
+          batch("week_offset") === matrix("s_off"), "full_outer")
+      .select(coalesce(batch("cohort_week"), matrix("s_cohort")).as("cohort_week"),
+        coalesce(batch("week_offset"), matrix("s_off")).as("week_offset"),
+        col("n_users"), col("cohort_size"), col("retention_bp"),
+        coalesce(col("n_users") === col("s_users") &&
+          col("cohort_size") === col("s_size") &&
+          col("retention_bp") === col("s_bp"), lit(false))
+          .as("stream_eq_batch"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** ST6: the funnel state machine run end-to-end; stage counts from
     * the converged per-user states must equal the batch staged funnel
     * (the e7 oracle, verbatim). */

@@ -276,6 +276,34 @@ class ArtifactLifecycleSpec extends SparkSpec {
     ArtifactGen.wipe(root)
   }
 
+  test("gc claim freshness survives builder clock skew: stale written ts + fresh mtime is in-flight") {
+    import java.nio.file.Files
+    import graft.operators.ArtifactGen
+    // a builder on a host whose clock runs BEHIND the sweeper's writes
+    // a _CLAIM timestamp that looks expired; the claim file's mtime (a
+    // second clock, often the FS server's) is fresh — gc must take the
+    // max and keep protecting the in-flight build (skew errs toward
+    // NOT sweeping; a crashed build still ages out on both clocks)
+    val root = Files.createTempDirectory("graft_gen_gc_skew")
+    def mkDone(n: Int): Unit = {
+      val d = root.resolve(s"gen-$n")
+      Files.createDirectories(d)
+      Files.write(d.resolve("_DONE"), Array.empty[Byte])
+      ()
+    }
+    mkDone(1)
+    val skewed = root.resolve("gen-2")
+    Files.createDirectories(skewed)
+    Files.write(skewed.resolve("_CLAIM"), "0\n".getBytes("UTF-8")) // epoch 0
+    mkDone(3)
+    ArtifactGen.publish(root, root.resolve("gen-3"))
+    val swept = ArtifactGen.gc(root, keepLast = 1)
+    assert(swept.map(_.getFileName.toString) == Seq("gen-1"), swept)
+    assert(Files.exists(skewed),
+      "fresh-mtime claim must protect the build despite a skewed written ts")
+    ArtifactGen.wipe(root)
+  }
+
   test("gc with no resolvable _CURRENT deletes nothing") {
     import java.nio.file.Files
     import graft.operators.ArtifactGen

@@ -209,6 +209,64 @@ class SearchOpsSpec extends SparkSpec {
       "n_matches must match the brute-force specification")
   }
 
+  test("eql hits: emits the greedy-latest chain per match; count agrees with the sequence summary") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    def us(s: String) = ts(s).getTime * 1000L
+    val ev = Seq(
+      (1L, ts("00:00:00"), "signup"), (1L, ts("01:45:00"), "signup"),
+      (1L, ts("02:00:00"), "click"), (1L, ts("02:30:00"), "purchase"),
+      (2L, ts("10:00:00"), "signup"), (2L, ts("10:30:00"), "purchase"),
+      (3L, ts("05:00:00"), "click"), (3L, ts("05:30:00"), "signup"),
+      (3L, ts("06:00:00"), "purchase"),
+      (4L, ts("07:00:00"), "signup"), (4L, ts("07:20:00"), "click"),
+      (4L, ts("08:00:00"), "purchase")
+    ).zipWithIndex.map { case ((u, t, ty), i) => (i.toLong, u, t, ty) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val hits = graft.operators.EventOps.eqlHits(ev,
+      Seq("signup", "click", "purchase"), maxspanSeconds = 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // u1's chain must carry the GREEDY-LATEST signup (01:45, which
+    // fits the span), never the 00:00 one that overruns it
+    assert(hits.toSeq == Seq(
+      (1L, us("01:45:00"), us("02:00:00"), us("02:30:00")),
+      (4L, us("07:00:00"), us("07:20:00"), us("08:00:00"))), hits.toSeq)
+  }
+
+  test("eql hits: randomized — every emitted chain is a valid sequence; count matches the summary") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1337)
+    val stages = Seq("signup", "click", "purchase")
+    val types = stages ++ Seq("view", "error")
+    val span = 3000L
+    val events = (0 until 30).flatMap { set =>
+      (0 until 3 + rnd.nextInt(6)).flatMap { u =>
+        val user = set * 1000L + u
+        (0 until 3 + rnd.nextInt(10)).map { _ =>
+          (user, rnd.nextInt(50) * 100L, types(rnd.nextInt(types.size)))
+        }
+      }
+    }.zipWithIndex.map { case ((u, sec, ty), i) => (i.toLong, u, sec, ty) }
+    val df = events.toDF("event_id", "user_id", "sec", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("sec")).as("ts"), col("event_type"))
+    val hits = graft.operators.EventOps.eqlHits(df, stages, span).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val summary = graft.operators.EventOps.eqlSequence(df, stages, span)
+      .collect().head
+    assert(hits.length.toLong == summary.getLong(2),
+      "one hit row per counted match")
+    assert(hits.map(_._1).distinct.length.toLong == summary.getLong(1))
+    // each chain: right stage at each timestamp, strict order, span
+    val evSet = events.map { case (_, u, sec, ty) => (u, sec * 1000000L, ty) }.toSet
+    hits.foreach { case (u, s, c, p) =>
+      assert(evSet((u, s, "signup")) && evSet((u, c, "click")) &&
+        evSet((u, p, "purchase")), s"chain events must exist: ($u,$s,$c,$p)")
+      assert(s < c && c < p && p - s <= span * 1000000L,
+        s"chain must be strictly ordered within span: ($u,$s,$c,$p)")
+    }
+  }
+
   test("retention: cohorts by first ISO week, offsets exact, bp against offset-0") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -90,6 +90,38 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("snapshot/restore walks artifact TREES: subdirs round-trip, markers travel, hidden skipped, torn refused") {
+    val src = Files.createTempDirectory("graft-tree-src")
+    // a gen-like artifact tree: two parquet tables in subdirectories
+    // plus the lifecycle marker — the shape TextIndex/AnnIndex/
+    // DedupIndex generations actually have
+    Tables.region(spark, sf).write.parquet(src.resolve("postings").toString)
+    Tables.nation(spark, sf).write.parquet(src.resolve("dict").toString)
+    Files.write(src.resolve("_DONE"), "ok\n".getBytes("UTF-8"))
+    Files.write(src.resolve(".hidden"), "skip".getBytes("UTF-8"))
+    val repo = Files.createTempDirectory("graft-tree-repo").toString
+    val dest = Files.createTempDirectory("graft-tree-dest").toString
+    val n = Sink.snapshot(spark, src.toString, repo)
+    assert(n > 2, s"tree snapshot should carry files from both subdirs, got $n")
+    assert(Sink.restore(spark, repo, dest) == n)
+    // subdirectory tables answer identically from the restore
+    assert(spark.read.parquet(s"$dest/postings").collect().map(_.toSeq).toSet ==
+      spark.read.parquet(src.resolve("postings").toString)
+        .collect().map(_.toSeq).toSet)
+    assert(spark.read.parquet(s"$dest/dict").count() ==
+      Tables.nation(spark, sf).count())
+    // lifecycle markers travel (the restored gen must resolve as
+    // COMPLETE); hidden files do not
+    assert(new java.io.File(s"$dest/_DONE").exists())
+    assert(!new java.io.File(s"$dest/.hidden").exists())
+    assert(!new java.io.File(s"$repo/.hidden").exists())
+    // a torn tree repository (manifest deleted mid-snapshot) refuses
+    Files.delete(java.nio.file.Paths.get(repo, "MANIFEST"))
+    intercept[IllegalArgumentException] {
+      Sink.restore(spark, repo, Files.createTempDirectory("gtd2").toString)
+    }
+  }
+
   test("reindex op_type=create: conflicts noop, appends are additive, rerun is all-noop") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-reindex").toString

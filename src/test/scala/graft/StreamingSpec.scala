@@ -149,6 +149,41 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("retention machine across micro-batches: a late earlier week MOVES the cohort") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val machine = EventStream.retentionMachine(spark, df)
+    val q = machine.writeStream.format("memory").queryName("ret_t")
+      .outputMode("update").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    // batch 1: user 7 active in weeks of Jan-08 and Jan-22 (Mondays);
+    // cohort Jan-08, offsets {0, 2}
+    mem.addData(
+      (1L, t("2024-01-09 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, t("2024-01-23 10:00:00"), 7L, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: an EARLIER week (Jan-01) arrives late — retention is
+    // order-insensitive, so the cohort must MOVE back a week and every
+    // offset reshift: cohort Jan-01, offsets {0, 1, 3}
+    mem.addData((3L, t("2024-01-03 10:00:00"), 7L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    val snaps = spark.sql("select * from ret_t").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getSeq[Long](3)))
+    val epochDays = (m: String) =>
+      java.time.LocalDate.parse(m).toEpochDay
+    assert(snaps.contains((2, epochDays("2024-01-08"), Seq(0L, 2L))),
+      s"batch-1 snapshot missing: ${snaps.mkString(", ")}")
+    // converged = max-nWeeks snapshot
+    val last = snaps.maxBy(_._1)
+    assert(last == ((3, epochDays("2024-01-01"), Seq(0L, 1L, 3L))),
+      s"cohort must move back on a late earlier week, got $last")
+    q.stop()
+  }
+
   test("driver streaming entries converge to the batch answer") {
     // st2: the dedup ingest of a double-delivered input must equal the
     // single-copy batch aggregate — the strongest of the three

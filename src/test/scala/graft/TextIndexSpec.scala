@@ -76,6 +76,23 @@ class TextIndexSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse, "ranked by score desc")
   }
 
+  test("match_bool_prefix guards: empty prefix refused; Char.MaxValue last char falls back, no wrap") {
+    intercept[IllegalArgumentException] {
+      Search.matchBoolPrefix(spark, ix, Seq("merge"), "", k = 10)
+    }
+    // a last char of ￿ would make (last+1).toChar wrap the range
+    // to empty/inverted; the fallback (>= prefix + startsWith residual)
+    // must return exactly the full-term leg (no term starts with the
+    // sentinel) rather than silently dropping the prefix clause or
+    // matching everything
+    val sentinel = "ba" + Char.MaxValue
+    val res = Search.matchBoolPrefix(spark, ix, Seq("merge"), sentinel, k = 10)
+      .collect()
+    assert(res.nonEmpty, "full-term leg must survive an unmatched prefix")
+    res.foreach(r => assert(r.getDouble(1) > 0.0 && r.getDouble(1) != 1.0,
+      "no constant-score prefix-only rows for an unmatchable prefix"))
+  }
+
   test("_termvectors equals an independent per-doc replay; unindexed docs get df 0") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
