@@ -27,12 +27,15 @@ import org.apache.spark.sql.functions._
   *   _DONE         marker written last; a dir without it is a torn
   *                 build and is rebuilt
   *
-  * All training runs on the SAME bounded deterministic sample
-  * discipline as before (Similarity.normalizedSample), so a rebuilt
-  * artifact is bit-identical to the in-query training it replaces —
-  * the planted-ground-truth contracts hold unchanged, and
+  * All training runs on the same bounded deterministic sample
+  * discipline (Similarity.normalizedSample) — rebuilds of the same
+  * corpus are bit-identical to each other — with the coarse cell count
+  * AUTO-SCALED to √n per build ([[nlistFor]]): the contracts are
+  * invariant to nlist (candidates ⊆ probed cells, planted neighbors
+  * co-locate with their query at any resolution), and
   * [[Similarity.ivfContractWith]] additionally proves the PERSISTED
-  * assignment against an independent recomputation.
+  * assignment against an independent recomputation under the SAME
+  * centroids.
   *
   * One artifact serves every index family because they share the
   * trained structures (n3 IVF-flat reads ivf/, n7 reads sq8/, n8 reads
@@ -47,6 +50,26 @@ object AnnIndex {
   val Ksub = 16
   val Iters = 10
   val SampleSize = 1024
+
+  /** Coarse cell count for a corpus of `n` vectors: √n (the FAISS
+    * sizing guideline), floored at the legacy fixed 16. A FIXED nlist
+    * degrades with corpus growth — cells hold n/nlist vectors, so probe
+    * cost grows linearly with n (the measured 34× at the 1000× decade);
+    * at nlist = √n each probe scans nprobe·√n vectors and query cost
+    * grows as √n. Training stays affordable BY CONSTRUCTION:
+    * [[sampleSizeFor]] gives 64 points per centroid (the FAISS
+    * 30–256/centroid band), so Lloyd's per-iteration cost is
+    * sample·nlist·dim = 64·n·dim — LINEAR in the corpus, the same
+    * asymptotic as the encode pass that follows it. Re-train at rebuild
+    * is already the lifecycle (a new corpus version fingerprint builds
+    * a fresh generation), so the cell count tracks the corpus without
+    * any extra operational machinery. */
+  def nlistFor(n: Long): Int =
+    math.max(Nlist, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** Training-sample size for a cell count: 64 points per centroid,
+    * never below the legacy fixed sample. */
+  def sampleSizeFor(nlist: Int): Int = math.max(SampleSize, 64 * nlist)
 
   /** Driver-side trained structures + the persisted table locations.
     * `key` is the [[ensure]] memo key when managed (empty for ad-hoc
@@ -171,8 +194,12 @@ object AnnIndex {
     * persist everything. */
   def build(corpus: DataFrame, dir: String): Loaded = {
     val spark = corpus.sparkSession
-    val sample = Similarity.normalizedSample(corpus, SampleSize)
-    val cents = Similarity.kmeansFromSample(sample, Nlist, Iters)
+    // √n cells ([[nlistFor]] scaladoc): one metadata-cheap count
+    // decides the coarse resolution; the PQ/residual codebooks keep the
+    // fixed bounded sample (their size is M·Ksub, corpus-independent)
+    val nlist = nlistFor(corpus.count())
+    val sample = Similarity.normalizedSample(corpus, sampleSizeFor(nlist))
+    val cents = Similarity.kmeansFromSample(sample, nlist, Iters)
     val pqCbs = Similarity.pqTrainFromSample(sample, M, Ksub, Iters)
     val resCbs = Similarity.residualCodebooks(sample, cents, M, Ksub, Iters)
 

@@ -33,6 +33,23 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("nlist auto-scales as sqrt(n): floor at 16, sample 64 per centroid") {
+    // the fixed-nlist degradation fix (round-10 verdict task 4): a
+    // build over n vectors trains √n coarse cells, so probe cost grows
+    // as √n instead of linearly with the corpus
+    assert(AnnIndex.nlistFor(100L) == 16, "small corpora keep the floor")
+    assert(AnnIndex.nlistFor(10000L) == 100)
+    assert(AnnIndex.nlistFor(1000000L) == 1000)
+    assert(AnnIndex.sampleSizeFor(16) == AnnIndex.SampleSize)
+    assert(AnnIndex.sampleSizeFor(1000) == 64000)
+    // a real build carries the scaled cell count into the artifact
+    val corpus = plantedCorpus
+    val expected = AnnIndex.nlistFor(corpus.count())
+    val ix = AnnIndex.build(corpus, freshDir())
+    assert(ix.cents.length == expected,
+      s"built ${ix.cents.length} cells, expected $expected")
+  }
+
   test("one built artifact serves IVF, PQ, IVFPQ, and SQ8 queries") {
     val corpus = plantedCorpus
     val ix = AnnIndex.build(corpus, freshDir())

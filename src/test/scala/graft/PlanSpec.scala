@@ -88,6 +88,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("bigram LM degrades to shuffle equi-joins past the broadcast threshold, never a nested loop") {
+    // the x33 scale claim plan-locked (was COVERAGE prose only): the
+    // LM tables broadcast at test scale, but a corpus-scale vocabulary
+    // exceeds any broadcast threshold — force that regime (threshold
+    // -1 on a cloned session) and the three LM joins must degrade to
+    // shuffle EQUI-joins (the distributed KenLM-application shape),
+    // never a nested-loop or cartesian fallback. The single permitted
+    // BroadcastNestedLoopJoin is the one-row n_ref scalar crossJoin,
+    // whose explicit broadcast() hint survives the threshold.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = graft.operators.TextStats
+      .bigramScore(Tables.documents(s2, sf))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1, p)
+  }
+
   test("matrix_stats is one scan + one scalar agg, no object buffers") {
     val p = plan("a24_matrix_stats")
     assert(!p.contains("ObjectHashAggregate"), p)
