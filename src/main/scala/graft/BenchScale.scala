@@ -186,6 +186,53 @@ object BenchScale {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // STEP-scaling probe for BPE training (not a data decade): x26
+    // runs a per-merge Spark job loop, so a production 32k-merge vocab
+    // pays 32k sequential driver round-trips — this mode measures the
+    // per-step constant directly. SPARK_GRAFT_BPE_STEPS="8,64,256"
+    // runs bpeTrain at each step count over the base dir and reports
+    // total + marginal per-step seconds (marginal between successive
+    // step counts isolates the steady-state step cost from the corpus
+    // collapse both runs share).
+    sys.env.get("SPARK_GRAFT_BPE_STEPS").foreach { spec =>
+      val stepCounts = spec.split(",").map(_.trim.toInt).toSeq.sorted
+      // SPARK_GRAFT_BPE_BATCH=B measures the batched-round variant
+      // (bpeTrainBatched) instead of the sequential per-merge loop
+      val batchOpt = sys.env.get("SPARK_GRAFT_BPE_BATCH").map(_.trim.toInt)
+      val docs = Tables.documents(spark, base)
+      val times = stepCounts.map { k =>
+        Bench.isolate(spark)
+        val (_, s) = timed {
+          batchOpt match {
+            case Some(b) =>
+              operators.TextStats.bpeTrainBatched(spark, docs, steps = k,
+                batch = b).write.format("noop").mode("overwrite").save()
+            case None =>
+              operators.TextStats.bpeTrain(spark, docs, steps = k)
+                .write.format("noop").mode("overwrite").save()
+          }
+        }
+        System.err.println(f"[bpe-scale] steps=$k batch=${batchOpt.getOrElse(1)} $s%.1fs")
+        k -> s
+      }
+      val marginals = times.sliding(2).collect {
+        case Seq((k1, t1), (k2, t2)) if k2 > k1 =>
+          s""""${k1}_to_$k2":${f"${(t2 - t1) / (k2 - k1)}%.3f"}"""
+      }.mkString("{", ",", "}")
+      val totals = times
+        .map { case (k, s) => s""""$k":${f"$s%.3f"}""" }
+        .mkString("{", ",", "}")
+      val line = s"""{"metric":"bpe_step_probe","base_dir":"$base",""" +
+        s""""total_sec":$totals,"marginal_sec_per_step":$marginals}"""
+      println(line)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench_bpe.json")),
+        (line + "\n").getBytes("UTF-8"))
+      spark.stop()
+      return
+    }
+
     val (_, repSec) = timed { replicate(spark, base, out, scale) }
 
     // per-dir measurement: warm the reader paths, pre-build the

@@ -824,6 +824,94 @@ object TextStats {
       .orderBy(col("step"))
   }
 
+  /** Batched BPE merge learning — the driver-latency fix for
+    * [[bpeTrain]]'s one-Spark-job-per-merge loop. The r11 step probe
+    * measured the per-step constant at ~30–60 ms (vocab-sized shuffle
+    * + 1-row argmax + checkpoint), INDEPENDENT of corpus size — so a
+    * production 32k-merge vocabulary costs ~half an hour of
+    * sequential driver round-trips even on a trivial corpus. This
+    * variant emits up to `batch` merges per round, dividing the job
+    * count by ~batch: each round takes the pair-count ranking ONCE and
+    * greedily keeps the top pairs that are pairwise SYMBOL-DISJOINT
+    * (a pair is skipped when its left, right, or merged symbol was
+    * already claimed this round) — disjoint replacements cannot
+    * interact, so applying the whole round in one chained-replace
+    * projection equals applying them sequentially in any order.
+    *
+    * The documented approximation (standard in scaled BPE trainers):
+    * sequential BPE recounts after EVERY merge, so merge k's count
+    * reflects merges 1..k−1 — a batched round ranks all its picks on
+    * the same pre-round counts. `batch = 1` reproduces [[bpeTrain]]
+    * bit-for-bit (spec-locked); the top-1 pick always survives the
+    * disjointness screen, so every round makes progress. Output adds
+    * a `round` column so the batching is itself verifiable (within a
+    * round, all claimed symbols distinct). */
+  def bpeTrainBatched(spark: SparkSession, docs: DataFrame,
+                      steps: Int = 8, batch: Int = 16,
+                      textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(Analyzers.tokenize(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+        array_join(split(col("w"), ""), " "), lit(" ")).as("rep"),
+        col("freq"))
+      .localCheckpoint()
+    val learned = Seq.newBuilder[(Int, Int, String, String, String, Long)]
+    var emitted = 0
+    var round = 0
+    var exhausted = false
+    while (emitted < steps && !exhausted) {
+      round += 1
+      // over-fetch 4× the batch: conflicting pairs are screened
+      // driver-side, and anything short re-ranks next round anyway
+      val want = math.min(batch, steps - emitted)
+      val top = vocab
+        .select(split(trim(col("rep")), " ").as("syms"), col("freq"))
+        .select(explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+                      slice(syms, 2, size(syms) - 1),
+                      (l, r) -> struct(l AS l, r AS r))"""))
+          .as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(want * 4).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        val it = top.iterator
+        while (picked.size < want && it.hasNext) {
+          val r = it.next()
+          val (l, rr) = (r.getString(0), r.getString(1))
+          if (!used(l) && !used(rr) && !used(l + rr)) {
+            picked += ((l, rr, r.getLong(2)))
+            used ++= Seq(l, rr, l + rr)
+          }
+        }
+        picked.foreach { case (l, r, c) =>
+          emitted += 1
+          learned += ((emitted, round, l, r, l + r, c))
+        }
+        // one projection applies the whole round: disjoint patterns
+        // cannot overlap, so the chained replaces commute
+        val applied = picked.foldLeft(col("rep")) { case (c, (l, r, _)) =>
+          regexp_replace(c,
+            lit(java.util.regex.Pattern.quote(s" $l $r ")),
+            lit(java.util.regex.Matcher.quoteReplacement(s" $l$r ")))
+        }
+        vocab = vocab.withColumn("rep", applied).localCheckpoint()
+      }
+    }
+    learned.result()
+      .toDF("step", "round", "left_sym", "right_sym", "merged", "pair_count")
+      .select(col("step").cast("long"), col("round").cast("long"),
+        col("left_sym"), col("right_sym"), col("merged"), col("pair_count"))
+      .orderBy(col("step"))
+  }
+
   /** Gopher-style repetition/shape rules (Rae et al. 2021 §A1.1),
     * integer-exact: top-word and top-bigram fractions in basis points,
     * mean word length ×100, and the keep verdict under the given

@@ -324,6 +324,39 @@ class TextStatsSpec extends SparkSpec {
     assert(out == "the|he")
   }
 
+  test("batched BPE: batch=1 equals the sequential trainer; rounds claim disjoint symbols") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val seqM = TextStats.bpeTrain(spark, docs, steps = 12).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // batch=1 reproduces the sequential trainer bit-for-bit (the
+    // top-1 pick always survives the disjointness screen)
+    val b1 = TextStats.bpeTrainBatched(spark, docs, steps = 12, batch = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    assert(b1.toSeq == seqM.toSeq)
+    // batch=4: round 1's first pick is the sequential argmax; within a
+    // round no two picks share a left/right/merged symbol (the
+    // property that makes the one-pass application order-free); and
+    // the job count collapses (fewer rounds than merges)
+    val b4 = TextStats.bpeTrainBatched(spark, docs, steps = 12, batch = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    assert(b4.head._3 == seqM.head._2 && b4.head._4 == seqM.head._3,
+      "round 1 must open with the sequential argmax")
+    b4.groupBy(_._2).foreach { case (round, rows) =>
+      val sets = rows.map(r => Set(r._3, r._4, r._5)).toSeq
+      sets.combinations(2).foreach { pair =>
+        assert((pair.head & pair.last).isEmpty,
+          s"round $round picks must be disjoint: ${pair.head} vs ${pair.last}")
+      }
+    }
+    assert(b4.map(_._2).distinct.length < seqM.length,
+      "batching must collapse the round count")
+  }
+
   test("heavy hitters: CMS never undercounts, overshoot bounded") {
     val out = TextStats.heavyHitters(Tables.documents(spark, sf),
       probes = Seq("the", "zzzneverseen"))
