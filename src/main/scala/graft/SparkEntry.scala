@@ -580,6 +580,39 @@ object SparkEntry {
         graft.operators.TextIndex.Loaded(restored.toString, "s21b"),
         Seq("spark", "window"), k = 20)
     }),
+    "s21c_incremental_snapshot" -> ((s, d) => {
+      // ES INCREMENTAL snapshots (Sink.snapshotIncremental scaladoc):
+      // snapshot a text index built on 2/3 of the corpus, append the
+      // remaining third as a segment, snapshot AGAIN — the second
+      // snapshot must copy ONLY the delta files (segment files are
+      // immutable; dailies of a 100 TB index copy only new segments) —
+      // then restore the second snapshot into a fresh root and serve
+      // f4's BM25 from it. The oracle is the full-corpus replay, so
+      // the restore proves base + segment + blob reuse compose to the
+      // exact full index.
+      val docs = Tables.documents(s, d)
+      val ixDir = Scratch.dir("s21cix")
+      val base = graft.operators.TextIndex.build(
+        docs.filter(col("doc_id") % 3 =!= 0), ixDir)
+      val repo = Scratch.dir("s21crepo")
+      val (t1, c1) = graft.sources.Sink.snapshotIncremental(s, ixDir, repo, "1")
+      require(t1 > 0 && c1 == t1, "first snapshot copies everything")
+      graft.operators.TextIndex.addSegment(base,
+        docs.filter(col("doc_id") % 3 === 0))
+      val (t2, c2) = graft.sources.Sink.snapshotIncremental(s, ixDir, repo, "2")
+      require(c2 > 0 && c2 < t2,
+        s"second snapshot must copy only the segment delta: copied $c2 of $t2")
+      val root = java.nio.file.Paths.get(Scratch.dir("s21croot"))
+      graft.sources.Sink.restoreSnapshot(s, repo, "2",
+        root.resolve("gen-1").toString)
+      graft.operators.ArtifactGen.publish(root, root.resolve("gen-1"))
+      val restored = graft.operators.ArtifactGen.currentDir(root)
+        .getOrElse(throw new IllegalStateException(
+          "restored snapshot did not resolve as a complete generation"))
+      Search.searchBm25Indexed(s,
+        graft.operators.TextIndex.Loaded(restored.toString, "s21c"),
+        Seq("spark", "window"), k = 20)
+    }),
     "s20_reindex" -> ((s, d) => {
       // ES _reindex (conflicts=proceed, op_type=create): dest is
       // pre-seeded with the doc_id%3==0 slice at ORIGINAL values;
@@ -1702,6 +1735,26 @@ object SparkEntry {
       val ix = annIndexFor(s, d)
       Similarity.ivfContractWith(annPlantedCorpus(s, d), ix.cents,
           ix.ivf(s), annProbeIds, k = 10)
+        .orderBy(col("qid"))
+    }),
+    "n3b_knn_ivf_serve" -> ((s, d) => {
+      // the SERVING-only IVF probe: n3's contract additionally
+      // re-assigns the WHOLE corpus to prove the persisted assignment
+      // (an n·nlist verification term that drowns the serving cost in
+      // a scale probe); this row reads only the cell-partitioned ivf
+      // table + trained centroids and verifies from the RESULT alone —
+      // the planted ×2-scaled copy (cos exactly 1) must rank first per
+      // probe and k stays bounded. This is the row whose scaling the
+      // √n-nlist build is FOR: nprobe·n/nlist candidates per query.
+      val ix = annIndexFor(s, d)
+      Similarity.knnIvfBatchAssigned(annPlantedCorpus(s, d), ix.ivf(s),
+          ix.cents, annProbeIds, k = 10)
+        .groupBy(col("qid"))
+        .agg(min_by(col("vec_id"), col("rank")).as("top1"),
+          count(lit(1)).as("n_rows"))
+        .select(col("qid"),
+          (col("top1") === col("qid") + 1000000L).as("planted_rank1"),
+          (col("n_rows") > 0 && col("n_rows") <= 10).as("k_bounded"))
         .orderBy(col("qid"))
     }),
     "n4_ann_contract" -> ((s, d) => {
@@ -4894,6 +4947,28 @@ object SparkEntry {
                              ELSE 0.0 END), 6) AS score
           FROM p, s WHERE tf0 > 0 OR tf1 > 0
           ORDER BY score DESC, doc_id LIMIT 20""",
+    // s21c: f4's replay again — the incremental chain (base build +
+    // appended segment + blob-reusing second snapshot + restore) must
+    // serve the exact full-corpus BM25
+    "s21c_incremental_snapshot" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(toks)::INT AS len,
+                       len(list_filter(toks, x -> x = 'spark'))::INT AS tf0,
+                       len(list_filter(toks, x -> x = 'window'))::INT AS tf1 FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1 FROM p)
+          SELECT doc_id,
+                 round((CASE WHEN tf0 > 0
+                             THEN ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) *
+                                  (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                             ELSE 0.0 END) +
+                       (CASE WHEN tf1 > 0
+                             THEN ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) *
+                                  (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                             ELSE 0.0 END), 6) AS score
+          FROM p, s WHERE tf0 > 0 OR tf1 > 0
+          ORDER BY score DESC, doc_id LIMIT 20""",
     // s21b: IDENTICAL to f4's replay by design — the snapshot→restore
     // cycle must serve BM25 bit-for-bit like the source-built artifact
     "s21b_artifact_snapshot" ->
@@ -5111,6 +5186,14 @@ object SparkEntry {
                                (202::BIGINT, TRUE, TRUE, TRUE, TRUE, TRUE, TRUE))
            AS t(qid, k_bounded, all_in_probed, scores_exact,
                 planted_found, planted_rank1, ranked_desc)
+         ORDER BY qid""",
+    // n3b: the serving-only probe — verification needs only the
+    // RESULT rows (planted ×2 copy ranks first; k bounded)
+    "n3b_knn_ivf_serve" ->
+      """SELECT * FROM (VALUES (1::BIGINT, TRUE, TRUE),
+                               (101::BIGINT, TRUE, TRUE),
+                               (202::BIGINT, TRUE, TRUE))
+           AS t(qid, planted_rank1, k_bounded)
          ORDER BY qid""",
     "d1_exact_dedup" ->
       s"""SELECT md5($sqlNorm) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups

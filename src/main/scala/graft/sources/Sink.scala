@@ -224,6 +224,145 @@ object Sink {
     lines.length.toLong
   }
 
+  /** ES INCREMENTAL snapshot — the multi-snapshot repository model:
+    * segment files are immutable once committed, so a repository that
+    * already holds a file from an earlier snapshot never copies it
+    * again (ES snapshots of a 100 TB index copy only the new segments;
+    * dailies are cheap because merges and appends touch a small
+    * fraction of the tree). Layout: `blobs/<relpath>` holds file
+    * contents ONCE; `snap-<id>/MANIFEST` lists (md5, length, relpath)
+    * per file, written LAST per snapshot — the same torn-snapshot
+    * refusal discipline as [[snapshot]], per snapshot id.
+    *
+    * Reuse identity is (relpath, length) against the union of prior
+    * manifests: committed parquet part files carry unique names, and
+    * artifact tables swap under NEW directory names, so a path-level
+    * match of equal length IS the same immutable file — and the safety
+    * net is absolute regardless: [[restoreSnapshot]] re-verifies every
+    * manifest md5 as the bytes stream, so a wrong reuse can never
+    * restore silently. SINGLE-WRITER per repository (the [[reindex]]
+    * contract): concurrent snapshotters could race on a blob write;
+    * serialize via the artifact families' claim discipline. Returns
+    * (files in snapshot, files actually copied). */
+  def snapshotIncremental(spark: SparkSession, srcDir: String,
+                          repoDir: String, snapId: String): (Long, Long) = {
+    require(snapId.nonEmpty && !snapId.contains("/"),
+      s"bad snapshot id: '$snapId'")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val repo = new org.apache.hadoop.fs.Path(repoDir)
+    val sfs = src.getFileSystem(conf)
+    val rfs = repo.getFileSystem(conf)
+    val snapDir = new org.apache.hadoop.fs.Path(repo, s"snap-$snapId")
+    require(!rfs.exists(new org.apache.hadoop.fs.Path(snapDir, "MANIFEST")),
+      s"snapshot '$snapId' already exists in $repoDir")
+    rfs.mkdirs(snapDir)
+    // the union of prior manifests: relpath -> (md5, length)
+    val known = priorManifests(rfs, repo).flatMap(readManifest(rfs, _))
+      .map { case (md5, len, rel) => rel -> ((md5, len)) }.toMap
+    def walk(dir: org.apache.hadoop.fs.Path,
+             prefix: String): Seq[(org.apache.hadoop.fs.FileStatus, String)] =
+      sfs.listStatus(dir).toSeq
+        .filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith(".") || n.startsWith("_temporary")
+        }
+        .flatMap { st =>
+          if (st.isDirectory) walk(st.getPath, prefix + st.getPath.getName + "/")
+          else Seq((st, prefix + st.getPath.getName))
+        }
+    val files = walk(src, "").sortBy(_._2)
+    var copied = 0L
+    val manifest = files.map { case (st, rel) =>
+      val blob = new org.apache.hadoop.fs.Path(repo, s"blobs/$rel")
+      val md5 = known.get(rel) match {
+        case Some((m, len)) if len == st.getLen && rfs.exists(blob) => m
+        case _ =>
+          copied += 1
+          copyWithMd5(sfs, st.getPath, rfs, blob)
+      }
+      s"$md5 ${st.getLen} $rel"
+    }
+    val out = rfs.create(
+      new org.apache.hadoop.fs.Path(snapDir, "MANIFEST"), true)
+    try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    (files.length.toLong, copied)
+  }
+
+  /** Restore one snapshot id from an incremental repository —
+    * [[restore]]'s full-verification discipline against the shared
+    * blob store (every byte re-verified against the snapshot's own
+    * manifest md5, so cross-snapshot blob reuse can never serve the
+    * wrong content silently). */
+  def restoreSnapshot(spark: SparkSession, repoDir: String, snapId: String,
+                      destDir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val repo = new org.apache.hadoop.fs.Path(repoDir)
+    val dest = new org.apache.hadoop.fs.Path(destDir)
+    val rfs = repo.getFileSystem(conf)
+    val dfs = dest.getFileSystem(conf)
+    val mPath = new org.apache.hadoop.fs.Path(repo, s"snap-$snapId/MANIFEST")
+    require(rfs.exists(mPath),
+      s"snapshot '$snapId' in $repoDir has no MANIFEST — torn or absent")
+    val lines = readManifest(rfs, mPath)
+    dfs.mkdirs(dest)
+    lines.foreach { case (md5, len, rel) =>
+      val from = new org.apache.hadoop.fs.Path(repo, s"blobs/$rel")
+      val got = copyWithMd5(rfs, from, dfs,
+        new org.apache.hadoop.fs.Path(dest, rel))
+      require(got == md5 && rfs.getFileStatus(from).getLen == len,
+        s"checksum mismatch restoring $rel from snapshot '$snapId'")
+    }
+    lines.length.toLong
+  }
+
+  /** Delete one snapshot id and garbage-collect blobs no remaining
+    * manifest references — the ES delete-snapshot semantics (blobs are
+    * shared, so deletion is reference-counted against the manifest
+    * set, never a directory wipe). Single-writer, like
+    * [[snapshotIncremental]]. Returns the number of blobs removed. */
+  def deleteSnapshot(spark: SparkSession, repoDir: String,
+                     snapId: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val repo = new org.apache.hadoop.fs.Path(repoDir)
+    val rfs = repo.getFileSystem(conf)
+    val snapDir = new org.apache.hadoop.fs.Path(repo, s"snap-$snapId")
+    require(rfs.exists(snapDir), s"no snapshot '$snapId' in $repoDir")
+    val doomed = readManifest(rfs,
+        new org.apache.hadoop.fs.Path(snapDir, "MANIFEST"))
+      .map(_._3).toSet
+    rfs.delete(snapDir, true)
+    val live = priorManifests(rfs, repo).flatMap(readManifest(rfs, _))
+      .map(_._3).toSet
+    val orphans = doomed -- live
+    orphans.foreach { rel =>
+      rfs.delete(new org.apache.hadoop.fs.Path(repo, s"blobs/$rel"), false)
+    }
+    orphans.size.toLong
+  }
+
+  private def priorManifests(rfs: org.apache.hadoop.fs.FileSystem,
+                             repo: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] =
+    if (!rfs.exists(repo)) Seq.empty
+    else rfs.listStatus(repo).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap-"))
+      .map(st => new org.apache.hadoop.fs.Path(st.getPath, "MANIFEST"))
+      .filter(rfs.exists(_))
+
+  private def readManifest(rfs: org.apache.hadoop.fs.FileSystem,
+                           mPath: org.apache.hadoop.fs.Path)
+      : Seq[(String, Long, String)] = {
+    val in = rfs.open(mPath)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { line =>
+        val Array(md5, len, rel) = line.split(" ", 3)
+        (md5, len.toLong, rel)
+      }.toList
+    finally in.close()
+  }
+
   /** Stream-copy one file, returning the md5 of the bytes copied. */
   private def copyWithMd5(sfs: org.apache.hadoop.fs.FileSystem,
                           from: org.apache.hadoop.fs.Path,

@@ -122,6 +122,43 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("incremental snapshots: second snapshot copies only the delta; delete GCs unshared blobs") {
+    import org.apache.spark.sql.SaveMode
+    val src = Files.createTempDirectory("graft-inc-src").toString
+    val repo = Files.createTempDirectory("graft-inc-repo").toString
+    Tables.region(spark, sf).write.parquet(s"$src/a")
+    val (t1, c1) = Sink.snapshotIncremental(spark, src, repo, "1")
+    assert(t1 > 0 && c1 == t1, "first snapshot copies everything")
+    // append a NEW table dir (immutable files: the old ones untouched)
+    Tables.nation(spark, sf).write.parquet(s"$src/b")
+    val (t2, c2) = Sink.snapshotIncremental(spark, src, repo, "2")
+    assert(t2 > t1 && c2 == t2 - t1,
+      s"second snapshot must copy only the new files: copied $c2 of $t2 (prior $t1)")
+    // duplicate snapshot ids refuse
+    intercept[IllegalArgumentException] {
+      Sink.snapshotIncremental(spark, src, repo, "2")
+    }
+    // both snapshots restore independently and answer correctly
+    val d1 = Files.createTempDirectory("graft-inc-d1").toString
+    val d2 = Files.createTempDirectory("graft-inc-d2").toString
+    assert(Sink.restoreSnapshot(spark, repo, "1", d1) == t1)
+    assert(Sink.restoreSnapshot(spark, repo, "2", d2) == t2)
+    assert(spark.read.parquet(s"$d1/a").count() == 5)
+    assert(spark.read.parquet(s"$d2/a").count() == 5)
+    assert(spark.read.parquet(s"$d2/b").count() == 25)
+    assert(!new java.io.File(s"$d1/b").exists(),
+      "snapshot 1 must not restore files from snapshot 2")
+    // deleting snapshot 2 GCs ONLY the blobs snapshot 1 doesn't share
+    val removed = Sink.deleteSnapshot(spark, repo, "2")
+    assert(removed == t2 - t1, s"GC must remove exactly the unshared blobs, got $removed")
+    val d3 = Files.createTempDirectory("graft-inc-d3").toString
+    assert(Sink.restoreSnapshot(spark, repo, "1", d3) == t1,
+      "surviving snapshot must still restore after the GC")
+    intercept[IllegalArgumentException] {
+      Sink.restoreSnapshot(spark, repo, "2", d3)
+    }
+  }
+
   test("reindex op_type=create: conflicts noop, appends are additive, rerun is all-noop") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-reindex").toString
