@@ -202,24 +202,27 @@ object Similarity {
     cents
   }
 
-  /** Centroid ranking by (cosine desc, centroid index asc) as
-    * array<struct<sim, nidx>> — the index rides NEGATED so one
-    * descending struct sort realizes the ascending-index tie-break.
-    * The single shared definition for cell ASSIGNMENT and cell
-    * PROBING on both the single-query and batch paths: duplicate
-    * centroids are reachable (empty k-means cells keep their seed), so
-    * a tie broken differently on two paths would probe different cell
-    * sets. */
-  private[operators] def centroidRank(cents: Array[Array[Double]], v: Column,
-                                      nrm: Column): Column =
-    sort_array(array(cents.zipWithIndex.map { case (c, i) =>
-      struct((dot(v, lit(c)) / nrm).as("sim"), lit(-i).as("nidx"))
-    }: _*), asc = false)
-
-  /** Nearest-centroid cell id under [[centroidRank]]'s total order. */
+  /** Nearest-centroid cell id by (cosine desc, centroid index asc) —
+    * the single shared tie-break for cell ASSIGNMENT and cell PROBING
+    * on both the single-query and batch paths: duplicate centroids
+    * are reachable (empty k-means cells keep their seed), so a tie
+    * broken differently on two paths would probe different cell sets.
+    * Loop-based kernel ([[graft.functions.CentroidImpl]] scaladoc):
+    * the earlier sort_array-over-struct-literals form unrolled
+    * O(nlist·dim) generated CODE, which at √n-scaled cell counts
+    * falls off the JIT and runs interpreted — the ×1000 probe caught
+    * one assignment task burning 27 CPU-minutes. Same accumulation
+    * order, bit-identical sims, identical assignments. */
   private[operators] def cellOf(cents: Array[Array[Double]], v: Column,
                                 nrm: Column): Column =
-    -element_at(centroidRank(cents, v, nrm), 1).getField("nidx")
+    graft.functions.Centroids.nearest_cell(cents, v, nrm)
+
+  /** The `nprobe` best cell ids in [[cellOf]]'s total order — the
+    * query-side probe list (array<int>, rank order). */
+  private[operators] def probeCellsOf(cents: Array[Array[Double]],
+                                      v: Column, nrm: Column,
+                                      nprobe: Int): Column =
+    graft.functions.Centroids.top_cells(cents, v, nrm, nprobe)
 
   /** IVF-flat ANN: coarse-quantize the corpus into `nlist` cells
     * (centroids k-means-trained on a bounded deterministic sample —
@@ -239,7 +242,7 @@ object Similarity {
       .select(col("v"), col("nrm")).head()
     val q = qRow.getSeq[Double](0).toArray
     val qn = qRow.getDouble(1)
-    // same (sim desc, index asc) order as centroidRank — duplicate
+    // same (sim desc, index asc) order as cellOf's kernel — duplicate
     // centroids (possible: empty k-means cells keep their seed) must
     // rank identically on the driver and the executor paths
     val probeCells = cents.zipWithIndex
@@ -368,9 +371,8 @@ object Similarity {
     val base = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"),
-        explode(transform(
-          slice(centroidRank(cents, col("v"), col("nrm")), 1, nprobe),
-          s => -s.getField("nidx"))).as("cell"))
+        explode(probeCellsOf(cents, col("v"), col("nrm"), nprobe))
+          .as("cell"))
     val queries = wanted.fold(base) { ql =>
       val spark = emb.sparkSession
       import spark.implicits._
@@ -540,8 +542,7 @@ object Similarity {
     val qSide = e.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"),
-        transform(slice(centroidRank(cents, col("v"), col("nrm")), 1, nprobe),
-          s => -s.getField("nidx")).as("probed"))
+        probeCellsOf(cents, col("v"), col("nrm"), nprobe).as("probed"))
     val cand = e.select(col("vec_id"), col("v").as("cv"),
       col("nrm").as("cn"), cellOf(cents, col("v"), col("nrm")).as("cand_cell"))
     annContractRows(res, qSide, cand, k, plantOffset)
@@ -732,9 +733,10 @@ object Similarity {
     * codegen'd [[dot]] of the RAW subvector against each centroid
     * literal, normalization folded into the score (never a
     * per-element division inside a HOF lambda — lesson 1's recompute
-    * hazard), ranked by the same (score desc, index asc) struct-sort
-    * total order as [[centroidRank]] so ties break identically
-    * everywhere. */
+    * hazard), ranked by the same (score desc, index asc) total order
+    * as [[cellOf]]'s kernel so ties break identically everywhere
+    * (ksub = 16 is FIXED, so the unrolled struct-sort stays JIT-sized
+    * here, unlike the √n-scaled cell count). */
   private def pqCode(cb: Array[Array[Double]], sub: Column,
                      nrm: Column): Column =
     -element_at(sort_array(array(cb.zipWithIndex.map { case (c, i) =>
@@ -963,7 +965,7 @@ object Similarity {
     val e = withNorm(corpus)
     // per-probe driver state: probed cells (top-nprobe under the same
     // total order), q·centroid bias per cell, residual ADC LUTs.
-    // Probed-cell ranking mirrors the executor's centroidRank
+    // Probed-cell ranking mirrors the executor's cellOf kernel
     // BIT-EXACTLY: raw-vector dot in element order, division AFTER
     // the sum — normalizing q first would reassociate the IEEE ops
     // and a last-ulp flip at the nprobe boundary could leave the

@@ -112,6 +112,44 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("nearest_cell/top_cells compile under codegen and match the struct-sort reference order") {
+    noFallback {
+      // random centroids incl. a DUPLICATE pair (empty k-means cells
+      // keep their seed) — the index-ascending tie-break must hold
+      val rnd = new scala.util.Random(7)
+      val dim = 8
+      val base = Array.fill(6)(Array.fill(dim)(rnd.nextDouble() - 0.5))
+      val cents = base :+ base(2).clone() // cents(6) duplicates cents(2)
+      val vecs = Array.fill(40)(Array.fill(dim)(rnd.nextDouble() - 0.5)) ++
+        Array(base(2).map(_ * 2.0)) // exact hit on the duplicated pair
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toSeq.toDF("id", "v")
+        .select(col("id"), col("v"),
+          sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+      val got = df.select(col("id"),
+          graft.functions.Centroids.nearest_cell(cents, col("v"), col("nrm"))
+            .as("cell"),
+          graft.functions.Centroids.top_cells(cents, col("v"), col("nrm"), 3)
+            .as("probed"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2))))
+        .toMap
+      // reference: the (sim desc, idx asc) sort the kernels replace
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        val ranked = cents.zipWithIndex.map { case (c, ci) =>
+          (c.zip(v).map { case (a, b) => b * a }.sum / nrm, ci)
+        }.sortBy { case (s, ci) => (-s, ci) }
+        val (cell, probed) = got(i.toLong)
+        assert(cell == ranked.head._2, s"vec $i cell")
+        assert(probed == ranked.take(3).map(_._2).toSeq, s"vec $i probes")
+        // the duplicated centroid can never win a tie against its
+        // lower-indexed twin
+        assert(cell != 6, s"vec $i must tie-break to the earlier index")
+      }
+    }
+  }
+
   test("jaccard dedup plan runs whole-stage codegen end to end") {
     noFallback {
       val df = SparkEntry.queries("d4_jaccard_pairs")(spark, sf)
