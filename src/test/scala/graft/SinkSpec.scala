@@ -157,6 +157,19 @@ class SinkSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sink.restoreSnapshot(spark, repo, "2", d3)
     }
+    // the reuse-safety backstop: a corrupt SHARED blob refuses at
+    // restore (every byte re-verified against the snapshot's own
+    // manifest md5 — blob reuse can never serve wrong content silently)
+    val victim = new java.io.File(s"$repo/blobs/a").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0xff).toByte
+    java.nio.file.Files.write(victim.toPath, bytes)
+    val d4 = Files.createTempDirectory("graft-inc-d4").toString
+    val ex = intercept[Exception] { Sink.restoreSnapshot(spark, repo, "1", d4) }
+    assert(ex.isInstanceOf[IllegalArgumentException] ||
+      ex.isInstanceOf[org.apache.hadoop.fs.ChecksumException],
+      s"unexpected refusal type: ${ex.getClass}")
   }
 
   test("reindex op_type=create: conflicts noop, appends are additive, rerun is all-noop") {
