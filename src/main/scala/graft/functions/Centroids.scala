@@ -82,20 +82,212 @@ object CentroidImpl {
   }
 }
 
+/** Two-level ROUTING over a flat centroid set — the hierarchical
+  * coarse-quantizer step that removes the n^1.5 assignment term the
+  * r11 ×1000 probe measured (every vector against √n cells): cluster
+  * the `nlist` CENTROIDS themselves into ~√nlist top-level groups
+  * (driver-side, nlist points — milliseconds), then assign a vector by
+  * ranking the tops and scanning only the best `beam` groups' member
+  * cells — nTop + beam·(nlist/nTop) ≈ 2·beam·√nlist dots per vector
+  * instead of nlist. Routing is DERIVED deterministically from the
+  * centroid array (first-nTop init, fixed iterations), so assignment,
+  * contract recomputation, and probing all route identically and no
+  * artifact layout changes.
+  *
+  * Semantics contract: routed assignment is the greedy two-level
+  * argmax — the standard IVF-with-coarse-router approximation (FAISS's
+  * IMI / HNSW-quantizer shape). A `beam` covering every top group
+  * degenerates to the EXACT flat argmax (the kernels compare full
+  * (sim desc, idx asc) regardless of scan order) — spec-locked — and
+  * the kernels only route at all above [[Centroids.RouteThreshold]]
+  * cells, so small-nlist corpora (every oracle-gated scale) keep the
+  * flat semantics bit-for-bit. */
+final case class CentroidRouting(topCents: Array[Array[Double]],
+                                 members: Array[Array[Int]],
+                                 beam: Int) extends Serializable
+
+object CentroidImplRouting {
+
+  /** Deterministic routing tables for a centroid set: cosine k-means
+    * over the (already unit-normalized) centroids, first-nTop init,
+    * 10 iterations; every cell joins its nearest top (sim desc, idx
+    * asc — the shared tie-break). */
+  def routeFor(cents: Array[Array[Double]], beam: Int): CentroidRouting = {
+    val nTop = math.max(1, math.round(math.sqrt(cents.length.toDouble)).toInt)
+    var tops = java.util.Arrays.copyOfRange(cents.asInstanceOf[Array[AnyRef]],
+      0, nTop).asInstanceOf[Array[Array[Double]]].map(_.clone())
+    val dim = cents.head.length
+    val assign = new Array[Int](cents.length)
+    def assignAll(): Unit = {
+      var c = 0
+      while (c < cents.length) {
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var t = 0
+        while (t < nTop) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += cents(c)(j) * tops(t)(j); j += 1 }
+          if (d > bestSim) { bestSim = d; best = t }
+          t += 1
+        }
+        assign(c) = best
+        c += 1
+      }
+    }
+    var it = 0
+    while (it < 10) {
+      assignAll()
+      val sums = Array.fill(nTop)(new Array[Double](dim))
+      val counts = new Array[Int](nTop)
+      var c2 = 0
+      while (c2 < cents.length) {
+        val t = assign(c2)
+        var j = 0
+        while (j < dim) { sums(t)(j) += cents(c2)(j); j += 1 }
+        counts(t) += 1
+        c2 += 1
+      }
+      tops = Array.tabulate(nTop) { t =>
+        if (counts(t) == 0) tops(t)
+        else {
+          val m = sums(t)
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0.0) tops(t) else m.map(_ / n)
+        }
+      }
+      it += 1
+    }
+    // membership must reflect the RETURNED tops (the loop updates tops
+    // after its last assignment): one final pass keeps "a centroid's
+    // group is its nearest top" true for the shipped tables
+    assignAll()
+    val members = Array.fill(nTop)(Array.newBuilder[Int])
+    cents.indices.foreach(c => members(assign(c)) += c)
+    CentroidRouting(tops, members.map(_.result()), beam)
+  }
+}
+
 object Centroids {
 
+  /** Below this cell count the kernels scan every centroid (the exact
+    * flat argmax); at or above, assignment/probing route through the
+    * two-level tables. Every oracle-gated corpus sits far below. */
+  val RouteThreshold = 128
+
+  /** Shared scan core: evaluate the candidate cells in `cells` (null =
+    * all), keep the top `keep` under (sim desc, idx asc). Returns the
+    * parallel (idx, sim, filled) buffers via the passed arrays. */
+  private[functions] def scanCells(v: ArrayData, nrm: Double,
+                                   cents: Array[Array[Double]],
+                                   cells: Array[Int],
+                                   idx: Array[Int], sim: Array[Double]): Int = {
+    val keep = idx.length
+    var filled = 0
+    val n = if (cells == null) cents.length else cells.length
+    var i = 0
+    while (i < n) {
+      val c = if (cells == null) i else cells(i)
+      val cc = cents(c)
+      var d = 0.0
+      var j = 0
+      while (j < cc.length) { d += v.getDouble(j) * cc(j); j += 1 }
+      val s = d / nrm
+      if (filled < keep) {
+        var pos = filled
+        while (pos > 0 && (sim(pos - 1) < s ||
+          (sim(pos - 1) == s && idx(pos - 1) > c))) {
+          sim(pos) = sim(pos - 1); idx(pos) = idx(pos - 1); pos -= 1
+        }
+        sim(pos) = s; idx(pos) = c
+        filled += 1
+      } else if (s > sim(keep - 1) ||
+        (s == sim(keep - 1) && c < idx(keep - 1))) {
+        var pos = keep - 1
+        while (pos > 0 && (sim(pos - 1) < s ||
+          (sim(pos - 1) == s && idx(pos - 1) > c))) {
+          sim(pos) = sim(pos - 1); idx(pos) = idx(pos - 1); pos -= 1
+        }
+        sim(pos) = s; idx(pos) = c
+      }
+      i += 1
+    }
+    filled
+  }
+
+  /** The best `beam` top groups' member cells, concatenated. */
+  private[functions] def routedCandidates(v: ArrayData, nrm: Double,
+                                          route: CentroidRouting): Array[Int] = {
+    val beam = math.min(route.beam, route.topCents.length)
+    val tIdx = new Array[Int](beam)
+    val tSim = new Array[Double](beam)
+    val tFilled = scanCells(v, nrm, route.topCents, null, tIdx, tSim)
+    val out = Array.newBuilder[Int]
+    var i = 0
+    while (i < tFilled) { out ++= route.members(tIdx(i)); i += 1 }
+    out.result()
+  }
+
+  /** CONSISTENCY: assignment and probing must route identically per
+    * vector — the probe list's first element IS the vector's
+    * assignment cell (same candidates, same comparator), which is what
+    * keeps the planted-co-location and candidates⊆probed contracts
+    * true under routing. The only fallback (an all-empty beam of top
+    * groups, possible when k-means leaves seed tops memberless) keys
+    * on the SAME per-vector condition in both kernels, so they fall
+    * back together. */
+  def nearestRouted(v: ArrayData, nrm: Double, cents: Array[Array[Double]],
+                    route: CentroidRouting): Int = {
+    val cand = routedCandidates(v, nrm, route)
+    if (cand.length == 0) return CentroidImpl.nearest(v, nrm, cents)
+    val idx = new Array[Int](1)
+    val sim = new Array[Double](1)
+    scanCells(v, nrm, cents, cand, idx, sim)
+    idx(0)
+  }
+
+  def topCellsRouted(v: ArrayData, nrm: Double, cents: Array[Array[Double]],
+                     route: CentroidRouting, n: Int): ArrayData = {
+    val cand = routedCandidates(v, nrm, route)
+    if (cand.length == 0) return CentroidImpl.topCells(v, nrm, cents, n)
+    val k = math.min(n, cand.length)
+    val idx = new Array[Int](k)
+    val sim = new Array[Double](k)
+    val filled = scanCells(v, nrm, cents, cand, idx, sim)
+    new GenericArrayData(java.util.Arrays.copyOf(idx, filled))
+  }
+
+  /** Beam width for routed assignment/probing: the best 4 top groups'
+    * members are scanned — ≈ 4·√nlist + √nlist dots per vector. */
+  val RouteBeam = 4
+
+  private def routeOpt(cents: Array[Array[Double]]): Option[CentroidRouting] =
+    if (cents.length >= RouteThreshold)
+      Some(CentroidImplRouting.routeFor(cents, RouteBeam))
+    else None
+
   case class NearestCell(left: Expression, right: Expression,
-                         cents: Array[Array[Double]])
+                         cents: Array[Array[Double]],
+                         route: Option[CentroidRouting])
       extends BinaryExpression with Serializable {
     override def dataType: DataType = IntegerType
-    override def nullSafeEval(v: Any, n: Any): Any =
-      CentroidImpl.nearest(v.asInstanceOf[ArrayData],
+    override def nullSafeEval(v: Any, n: Any): Any = route match {
+      case Some(r) => nearestRouted(v.asInstanceOf[ArrayData],
+        n.asInstanceOf[Double], cents, r)
+      case None => CentroidImpl.nearest(v.asInstanceOf[ArrayData],
         n.asInstanceOf[Double], cents)
+    }
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
       val m = ctx.addReferenceObj("cents", cents, "double[][]")
-      defineCodeGen(ctx, ev,
-        (a, b) => s"graft.functions.CentroidImpl.nearest($a, $b, $m)")
+      route match {
+        case Some(rt) =>
+          val r = ctx.addReferenceObj("route", rt,
+            "graft.functions.CentroidRouting")
+          defineCodeGen(ctx, ev, (a, b) =>
+            s"graft.functions.Centroids.nearestRouted($a, $b, $m, $r)")
+        case None =>
+          defineCodeGen(ctx, ev, (a, b) =>
+            s"graft.functions.CentroidImpl.nearest($a, $b, $m)")
+      }
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): NearestCell = copy(left = l, right = r)
@@ -103,30 +295,56 @@ object Centroids {
   }
 
   case class TopCells(left: Expression, right: Expression,
-                      cents: Array[Array[Double]], n: Int)
+                      cents: Array[Array[Double]], n: Int,
+                      route: Option[CentroidRouting])
       extends BinaryExpression with Serializable {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-    override def nullSafeEval(v: Any, nr: Any): Any =
-      CentroidImpl.topCells(v.asInstanceOf[ArrayData],
+    override def nullSafeEval(v: Any, nr: Any): Any = route match {
+      case Some(r) => topCellsRouted(v.asInstanceOf[ArrayData],
+        nr.asInstanceOf[Double], cents, r, n)
+      case None => CentroidImpl.topCells(v.asInstanceOf[ArrayData],
         nr.asInstanceOf[Double], cents, n)
+    }
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
       val m = ctx.addReferenceObj("cents", cents, "double[][]")
-      defineCodeGen(ctx, ev,
-        (a, b) => s"graft.functions.CentroidImpl.topCells($a, $b, $m, $n)")
+      route match {
+        case Some(rt) =>
+          val r = ctx.addReferenceObj("route", rt,
+            "graft.functions.CentroidRouting")
+          defineCodeGen(ctx, ev, (a, b) =>
+            s"graft.functions.Centroids.topCellsRouted($a, $b, $m, $r, $n)")
+        case None =>
+          defineCodeGen(ctx, ev, (a, b) =>
+            s"graft.functions.CentroidImpl.topCells($a, $b, $m, $n)")
+      }
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): TopCells = copy(left = l, right = r)
     override def prettyName: String = "top_cells"
   }
 
+  /** Host-side twin of [[top_cells]] for driver code that must rank
+    * cells BIT-EXACTLY like the executors — INCLUDING the routing
+    * decision, so a driver-built probe list always contains the
+    * executor-assigned cell of the probe's own vector. */
+  def topCellsHost(cents: Array[Array[Double]], vRaw: Array[Double],
+                   nrm: Double, n: Int): Array[Int] = {
+    val v = new GenericArrayData(vRaw)
+    val res = routeOpt(cents) match {
+      case Some(r) => topCellsRouted(v, nrm, cents, r, n)
+      case None => CentroidImpl.topCells(v, nrm, cents, n)
+    }
+    res.toIntArray()
+  }
+
   def nearest_cell(cents: Array[Array[Double]], v: Column,
                    nrm: Column): Column =
     GraftShim.toColumn(NearestCell(GraftShim.toExpression(v),
-      GraftShim.toExpression(nrm), cents))
+      GraftShim.toExpression(nrm), cents, routeOpt(cents)))
 
   def top_cells(cents: Array[Array[Double]], v: Column, nrm: Column,
                 n: Int): Column =
     GraftShim.toColumn(TopCells(GraftShim.toExpression(v),
-      GraftShim.toExpression(nrm), cents, n))
+      GraftShim.toExpression(nrm), cents, n, routeOpt(cents)))
 }

@@ -242,12 +242,12 @@ object Similarity {
       .select(col("v"), col("nrm")).head()
     val q = qRow.getSeq[Double](0).toArray
     val qn = qRow.getDouble(1)
-    // same (sim desc, index asc) order as cellOf's kernel — duplicate
-    // centroids (possible: empty k-means cells keep their seed) must
-    // rank identically on the driver and the executor paths
-    val probeCells = cents.zipWithIndex
-      .map { case (c, i) => (c.zip(q).map { case (a, b) => a * b }.sum / qn, i) }
-      .sortBy { case (sim, i) => (-sim, i) }.take(nprobe).map(_._2)
+    // same (sim desc, index asc) order as cellOf's kernel, through
+    // the SAME host kernel — duplicate centroids (possible: empty
+    // k-means cells keep their seed) must rank identically on the
+    // driver and the executor paths
+    val probeCells = graft.functions.Centroids
+      .topCellsHost(cents, q, qn, nprobe).toSeq
     assigned
       .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
@@ -966,20 +966,20 @@ object Similarity {
     // per-probe driver state: probed cells (top-nprobe under the same
     // total order), q·centroid bias per cell, residual ADC LUTs.
     // Probed-cell ranking mirrors the executor's cellOf kernel
-    // BIT-EXACTLY: raw-vector dot in element order, division AFTER
-    // the sum — normalizing q first would reassociate the IEEE ops
-    // and a last-ulp flip at the nprobe boundary could leave the
-    // probe's own (executor-assigned) cell outside the probed set
+    // BIT-EXACTLY — through the SAME host kernel (Centroids
+    // .topCellsHost), routing decision included: raw-vector dot in
+    // element order, division AFTER the sum — normalizing q first
+    // would reassociate the IEEE ops and a last-ulp flip at the
+    // nprobe boundary could leave the probe's own (executor-assigned)
+    // cell outside the probed set
     val probes = e.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id"), col("v"), col("nrm")).collect()
       .map { r =>
         val vRaw = r.getSeq[Double](1).toArray
         val qn = r.getDouble(2)
         val q = vRaw.map(_ / qn)
-        val probed = cents.zipWithIndex
-          .map { case (c, i) =>
-            (vRaw.zip(c).map { case (a, b) => a * b }.sum / qn, i) }
-          .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+        val probed = graft.functions.Centroids
+          .topCellsHost(cents, vRaw, qn, nprobe)
         val bias = cents.map(_.zip(q).map { case (a, b) => a * b }.sum)
         val luts = Array.tabulate(m) { j =>
           cbs(j).map(_.zip(q.slice(j * ds, (j + 1) * ds))

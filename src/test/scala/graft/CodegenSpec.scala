@@ -150,6 +150,68 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("routed centroid kernels: full beam equals flat; assignment/probe consistent; codegen compiles at 200 cells") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.{CentroidImpl, CentroidImplRouting, Centroids}
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val nlist = 200 // >= RouteThreshold, so the Column API routes
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val cents = Array.fill(nlist)(unit())
+    val vecs = Array.fill(60)(Array.fill(dim)(rnd.nextGaussian()))
+    // 1) a beam covering every top group degenerates to the EXACT
+    //    flat argmax — the comparator is order-free
+    val fullBeam = CentroidImplRouting.routeFor(cents, beam = nlist)
+    vecs.foreach { v =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val a = new GenericArrayData(v)
+      assert(Centroids.nearestRouted(a, nrm, cents, fullBeam) ==
+        CentroidImpl.nearest(a, nrm, cents), "full beam must equal flat")
+      assert(Centroids.topCellsRouted(a, nrm, cents, fullBeam, 4).toIntArray()
+        .toSeq == CentroidImpl.topCells(a, nrm, cents, 4).toIntArray().toSeq)
+    }
+    // 2) at the production beam, assignment == probe[0] (the
+    //    consistency the planted contracts rest on), and the host
+    //    twin ranks identically
+    val route = CentroidImplRouting.routeFor(cents, Centroids.RouteBeam)
+    vecs.foreach { v =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val a = new GenericArrayData(v)
+      val cell = Centroids.nearestRouted(a, nrm, cents, route)
+      val probed = Centroids.topCellsRouted(a, nrm, cents, route, 4)
+        .toIntArray().toSeq
+      assert(probed.head == cell, "probe list must open with the assignment")
+      assert(Centroids.topCellsHost(cents, v, nrm, 4).toSeq == probed,
+        "host twin must rank identically")
+      // identical DIRECTIONS route identically (the planted x2 copy)
+      val v2 = v.map(_ * 2.0)
+      assert(Centroids.nearestRouted(new GenericArrayData(v2), nrm * 2.0,
+        cents, route) == cell, "scaling by 2 must not move the cell")
+    }
+    // 3) the routed Column path compiles under codegen at 200 cells
+    //    and matches the kernel
+    noFallback {
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toSeq.toDF("id", "v")
+        .select(col("id"), col("v"),
+          sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+            .as("nrm"))
+      val got = df.select(col("id"),
+          graft.functions.Centroids.nearest_cell(cents, col("v"), col("nrm"))
+            .as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        assert(got(i.toLong) ==
+          Centroids.nearestRouted(new GenericArrayData(v), nrm, cents, route))
+      }
+    }
+  }
+
   test("jaccard dedup plan runs whole-stage codegen end to end") {
     noFallback {
       val df = SparkEntry.queries("d4_jaccard_pairs")(spark, sf)
