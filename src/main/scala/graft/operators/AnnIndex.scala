@@ -60,19 +60,20 @@ object AnnIndex {
     * [[sampleSizeFor]] gives 64 points per centroid (the FAISS
     * 30–256/centroid band), so Lloyd's per-iteration cost is
     * sample·nlist·dim = 64·n·dim — LINEAR in the corpus. The encode
-    * pass that follows assigns every vector against √n cells — an
-    * n^1.5 term, the measured price of query flatness (r11 ×1000
-    * probe: serving 4× for 1000× rows vs 34× at fixed nlist, build
-    * 127×): the right side of the ledger for a serving system, since
-    * the build is a one-off ingest job per corpus version while every
-    * query pays the probe. At corpus sizes where n^1.5 ingest hurts,
-    * the standard fix is a hierarchical (two-level / HNSW) coarse
-    * quantizer in front of the assignment — log-cells per vector —
-    * which slots in here as a different [[graft.functions.CentroidImpl]]
-    * kernel without touching the artifact layout. Re-train at rebuild
-    * is already the lifecycle (a new corpus version fingerprint builds
-    * a fresh generation), so the cell count tracks the corpus without
-    * any extra operational machinery. */
+    * pass that follows assigns every vector through the TWO-LEVEL
+    * routed kernels ([[graft.functions.CentroidRouting]] — active at
+    * ≥128 cells): ~5·√nlist dots per vector instead of nlist, so the
+    * naive n·√n assignment term the r11 ×1000 probe first measured
+    * (build 1 135 s flat-scanned → 900 s routed; the n3 contract's
+    * full-corpus re-verification 185 → 50 s) stays near-linear. The
+    * measured outcome at ×1000: serving cost 3.9× for 1000× rows
+    * (bound √1000 ≈ 31.6) vs 34× at the old fixed nlist — the right
+    * side of the ledger for a serving system, since the build is a
+    * one-off ingest job per corpus version while every query pays the
+    * probe. Re-train at rebuild is already the lifecycle (a new
+    * corpus version fingerprint builds a fresh generation), so the
+    * cell count tracks the corpus without any extra operational
+    * machinery. */
   def nlistFor(n: Long): Int =
     math.max(Nlist, math.round(math.sqrt(n.toDouble)).toInt)
 
