@@ -259,9 +259,22 @@ object Centroids {
     * members are scanned — ≈ 4·√nlist + √nlist dots per vector. */
   val RouteBeam = 4
 
+  /** Routing-table memo keyed by centroid-array IDENTITY (Java array
+    * equals/hashCode are reference-based, so a WeakHashMap gives
+    * identity keying AND lets a dropped centroid set be collected).
+    * routeFor is a driver-side 10-iteration k-means over all nlist
+    * centroids; without the memo a query touching both nearest_cell
+    * and top_cells (e.g. the IVF contract's assignment + probe
+    * columns) recomputed identical tables twice PER PLAN CONSTRUCTION,
+    * and repeated builds of the same query recomputed them each time. */
+  private val routeMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Array[Double]], CentroidRouting]())
+
   private def routeOpt(cents: Array[Array[Double]]): Option[CentroidRouting] =
     if (cents.length >= RouteThreshold)
-      Some(CentroidImplRouting.routeFor(cents, RouteBeam))
+      Some(routeMemo.computeIfAbsent(cents,
+        c => CentroidImplRouting.routeFor(c, RouteBeam)))
     else None
 
   case class NearestCell(left: Expression, right: Expression,

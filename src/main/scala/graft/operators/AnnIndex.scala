@@ -205,13 +205,21 @@ object AnnIndex {
   def build(corpus: DataFrame, dir: String): Loaded = {
     val spark = corpus.sparkSession
     // √n cells ([[nlistFor]] scaladoc): one metadata-cheap count
-    // decides the coarse resolution; the PQ/residual codebooks keep the
-    // fixed bounded sample (their size is M·Ksub, corpus-independent)
+    // decides the coarse resolution. ONE sample collection feeds all
+    // three trainers, but at different sizes: the coarse quantizer
+    // needs 64 points PER CELL (so its sample scales with √n), while
+    // the PQ/residual codebooks are M·Ksub entries regardless of
+    // corpus — they train on the fixed-size PREFIX, which is exactly
+    // normalizedSample(corpus, SampleSize) (the sample is
+    // (xxhash64, vec_id)-ordered, so a prefix of a longer limit is
+    // the shorter limit), keeping codebook training cost
+    // corpus-independent instead of growing with √n.
     val nlist = nlistFor(corpus.count())
     val sample = Similarity.normalizedSample(corpus, sampleSizeFor(nlist))
+    val cbSample = sample.take(SampleSize)
     val cents = Similarity.kmeansFromSample(sample, nlist, Iters)
-    val pqCbs = Similarity.pqTrainFromSample(sample, M, Ksub, Iters)
-    val resCbs = Similarity.residualCodebooks(sample, cents, M, Ksub, Iters)
+    val pqCbs = Similarity.pqTrainFromSample(cbSample, M, Ksub, Iters)
+    val resCbs = Similarity.residualCodebooks(cbSample, cents, M, Ksub, Iters)
 
     import spark.implicits._
     val cbRows =

@@ -168,38 +168,168 @@ object Similarity {
                       sampleSize: Int = 1024): Array[Array[Double]] =
     kmeansFromSample(normalizedSample(emb, sampleSize), k, iters)
 
+  /** Lloyd's over the driver-side sample. Two regimes, gated on the
+    * SAME threshold as serving-side routing
+    * ([[graft.functions.Centroids.RouteThreshold]]):
+    *
+    *  - k < 128: the exact sequential loop — every oracle-gated
+    *    corpus trains here, bit-identical to all prior rounds.
+    *  - k ≥ 128 (√n-scaled cell counts): the assignment step routes
+    *    through a per-iteration two-level coarse quantizer
+    *    ([[graft.functions.CentroidImplRouting.routeFor]] retrained
+    *    from the CURRENT centroids — k points, milliseconds), cutting
+    *    per-point cost from k·dim to ~5·√k·dim dots, and the sample
+    *    scan fans out over a FIXED 64-chunk grid across driver cores
+    *    (chunk grid fixed — not cores-derived — and partial sums
+    *    merged in chunk order, so results are deterministic across
+    *    machines and re-runs). This is the training-side twin of the
+    *    routed encode pass: without it Lloyd's is a single-core
+    *    O(64·n·dim)-per-iteration wall (the r11 ×1000 probe measured
+    *    ann_index_build at 96× for 1000× rows vs the ~28× linear
+    *    band, dominated by this loop).
+    *
+    * Routed assignment during TRAINING is the standard hierarchical
+    * k-means approximation; the FINAL assignment/probing of real
+    * vectors still uses the shipped kernels on the returned centroids,
+    * so all serving contracts (candidates ⊆ probed, planted
+    * co-location) are unaffected by how training chose them. */
   private[operators] def kmeansFromSample(sample: Array[Array[Double]], k: Int,
                                           iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     var cents = sample.take(k).map(_.clone())
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
-      sample.foreach { v =>
-        var best = 0; var bestDot = Double.NegativeInfinity
-        var c = 0
-        while (c < k) {
-          var d = 0.0; var j = 0
-          while (j < dim) { d += v(j) * cents(c)(j); j += 1 }
-          if (d > bestDot) { bestDot = d; best = c }
-          c += 1
+    val routed = k >= graft.functions.Centroids.RouteThreshold
+    val nChunks = 64 // fixed grid — determinism across machines
+    val pool =
+      if (!routed) null
+      else java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(Runtime.getRuntime.availableProcessors(), nChunks))
+    try {
+      var it = 0
+      while (it < iters) {
+        val cur = cents
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Int](k)
+        if (!routed) {
+          sample.foreach { v =>
+            var best = 0; var bestDot = Double.NegativeInfinity
+            var c = 0
+            while (c < k) {
+              var d = 0.0; var j = 0
+              while (j < dim) { d += v(j) * cur(c)(j); j += 1 }
+              if (d > bestDot) { bestDot = d; best = c }
+              c += 1
+            }
+            var j = 0
+            while (j < dim) { sums(best)(j) += v(j); j += 1 }
+            counts(best) += 1
+          }
+        } else {
+          val route = graft.functions.CentroidImplRouting.routeFor(
+            cur, graft.functions.Centroids.RouteBeam)
+          val assign = new Array[Int](sample.length)
+          val step = (sample.length + nChunks - 1) / nChunks
+          val tasks = (0 until nChunks).map { chunk =>
+            pool.submit(new Runnable {
+              def run(): Unit = {
+                var i = chunk * step
+                val end = math.min(i + step, sample.length)
+                while (i < end) {
+                  assign(i) = nearestRoutedArr(sample(i), cur, route)
+                  i += 1
+                }
+              }
+            })
+          }
+          tasks.foreach(_.get())
+          // merge in sample order — same accumulation order as the
+          // sequential path, so only the ASSIGNMENT is approximate
+          var i = 0
+          while (i < sample.length) {
+            val best = assign(i)
+            val v = sample(i)
+            var j = 0
+            while (j < dim) { sums(best)(j) += v(j); j += 1 }
+            counts(best) += 1
+            i += 1
+          }
         }
-        var j = 0
-        while (j < dim) { sums(best)(j) += v(j); j += 1 }
-        counts(best) += 1
-      }
-      cents = Array.tabulate(k) { c =>
-        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
-        else {
-          val m = sums(c)
-          val n = math.sqrt(m.map(x => x * x).sum)
-          if (n == 0.0) cents(c) else m.map(_ / n)
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+          else {
+            val m = sums(c)
+            val n = math.sqrt(m.map(x => x * x).sum)
+            if (n == 0.0) cents(c) else m.map(_ / n)
+          }
         }
+        it += 1
       }
-      it += 1
+      cents
+    } finally if (pool != null) pool.shutdown()
+  }
+
+  /** Plain-`Array[Double]` twin of the routed 1-NN used ONLY inside
+    * Lloyd's training iterations (the serving kernels operate on
+    * Catalyst `ArrayData`; wrapping every sample point per iteration
+    * would box dim doubles per visit). Tie-breaks (sim desc, idx asc)
+    * like the shipped kernels; falls back to the flat scan when the
+    * beam's groups are all empty, like [[graft.functions.Centroids
+    * .nearestRouted]]. */
+  private def nearestRoutedArr(v: Array[Double], cents: Array[Array[Double]],
+      route: graft.functions.CentroidRouting): Int = {
+    val dim = v.length
+    val tops = route.topCents
+    val beam = math.min(route.beam, tops.length)
+    // top `beam` groups by (sim desc, idx asc)
+    val tIdx = new Array[Int](beam)
+    val tSim = new Array[Double](beam)
+    var filled = 0
+    var t = 0
+    while (t < tops.length) {
+      var d = 0.0; var j = 0
+      while (j < dim) { d += v(j) * tops(t)(j); j += 1 }
+      if (filled < beam) {
+        var pos = filled
+        while (pos > 0 && tSim(pos - 1) < d) {
+          tSim(pos) = tSim(pos - 1); tIdx(pos) = tIdx(pos - 1); pos -= 1
+        }
+        tSim(pos) = d; tIdx(pos) = t
+        filled += 1
+      } else if (d > tSim(beam - 1)) {
+        var pos = beam - 1
+        while (pos > 0 && tSim(pos - 1) < d) {
+          tSim(pos) = tSim(pos - 1); tIdx(pos) = tIdx(pos - 1); pos -= 1
+        }
+        tSim(pos) = d; tIdx(pos) = t
+      }
+      t += 1
     }
-    cents
+    var best = -1; var bestDot = Double.NegativeInfinity
+    var g = 0
+    while (g < filled) {
+      val members = route.members(tIdx(g))
+      var m = 0
+      while (m < members.length) {
+        val c = members(m)
+        val cc = cents(c)
+        var d = 0.0; var j = 0
+        while (j < dim) { d += v(j) * cc(j); j += 1 }
+        if (d > bestDot || (d == bestDot && c < best)) { bestDot = d; best = c }
+        m += 1
+      }
+      g += 1
+    }
+    if (best >= 0) best
+    else { // all beam groups memberless: exact flat fallback
+      var c = 0; best = 0; bestDot = Double.NegativeInfinity
+      while (c < cents.length) {
+        val cc = cents(c)
+        var d = 0.0; var j = 0
+        while (j < dim) { d += v(j) * cc(j); j += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
   }
 
   /** Nearest-centroid cell id by (cosine desc, centroid index asc) —

