@@ -254,11 +254,17 @@ object BenchScale {
       operators.ArtifactGen.wipe(operators.AnnIndex.rootFor(aKey))
       operators.DedupIndex.evictMemo("even-" + tKey)
       operators.ArtifactGen.wipe(operators.DedupIndex.rootFor("even-" + tKey))
+      // SPARK_GRAFT_BUILDS narrows which artifact builds are timed
+      // (comma-separated names) — a focused re-probe of one build
+      // shouldn't pay the other two at ×1000
+      val buildFilter = sys.env.get("SPARK_GRAFT_BUILDS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       val builds = Seq(
         "text_index_build" -> (() => { SparkEntry.textIndexFor(spark, dir); () }),
         "ann_index_build" -> (() => { SparkEntry.annIndexFor(spark, dir); () }),
         "dedup_index_build" -> (() => { SparkEntry.dedupIndexEven(spark, dir); () })
-      ).map { case (n, f) =>
+      ).filter { case (n, _) => buildFilter.forall(_.contains(n)) }
+        .map { case (n, f) =>
         val (_, s) = timed(f()); Bench.isolate(spark); n -> s
       }.toMap
       val queries = probeNames.map { n =>

@@ -116,7 +116,7 @@ object SparkEntry {
     * exactly 1, the same LSH bucket (positive scaling preserves every
     * hyperplane sign) and the same IVF cell. */
   private val annProbeIds = Seq(1L, 101L, 202L)
-  private def annPlantedCorpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def annPlantedCorpus(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"))
     val planted = emb.filter(col("vec_id").isin(annProbeIds: _*))

@@ -351,13 +351,18 @@ object Centroids {
     res.toIntArray()
   }
 
+  /** `routed = false` forces the exact flat scan at ANY cell count —
+    * the recall probe's control arm ([[graft.RecallProbe]]); serving
+    * code always uses the default. */
   def nearest_cell(cents: Array[Array[Double]], v: Column,
-                   nrm: Column): Column =
+                   nrm: Column, routed: Boolean = true): Column =
     GraftShim.toColumn(NearestCell(GraftShim.toExpression(v),
-      GraftShim.toExpression(nrm), cents, routeOpt(cents)))
+      GraftShim.toExpression(nrm), cents,
+      if (routed) routeOpt(cents) else None))
 
   def top_cells(cents: Array[Array[Double]], v: Column, nrm: Column,
-                n: Int): Column =
+                n: Int, routed: Boolean = true): Column =
     GraftShim.toColumn(TopCells(GraftShim.toExpression(v),
-      GraftShim.toExpression(nrm), cents, n, routeOpt(cents)))
+      GraftShim.toExpression(nrm), cents, n,
+      if (routed) routeOpt(cents) else None))
 }

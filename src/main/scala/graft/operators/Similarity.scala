@@ -351,8 +351,9 @@ object Similarity {
     * query-side probe list (array<int>, rank order). */
   private[operators] def probeCellsOf(cents: Array[Array[Double]],
                                       v: Column, nrm: Column,
-                                      nprobe: Int): Column =
-    graft.functions.Centroids.top_cells(cents, v, nrm, nprobe)
+                                      nprobe: Int,
+                                      routed: Boolean = true): Column =
+    graft.functions.Centroids.top_cells(cents, v, nrm, nprobe, routed)
 
   /** IVF-flat ANN: coarse-quantize the corpus into `nlist` cells
     * (centroids k-means-trained on a bounded deterministic sample —
@@ -476,6 +477,25 @@ object Similarity {
       cents, queryIds, k, nprobe)
   }
 
+  /** The recall probe's CONTROL arm ([[graft.RecallProbe]]): the same
+    * centroids and query set with routing forced OFF on BOTH sides —
+    * exact flat assignment of every corpus vector (the n·nlist term
+    * routing exists to avoid — fine for a probe, not for serving) and
+    * exact flat probe-cell ranking. The routed arm's recall is judged
+    * against this arm's, isolating the two-level beam approximation
+    * from everything IVF itself loses. */
+  def knnIvfBatchWithFlat(emb: DataFrame, cents: Array[Array[Double]],
+                          queryIds: Seq[Long], k: Int = 10,
+                          nprobe: Int = 4): DataFrame = {
+    val e = withNorm(emb)
+    ivfProbe(emb,
+      e.select(col("vec_id"), col("v"), col("nrm"),
+        graft.functions.Centroids
+          .nearest_cell(cents, col("v"), col("nrm"), routed = false)
+          .as("cell")),
+      cents, queryIds, wanted = None, k, nprobe, routed = false)
+  }
+
   /** [[knnIvfBatchWith]] probing a pre-ASSIGNED corpus — `assigned` is
     * (vec_id, v, nrm, cell), typically [[AnnIndex]]'s persisted IVF
     * table written `partitionBy("cell")`: the cell equi-join against
@@ -496,12 +516,13 @@ object Similarity {
   private def ivfProbe(emb: DataFrame, assigned: DataFrame,
                        cents: Array[Array[Double]], queryIds: Seq[Long],
                        wanted: Option[Seq[(Long, Int)]], k: Int,
-                       nprobe: Int, labelMatch: Boolean = true): DataFrame = {
+                       nprobe: Int, labelMatch: Boolean = true,
+                       routed: Boolean = true): DataFrame = {
     val e = withNorm(emb)
     val base = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"),
-        explode(probeCellsOf(cents, col("v"), col("nrm"), nprobe))
+        explode(probeCellsOf(cents, col("v"), col("nrm"), nprobe, routed))
           .as("cell"))
     val queries = wanted.fold(base) { ql =>
       val spark = emb.sparkSession

@@ -112,28 +112,35 @@ object Sink {
     * counters ride `observe` on the single write action — no extra
     * pass over either side.
     *
-    * SINGLE-WRITER contract: the conflict screen is a point-in-time
-    * listing snapshot, so two CONCURRENT reindex calls into the same
-    * destination can both pass the anti-join for the same id and both
-    * append — ES resolves that per-doc via `op_type=create` version
-    * conflicts, a per-document atomic this file-level sink does not
-    * have. Callers must serialize writers per destination (the same
-    * discipline the artifact families enforce via `_CLAIM` markers);
-    * sequential reindex calls — the replay/retry path — are safe, the
-    * second run noops every id the first created. */
+    * SINGLE-WRITER contract, ENFORCED: the conflict screen is a
+    * point-in-time listing snapshot, so two CONCURRENT reindex calls
+    * into the same destination could both pass the anti-join for the
+    * same id and both append — ES resolves that per-doc via
+    * `op_type=create` version conflicts, a per-document atomic this
+    * file-level sink does not have. A `_WRITER` claim marker
+    * ([[acquireWriter]] — the artifact families' `_CLAIM` discipline)
+    * makes the second concurrent writer refuse loudly instead of
+    * silently double-creating; a crashed writer's claim expires after
+    * the grace. Sequential reindex calls — the replay/retry path —
+    * are safe, the second run noops every id the first created. */
   def reindex(spark: SparkSession, source: DataFrame, idCol: String,
               destDir: String, shards: Int = 3): (Long, Long, Long) = {
-    val destIds = spark.read.parquet(destDir).select(col(idCol))
-    val obsTotal = org.apache.spark.sql.Observation()
-    val obsNew = org.apache.spark.sql.Observation()
-    source.observe(obsTotal, count(lit(1)).as("total"))
-      .join(destIds, Seq(idCol), "left_anti")
-      .observe(obsNew, count(lit(1)).as("created"))
-      .repartition(shards, col(idCol))
-      .write.mode("append").parquet(destDir)
-    val total = obsTotal.get("total").asInstanceOf[Long]
-    val created = obsNew.get("created").asInstanceOf[Long]
-    (total, created, total - created)
+    val dest = new org.apache.hadoop.fs.Path(destDir)
+    val dfs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = acquireWriter(dfs, dest)
+    try {
+      val destIds = spark.read.parquet(destDir).select(col(idCol))
+      val obsTotal = org.apache.spark.sql.Observation()
+      val obsNew = org.apache.spark.sql.Observation()
+      source.observe(obsTotal, count(lit(1)).as("total"))
+        .join(destIds, Seq(idCol), "left_anti")
+        .observe(obsNew, count(lit(1)).as("created"))
+        .repartition(shards, col(idCol))
+        .write.mode("append").parquet(destDir)
+      val total = obsTotal.get("total").asInstanceOf[Long]
+      val created = obsNew.get("created").asInstanceOf[Long]
+      (total, created, total - created)
+    } finally dfs.delete(claim, false)
   }
 
   /** ES snapshot: copy an index directory's committed files — walked
@@ -160,29 +167,21 @@ object Sink {
     val sfs = src.getFileSystem(conf)
     val rfs = repo.getFileSystem(conf)
     rfs.mkdirs(repo)
-    def walk(dir: org.apache.hadoop.fs.Path,
-             prefix: String): Seq[(org.apache.hadoop.fs.FileStatus, String)] =
-      sfs.listStatus(dir).toSeq
-        .filterNot { st =>
-          val n = st.getPath.getName
-          n.startsWith(".") || n.startsWith("_temporary")
-        }
-        .flatMap { st =>
-          if (st.isDirectory) walk(st.getPath, prefix + st.getPath.getName + "/")
-          else Seq((st, prefix + st.getPath.getName))
-        }
-    val files = walk(src, "").sortBy(_._2)
-    val manifest = files.map { case (st, rel) =>
-      // Hadoop create() makes parent dirs, so subtrees need no mkdirs
-      val md5 = copyWithMd5(sfs, st.getPath, rfs,
-        new org.apache.hadoop.fs.Path(repo, rel))
-      s"$md5 ${st.getLen} $rel"
-    }
-    val out = rfs.create(
-      new org.apache.hadoop.fs.Path(repo, "MANIFEST"), true)
-    try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    files.length.toLong
+    val claim = acquireWriter(rfs, repo)
+    try {
+      val files = walkCommitted(sfs, src)
+      val manifest = inParallel(files, CopyThreads) { case (st, rel) =>
+        // Hadoop create() makes parent dirs, so subtrees need no mkdirs
+        val md5 = copyWithMd5(sfs, st.getPath, rfs,
+          new org.apache.hadoop.fs.Path(repo, rel))
+        s"$md5 ${st.getLen} $rel"
+      }
+      val out = rfs.create(
+        new org.apache.hadoop.fs.Path(repo, "MANIFEST"), true)
+      try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      files.length.toLong
+    } finally rfs.delete(claim, false)
   }
 
   /** ES restore: copy a [[snapshot]] repository back into `destDir` —
@@ -213,7 +212,7 @@ object Sink {
       finally in.close()
     }
     dfs.mkdirs(dest)
-    lines.foreach { line =>
+    inParallel(lines, CopyThreads) { line =>
       val Array(md5, len, name) = line.split(" ", 3)
       val from = new org.apache.hadoop.fs.Path(repo, name)
       val got = copyWithMd5(rfs, from, dfs,
@@ -229,23 +228,47 @@ object Sink {
     * already holds a file from an earlier snapshot never copies it
     * again (ES snapshots of a 100 TB index copy only the new segments;
     * dailies are cheap because merges and appends touch a small
-    * fraction of the tree). Layout: `blobs/<relpath>` holds file
-    * contents ONCE; `snap-<id>/MANIFEST` lists (md5, length, relpath)
-    * per file, written LAST per snapshot — the same torn-snapshot
-    * refusal discipline as [[snapshot]], per snapshot id.
+    * fraction of the tree). Layout: `blobs/<relpath>/<md5>` holds one
+    * CONTENT VERSION per (relpath, md5) — a same-path file whose bytes
+    * changed between snapshots gets a NEW blob instead of overwriting
+    * the one earlier snapshots reference (overwriting shared blobs
+    * silently destroyed every prior snapshot of that path — the
+    * round-11 advisor's finding); `snap-<id>/MANIFEST` lists
+    * (md5, length, relpath) per file, written LAST per snapshot — the
+    * same torn-snapshot refusal discipline as [[snapshot]], per
+    * snapshot id.
     *
     * Reuse identity is (relpath, length) against the union of prior
-    * manifests: committed parquet part files carry unique names, and
-    * artifact tables swap under NEW directory names, so a path-level
-    * match of equal length IS the same immutable file — and the safety
-    * net is absolute regardless: [[restoreSnapshot]] re-verifies every
-    * manifest md5 as the bytes stream, so a wrong reuse can never
-    * restore silently. SINGLE-WRITER per repository (the [[reindex]]
-    * contract): concurrent snapshotters could race on a blob write;
-    * serialize via the artifact families' claim discipline. Returns
-    * (files in snapshot, files actually copied). */
+    * manifests — a CONVENTION-guarded check, not a verified one:
+    * committed parquet part files carry unique names and artifact
+    * tables swap under NEW directory names, so a path-level match of
+    * equal length is the same immutable file under the committed-file
+    * conventions this repo's writers follow. A file whose content
+    * changed at identical (relpath, length) would be snapshotted as
+    * its OLD bytes, and [[restoreSnapshot]]'s md5 check would pass
+    * (the manifest records the old md5) — restore re-verification
+    * protects against bit-rot and torn copies, NOT against reuse of a
+    * mutated source. Trees that mutate files in place must pass
+    * `verifyReuse = true`: the reuse branch then re-hashes the source
+    * (one streaming read, no copy) and falls through to a fresh blob
+    * version on mismatch — full correctness at the cost of reading
+    * unchanged bytes once per snapshot (what ES avoids by trusting
+    * segment immutability).
+    *
+    * Blob existence is planned from the manifest union ALONE — no
+    * per-blob `exists` RPC (manifests are written after their blobs,
+    * so a referenced blob exists unless the repo was tampered with,
+    * and restore's per-byte verification refuses loudly then). Copies
+    * fan out over a bounded pool ([[CopyThreads]]) — ES repositories
+    * copy segment files shard-parallel; a 100 TB tree must not
+    * serialize through one driver thread. SINGLE-WRITER per
+    * repository is ENFORCED via the artifact families' claim
+    * discipline ([[acquireWriter]]): a second concurrent snapshotter
+    * refuses loudly; a crashed writer's claim expires after the
+    * grace. Returns (files in snapshot, files actually copied). */
   def snapshotIncremental(spark: SparkSession, srcDir: String,
-                          repoDir: String, snapId: String): (Long, Long) = {
+                          repoDir: String, snapId: String,
+                          verifyReuse: Boolean = false): (Long, Long) = {
     require(snapId.nonEmpty && !snapId.contains("/"),
       s"bad snapshot id: '$snapId'")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -253,48 +276,64 @@ object Sink {
     val repo = new org.apache.hadoop.fs.Path(repoDir)
     val sfs = src.getFileSystem(conf)
     val rfs = repo.getFileSystem(conf)
-    val snapDir = new org.apache.hadoop.fs.Path(repo, s"snap-$snapId")
-    require(!rfs.exists(new org.apache.hadoop.fs.Path(snapDir, "MANIFEST")),
-      s"snapshot '$snapId' already exists in $repoDir")
-    rfs.mkdirs(snapDir)
-    // the union of prior manifests: relpath -> (md5, length)
-    val known = priorManifests(rfs, repo).flatMap(readManifest(rfs, _))
-      .map { case (md5, len, rel) => rel -> ((md5, len)) }.toMap
-    def walk(dir: org.apache.hadoop.fs.Path,
-             prefix: String): Seq[(org.apache.hadoop.fs.FileStatus, String)] =
-      sfs.listStatus(dir).toSeq
-        .filterNot { st =>
-          val n = st.getPath.getName
-          n.startsWith(".") || n.startsWith("_temporary")
+    rfs.mkdirs(repo)
+    val claim = acquireWriter(rfs, repo)
+    try {
+      val snapDir = new org.apache.hadoop.fs.Path(repo, s"snap-$snapId")
+      require(!rfs.exists(new org.apache.hadoop.fs.Path(snapDir, "MANIFEST")),
+        s"snapshot '$snapId' already exists in $repoDir")
+      rfs.mkdirs(snapDir)
+      // the union of prior manifests: relpath -> (md5, length)
+      val known = priorManifests(rfs, repo).flatMap(readManifest(rfs, _))
+        .map { case (md5, len, rel) => rel -> ((md5, len)) }.toMap
+      val files = walkCommitted(sfs, src)
+      val copied = new java.util.concurrent.atomic.AtomicLong(0L)
+      def freshBlob(st: org.apache.hadoop.fs.FileStatus,
+                    rel: String): String = {
+        copied.incrementAndGet()
+        // content isn't known until hashed: stream to a temp name,
+        // rename into the (rel, md5) version slot; a concurrent-free
+        // duplicate (same bytes already versioned) just drops the temp
+        val tmp = new org.apache.hadoop.fs.Path(repo,
+          s"blobs/.tmp-${java.util.UUID.randomUUID()}")
+        val md5 = copyWithMd5(sfs, st.getPath, rfs, tmp)
+        val target = blobPath(repo, rel, md5)
+        if (rfs.exists(target)) rfs.delete(tmp, false)
+        else {
+          rfs.mkdirs(target.getParent)
+          require(rfs.rename(tmp, target) || rfs.exists(target),
+            s"could not place blob for $rel")
         }
-        .flatMap { st =>
-          if (st.isDirectory) walk(st.getPath, prefix + st.getPath.getName + "/")
-          else Seq((st, prefix + st.getPath.getName))
-        }
-    val files = walk(src, "").sortBy(_._2)
-    var copied = 0L
-    val manifest = files.map { case (st, rel) =>
-      val blob = new org.apache.hadoop.fs.Path(repo, s"blobs/$rel")
-      val md5 = known.get(rel) match {
-        case Some((m, len)) if len == st.getLen && rfs.exists(blob) => m
-        case _ =>
-          copied += 1
-          copyWithMd5(sfs, st.getPath, rfs, blob)
+        md5
       }
-      s"$md5 ${st.getLen} $rel"
-    }
-    val out = rfs.create(
-      new org.apache.hadoop.fs.Path(snapDir, "MANIFEST"), true)
-    try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    (files.length.toLong, copied)
+      val manifest = inParallel(files, CopyThreads) { case (st, rel) =>
+        val md5 = known.get(rel) match {
+          case Some((m, len)) if len == st.getLen =>
+            if (!verifyReuse) m
+            else {
+              val actual = md5Of(sfs, st.getPath)
+              if (actual == m) m else freshBlob(st, rel)
+            }
+          case _ => freshBlob(st, rel)
+        }
+        s"$md5 ${st.getLen} $rel"
+      }
+      val out = rfs.create(
+        new org.apache.hadoop.fs.Path(snapDir, "MANIFEST"), true)
+      try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      (files.length.toLong, copied.get())
+    } finally rfs.delete(claim, false)
   }
 
   /** Restore one snapshot id from an incremental repository —
     * [[restore]]'s full-verification discipline against the shared
-    * blob store (every byte re-verified against the snapshot's own
-    * manifest md5, so cross-snapshot blob reuse can never serve the
-    * wrong content silently). */
+    * blob store: every byte re-verified against the snapshot's own
+    * manifest md5, so bit-rot, truncation, or a wrong/missing blob
+    * version refuses loudly. (What this does NOT catch: a manifest
+    * that recorded a stale md5 because an in-place source mutation
+    * slipped past the convention-guarded reuse check — see
+    * [[snapshotIncremental]]'s `verifyReuse`.) */
   def restoreSnapshot(spark: SparkSession, repoDir: String, snapId: String,
                       destDir: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -307,8 +346,8 @@ object Sink {
       s"snapshot '$snapId' in $repoDir has no MANIFEST — torn or absent")
     val lines = readManifest(rfs, mPath)
     dfs.mkdirs(dest)
-    lines.foreach { case (md5, len, rel) =>
-      val from = new org.apache.hadoop.fs.Path(repo, s"blobs/$rel")
+    inParallel(lines, CopyThreads) { case (md5, len, rel) =>
+      val from = blobPath(repo, rel, md5)
       val got = copyWithMd5(rfs, from, dfs,
         new org.apache.hadoop.fs.Path(dest, rel))
       require(got == md5 && rfs.getFileStatus(from).getLen == len,
@@ -327,19 +366,142 @@ object Sink {
     val conf = spark.sparkContext.hadoopConfiguration
     val repo = new org.apache.hadoop.fs.Path(repoDir)
     val rfs = repo.getFileSystem(conf)
-    val snapDir = new org.apache.hadoop.fs.Path(repo, s"snap-$snapId")
-    require(rfs.exists(snapDir), s"no snapshot '$snapId' in $repoDir")
-    val doomed = readManifest(rfs,
-        new org.apache.hadoop.fs.Path(snapDir, "MANIFEST"))
-      .map(_._3).toSet
-    rfs.delete(snapDir, true)
-    val live = priorManifests(rfs, repo).flatMap(readManifest(rfs, _))
-      .map(_._3).toSet
-    val orphans = doomed -- live
-    orphans.foreach { rel =>
-      rfs.delete(new org.apache.hadoop.fs.Path(repo, s"blobs/$rel"), false)
+    val claim = acquireWriter(rfs, repo)
+    try {
+      val snapDir = new org.apache.hadoop.fs.Path(repo, s"snap-$snapId")
+      require(rfs.exists(snapDir), s"no snapshot '$snapId' in $repoDir")
+      // blob versions are keyed (relpath, md5) — the GC identity
+      val doomed = readManifest(rfs,
+          new org.apache.hadoop.fs.Path(snapDir, "MANIFEST"))
+        .map { case (md5, _, rel) => (rel, md5) }.toSet
+      rfs.delete(snapDir, true)
+      val live = priorManifests(rfs, repo).flatMap(readManifest(rfs, _))
+        .map { case (md5, _, rel) => (rel, md5) }.toSet
+      val orphans = doomed -- live
+      orphans.foreach { case (rel, md5) =>
+        rfs.delete(blobPath(repo, rel, md5), false)
+      }
+      orphans.size.toLong
+    } finally rfs.delete(claim, false)
+  }
+
+  /** One blob VERSION per (relpath, content): `blobs/<rel>/<md5>`.
+    * rel-scoped (not a flat content-addressed store) so every
+    * manifest row maps to exactly one blob and GC arithmetic stays a
+    * set difference of (rel, md5) pairs; a source path can never be
+    * both a file and a directory, so rel-as-directory is
+    * collision-free. */
+  private def blobPath(repo: org.apache.hadoop.fs.Path, rel: String,
+                       md5: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(repo, s"blobs/$rel/$md5")
+
+  /** Recursive committed-file walk shared by the snapshot family:
+    * hidden and in-flight entries (`_temporary`, dotfiles) skipped at
+    * every level like Spark's committed-file readers; lifecycle
+    * markers (`_DONE`, `_SUCCESS`) are data and travel. Sorted by
+    * relpath for deterministic manifests. */
+  private def walkCommitted(sfs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path)
+      : Seq[(org.apache.hadoop.fs.FileStatus, String)] = {
+    def walk(dir: org.apache.hadoop.fs.Path,
+             prefix: String): Seq[(org.apache.hadoop.fs.FileStatus, String)] =
+      sfs.listStatus(dir).toSeq
+        .filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith(".") || n.startsWith("_temporary") || n == "_WRITER"
+        }
+        .flatMap { st =>
+          if (st.isDirectory) walk(st.getPath, prefix + st.getPath.getName + "/")
+          else Seq((st, prefix + st.getPath.getName))
+        }
+    walk(src, "").sortBy(_._2)
+  }
+
+  /** Copy/hash fan-out width for the snapshot/restore family — ES
+    * repositories move segment files shard-parallel; a 100 TB tree
+    * must not serialize its bytes through one driver thread. */
+  val CopyThreads = 16
+
+  /** Run `f` over `items` on a bounded pool, results in input order;
+    * a task failure rethrows its cause (so `require` refusals keep
+    * their type across the pool boundary). */
+  private def inParallel[A, B](items: Seq[A], threads: Int)(f: A => B): Seq[B] = {
+    if (items.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(threads, items.length)))
+    try {
+      val futs = items.map(a => pool.submit(
+        new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+      futs.map { fu =>
+        try fu.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
+  }
+
+  /** SINGLE-WRITER enforcement for a mutating directory (snapshot
+    * repository, [[reindex]] destination) — the artifact families'
+    * `_CLAIM` discipline ([[graft.operators.ArtifactGen.claimNextGen]])
+    * applied to a shared dir: atomically create a `_WRITER` marker
+    * (create with overwrite=false is the cross-process atomic); a
+    * second writer finding a FRESH marker refuses loudly instead of
+    * interleaving writes; a crashed writer's stale marker is reclaimed
+    * after `graceMs` — freshness takes max(written timestamp, file
+    * mtime), the ArtifactGen clock-skew rule (any one clock running
+    * ahead keeps the claim looking held, the safe direction). Returns
+    * the marker path; callers delete it in a `finally`. */
+  private[graft] def acquireWriter(fs: org.apache.hadoop.fs.FileSystem,
+                                   dir: org.apache.hadoop.fs.Path,
+                                   graceMs: Long = 15 * 60 * 1000L)
+      : org.apache.hadoop.fs.Path = {
+    fs.mkdirs(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_WRITER")
+    var attempt = 0
+    while (attempt < 3) {
+      try {
+        val out = fs.create(marker, false)
+        try out.write(s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        finally out.close()
+        return marker
+      } catch {
+        case _: java.io.IOException if fs.exists(marker) =>
+          val st = fs.getFileStatus(marker)
+          val written =
+            try {
+              val in = fs.open(marker)
+              try scala.io.Source.fromInputStream(in, "UTF-8")
+                .getLines().next().trim.toLong
+              finally in.close()
+            } catch { case _: Exception => 0L }
+          val fresh = math.max(written, st.getModificationTime)
+          if (System.currentTimeMillis() - fresh < graceMs)
+            throw new IllegalStateException(
+              s"another writer holds $dir (claim age " +
+                s"${System.currentTimeMillis() - fresh} ms < grace $graceMs" +
+                " ms) — single-writer enforced; retry after it finishes" +
+                " or its claim expires")
+          fs.delete(marker, false) // crashed writer: reclaim
+          attempt += 1
+      }
     }
-    orphans.size.toLong
+    throw new IllegalStateException(
+      s"could not claim writer marker in $dir after 3 attempts")
+  }
+
+  /** md5 of a file's bytes — one streaming read, no copy (the
+    * `verifyReuse` arm of [[snapshotIncremental]]). */
+  private def md5Of(fs: org.apache.hadoop.fs.FileSystem,
+                    path: org.apache.hadoop.fs.Path): String = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+    val in = new java.security.DigestInputStream(fs.open(path), dig)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      while (in.read(buf) >= 0) ()
+    } finally in.close()
+    dig.digest().map("%02x".format(_)).mkString
   }
 
   private def priorManifests(rfs: org.apache.hadoop.fs.FileSystem,

@@ -160,8 +160,12 @@ class SinkSpec extends SparkSpec {
     // the reuse-safety backstop: a corrupt SHARED blob refuses at
     // restore (every byte re-verified against the snapshot's own
     // manifest md5 — blob reuse can never serve wrong content silently)
-    val victim = new java.io.File(s"$repo/blobs/a").listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
+    def filesUnder(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(filesUnder)
+      else Seq(f)
+    val victim = filesUnder(new java.io.File(s"$repo/blobs/a"))
+      .filter(f => f.getPath.contains(".parquet") &&
+        !f.getName.startsWith(".")).head
     val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
     bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0xff).toByte
     java.nio.file.Files.write(victim.toPath, bytes)
@@ -170,6 +174,102 @@ class SinkSpec extends SparkSpec {
     assert(ex.isInstanceOf[IllegalArgumentException] ||
       ex.isInstanceOf[org.apache.hadoop.fs.ChecksumException],
       s"unexpected refusal type: ${ex.getClass}")
+  }
+
+  test("changed same-path file gets a NEW blob version; earlier snapshots stay restorable") {
+    // the round-11 advisor's medium: the old bare-relpath blob keying
+    // let a same-path file with different length OVERWRITE the shared
+    // blob, silently destroying every prior snapshot referencing it
+    val src = Files.createTempDirectory("graft-ver-src")
+    val repo = Files.createTempDirectory("graft-ver-repo").toString
+    Files.write(src.resolve("data.bin"), "generation-one".getBytes("UTF-8"))
+    val (t1, c1) = Sink.snapshotIncremental(spark, src.toString, repo, "1")
+    assert(t1 == 1 && c1 == 1)
+    // mutate the file IN PLACE with a different length — against the
+    // committed-file convention, which is exactly when blob keying
+    // must protect snapshot 1
+    Files.write(src.resolve("data.bin"),
+      "generation-two-longer-content".getBytes("UTF-8"))
+    val (t2, c2) = Sink.snapshotIncremental(spark, src.toString, repo, "2")
+    assert(t2 == 1 && c2 == 1, "changed length must re-copy")
+    val d1 = Files.createTempDirectory("graft-ver-d1")
+    val d2 = Files.createTempDirectory("graft-ver-d2")
+    assert(Sink.restoreSnapshot(spark, repo, "1", d1.toString) == 1)
+    assert(Sink.restoreSnapshot(spark, repo, "2", d2.toString) == 1)
+    assert(new String(Files.readAllBytes(d1.resolve("data.bin")), "UTF-8")
+      == "generation-one", "snapshot 1 must restore its own bytes")
+    assert(new String(Files.readAllBytes(d2.resolve("data.bin")), "UTF-8")
+      == "generation-two-longer-content")
+    // deleting snapshot 2 GCs only its version; snapshot 1 survives
+    assert(Sink.deleteSnapshot(spark, repo, "2") == 1)
+    val d3 = Files.createTempDirectory("graft-ver-d3")
+    assert(Sink.restoreSnapshot(spark, repo, "1", d3.toString) == 1)
+    assert(new String(Files.readAllBytes(d3.resolve("data.bin")), "UTF-8")
+      == "generation-one")
+  }
+
+  test("verifyReuse re-hashes same-(path,length) mutations; default reuse is convention-guarded") {
+    val src = Files.createTempDirectory("graft-vr-src")
+    val repo1 = Files.createTempDirectory("graft-vr-repo1").toString
+    val repo2 = Files.createTempDirectory("graft-vr-repo2").toString
+    Files.write(src.resolve("data.bin"), "AAAA".getBytes("UTF-8"))
+    Sink.snapshotIncremental(spark, src.toString, repo1, "1")
+    Sink.snapshotIncremental(spark, src.toString, repo2, "1")
+    // mutate content at IDENTICAL length — invisible to the
+    // (relpath, length) convention check
+    Files.write(src.resolve("data.bin"), "BBBB".getBytes("UTF-8"))
+    // default: reuse trusts the convention — snapshot 2 records the
+    // OLD md5 (documented; restore serves snapshot-1 bytes)
+    val (_, c2a) = Sink.snapshotIncremental(spark, src.toString, repo1, "2")
+    assert(c2a == 0, "convention-guarded reuse must not copy")
+    // verifyReuse: the reuse branch re-hashes the source and falls
+    // through to a fresh blob version on mismatch
+    val (_, c2b) = Sink.snapshotIncremental(spark, src.toString, repo2, "2",
+      verifyReuse = true)
+    assert(c2b == 1, "verifyReuse must detect the same-length mutation")
+    val d = Files.createTempDirectory("graft-vr-d")
+    Sink.restoreSnapshot(spark, repo2, "2", d.toString)
+    assert(new String(Files.readAllBytes(d.resolve("data.bin")), "UTF-8")
+      == "BBBB")
+    val d1 = Files.createTempDirectory("graft-vr-d1")
+    Sink.restoreSnapshot(spark, repo2, "1", d1.toString)
+    assert(new String(Files.readAllBytes(d1.resolve("data.bin")), "UTF-8")
+      == "AAAA", "both content versions coexist in the repo")
+  }
+
+  test("single-writer: a fresh _WRITER claim refuses a second snapshotter; a stale claim is reclaimed") {
+    val src = Files.createTempDirectory("graft-sw-src")
+    Files.write(src.resolve("f"), "x".getBytes("UTF-8"))
+    val repo = Files.createTempDirectory("graft-sw-repo")
+    // a concurrent writer holds the claim (fresh timestamp + mtime)
+    Files.write(repo.resolve("_WRITER"),
+      s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      Sink.snapshotIncremental(spark, src.toString, repo.toString, "1")
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    // a CRASHED writer: timestamp and mtime both older than the grace
+    Files.write(repo.resolve("_WRITER"), "12345\n".getBytes("UTF-8"))
+    repo.resolve("_WRITER").toFile.setLastModified(12345L)
+    val (t, c) = Sink.snapshotIncremental(spark, src.toString,
+      repo.toString, "1")
+    assert(t == 1 && c == 1, "stale claim must be reclaimed")
+    assert(!Files.exists(repo.resolve("_WRITER")),
+      "claim must be released after the snapshot")
+    // reindex enforces the same discipline on its destination
+    import spark.implicits._
+    val dest = Files.createTempDirectory("graft-sw-dest").toString
+    Sink.bulkWrite(spark, Seq((1L, "a")).toDF("id", "s"), "id", dest)
+    Files.write(java.nio.file.Paths.get(dest, "_WRITER"),
+      s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    val ex2 = intercept[IllegalStateException] {
+      Sink.reindex(spark, Seq((2L, "b")).toDF("id", "s"), "id", dest)
+    }
+    assert(ex2.getMessage.contains("single-writer"))
+    Files.delete(java.nio.file.Paths.get(dest, "_WRITER"))
+    val (total, created, noops) =
+      Sink.reindex(spark, Seq((1L, "a2"), (2L, "b")).toDF("id", "s"), "id", dest)
+    assert((total, created, noops) == ((2L, 1L, 1L)))
   }
 
   test("reindex op_type=create: conflicts noop, appends are additive, rerun is all-noop") {
