@@ -108,6 +108,77 @@ object SparkEntry {
     s"$head$stages\n$finals\nORDER BY step"
   }
 
+  /** DuckDB replay of [[graft.operators.TextStats.bpeTrainBatched]] —
+    * the BATCHED trainer is the production path (job count ÷batch for
+    * a 32k-merge vocab), so it must be the differentially-tested one,
+    * not just spec-locked to batch=1 ≡ sequential. The replay is
+    * step-exact: per round, pair counts over the current vocab, the
+    * (c desc, l, r) ranking LIMITed to the same 4×want over-fetch,
+    * the greedy symbol-disjoint screen as a RECURSIVE CTE walking the
+    * ranking one rank at a time (kept iff none of l, r, l||r was
+    * claimed this round — state is the claimed-symbol list), then one
+    * list_reduce applying the round's replaces in pick order, exactly
+    * the foldLeft projection Spark runs. `steps` stages are emitted
+    * statically; a stage whose dynamic `want` (steps − emitted so
+    * far) is 0 ranks a LIMIT-0 list and is a no-op, so the SQL is
+    * correct for ANY fill pattern the screen produces — rounds that
+    * fill, partial rounds, all the way to one-pick rounds. */
+  private def sqlBpeTrainBatched(steps: Int, batch: Int): String = {
+    // every non-recursive CTE is MATERIALIZED: the v-chain is
+    // referenced twice per stage (s$i and v$i), so inlining would
+    // re-expand v0 2^steps times — at 16 stages that's 65k parquet
+    // scans (observed as an fd-exhaustion refusal), where
+    // materialization computes each vocab generation once
+    val head =
+      s"""WITH RECURSIVE w AS (SELECT unnest(toks) AS w
+                     FROM (SELECT ${sqlToks("lower(text)")} AS toks FROM documents)),
+          v0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS rep,
+                        count(*)::BIGINT AS freq
+                 FROM w GROUP BY w)"""
+    val stages = (1 to steps).map { i =>
+      val prevEm = (1 until i).map(j => s"(SELECT count(*) FROM k$j)")
+        .mkString(" + ") match { case "" => "0"; case s => s }
+      val keepCond =
+        s"""g.npick < (SELECT want FROM w$i)
+                         AND NOT (list_contains(g.used, t.l) OR list_contains(g.used, t.r)
+                                  OR list_contains(g.used, t.l || t.r))"""
+      s"""em$i AS MATERIALIZED (SELECT ($prevEm)::BIGINT AS em),
+          w$i AS MATERIALIZED (SELECT greatest(0, least($batch, $steps - em)) AS want FROM em$i),
+          s$i AS MATERIALIZED (SELECT string_split(trim(rep), ' ') AS syms, freq FROM v${i - 1}),
+          e$i AS MATERIALIZED (SELECT unnest(generate_series(1, len(syms) - 1)) AS ix, syms, freq FROM s$i),
+          p$i AS MATERIALIZED (SELECT syms[ix] AS l, syms[ix + 1] AS r, sum(freq)::BIGINT AS c
+                  FROM e$i GROUP BY 1, 2),
+          t$i AS MATERIALIZED (SELECT l, r, c, row_number() OVER (ORDER BY c DESC, l, r) AS rk
+                  FROM p$i ORDER BY c DESC, l, r LIMIT (SELECT 4 * want FROM w$i)),
+          g$i(rk, npick, picked, used) AS (
+            SELECT 0::BIGINT, 0::BIGINT, CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[])
+            UNION ALL
+            SELECT t.rk,
+                   CASE WHEN $keepCond THEN g.npick + 1 ELSE g.npick END,
+                   CASE WHEN $keepCond
+                        THEN list_append(g.picked, t.l || chr(1) || t.r || chr(1) || t.c::VARCHAR)
+                        ELSE g.picked END,
+                   CASE WHEN $keepCond
+                        THEN g.used || [t.l, t.r, t.l || t.r] ELSE g.used END
+            FROM g$i g JOIN t$i t ON t.rk = g.rk + 1),
+          k$i AS MATERIALIZED (SELECT split_part(x, chr(1), 1) AS l, split_part(x, chr(1), 2) AS r,
+                         split_part(x, chr(1), 3)::BIGINT AS c, ord::BIGINT AS ord
+                  FROM (SELECT unnest(picked) AS x, generate_subscripts(picked, 1) AS ord
+                        FROM (SELECT picked FROM g$i ORDER BY rk DESC LIMIT 1))),
+          v$i AS MATERIALIZED (SELECT list_reduce(
+                    list_prepend(rep,
+                      coalesce((SELECT list(' ' || l || ' ' || r || ' ' || chr(1) || ' ' || l || r || ' ' ORDER BY ord) FROM k$i), [])),
+                    (acc, x) -> replace(acc, split_part(x, chr(1), 1), split_part(x, chr(1), 2))) AS rep,
+                  freq
+                  FROM v${i - 1})"""
+    }.mkString(",\n", ",\n", "")
+    val finals = (1 to steps).map { i =>
+      s"""SELECT ((SELECT em FROM em$i) + ord) AS step, $i::BIGINT AS round,
+                 l AS left_sym, r AS right_sym, l || r AS merged, c AS pair_count FROM k$i"""
+    }.mkString("\nUNION ALL\n")
+    s"$head$stages\n$finals\nORDER BY step"
+  }
+
   /** Planted-ground-truth corpus shared by the ANN contract queries
     * (n2/n3/n4): the sf embeddings are structureless random directions
     * (recall-vs-brute gates nothing for ANY sublinear index), so the
@@ -1906,6 +1977,17 @@ object SparkEntry {
       // vocabulary, 1-row collect per step, oracle replays the whole
       // training loop step by step
       TextStats.bpeTrain(s, Tables.documents(s, d), steps = 8)),
+    "x26b_bpe_train_batched" -> ((s, d) =>
+      // BATCHED merge learning (TextStats.bpeTrainBatched scaladoc) —
+      // the production path for 32k-merge vocabs (job count ÷batch):
+      // per round, one pair-count ranking, a greedy symbol-disjoint
+      // screen over the 4×want over-fetch, one chained-replace
+      // projection. The oracle replays rounds + screen + application
+      // step-exactly (sqlBpeTrainBatched), so the batched semantics —
+      // not just the batch=1 degenerate case — are differentially
+      // verified
+      TextStats.bpeTrainBatched(s, Tables.documents(s, d),
+        steps = 16, batch = 16)),
     "sk1_salted_collect" -> ((s, d) =>
       // two-phase salted collect over a 3-key (maximally hot) grouping:
       // result must equal the direct aggregation — the oracle IS the
@@ -6871,6 +6953,7 @@ object SparkEntry {
             UNION ALL SELECT 'B&C', n_bc FROM m)
           ORDER BY filter_key""",
     "x26_bpe_train" -> sqlBpeTrain(8),
+    "x26b_bpe_train_batched" -> sqlBpeTrainBatched(16, 16),
     "f11_min_should_match" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           p AS (SELECT doc_id, len(toks)::INT AS len,
