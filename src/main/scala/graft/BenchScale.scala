@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
 object BenchScale {
 
   private def stride(df: DataFrame, idCol: String): Long = {
-    val m = df.agg(max(col(idCol))).head.getLong(0)
+    val m = df.agg(max(col(idCol))).head().getLong(0)
     var s = 10L
     while (s <= m) s *= 10
     s

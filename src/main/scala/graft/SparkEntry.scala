@@ -933,7 +933,7 @@ object SparkEntry {
       TextIndex.purgeDeletes(s, ix)
       val purgedDf = ix.postings(s).filter(col("term") === "fast").count()
       val st = ix.corpus(s)
-        .select(col("n").cast("long"), col("sum_len")).head
+        .select(col("n").cast("long"), col("sum_len")).head()
       val nTerms = ix.termDf(s).count()
       import s.implicits._
       Seq((nBefore, nDel, st.getLong(0), st.getLong(1), nTerms,
@@ -967,7 +967,7 @@ object SparkEntry {
             aggregate(zip_with(col("q"), col("p"), (a, b) => a * b),
               lit(0L), (acc, x) => acc + x).as("dp"))
           .filter(col("vec_id") =!= 1L)
-          .orderBy(col("dp").desc, col("vec_id")).limit(1).head
+          .orderBy(col("dp").desc, col("vec_id")).limit(1).head()
         (r.getLong(0), r.getLong(1))
       }
       val (mnn, mdp) = nn(AnnIndex.liveView(s, ix,
@@ -1148,7 +1148,7 @@ object SparkEntry {
           aggregate(zip_with(col("q"), col("p"), (a, b) => a * b),
             lit(0L), (acc, x) => acc + x).as("dp"))
         .filter(col("vec_id") =!= 1L)
-        .orderBy(col("dp").desc, col("vec_id")).limit(1).head
+        .orderBy(col("dp").desc, col("vec_id")).limit(1).head()
       import s.implicits._
       Seq((emb.count(), nDeleted, nAfter, r.getLong(0), r.getLong(1),
           tablesAgree, nBatches >= 2))
@@ -2107,7 +2107,7 @@ object SparkEntry {
         .filter(col("o_orderpriority") === "1-URGENT")
       val bloom = dim
         .select(expressions.bloom_agg(xxhash64(col("o_orderkey"))).as("bf"))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val keys = dim.select(col("o_orderkey")).distinct()
       val li = Tables.lineitem(s, d).select(col("l_orderkey"))
       li.join(keys, li("l_orderkey") === keys("o_orderkey"), "left_outer")

@@ -274,7 +274,7 @@ object AnnIndex {
     // in every index table and twice in every probe result
     val Array(nDelta, nDistinct) = delta
       .agg(count(lit(1)), countDistinct(col("vec_id")))
-      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
     require(nDelta == nDistinct,
       s"${nDelta - nDistinct} duplicate vec_ids WITHIN the delta batch " +
       "— dedup the batch before ingesting it")

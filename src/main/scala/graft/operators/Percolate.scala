@@ -164,7 +164,7 @@ object Percolate {
       sum(size(graft.functions.expressions
         .candidate_queries(col("toks"),
           indexSpec(qs, df, conjunctionTerms)))).as("n"))
-      .head.getLong(0)
+      .head().getLong(0)
     (full, cand)
   }
 }

@@ -33,7 +33,7 @@ object Prune {
                      factKey: String, dimKey: String): DataFrame = {
     val bloom = dim
       .select(expressions.bloom_agg(xxhash64(col(dimKey))).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     fact.filter(expressions.might_contain(lit(bloom), xxhash64(col(factKey))))
   }
 

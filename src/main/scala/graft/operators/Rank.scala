@@ -57,7 +57,7 @@ object Rank {
     // degrade to a single bucket, not NPE on the driver.
     val boundsArr: Seq[Double] = Option(df
       .agg(expr(s"percentile_approx(cast($v as double), $qs, 10000)"))
-      .head.getSeq[Double](0)).getOrElse(Seq.empty)
+      .head().getSeq[Double](0)).getOrElse(Seq.empty)
 
     val bucketCol = boundsArr.distinct.sorted
       .map(b => when(col(v) >= lit(b), 1).otherwise(0))

@@ -261,7 +261,7 @@ object Search {
     // separate docs.count() would be a third full scan
     val catSizes = docs.groupBy(col(catCol).as("cat"))
       .agg(count(lit(1)).as("n_cat")).localCheckpoint()
-    val nTotal = catSizes.agg(sum("n_cat")).head.getLong(0).toDouble
+    val nTotal = catSizes.agg(sum("n_cat")).head().getLong(0).toDouble
     val scored = fg.join(bg, "token")
       .join(broadcast(catSizes), "cat")
       .withColumn("fg_pct", col("fg_df").cast("double") / col("n_cat"))
@@ -1167,7 +1167,7 @@ object Search {
       col("df").as("bg_df"))
     val catSizes = cats.groupBy(col("cat"))
       .agg(count(lit(1)).as("n_cat")).localCheckpoint()
-    val nTotal = catSizes.agg(sum("n_cat")).head.getLong(0).toDouble
+    val nTotal = catSizes.agg(sum("n_cat")).head().getLong(0).toDouble
     val scored = fg.join(bg, "token")
       .join(broadcast(catSizes), "cat")
       .withColumn("fg_pct", col("fg_df").cast("double") / col("n_cat"))

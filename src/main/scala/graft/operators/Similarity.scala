@@ -890,7 +890,7 @@ object Similarity {
     * here, unlike the √n-scaled cell count). */
   private def pqCode(cb: Array[Array[Double]], sub: Column,
                      nrm: Column): Column =
-    -element_at(sort_array(array(cb.zipWithIndex.map { case (c, i) =>
+    -element_at(sort_array(array(cb.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct((dot(sub, lit(c)) / nrm - lit(c.map(x => x * x).sum / 2)).as("s"),
         lit(-i).as("nidx"))
     }: _*), asc = false), 1).getField("nidx")
@@ -959,7 +959,7 @@ object Similarity {
         least(a, b)).geq(0).and(
         (0 until m).map(j => col(s"c$j")).reduce((a, b) =>
           greatest(a, b)).lt(ksub)).as("codes_ok"),
-      explode(array(probes.map { case (qid, luts) =>
+      explode(array(probes.toIndexedSeq.map { case (qid, luts) =>
         struct(lit(qid).as("qid"),
           (0 until m).map(j =>
             element_at(lit(luts(j)), col(s"c$j").cast("int") + 1))
@@ -1144,7 +1144,7 @@ object Similarity {
       (0 until m).map(j => col(s"c$j")).reduce(least(_, _)).geq(0).and(
         (0 until m).map(j => col(s"c$j")).reduce(greatest(_, _)).lt(ksub))
         .as("codes_ok"),
-      explode(array(probes.map { case (qid, probed, bias, luts) =>
+      explode(array(probes.toIndexedSeq.map { case (qid, probed, bias, luts) =>
         struct(lit(qid).as("qid"),
           col("cell").isin(probed.toSeq: _*).as("probed"),
           (element_at(lit(bias), col("cell").cast("int") + 1) +:

@@ -128,13 +128,13 @@ object TextIndex {
     * least one of the three. */
   private def lockstepValid(spark: SparkSession, l: Loaded): Boolean = {
     def checks(): Boolean = {
-      val n = l.corpus(spark).head.getDouble(0).toLong
+      val n = l.corpus(spark).head().getDouble(0).toLong
       if (n != l.doclen(spark).count()) return false
       val dfMass = l.termDf(spark)
-        .agg(coalesce(sum(col("df")), lit(0L))).head.getLong(0)
+        .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
       if (dfMass != l.postings(spark).count()) return false
       val shMass = l.shingleDf(spark)
-        .agg(coalesce(sum(col("df")), lit(0L))).head.getLong(0)
+        .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
       shMass == l.shingles(spark).count()
     }
     // a table missing entirely (hard crash between swapIn's delete
@@ -273,7 +273,7 @@ object TextIndex {
     // every df it touches — the same silent corruption, intra-batch
     val Array(nDelta, nDistinct) = withLen
       .agg(count(lit(1)), countDistinct(col("doc_id")))
-      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
     require(nDelta == nDistinct,
       s"${nDelta - nDistinct} duplicate doc ids WITHIN the delta batch " +
       "— dedup the batch before ingesting it")

@@ -669,7 +669,7 @@ object TextStats {
       explode(Analyzers.tokenize(lower(col(textCol)))).as("token"))
     val row = toks.agg(
       expr(s"count_min_sketch(token, ${eps}d, 0.99d, $seed)").as("sk"),
-      count(lit(1)).as("n")).head
+      count(lit(1)).as("n")).head()
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sk")))
     val nTotal = row.getAs[Long]("n")
