@@ -166,6 +166,89 @@ object CentroidImplRouting {
   }
 }
 
+/** Loop-based PQ/IVFPQ ENCODE kernels — the same JIT/codegen-size
+  * rationale as [[CentroidImpl]], applied to the per-subspace code
+  * assignment: the expression-tree form (one `struct(dot − consts)`
+  * literal per codebook entry inside a `sort_array`, ×m subspaces)
+  * unrolls m·ksub struct-sorts into ONE generated projection — the
+  * full encode class broke Janino's limits and ran INTERPRETED even
+  * at sf0.1 (observed `InternalCompilerException` → fallback in the
+  * ×1000 probe logs), making the encode pass the dominant
+  * ann_index_build term. These kernels keep the codebooks as
+  * references-array objects and loop.
+  *
+  * ORDER CONTRACT (identical to the expression form they replace):
+  * per subspace j, score s = dot(v[j·ds .. j·ds+ds), cb)/nrm − consts
+  * with i-ascending accumulation, ranked (s desc, code index asc) via
+  * strict `>` over an ascending scan — bit-identical scores and codes,
+  * so artifacts encoded by either path interoperate. */
+object PqImpl {
+
+  /** PQ codes: per subspace, argmax of dot(sub, cb_c)/nrm − ‖cb_c‖²/2
+    * (≡ argmin ‖sub/nrm − cb_c‖²). `half(j)(c)` is the driver-side
+    * precomputed ‖cb_j[c]‖²/2. */
+  def codes(v: ArrayData, nrm: Double, cbs: Array[Array[Array[Double]]],
+            half: Array[Array[Double]]): ArrayData = {
+    val m = cbs.length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = cbs(j)
+      val ds = cb(0).length
+      val off = j * ds
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cc = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < ds) { d += v.getDouble(off + i) * cc(i); i += 1 }
+        val s = d / nrm - half(j)(c)
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** IVFPQ residual codes: the residual never materializes —
+    * argmin‖(v̂−cent(cell))_j − cb‖² expands to dot(sub, cb)/nrm −
+    * centDotCb(j)(c)(cell) − ‖cb‖²/2 with both constant tables
+    * driver-precomputed (the [[graft.operators.Similarity
+    * .ivfPqEncode]] expansion, same FP operation order). */
+  def ivfpqCodes(v: ArrayData, nrm: Double, cell: Int,
+                 cbs: Array[Array[Array[Double]]],
+                 centDotCb: Array[Array[Array[Double]]],
+                 half: Array[Array[Double]]): ArrayData = {
+    val m = cbs.length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = cbs(j)
+      val ds = cb(0).length
+      val off = j * ds
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cc = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < ds) { d += v.getDouble(off + i) * cc(i); i += 1 }
+        val s = d / nrm - centDotCb(j)(c)(cell) - half(j)(c)
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object Centroids {
 
   /** Below this cell count the kernels scan every centroid (the exact
@@ -336,6 +419,70 @@ object Centroids {
         l: Expression, r: Expression): TopCells = copy(left = l, right = r)
     override def prettyName: String = "top_cells"
   }
+
+  case class PqCodesExpr(left: Expression, right: Expression,
+                         cbs: Array[Array[Array[Double]]],
+                         half: Array[Array[Double]])
+      extends BinaryExpression with Serializable {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any, n: Any): Any =
+      PqImpl.codes(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+        cbs, half)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val cb = ctx.addReferenceObj("cbs", cbs, "double[][][]")
+      val hf = ctx.addReferenceObj("half", half, "double[][]")
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.PqImpl.codes($a, $b, $cb, $hf)")
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): PqCodesExpr = copy(left = l, right = r)
+    override def prettyName: String = "pq_codes"
+  }
+
+  case class IvfPqCodesExpr(first: Expression, second: Expression,
+                            third: Expression,
+                            cbs: Array[Array[Array[Double]]],
+                            centDotCb: Array[Array[Array[Double]]],
+                            half: Array[Array[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with Serializable {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any, n: Any, cell: Any): Any =
+      PqImpl.ivfpqCodes(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+        cell.asInstanceOf[Int], cbs, centDotCb, half)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val cb = ctx.addReferenceObj("cbs", cbs, "double[][][]")
+      val cd = ctx.addReferenceObj("centDotCb", centDotCb, "double[][][]")
+      val hf = ctx.addReferenceObj("half", half, "double[][]")
+      defineCodeGen(ctx, ev, (a, b, c) =>
+        s"graft.functions.PqImpl.ivfpqCodes($a, $b, $c, $cb, $cd, $hf)")
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): IvfPqCodesExpr =
+      copy(first = f, second = s, third = t)
+    override def prettyName: String = "ivfpq_codes"
+  }
+
+  /** All m PQ codes of a vector as one array<int> — ONE loop-kernel
+    * expression instead of m unrolled struct-sorts ([[PqImpl]]
+    * scaladoc). `half` is precomputed ‖cb‖²/2 per (subspace, code). */
+  def pq_codes(cbs: Array[Array[Array[Double]]],
+               half: Array[Array[Double]],
+               v: Column, nrm: Column): Column =
+    GraftShim.toColumn(PqCodesExpr(GraftShim.toExpression(v),
+      GraftShim.toExpression(nrm), cbs, half))
+
+  /** All m IVFPQ residual codes of a (vector, cell) as one array<int>
+    * ([[PqImpl.ivfpqCodes]]). */
+  def ivfpq_codes(cbs: Array[Array[Array[Double]]],
+                  centDotCb: Array[Array[Array[Double]]],
+                  half: Array[Array[Double]],
+                  v: Column, nrm: Column, cell: Column): Column =
+    GraftShim.toColumn(IvfPqCodesExpr(GraftShim.toExpression(v),
+      GraftShim.toExpression(nrm), GraftShim.toExpression(cell),
+      cbs, centDotCb, half))
 
   /** Host-side twin of [[top_cells]] for driver code that must rank
     * cells BIT-EXACTLY like the executors — INCLUDING the routing

@@ -879,34 +879,25 @@ object Similarity {
     cents
   }
 
-  /** Nearest codebook entry for the NORMALIZED subvector:
-    * argmin‖sub/nrm − c‖² ≡ argmax(sub·c/nrm − ‖c‖²/2) — the
-    * codegen'd [[dot]] of the RAW subvector against each centroid
-    * literal, normalization folded into the score (never a
-    * per-element division inside a HOF lambda — lesson 1's recompute
-    * hazard), ranked by the same (score desc, index asc) total order
-    * as [[cellOf]]'s kernel so ties break identically everywhere
-    * (ksub = 16 is FIXED, so the unrolled struct-sort stays JIT-sized
-    * here, unlike the √n-scaled cell count). */
-  private def pqCode(cb: Array[Array[Double]], sub: Column,
-                     nrm: Column): Column =
-    -element_at(sort_array(array(cb.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      struct((dot(sub, lit(c)) / nrm - lit(c.map(x => x * x).sum / 2)).as("s"),
-        lit(-i).as("nidx"))
-    }: _*), asc = false), 1).getField("nidx")
-
   /** N8 encoding: (vec_id, c0..c(m-1)) — each vector's m codebook
     * indexes, a row-local scan-side projection (the stored PQ index:
     * m bytes per vector instead of 4·dim). */
   def pqEncode(emb: DataFrame,
                codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length
-    val ds = codebooks.head.head.length
     val e = withNorm(emb)
-    e.select(col("vec_id") +: (0 until m).map { j =>
-      pqCode(codebooks(j), slice(col("v"), j * ds + 1, ds), col("nrm"))
-        .as(s"c$j")
-    }: _*)
+    // one loop-kernel expression computes all m codes (functions.PqImpl
+    // scaladoc — the m·ksub unrolled struct-sort form broke Janino and
+    // ran interpreted); element_at fan-out keeps the (vec_id, c0..cm-1)
+    // artifact schema, and codegen subexpression elimination evaluates
+    // the kernel once per row
+    val half = codebooks.map(_.map(c => c.map(x => x * x).sum / 2))
+    val codes = graft.functions.Centroids.pq_codes(
+      codebooks, half, col("v"), col("nrm"))
+    e.select(col("vec_id"), codes.as("pc"))
+      .select(col("vec_id") +: (0 until m).map { j =>
+        element_at(col("pc"), j + 1).as(s"c$j")
+      }: _*)
   }
 
   /** N8 contract: ADC (asymmetric distance computation) retrieval
@@ -1089,15 +1080,19 @@ object Similarity {
     val e = withNorm(emb)
     val assigned = e.select(col("vec_id"), col("v"), col("nrm"),
       cellOf(cents, col("v"), col("nrm")).as("cell"))
-    assigned.select(col("vec_id") +: col("cell") +:
-      (0 until m).map { j =>
-        val sub = slice(col("v"), j * ds + 1, ds)
-        (-element_at(sort_array(array((0 until ksub).map { c =>
-          struct((dot(sub, lit(cbs(j)(c))) / col("nrm")
-            - element_at(lit(centDotCb(j)(c)), col("cell").cast("int") + 1)
-            - lit(cbNormHalf(j)(c))).as("s"), lit(-c).as("nidx"))
-        }: _*), asc = false), 1).getField("nidx")).as(s"c$j")
-      }: _*)
+    // one loop-kernel expression for all m residual codes
+    // (functions.PqImpl scaladoc): the old per-(subspace, code)
+    // struct-sort unrolled m·ksub literals and fell off Janino into
+    // interpreted execution — the dominant encode term of the ×1000
+    // ann_index_build probe
+    val codes = graft.functions.Centroids.ivfpq_codes(
+      cbs, centDotCb, cbNormHalf, col("v"), col("nrm"),
+      col("cell").cast("int"))
+    assigned.select(col("vec_id"), col("cell"), codes.as("pc"))
+      .select(col("vec_id") +: col("cell") +:
+        (0 until m).map { j =>
+          element_at(col("pc"), j + 1).as(s"c$j")
+        }: _*)
   }
 
   /** [[ivfPqContract]] against the pre-trained, pre-encoded

@@ -212,6 +212,69 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("pq_codes/ivfpq_codes compile under codegen and match the struct-sort reference order") {
+    noFallback {
+      val rnd = new scala.util.Random(11)
+      val m = 4
+      val ds = 4
+      val ksub = 5
+      val dim = m * ds
+      // a duplicate codebook entry forces the index-ascending tie-break
+      val cbs = Array.tabulate(m) { j =>
+        val base = Array.fill(ksub - 1)(Array.fill(ds)(rnd.nextDouble() - 0.5))
+        base :+ base(1).clone()
+      }
+      val nCells = 3
+      val cents = Array.fill(nCells)(Array.fill(dim)(rnd.nextDouble() - 0.5))
+        .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+      val centDotCb = Array.tabulate(m, ksub) { (j, c) =>
+        cents.map(_.slice(j * ds, (j + 1) * ds)
+          .zip(cbs(j)(c)).map { case (a, b) => a * b }.sum)
+      }
+      val half = cbs.map(_.map(c => c.map(x => x * x).sum / 2))
+      val vecs = Array.fill(30)(Array.fill(dim)(rnd.nextDouble() - 0.5))
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toSeq.toDF("id", "v")
+        .select(col("id"), col("v"),
+          sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)).as("nrm"),
+          (col("id") % nCells).cast("int").as("cell"))
+      val got = df.select(col("id"),
+          graft.functions.Centroids.pq_codes(cbs, half, col("v"), col("nrm"))
+            .as("pq"),
+          graft.functions.Centroids.ivfpq_codes(cbs, centDotCb, half,
+            col("v"), col("nrm"), col("cell")).as("res"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getSeq[Int](2))))
+        .toMap
+      // reference: the (score desc, code idx asc) argmax the kernels
+      // replace, computed with the same driver-side constant tables
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        val cell = (i % nCells)
+        val (pq, res) = got(i.toLong)
+        (0 until m).foreach { j =>
+          val sub = v.slice(j * ds, (j + 1) * ds)
+          def dotAsc(c: Array[Double]) =
+            sub.zip(c).map { case (a, b) => a * b }.sum
+          val pqRank = (0 until ksub)
+            .map(c => (dotAsc(cbs(j)(c)) / nrm - half(j)(c), c))
+            .sortBy { case (s, c) => (-s, c) }
+          assert(pq(j) == pqRank.head._2, s"vec $i pq sub $j")
+          val resRank = (0 until ksub)
+            .map(c => (dotAsc(cbs(j)(c)) / nrm - centDotCb(j)(c)(cell)
+              - half(j)(c), c))
+            .sortBy { case (s, c) => (-s, c) }
+          assert(res(j) == resRank.head._2, s"vec $i res sub $j")
+        }
+      }
+      // the duplicated entry (ksub-1 clones index 1) ties its twin
+      // EXACTLY on every vector, so the rank comparison above already
+      // proves the index-ascending tie-break on both kernels
+      assert(!got.values.exists { case (pq, res) =>
+        pq.contains(ksub - 1) || res.contains(ksub - 1) })
+    }
+  }
+
   test("jaccard dedup plan runs whole-stage codegen end to end") {
     noFallback {
       val df = SparkEntry.queries("d4_jaccard_pairs")(spark, sf)
