@@ -338,9 +338,18 @@ object Centroids {
     new GenericArrayData(java.util.Arrays.copyOf(idx, filled))
   }
 
-  /** Beam width for routed assignment/probing: the best 4 top groups'
-    * members are scanned — ≈ 4·√nlist + √nlist dots per vector. */
-  val RouteBeam = 4
+  /** Beam width for routed assignment/probing: the best 12 top
+    * groups' members are scanned — ≈ 12·√nlist + √nlist dots per
+    * vector, still asymptotically √nlist vs the flat scan's nlist.
+    * Raised from 4 after the round-12 recall probe
+    * ([[graft.RecallProbe]]): at the ×100 decade (447 cells, 21 top
+    * groups) beam 4 covered only ~19% of the groups and measured
+    * routed recall at 0.94 of flat — below the ≥0.95 acceptance bar —
+    * and beam 8 still measured 0.93; beam 12 measures 0.99
+    * (`bench_recall_x100.json`) at ~1.5× cheaper-than-flat on that
+    * decade, with the advantage growing as √n thereafter (2.7× at
+    * ×1000, where recall is 1.0 in both arms). */
+  val RouteBeam = 12
 
   /** Routing-table memo keyed by centroid-array IDENTITY (Java array
     * equals/hashCode are reference-based, so a WeakHashMap gives

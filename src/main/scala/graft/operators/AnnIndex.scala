@@ -180,10 +180,15 @@ object AnnIndex {
   private[graft] def evictMemo(key: String): Unit = { memo.remove(key); () }
 
   /** The managed root for `key` — the one place the layout version
-    * lives (the [[TextIndex.rootFor]] discipline). */
+    * lives (the [[TextIndex.rootFor]] discipline). "v4": the routed
+    * coarse-quantizer beam widened 4 → 8 (Centroids.RouteBeam) — a
+    * SEMANTICS change for routing-active (≥128-cell) artifacts, whose
+    * persisted assignments were made under the old beam; the corpus
+    * fingerprint can't see it, so the version string carries it and
+    * old-generation artifacts are never probed under the new beam. */
   private[graft] def rootFor(key: String): java.nio.file.Path =
     java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v3", key)
+      .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v4", key)
 
   /** (vec_id, label, v, nrm, cell): the coarse-quantizer assignment of
     * `emb` under fixed centroids — the shared encode step of [[build]]

@@ -160,7 +160,7 @@ object Sink {
     * committed-file readers; lifecycle markers (`_DONE`, `_SUCCESS`)
     * are data and travel with the tree. Returns the file count. */
   def snapshot(spark: SparkSession, srcDir: String,
-               repoDir: String): Long = {
+               repoDir: String, threads: Int = CopyThreads): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(srcDir)
     val repo = new org.apache.hadoop.fs.Path(repoDir)
@@ -170,7 +170,7 @@ object Sink {
     val claim = acquireWriter(rfs, repo)
     try {
       val files = walkCommitted(sfs, src)
-      val manifest = inParallel(files, CopyThreads) { case (st, rel) =>
+      val manifest = inParallel(files, threads) { case (st, rel) =>
         // Hadoop create() makes parent dirs, so subtrees need no mkdirs
         val md5 = copyWithMd5(sfs, st.getPath, rfs,
           new org.apache.hadoop.fs.Path(repo, rel))
@@ -196,7 +196,7 @@ object Sink {
     * the backstop for filesystems without one, e.g. object stores.)
     * Returns the restored file count. */
   def restore(spark: SparkSession, repoDir: String,
-              destDir: String): Long = {
+              destDir: String, threads: Int = CopyThreads): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val repo = new org.apache.hadoop.fs.Path(repoDir)
     val dest = new org.apache.hadoop.fs.Path(destDir)
@@ -212,7 +212,7 @@ object Sink {
       finally in.close()
     }
     dfs.mkdirs(dest)
-    inParallel(lines, CopyThreads) { line =>
+    inParallel(lines, threads) { line =>
       val Array(md5, len, name) = line.split(" ", 3)
       val from = new org.apache.hadoop.fs.Path(repo, name)
       val got = copyWithMd5(rfs, from, dfs,
@@ -268,7 +268,8 @@ object Sink {
     * grace. Returns (files in snapshot, files actually copied). */
   def snapshotIncremental(spark: SparkSession, srcDir: String,
                           repoDir: String, snapId: String,
-                          verifyReuse: Boolean = false): (Long, Long) = {
+                          verifyReuse: Boolean = false,
+                          threads: Int = CopyThreads): (Long, Long) = {
     require(snapId.nonEmpty && !snapId.contains("/"),
       s"bad snapshot id: '$snapId'")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -306,7 +307,7 @@ object Sink {
         }
         md5
       }
-      val manifest = inParallel(files, CopyThreads) { case (st, rel) =>
+      val manifest = inParallel(files, threads) { case (st, rel) =>
         val md5 = known.get(rel) match {
           case Some((m, len)) if len == st.getLen =>
             if (!verifyReuse) m
@@ -335,7 +336,7 @@ object Sink {
     * slipped past the convention-guarded reuse check — see
     * [[snapshotIncremental]]'s `verifyReuse`.) */
   def restoreSnapshot(spark: SparkSession, repoDir: String, snapId: String,
-                      destDir: String): Long = {
+                      destDir: String, threads: Int = CopyThreads): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val repo = new org.apache.hadoop.fs.Path(repoDir)
     val dest = new org.apache.hadoop.fs.Path(destDir)
@@ -346,7 +347,7 @@ object Sink {
       s"snapshot '$snapId' in $repoDir has no MANIFEST — torn or absent")
     val lines = readManifest(rfs, mPath)
     dfs.mkdirs(dest)
-    inParallel(lines, CopyThreads) { case (md5, len, rel) =>
+    inParallel(lines, threads) { case (md5, len, rel) =>
       val from = blobPath(repo, rel, md5)
       val got = copyWithMd5(rfs, from, dfs,
         new org.apache.hadoop.fs.Path(dest, rel))
