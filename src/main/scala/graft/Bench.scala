@@ -58,7 +58,13 @@ object Bench {
     // noop sink: materializes every output column end-to-end (a bare
     // count() would let Catalyst prune the plan down to a metadata scan
     // for projection-only queries — that benchmarks nothing)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names — the local
+    // dev loop for re-measuring a handful of rows in isolation
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
