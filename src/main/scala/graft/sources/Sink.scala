@@ -292,18 +292,19 @@ object Sink {
       def freshBlob(st: org.apache.hadoop.fs.FileStatus,
                     rel: String): String = {
         copied.incrementAndGet()
-        // content isn't known until hashed: stream to a temp name,
-        // rename into the (rel, md5) version slot; a concurrent-free
-        // duplicate (same bytes already versioned) just drops the temp
+        // content isn't known until hashed: stream to a dot-temp
+        // INSIDE the version directory (create() makes the parent, so
+        // no separate mkdirs RPC) and rename within the directory —
+        // the cheapest atomic publish. A failed rename means the same
+        // bytes are already versioned (or a concurrent writer raced,
+        // which the _WRITER claim excludes): verify and drop the temp.
         val tmp = new org.apache.hadoop.fs.Path(repo,
-          s"blobs/.tmp-${java.util.UUID.randomUUID()}")
+          s"blobs/$rel/.tmp-${java.util.UUID.randomUUID()}")
         val md5 = copyWithMd5(sfs, st.getPath, rfs, tmp)
         val target = blobPath(repo, rel, md5)
-        if (rfs.exists(target)) rfs.delete(tmp, false)
-        else {
-          rfs.mkdirs(target.getParent)
-          require(rfs.rename(tmp, target) || rfs.exists(target),
-            s"could not place blob for $rel")
+        if (!rfs.rename(tmp, target)) {
+          require(rfs.exists(target), s"could not place blob for $rel")
+          rfs.delete(tmp, false)
         }
         md5
       }
