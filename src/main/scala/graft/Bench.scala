@@ -15,6 +15,41 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
   }
+  /** Pre-bench IO-health sentinel — machine-readable context for the
+    * committed number. Round 12 shipped a bench inflated ~30% by a
+    * degraded disk write path, documented only in prose; a
+    * trend-reading driver saw +43% with nothing in the artifact
+    * marking the run. This block records (a) a 128 MB fdatasync write
+    * probe (the same `dd conv=fdatasync` signal that diagnosed the
+    * degradation — observed swinging 46–483 MB/s on the degraded box)
+    * and (b) two fixed sentinel queries, one CPU-bound
+    * (t11_englando) and one parquet-write-heavy (s6_bulk_roundtrip):
+    * an IO-degradation signature inflates only the write-heavy
+    * sentinel, so the pair separates code regressions from box state
+    * in the artifact itself. */
+  private def ioHealth(spark: SparkSession, sfDir: String): String = {
+    val f = java.io.File.createTempFile("graft-io-probe", ".bin")
+    val buf = new Array[Byte](1 << 20) // zeros; parquet-free raw write
+    val t0 = System.nanoTime()
+    val out = new java.io.FileOutputStream(f)
+    try {
+      var i = 0
+      while (i < 128) { out.write(buf); i += 1 }
+      out.getFD.sync() // the fdatasync: committed bytes, not page cache
+    } finally out.close()
+    val mbS = 128.0 / ((System.nanoTime() - t0) / 1e9)
+    f.delete()
+    val sentinels = Seq("t11_englando", "s6_bulk_roundtrip").map { name =>
+      val t = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      isolate(spark)
+      name -> (System.nanoTime() - t) / 1e9
+    }
+    (f"""{"write_mb_s":$mbS%.1f""" +: sentinels.map { case (n, s) =>
+      f""""sentinel_$n":$s%.3f""" }).mkString("", ",", "}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,6 +97,10 @@ object Bench {
     // dev loop for re-measuring a handful of rows in isolation
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // the io-health sentinel runs AFTER warmup/artifact builds (so it
+    // measures box state, not JIT) and BEFORE the timed suite
+    val health = ioHealth(spark, sfDir)
+    System.err.println(s"[bench] health $health")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -81,14 +120,21 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.map(_._2).sum
     // a failed query records near-zero time — surface it loudly instead
-    // of letting it inflate the score
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // of letting it inflate the score. A BENCH_ONLY subset is
+    // self-identifying ("only" lists the active filter) AND lands in a
+    // derived file — a focused re-measurement must never silently
+    // replace the committed canonical full-suite bench_out.json.
+    val onlyTag = only.fold("")(s =>
+      s""""only":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$onlyTag""" +
+      s""""health":$health,"queries":$qs,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(line)
     // stdout tail-capture has a size limit that can truncate the
     // per-query map on a 200+ query run — also persist the full result
     // line where nothing can cut it short
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    val outFile = if (only.isDefined) "bench_out.partial.json" else "bench_out.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -280,6 +280,7 @@ object Sink {
     rfs.mkdirs(repo)
     val claim = acquireWriter(rfs, repo)
     try {
+      ensureRepoFormat(rfs, repo)
       val snapDir = new org.apache.hadoop.fs.Path(repo, s"snap-$snapId")
       require(!rfs.exists(new org.apache.hadoop.fs.Path(snapDir, "MANIFEST")),
         s"snapshot '$snapId' already exists in $repoDir")
@@ -346,6 +347,7 @@ object Sink {
     val mPath = new org.apache.hadoop.fs.Path(repo, s"snap-$snapId/MANIFEST")
     require(rfs.exists(mPath),
       s"snapshot '$snapId' in $repoDir has no MANIFEST — torn or absent")
+    ensureRepoFormat(rfs, repo, write = false) // read-only caller
     val lines = readManifest(rfs, mPath)
     dfs.mkdirs(dest)
     inParallel(lines, threads) { case (md5, len, rel) =>
@@ -370,6 +372,7 @@ object Sink {
     val rfs = repo.getFileSystem(conf)
     val claim = acquireWriter(rfs, repo)
     try {
+      ensureRepoFormat(rfs, repo)
       val snapDir = new org.apache.hadoop.fs.Path(repo, s"snap-$snapId")
       require(rfs.exists(snapDir), s"no snapshot '$snapId' in $repoDir")
       // blob versions are keyed (relpath, md5) — the GC identity
@@ -385,6 +388,61 @@ object Sink {
       }
       orphans.size.toLong
     } finally rfs.delete(claim, false)
+  }
+
+  /** Incremental-repository FORMAT guard (the round-12 advisor's
+    * finding): format 2 stores one content VERSION per blob at
+    * `blobs/<rel>/<md5>`; the pre-round-12 format 1 stored `blobs/<rel>`
+    * as a flat FILE. Snapshotting format-2 entries into a format-1
+    * repository would reuse prior-manifest rows whose blobs resolve to
+    * paths that don't exist under the new layout — the new snapshot
+    * "succeeds" but can never restore, and `freshBlob` on a changed
+    * file errors because `blobs/<rel>` already exists as a file. A
+    * `_FORMAT` marker pins the layout; a repo without one (round-12
+    * repos wrote format-2 blobs before the marker existed) is
+    * adjudicated from the SHAPE of one referenced blob — `blobs/<rel>`
+    * is a directory in format 2 — so legacy repositories refuse
+    * LOUDLY at snapshot time instead of writing unrestorable
+    * manifests. `write = false` for read-only callers (restore): they
+    * verify but never create the marker. */
+  private def ensureRepoFormat(rfs: org.apache.hadoop.fs.FileSystem,
+                               repo: org.apache.hadoop.fs.Path,
+                               write: Boolean = true): Unit = {
+    val fPath = new org.apache.hadoop.fs.Path(repo, "_FORMAT")
+    if (rfs.exists(fPath)) {
+      val v = {
+        val in = rfs.open(fPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().trim
+        finally in.close()
+      }
+      require(v == "2",
+        s"$repo declares incremental-repository format '$v'; this " +
+          "writer speaks format 2 (content-versioned blobs/<rel>/<md5>)" +
+          " — refusing to mix layouts")
+      return
+    }
+    // no marker: adopt (marker-less format-2 repo) or refuse (legacy
+    // format 1), decided from one referenced blob's shape — a single
+    // getFileStatus RPC on first contact, never per-blob
+    priorManifests(rfs, repo).headOption
+      .flatMap(readManifest(rfs, _).headOption)
+      .foreach { case (_, _, rel) =>
+        val p = new org.apache.hadoop.fs.Path(repo, s"blobs/$rel")
+        require(rfs.exists(p) && rfs.getFileStatus(p).isDirectory,
+          s"$repo is a LEGACY (format-1) incremental repository — " +
+            "blobs/<relpath> is a flat file, but this writer stores " +
+            "content-versioned blobs/<relpath>/<md5>. Refusing: a " +
+            "mixed-layout snapshot would reuse manifest entries whose " +
+            "blobs don't exist under the new layout and could never " +
+            "restore. Migrate each legacy blob to " +
+            "blobs/<rel>/<its manifest md5>, or snapshot into a fresh " +
+            "repository.")
+      }
+    if (write) {
+      val out = rfs.create(fPath, true)
+      try out.write("2\n".getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** One blob VERSION per (relpath, content): `blobs/<rel>/<md5>`.
@@ -453,31 +511,54 @@ object Sink {
     * interleaving writes; a crashed writer's stale marker is reclaimed
     * after `graceMs` — freshness takes max(written timestamp, file
     * mtime), the ArtifactGen clock-skew rule (any one clock running
-    * ahead keeps the claim looking held, the safe direction). Returns
-    * the marker path; callers delete it in a `finally`. */
+    * ahead keeps the claim looking held, the safe direction).
+    *
+    * Two races the round-12 advisor found are closed here:
+    * (1) stale-claim reclamation goes through RENAME to a unique
+    * tombstone name, never delete — rename is the atomic on both HDFS
+    * and local, so of two waiters observing the same stale marker
+    * exactly ONE wins the rename (the loser's rename returns false and
+    * it re-contends against the winner's fresh marker), where the old
+    * `fs.delete` could remove the FIRST waiter's freshly created
+    * marker and let both proceed as writers; (2) `create(overwrite =
+    * false)` is not atomic on RawLocalFileSystem, so ownership is
+    * RE-VERIFIED by reading back a writer-unique token after the
+    * create — a raced writer whose token is not in the marker lost
+    * and refuses. Returns the marker path; callers delete it in a
+    * `finally`. */
   private[graft] def acquireWriter(fs: org.apache.hadoop.fs.FileSystem,
                                    dir: org.apache.hadoop.fs.Path,
                                    graceMs: Long = 15 * 60 * 1000L)
       : org.apache.hadoop.fs.Path = {
     fs.mkdirs(dir)
     val marker = new org.apache.hadoop.fs.Path(dir, "_WRITER")
+    val token = java.util.UUID.randomUUID().toString
+    def contentOf(): String =
+      try {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().trim
+        finally in.close()
+      } catch { case _: Exception => "" }
     var attempt = 0
     while (attempt < 3) {
       try {
         val out = fs.create(marker, false)
-        try out.write(s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        try out.write(s"${System.currentTimeMillis()} $token\n"
+          .getBytes("UTF-8"))
         finally out.close()
-        return marker
+        // create(overwrite=false) is not atomic on RawLocalFileSystem:
+        // re-verify ownership by reading back the writer-unique token
+        if (contentOf().endsWith(token)) return marker
+        throw new IllegalStateException(
+          s"lost the writer race for $dir — another writer's token is " +
+            "in the claim marker; single-writer enforced")
       } catch {
         case _: java.io.IOException if fs.exists(marker) =>
           val st = fs.getFileStatus(marker)
           val written =
-            try {
-              val in = fs.open(marker)
-              try scala.io.Source.fromInputStream(in, "UTF-8")
-                .getLines().next().trim.toLong
-              finally in.close()
-            } catch { case _: Exception => 0L }
+            try contentOf().split(" ").head.toLong
+            catch { case _: Exception => 0L }
           val fresh = math.max(written, st.getModificationTime)
           if (System.currentTimeMillis() - fresh < graceMs)
             throw new IllegalStateException(
@@ -485,7 +566,12 @@ object Sink {
                 s"${System.currentTimeMillis() - fresh} ms < grace $graceMs" +
                 " ms) — single-writer enforced; retry after it finishes" +
                 " or its claim expires")
-          fs.delete(marker, false) // crashed writer: reclaim
+          // crashed writer: reclaim by ATOMIC RENAME to a unique
+          // tombstone — exactly one of N waiters wins; losers loop and
+          // contend against the winner's fresh marker
+          val tomb = new org.apache.hadoop.fs.Path(dir,
+            s".writer-stale-${java.util.UUID.randomUUID()}")
+          if (fs.rename(marker, tomb)) fs.delete(tomb, false)
           attempt += 1
       }
     }

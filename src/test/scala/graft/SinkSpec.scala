@@ -237,6 +237,54 @@ class SinkSpec extends SparkSpec {
       == "AAAA", "both content versions coexist in the repo")
   }
 
+  test("repo format guard: legacy flat-blob repos refuse; marker-less format-2 repos are adopted") {
+    val src = Files.createTempDirectory("graft-fmt-src")
+    Files.write(src.resolve("data.bin"), "fresh".getBytes("UTF-8"))
+    // a LEGACY (format-1) repository: blobs/<rel> is a flat FILE
+    val legacy = Files.createTempDirectory("graft-fmt-legacy")
+    Files.createDirectories(legacy.resolve("snap-1"))
+    Files.createDirectories(legacy.resolve("blobs"))
+    Files.write(legacy.resolve("blobs/old.bin"), "v1".getBytes("UTF-8"))
+    Files.write(legacy.resolve("snap-1/MANIFEST"),
+      "0123456789abcdef0123456789abcdef 2 old.bin\n".getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      Sink.snapshotIncremental(spark, src.toString, legacy.toString, "2")
+    }
+    assert(ex.getMessage.contains("LEGACY"),
+      s"legacy layout must refuse loudly, got: ${ex.getMessage}")
+    assert(!Files.exists(legacy.resolve("snap-2/MANIFEST")),
+      "no manifest may be written into a legacy repo")
+    // a marker-less FORMAT-2 repo (round-12 vintage) is adopted: the
+    // blob shape adjudicates, the marker is written, snapshots proceed
+    val repo = Files.createTempDirectory("graft-fmt-adopt")
+    Sink.snapshotIncremental(spark, src.toString, repo.toString, "1")
+    assert(Files.exists(repo.resolve("_FORMAT")),
+      "first snapshot must pin the repo format")
+    Files.delete(repo.resolve("_FORMAT")) // simulate a pre-marker repo
+    Files.write(src.resolve("more.bin"), "delta".getBytes("UTF-8"))
+    val (t2, c2) =
+      Sink.snapshotIncremental(spark, src.toString, repo.toString, "2")
+    assert(t2 == 2 && c2 == 1, "adopted repo must keep reusing blobs")
+    assert(Files.exists(repo.resolve("_FORMAT")), "adoption re-pins")
+    // an unknown declared format refuses (snapshot AND restore);
+    // out-of-band nio writes must drop the LocalFileSystem crc sidecar
+    Files.deleteIfExists(repo.resolve("._FORMAT.crc"))
+    Files.write(repo.resolve("_FORMAT"), "99\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      Sink.snapshotIncremental(spark, src.toString, repo.toString, "3")
+    }
+    intercept[IllegalArgumentException] {
+      Sink.restoreSnapshot(spark, repo.toString, "1",
+        Files.createTempDirectory("graft-fmt-d").toString)
+    }
+    // ...and restoring a healthy repo still works with the marker back
+    Files.write(repo.resolve("_FORMAT"), "2\n".getBytes("UTF-8"))
+    val d = Files.createTempDirectory("graft-fmt-d2")
+    assert(Sink.restoreSnapshot(spark, repo.toString, "2", d.toString) == 2)
+    assert(new String(Files.readAllBytes(d.resolve("data.bin")), "UTF-8")
+      == "fresh")
+  }
+
   test("single-writer: a fresh _WRITER claim refuses a second snapshotter; a stale claim is reclaimed") {
     val src = Files.createTempDirectory("graft-sw-src")
     Files.write(src.resolve("f"), "x".getBytes("UTF-8"))
