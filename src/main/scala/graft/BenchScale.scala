@@ -299,5 +299,50 @@ object BenchScale {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    cleanupScaled(out)
+  }
+
+  /** Post-probe SELF-CLEANING (round-12 verdict task 4): the ×100/
+    * ×1000 replica traffic (~150 GB at ×1000) is what degraded the
+    * box's write path for hours after the round-12 probes — the
+    * scaled dirs and the freed-block TRIM were both manual and both
+    * got skipped until after the bench had already absorbed the
+    * damage. A probe now leaves /tmp at pre-run usage: delete the
+    * scaled dir (the `_READY` replica cache trades re-replication
+    * time against exactly this degradation — wrong trade, replication
+    * is ~100 s and the degradation is hours) and best-effort
+    * `fstrim` so the device reclaims the blocks. Opt out with
+    * SPARK_GRAFT_KEEP_SCALED=1 for back-to-back probe sessions —
+    * then delete + trim manually before any bench. */
+  private def cleanupScaled(out: String): Unit = {
+    if (sys.env.get("SPARK_GRAFT_KEEP_SCALED").contains("1")) {
+      System.err.println(s"[scale] keeping $out (SPARK_GRAFT_KEEP_SCALED=1)")
+      return
+    }
+    // the scaled corpus's ingest artifacts (GBs of ivf/pq/postings at
+    // ×1000) are garbage once the corpus is gone — their keys need the
+    // dir's file metadata, so wipe them BEFORE the corpus dir
+    try {
+      val tKey = operators.TextIndex.corpusKey(out)
+      operators.ArtifactGen.wipe(operators.TextIndex.rootFor(tKey))
+      operators.ArtifactGen.wipe(operators.DedupIndex.rootFor("even-" + tKey))
+      operators.ArtifactGen.wipe(
+        operators.AnnIndex.rootFor(operators.AnnIndex.corpusKey(out)))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scale] artifact wipe skipped: $e")
+    }
+    operators.ArtifactGen.wipe(java.nio.file.Paths.get(out))
+    System.err.println(s"[scale] deleted $out")
+    try {
+      val p = new ProcessBuilder("fstrim", "-v", "/")
+        .redirectErrorStream(true).start()
+      val log = scala.io.Source.fromInputStream(p.getInputStream).mkString
+      p.waitFor()
+      System.err.println(s"[scale] fstrim: ${log.trim} (rc=${p.exitValue()})")
+    } catch { // best-effort: fstrim may be absent or unprivileged
+      case e: Exception =>
+        System.err.println(s"[scale] fstrim skipped: $e")
+    }
   }
 }

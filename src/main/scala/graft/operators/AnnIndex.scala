@@ -81,6 +81,31 @@ object AnnIndex {
     * never below the legacy fixed sample. */
   def sampleSizeFor(nlist: Int): Int = math.max(SampleSize, 64 * nlist)
 
+  /** Serving-time probe width for a cell count: ≈√nlist (the FAISS
+    * sizing recipe — nprobe grows with the square root of the cell
+    * count), floored at the legacy fixed 4. The round-12 recall probe
+    * measured WHY a fixed nprobe is wrong: with `nlist` = √n and
+    * `nprobe` pinned at 4, the probed corpus fraction 4/√n SHRINKS as
+    * the corpus grows — absolute recall@10 was 0.68–0.69 at the ×100
+    * decade for BOTH the routed and exact-flat arms
+    * (`bench_recall_x100.json`), i.e. the IVF operating point itself
+    * had drifted below any reasonable serving bar, not the routing
+    * approximation. At nprobe = √nlist the probed fraction decays only
+    * as n^(-1/4) and per-query candidates grow as n^(3/4) — still
+    * sublinear — and the measured recall at ×100 recovers to ≥0.9
+    * (bench_recall sweep, round 13). Callers pass [[AutoNprobe]] (the
+    * default on every serving path) to resolve this per index; an
+    * explicit positive nprobe still wins, which is how the recall
+    * probe sweeps the operating curve. */
+  def nprobeFor(nlist: Int): Int =
+    math.max(4, math.round(math.sqrt(nlist.toDouble)).toInt)
+
+  /** Sentinel default for serving-path `nprobe` parameters: resolve
+    * via [[nprobeFor]] from the index's own cell count at call time.
+    * At the legacy fixed nlist = 16 this resolves to the legacy
+    * nprobe = 4 — oracle-gated corpora keep bit-identical plans. */
+  val AutoNprobe = 0
+
   /** Driver-side trained structures + the persisted table locations.
     * `key` is the [[ensure]] memo key when managed (empty for ad-hoc
     * [[build]]s) — it lets invalidation evict the in-JVM memo entry,
@@ -180,15 +205,23 @@ object AnnIndex {
   private[graft] def evictMemo(key: String): Unit = { memo.remove(key); () }
 
   /** The managed root for `key` — the one place the layout version
-    * lives (the [[TextIndex.rootFor]] discipline). "v4": the routed
-    * coarse-quantizer beam widened 4 → 8 (Centroids.RouteBeam) — a
-    * SEMANTICS change for routing-active (≥128-cell) artifacts, whose
-    * persisted assignments were made under the old beam; the corpus
-    * fingerprint can't see it, so the version string carries it and
-    * old-generation artifacts are never probed under the new beam. */
+    * lives (the [[TextIndex.rootFor]] discipline). Any change to the
+    * ROUTED-ASSIGNMENT semantics (Centroids.RouteBeam, RouteThreshold,
+    * the routing construction) REQUIRES a bump here: persisted cell
+    * assignments were made under the old semantics and the corpus
+    * fingerprint cannot see the code change, so only the version
+    * string keeps old artifacts from being probed under new routing.
+    * History: "v4" was minted when the beam first widened (4 → 8), but
+    * the beam then moved 8 → 12 within the same round WITHOUT a
+    * further bump — the round-12 advisor's finding: v4 artifacts
+    * persisted under beam 8 would be probed under beam 12, exactly
+    * the assignment/probe mismatch the version exists to exclude.
+    * "v5" supersedes v4 (RouteBeam = 12 pinned) and additionally marks
+    * the round-13 distributed trainer (same semantics below
+    * RouteThreshold, different centroid arithmetic above it). */
   private[graft] def rootFor(key: String): java.nio.file.Path =
     java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v4", key)
+      .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v5", key)
 
   /** (vec_id, label, v, nrm, cell): the coarse-quantizer assignment of
     * `emb` under fixed centroids — the shared encode step of [[build]]
@@ -210,19 +243,37 @@ object AnnIndex {
   def build(corpus: DataFrame, dir: String): Loaded = {
     val spark = corpus.sparkSession
     // √n cells ([[nlistFor]] scaladoc): one metadata-cheap count
-    // decides the coarse resolution. ONE sample collection feeds all
-    // three trainers, but at different sizes: the coarse quantizer
-    // needs 64 points PER CELL (so its sample scales with √n), while
-    // the PQ/residual codebooks are M·Ksub entries regardless of
-    // corpus — they train on the fixed-size PREFIX, which is exactly
-    // normalizedSample(corpus, SampleSize) (the sample is
-    // (xxhash64, vec_id)-ordered, so a prefix of a longer limit is
-    // the shorter limit), keeping codebook training cost
-    // corpus-independent instead of growing with √n.
-    val nlist = nlistFor(corpus.count())
-    val sample = Similarity.normalizedSample(corpus, sampleSizeFor(nlist))
-    val cbSample = sample.take(SampleSize)
-    val cents = Similarity.kmeansFromSample(sample, nlist, Iters)
+    // decides the coarse resolution. TWO training regimes, gated on
+    // the same threshold as serving-side routing:
+    //
+    //  - nlist < RouteThreshold (every oracle-gated corpus): the exact
+    //    sequential driver trainer on the bounded 64·nlist sample —
+    //    bit-identical to all prior rounds. The PQ/residual codebooks
+    //    train on the fixed-size PREFIX of that sample, which is
+    //    exactly normalizedSample(corpus, SampleSize) (the sample is
+    //    (xxhash64, vec_id)-ordered, so a prefix of a longer limit is
+    //    the shorter limit).
+    //  - nlist ≥ RouteThreshold: DISTRIBUTED Lloyd's
+    //    ([[Similarity.kmeansDistributed]]) — the 64·nlist sample
+    //    stays executor-resident; with nlist = √n the old driver
+    //    collection was 64·√n vectors of driver state, unbounded at
+    //    100 TB (round-12 verdict task 2). Driver state here is
+    //    Θ(nlist·dim): the centroid matrix itself, which load() holds
+    //    anyway. The PQ/residual codebooks are M·Ksub entries
+    //    regardless of corpus and keep training on the bounded
+    //    normalizedSample(corpus, SampleSize) — corpus-independent
+    //    cost, constant driver state.
+    val n = corpus.count()
+    val nlist = nlistFor(n)
+    val routed = nlist >= graft.functions.Centroids.RouteThreshold
+    val (cents, cbSample) =
+      if (!routed) {
+        val sample = Similarity.normalizedSample(corpus, sampleSizeFor(nlist))
+        (Similarity.kmeansFromSample(sample, nlist, Iters),
+          sample.take(SampleSize))
+      } else
+        (Similarity.kmeansDistributed(corpus, n, nlist, Iters),
+          Similarity.normalizedSample(corpus, SampleSize))
     val pqCbs = Similarity.pqTrainFromSample(cbSample, M, Ksub, Iters)
     val resCbs = Similarity.residualCodebooks(cbSample, cents, M, Ksub, Iters)
 

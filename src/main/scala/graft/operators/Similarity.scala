@@ -168,6 +168,99 @@ object Similarity {
                       sampleSize: Int = 1024): Array[Array[Double]] =
     kmeansFromSample(normalizedSample(emb, sampleSize), k, iters)
 
+  /** Fixed-point scale for the distributed Lloyd's element sums — the
+    * N6 per-label-centroid reproducibility pattern: quantize each
+    * element to integer nano-units row-locally, sum exact BIGINTs
+    * (order-independent by construction), divide back on the driver.
+    * Normalized elements are in [-1, 1], so a cell's sum is bounded by
+    * sampleRows·10⁹ ≤ ~10¹⁶ even with every sample point in one cell —
+    * five decades inside Long. */
+  private val LloydFixedPoint = 1e9
+
+  /** DISTRIBUTED Lloyd's over an executor-resident sample — the
+    * √n-scaled trainer [[graft.operators.AnnIndex.build]] uses at and
+    * above [[graft.functions.Centroids.RouteThreshold]] cells. The
+    * round-12 trainer collected a 64·nlist-point sample to the driver
+    * ([[normalizedSample]]); with nlist = √n that is 64·√n vectors of
+    * driver state — tens of GB at 10¹⁰ vectors, the one remaining
+    * corpus-growing driver wall in the repo (round-12 verdict task 2).
+    * Here the sample never leaves the cluster:
+    *
+    *  - SAMPLING is a deterministic hash filter — keep rows whose
+    *    xxhash64(vec_id) ≡ 0 (mod ⌊n/(64·k)⌋) — one scan, no global
+    *    sort, no single-partition gather; expected size 64·k (the
+    *    FAISS 30–256-per-centroid band), deterministic across runs
+    *    and cluster sizes because it keys on row content alone.
+    *  - SEEDS are the k lowest-(hash, vec_id) sample rows — a k-row
+    *    TakeOrdered, i.e. exactly the centroid matrix the driver must
+    *    hold anyway (driver state is Θ(k·dim) = the size of the
+    *    returned model, the floor for a driver-resident codebook).
+    *  - Each ITERATION assigns the cached sample through the SAME
+    *    routed executor kernel serving uses
+    *    ([[graft.functions.Centroids.nearest_cell]] — ~beam·√k dots
+    *    per point), then reduces per-(cell, element) fixed-point sums
+    *    ([[LloydFixedPoint]]) in one groupBy; the k·dim partial sums
+    *    collected per iteration are again model-sized. Empty cells
+    *    keep their centroid; means re-normalize to unit length —
+    *    the same update rule as [[kmeansFromSample]].
+    *
+    * Semantics: routed-assignment Lloyd's, like the round-12 driver
+    * trainer — approximate BY CONTRACT above RouteThreshold (the
+    * serving contracts are invariant to WHICH centroids training
+    * chose); below the threshold [[AnnIndex.build]] keeps the exact
+    * sequential driver path bit-for-bit, so every oracle-gated corpus
+    * is untouched. Deterministic end-to-end: content-keyed sampling,
+    * deterministic kernels, order-independent integer sums. */
+  private[graft] def kmeansDistributed(emb: DataFrame, nTotal: Long,
+                                           k: Int, iters: Int,
+                                           perCell: Int = 64): Array[Array[Double]] = {
+    val keep = math.max(1L, nTotal / (k.toLong * perCell))
+    val sampled = withNorm(emb)
+      .filter(pmod(xxhash64(col("vec_id")), lit(keep)) === 0)
+      .select(col("vec_id"), xxhash64(col("vec_id")).as("h"),
+        transform(col("v"), x => x / col("nrm")).as("vhat"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = sampled.orderBy(col("h"), col("vec_id"))
+        .limit(k).select(col("vhat")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(seeds.length == k,
+        s"distributed Lloyd's: sample holds only ${seeds.length} rows " +
+          s"for k=$k cells — corpus too small for this cell count")
+      val dim = seeds.head.length
+      var cents = seeds
+      var it = 0
+      while (it < iters) {
+        val cur = cents
+        val agg = sampled
+          .select(graft.functions.Centroids
+            .nearest_cell(cur, col("vhat"), lit(1.0)).as("cell"),
+            posexplode(col("vhat")).as(Seq("j", "x")))
+          .groupBy(col("cell"), col("j"))
+          .agg(sum(floor(col("x") * LloydFixedPoint + 0.5)).as("s"),
+            count(lit(1)).as("cnt"))
+          .collect()
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        agg.foreach { r =>
+          val c = r.getInt(0)
+          sums(c)(r.getInt(1)) = r.getLong(2).toDouble / LloydFixedPoint
+          counts(c) = r.getLong(3)
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0L) cur(c) // empty cell keeps its centroid
+          else {
+            val m = sums(c)
+            val n = math.sqrt(m.map(x => x * x).sum)
+            if (n == 0.0) cur(c) else m.map(_ / n)
+          }
+        }
+        it += 1
+      }
+      cents
+    } finally { sampled.unpersist(false); () }
+  }
+
   /** Lloyd's over the driver-side sample. Two regimes, gated on the
     * SAME threshold as serving-side routing
     * ([[graft.functions.Centroids.RouteThreshold]]):
@@ -347,6 +440,13 @@ object Similarity {
                                 nrm: Column): Column =
     graft.functions.Centroids.nearest_cell(cents, v, nrm)
 
+  /** Resolve [[AnnIndex.AutoNprobe]] against the index's own cell
+    * count — every serving path defaults to the √nlist operating
+    * point ([[AnnIndex.nprobeFor]] scaladoc); an explicit positive
+    * `nprobe` always wins (the recall probe's sweep knob). */
+  private def resolveNprobe(nprobe: Int, nlist: Int): Int =
+    if (nprobe > 0) nprobe else AnnIndex.nprobeFor(nlist)
+
   /** The `nprobe` best cell ids in [[cellOf]]'s total order — the
     * query-side probe list (array<int>, rank order). */
   private[operators] def probeCellsOf(cents: Array[Array[Double]],
@@ -364,7 +464,7 @@ object Similarity {
     * the cell is a natural partition / bucket key); queries scan
     * nprobe/nlist of the corpus. */
   def knnIvf(emb: DataFrame, queryId: Long, k: Int = 10,
-             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+             nlist: Int = 16, nprobe: Int = AnnIndex.AutoNprobe): DataFrame = {
     val e = withNorm(emb)
     val cents = kmeansCentroids(emb, nlist)
     val assigned = e.withColumn("cell",
@@ -378,7 +478,7 @@ object Similarity {
     // k-means cells keep their seed) must rank identically on the
     // driver and the executor paths
     val probeCells = graft.functions.Centroids
-      .topCellsHost(cents, q, qn, nprobe).toSeq
+      .topCellsHost(cents, q, qn, resolveNprobe(nprobe, cents.length)).toSeq
     assigned
       .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
@@ -460,7 +560,7 @@ object Similarity {
     * the whole query set, no per-query driver action (contrast
     * [[knnIvf]]). */
   def knnIvfBatch(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
-                  nlist: Int = 16, nprobe: Int = 4): DataFrame =
+                  nlist: Int = 16, nprobe: Int = AnnIndex.AutoNprobe): DataFrame =
     knnIvfBatchWith(emb, kmeansCentroids(emb, nlist), queryIds, k, nprobe)
 
   /** [[knnIvfBatch]] with pre-trained centroids — the production shape
@@ -469,7 +569,7 @@ object Similarity {
     * without a second training pass. */
   def knnIvfBatchWith(emb: DataFrame, cents: Array[Array[Double]],
                       queryIds: Seq[Long], k: Int = 10,
-                      nprobe: Int = 4): DataFrame = {
+                      nprobe: Int = AnnIndex.AutoNprobe): DataFrame = {
     val e = withNorm(emb)
     knnIvfBatchAssigned(emb,
       e.select(col("vec_id"), col("v"), col("nrm"),
@@ -486,7 +586,7 @@ object Similarity {
     * from everything IVF itself loses. */
   def knnIvfBatchWithFlat(emb: DataFrame, cents: Array[Array[Double]],
                           queryIds: Seq[Long], k: Int = 10,
-                          nprobe: Int = 4): DataFrame = {
+                          nprobe: Int = AnnIndex.AutoNprobe): DataFrame = {
     val e = withNorm(emb)
     ivfProbe(emb,
       e.select(col("vec_id"), col("v"), col("nrm"),
@@ -505,7 +605,7 @@ object Similarity {
   def knnIvfBatchAssigned(emb: DataFrame, assigned: DataFrame,
                           cents: Array[Array[Double]],
                           queryIds: Seq[Long], k: Int = 10,
-                          nprobe: Int = 4): DataFrame =
+                          nprobe: Int = AnnIndex.AutoNprobe): DataFrame =
     ivfProbe(emb, assigned, cents, queryIds, wanted = None, k, nprobe)
 
   /** Shared probe pipeline of [[knnIvfBatchAssigned]] and
@@ -518,11 +618,12 @@ object Similarity {
                        wanted: Option[Seq[(Long, Int)]], k: Int,
                        nprobe: Int, labelMatch: Boolean = true,
                        routed: Boolean = true): DataFrame = {
+    val np = resolveNprobe(nprobe, cents.length)
     val e = withNorm(emb)
     val base = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"),
-        explode(probeCellsOf(cents, col("v"), col("nrm"), nprobe, routed))
+        explode(probeCellsOf(cents, col("v"), col("nrm"), np, routed))
           .as("cell"))
     val queries = wanted.fold(base) { ql =>
       val spark = emb.sparkSession
@@ -560,7 +661,7 @@ object Similarity {
   def knnIvfBatchFiltered(emb: DataFrame, assigned: DataFrame,
                           cents: Array[Array[Double]],
                           queryLabels: Seq[(Long, Int)], k: Int = 10,
-                          nprobe: Int = 4): DataFrame =
+                          nprobe: Int = AnnIndex.AutoNprobe): DataFrame =
     ivfProbe(emb, assigned, cents, queryLabels.map(_._1),
       wanted = Some(queryLabels), k, nprobe)
 
@@ -580,7 +681,7 @@ object Similarity {
   def knnIvfBatchHardNegatives(emb: DataFrame, assigned: DataFrame,
                                cents: Array[Array[Double]],
                                queryLabels: Seq[(Long, Int)], k: Int = 10,
-                               nprobe: Int = 4): DataFrame =
+                               nprobe: Int = AnnIndex.AutoNprobe): DataFrame =
     ivfProbe(emb, assigned, cents, queryLabels.map(_._1),
       wanted = Some(queryLabels), k, nprobe, labelMatch = false)
 
@@ -670,7 +771,7 @@ object Similarity {
     * verify against the same centroids ([[knnIvfBatchWith]]). */
   def ivfContract(corpus: DataFrame, probeIds: Seq[Long], k: Int = 10,
                   plantOffset: Long = 1000000L,
-                  nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+                  nlist: Int = 16, nprobe: Int = AnnIndex.AutoNprobe): DataFrame = {
     val cents = kmeansCentroids(corpus, nlist)
     val e = withNorm(corpus)
     ivfContractWith(corpus, cents,
@@ -687,13 +788,17 @@ object Similarity {
   def ivfContractWith(corpus: DataFrame, cents: Array[Array[Double]],
                       assigned: DataFrame, probeIds: Seq[Long],
                       k: Int = 10, plantOffset: Long = 1000000L,
-                      nprobe: Int = 4): DataFrame = {
-    val res = knnIvfBatchAssigned(corpus, assigned, cents, probeIds, k, nprobe)
+                      nprobe: Int = AnnIndex.AutoNprobe): DataFrame = {
+    // one resolution for BOTH the result path and the verification
+    // side — the contract compares candidates against the probed set,
+    // so the two must rank the same number of cells
+    val np = resolveNprobe(nprobe, cents.length)
+    val res = knnIvfBatchAssigned(corpus, assigned, cents, probeIds, k, np)
     val e = withNorm(corpus)
     val qSide = e.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"),
-        probeCellsOf(cents, col("v"), col("nrm"), nprobe).as("probed"))
+        probeCellsOf(cents, col("v"), col("nrm"), np).as("probed"))
     val cand = e.select(col("vec_id"), col("v").as("cv"),
       col("nrm").as("cn"), cellOf(cents, col("v"), col("nrm")).as("cand_cell"))
     annContractRows(res, qSide, cand, k, plantOffset)
@@ -1040,7 +1145,7 @@ object Similarity {
     * probed cells with the probe's own ADC score. */
   def ivfPqContract(corpus: DataFrame, probeIds: Seq[Long], k: Int = 10,
                     plantOffset: Long = 1000000L, nlist: Int = 16,
-                    nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                    nprobe: Int = AnnIndex.AutoNprobe, m: Int = 8, ksub: Int = 16,
                     iters: Int = 10, sampleSize: Int = 1024): DataFrame = {
     val (cents, cbs) = ivfPqTrain(corpus, nlist, m, ksub, iters, sampleSize)
     ivfPqContractWith(corpus, cents, cbs,
@@ -1103,7 +1208,7 @@ object Similarity {
                         cbs: Array[Array[Array[Double]]], codes: DataFrame,
                         probeIds: Seq[Long], k: Int = 10,
                         plantOffset: Long = 1000000L,
-                        nprobe: Int = 4): DataFrame = {
+                        nprobe: Int = AnnIndex.AutoNprobe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = cbs.length
     val ksub = cbs.head.length
@@ -1125,7 +1230,7 @@ object Similarity {
         val qn = r.getDouble(2)
         val q = vRaw.map(_ / qn)
         val probed = graft.functions.Centroids
-          .topCellsHost(cents, vRaw, qn, nprobe)
+          .topCellsHost(cents, vRaw, qn, resolveNprobe(nprobe, cents.length))
         val bias = cents.map(_.zip(q).map { case (a, b) => a * b }.sum)
         val luts = Array.tabulate(m) { j =>
           cbs(j).map(_.zip(q.slice(j * ds, (j + 1) * ds))

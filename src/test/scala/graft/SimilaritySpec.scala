@@ -364,6 +364,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("distributed Lloyd's: unit centroids, deterministic, serves the routed kernels") {
+    // k ≥ RouteThreshold — the regime AnnIndex.build routes to the
+    // distributed trainer (below it the exact driver path is kept
+    // bit-identical and is covered by every other IVF test)
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val k = graft.functions.Centroids.RouteThreshold // 128 cells
+    val cents = Similarity.kmeansDistributed(emb, n, k, iters = 3)
+    assert(cents.length == k)
+    cents.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9,
+        "centroids must be unit-normalized")
+    }
+    // deterministic end-to-end: content-keyed sampling + integer sums
+    val again = Similarity.kmeansDistributed(emb, n, k, iters = 3)
+    assert(cents.zip(again).forall { case (a, b) => a.sameElements(b) },
+      "re-training the same corpus must be bit-identical")
+    // the trained centroids serve through the SAME routed kernels:
+    // every corpus vector assigns to a legal cell and its probe
+    // list's first element IS its assignment (the routing-consistency
+    // contract at a routing-ACTIVE cell count)
+    val assigned = emb
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0.0)
+      .select(
+        graft.functions.Centroids
+          .nearest_cell(cents, col("v"), col("nrm")).as("cell"),
+        graft.functions.Centroids
+          .top_cells(cents, col("v"), col("nrm"), 4).as("probed"))
+      .collect()
+    assert(assigned.nonEmpty)
+    assigned.foreach { r =>
+      val cell = r.getInt(0)
+      assert(cell >= 0 && cell < k)
+      assert(r.getSeq[Int](1).head == cell,
+        "probe list must lead with the assignment cell")
+    }
+  }
+
   test("semDedup agrees with brute-force same-cluster pairs; representatives kept") {
     val emb = Tables.embeddings(spark, sf)
     val tau = 0.35
