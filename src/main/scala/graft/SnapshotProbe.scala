@@ -69,20 +69,45 @@ object SnapshotProbe {
       }
       (snap, rest)
     }
+    // the DISTRIBUTED arm (Sink.snapshotDistributed/restoreDistributed):
+    // bytes fan out over Spark tasks instead of one JVM's pool — on
+    // this single machine that is the same device, so expect parity
+    // with the pool, but the row is the shape that scales past one
+    // machine's NIC on a real cluster (executor-local copies)
+    def runDist(): (Double, Double) = {
+      rep += 1
+      val repo = java.nio.file.Files
+        .createTempDirectory(s"graft-snapprobe-repo$rep").toString
+      val dest = java.nio.file.Files
+        .createTempDirectory(s"graft-snapprobe-dest$rep").toString
+      val snap = timed {
+        graft.sources.Sink.snapshotDistributed(spark, src.toString, repo)
+      }
+      val rest = timed {
+        graft.sources.Sink.restoreDistributed(spark, repo, dest)
+      }
+      (snap, rest)
+    }
     // warm the page cache once so every arm reads warm bytes; then
     // min-of-3 per arm — the standard de-noising for io wall-clock
     run(graft.sources.Sink.CopyThreads)
     val serial = (1 to 3).map(_ => run(1))
     val par = (1 to 3).map(_ => run(graft.sources.Sink.CopyThreads))
+    val dist = (1 to 3).map(_ => runDist())
     val (s1, r1) = (serial.map(_._1).min, serial.map(_._2).min)
     val (sN, rN) = (par.map(_._1).min, par.map(_._2).min)
+    val (sD, rD) = (dist.map(_._1).min, dist.map(_._2).min)
     val line =
       f"""{"metric":"snapshot_probe","files":$nFiles,"kb_per_file":$kb,""" +
         f""""threads":${graft.sources.Sink.CopyThreads},"reps":3,""" +
         f""""snapshot_serial_sec":$s1%.3f,"snapshot_parallel_sec":$sN%.3f,""" +
+        f""""snapshot_distributed_sec":$sD%.3f,""" +
         f""""restore_serial_sec":$r1%.3f,"restore_parallel_sec":$rN%.3f,""" +
+        f""""restore_distributed_sec":$rD%.3f,""" +
         f""""snapshot_speedup":${s1 / math.max(sN, 1e-9)}%.2f,""" +
-        f""""restore_speedup":${r1 / math.max(rN, 1e-9)}%.2f}"""
+        f""""restore_speedup":${r1 / math.max(rN, 1e-9)}%.2f,""" +
+        f""""snapshot_dist_speedup":${s1 / math.max(sD, 1e-9)}%.2f,""" +
+        f""""restore_dist_speedup":${r1 / math.max(rD, 1e-9)}%.2f}"""
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(

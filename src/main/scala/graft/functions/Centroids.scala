@@ -345,10 +345,14 @@ object Centroids {
     * ([[graft.RecallProbe]]): at the ×100 decade (447 cells, 21 top
     * groups) beam 4 covered only ~19% of the groups and measured
     * routed recall at 0.94 of flat — below the ≥0.95 acceptance bar —
-    * and beam 8 still measured 0.93; beam 12 measures 0.99
-    * (`bench_recall_x100.json`) at ~1.5× cheaper-than-flat on that
-    * decade, with the advantage growing as √n thereafter (2.7× at
-    * ×1000, where recall is 1.0 in both arms). */
+    * and beam 8 still measured 0.93. (Those round-12 absolute recall
+    * levels were inflated by seed-correlated queries — the
+    * [[graft.RecallProbe]] scaladoc; the RELATIVE routed/flat ratio
+    * the beam was tuned on is unaffected by the artifact.) Under the
+    * round-13 held-out probe, beam 12 measures routed/flat 0.95–1.02
+    * across the nprobe sweep at ×100 — 1.02 at the serving default —
+    * with the routed arm ~6× cheaper than flat assignment on that
+    * decade (`bench_recall_x100.json`). */
   val RouteBeam = 12
 
   /** Routing-table memo keyed by centroid-array IDENTITY (Java array

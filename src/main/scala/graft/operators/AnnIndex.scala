@@ -83,20 +83,21 @@ object AnnIndex {
 
   /** Serving-time probe width for a cell count: ≈√nlist (the FAISS
     * sizing recipe — nprobe grows with the square root of the cell
-    * count), floored at the legacy fixed 4. The round-12 recall probe
-    * measured WHY a fixed nprobe is wrong: with `nlist` = √n and
-    * `nprobe` pinned at 4, the probed corpus fraction 4/√n SHRINKS as
-    * the corpus grows — absolute recall@10 was 0.68–0.69 at the ×100
-    * decade for BOTH the routed and exact-flat arms
-    * (`bench_recall_x100.json`), i.e. the IVF operating point itself
-    * had drifted below any reasonable serving bar, not the routing
-    * approximation. At nprobe = √nlist the probed fraction decays only
-    * as n^(-1/4) and per-query candidates grow as n^(3/4) — still
-    * sublinear — and the measured recall at ×100 recovers to ≥0.9
-    * (bench_recall sweep, round 13). Callers pass [[AutoNprobe]] (the
-    * default on every serving path) to resolve this per index; an
-    * explicit positive nprobe still wins, which is how the recall
-    * probe sweeps the operating curve. */
+    * count), floored at the legacy fixed 4. A FIXED nprobe under
+    * √n-scaled nlist is wrong by construction: the probed corpus
+    * fraction 4/√n SHRINKS as the corpus grows. At nprobe = √nlist
+    * the fraction decays only as n^(-1/4) and per-query candidates
+    * grow as n^(3/4) — still sublinear — and the round-13 held-out
+    * recall sweep ([[graft.RecallProbe]] scaladoc for the metric
+    * design and the round-12 measurement artifact it corrects) puts
+    * √nlist exactly at the knee of the planted-jitter recall curve:
+    * at the ×100 decade (447 cells) recall@10 on unseen cos-0.9
+    * neighbors reads 0.74 / 0.90 / 0.91 at nprobe 4 / 21 / 45
+    * (`bench_recall_x100.json`) — the serving default clears the 0.9
+    * bar and doubling the probe width buys < 0.01 more. Callers pass
+    * [[AutoNprobe]] (the default on every serving path) to resolve
+    * this per index; an explicit positive nprobe still wins, which is
+    * how the recall probe sweeps the operating curve. */
   def nprobeFor(nlist: Int): Int =
     math.max(4, math.round(math.sqrt(nlist.toDouble)).toInt)
 
@@ -242,6 +243,15 @@ object AnnIndex {
     * persist everything. */
   def build(corpus: DataFrame, dir: String): Loaded = {
     val spark = corpus.sparkSession
+    // phase timing on stderr — a scheduled ingest job's progress log,
+    // and what localizes a build-time regression to train vs encode
+    // (the round-13 ×100 probe was diagnosed from exactly these lines)
+    var t0 = System.nanoTime()
+    def mark(phase: String): Unit = {
+      val t1 = System.nanoTime()
+      System.err.println(f"[ann-build] $phase ${(t1 - t0) / 1e9}%.1fs")
+      t0 = t1
+    }
     // √n cells ([[nlistFor]] scaladoc): one metadata-cheap count
     // decides the coarse resolution. TWO training regimes, gated on
     // the same threshold as serving-side routing:
@@ -274,8 +284,10 @@ object AnnIndex {
       } else
         (Similarity.kmeansDistributed(corpus, n, nlist, Iters),
           Similarity.normalizedSample(corpus, SampleSize))
+    mark(s"train-coarse nlist=$nlist routed=$routed")
     val pqCbs = Similarity.pqTrainFromSample(cbSample, M, Ksub, Iters)
     val resCbs = Similarity.residualCodebooks(cbSample, cents, M, Ksub, Iters)
+    mark("train-codebooks")
 
     import spark.implicits._
     val cbRows =
@@ -289,13 +301,17 @@ object AnnIndex {
 
     assignCells(corpus, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/ivf")
+    mark("encode-ivf")
     Similarity.pqEncode(corpus, pqCbs)
       .write.mode("overwrite").parquet(s"$dir/pq_codes")
+    mark("encode-pq")
     Similarity.ivfPqEncode(corpus, cents, resCbs)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/ivfpq_codes")
+    mark("encode-ivfpq")
     Similarity.quantizedIndex(corpus)
       .write.mode("overwrite").parquet(s"$dir/sq8")
+    mark("encode-sq8")
 
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_DONE"),
       Array.emptyByteArray)

@@ -232,10 +232,19 @@ object Similarity {
       var it = 0
       while (it < iters) {
         val cur = cents
-        val agg = sampled
+        // the assignment is projected in its OWN select BELOW the
+        // generator: a generator's select-list siblings resolve into
+        // the Project ABOVE Generate, where the kernel would re-run
+        // once per exploded ELEMENT — dim× the work (the documented
+        // ProjectCollapse/Generate hazard; measured 409 s vs 9 s on
+        // the ×100 probe). As an attribute it rides Generate's
+        // requiredChildOutput, computed once per sample row.
+        val assigned = sampled
           .select(graft.functions.Centroids
             .nearest_cell(cur, col("vhat"), lit(1.0)).as("cell"),
-            posexplode(col("vhat")).as(Seq("j", "x")))
+            col("vhat"))
+        val agg = assigned
+          .select(col("cell"), posexplode(col("vhat")).as(Seq("j", "x")))
           .groupBy(col("cell"), col("j"))
           .agg(sum(floor(col("x") * LloydFixedPoint + 0.5)).as("s"),
             count(lit(1)).as("cnt"))

@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   *  - A5 ingest counters (`src/main.py:128-156`) → `LongAccumulator`
   *    filled executor-side during the write.
   */
+/** Hadoop `Configuration` is not `java.io.Serializable`; the
+  * distributed snapshot/restore paths ship it to executors through the
+  * standard Writable round-trip (`write`/`readFields` inside Java
+  * serialization hooks) — the same construction Spark uses internally
+  * for its own (non-public) serializable-configuration wrapper. */
+private[sources] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object Sink {
 
   /** S4: register a table over a parquet path with an explicit schema
@@ -219,6 +238,98 @@ object Sink {
         new org.apache.hadoop.fs.Path(dest, name))
       require(got == md5 && rfs.getFileStatus(from).getLen == len.toLong,
         s"checksum mismatch restoring $name — repository corrupt")
+    }
+    lines.length.toLong
+  }
+
+  /** [[snapshot]] with the byte traffic fanned out over the CLUSTER —
+    * the ES repositories model taken to its actual topology: ES copies
+    * segment files shard-parallel from the data nodes that own them;
+    * the [[CopyThreads]] driver pool (measured 2.5–2.9× in
+    * `bench_snapshot.json`) still serializes a 100 TB tree's bytes
+    * through ONE JVM's NIC and page cache. Here the committed-file
+    * WALK (metadata-only) and the MANIFEST write (written LAST, under
+    * the same `_WRITER` claim) stay on the driver, while the
+    * copy+hash of each file runs as a Spark job: one task per file
+    * batch, executors open source and repository through a broadcast
+    * Hadoop configuration, and per-file (md5, length, relpath) rows
+    * come back to the driver — manifest-sized state, never the bytes.
+    * A failed copy fails its task and the job (no manifest is
+    * written, so the repository never holds a torn snapshot — the
+    * same discipline as the pool path). The RDD is deliberate: this
+    * is genuine per-partition imperative IO, not relational work.
+    * Semantics (walk filter, checksum, manifest format) are identical
+    * to [[snapshot]] — asserted in SinkSpec by cross-restoring. */
+  def snapshotDistributed(spark: SparkSession, srcDir: String,
+                          repoDir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val repo = new org.apache.hadoop.fs.Path(repoDir)
+    val sfs = src.getFileSystem(conf)
+    val rfs = repo.getFileSystem(conf)
+    rfs.mkdirs(repo)
+    val claim = acquireWriter(rfs, repo)
+    try {
+      val files = walkCommitted(sfs, src)
+        .map { case (st, rel) => (st.getPath.toString, st.getLen, rel) }
+      val bc = spark.sparkContext
+        .broadcast(new SerializableHadoopConf(conf))
+      val slices = math.max(1, math.min(files.length,
+        spark.sparkContext.defaultParallelism * 2))
+      val repoStr = repo.toString
+      val manifest =
+        if (files.isEmpty) Seq.empty[String]
+        else spark.sparkContext.parallelize(files, slices)
+          .map { case (abs, len, rel) =>
+            val c = bc.value.value
+            val from = new org.apache.hadoop.fs.Path(abs)
+            val to = new org.apache.hadoop.fs.Path(repoStr, rel)
+            val md5 = copyWithMd5(from.getFileSystem(c), from,
+              to.getFileSystem(c), to)
+            (rel, s"$md5 $len $rel")
+          }
+          .collect().toSeq.sortBy(_._1).map(_._2)
+      val out = rfs.create(
+        new org.apache.hadoop.fs.Path(repo, "MANIFEST"), true)
+      try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      files.length.toLong
+    } finally rfs.delete(claim, false)
+  }
+
+  /** [[restore]]'s distributed twin — the manifest (driver-read,
+    * manifest-sized) becomes a Spark job whose tasks copy AND
+    * re-verify each file's md5 executor-side; any mismatch fails its
+    * task and the restore, exactly the pool path's refusal but with
+    * the bytes moving cluster-parallel. */
+  def restoreDistributed(spark: SparkSession, repoDir: String,
+                         destDir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val repo = new org.apache.hadoop.fs.Path(repoDir)
+    val dest = new org.apache.hadoop.fs.Path(destDir)
+    val rfs = repo.getFileSystem(conf)
+    val mPath = new org.apache.hadoop.fs.Path(repo, "MANIFEST")
+    require(rfs.exists(mPath),
+      s"$repoDir has no MANIFEST — torn or not a snapshot repository")
+    val lines = readManifest(rfs, mPath)
+    dest.getFileSystem(conf).mkdirs(dest)
+    if (lines.nonEmpty) {
+      val bc = spark.sparkContext
+        .broadcast(new SerializableHadoopConf(conf))
+      val slices = math.max(1, math.min(lines.length,
+        spark.sparkContext.defaultParallelism * 2))
+      val repoStr = repo.toString
+      val destStr = dest.toString
+      spark.sparkContext.parallelize(lines, slices)
+        .foreach { case (md5, len, rel) =>
+          val c = bc.value.value
+          val from = new org.apache.hadoop.fs.Path(repoStr, rel)
+          val ffs = from.getFileSystem(c)
+          val to = new org.apache.hadoop.fs.Path(destStr, rel)
+          val got = copyWithMd5(ffs, from, to.getFileSystem(c), to)
+          require(got == md5 && ffs.getFileStatus(from).getLen == len,
+            s"checksum mismatch restoring $rel — repository corrupt")
+        }
     }
     lines.length.toLong
   }

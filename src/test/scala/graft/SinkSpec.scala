@@ -237,6 +237,53 @@ class SinkSpec extends SparkSpec {
       == "AAAA", "both content versions coexist in the repo")
   }
 
+  test("distributed snapshot/restore: cluster-parallel copies interoperate with the pool path") {
+    val src = Files.createTempDirectory("graft-dist-src")
+    Tables.region(spark, sf).write.parquet(src.resolve("postings").toString)
+    Files.write(src.resolve("_DONE"), "ok\n".getBytes("UTF-8"))
+    Files.write(src.resolve(".hidden"), "skip".getBytes("UTF-8"))
+    val repoD = Files.createTempDirectory("graft-dist-repo").toString
+    val repoP = Files.createTempDirectory("graft-dist-repo2").toString
+    val n = Sink.snapshotDistributed(spark, src.toString, repoD)
+    assert(n == Sink.snapshot(spark, src.toString, repoP),
+      "both walkers must snapshot the same committed set")
+    // manifests agree byte-for-byte: same files, same hashes, same order
+    def manifest(repo: String) =
+      new String(Files.readAllBytes(
+        java.nio.file.Paths.get(repo, "MANIFEST")), "UTF-8")
+    assert(manifest(repoD) == manifest(repoP))
+    assert(!new java.io.File(s"$repoD/.hidden").exists())
+    // cross-restore: pool-path restore from the distributed repo and
+    // distributed restore from the pool repo both verify and agree
+    val d1 = Files.createTempDirectory("graft-dist-d1").toString
+    val d2 = Files.createTempDirectory("graft-dist-d2").toString
+    assert(Sink.restore(spark, repoD, d1) == n)
+    assert(Sink.restoreDistributed(spark, repoP, d2) == n)
+    assert(spark.read.parquet(s"$d1/postings").collect().map(_.toSeq).toSet ==
+      spark.read.parquet(s"$d2/postings").collect().map(_.toSeq).toSet)
+    assert(new java.io.File(s"$d2/_DONE").exists())
+    // executor-side verification refuses a corrupt blob loudly
+    def filesUnder(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(filesUnder)
+      else Seq(f)
+    val victim = filesUnder(new java.io.File(s"$repoD/postings"))
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val bytes = Files.readAllBytes(victim.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0xff).toByte
+    Files.deleteIfExists(
+      victim.toPath.resolveSibling("." + victim.getName + ".crc"))
+    Files.write(victim.toPath, bytes)
+    val ex = intercept[Exception] {
+      Sink.restoreDistributed(spark, repoD,
+        Files.createTempDirectory("graft-dist-d3").toString)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null &&
+      (m.contains("checksum mismatch") || m.contains("Checksum"))),
+      s"corrupt blob must refuse with a checksum error, got: ${chain(ex)}")
+  }
+
   test("repo format guard: legacy flat-blob repos refuse; marker-less format-2 repos are adopted") {
     val src = Files.createTempDirectory("graft-fmt-src")
     Files.write(src.resolve("data.bin"), "fresh".getBytes("UTF-8"))
