@@ -52,14 +52,35 @@ object BenchScale {
     when(k === 0, c).otherwise(regexp_replace(c, lit("(\\p{L}+)"),
       concat(lit("r"), k.cast("string"), lit("x$1"))))
 
-  /** Walsh sign-flip de-correlation for replica `k` (identity at k=0
-    * falls out: popcount(i & 0) = 0): element i multiplied by
-    * (-1)^popcount(i & k). */
+  /** Per-replica ORTHOGONAL de-correlation for replica `k`: rotate
+    * the coordinates by (k/64) mod dim, then Walsh sign-flip element
+    * i by (-1)^popcount(i & (k mod 64)). Identity at k = 0 (rot 0,
+    * all-zero sign mask). An orthogonal transform applied uniformly
+    * to a whole replica preserves every WITHIN-replica dot product
+    * exactly (norms, neighbor structure — the replica behaves like an
+    * independent corpus with the base's geometry), while CROSS-replica
+    * cosines of the same base vector are ≈ 0 for random-direction
+    * data.
+    *
+    * Why not plain sign flips (the round-9..12 form): `i & k` only
+    * sees the low log2(dim) bits of k, so replicas with k ≡ k'
+    * (mod 64) were EXACT DUPLICATES — at ×1000 every vector had ~15
+    * cosine-1.0 twins, violating the "no replica pair lands above a
+    * similarity threshold" contract this comment block promises and
+    * silently turning the ×1000 ANN/dedup probes into all-duplicates
+    * corpora (the round-12 recall probe's "1.0 at ×1000" artifact,
+    * now diagnosed). Rotation ⊗ signs gives dim·2^dim distinct
+    * transforms — unique per replica for any feasible scale. */
   private def flipVec(c: org.apache.spark.sql.Column,
-                      k: org.apache.spark.sql.Column) =
-    transform(c, (x, i) =>
-      when(bit_count(i.bitwiseAND(k)) % 2 === 0, x)
+                      k: org.apache.spark.sql.Column,
+                      dim: Int) = {
+    val rot = pmod((k / 64).cast("int"), lit(dim))
+    val rotated = when(rot === 0, c).otherwise(
+      concat(slice(c, rot + 1, lit(dim) - rot), slice(c, lit(1), rot)))
+    transform(rotated, (x, i) =>
+      when(bit_count(i.bitwiseAND(pmod(k, lit(64)))) % 2 === 0, x)
         .otherwise(x * lit(-1.0f)))
+  }
 
   /** Replica expansion as ONE scan per table: crossJoin against a
     * broadcast `range(scale)` replica index and compute the key
@@ -69,6 +90,26 @@ object BenchScale {
     * with the replication factor, exactly the non-scalable shape this
     * probe exists to catch (at 1000× it is a 1000-branch union).
     * This one is constant-size: plan ∝ 1, scans ∝ 1, rows ∝ scale. */
+  /** SPARK_GRAFT_TABLES (comma-separated) narrows which tables are
+    * replicated — a focused probe of one family (e.g. the ANN decade:
+    * embeddings only, ~0.6 GB at ×1000) must not pay the full-corpus
+    * replication whose ~150 GB of write traffic is what degraded the
+    * round-12 box for hours. The `_READY` marker records the subset,
+    * so a later probe wanting MORE tables re-replicates instead of
+    * serving an incomplete corpus. */
+  private def tableWanted(name: String): Boolean =
+    sys.env.get("SPARK_GRAFT_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .forall(s => s.contains(name))
+
+  private def readyStamp(scale: Int): String = {
+    val subset = sys.env.get("SPARK_GRAFT_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted
+        .mkString(" tables=", ",", ""))
+      .getOrElse("")
+    s"$scale rev4$subset"
+  }
+
   def replicate(spark: SparkSession, base: String, out: String,
                 scale: Int): Unit = {
     // rev bumps when the replicated table SET changes (rev2 added
@@ -77,16 +118,26 @@ object BenchScale {
     val ready = java.nio.file.Paths.get(out, "_READY")
     if (java.nio.file.Files.exists(ready) &&
       new String(java.nio.file.Files.readAllBytes(ready), "UTF-8")
-        .trim == s"$scale rev2") return
+        .trim == readyStamp(scale)) return
     operators.ArtifactGen.wipe(java.nio.file.Paths.get(out))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
 
     def write(name: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      if (tableWanted(name))
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
     val k = col("__k")
     def expand(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(spark.range(scale).toDF("__k")))
+    // expanded tables inherit the BASE table's partition count (the
+    // crossJoin is map-side), so a 1-file base writes the ×1000
+    // replica as ONE file with ONE row group — an unsplittable scan
+    // that silently serializes every downstream probe onto a single
+    // task (the round-13 ann_index_build mystery: a 32-core box doing
+    // a 1-thread encode). Spread the replica across the cores so the
+    // scaled corpus parallelizes like real multi-file data; the rev in
+    // the _READY stamp re-replicates stale single-file caches.
     def done(df: DataFrame): DataFrame = df.drop("__k")
+      .repartition(math.max(spark.sparkContext.defaultParallelism, 8))
 
     // fixed dimensions — the TPC-H model
     write("nation", Tables.nation(spark, base))
@@ -129,7 +180,8 @@ object BenchScale {
       .withColumn("n_chars", length(col("text")).cast("long"))))
     write("embeddings", done(expand(emb)
       .withColumn("vec_id", col("vec_id") + k * vS)
-      .withColumn("embedding", flipVec(col("embedding"), k))))
+      .withColumn("embedding", flipVec(col("embedding"), k,
+        emb.select(size(col("embedding"))).head().getInt(0)))))
 
     // events grow HORIZONTALLY: ×scale users over the SAME time
     // window (replicas are fresh users with identical temporal
@@ -143,7 +195,8 @@ object BenchScale {
       .withColumn("event_id", col("event_id") + k * evS)
       .withColumn("user_id", col("user_id") + k * evU)))
 
-    java.nio.file.Files.write(ready, s"$scale rev2\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(ready,
+      (readyStamp(scale) + "\n").getBytes("UTF-8"))
     ()
   }
 
@@ -242,6 +295,7 @@ object BenchScale {
     def measure(dir: String): (Map[String, Double], Map[String, Double]) = {
       Seq("nation", "region", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings")
+        .filter(t => new java.io.File(s"$dir/$t.parquet").exists())
         .foreach(t => Tables(spark, dir, t)
           .write.format("noop").mode("overwrite").save())
       // build times must measure a BUILD, not a memo/pointer hit from

@@ -30,6 +30,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 object CentroidImpl {
 
   def nearest(v: ArrayData, nrm: Double, cents: Array[Array[Double]]): Int = {
+    // one primitive copy up front: the row's vector arrives as
+    // ArrayData (often a boxed GenericArrayData after the
+    // float->double cast), and nlist*dim getDouble calls per row --
+    // unbox + virtual dispatch each -- dominated the x1000 encode
+    // pass (70 s of a 133 s phase); dim copies then a primitive loop
+    // is ~nlist/1 cheaper on accessor count
+    val vd = v.toDoubleArray()
     var best = 0
     var bestSim = Double.NegativeInfinity
     var c = 0
@@ -37,7 +44,7 @@ object CentroidImpl {
       val cc = cents(c)
       var d = 0.0
       var j = 0
-      while (j < cc.length) { d += v.getDouble(j) * cc(j); j += 1 }
+      while (j < cc.length) { d += vd(j) * cc(j); j += 1 }
       val s = d / nrm
       if (s > bestSim) { bestSim = s; best = c }
       c += 1
@@ -51,6 +58,7 @@ object CentroidImpl {
     * sift stops at equal sims (earlier index stays ahead). */
   def topCells(v: ArrayData, nrm: Double, cents: Array[Array[Double]],
                n: Int): ArrayData = {
+    val vd = v.toDoubleArray() // one primitive copy (nearest scaladoc)
     val k = math.min(n, cents.length)
     val idx = new Array[Int](k)
     val sim = new Array[Double](k)
@@ -60,7 +68,7 @@ object CentroidImpl {
       val cc = cents(c)
       var d = 0.0
       var j = 0
-      while (j < cc.length) { d += v.getDouble(j) * cc(j); j += 1 }
+      while (j < cc.length) { d += vd(j) * cc(j); j += 1 }
       val s = d / nrm
       if (filled < k) {
         var pos = filled
@@ -189,6 +197,7 @@ object PqImpl {
     * precomputed ‖cb_j[c]‖²/2. */
   def codes(v: ArrayData, nrm: Double, cbs: Array[Array[Array[Double]]],
             half: Array[Array[Double]]): ArrayData = {
+    val vd = v.toDoubleArray() // one primitive copy (CentroidImpl.nearest)
     val m = cbs.length
     val out = new Array[Int](m)
     var j = 0
@@ -203,7 +212,7 @@ object PqImpl {
         val cc = cb(c)
         var d = 0.0
         var i = 0
-        while (i < ds) { d += v.getDouble(off + i) * cc(i); i += 1 }
+        while (i < ds) { d += vd(off + i) * cc(i); i += 1 }
         val s = d / nrm - half(j)(c)
         if (s > bestS) { bestS = s; best = c }
         c += 1
@@ -223,6 +232,7 @@ object PqImpl {
                  cbs: Array[Array[Array[Double]]],
                  centDotCb: Array[Array[Array[Double]]],
                  half: Array[Array[Double]]): ArrayData = {
+    val vd = v.toDoubleArray() // one primitive copy (CentroidImpl.nearest)
     val m = cbs.length
     val out = new Array[Int](m)
     var j = 0
@@ -237,7 +247,7 @@ object PqImpl {
         val cc = cb(c)
         var d = 0.0
         var i = 0
-        while (i < ds) { d += v.getDouble(off + i) * cc(i); i += 1 }
+        while (i < ds) { d += vd(off + i) * cc(i); i += 1 }
         val s = d / nrm - centDotCb(j)(c)(cell) - half(j)(c)
         if (s > bestS) { bestS = s; best = c }
         c += 1
@@ -259,7 +269,7 @@ object Centroids {
   /** Shared scan core: evaluate the candidate cells in `cells` (null =
     * all), keep the top `keep` under (sim desc, idx asc). Returns the
     * parallel (idx, sim, filled) buffers via the passed arrays. */
-  private[functions] def scanCells(v: ArrayData, nrm: Double,
+  private[functions] def scanCells(v: Array[Double], nrm: Double,
                                    cents: Array[Array[Double]],
                                    cells: Array[Int],
                                    idx: Array[Int], sim: Array[Double]): Int = {
@@ -272,7 +282,7 @@ object Centroids {
       val cc = cents(c)
       var d = 0.0
       var j = 0
-      while (j < cc.length) { d += v.getDouble(j) * cc(j); j += 1 }
+      while (j < cc.length) { d += v(j) * cc(j); j += 1 }
       val s = d / nrm
       if (filled < keep) {
         var pos = filled
@@ -297,7 +307,7 @@ object Centroids {
   }
 
   /** The best `beam` top groups' member cells, concatenated. */
-  private[functions] def routedCandidates(v: ArrayData, nrm: Double,
+  private[functions] def routedCandidates(v: Array[Double], nrm: Double,
                                           route: CentroidRouting): Array[Int] = {
     val beam = math.min(route.beam, route.topCents.length)
     val tIdx = new Array[Int](beam)
@@ -319,22 +329,24 @@ object Centroids {
     * back together. */
   def nearestRouted(v: ArrayData, nrm: Double, cents: Array[Array[Double]],
                     route: CentroidRouting): Int = {
-    val cand = routedCandidates(v, nrm, route)
+    val vd = v.toDoubleArray() // one primitive copy (CentroidImpl.nearest)
+    val cand = routedCandidates(vd, nrm, route)
     if (cand.length == 0) return CentroidImpl.nearest(v, nrm, cents)
     val idx = new Array[Int](1)
     val sim = new Array[Double](1)
-    scanCells(v, nrm, cents, cand, idx, sim)
+    scanCells(vd, nrm, cents, cand, idx, sim)
     idx(0)
   }
 
   def topCellsRouted(v: ArrayData, nrm: Double, cents: Array[Array[Double]],
                      route: CentroidRouting, n: Int): ArrayData = {
-    val cand = routedCandidates(v, nrm, route)
+    val vd = v.toDoubleArray() // one primitive copy (CentroidImpl.nearest)
+    val cand = routedCandidates(vd, nrm, route)
     if (cand.length == 0) return CentroidImpl.topCells(v, nrm, cents, n)
     val k = math.min(n, cand.length)
     val idx = new Array[Int](k)
     val sim = new Array[Double](k)
-    val filled = scanCells(v, nrm, cents, cand, idx, sim)
+    val filled = scanCells(vd, nrm, cents, cand, idx, sim)
     new GenericArrayData(java.util.Arrays.copyOf(idx, filled))
   }
 

@@ -299,13 +299,26 @@ object AnnIndex {
     cbRows.toSeq.toDF("kind", "grp", "idx", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
 
-    assignCells(corpus, cents)
+    // cell-partitioned tables CLUSTER by cell before the partitioned
+    // write: without the repartition every write task owns rows of
+    // every cell, so the job sprays tasks × nlist files — ~45k
+    // half-row-group files at the ×1000 decade (1 414 cells × 32
+    // tasks), and the encode phases go WRITE-bound at ~20× their
+    // compute cost (round-13 probe: encode-ivf 147 s where assignment
+    // itself is ~2 s/core). One hash shuffle on the cell key — the
+    // same key the table is partitioned by — lands each cell in
+    // exactly one task: nlist total files, row-group-sized, and the
+    // commit cost is file-count-bound no longer. This is also the
+    // 100 TB-correct layout: one writer per partition, scan-sized
+    // files, no small-file compaction debt.
+    assignCells(corpus, cents).repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/ivf")
     mark("encode-ivf")
     Similarity.pqEncode(corpus, pqCbs)
       .write.mode("overwrite").parquet(s"$dir/pq_codes")
     mark("encode-pq")
     Similarity.ivfPqEncode(corpus, cents, resCbs)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/ivfpq_codes")
     mark("encode-ivfpq")
@@ -356,11 +369,15 @@ object AnnIndex {
     // (_DONE removed) and the next ensure() rebuilds, instead of IVF
     // probes seeing vectors the PQ/SQ8 paths silently miss forever
     try {
-      assignCells(delta, base.cents)
+      // cluster by cell before the partitioned append — the build's
+      // file-count discipline applied to segments: a delta lands one
+      // file per touched cell, not tasks × cells
+      assignCells(delta, base.cents).repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"${base.dir}/ivf")
       Similarity.pqEncode(delta, base.pqCbs)
         .write.mode("append").parquet(s"${base.dir}/pq_codes")
       Similarity.ivfPqEncode(delta, base.cents, base.resCbs)
+        .repartition(col("cell"))
         .write.mode("append").partitionBy("cell")
         .parquet(s"${base.dir}/ivfpq_codes")
       Similarity.quantizedIndex(delta)
@@ -465,7 +482,12 @@ object AnnIndex {
                      partitionCols: Seq[String] = Seq.empty): Unit = {
     val path = s"${base.dir}/$sub"
     val tmp = path + ".swap-tmp"
-    val w = df.write.mode("overwrite")
+    // cluster on the partition key first — the build's file-count
+    // discipline (one file per partition value, not tasks × values)
+    val clustered =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df
+    val w = clustered.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path)

@@ -19,7 +19,7 @@ class BenchScaleSpec extends SparkSpec {
     BenchScale.replicate(spark, base, out, 2)
     val ready = Paths.get(out, "_READY")
     assert(Files.exists(ready), "_READY written after the last table")
-    assert(new String(Files.readAllBytes(ready), "UTF-8").trim == "2 rev2")
+    assert(new String(Files.readAllBytes(ready), "UTF-8").trim == "2 rev4")
     // the replicated corpus is real: 2x the base rows
     val baseDocs = spark.read.parquet(s"$base/documents.parquet").count()
     assert(spark.read.parquet(s"$out/documents.parquet").count()
@@ -86,7 +86,7 @@ class BenchScaleSpec extends SparkSpec {
 
     // a different scale misses the memo and re-replicates
     BenchScale.replicate(spark, base, out, 3)
-    assert(new String(Files.readAllBytes(ready), "UTF-8").trim == "3 rev2")
+    assert(new String(Files.readAllBytes(ready), "UTF-8").trim == "3 rev4")
     assert(spark.read.parquet(s"$out/documents.parquet").count()
       == 3 * baseDocs)
     graft.operators.ArtifactGen.wipe(Paths.get(out))
