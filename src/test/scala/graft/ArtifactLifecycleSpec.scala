@@ -39,11 +39,11 @@ class ArtifactLifecycleSpec extends SparkSpec {
     // the stale reader's generation is untouched and internally
     // consistent (its stats still describe its own postings)
     assert(a.doclen(spark).count() == 2L)
-    assert(a.corpus(spark).head.getDouble(0) == 2.0)
+    assert(a.corpus(spark).head().getDouble(0) == 2.0)
     assert(a.postings(spark).select("doc_id").distinct().count() == 2L)
     // the new reader is wholly-new
     assert(b.doclen(spark).count() == 5L)
-    assert(b.corpus(spark).head.getDouble(0) == 5.0)
+    assert(b.corpus(spark).head().getDouble(0) == 5.0)
 
     // a fresh JVM (memo evicted, disk intact) resolves the pointer to
     // the PUBLISHED generation — no rebuild (a rebuild would be gen-3)
@@ -94,7 +94,7 @@ class ArtifactLifecycleSpec extends SparkSpec {
     val b = TextIndex.ensure(docs, key)
     assert(b.dir != a.dir,
       s"a torn artifact must rebuild into a fresh generation: ${b.dir}")
-    assert(b.corpus(spark).head.getDouble(0).toLong
+    assert(b.corpus(spark).head().getDouble(0).toLong
       == b.doclen(spark).count())
     // an intact artifact keeps resolving without a rebuild
     TextIndex.evictMemo(key)

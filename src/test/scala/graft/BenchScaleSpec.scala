@@ -31,30 +31,30 @@ class BenchScaleSpec extends SparkSpec {
     // n_chars == length(text), Walsh-flips odd embedding elements
     // (popcount(i & 1)), and offsets FKs by the key stride
     val b = spark.read.parquet(s"$base/documents.parquet")
-      .filter(col("doc_id") === 1L).select("text").head.getString(0)
+      .filter(col("doc_id") === 1L).select("text").head().getString(0)
     val r = spark.read.parquet(s"$out/documents.parquet")
     val dS = { var s = 10L
       val m = spark.read.parquet(s"$base/documents.parquet")
-        .agg(max("doc_id")).head.getLong(0)
+        .agg(max("doc_id")).head().getLong(0)
       while (s <= m) s *= 10; s }
     val rep0 = r.filter(col("doc_id") === 1L)
-      .select("text").head.getString(0)
+      .select("text").head().getString(0)
     assert(rep0 == b, "replica 0 must be the base corpus verbatim")
     val rep1 = r.filter(col("doc_id") === dS + 1L)
-      .select(col("text"), col("n_chars")).head
+      .select(col("text"), col("n_chars")).head()
     assert(rep1.getString(0) == b.replaceAll("(\\p{L}+)", "r1x$1"),
       "replica 1 must word-prefix the text")
     assert(rep1.getLong(1) == rep1.getString(0).length.toLong,
       "n_chars must track the TAGGED text")
     val eb = spark.read.parquet(s"$base/embeddings.parquet")
-      .filter(col("vec_id") === 1L).select("embedding").head
+      .filter(col("vec_id") === 1L).select("embedding").head()
       .getSeq[Float](0)
     val vS = { var s = 10L
       val m = spark.read.parquet(s"$base/embeddings.parquet")
-        .agg(max("vec_id")).head.getLong(0)
+        .agg(max("vec_id")).head().getLong(0)
       while (s <= m) s *= 10; s }
     val er = spark.read.parquet(s"$out/embeddings.parquet")
-      .filter(col("vec_id") === vS + 1L).select("embedding").head
+      .filter(col("vec_id") === vS + 1L).select("embedding").head()
       .getSeq[Float](0)
     assert(er.zipWithIndex.forall { case (x, i) =>
       x == (if (i % 2 == 0) eb(i) else -eb(i)) },
@@ -66,12 +66,12 @@ class BenchScaleSpec extends SparkSpec {
     val evOut = graft.Tables.events(spark, out)
     assert(evOut.count() == 2 * evBase.count())
     val uS = { var s = 10L
-      val m = evBase.agg(max("user_id")).head.getLong(0)
+      val m = evBase.agg(max("user_id")).head().getLong(0)
       while (s <= m) s *= 10; s }
-    assert(evOut.agg(max("user_id")).head.getLong(0)
-      == evBase.agg(max("user_id")).head.getLong(0) + uS)
-    assert(evOut.agg(max("ts")).head.getTimestamp(0)
-      == evBase.agg(max("ts")).head.getTimestamp(0),
+    assert(evOut.agg(max("user_id")).head().getLong(0)
+      == evBase.agg(max("user_id")).head().getLong(0) + uS)
+    assert(evOut.agg(max("ts")).head().getTimestamp(0)
+      == evBase.agg(max("ts")).head().getTimestamp(0),
       "the time window must not grow")
 
     // memo hit: nothing on disk is touched by a same-scale re-run

@@ -62,8 +62,8 @@ class PruneSpec extends SparkSpec {
     assert(zHit * 2 <= linHit,
       s"z-order hit $zHit/$zAll files vs linear $linHit/$linAll")
     // both layouts hold identical data
-    val a = spark.read.parquet(zDir).agg(sum("event_id")).head.getLong(0)
-    val b = spark.read.parquet(linDir).agg(sum("event_id")).head.getLong(0)
+    val a = spark.read.parquet(zDir).agg(sum("event_id")).head().getLong(0)
+    val b = spark.read.parquet(linDir).agg(sum("event_id")).head().getLong(0)
     assert(a == b)
   }
 
@@ -97,7 +97,7 @@ class PruneSpec extends SparkSpec {
       """SELECT count(*) FROM li_bf
          WHERE might_contain((SELECT bloom_filter_agg(xxhash64(o_orderkey))
                               FROM ord_bf WHERE o_orderpriority = '1-URGENT'),
-                             xxhash64(l_orderkey))""").head.getLong(0)
+                             xxhash64(l_orderkey))""").head().getLong(0)
     val exact = Tables.lineitem(spark, sf)
       .join(urgent.select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"), "left_semi").count()

@@ -68,7 +68,7 @@ class SearchSpec extends SparkSpec {
         s"common word filler other $i"))).toDF("cat", "doc_id", "text")
     val top = Search.significantTerms(corpus, "cat", k = 2)
     val aTop = top.filter(col("cat") === "a" && col("rk") === 1)
-      .select("token").head.getString(0)
+      .select("token").head().getString(0)
     assert(aTop == "zebra")
     assert(top.filter(col("cat") === "b" && col("token") === "zebra")
       .count() == 0)

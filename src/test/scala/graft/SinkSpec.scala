@@ -397,7 +397,7 @@ class SinkSpec extends SparkSpec {
     // simulate a streaming sink's droppings: 64 tiny files
     src.repartition(64).write.mode("overwrite").parquet(dir)
     val checksum = spark.read.parquet(dir)
-      .agg(sum("o_orderkey")).head.getLong(0)
+      .agg(sum("o_orderkey")).head().getLong(0)
     val rows = src.count()
     val (before, after) = sources.Sink.compact(spark, dir, targetRows = rows / 4)
     assert(before == 64)
@@ -405,7 +405,7 @@ class SinkSpec extends SparkSpec {
     // data survives byte-for-byte (same keys, same totals)
     val back = spark.read.parquet(dir)
     assert(back.count() == rows)
-    assert(back.agg(sum("o_orderkey")).head.getLong(0) == checksum)
+    assert(back.agg(sum("o_orderkey")).head().getLong(0) == checksum)
     // no leftover tmp directory
     assert(!new java.io.File(dir + ".compact-tmp").exists())
   }

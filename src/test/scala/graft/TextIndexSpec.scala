@@ -96,13 +96,13 @@ class TextIndexSpec extends SparkSpec {
   test("_termvectors equals an independent per-doc replay; unindexed docs get df 0") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
-    val someId = docs.agg(min(col("doc_id"))).head.getLong(0)
+    val someId = docs.agg(min(col("doc_id"))).head().getLong(0)
     val got = Search.termVectors(spark, ix, docs, someId).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // tf + 0-based first position replayed from the one document
     val toks = docs.filter(col("doc_id") === someId)
       .select(graft.functions.Analyzers.tokenize(lower(col("text"))).as("t"))
-      .head.getSeq[String](0)
+      .head().getSeq[String](0)
     val exp = toks.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1).map {
       case (t, occ) => (t, occ.size.toLong, occ.map(_._2).min.toLong)
     }

@@ -309,9 +309,9 @@ class TextStatsSpec extends SparkSpec {
         pre, TextStats.demoMerges)).as("reassembled"))
     assert(both.filter(col("orig") =!= col("reassembled")).count() == 0)
     // and merging strictly compresses where merges apply
-    val n = TextStats.bpeTokens(docs).agg(sum("n_bpe")).head.getLong(0)
+    val n = TextStats.bpeTokens(docs).agg(sum("n_bpe")).head().getLong(0)
     val nChars = docs.select(concat_ws("", pre).as("p"))
-      .agg(sum(length(col("p")))).head.getLong(0)
+      .agg(sum(length(col("p")))).head().getLong(0)
     assert(n < nChars)
   }
 
@@ -320,7 +320,7 @@ class TextStatsSpec extends SparkSpec {
     // in "the": "t h" (rank 0) must fire before "h e" (rank 14) —
     // greedy-by-rank, not left-to-right scanning
     val out = TextStats.bpeTokens(Seq((1L, "the he")).toDF("doc_id", "text"))
-      .select(concat_ws("|", col("tokens"))).head.getString(0)
+      .select(concat_ws("|", col("tokens"))).head().getString(0)
     assert(out == "the|he")
   }
 
