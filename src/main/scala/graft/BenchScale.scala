@@ -252,30 +252,68 @@ object BenchScale {
       // SPARK_GRAFT_BPE_BATCH=B measures the batched-round variant
       // (bpeTrainBatched) instead of the sequential per-merge loop
       val batchOpt = sys.env.get("SPARK_GRAFT_BPE_BATCH").map(_.trim.toInt)
-      val docs = Tables.documents(spark, base)
+      // the sf0.1 generator's documents draw from a 31-word
+      // vocabulary — BPE EXHAUSTS it at 90 merges (measured; the
+      // emitted_merges field below is the receipt), so production
+      // step counts need a vocab-rich corpus. SPARK_GRAFT_BPE_SCALE=k
+      // expands the vocabulary with the same word-tagging
+      // de-correlation the data-decade probes use ([[tagText]] —
+      // replica word streams are disjoint by construction): k
+      // replicas ≈ 31·k distinct words, each word's final collapse a
+      // distinct merge, so the supply comfortably exceeds 4-digit
+      // step counts while the text STRUCTURE stays the generator's.
+      val bpeScale = sys.env.getOrElse("SPARK_GRAFT_BPE_SCALE", "1").toInt
+      val baseDocs = Tables.documents(spark, base)
+      val docs =
+        if (bpeScale <= 1) baseDocs
+        else baseDocs
+          .select(explode(sequence(lit(0), lit(bpeScale - 1))).as("rk"),
+            col("text"))
+          .select(tagText(col("text"), col("rk")).as("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+      // emitted-merge COUNT per run: a corpus whose pair supply
+      // exhausts below the requested step count would otherwise
+      // masquerade as a fast steady state — the count makes the
+      // probe self-verifying (emitted == requested, or the row is
+      // explicitly an exhaustion bound, not a rate)
       val times = stepCounts.map { k =>
         Bench.isolate(spark)
-        val (_, s) = timed {
+        val (got, s) = timed {
           batchOpt match {
             case Some(b) =>
               operators.TextStats.bpeTrainBatched(spark, docs, steps = k,
-                batch = b).write.format("noop").mode("overwrite").save()
+                batch = b).count()
             case None =>
-              operators.TextStats.bpeTrain(spark, docs, steps = k)
-                .write.format("noop").mode("overwrite").save()
+              operators.TextStats.bpeTrain(spark, docs, steps = k).count()
           }
         }
-        System.err.println(f"[bpe-scale] steps=$k batch=${batchOpt.getOrElse(1)} $s%.1fs")
-        k -> s
+        System.err.println(
+          f"[bpe-scale] steps=$k emitted=$got batch=${batchOpt.getOrElse(1)} $s%.1fs")
+        (k, got, s)
       }
+      // marginal per EMITTED merge between successive runs — under
+      // exhaustion both runs emit the same count and the marginal is
+      // reported against a 0 denominator guard instead of lying
       val marginals = times.sliding(2).collect {
-        case Seq((k1, t1), (k2, t2)) if k2 > k1 =>
-          s""""${k1}_to_$k2":${f"${(t2 - t1) / (k2 - k1)}%.3f"}"""
+        case Seq((k1, g1, t1), (k2, g2, t2)) if g2 > g1 =>
+          s""""${k1}_to_$k2":${f"${(t2 - t1) / (g2 - g1)}%.3f"}"""
       }.mkString("{", ",", "}")
       val totals = times
-        .map { case (k, s) => s""""$k":${f"$s%.3f"}""" }
+        .map { case (k, _, s) => s""""$k":${f"$s%.3f"}""" }
         .mkString("{", ",", "}")
+      val emitted = times
+        .map { case (k, g, _) => s""""$k":$g""" }
+        .mkString("{", ",", "}")
+      // driver heap AFTER the largest run (post-GC): the trainer's
+      // driver state is the learned-merge list + one argmax row per
+      // round — this number is the evidence it stays corpus-independent
+      val rt = Runtime.getRuntime
+      System.gc()
+      val usedMb = (rt.totalMemory() - rt.freeMemory()) >> 20
       val line = s"""{"metric":"bpe_step_probe","base_dir":"$base",""" +
+        s""""batch":${batchOpt.getOrElse(1)},"vocab_scale":$bpeScale,""" +
+        s""""driver_heap_used_mb":$usedMb,""" +
+        s""""emitted_merges":$emitted,""" +
         s""""total_sec":$totals,"marginal_sec_per_step":$marginals}"""
       println(line)
       java.nio.file.Files.write(
