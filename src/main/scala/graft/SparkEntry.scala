@@ -625,6 +625,30 @@ object SparkEntry {
         .select(col("n_rows"), col("n_ids"), col("sum_key"),
           lit(nSnap == nRest && nSnap > 0).as("files_match"))
     }),
+    "s22_snapshot_distributed" -> ((s, d) => {
+      // s21's CLUSTER-parallel twin (Sink.snapshotDistributed /
+      // restoreDistributed scaladoc): the copy+hash of every file
+      // runs as Spark tasks — the shape that scales a 100 TB
+      // repository past one JVM's NIC, where the 16-thread driver
+      // pool serializes — while the walk and the manifest (written
+      // LAST, under the same `_WRITER` claim) stay driver-side.
+      // Restore re-verifies every md5 executor-side; the verified row
+      // is the source-table replay, so a dropped file, a torn copy,
+      // or a skipped checksum moves a number exactly as in s21.
+      val src = Scratch.dir("s22src")
+      val repo = Scratch.dir("s22repo")
+      val dest = Scratch.dir("s22dest")
+      graft.sources.Sink.bulkWrite(s, Tables.supplier(s, d),
+        "s_suppkey", src)
+      val nSnap = graft.sources.Sink.snapshotDistributed(s, src, repo)
+      val nRest = graft.sources.Sink.restoreDistributed(s, repo, dest)
+      s.read.parquet(dest)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("s_suppkey")).as("n_ids"),
+          sum(col("s_suppkey")).as("sum_key"))
+        .select(col("n_rows"), col("n_ids"), col("sum_key"),
+          lit(nSnap == nRest && nSnap > 0).as("files_match"))
+    }),
     "s21b_artifact_snapshot" -> ((s, d) => {
       // Recursive artifact snapshot/restore: the engine's real state
       // is a gen-N artifact TREE (postings/dict/stats/... tables), not
@@ -4314,6 +4338,14 @@ object SparkEntry {
                 sum(c_custkey)::BIGINT AS sum_key,
                 true AS files_match
          FROM customer""",
+    // s22: the cluster-restored index must answer exactly like the
+    // source table — same gate as s21, distributed byte path
+    "s22_snapshot_distributed" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+                count(DISTINCT s_suppkey)::BIGINT AS n_ids,
+                sum(s_suppkey)::BIGINT AS sum_key,
+                true AS files_match
+         FROM supplier""",
     // j17: the e2 sessionize replay with bounds, paired by the direct
     // overlap predicate (the oracle affords the quadratic join)
     "j17_overlap_join" ->
