@@ -39,12 +39,23 @@ object Bench {
     } finally out.close()
     val mbS = 128.0 / ((System.nanoTime() - t0) / 1e9)
     f.delete()
+    // sentinels are GUARDED: the suite proper records per-query
+    // failures in `failed[]`, and a broken sentinel must degrade to a
+    // recorded -1 there too — not abort the whole bench before any
+    // artifact exists (the review's likelier-on-a-degraded-box case
+    // is s6's parquet write path failing)
     val sentinels = Seq("t11_englando", "s6_bulk_roundtrip").map { name =>
       val t = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      isolate(spark)
-      name -> (System.nanoTime() - t) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        isolate(spark)
+        name -> (System.nanoTime() - t) / 1e9
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] sentinel $name FAILED: $e")
+          name -> -1.0 // self-identifying: a health block with -1
+      }
     }
     (f"""{"write_mb_s":$mbS%.1f""" +: sentinels.map { case (n, s) =>
       f""""sentinel_$n":$s%.3f""" }).mkString("", ",", "}")

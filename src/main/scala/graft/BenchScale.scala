@@ -69,8 +69,11 @@ object BenchScale {
     * similarity threshold" contract this comment block promises and
     * silently turning the ×1000 ANN/dedup probes into all-duplicates
     * corpora (the round-12 recall probe's "1.0 at ×1000" artifact,
-    * now diagnosed). Rotation ⊗ signs gives dim·2^dim distinct
-    * transforms — unique per replica for any feasible scale. */
+    * now diagnosed). Rotation ⊗ signs gives dim·64 distinct
+    * transforms (the mask is k mod 64 and only its low log₂(dim)
+    * bits act — 4 096 at dim 64, covering the probed decades with a
+    * loud `require` at the replication site refusing any scale past
+    * the space instead of cycling back to the identity). */
   private def flipVec(c: org.apache.spark.sql.Column,
                       k: org.apache.spark.sql.Column,
                       dim: Int) = {
@@ -107,7 +110,7 @@ object BenchScale {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted
         .mkString(" tables=", ",", ""))
       .getOrElse("")
-    s"$scale rev4$subset"
+    s"$scale rev5$subset"
   }
 
   def replicate(spark: SparkSession, base: String, out: String,
@@ -154,7 +157,17 @@ object BenchScale {
     val pS = stride(part, "p_partkey")
     val oS = stride(ord, "o_orderkey")
     val dS = stride(docs, "doc_id")
-    val vS = stride(emb, "vec_id")
+    // vec_id replicas must CLEAR the ANN plant window: the contract
+    // corpora plant ×2 copies at organic id + 10⁶ (a fixed offset 65
+    // oracle-SQL sites encode), and a power-of-ten stride from a
+    // 4-digit base id walks replica k = 100 STRAIGHT INTO
+    // [10⁶, 10⁶ + base) — at ×1000 the round-13 review found the
+    // planted ids colliding with replica-100's organic rows (two
+    // vectors per id in the probe corpus). Floor the stride at 10⁷ so
+    // every k ≥ 1 replica sits beyond the window; base ids (k = 0)
+    // stay below 10⁶ by the [[graft.SparkEntry.annPlantedCorpus]]
+    // guard. Corpus stamp bumped to rev5 (ids changed).
+    val vS = math.max(stride(emb, "vec_id"), 10000000L)
 
     write("customer", done(expand(cust)
       .withColumn("c_custkey", col("c_custkey") + k * cS)))
@@ -178,10 +191,24 @@ object BenchScale {
       .withColumn("text", tagText(col("text"), k))
       // cast matches the base schema (BIGINT) — length() is INT
       .withColumn("n_chars", length(col("text")).cast("long"))))
-    write("embeddings", done(expand(emb)
-      .withColumn("vec_id", col("vec_id") + k * vS)
-      .withColumn("embedding", flipVec(col("embedding"), k,
-        emb.select(size(col("embedding"))).head().getInt(0)))))
+    write("embeddings", done {
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      // distinct transforms = dim rotations × effective sign masks:
+      // i & (k mod 64) only reads mask bits at positions < log2(dim),
+      // so masks repeat every min(64, 2^ceil(log2 dim)). Past the
+      // product the transform CYCLES (k = dim·64 is the identity at
+      // dim = 64) and replicas silently become exact duplicates —
+      // the round-12 corpus bug at the next decade. Refuse loudly.
+      val effMasks = math.min(64, Integer.highestOneBit(
+        math.max(1, dim - 1)) << 1)
+      require(scale <= dim.toLong * effMasks,
+        s"replica de-correlation space exhausted: scale $scale > " +
+          s"dim($dim) × $effMasks distinct orthogonal transforms — " +
+          "extend flipVec (wider mask or second rotation) first")
+      expand(emb)
+        .withColumn("vec_id", col("vec_id") + k * vS)
+        .withColumn("embedding", flipVec(col("embedding"), k, dim))
+    })
 
     // events grow HORIZONTALLY: ×scale users over the SAME time
     // window (replicas are fresh users with identical temporal
@@ -413,17 +440,25 @@ object BenchScale {
     }
     // the scaled corpus's ingest artifacts (GBs of ivf/pq/postings at
     // ×1000) are garbage once the corpus is gone — their keys need the
-    // dir's file metadata, so wipe them BEFORE the corpus dir
-    try {
+    // dir's file metadata, so wipe them BEFORE the corpus dir. Each
+    // family is guarded SEPARATELY: one failing wipe (e.g. a
+    // tables-narrowed corpus with no documents) must not skip the
+    // others — the ANN artifacts are the multi-GB ones this cleanup
+    // exists to reclaim
+    def wipeGuarded(what: String)(f: => Unit): Unit =
+      try f catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[scale] $what wipe skipped: $e")
+      }
+    wipeGuarded("text/dedup artifact") {
       val tKey = operators.TextIndex.corpusKey(out)
-      operators.ArtifactGen.wipe(operators.TextIndex.rootFor(tKey))
-      operators.ArtifactGen.wipe(operators.DedupIndex.rootFor("even-" + tKey))
-      operators.ArtifactGen.wipe(
-        operators.AnnIndex.rootFor(operators.AnnIndex.corpusKey(out)))
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[scale] artifact wipe skipped: $e")
+      wipeGuarded("text index")(
+        operators.ArtifactGen.wipe(operators.TextIndex.rootFor(tKey)))
+      wipeGuarded("dedup index")(operators.ArtifactGen.wipe(
+        operators.DedupIndex.rootFor("even-" + tKey)))
     }
+    wipeGuarded("ann artifact")(operators.ArtifactGen.wipe(
+      operators.AnnIndex.rootFor(operators.AnnIndex.corpusKey(out))))
     operators.ArtifactGen.wipe(java.nio.file.Paths.get(out))
     System.err.println(s"[scale] deleted $out")
     try {

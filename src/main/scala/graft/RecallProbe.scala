@@ -35,9 +35,13 @@ import org.apache.spark.sql.functions._
   * neighbors at high cosine. Recall@10 against the planted set per
   * nprobe measures whether the probe width covers a realistic
   * neighborhood around an unseen query. Acceptance (round-12 verdict
-  * task 1, honest form): ≥ 0.9 at the serving default
-  * [[graft.operators.AnnIndex.nprobeFor]], with routed ≥ 0.95 × flat
-  * at every swept nprobe (the round-11 routing bar).
+  * task 1, honest form; ENFORCED since round 13 — the artifact
+  * carries a `gates` block and a violated gate fails the run):
+  * planted recall ≥ 0.9 at the serving default
+  * [[graft.operators.AnnIndex.nprobeFor]], and routed ≥ 0.95 × flat
+  * ON THE PLANTED METRIC at every swept nprobe (the round-11 routing
+  * bar, judged on the metric that gates — the organic ratio stays
+  * reported-ungated alongside).
   *
   * Env: SPARK_GRAFT_SF_DIR (corpus dir), SPARK_GRAFT_RECALL_Q
   * (queries, default 64), SPARK_GRAFT_RECALL_K (default 10),
@@ -88,11 +92,16 @@ object RecallProbe {
       }.distinct.sorted
 
     // HELD-OUT query sample: salted hash order (disjoint from the
-    // unsalted training/seed prefix — the scaladoc's round-12 artifact),
-    // excluding the n4 probe ids whose cos-1.0 ×2 plants would steal a
-    // top-k slot from the planted metric
+    // unsalted training/seed prefix — the scaladoc's round-12
+    // artifact), excluding the n4 probe ids AND their cos-1.0 ×2
+    // plants (round-13 review: a plant sampled as a query is the same
+    // slot-stealing artifact from the other side of the twin pair —
+    // its base twin at cos exactly 1.0 always outranks the cos-0.9
+    // jitters and caps that query's planted recall at 0.9)
+    val n4Ids = Seq(1L, 101L, 202L)
+    val excluded = n4Ids ++ n4Ids.map(_ + 1000000L)
     val qRows = emb
-      .filter(!col("vec_id").isin(1L, 101L, 202L))
+      .filter(!col("vec_id").isin(excluded: _*))
       .orderBy(xxhash64(col("vec_id") + 777777L), col("vec_id"))
       .limit(q)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -101,8 +110,16 @@ object RecallProbe {
     val qids = qRows.map(_._1).toSeq
 
     // planted jittered neighbors: 10 per query at cos ≈ 0.9, fresh
-    // ids, label -1, encoded against the FROZEN centroids
-    val plantBase = 1000000000L
+    // ids, label -1, encoded against the FROZEN centroids. The id
+    // base CLEARS the corpus id space (next power of ten above the
+    // max resident id) — a fixed base collided with organic ×1000
+    // replica ids exactly the way the 10⁶ contract offset did
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val plantBase = {
+      var b = 1000000000L
+      while (b <= maxId) b *= 10
+      b
+    }
     val planted = qRows.toSeq.flatMap { case (qid, v) =>
       (0 until k).map { i =>
         (plantBase + qid * 100 + i, -1,
@@ -151,28 +168,54 @@ object RecallProbe {
       val rFlat = recallOf(flat, gt)
       val rRouted = recallOf(routed, gt)
       val ratio = if (rFlat > 0) rRouted / rFlat else 1.0
-      // planted-jitter arm: the operating-point gate
+      // planted-jitter arms: the operating-point gate, measured on
+      // the SERVING (routed) pipeline and — round-13 review — on the
+      // flat-forced control too, so the ≥ 0.95 routing bar is judged
+      // on the metric that gates (the organic ratio on a
+      // structureless corpus conflates routing loss with scan-
+      // fraction noise and stays reported-ungated)
       val plantedArm = topSets(operators.Similarity.knnIvfBatchAssigned(
         emb2, assigned2, ix.cents, qids, k, nprobe))
       val rPlanted = recallOf(plantedArm, wantPlanted)
+      val plantedFlat = topSets(operators.Similarity.knnIvfBatchWithFlat(
+        emb2, ix.cents, qids, k, nprobe))
+      val rPlantedFlat = recallOf(plantedFlat, wantPlanted)
+      val pRatio = if (rPlantedFlat > 0) rPlanted / rPlantedFlat else 1.0
       val row = f"""{"nprobe":$nprobe,"serving_default":${nprobe == serving},""" +
         f""""recall_planted":$rPlanted%.4f,""" +
+        f""""recall_planted_flat":$rPlantedFlat%.4f,""" +
+        f""""planted_routed_over_flat":$pRatio%.4f,""" +
         f""""recall_flat":$rFlat%.4f,"recall_routed":$rRouted%.4f,""" +
         f""""routed_over_flat":$ratio%.4f,""" +
         f""""routed_sec":$routedSec%.2f,"flat_sec":$flatSec%.2f}"""
       System.err.println(s"[recall] $row")
-      row
+      (nprobe, rPlanted, pRatio, row)
     }
+    // machine-readable GATES (round-13 review: the documented bars
+    // were enforced nowhere): planted recall ≥ 0.9 at the serving
+    // default, and routed ≥ 0.95 × flat on the PLANTED metric at
+    // every swept nprobe. A violated gate marks the artifact and
+    // fails the run — a silent routing regression can no longer ship
+    // a green-looking sweep.
+    val servingOk = rows.collectFirst {
+      case (np, p, _, _) if np == serving => p >= 0.9 }.getOrElse(false)
+    val routingOk = rows.forall { case (_, _, pr, _) => pr >= 0.95 }
     val line =
       f"""{"metric":"recall_probe","dir":"$dir","n":$n,"nlist":$nlist,""" +
         f""""routing_active":${nlist >= graft.functions.Centroids.RouteThreshold},""" +
         f""""q":$q,"k":$k,"serving_nprobe":$serving,"held_out_queries":true,""" +
-        f""""sweep":${rows.mkString("[", ",", "]")}}"""
+        f""""gates":{"planted_serving_ok":$servingOk,""" +
+        f""""planted_routing_bar_ok":$routingOk},""" +
+        f""""sweep":${rows.map(_._4).mkString("[", ",", "]")}}"""
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench_recall.json")),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    if (!(servingOk && routingOk)) {
+      System.err.println("[recall] GATE VIOLATED — see the gates block")
+      sys.exit(1) // the artifact is written either way, marked
+    }
   }
 }

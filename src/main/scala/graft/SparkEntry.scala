@@ -187,9 +187,30 @@ object SparkEntry {
     * exactly 1, the same LSH bucket (positive scaling preserves every
     * hyperplane sign) and the same IVF cell. */
   private val annProbeIds = Seq(1L, 101L, 202L)
+
+  /** The plant-id invariant, checked ONCE per corpus dir per JVM
+    * (memo — the scan never lands in a timed query after the untimed
+    * index build warms it): no ORGANIC row may hold one of the three
+    * planted ids (probe id + 10⁶ — a fixed offset 65 oracle-SQL sites
+    * encode), or every per-id contract and recall metric silently
+    * conflates two vectors under one id. The round-13 review found
+    * exactly this on the pre-rev5 ×1000 replica corpus, whose
+    * replica-100 ids landed in [10⁶, 10⁶ + 2002]; scaled corpora now
+    * keep the invariant by replica-striding vec_id at ≥ 10⁷
+    * ([[graft.BenchScale]] rev5). */
+  private val plantGuard =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[graft] def annPlantedCorpus(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"))
+    val plantIds = annProbeIds.map(_ + 1000000L)
+    val clashes: Long = plantGuard.computeIfAbsent(d,
+      _ => emb.filter(col("vec_id").isin(plantIds: _*)).count())
+    require(clashes == 0L,
+      s"ANN plant-id collision: corpus $d holds $clashes organic " +
+        s"row(s) at the planted ids ${plantIds.mkString(",")} — " +
+        "per-id contracts would conflate two vectors; re-stride the " +
+        "corpus (BenchScale rev5 floors the replica stride at 10⁷)")
     val planted = emb.filter(col("vec_id").isin(annProbeIds: _*))
       .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
         transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))

