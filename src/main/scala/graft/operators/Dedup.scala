@@ -127,6 +127,14 @@ object Dedup {
   def bandBuckets(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id", numHashes: Int = NumHashes,
                   bands: Int = Bands): DataFrame = {
+    // integer division would silently TRUNCATE the signature (e.g.
+    // 64 hashes / 12 bands → rows = 5 uses only 60 of the 64 computed
+    // min-hashes, and the real S-curve is 1-(1-s^5)^12, not the
+    // bands×rows = numHashes contract above) — refuse loudly instead
+    // of running at an undeclared operating point (round-13 review)
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "bands×rows = numHashes is the S-curve contract")
     val rows = numHashes / bands
     val sigs = minhashSignatures(docs, textCol, idCol, numHashes)
     sigs.select(col("id"),
@@ -450,46 +458,55 @@ object Dedup {
     * bounded by shingle frequency, and skew-resistant by dropping
     * ultra-common shingles), count shared per pair, Jaccard from set
     * sizes. SQL-expressible ⇒ serves as its own DuckDB oracle. */
-  def jaccardPairs(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id", n: Int = 3,
-                   threshold: Double = 0.5,
-                   maxShingleFreq: Int = 1000): DataFrame = {
+  /** Shared capped posting-bucket candidate machinery of
+    * [[jaccardPairs]] and [[containmentPairs]] (one implementation —
+    * the two copies the round-13 review found could silently diverge
+    * on a cap or slice fix): group the posting list per shingle (ONE
+    * shuffle), drop stop-shingles — lists longer than the cap blow
+    * up pair fan-out quadratically and cannot push any pair over a
+    * threshold alone — then emit in-bucket pairs with an indexed
+    * lambda over the bounded array. Replaces a freq-agg + semi-join +
+    * sort-merge self-join (~4 exchanges) with 2 exchanges total. The
+    * collection itself is size-capped INSIDE the aggregate
+    * (CappedCollectPostings): a corpus-wide stop-shingle stops
+    * accumulating at cap+1 entries instead of materializing its full
+    * posting array in one buffer before the filter discards it.
+    * Returns one row per candidate pair (id_a < id_b):
+    * (id_a, id_b, size_a, size_b, inter). */
+  private def pairIntersections(docs: DataFrame, textCol: String,
+                                idCol: String, n: Int,
+                                maxShingleFreq: Int): DataFrame = {
     val sets = withHashedShingleSet(docs, textCol, idCol, n)
       .withColumn("setsize", size(col("shingles")))
     val posts = sets
       .select(col("id"), col("setsize"), explode(col("shingles")).as("sh"))
-    // group the posting list per shingle (ONE shuffle), drop
-    // stop-shingles — lists longer than the cap blow up pair fan-out
-    // quadratically and cannot push any pair over the threshold alone —
-    // then emit in-bucket pairs with an indexed lambda over the bounded
-    // array. Replaces a freq-agg + semi-join + sort-merge self-join
-    // (~4 exchanges) with 2 exchanges total. The collection itself is
-    // size-capped INSIDE the aggregate (CappedCollectPostings): a
-    // corpus-wide stop-shingle stops accumulating at cap+1 entries
-    // instead of materializing its full posting array in one buffer
-    // before the filter discards it.
     val buckets = posts.groupBy(col("sh"))
       .agg(graft.functions.aggregates
         .capped_collect_postings(col("id"), col("setsize"), maxShingleFreq)
         .as("docs"))
       .filter(size(col("docs")).between(2, maxShingleFreq))
-    val pairs = buckets.select(explode(flatten(transform(col("docs"),
+    buckets.select(explode(flatten(transform(col("docs"),
       (x, i) => transform(
         slice(col("docs"), i + 2, greatest(size(col("docs")) - i - 1, lit(0))),
         y => struct(
           x.getField("id").as("id_a"), y.getField("id").as("id_b"),
           x.getField("setsize").as("size_a"),
           y.getField("setsize").as("size_b")))))).as("p"))
-    pairs
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  def jaccardPairs(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", n: Int = 3,
+                   threshold: Double = 0.5,
+                   maxShingleFreq: Int = 1000): DataFrame =
+    pairIntersections(docs, textCol, idCol, n, maxShingleFreq)
       .withColumn("jaccard", col("inter").cast("double") /
         (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** D22: split-leakage REMEDIATION — the action [[splitLeakage]]'s
     * audit calls for: every val document with a near-copy in train
@@ -586,25 +603,7 @@ object Dedup {
                        idCol: String = "doc_id", n: Int = 3,
                        thresholdBp: Int = 8000,
                        maxShingleFreq: Int = 1000): DataFrame = {
-    val sets = withHashedShingleSet(docs, textCol, idCol, n)
-      .withColumn("setsize", size(col("shingles")))
-    val posts = sets
-      .select(col("id"), col("setsize"), explode(col("shingles")).as("sh"))
-    val buckets = posts.groupBy(col("sh"))
-      .agg(graft.functions.aggregates
-        .capped_collect_postings(col("id"), col("setsize"), maxShingleFreq)
-        .as("docs"))
-      .filter(size(col("docs")).between(2, maxShingleFreq))
-    val inter = buckets.select(explode(flatten(transform(col("docs"),
-      (x, i) => transform(
-        slice(col("docs"), i + 2, greatest(size(col("docs")) - i - 1, lit(0))),
-        y => struct(
-          x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-          x.getField("setsize").as("size_a"),
-          y.getField("setsize").as("size_b")))))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
-      .agg(count(lit(1)).as("inter"))
+    val inter = pairIntersections(docs, textCol, idCol, n, maxShingleFreq)
     inter.select(col("id_a").as("contained"), col("id_b").as("container"),
         expr("inter * 10000 div size_a").as("containment_bp"))
       .unionByName(inter.select(col("id_b").as("contained"),

@@ -24,12 +24,17 @@ object EventOps {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
-  /** E2 sessionization: per user, a >30-min silence gap starts a new
-    * session (classic lag+cumsum). One shuffle on user_id; the window
-    * sort is per-user, so skew only if one user dominates. */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  /** The lag+cumsum session derivation SHARED by [[sessionize]] and
+    * [[overlapJoin]] (one implementation — the round-13 review found
+    * two verbatim copies whose gap semantics, e.g. the
+    * second-truncating unix_timestamp comparison, could silently
+    * diverge): per user, a silence gap > `gapMinutes` starts a new
+    * session. Adds `session_idx` (plus the `prev_ts`/`new_session`
+    * intermediates) over one user_id shuffle. */
+  private def withSessionIdx(events: DataFrame,
+                             gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
-    val withGap = events
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -38,14 +43,19 @@ object EventOps {
       .withColumn("session_idx",
         sum(col("new_session")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    withGap
+  }
+
+  /** E2 sessionization: per user, a >30-min silence gap starts a new
+    * session (classic lag+cumsum). One shuffle on user_id; the window
+    * sort is per-user, so skew only if one user dominates. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    withSessionIdx(events, gapMinutes)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("session_value"),
         (unix_timestamp(max(col("ts"))) -
           unix_timestamp(min(col("ts")))).as("duration_s"))
       .orderBy(col("user_id"), col("session_idx"))
-  }
 
   /** E3 sliding window (1h window, 30min slide) — each event lands in 2
     * buckets; expressed with the built-in `window()` generator. */
@@ -95,16 +105,7 @@ object EventOps {
   def overlapJoin(events: DataFrame, gapMinutes: Int = 30,
                   k: Int = 15,
                   maxPerBucket: Int = Int.MaxValue): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts")
-    val sessions = events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >
-            gapMinutes * 60L, 1L).otherwise(0L))
-      .withColumn("session_idx",
-        sum(col("new_session")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = withSessionIdx(events, gapMinutes)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
     val bandedAll = sessions.select(col("user_id"), col("session_idx"),

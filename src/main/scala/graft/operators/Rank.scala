@@ -42,9 +42,8 @@ object Rank {
     * `orderCols` (total order; head column drives the range bucketing). */
   def percentRank(df: DataFrame, partCols: Seq[String],
                   orderCols: Seq[String], buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val v = orderCols.head
-    val qs = (1 until buckets).map(i => i.toDouble / buckets)
-      .mkString("array(", ",", ")")
     // B-1 approximate split points of the leading order column. Rows
     // with equal v always map to the same bucket (bucket is a function
     // of v), so bucket ranges respect the value order exactly. The
@@ -54,10 +53,18 @@ object Rank {
     // `filter(bounds, b -> b <= v)` alternative is CodegenFallback and
     // measured ~15× slower per scan at sf0.1.
     // percentile_approx over zero rows is NULL — an empty input must
-    // degrade to a single bucket, not NPE on the driver.
-    val boundsArr: Seq[Double] = Option(df
-      .agg(expr(s"percentile_approx(cast($v as double), $qs, 10000)"))
-      .head().getSeq[Double](0)).getOrElse(Seq.empty)
+    // degrade to a single bucket, not NPE on the driver; buckets = 1
+    // skips the sketch entirely (an empty percentage array fails
+    // analysis). Column-API percentages, not an interpolated SQL
+    // string — a column name needing backticks must not break the
+    // parse (round-13 review).
+    val boundsArr: Seq[Double] =
+      if (buckets < 2) Seq.empty
+      else Option(df
+        .agg(percentile_approx(col(v).cast("double"),
+          array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*),
+          lit(10000)))
+        .head().getSeq[Double](0)).getOrElse(Seq.empty)
 
     val bucketCol = boundsArr.distinct.sorted
       .map(b => when(col(v) >= lit(b), 1).otherwise(0))

@@ -181,9 +181,17 @@ object TextIndex {
     * length norms and corpus statistics, persist all of it. */
   def build(docs: DataFrame, dir: String): Loaded = {
     val spark = docs.sparkSession
+    // pinned for the whole build: FOUR consumers below (doclen,
+    // corpus stats, postings, shingles) would otherwise each re-run
+    // the full-corpus tokenization — the exact cost this artifact
+    // exists to pay once (the addSegment path had this persist since
+    // round 9; the build path re-analyzed the corpus 4× until the
+    // round-13 review caught it)
     val withLen = docs
       .select(col("doc_id"), Analyzers.tokenize(lower(col("text"))).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("len"))
+      .persist()
+    try {
 
     withLen.select(col("doc_id"), col("len"))
       .write.mode("overwrite").parquet(s"$dir/doclen")
@@ -231,6 +239,7 @@ object TextIndex {
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_DONE"),
       Array.emptyByteArray)
     Loaded(dir)
+    } finally { withLen.unpersist(blocking = false); () }
   }
 
   /** Incremental maintenance — the Lucene SEGMENT model: a new batch of
@@ -247,7 +256,14 @@ object TextIndex {
     * A doc id that already exists in the index is REJECTED loudly
     * (`require`) — silently appending it would double-count df/tf and
     * skew every score downstream; updates are delete-and-reingest in
-    * the segment model, exactly as in Lucene. */
+    * the segment model. One divergence from Lucene, stated honestly:
+    * here the reingest must wait until [[purgeDeletes]] has made the
+    * delete physical (tombstones are GLOBAL doc-id masks, so a
+    * reingested id's new rows would be masked along with the old
+    * ones; Lucene's per-segment liveDocs permit immediate
+    * resurrection in a fresh segment — a per-segment mask is
+    * deliberately out of scope). The check distinguishes live from
+    * tombstoned duplicates so the error is actionable. */
   def addSegment(base: Loaded, delta: DataFrame): Loaded = {
     val spark = delta.sparkSession
     val dir = base.dir
@@ -263,11 +279,28 @@ object TextIndex {
       .persist()
     try {
 
-    val dup = withLen.select(col("doc_id"))
+    // Disjointness against the BASE, split into an actionable pair
+    // (round-13 review): a LIVE duplicate is a caller bug; a
+    // TOMBSTONED duplicate is the delete-and-reingest workflow
+    // arriving before the purge merge made the delete physical —
+    // this index's tombstones are global doc-id masks (liveView
+    // hides EVERY row of the id, so the reingested rows would be
+    // masked too; Lucene's per-segment liveDocs is what permits
+    // segment-local resurrection, deliberately out of scope), so the
+    // reingest must wait for purgeDeletes and the error says so.
+    val dupLive = withLen.select(col("doc_id"))
+      .join(liveView(spark, base, base.doclen(spark)), Seq("doc_id"),
+        "left_semi").count()
+    require(dupLive == 0,
+      s"$dupLive delta doc ids already indexed and live — segment " +
+      "appends must be disjoint (update = delete + reingest in the " +
+      "segment model)")
+    val dupTomb = withLen.select(col("doc_id"))
       .join(base.doclen(spark), Seq("doc_id"), "left_semi").count()
-    require(dup == 0,
-      s"$dup delta doc ids already indexed — segment appends must be " +
-      "disjoint (update = delete + reingest in the segment model)")
+    require(dupTomb == 0,
+      s"$dupTomb delta doc ids are TOMBSTONED but not yet purged — " +
+      "run purgeDeletes first: global doc-id tombstones would mask " +
+      "the reingested rows along with the deleted ones")
     // ...and disjoint WITHIN the batch: a doc_id repeated inside one
     // delta would pass the base check yet double-count n, sum_len and
     // every df it touches — the same silent corruption, intra-batch
@@ -304,19 +337,26 @@ object TextIndex {
         base.termDf(spark).unionByName(deltaDf)
           .groupBy(col("term")).agg(sum(col("df")).as("df"))
           .coalesce(1))
-      withLen.select(col("doc_id"), explode(array_distinct(
-          Analyzers.shingleTokens(col("toks")))).as("term"))
+      // the exploded (doc_id, shingle) frame is computed ONCE and
+      // pinned for its two consumers (membership append + df delta) —
+      // shingling is the dominant per-row analysis cost and was paid
+      // twice until the round-13 review (the same doubled-pass shape
+      // round 9 fixed on the build path)
+      val shingleRows = withLen.select(col("doc_id"),
+          explode(array_distinct(
+            Analyzers.shingleTokens(col("toks")))).as("term"))
+        .persist()
+      shingleRows
         .repartition(col("term"))
         .sortWithinPartitions(col("term"), col("doc_id"))
         .write.mode("append").parquet(s"$dir/shingles")
-      val deltaShingleDf = withLen
-        .select(col("doc_id"), explode(array_distinct(
-          Analyzers.shingleTokens(col("toks")))).as("term"))
+      val deltaShingleDf = shingleRows
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       swapIn(spark, base, "shingle_df",
         base.shingleDf(spark).unionByName(deltaShingleDf)
           .groupBy(col("term")).agg(sum(col("df")).as("df"))
           .coalesce(1))
+      shingleRows.unpersist(blocking = false)
       val deltaStats = withLen.agg(
         count(lit(1)).cast("double").as("n"),
         sum(col("len")).cast("long").as("sum_len"))
@@ -359,10 +399,17 @@ object TextIndex {
       .join(liveView(spark, base, base.doclen(spark)), Seq("doc_id"),
         "left_semi")
       .distinct()
-    val n = victims.count()
-    if (n > 0)
-      victims.write.mode("append").parquet(s"${base.dir}/deletes")
-    n
+      // pinned across its two consumers: count() and the tombstone
+      // append otherwise each re-run the ids ⋈ doclen membership join
+      // (two pruned corpus passes where the scaladoc prices one —
+      // round-13 review; runDeleteIngest pays this per micro-batch)
+      .persist()
+    try {
+      val n = victims.count()
+      if (n > 0)
+        victims.write.mode("append").parquet(s"${base.dir}/deletes")
+      n
+    } finally { victims.unpersist(blocking = false); () }
   }
 
   /** Does the tombstone table exist? Probed through the Hadoop
@@ -446,16 +493,25 @@ object TextIndex {
     * [[purgeDeletes]] merge runs only when tombstones exceed
     * `maxRatio` of the LIVE doc count, so a steady trickle of deletes
     * costs O(deleted) appends until pressure accumulates, and the
-    * merge amortizes over many delete batches. The check itself is
-    * cheap: two parquet metadata counts (row-group footers, no data
-    * pages). Returns whether a purge ran. A streaming delete ingest
-    * calls this per micro-batch ([[graft.streaming.IndexStream
-    * .runDeleteIngest]]). */
+    * merge amortizes over many delete batches. The pressure number is
+    * the count of DISTINCT tombstones that actually hit an indexed
+    * doc (a tombstone-distinct semi-join against the doclen id
+    * column — one pruned columnar pass, the same price
+    * [[deleteByQuery]]'s count documents): the raw tombstone-file
+    * row count would be inflated by the blind-append pipelines the
+    * delete scaladoc itself invites (duplicate/absent ids), driving
+    * `live` low or negative and tripping a corpus-sized purge every
+    * micro-batch (round-13 review). Returns whether a purge ran. A
+    * streaming delete ingest calls this per micro-batch
+    * ([[graft.streaming.IndexStream.runDeleteIngest]]). */
   def maybePurge(spark: SparkSession, base: Loaded,
                  maxRatio: Double = 0.1): Boolean = {
     require(maxRatio > 0.0, "maxRatio must be positive")
     if (!hasDeletes(spark, base)) return false
-    val tomb = spark.read.parquet(s"${base.dir}/deletes").count()
+    val tomb = spark.read.parquet(s"${base.dir}/deletes")
+      .select(col("doc_id")).distinct()
+      .join(base.doclen(spark), Seq("doc_id"), "left_semi")
+      .count()
     val live = base.doclen(spark).count() - tomb
     if (tomb.toDouble > maxRatio * math.max(live, 1L).toDouble) {
       purgeDeletes(spark, base)
