@@ -4502,9 +4502,10 @@ object SparkEntry {
                 GROUP BY 1, 2),
           dfs AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY 1),
           sc AS (SELECT p.doc_id,
-                        (q.q_w * ((p.tf * 1000000) // dfs.df)) // 1000000 AS c
+                        (q.q_w * ((p.tf * 1000000) // dfs.df)) AS c
                  FROM p JOIN q USING (term) JOIN dfs ON p.term = dfs.term)
-          SELECT doc_id, sum(c)::BIGINT AS score_e6, count(*)::BIGINT AS n_terms
+          SELECT doc_id, (sum(c) // 1000000)::BIGINT AS score_e6,
+                 count(*)::BIGINT AS n_terms
           FROM sc GROUP BY doc_id
           ORDER BY score_e6 DESC, doc_id LIMIT 15""",
     // f27: the f3 BM25 replay for 'spark' with the 0.5 demotion

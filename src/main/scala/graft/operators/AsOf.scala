@@ -48,13 +48,24 @@ object AsOf {
     require(clash.isEmpty,
       s"asofLeft reserves column names ${reserved.mkString(", ")}; " +
         s"fact already has ${clash.mkString(", ")} — rename before joining")
+    // the dim payload rides inside a one-field WRAPPER struct: the
+    // carry below skips nulls to step over fact rows, and a bare
+    // payload column would make a dim version whose payload VALUE is
+    // null indistinguishable from a fact row — the carry would skip
+    // it and resurrect the older version, where SQL ASOF (the DuckDB
+    // oracle) matches the null-payload version and yields null
+    // (round-13 review). struct(payload) is non-null for every dim
+    // row regardless of the payload value, so only fact rows are
+    // skipped; the final select unwraps.
+    val pType = dim.select(payload.as("p")).schema("p").dataType
+    val wrapType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("p", pType)))
     val f = fact
       .withColumn("_t", col(factTs))
       .withColumn("_is_fact", lit(1))
-      .withColumn("_dimv", lit(null).cast(
-        dim.select(payload.as("p")).schema("p").dataType))
+      .withColumn("_dimv", lit(null).cast(wrapType))
     val d0 = dim.select(col(key), col(dimTs).as("_t"),
-      payload.as("_dimv"))
+      struct(payload.as("p")).as("_dimv"))
     // align schemas: dim rows carry nulls for fact columns
     val d = factCols.foldLeft(d0) { (acc, c) =>
       if (c == key) acc
@@ -68,7 +79,8 @@ object AsOf {
       .unionByName(d)
       .withColumn("_asof", last(col("_dimv"), ignoreNulls = true).over(w))
       .filter(col("_is_fact") === 1)
-      .select(factCols.map(col) :+ col("_asof").as("asof"): _*)
+      .select(factCols.map(col) :+
+        col("_asof").getField("p").as("asof"): _*)
   }
 
   /** RANGE join — fact rows against dimension INTERVALS
@@ -111,10 +123,18 @@ object AsOf {
       // between them instead of matching nothing
       .filter(if (endInclusive) col("_e") >= col("_s")
               else col("_e") > col("_s"))
+      // the end bin always OVER-covers (floor of the truncated end
+      // second) and the exact filter prunes: the old exclusive-end
+      // `-1` refinement assumed whole-second ends — unix_timestamp
+      // TRUNCATES sub-second precision, so an interval ending at
+      // 10.5 s read end-bin floor(9/bin) and a fact at 10.2 s never
+      // met its equi-key (round-13 review; events carry nanosecond
+      // timestamps). One extra candidate bin per interval is the
+      // documented price of bucketing-as-access-path; correctness
+      // stays with the between-filter.
       .withColumn("_bin", explode(sequence(
         floor(unix_timestamp(col("_s")) / binSeconds),
-        if (endInclusive) floor(unix_timestamp(col("_e")) / binSeconds)
-        else floor((unix_timestamp(col("_e")) - 1) / binSeconds))))
+        floor(unix_timestamp(col("_e")) / binSeconds))))
     fb.join(db, Seq("_bin"))
       .filter(col(factTs) >= col("_s") &&
         (if (endInclusive) col(factTs) <= col("_e")

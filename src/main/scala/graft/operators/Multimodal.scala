@@ -459,15 +459,7 @@ object Multimodal {
             }
           }
         } else {
-          val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-          var h = 0L
-          var ci = 0
-          while (ci < s.length) {
-            val cp = s.codePointAt(ci)
-            h = (h * Base + cp) % Mod
-            ci += Character.charCount(cp)
-          }
-          val m = (h % 256L).toInt
+          val m = (contentHash(bytes) % 256L).toInt
           (0 until 8).map(i => ((m >> (7 - i)) & 1) == 1)
         }
       def runs(target: Boolean): Seq[Int] = {
@@ -485,10 +477,13 @@ object Multimodal {
         if (runs(false).isEmpty) 0L else runs(false).max.toLong)
     }
 
-    /** ==== STUB ==== pseudo-audio stats for non-wav payloads, derived
-      * from the same mod-prime fold as the image stub — DuckDB-
-      * replayable so the stub path stays oracle-checked. */
-    private def audioStub(bytes: Array[Byte]): (Int, Int, Long, Int, Long) = {
+    /** The mod-prime content fold every stub path shares — ONE
+      * implementation (the round-13 review found four verbatim
+      * copies): h = (h·Base + codePoint) mod Mod over the payload's
+      * UTF-8 string, the exact fold the DuckDB oracle replays, so a
+      * change here is a change to the oracle contract and must land
+      * in both places AT ONCE. */
+    private def contentHash(bytes: Array[Byte]): Long = {
       val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       var h = 0L
       var ci = 0
@@ -497,6 +492,14 @@ object Multimodal {
         h = (h * Base + cp) % Mod
         ci += Character.charCount(cp)
       }
+      h
+    }
+
+    /** ==== STUB ==== pseudo-audio stats for non-wav payloads, derived
+      * from the same mod-prime fold as the image stub — DuckDB-
+      * replayable so the stub path stays oracle-checked. */
+    private def audioStub(bytes: Array[Byte]): (Int, Int, Long, Int, Long) = {
+      val h = contentHash(bytes)
       val rate = 8000 + (h % 40001L).toInt
       val channels = 1 + (h % 2L).toInt
       val frames = 1L + h % 100000L
@@ -506,14 +509,7 @@ object Multimodal {
     }
 
     private def aHashStub(bytes: Array[Byte], grid: Int): Long = {
-      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      var h = 0L
-      var ci = 0
-      while (ci < s.length) {
-        val cp = s.codePointAt(ci)
-        h = (h * Base + cp) % Mod
-        ci += Character.charCount(cp)
-      }
+      val h = contentHash(bytes)
       val n = grid * grid
       val cells = Array.tabulate(n)(i => (h * 31 + i * 2654435761L) % Base)
       val mean = cells.sum.toDouble / n
@@ -523,14 +519,7 @@ object Multimodal {
     }
 
     private def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      var h = 0L
-      var ci = 0
-      while (ci < s.length) {
-        val cp = s.codePointAt(ci)
-        h = (h * Base + cp) % Mod
-        ci += Character.charCount(cp)
-      }
+      val h = contentHash(bytes)
       val width = (h % 640).toInt + 1
       val height = ((h / 640) % 480).toInt + 1
       val features = Array.tabulate(8)(i =>
@@ -790,10 +779,16 @@ object Multimodal {
   def mediaChunks(media: DataFrame, chunkBytes: Int = 64): DataFrame = {
     val n = col("n_bytes")
     val nChunks = ceil(n.cast("double") / chunkBytes).cast("long")
+    // empty payloads produce an EMPTY digest array: without the
+    // guard, sequence(0, -1) generates the DESCENDING [0, -1] (the
+    // exact hazard rangeJoin's bin comment documents) and the row
+    // would report n_chunks = 0 beside two phantom digests —
+    // size(chunk_md5s) == n_chunks is the schema contract
     media.select(col("media_id"), nChunks.as("n_chunks"),
-        transform(sequence(lit(0L), nChunks - 1),
-          i => md5(col("content").substr(
-            (i * chunkBytes + 1).cast("int"), lit(chunkBytes))))
+        when(nChunks === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0L), nChunks - 1),
+            i => md5(col("content").substr(
+              (i * chunkBytes + 1).cast("int"), lit(chunkBytes)))))
           .as("chunk_md5s"))
       .orderBy(col("media_id"))
   }

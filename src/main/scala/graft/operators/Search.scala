@@ -77,9 +77,8 @@ object Search {
       count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"),
       sum(when(col("tf") > 0, 1).otherwise(0)).cast("double").as("df"))
-    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val (idf, tfNorm) = bm25Parts(col("tf"), col("df"),
+      col("dl"), col("n"), col("avgdl"), k1, b)
     pre
       .filter(col("author.acctbal") > 100.0 && col("author.id") > 10 &&
         exists(col("items"), i => i.getField("returnflag") === "R"))
@@ -138,9 +137,8 @@ object Search {
       count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"),
       sum(when(col("tf") > 0, 1).otherwise(0)).cast("double").as("df"))
-    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val (idf, tfNorm) = bm25Parts(col("tf"), col("df"),
+      col("dl"), col("n"), col("avgdl"), k1, b)
     d.filter(col("acctbal") > 100.0 && col("author_id") > 10)
       .join(li.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
         col("id") === col("l_orderkey"), "left_semi")
@@ -176,9 +174,8 @@ object Search {
       count(lit(1)).cast("double").as("n"),
       avg(col("len")).as("avgdl"),
       sum(when(col("tf") > 0, 1).otherwise(0)).cast("double").as("df"))
-    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    val (idf, tfNorm) = bm25Parts(col("tf"), col("df"),
+      col("len"), col("n"), col("avgdl"), k1, b)
     pre.filter(col("tf") > 0)
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), round(idf * tfNorm, 6).as("bm25"))
@@ -202,13 +199,7 @@ object Search {
         sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double")
           .as(s"df$i"))
     val stats = pre.agg(aggs.head, aggs.tail: _*)
-    val score = terms.indices.map { i =>
-      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
-      val tfn = (col(s"tf$i") * lit(k1 + 1.0)) /
-        (col(s"tf$i") + lit(k1) *
-          (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
-      when(col(s"tf$i") > 0, idf * tfn).otherwise(lit(0.0))
-    }.reduce(_ + _)
+    val score = bm25Sum(terms, k1, b)
     pre.filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), round(score, 6).as("score"))
@@ -261,7 +252,11 @@ object Search {
     // separate docs.count() would be a third full scan
     val catSizes = docs.groupBy(col(catCol).as("cat"))
       .agg(count(lit(1)).as("n_cat")).localCheckpoint()
-    val nTotal = catSizes.agg(sum("n_cat")).head().getLong(0).toDouble
+    val totRow = catSizes.agg(sum("n_cat")).head()
+    // sum over ZERO rows is null — an empty corpus must yield an
+    // empty result frame, not a driver NPE (round-13 review)
+    val nTotal =
+      (if (totRow.isNullAt(0)) 0L else totRow.getLong(0)).toDouble
     val scored = fg.join(bg, "token")
       .join(broadcast(catSizes), "cat")
       .withColumn("fg_pct", col("fg_df").cast("double") / col("n_cat"))
@@ -293,9 +288,8 @@ object Search {
       count(lit(1)).cast("double").as("n"),
       avg(col("len")).as("avgdl"),
       sum(when(col("tf") > 0, 1).otherwise(0)).cast("double").as("df"))
-    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    val (idf, tfNorm) = bm25Parts(col("tf"), col("df"),
+      col("len"), col("n"), col("avgdl"), k1, b)
     pre.filter(col("tf") > 0)
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("source"), round(idf * tfNorm, 6).as("score"))
@@ -386,13 +380,7 @@ object Search {
     val stats = pre.agg(aggs.head, aggs.tail: _*)
     val matched = terms.indices
       .map(i => when(col(s"tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
-    val score = terms.indices.map { i =>
-      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
-      val tfn = (col(s"tf$i") * lit(k1 + 1.0)) /
-        (col(s"tf$i") + lit(k1) *
-          (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
-      when(col(s"tf$i") > 0, idf * tfn).otherwise(lit(0.0))
-    }.reduce(_ + _)
+    val score = bm25Sum(terms, k1, b)
     pre.withColumn("n_matched", matched)
       .filter(col("n_matched") >= minMatch)
       .crossJoin(broadcast(stats))
@@ -424,13 +412,7 @@ object Search {
       terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
     val stats = pre.agg(aggs.head, aggs.tail: _*)
-    val primary = terms.indices.map { i =>
-      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
-      val tfn = (col(s"tf$i") * lit(k1 + 1.0)) /
-        (col(s"tf$i") + lit(k1) *
-          (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
-      when(col(s"tf$i") > 0, idf * tfn).otherwise(lit(0.0))
-    }.reduce(_ + _)
+    val primary = bm25Sum(terms, k1, b)
     pre.filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("lt"), round(primary, 6).as("primary_score"))
@@ -440,7 +422,7 @@ object Search {
       .limit(window)
       // the costly secondary scorer — only ever computed on the window
       .withColumn("phrase_n",
-        (size(split(col("lt"), java.util.regex.Pattern.quote(phrase), -1)) - 1)
+        (size(split(col("lt"), java.util.regex.Pattern.quote(phrase.toLowerCase), -1)) - 1)
           .cast("long"))
       .select(col("doc_id"), col("primary_score"), col("phrase_n"),
         round(col("primary_score") + lit(phraseWeight) * col("phrase_n"), 6)
@@ -494,9 +476,8 @@ object Search {
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val stats = indexedStats(spark, ix, Seq(term))
       .withColumnRenamed("df0", "df")
-    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    val (idf, tfNorm) = bm25Parts(col("tf"), col("df"),
+      col("len"), col("n"), col("avgdl"), k1, b)
     ix.postings(spark).filter(col("term") === term)
       .select(col("doc_id"), col("tf"), col("len"))
       .crossJoin(broadcast(stats))
@@ -518,12 +499,24 @@ object Search {
       .orderBy(col("tfidf").desc, col("doc_id").asc)
   }
 
+  /** The BM25 formula's (idf, length-normalized tf) PAIR — the one
+    * encoding of the arithmetic (the round-13 review counted ten
+    * inlined copies; a scoring tweak applied to some and not others
+    * would silently break the spec-locked scan-vs-index score
+    * equality). Callers multiply `idf * tfNorm` themselves — the
+    * pair keeps the float grouping (a·(b/c), never (a·b)/c) and the
+    * explain-style paths' access to the components. */
+  private[operators] def bm25Parts(tf: Column, df: Column, len: Column,
+                                   n: Column, avgdl: Column,
+                                   k1: Double, b: Double): (Column, Column) =
+    (log((n - df + 0.5) / (df + 0.5) + 1.0),
+      (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * len / avgdl)))
+
   private def bm25Sum(terms: Seq[String], k1: Double, b: Double): Column =
     terms.indices.map { i =>
-      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
-      val tfn = (col(s"tf$i") * lit(k1 + 1.0)) /
-        (col(s"tf$i") + lit(k1) *
-          (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+      val (idf, tfn) = bm25Parts(col(s"tf$i"), col(s"df$i"), col("len"),
+        col("n"), col("avgdl"), k1, b)
       when(col(s"tf$i") > 0, idf * tfn).otherwise(lit(0.0))
     }.reduce(_ + _)
 
@@ -589,10 +582,14 @@ object Search {
       .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"))
       .join(qdf, "term")
       .join(dfs, "term")
-      .withColumn("contrib_e6",
-        expr("q_w * (tf * 1000000L div df) div 1000000L"))
+      // per-row products stay in ×10¹² micro-units; the 10⁶
+      // scale-back happens ONCE after the sum, as documented — the
+      // old per-term `div` floored every contribution with
+      // q_w·impact < 10⁶ to zero (round-13 review: a tf=1, df=2,
+      // q_w=1 match scored 0 and ranked by doc_id alone)
+      .withColumn("contrib_u12", expr("q_w * (tf * 1000000L div df)"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("contrib_e6")).as("score_e6"),
+      .agg(expr("sum(contrib_u12) div 1000000L").as("score_e6"),
         count(lit(1)).as("n_terms"))
       .orderBy(col("score_e6").desc, col("doc_id"))
       .limit(k)
@@ -614,9 +611,8 @@ object Search {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val stats = indexedStats(spark, ix, Seq(posTerm))
       .withColumnRenamed("df0", "df")
-    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    val (idf, tfNorm) = bm25Parts(col("tf"), col("df"),
+      col("len"), col("n"), col("avgdl"), k1, b)
     val neg = ix.postings(spark).filter(col("term") === negTerm)
       .select(col("doc_id"), lit(true).as("demoted"))
     ix.postings(spark).filter(col("term") === posTerm)
@@ -682,9 +678,19 @@ object Search {
                       terms: Seq[String], prefix: String, k: Int = 10,
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(prefix.nonEmpty, "match_bool_prefix needs a non-empty prefix")
-    val fullScores = indexedTfWide(spark, ix, terms)
-      .crossJoin(broadcast(indexedStats(spark, ix, terms)))
-      .select(col("doc_id"), bm25Sum(terms, k1, b).as("fscore"))
+    // terms may be EMPTY — the user has typed only the first partial
+    // word, the natural search-as-you-type opening state (ES accepts
+    // it): the full-term leg degrades to an empty frame and the
+    // result is the prefix clause's constant score alone. Without the
+    // guard, indexedTfWide's head-of-empty-aggs threw (round-13
+    // review).
+    val fullScores =
+      if (terms.isEmpty)
+        ix.postings(spark).select(col("doc_id"), lit(0.0).as("fscore"))
+          .limit(0)
+      else indexedTfWide(spark, ix, terms)
+        .crossJoin(broadcast(indexedStats(spark, ix, terms)))
+        .select(col("doc_id"), bm25Sum(terms, k1, b).as("fscore"))
     // SARGable upper bound: bump the last char. A last char of
     // Char.MaxValue would wrap to an empty/inverted range, so fall
     // back to the open-ended >= read with a startsWith residual —
@@ -748,10 +754,8 @@ object Search {
                   b: Double = 0.75): DataFrame = {
     val stats = indexedStats(spark, ix, Seq(term))
       .withColumnRenamed("df0", "df")
-    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    val (idf, tfNorm) = bm25Parts(col("tf"), col("df"),
+      col("len"), col("n"), col("avgdl"), k1, b)
     ix.postings(spark).filter(col("term") === term)
       .select(col("doc_id"), col("tf"), col("len"))
       .crossJoin(broadcast(stats))
@@ -813,10 +817,8 @@ object Search {
       queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
         .toDF("query_id", "term")
     }
-    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    val (idf, tfNorm) = bm25Parts(col("tf"), col("df"),
+      col("len"), col("n"), col("avgdl"), k1, b)
     ix.postings(spark).filter(col("term").isin(allTerms: _*))
       .select(col("term"), col("doc_id"), col("tf"), col("len"))
       .join(broadcast(termStats), Seq("term"))
@@ -1124,7 +1126,7 @@ object Search {
       .join(Tables.documents(spark, dir)
         .select(col("doc_id"), lower(col("text")).as("lt")), "doc_id")
       .withColumn("phrase_n",
-        (size(split(col("lt"), java.util.regex.Pattern.quote(phrase), -1)) - 1)
+        (size(split(col("lt"), java.util.regex.Pattern.quote(phrase.toLowerCase), -1)) - 1)
           .cast("long"))
       .select(col("doc_id"), col("primary_score"), col("phrase_n"),
         round(col("primary_score") + lit(phraseWeight) * col("phrase_n"), 6)
@@ -1141,9 +1143,8 @@ object Search {
                                       b: Double = 0.75): DataFrame = {
     val stats = indexedStats(spark, ix, Seq(term))
       .withColumnRenamed("df0", "df")
-    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl")))
+    val (idf, tfNorm) = bm25Parts(col("tf"), col("df"),
+      col("len"), col("n"), col("avgdl"), k1, b)
     ix.postings(spark).filter(col("term") === term)
       .join(Tables.documents(spark, dir)
         .select(col("doc_id"), col("source")), "doc_id")
@@ -1167,7 +1168,11 @@ object Search {
       col("df").as("bg_df"))
     val catSizes = cats.groupBy(col("cat"))
       .agg(count(lit(1)).as("n_cat")).localCheckpoint()
-    val nTotal = catSizes.agg(sum("n_cat")).head().getLong(0).toDouble
+    val totRow = catSizes.agg(sum("n_cat")).head()
+    // sum over ZERO rows is null — an empty corpus must yield an
+    // empty result frame, not a driver NPE (round-13 review)
+    val nTotal =
+      (if (totRow.isNullAt(0)) 0L else totRow.getLong(0)).toDouble
     val scored = fg.join(bg, "token")
       .join(broadcast(catSizes), "cat")
       .withColumn("fg_pct", col("fg_df").cast("double") / col("n_cat"))

@@ -91,9 +91,13 @@ object TextStats {
                   idCol: String = "doc_id"): DataFrame = {
     val text = col(textCol)
     val ws = size(split(trim(text), "\\s+"))
-    val bpe = size(regexp_extract_all(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+    // null-safe: size(regexp_extract_all(null)) is -1 under Spark's
+    // default legacy.sizeOfNull — a null-text doc must count 0 tokens,
+    // not subtract one from every downstream sum (round-13 review)
+    val bpe = when(text.isNull, 0).otherwise(
+      size(regexp_extract_all(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0))))
     docs.select(col(idCol),
-      when(length(trim(text)) === 0, 0).otherwise(ws).cast("long").as("ws_tokens"),
+      when(coalesce(length(trim(text)), lit(0)) === 0, 0).otherwise(ws).cast("long").as("ws_tokens"),
       bpe.cast("long").as("bpe_tokens"))
   }
 
@@ -108,10 +112,11 @@ object TextStats {
     * integer micro-units so the report is engine-reproducible. */
   def fertility(docs: DataFrame): DataFrame = {
     val text = col("text")
-    val ws = when(length(trim(text)) === 0, 0)
+    val ws = when(coalesce(length(trim(text)), lit(0)) === 0, 0)
       .otherwise(size(split(trim(text), "\\s+"))).cast("long")
-    val bpe = size(regexp_extract_all(text,
-      lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0))).cast("long")
+    val bpe = when(text.isNull, 0).otherwise(
+      size(regexp_extract_all(text,
+        lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)))).cast("long")
     docs.select(col("lang"), col("n_chars"), ws.as("ws"), bpe.as("bpe"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
@@ -745,7 +750,7 @@ object TextStats {
   def mixtureStats(docs: DataFrame, strataCol: String = "lang",
                    textCol: String = "text"): DataFrame = {
     val text = col(textCol)
-    val ws = when(length(trim(text)) === 0, 0)
+    val ws = when(coalesce(length(trim(text)), lit(0)) === 0, 0)
       .otherwise(size(split(trim(text), "\\s+"))).cast("long")
     val per = docs.select(col(strataCol), ws.as("toks"))
       .groupBy(strataCol)
