@@ -75,7 +75,12 @@ object QueryString {
           i = end + 1
         case _ =>
           var j = i
-          while (j < q.length && !" \t\n()\"".contains(q.charAt(j))) j += 1
+          // stop on ANY whitespace (isWhitespace, the same predicate
+          // the top-level skip uses) — a literal stop-set missing \r
+          // made CRLF input lex "AND\r" as a TERM, silently turning
+          // `cat AND dog` into `cat OR "and" OR dog` (round-13 review)
+          while (j < q.length && !q.charAt(j).isWhitespace &&
+            !"()\"".contains(q.charAt(j))) j += 1
           q.substring(i, j) match {
             case "AND" | "&&" => out += AndTok
             case "OR" | "||"  => out += OrTok

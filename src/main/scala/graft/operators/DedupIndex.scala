@@ -128,7 +128,14 @@ object DedupIndex {
     * review found the earlier all-docs build tripping the validator
     * on every corpus that contained an exact duplicate. */
   def build(docs: DataFrame, dir: String): Loaded = {
+    // same null-fingerprint screen as [[addBatch]]: a null-text doc
+    // is unindexable by content and must not enter the standing
+    // tables from EITHER path — the all-docs build persisted the
+    // null group (and a null shingle_sets row for its representative)
+    // while addBatch filtered it, structurally diverging the two
+    // artifacts for the same corpus (round-13 review)
     Dedup.exact(docs).select(col("fingerprint"), col("keep_id"))
+      .filter(col("fingerprint").isNotNull)
       .write.mode("overwrite").parquet(s"$dir/fingerprints")
     val spark = docs.sparkSession
     val reps = docs.join(

@@ -32,11 +32,22 @@ object Geo {
   val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
   /** Deterministic synthetic point: Knuth multiplicative hash of the
-    * key → lat ∈ [-90e6, 90e6), lon ∈ [-180e6, 180e6) microdegrees. */
+    * key → lat ∈ [-90e6, 90e6), lon ∈ [-180e6, 180e6) microdegrees.
+    *
+    * The key is REDUCED mod the span before (and between) the
+    * multiplications: `(key mod M)·C mod M ≡ key·C mod M` exactly
+    * (M·C ≡ 0 mod M), so every emitted value is bit-identical to the
+    * naive product form — but the intermediate stays ≤ M·C ≈ 9.6e17,
+    * inside Long, where the naive `key·2654435761·31` overflowed (and
+    * under Spark 4's default ANSI mode ABORTED the query) for keys
+    * past ~1.1e8 — c_custkey territory at the scale this file's
+    * header claims (round-13 review). */
   def latUdeg(key: Column): Column =
-    pmod(key * 2654435761L, lit(180000000L)) - 90000000L
+    pmod(pmod(key, lit(180000000L)) * 2654435761L,
+      lit(180000000L)) - 90000000L
   def lonUdeg(key: Column): Column =
-    pmod(key * 2654435761L * 31L + 7L, lit(360000000L)) - 180000000L
+    pmod(pmod(pmod(key, lit(360000000L)) * 2654435761L,
+      lit(360000000L)) * 31L + 7L, lit(360000000L)) - 180000000L
 
   /** 15 bits per axis: [0, span) microdegrees → [0, 32768) exactly.
     * Column `/` is double division; the numerator (≤ 5.9e12) is exact

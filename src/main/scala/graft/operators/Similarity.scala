@@ -297,6 +297,12 @@ object Similarity {
     * co-location) are unaffected by how training chose them. */
   private[operators] def kmeansFromSample(sample: Array[Array[Double]], k: Int,
                                           iters: Int): Array[Array[Double]] = {
+    // the same descriptive refusal kmeansDistributed raises for the
+    // identical condition — without it a small/empty corpus died in
+    // the assignment loop with a bare ArrayIndexOutOfBounds
+    require(sample.length >= k,
+      s"k-means sample holds only ${sample.length} rows for k=$k " +
+        "cells — corpus too small for this cell count")
     val dim = sample.head.length
     var cents = sample.take(k).map(_.clone())
     val routed = k >= graft.functions.Centroids.RouteThreshold
@@ -545,7 +551,15 @@ object Similarity {
     * [[knnLsh]], which `.head()`s one query at a time — fine
     * interactively, a driver-side loop when evaluating thousands of
     * probes). Output: (qid, vec_id, label, cos_sim, rank), the
-    * single-query [[knnLsh]] result per qid. */
+    * single-query [[knnLsh]] result per qid.
+    *
+    * CONTRACT (all batch paths — this, knnIvfBatch*, ivfProbe): an
+    * absent or zero-norm query id yields NO rows for that qid rather
+    * than an error. Deliberate: validating ids would cost a second
+    * pushed corpus read per batch (the single-query paths pay it
+    * inside the `.head()` they already do); callers that need the
+    * guarantee count distinct qids in the result — the n-family
+    * contract queries do exactly that. */
   def knnLshBatch(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
                   nPlanes: Int = 4, seed: Long = 42L): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -1374,6 +1388,16 @@ object Similarity {
     * quantized index (codes + scale + norm ≈ d + 16 bytes/vector).
     * Zero vectors are excluded (cosine undefined, same as
     * [[withNorm]]). */
+  /** The SQ8 encode kernel — ONE encoding of the rounding/scale
+    * arithmetic (`floor(x / (amax/127) + 0.5)`) shared by
+    * [[quantizeInt8]] (the N5 reconstruction-contract shape) and
+    * [[quantizedIndex]] (the serving layout): the round-13 review
+    * found two inlined copies, and the reconstruction `ok` bound only
+    * exercised one of them — a rounding tweak to a single copy would
+    * have drifted the serving codes unverified. */
+  private def sq8Code(x: Column, amax: Column): Column =
+    floor(x / (amax / 127.0d) + 0.5d)
+
   private[operators] def quantizedIndex(emb: DataFrame): DataFrame = {
     val staged = withNorm(emb)
       .select(col("vec_id"), col("v"), col("nrm"),
@@ -1381,7 +1405,7 @@ object Similarity {
     staged.select(col("vec_id"), col("nrm"),
       (col("amax") / 127.0d).as("qscale"),
       transform(col("v"),
-        x => floor(x / (col("amax") / 127.0d) + 0.5d).cast("double"))
+        x => sq8Code(x, col("amax")).cast("double"))
         .as("qd"))
   }
 
@@ -1516,7 +1540,7 @@ object Similarity {
     val scale = col("amax") / 127.0d
     val codes = staged.select(col("vec_id"), col("v"), col("amax"),
       when(col("amax") > 0.0d,
-        transform(col("v"), x => floor(x / scale + 0.5d).cast("int")))
+        transform(col("v"), x => sq8Code(x, col("amax")).cast("int")))
         .otherwise(transform(col("v"), _ => lit(0))).as("q"))
     val err = when(col("amax") > 0.0d,
       array_max(zip_with(col("v"), col("q"),
