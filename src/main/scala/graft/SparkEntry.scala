@@ -203,7 +203,11 @@ object SparkEntry {
   private[graft] def annPlantedCorpus(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"))
-    val plantIds = annProbeIds.map(_ + 1000000L)
+    // all three plant windows: +10⁶ (this corpus), +2·10⁶ (n10's
+    // incremental-add twins), +3·10⁶ (st11's streaming twins) — the
+    // round-13 review found the guard covering only the first
+    val plantIds = for (off <- Seq(1000000L, 2000000L, 3000000L);
+                        id <- annProbeIds) yield id + off
     val clashes: Long = plantGuard.computeIfAbsent(d,
       _ => emb.filter(col("vec_id").isin(plantIds: _*)).count())
     require(clashes == 0L,
@@ -267,9 +271,14 @@ object SparkEntry {
         if (wh.getScheme == "file") wh.getPath else wh.toString, table)
       if (java.nio.file.Files.exists(loc)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+        // Files.walk holds directory fds until CLOSED (try/finally —
+        // the leak class the x26b comment records as an fd-exhaustion
+        // refusal in this long-lived JVM)
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.iterator().asScala.toSeq
           .sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.delete)
+        finally walk.close()
       }
       df.repartition(nb, col(key))
         .write.mode("overwrite").bucketBy(nb, key).sortBy(key)

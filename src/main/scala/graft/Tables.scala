@@ -29,9 +29,25 @@ object Tables {
     * mapping), so normalize all three here. NTZ → TIMESTAMP is a
     * lossless reinterpretation under the pinned UTC session timezone. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/events.parquet")
-    df.withColumn("ts", normalizeTs(df.schema("ts").dataType))
+    // SCOPED conf flip (round-13 review: the old unconditional set
+    // left nanosAsLong on for the whole session, so a later parquet
+    // read of an UNRELATED nanos-encoded table would silently decode
+    // raw longs instead of hitting normalizeTs's loud refusal). The
+    // flag matters at schema-resolution time — `spark.read.parquet`
+    // reads footers eagerly and the resolved relation carries its own
+    // hadoop conf snapshot — so restoring right after the read leaves
+    // this frame's execution unaffected (exercised by every e/st
+    // query run after other tables' reads).
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = spark.read.parquet(s"$dir/events.parquet")
+      df.withColumn("ts", normalizeTs(df.schema("ts").dataType))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** `ts` under any historical encoding → one `TimestampType` column.

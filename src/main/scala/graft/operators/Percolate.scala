@@ -88,6 +88,14 @@ object Percolate {
   def indexSpec(qs: Seq[StoredQuery],
                 df: Map[String, Long] = Map.empty,
                 conjunctionTerms: Int = 2): String = {
+    // the spec encoding carries at most ONE extra required term per
+    // query (the `second` channel below): a count of 3+ would
+    // silently behave as 2 (round-13 review) — refuse until the
+    // encoding grows, instead of pretending to prune harder
+    require(conjunctionTerms >= 1 && conjunctionTerms <= 2,
+      s"conjunctionTerms=$conjunctionTerms unsupported: the candidate " +
+        "spec encodes at most one extra required term (1 disables it, " +
+        "2 enables it)")
     val postings =
       scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
     val second = Vector.newBuilder[(Long, String)]
@@ -158,13 +166,18 @@ object Percolate {
   def evaluationCounts(docs: DataFrame, qs: Seq[StoredQuery],
                        df: Map[String, Long] = Map.empty,
                        conjunctionTerms: Int = 2): (Long, Long) = {
+    // ONE aggregate serves both counts (the old count() + sum() pair
+    // re-ran the full-corpus tokenization twice), and the sum is
+    // null-guarded: over zero docs it aggregates to null and a bare
+    // getLong NPE'd instead of reporting (0, 0) — round-13 review
     val t = tokenized(docs)
-    val full = t.count() * qs.length
-    val cand = t.select(
+    val r = t.agg(count(lit(1)).as("n_docs"),
       sum(size(graft.functions.expressions
         .candidate_queries(col("toks"),
           indexSpec(qs, df, conjunctionTerms)))).as("n"))
-      .head().getLong(0)
+      .head()
+    val full = r.getLong(0) * qs.length
+    val cand = if (r.isNullAt(1)) 0L else r.getLong(1)
     (full, cand)
   }
 }

@@ -186,7 +186,19 @@ object EventStream {
     * and sums equal the single-copy batch oracle. A duplicate that
     * arrives inside the watermark horizon hits live dedup state; one
     * that arrives later is dropped as late data — either way exactly
-    * one copy survives, which is what makes the oracle exact. */
+    * one copy survives, which is what makes the oracle exact.
+    *
+    * PRECONDITION the argument rests on (round-13 review): both
+    * deliveries of an event must land in micro-batches that see it
+    * before the watermark passes its timestamp. Here the whole input
+    * fits one AvailableNow micro-batch (a handful of files, no
+    * maxFilesPerTrigger), so the condition holds trivially; a
+    * production ingest whose deliveries straddle batches can have an
+    * old event's FIRST copy arrive after the watermark advanced —
+    * both copies late-dropped, zero survive. The production answer
+    * is a delay bound chosen ≥ the real redelivery lag (the
+    * withWatermark parameter), not a property this harness can
+    * manufacture. */
   def runDedupIngest(spark: SparkSession, dir: String): DataFrame = {
     val src = freshDir("st2src")
     val base = graft.Tables.events(spark, dir)

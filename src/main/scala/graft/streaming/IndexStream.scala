@@ -34,15 +34,36 @@ object IndexStream {
     input.repartition(nSplits).write.mode("overwrite").parquet(src)
     val schema = spark.read.parquet(src).schema
     var batches = 0L
+    // REPLAY guard (round-13 review): foreachBatch is at-least-once —
+    // a query restarted from its checkpoint re-delivers the last
+    // uncommitted micro-batch, and folding it twice would wedge the
+    // ingest on addSegment's duplicate-id rejection (or double-count
+    // a delete fold). The marker records the last FOLDED batch id,
+    // written after the fold: a replayed id ≤ marker is skipped; a
+    // tear between fold and marker-write still surfaces as the loud
+    // duplicate rejection, never a silent double-fold. This run's
+    // checkpoint is fresh, so the guard is inert today — it makes the
+    // scaffold safe for callers that persist the checkpoint.
+    val marker = java.nio.file.Paths.get(
+      EventStream.freshDir(prefix + "meta"), "_LAST_FOLDED")
     EventStream.withPinnedStreamPartitions(spark) {
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val b = batch.persist()
-          try {
-            if (b.count() > 0) { fold(b); batches += 1 }
-          } finally { b.unpersist(); () }
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val last =
+            if (!java.nio.file.Files.exists(marker)) -1L
+            else new String(java.nio.file.Files.readAllBytes(marker),
+              "UTF-8").trim.toLong
+          if (id > last) {
+            val b = batch.persist()
+            try {
+              if (b.count() > 0) { fold(b); batches += 1 }
+            } finally { b.unpersist(); () }
+            java.nio.file.Files.write(marker,
+              id.toString.getBytes("UTF-8"))
+            ()
+          }
         }
         .option("checkpointLocation", EventStream.freshDir(prefix + "ck"))
         .trigger(Trigger.AvailableNow())
