@@ -279,28 +279,35 @@ object TextIndex {
       .persist()
     try {
 
-    // Disjointness against the BASE, split into an actionable pair
-    // (round-13 review): a LIVE duplicate is a caller bug; a
-    // TOMBSTONED duplicate is the delete-and-reingest workflow
-    // arriving before the purge merge made the delete physical —
-    // this index's tombstones are global doc-id masks (liveView
-    // hides EVERY row of the id, so the reingested rows would be
-    // masked too; Lucene's per-segment liveDocs is what permits
-    // segment-local resurrection, deliberately out of scope), so the
-    // reingest must wait for purgeDeletes and the error says so.
-    val dupLive = withLen.select(col("doc_id"))
-      .join(liveView(spark, base, base.doclen(spark)), Seq("doc_id"),
-        "left_semi").count()
-    require(dupLive == 0,
-      s"$dupLive delta doc ids already indexed and live — segment " +
-      "appends must be disjoint (update = delete + reingest in the " +
-      "segment model)")
-    val dupTomb = withLen.select(col("doc_id"))
+    // Disjointness against the BASE. The happy path pays exactly ONE
+    // doclen semi-join (the pre-review cost — a second unconditional
+    // join measurably slowed every segment commit); only when a
+    // duplicate IS found does a liveView join classify it into the
+    // actionable pair (round-13 review): a LIVE duplicate is a
+    // caller bug; a TOMBSTONED duplicate is the delete-and-reingest
+    // workflow arriving before the purge merge made the delete
+    // physical — this index's tombstones are global doc-id masks
+    // (liveView hides EVERY row of the id, so the reingested rows
+    // would be masked too; Lucene's per-segment liveDocs is what
+    // permits segment-local resurrection, deliberately out of
+    // scope), so the reingest must wait for purgeDeletes and the
+    // error says so.
+    val dupAll = withLen.select(col("doc_id"))
       .join(base.doclen(spark), Seq("doc_id"), "left_semi").count()
-    require(dupTomb == 0,
-      s"$dupTomb delta doc ids are TOMBSTONED but not yet purged — " +
-      "run purgeDeletes first: global doc-id tombstones would mask " +
-      "the reingested rows along with the deleted ones")
+    if (dupAll > 0) {
+      val dupLive = withLen.select(col("doc_id"))
+        .join(liveView(spark, base, base.doclen(spark)), Seq("doc_id"),
+          "left_semi").count()
+      throw new IllegalArgumentException(
+        if (dupLive > 0)
+          s"$dupLive delta doc ids already indexed and live — segment " +
+          "appends must be disjoint (update = delete + reingest in " +
+          "the segment model)"
+        else
+          s"$dupAll delta doc ids are TOMBSTONED but not yet purged — " +
+          "run purgeDeletes first: global doc-id tombstones would " +
+          "mask the reingested rows along with the deleted ones")
+    }
     // ...and disjoint WITHIN the batch: a doc_id repeated inside one
     // delta would pass the base check yet double-count n, sum_len and
     // every df it touches — the same silent corruption, intra-batch
@@ -508,11 +515,23 @@ object TextIndex {
                  maxRatio: Double = 0.1): Boolean = {
     require(maxRatio > 0.0, "maxRatio must be positive")
     if (!hasDeletes(spark, base)) return false
+    // two-tier check: the RAW tombstone-file row count (metadata-only,
+    // the per-micro-batch steady-state cost) over-counts the exact
+    // pressure (duplicates/absent ids only inflate it), so when even
+    // the inflated count against the most-pessimistic live bound
+    // doesn't trip the threshold, the exact count cannot either —
+    // the doclen semi-join runs only when the raw signal trips
+    // (measured: the always-join form doubled s16's bench row)
+    val tombRaw = spark.read.parquet(s"${base.dir}/deletes").count()
+    val doclenCnt = base.doclen(spark).count()
+    if (tombRaw.toDouble <=
+        maxRatio * math.max(doclenCnt - tombRaw, 1L).toDouble)
+      return false
     val tomb = spark.read.parquet(s"${base.dir}/deletes")
       .select(col("doc_id")).distinct()
       .join(base.doclen(spark), Seq("doc_id"), "left_semi")
       .count()
-    val live = base.doclen(spark).count() - tomb
+    val live = doclenCnt - tomb
     if (tomb.toDouble > maxRatio * math.max(live, 1L).toDouble) {
       purgeDeletes(spark, base)
       true
