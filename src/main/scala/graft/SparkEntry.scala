@@ -679,6 +679,30 @@ object SparkEntry {
         .select(col("n_rows"), col("n_ids"), col("sum_key"),
           lit(nSnap == nRest && nSnap > 0).as("files_match"))
     }),
+    "s23_snapshot_auto" -> ((s, d) => {
+      // Arm-SELECTED snapshot/restore (Sink.snapshotAuto/restoreAuto,
+      // chooseDistributedCopy scaladoc): topology + tree size pick
+      // pool vs cluster fan-out — bench_snapshot.json measured the
+      // 16-thread pool at 7.98×/7.25× vs the distributed arm's
+      // 4.67×/2.73× on one box, so on this single-host runtime the
+      // selector must choose the pool (used_pool asserts it); past
+      // one NIC the same call routes to the executor fan-out. The
+      // verified row is the source-table replay, so a dropped file,
+      // a torn copy, or a wrong-arm checksum skip moves a number.
+      val src = Scratch.dir("s23src")
+      val repo = Scratch.dir("s23repo")
+      val dest = Scratch.dir("s23dest")
+      graft.sources.Sink.bulkWrite(s, Tables.part(s, d), "p_partkey", src)
+      val (nSnap, distS) = graft.sources.Sink.snapshotAuto(s, src, repo)
+      val (nRest, distR) = graft.sources.Sink.restoreAuto(s, repo, dest)
+      s.read.parquet(dest)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("p_partkey")).as("n_ids"),
+          sum(col("p_partkey")).as("sum_key"))
+        .select(col("n_rows"), col("n_ids"), col("sum_key"),
+          lit(nSnap == nRest && nSnap > 0).as("files_match"),
+          lit(!distS && !distR).as("used_pool"))
+    }),
     "s21b_artifact_snapshot" -> ((s, d) => {
       // Recursive artifact snapshot/restore: the engine's real state
       // is a gen-N artifact TREE (postings/dict/stats/... tables), not
@@ -4376,6 +4400,14 @@ object SparkEntry {
                 sum(s_suppkey)::BIGINT AS sum_key,
                 true AS files_match
          FROM supplier""",
+    // s23: single-host runtime ⇒ the selector must pick the pool arm
+    "s23_snapshot_auto" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+                count(DISTINCT p_partkey)::BIGINT AS n_ids,
+                sum(p_partkey)::BIGINT AS sum_key,
+                true AS files_match,
+                true AS used_pool
+         FROM part""",
     // j17: the e2 sessionize replay with bounds, paired by the direct
     // overlap predicate (the oracle affords the quadratic join)
     "j17_overlap_join" ->

@@ -29,25 +29,41 @@ object Tables {
     * mapping), so normalize all three here. NTZ → TIMESTAMP is a
     * lossless reinterpretation under the pinned UTC session timezone. */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    // SCOPED conf flip (round-13 review: the old unconditional set
-    // left nanosAsLong on for the whole session, so a later parquet
-    // read of an UNRELATED nanos-encoded table would silently decode
-    // raw longs instead of hitting normalizeTs's loud refusal). The
-    // flag matters at schema-resolution time — `spark.read.parquet`
-    // reads footers eagerly and the resolved relation carries its own
-    // hadoop conf snapshot — so restoring right after the read leaves
-    // this frame's execution unaffected (exercised by every e/st
-    // query run after other tables' reads).
+    // Conditionally-scoped conf flip. Schema inference is eager
+    // (`spark.read.parquet` reads footers immediately), but the
+    // returned frame is LAZY and Spark 4.1.2 re-reads this flag from
+    // the session conf at PHYSICAL-PLANNING time
+    // (ParquetFileFormat.setupHadoopConf copies SQL confs into the
+    // per-scan hadoop conf then; the resolved relation carries no
+    // snapshot of its own). So a blanket restore-after-read would make
+    // any action over a genuinely nanos-encoded table throw "Illegal
+    // Parquet type: INT64 (TIMESTAMP(NANOS))" executor-side. Probe the
+    // schema under the flag, then restore ONLY when ts is not
+    // nanos-encoded: a micro/NTZ corpus (every driver-generated one)
+    // leaves the session conf untouched after this call, while a nanos
+    // corpus keeps the flag on for the session — required for its own
+    // execution, and normalizeTs's LongType branch does the loud,
+    // integral µs conversion. The alternative (eagerly materializing
+    // the frame so the flag could be restored) would buffer the whole
+    // events table, a non-starter at the 100 TB design point.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try {
-      val df = spark.read.parquet(s"$dir/events.parquet")
-      df.withColumn("ts", normalizeTs(df.schema("ts").dataType))
-    } finally prev match {
+    val df =
+      try spark.read.parquet(s"$dir/events.parquet")
+      catch { case t: Throwable =>
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        throw t
+      }
+    val tsType = df.schema("ts").dataType
+    if (tsType != org.apache.spark.sql.types.LongType) prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+    df.withColumn("ts", normalizeTs(tsType))
   }
 
   /** `ts` under any historical encoding → one `TimestampType` column.

@@ -190,6 +190,80 @@ case class TopKByScore(
   override def prettyName: String = "top_k_by_score"
 }
 
+/** Elementwise sum of `array<long>` vectors — the model-sized
+  * reduction behind the distributed Lloyd's update
+  * ([[graft.operators.Similarity.kmeansDistributed]]).
+  *
+  * The round-13 trainer reduced per-(cell, element) via `posexplode +
+  * groupBy(cell, j)` — correct, but the per-iteration collect was
+  * k·dim four-field Rows whose object overhead is ~4–5× the raw
+  * matrix (multi-GB transient at 10⁵ cells × 768 dims). This
+  * aggregate keeps the identical order-independent fixed-point long
+  * sums while shipping ONE array-valued row per cell: buffer is a
+  * bare `Array[Long]` of the vector's length (Θ(dim), bounded),
+  * update/merge are elementwise long adds (associative + commutative
+  * ⇒ deterministic under any partitioning), partial-aggregates
+  * map-side. Mismatched input lengths fail loudly — silent truncation
+  * would corrupt centroids. */
+case class LongVecSum(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  // length-0 = "no rows seen yet" sentinel; a genuine zero-length input
+  // vector is refused below, so the states cannot collide
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  @inline private def addInto(buf: Array[Long], v: Array[Long]): Array[Long] =
+    if (buf.length == 0) v
+    else {
+      require(buf.length == v.length,
+        s"long_vec_sum: mixed vector lengths ${buf.length} vs ${v.length}")
+      var j = 0
+      while (j < v.length) { buf(j) += v(j); j += 1 }
+      buf
+    }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val a = child.eval(input)
+    if (a == null) buf
+    else {
+      val v = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      require(v.length > 0, "long_vec_sum: empty input vector")
+      // first row: clone — toLongArray may alias reused column memory
+      addInto(buf, if (buf.length == 0) v.clone() else v)
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.length == 0) b else if (b.length == 0) a else addInto(a, b)
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): LongVecSum =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): LongVecSum =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): LongVecSum =
+    copy(child = c)
+  override def prettyName: String = "long_vec_sum"
+}
+
 object aggregates {
   /** Sorted, size-capped (id, setsize) posting list; buckets past the
     * cap surface as arrays of length cap + 1 for the caller to drop. */
@@ -199,6 +273,12 @@ object aggregates {
       GraftShim.toExpression(id.cast("long")),
       GraftShim.toExpression(setsize.cast("int")),
       cap).toAggregateExpression())
+
+  /** Elementwise sum of array<long> vectors; one Θ(dim) buffer per
+    * group, order-independent long adds. */
+  def long_vec_sum(v: Column): Column =
+    GraftShim.toColumn(LongVecSum(
+      GraftShim.toExpression(v)).toAggregateExpression())
 
   /** Rank-ordered top-k (score desc, id asc) as array<struct<cos_sim,
     * vec_id>>; buffer bounded at k entries on both agg sides. */

@@ -198,9 +198,10 @@ object Similarity {
     *  - Each ITERATION assigns the cached sample through the SAME
     *    routed executor kernel serving uses
     *    ([[graft.functions.Centroids.nearest_cell]] — ~beam·√k dots
-    *    per point), then reduces per-(cell, element) fixed-point sums
-    *    ([[LloydFixedPoint]]) in one groupBy; the k·dim partial sums
-    *    collected per iteration are again model-sized. Empty cells
+    *    per point), then reduces fixed-point elementwise sums
+    *    ([[LloydFixedPoint]], [[graft.functions.LongVecSum]]) in one
+    *    groupBy(cell) — k ARRAY-valued rows per iteration, the raw
+    *    model matrix with no per-element Row overhead. Empty cells
     *    keep their centroid; means re-normalize to unit length —
     *    the same update rule as [[kmeansFromSample]].
     *
@@ -243,18 +244,30 @@ object Similarity {
           .select(graft.functions.Centroids
             .nearest_cell(cur, col("vhat"), lit(1.0)).as("cell"),
             col("vhat"))
+        // reduction is ONE array-valued row per cell (k rows, not
+        // k·dim four-field Rows — the round-13 posexplode shape paid
+        // ~4–5× the raw matrix in Row overhead per iteration; at 10⁵
+        // cells × 768 dims that was a multi-GB driver transient).
+        // floor(x·FP + 0.5) is LongType already; long_vec_sum adds the
+        // SAME order-independent fixed-point integers, so centroids
+        // are bit-identical to the exploded formulation.
         val agg = assigned
-          .select(col("cell"), posexplode(col("vhat")).as(Seq("j", "x")))
-          .groupBy(col("cell"), col("j"))
-          .agg(sum(floor(col("x") * LloydFixedPoint + 0.5)).as("s"),
+          .select(col("cell"), transform(col("vhat"),
+            x => floor(x * LloydFixedPoint + 0.5)).as("q"))
+          .groupBy(col("cell"))
+          .agg(graft.functions.aggregates.long_vec_sum(col("q")).as("s"),
             count(lit(1)).as("cnt"))
           .collect()
         val sums = Array.fill(k)(new Array[Double](dim))
         val counts = new Array[Long](k)
         agg.foreach { r =>
           val c = r.getInt(0)
-          sums(c)(r.getInt(1)) = r.getLong(2).toDouble / LloydFixedPoint
-          counts(c) = r.getLong(3)
+          val s = r.getSeq[Long](1)
+          var j = 0
+          while (j < dim) {
+            sums(c)(j) = s(j).toDouble / LloydFixedPoint; j += 1
+          }
+          counts(c) = r.getLong(2)
         }
         cents = Array.tabulate(k) { c =>
           if (counts(c) == 0L) cur(c) // empty cell keeps its centroid

@@ -353,17 +353,18 @@ object TextIndex {
           explode(array_distinct(
             Analyzers.shingleTokens(col("toks")))).as("term"))
         .persist()
-      shingleRows
-        .repartition(col("term"))
-        .sortWithinPartitions(col("term"), col("doc_id"))
-        .write.mode("append").parquet(s"$dir/shingles")
-      val deltaShingleDf = shingleRows
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      swapIn(spark, base, "shingle_df",
-        base.shingleDf(spark).unionByName(deltaShingleDf)
-          .groupBy(col("term")).agg(sum(col("df")).as("df"))
-          .coalesce(1))
-      shingleRows.unpersist(blocking = false)
+      try {
+        shingleRows
+          .repartition(col("term"))
+          .sortWithinPartitions(col("term"), col("doc_id"))
+          .write.mode("append").parquet(s"$dir/shingles")
+        val deltaShingleDf = shingleRows
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        swapIn(spark, base, "shingle_df",
+          base.shingleDf(spark).unionByName(deltaShingleDf)
+            .groupBy(col("term")).agg(sum(col("df")).as("df"))
+            .coalesce(1))
+      } finally shingleRows.unpersist(blocking = false)
       val deltaStats = withLen.agg(
         count(lit(1)).cast("double").as("n"),
         sum(col("len")).cast("long").as("sum_len"))

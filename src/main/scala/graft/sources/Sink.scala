@@ -337,6 +337,75 @@ object Sink {
     lines.length.toLong
   }
 
+  /** Copy-arm selector for the snapshot/restore family — pure and
+    * regime-testable. `bench_snapshot.json` measured both arms on one
+    * box (1024 × 64 KB, min-of-3): the 16-thread driver pool wins
+    * 7.98×/7.25× vs the distributed arm's 4.67×/2.73× — task
+    * scheduling + result collection cost ~1 s that a single NIC's
+    * bytes never amortize, so ON ONE HOST THE POOL ALWAYS WINS. The
+    * distributed arm exists for the topology the pool cannot reach:
+    * multiple executor HOSTS, where the pool serializes a 100 TB
+    * tree's bytes through one JVM's NIC while executors copy
+    * host-parallel. So: distribute iff the cluster spans >1 host AND
+    * the job is big enough to amortize per-task overhead (either
+    * enough files to fan out, or enough bytes that NIC bandwidth —
+    * not latency — dominates). */
+  private[graft] def chooseDistributedCopy(executorHosts: Int, files: Long,
+                                           totalBytes: Long): Boolean =
+    executorHosts > 1 &&
+      (files >= DistributedCopyMinFiles ||
+        totalBytes >= DistributedCopyMinBytes)
+
+  /** Fan-out floor: below ~4 files/host-class parallelism the
+    * scheduling overhead measured in `bench_snapshot.json` (~1 s)
+    * exceeds any copy win. */
+  val DistributedCopyMinFiles = 64L
+  /** Byte floor: a quarter-GiB crosses one NIC in under a second at
+    * LAN rates — smaller trees never pay back a Spark job. */
+  val DistributedCopyMinBytes: Long = 256L << 20
+
+  private def executorHostCount(spark: SparkSession): Int =
+    spark.sparkContext.getExecutorMemoryStatus.keysIterator
+      .map(_.split(":")(0)).toSet.size
+
+  /** [[snapshot]] with the arm CHOSEN from topology + tree size
+    * ([[chooseDistributedCopy]]): the driver pool on one host, the
+    * cluster fan-out past one NIC. The selection walk is
+    * metadata-only (the chosen arm re-walks; both walks are the same
+    * deterministic listing under the repository's `_WRITER` claim).
+    * Returns (file count, usedDistributed). */
+  def snapshotAuto(spark: SparkSession, srcDir: String,
+                   repoDir: String): (Long, Boolean) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val files = walkCommitted(src.getFileSystem(conf), src)
+    val dist = chooseDistributedCopy(executorHostCount(spark),
+      files.length.toLong, files.map(_._1.getLen).sum)
+    val n = if (dist) snapshotDistributed(spark, srcDir, repoDir)
+            else snapshot(spark, srcDir, repoDir)
+    (n, dist)
+  }
+
+  /** [[restore]]'s auto-arm twin: the manifest (driver-read,
+    * manifest-sized — needed by either arm anyway) supplies the
+    * file count and byte total for [[chooseDistributedCopy]].
+    * Returns (file count, usedDistributed). */
+  def restoreAuto(spark: SparkSession, repoDir: String,
+                  destDir: String): (Long, Boolean) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val repo = new org.apache.hadoop.fs.Path(repoDir)
+    val rfs = repo.getFileSystem(conf)
+    val mPath = new org.apache.hadoop.fs.Path(repo, "MANIFEST")
+    require(rfs.exists(mPath),
+      s"$repoDir has no MANIFEST — torn or not a snapshot repository")
+    val lines = readManifest(rfs, mPath)
+    val dist = chooseDistributedCopy(executorHostCount(spark),
+      lines.length.toLong, lines.map(_._2).sum)
+    val n = if (dist) restoreDistributed(spark, repoDir, destDir)
+            else restore(spark, repoDir, destDir)
+    (n, dist)
+  }
+
   /** ES INCREMENTAL snapshot — the multi-snapshot repository model:
     * segment files are immutable once committed, so a repository that
     * already holds a file from an earlier snapshot never copies it

@@ -51,10 +51,16 @@ object IndexStream {
         .option("maxFilesPerTrigger", 1).parquet(src)
         .writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
+          // defensive parse: Files.write is not atomic, so a crash
+          // mid-write can leave an empty/torn marker — treat it as
+          // "no marker" (-1) and let the fold-twice case degrade to
+          // addSegment's loud duplicate rejection, never a
+          // NumberFormatException that wedges the ingest undiagnosed
           val last =
             if (!java.nio.file.Files.exists(marker)) -1L
-            else new String(java.nio.file.Files.readAllBytes(marker),
-              "UTF-8").trim.toLong
+            else scala.util.Try(new String(
+              java.nio.file.Files.readAllBytes(marker),
+              "UTF-8").trim.toLong).getOrElse(-1L)
           if (id > last) {
             val b = batch.persist()
             try {

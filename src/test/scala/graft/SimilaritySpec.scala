@@ -404,6 +404,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("long_vec_sum: bit-identical to the exploded per-element sums; loud on ragged input") {
+    // the round-14 Lloyd's reduction ships ONE array-row per cell via
+    // long_vec_sum; this pins its equivalence to the round-13
+    // posexplode + groupBy(cell, j) formulation it replaced — same
+    // fixed-point longs, same totals, any grouping
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.select((col("vec_id") % 7).cast("int").as("cell"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * lit(1e9) + 0.5)).as("q"))
+    val viaAgg = q.groupBy(col("cell"))
+      .agg(graft.functions.aggregates.long_vec_sum(col("q")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toVector).toMap
+    val viaExplode = q
+      .select(col("cell"), posexplode(col("q")).as(Seq("j", "x")))
+      .groupBy(col("cell"), col("j")).agg(sum(col("x")).as("s"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (c, rs) =>
+        c -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toVector }
+    assert(viaAgg == viaExplode)
+    assert(viaAgg.nonEmpty)
+    // mixed lengths must refuse loudly — silent truncation would
+    // corrupt centroids
+    val ragged = spark.range(2).select(lit(0).as("cell"),
+      when(col("id") === 0, array(lit(1L), lit(2L)))
+        .otherwise(array(lit(1L))).as("q"))
+    intercept[Exception] {
+      ragged.groupBy(col("cell"))
+        .agg(graft.functions.aggregates.long_vec_sum(col("q"))).collect()
+    }
+  }
+
   test("semDedup agrees with brute-force same-cluster pairs; representatives kept") {
     val emb = Tables.embeddings(spark, sf)
     val tau = 0.35

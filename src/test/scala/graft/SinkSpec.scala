@@ -284,6 +284,34 @@ class SinkSpec extends SparkSpec {
       s"corrupt blob must refuse with a checksum error, got: ${chain(ex)}")
   }
 
+  test("auto arm selection: pool on one host, distributed only past one NIC and above the floors") {
+    // the pure selector at both regimes (bench_snapshot.json crossover:
+    // pool 7.98×/7.25× vs distributed 4.67×/2.73× on ONE box)
+    val bigFiles = Sink.DistributedCopyMinFiles
+    val bigBytes = Sink.DistributedCopyMinBytes
+    assert(!Sink.chooseDistributedCopy(1, bigFiles * 100, bigBytes * 100),
+      "one host must always use the pool, however large the tree")
+    assert(!Sink.chooseDistributedCopy(8, bigFiles - 1, bigBytes - 1),
+      "multi-host below both floors stays on the pool")
+    assert(Sink.chooseDistributedCopy(2, bigFiles, 0L),
+      "multi-host at the file floor distributes")
+    assert(Sink.chooseDistributedCopy(2, 1L, bigBytes),
+      "multi-host at the byte floor distributes")
+    // the wrappers on this local[n] (single-host) runtime: both pick
+    // the pool, and the round-trip verifies like the explicit arms
+    val src = Files.createTempDirectory("graft-auto-src")
+    Tables.region(spark, sf).write.parquet(src.resolve("postings").toString)
+    Files.write(src.resolve("_DONE"), "ok\n".getBytes("UTF-8"))
+    val repo = Files.createTempDirectory("graft-auto-repo").toString
+    val dest = Files.createTempDirectory("graft-auto-dest").toString
+    val (nSnap, distS) = Sink.snapshotAuto(spark, src.toString, repo)
+    val (nRest, distR) = Sink.restoreAuto(spark, repo, dest)
+    assert(nSnap == nRest && nSnap > 0)
+    assert(!distS && !distR, "single-host runtime must select the pool arm")
+    assert(spark.read.parquet(s"$dest/postings").count() ==
+      Tables.region(spark, sf).count())
+  }
+
   test("repo format guard: legacy flat-blob repos refuse; marker-less format-2 repos are adopted") {
     val src = Files.createTempDirectory("graft-fmt-src")
     Files.write(src.resolve("data.bin"), "fresh".getBytes("UTF-8"))
