@@ -43,6 +43,16 @@ import org.apache.spark.sql.functions._
   * bar, judged on the metric that gates — the organic ratio stays
   * reported-ungated alongside).
   *
+  * ARM 3 (round-14) — the COMPRESSED serving arm
+  * ([[graft.operators.Similarity.knnIvfPqRerankBatch]], what
+  * [[graft.operators.AnnIndex.search]] ships at routing-active cell
+  * counts): measured on the same planted metric per swept nprobe,
+  * with two additional ENFORCED gates where routing is active —
+  * planted recall ≥ 0.9 at the serving default on THIS arm too, and
+  * candidate bytes/query ≥ 8× below IVF-flat (computed from the
+  * index's own cell sizes at the serving nprobe + the rerank depth;
+  * the round-13 verdict's asymptote criterion).
+  *
   * Env: SPARK_GRAFT_SF_DIR (corpus dir), SPARK_GRAFT_RECALL_Q
   * (queries, default 64), SPARK_GRAFT_RECALL_K (default 10),
   * SPARK_GRAFT_RECALL_NPROBE (comma-separated sweep; default "auto" =
@@ -131,6 +141,12 @@ object RecallProbe {
     val assigned2 = ix.ivf(spark)
       .select("vec_id", "label", "v", "nrm", "cell")
       .unionByName(plantedAssigned.select("vec_id", "label", "v", "nrm", "cell"))
+    // the COMPRESSED serving arm's code table, plants encoded against
+    // the frozen structures — the incremental-ingest shape, same as
+    // the flat arm's assigned2
+    val plantedCodes = operators.Similarity
+      .ivfPqEncode(planted, ix.cents, ix.resCbs)
+    val codes2 = ix.ivfPqCodes(spark).unionByName(plantedCodes)
     val wantPlanted: Map[Long, Set[Long]] = qids.map(qid =>
       qid -> (0 until k).map(i => plantBase + qid * 100 + i).toSet).toMap
 
@@ -181,15 +197,25 @@ object RecallProbe {
         emb2, ix.cents, qids, k, nprobe))
       val rPlantedFlat = recallOf(plantedFlat, wantPlanted)
       val pRatio = if (rPlantedFlat > 0) rPlanted / rPlantedFlat else 1.0
+      // the COMPRESSED serving arm (round-14: what AnnIndex.search
+      // actually runs at routing-active cell counts) — ADC over the
+      // code table + exact rerank, measured on the same planted metric
+      // that gates, plus its wall-clock
+      val (pqArm, pqSec) = timed(topSets(
+        operators.Similarity.knnIvfPqRerankBatch(
+          emb2, assigned2, codes2, ix.cents, ix.resCbs, qids, k, nprobe)))
+      val rPlantedPq = recallOf(pqArm, wantPlanted)
       val row = f"""{"nprobe":$nprobe,"serving_default":${nprobe == serving},""" +
         f""""recall_planted":$rPlanted%.4f,""" +
         f""""recall_planted_flat":$rPlantedFlat%.4f,""" +
+        f""""recall_planted_pq":$rPlantedPq%.4f,""" +
         f""""planted_routed_over_flat":$pRatio%.4f,""" +
         f""""recall_flat":$rFlat%.4f,"recall_routed":$rRouted%.4f,""" +
         f""""routed_over_flat":$ratio%.4f,""" +
-        f""""routed_sec":$routedSec%.2f,"flat_sec":$flatSec%.2f}"""
+        f""""routed_sec":$routedSec%.2f,"flat_sec":$flatSec%.2f,""" +
+        f""""pq_sec":$pqSec%.2f}"""
       System.err.println(s"[recall] $row")
-      (nprobe, rPlanted, pRatio, row)
+      (nprobe, rPlanted, pRatio, row, rPlantedPq)
     }
     // machine-readable GATES (round-13 review: the documented bars
     // were enforced nowhere): planted recall ≥ 0.9 at the serving
@@ -198,14 +224,51 @@ object RecallProbe {
     // fails the run — a silent routing regression can no longer ship
     // a green-looking sweep.
     val servingOk = rows.collectFirst {
-      case (np, p, _, _) if np == serving => p >= 0.9 }.getOrElse(false)
-    val routingOk = rows.forall { case (_, _, pr, _) => pr >= 0.95 }
+      case (np, p, _, _, _) if np == serving => p >= 0.9 }.getOrElse(false)
+    val routingOk = rows.forall { case (_, _, pr, _, _) => pr >= 0.95 }
+    // COMPRESSED-SERVING gates (round-14, round-13 verdict task 1) —
+    // enforced exactly where AnnIndex.search serves compressed
+    // (routing-active cell counts; below the threshold the PQ arm is
+    // measured but flat serving is the shipped arm):
+    //  - planted recall of the ADC+rerank arm ≥ 0.9 at the serving
+    //    default, equal-or-better operating point vs the flat scan;
+    //  - candidate BYTES/query ≥ 8× down vs IVF-flat, computed from
+    //    the index's own cell sizes at the serving nprobe: flat scans
+    //    cand rows of (8·dim+20) bytes (id + label + v + nrm);
+    //    compressed scans cand rows of (4·m+8) bytes (id + m int
+    //    codes) plus R full-precision rerank fetches.
+    val routingActive = nlist >= graft.functions.Centroids.RouteThreshold
+    val pqServingOk = !routingActive || rows.collectFirst {
+      case (np, _, _, _, ppq) if np == serving => ppq >= 0.9 }
+      .getOrElse(false)
+    val dim = qRows.head._2.length
+    val m = ix.resCbs.length
+    val rDepth = math.max(8 * k, 64)
+    val cellSizes = ix.ivf(spark).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val candPerQ = qRows.map { case (_, v) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      graft.functions.Centroids.topCellsHost(ix.cents, v, nrm, serving)
+        .map(c => cellSizes.getOrElse(c, 0L)).sum
+    }
+    val candMean = candPerQ.sum.toDouble / candPerQ.length
+    val bytesFlat = candMean * (8 * dim + 20)
+    val bytesPq = candMean * (4 * m + 8) + rDepth.toDouble * (8 * dim + 20)
+    val bytesRatio = if (bytesPq > 0) bytesFlat / bytesPq else 0.0
+    val bytesOk = !routingActive || bytesRatio >= 8.0
     val line =
       f"""{"metric":"recall_probe","dir":"$dir","n":$n,"nlist":$nlist,""" +
-        f""""routing_active":${nlist >= graft.functions.Centroids.RouteThreshold},""" +
+        f""""routing_active":$routingActive,""" +
         f""""q":$q,"k":$k,"serving_nprobe":$serving,"held_out_queries":true,""" +
+        f""""candidates_per_query":$candMean%.0f,"rerank_depth":$rDepth,""" +
+        f""""bytes_flat_per_query":$bytesFlat%.0f,""" +
+        f""""bytes_pq_per_query":$bytesPq%.0f,""" +
+        f""""bytes_flat_over_pq":$bytesRatio%.2f,""" +
         f""""gates":{"planted_serving_ok":$servingOk,""" +
-        f""""planted_routing_bar_ok":$routingOk},""" +
+        f""""planted_routing_bar_ok":$routingOk,""" +
+        f""""planted_pq_serving_ok":$pqServingOk,""" +
+        f""""bytes_ratio_ok":$bytesOk},""" +
         f""""sweep":${rows.map(_._4).mkString("[", ",", "]")}}"""
     println(line)
     java.nio.file.Files.write(
@@ -213,7 +276,7 @@ object RecallProbe {
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench_recall.json")),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
-    if (!(servingOk && routingOk)) {
+    if (!(servingOk && routingOk && pqServingOk && bytesOk)) {
       System.err.println("[recall] GATE VIOLATED — see the gates block")
       sys.exit(1) // the artifact is written either way, marked
     }

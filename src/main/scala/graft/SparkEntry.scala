@@ -1894,10 +1894,15 @@ object SparkEntry {
       // table + trained centroids and verifies from the RESULT alone —
       // the planted ×2-scaled copy (cos exactly 1) must rank first per
       // probe and k stays bounded. This is the row whose scaling the
-      // √n-nlist build is FOR: nprobe·n/nlist candidates per query.
+      // √n-nlist build is FOR: nprobe·n/nlist candidates per query —
+      // served through AnnIndex.search, which keeps the flat scan at
+      // oracle cell counts and switches to the compressed ADC + exact
+      // rerank arm at routing-active decades (the invariants hold
+      // through either arm: rerank scoring is exact, so cos-1.0 still
+      // uniquely ranks first).
       val ix = annIndexFor(s, d)
-      Similarity.knnIvfBatchAssigned(annPlantedCorpus(s, d), ix.ivf(s),
-          ix.cents, annProbeIds, k = 10)
+      graft.operators.AnnIndex.search(s, ix, annPlantedCorpus(s, d),
+          annProbeIds, k = 10)
         .groupBy(col("qid"))
         .agg(min_by(col("vec_id"), col("rank")).as("top1"),
           count(lit(1)).as("n_rows"))
@@ -2259,6 +2264,47 @@ object SparkEntry {
       val ix = annIndexFor(s, d)
       Similarity.ivfPqContractWith(annPlantedCorpus(s, d), ix.cents,
           ix.resCbs, ix.ivfPqCodes(s), annProbeIds, k = 10)
+        .orderBy(col("qid"))
+    }),
+    "n14_ivfpq_rerank_serve" -> ((s, d) => {
+      // The COMPRESSED serving arm's contract
+      // (Similarity.knnIvfPqRerankBatch — AnnIndex.search's
+      // routing-active path, forced here at every cell count so the
+      // oracle gates it at sf0.01 too). Two invariants per probe:
+      // (a) at the default rerank depth the planted ×2 copy (exact
+      // cos 1.0) survives the ADC shortlist and ranks FIRST after
+      // exact rerank, k bounded; (b) with the shortlist widened past
+      // the candidate count the result must equal the IVF-FLAT
+      // serving result ROW FOR ROW — same probed cells (bit-exact
+      // host kernel), same exact scores, same tie-breaks — so the
+      // compressed arm provably differs from flat only by WHICH
+      // candidates the bounded shortlist keeps, never by scoring.
+      val ix = annIndexFor(s, d)
+      val emb = annPlantedCorpus(s, d)
+      val served = Similarity.knnIvfPqRerankBatch(emb, ix.ivf(s),
+        ix.ivfPqCodes(s), ix.cents, ix.resCbs, annProbeIds, k = 10)
+      val exhaustive = Similarity.knnIvfPqRerankBatch(emb, ix.ivf(s),
+        ix.ivfPqCodes(s), ix.cents, ix.resCbs, annProbeIds, k = 10,
+        rerank = 1000000)
+      val flat = Similarity.knnIvfBatchAssigned(emb, ix.ivf(s),
+        ix.cents, annProbeIds, k = 10)
+      val cmp = exhaustive
+        .select(col("qid"), col("rank"), col("vec_id").as("pv"),
+          col("cos_sim").as("ps"))
+        .join(flat.select(col("qid"), col("rank"),
+          col("vec_id").as("fv"), col("cos_sim").as("fs")),
+          Seq("qid", "rank"), "full")
+        .groupBy(col("qid"))
+        .agg(min(coalesce(col("pv") === col("fv") &&
+          col("ps") === col("fs"), lit(false))).as("matches_flat"))
+      served.groupBy(col("qid"))
+        .agg(min_by(col("vec_id"), col("rank")).as("top1"),
+          count(lit(1)).as("n_rows"))
+        .join(cmp, Seq("qid"))
+        .select(col("qid"),
+          (col("top1") === col("qid") + 1000000L).as("planted_rank1"),
+          (col("n_rows") > 0 && col("n_rows") <= 10).as("k_bounded"),
+          col("matches_flat"))
         .orderBy(col("qid"))
     }),
     "n10_incremental_add" -> ((s, d) => {
@@ -5371,6 +5417,15 @@ object SparkEntry {
                                (101::BIGINT, TRUE, TRUE),
                                (202::BIGINT, TRUE, TRUE))
            AS t(qid, planted_rank1, k_bounded)
+         ORDER BY qid""",
+    // n14: every invariant constant-TRUE on a correct compressed
+    // serving arm (planted cos-1.0 rank-1 at the default shortlist;
+    // exhaustive-shortlist result ≡ IVF-flat row-for-row)
+    "n14_ivfpq_rerank_serve" ->
+      """SELECT * FROM (VALUES (1::BIGINT, TRUE, TRUE, TRUE),
+                               (101::BIGINT, TRUE, TRUE, TRUE),
+                               (202::BIGINT, TRUE, TRUE, TRUE))
+           AS t(qid, planted_rank1, k_bounded, matches_flat)
          ORDER BY qid""",
     "d1_exact_dedup" ->
       s"""SELECT md5($sqlNorm) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -232,10 +232,16 @@ object AnnIndex {
     * marks the nlist-scaled beam ([[graft.functions.Centroids
     * .routeBeamFor]] — max(12, ⌈0.5·√nlist⌉), identical to v5 for
     * nlist ≤ 576, wider above), adopted when the enforced planted
-    * routing bar measured beam 12 at 0.92 of flat at ×1000. */
+    * routing bar measured beam 12 at 0.92 of flat at ×1000. "v7"
+    * marks the compressed serving arm ([[search]] routes cell counts
+    * ≥ RouteThreshold through ADC + exact rerank) and the
+    * within-cell id-SORTED layout of ivf/ivfpq_codes that its rerank
+    * point-fetch relies on for tight row-group vec_id stats — v6
+    * artifacts have arbitrary within-cell order and would serve the
+    * rerank join without skipping. */
   private[graft] def rootFor(key: String): java.nio.file.Path =
     java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v6", key)
+      .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v7", key)
 
   /** (vec_id, label, v, nrm, cell): the coarse-quantizer assignment of
     * `emb` under fixed centroids — the shared encode step of [[build]]
@@ -324,14 +330,19 @@ object AnnIndex {
     // commit cost is file-count-bound no longer. This is also the
     // 100 TB-correct layout: one writer per partition, scan-sized
     // files, no small-file compaction debt.
+    // within-cell id sort (layout v7): tight vec_id row-group stats
+    // make the serving rerank's point-fetch join skip non-candidate
+    // row groups; the sort rides the shuffle the clustering already
+    // pays, so the build cost is unchanged at any scale
     assignCells(corpus, cents).repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/ivf")
     mark("encode-ivf")
     Similarity.pqEncode(corpus, pqCbs)
       .write.mode("overwrite").parquet(s"$dir/pq_codes")
     mark("encode-pq")
     Similarity.ivfPqEncode(corpus, cents, resCbs)
-      .repartition(col("cell"))
+      .repartition(col("cell")).sortWithinPartitions(col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/ivfpq_codes")
     mark("encode-ivfpq")
@@ -343,6 +354,39 @@ object AnnIndex {
       Array.emptyByteArray)
     Loaded(dir, cents, pqCbs, resCbs)
   }
+
+  /** THE serving entry point — arm selection by cell count (round-14,
+    * the round-13 weak flag): below
+    * [[graft.functions.Centroids.RouteThreshold]] cells (every
+    * oracle-gated corpus; routing inactive) queries scan the probed
+    * cells' FULL vectors exactly as before — plans bit-identical to
+    * prior rounds. At routing-active cell counts, IVF-FLAT's in-cell
+    * scans are the asymptote problem: holding recall needs nprobe ≈
+    * √nlist, so per-query candidate work grows ≈ n^(3/4) of
+    * (8·dim+20)-byte rows. There the same probed cells are scanned in
+    * the COMPRESSED domain instead
+    * ([[Similarity.knnIvfPqRerankBatch]] — the artifact's
+    * `ivfpq_codes` at ~(4m+8) bytes/row, ADC-ranked) and only the
+    * top-R shortlist fetches full-precision rows for EXACT scoring —
+    * candidate bytes/query drop ≥8× (the FAISS answer at scale:
+    * PQ-compressed in-cell scans with a refine stage; Jégou 2011
+    * §V.C). Both arms mask tombstones through [[liveView]] and return
+    * the same (qid, vec_id, label, cos_sim, rank) schema with
+    * identical EXACT scores — the arm changes WHICH candidates rank,
+    * never their scores; the recall probe gates the operating point
+    * (planted ≥0.9 at the serving default, bytes ratio ≥8) per
+    * decade. */
+  def search(spark: SparkSession, ix: Loaded, emb: DataFrame,
+             queryIds: Seq[Long], k: Int = 10,
+             nprobe: Int = AutoNprobe): DataFrame =
+    if (ix.cents.length < graft.functions.Centroids.RouteThreshold)
+      Similarity.knnIvfBatchAssigned(emb,
+        liveView(spark, ix, ix.ivf(spark)), ix.cents, queryIds, k, nprobe)
+    else
+      Similarity.knnIvfPqRerankBatch(emb,
+        liveView(spark, ix, ix.ivf(spark)),
+        liveView(spark, ix, ix.ivfPqCodes(spark)),
+        ix.cents, ix.resCbs, queryIds, k, nprobe)
 
   /** Incremental vector ingest — the FAISS `add()` model: new vectors
     * are encoded against the FROZEN trained structures (coarse
@@ -386,11 +430,12 @@ object AnnIndex {
       // file-count discipline applied to segments: a delta lands one
       // file per touched cell, not tasks × cells
       assignCells(delta, base.cents).repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
         .write.mode("append").partitionBy("cell").parquet(s"${base.dir}/ivf")
       Similarity.pqEncode(delta, base.pqCbs)
         .write.mode("append").parquet(s"${base.dir}/pq_codes")
       Similarity.ivfPqEncode(delta, base.cents, base.resCbs)
-        .repartition(col("cell"))
+        .repartition(col("cell")).sortWithinPartitions(col("cell"), col("vec_id"))
         .write.mode("append").partitionBy("cell")
         .parquet(s"${base.dir}/ivfpq_codes")
       Similarity.quantizedIndex(delta)
@@ -496,9 +541,15 @@ object AnnIndex {
     val path = s"${base.dir}/$sub"
     val tmp = path + ".swap-tmp"
     // cluster on the partition key first — the build's file-count
-    // discipline (one file per partition value, not tasks × values)
+    // discipline (one file per partition value, not tasks × values) —
+    // and keep the v7 within-cell vec_id sort through a purge rewrite
+    // (the prefix on the partition cols satisfies the writer's
+    // required ordering, so no second sort is inserted)
     val clustered =
-      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+          .sortWithinPartitions(
+            (partitionCols.map(col) :+ col("vec_id")): _*)
       else df
     val w = clustered.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)

@@ -680,6 +680,114 @@ object Similarity {
     topKPerQuery(scored, emb.select(col("vec_id"), col("label")), k)
   }
 
+  /** COMPRESSED-DOMAIN IVF serving with exact rerank — the FAISS
+    * IVFPQ+refine composition ([[graft.operators.AnnIndex.search]]
+    * dispatches here at routing-active cell counts; round-13 verdict
+    * task 1). IVF-FLAT serving holds recall by scaling nprobe ≈
+    * √nlist, but then scans nprobe·n/nlist FULL vectors per query —
+    * candidate work ≈ n^(3/4) of 8·dim-byte rows, the one-level
+    * router's asymptote at the recall bar. Here the probed cells are
+    * scanned in the COMPRESSED domain instead (the persisted
+    * `ivfpq_codes` table: m 1-byte-range codes + id per row, ~64×
+    * narrower than the flat rows at dim 64), ranked by ADC (exact
+    * q·centroid bias + residual LUT sums, the Jégou 2011 §V scoring
+    * the n9 contract pins), and only the top `rerank` shortlist per
+    * query fetches full-precision rows for EXACT cosine scoring — so
+    * the returned scores are identical in kind to the flat path's
+    * (the estimate is WHICH candidates, never their scores), and at
+    * `rerank` ≥ the candidate count the result is IDENTICAL to
+    * IVF-flat at the same nprobe (same probed cells via the same
+    * bit-exact host kernel, same exact scores, same tie-breaks —
+    * pinned in SimilaritySpec and the n14 oracle row).
+    *
+    * Spark shape: per-query driver state is Θ(nprobe + m·ksub)
+    * (probed cells, their biases, the ADC LUTs — model-sized); the
+    * query side broadcasts as one row per (query, probed cell), so
+    * the cell equi-join prunes the code table to probed-cell FILES
+    * exactly like the flat path; the shortlist is the bounded
+    * [[graft.functions.TopKByScore]] heap (map-side partials, 16·R
+    * bytes per query through the shuffle); the rerank fetch
+    * broadcasts ≤ |queries|·R ids against the probed cells of the
+    * full-precision table (within-cell id-sorted since layout v7, so
+    * row-group stats make the id join skip-friendly). Candidate
+    * bytes/query: flat ≈ nprobe·(n/nlist)·(8·dim+20); compressed ≈
+    * nprobe·(n/nlist)·(4m+8) + R·(8·dim+20) — ≥8× down at dim 64
+    * whenever R ≪ candidates (the recall probe's enforced
+    * bytes-ratio gate). */
+  def knnIvfPqRerankBatch(emb: DataFrame, ivf: DataFrame, codes: DataFrame,
+                          cents: Array[Array[Double]],
+                          cbs: Array[Array[Array[Double]]],
+                          queryIds: Seq[Long], k: Int = 10,
+                          nprobe: Int = AnnIndex.AutoNprobe,
+                          rerank: Int = 0): DataFrame = {
+    val np = resolveNprobe(nprobe, cents.length)
+    // FAISS refine-style default: a generous multiple of k — recall
+    // loss vs flat comes only from true neighbors whose ADC rank
+    // falls below R, and the planted-recall gate measures exactly that
+    val r = if (rerank > 0) rerank else math.max(8 * k, 64)
+    val m = cbs.length
+    val ds = cbs.head.head.length
+    val e = withNorm(emb)
+    // per-probe driver state — probed cells through the SAME routed
+    // host kernel serving assignment uses (bit-exact, routing decision
+    // included; the ivfPqContractWith rationale), q·centroid bias per
+    // PROBED cell only, residual ADC LUTs
+    val probes = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map { row =>
+        val vRaw = row.getSeq[Double](1).toArray
+        val qn = row.getDouble(2)
+        val q = vRaw.map(_ / qn)
+        val probed = graft.functions.Centroids
+          .topCellsHost(cents, vRaw, qn, np)
+        val bias = probed.map(c =>
+          cents(c).zip(q).map { case (a, b) => a * b }.sum)
+        val luts = Array.tabulate(m) { j =>
+          cbs(j).map(_.zip(q.slice(j * ds, (j + 1) * ds))
+            .map { case (a, b) => a * b }.sum)
+        }
+        (row.getLong(0), probed, bias, luts)
+      }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // one broadcast row per (query, probed cell): the bias for THAT
+    // cell plus the shared LUT matrix — Θ(|q|·nprobe·m·ksub) doubles,
+    // model-sized; the cell equi-join prunes the code scan to the
+    // probed cells' files
+    val qRows = probes.toIndexedSeq.flatMap { case (qid, probed, bias, luts) =>
+      probed.toSeq.zip(bias.toSeq).map { case (c, b) =>
+        (qid, c, b, luts.map(_.toSeq).toSeq)
+      }
+    }.toDF("qid", "cell", "bias", "lut")
+    val adc = codes.join(broadcast(qRows), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (col("bias") +: (0 until m).map(j =>
+          element_at(element_at(col("lut"), j + 1),
+            col(s"c$j").cast("int") + 1))).reduce(_ + _).as("adc"))
+    // compressed-domain shortlist: bounded per-query heap, (adc desc,
+    // id asc) total order — deterministic under any partitioning
+    val shortlist = adc.groupBy(col("qid"))
+      .agg(graft.functions.aggregates
+        .top_k_by_score(col("adc"), col("vec_id"), r).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.vec_id").as("vec_id"))
+    // exact rerank: ≤ |queries|·R full-precision fetches from the
+    // probed cells only (partition pruning on the literal cell set),
+    // then the SAME exact scoring + top-k machinery as the flat path
+    val cellsAll = probes.flatMap(_._2).distinct.toSeq
+    val queryVecs = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val exact = ivf.filter(col("cell").isin(cellsAll: _*))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queryVecs), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("cos_sim"))
+    topKPerQuery(exact, emb.select(col("vec_id"), col("label")), k)
+  }
+
   /** Filtered vector search — ES kNN's `filter` parameter / FAISS's
     * IDSelector: each query carries its own metadata predicate (here a
     * wanted `label`), applied DURING the index traversal to the

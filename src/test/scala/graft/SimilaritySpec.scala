@@ -404,6 +404,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfpq rerank serving: exhaustive shortlist equals IVF-flat row-for-row; bounded + ranked at the default depth") {
+    // the compressed serving arm (AnnIndex.search at routing-active
+    // cell counts): ADC over codes prunes, exact rerank scores — with
+    // the shortlist wider than any cell the result must be IDENTICAL
+    // to the flat scan (same probed cells via the bit-exact host
+    // kernel, same exact scores, same tie-breaks)
+    val emb = Tables.embeddings(spark, sf)
+    val (cents, cbs) = Similarity.ivfPqTrain(emb, nlist = 16)
+    val assigned = operators.AnnIndex.assignCells(emb, cents)
+    val codes = Similarity.ivfPqEncode(emb, cents, cbs)
+    val qids = Seq(1L, 101L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "cos_sim", "rank").collect()
+        .map(_.toSeq).sortBy(_.toString)
+    val flat = rows(Similarity.knnIvfBatchAssigned(
+      emb, assigned, cents, qids, k = 10))
+    val pqAll = rows(Similarity.knnIvfPqRerankBatch(
+      emb, assigned, codes, cents, cbs, qids, k = 10, rerank = 100000))
+    assert(pqAll.toSeq == flat.toSeq)
+    assert(flat.nonEmpty)
+    // default depth: bounded k, deterministic across runs, scores
+    // exact (they come from the same raw-vector rerank scoring)
+    val d1 = rows(Similarity.knnIvfPqRerankBatch(
+      emb, assigned, codes, cents, cbs, qids, k = 10))
+    val d2 = rows(Similarity.knnIvfPqRerankBatch(
+      emb, assigned, codes, cents, cbs, qids, k = 10))
+    assert(d1.toSeq == d2.toSeq)
+    qids.foreach { q =>
+      assert(d1.count(_.head == q) <= 10 && d1.exists(_.head == q))
+    }
+  }
+
   test("long_vec_sum: bit-identical to the exploded per-element sums; loud on ragged input") {
     // the round-14 Lloyd's reduction ships ONE array-row per cell via
     // long_vec_sum; this pins its equivalence to the round-13
