@@ -85,6 +85,45 @@ object BenchScale {
         .otherwise(x * lit(-1.0f)))
   }
 
+  /** CLUSTERED embeddings replica mode (SPARK_GRAFT_EMB_MODE=
+    * clustered — round-13 verdict task 2): replica k ≥ 1 of a base
+    * vector is a DETERMINISTIC per-element multiplicative Gaussian
+    * jitter, v'ᵢ = vᵢ·(1 + σ·gᵢ), which tilts the direction inside a
+    * cone around v with cos(v, v') ≈ 1/√(1+σ²) (= [[ClusterCos]] at
+    * σ = tan(arccos ClusterCos)) and needs NO norm column — the
+    * per-element form sidesteps the documented ProjectCollapse
+    * recompute hazard a computed-norm column inside a transform
+    * lambda would reintroduce. The scaled corpus becomes a mixture of
+    * |base| tight clusters (within-cluster pair cos ≈ ClusterCos²
+    * ≈ 0.81, cross-cluster at the base corpus's ≈0.5 noise floor), so
+    * a held-out query's true top-k are its cluster siblings — servable
+    * by ANY correct IVF index — and ORGANIC recall becomes a gateable
+    * index property instead of a property of structureless data
+    * (which is all the Walsh replicas can offer; their orthogonal
+    * transforms deliberately preserve the base's structurelessness).
+    * Standard normals come from Box–Muller over two xxhash64-derived
+    * uniforms keyed on (base vec_id, replica, element, salt) —
+    * content-keyed, stateless, bit-identical across runs and cluster
+    * counts. k = 0 is the identity, so base ids keep exact vectors. */
+  private val ClusterCos = 0.9
+  private def jitterVec(vecId: org.apache.spark.sql.Column,
+                        c: org.apache.spark.sql.Column,
+                        k: org.apache.spark.sql.Column) = {
+    def unif(i: org.apache.spark.sql.Column, salt: Int) =
+      (pmod(xxhash64(vecId, k, i, lit(salt)), lit(1 << 24)).cast("double")
+        + lit(1.0)) / lit((1 << 24).toDouble + 2.0)
+    def gauss(i: org.apache.spark.sql.Column) =
+      sqrt(lit(-2.0) * log(unif(i, 1))) *
+        cos(lit(2.0 * math.Pi) * unif(i, 2))
+    val sigma = math.tan(math.acos(ClusterCos))
+    when(k === 0, c).otherwise(
+      transform(c, (x, i) =>
+        (x * (lit(1.0) + lit(sigma) * gauss(i))).cast("float")))
+  }
+
+  private def embMode: String =
+    sys.env.getOrElse("SPARK_GRAFT_EMB_MODE", "walsh")
+
   /** Replica expansion as ONE scan per table: crossJoin against a
     * broadcast `range(scale)` replica index and compute the key
     * offsets / de-correlation from the `k` COLUMN. The previous
@@ -110,7 +149,8 @@ object BenchScale {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq.sorted
         .mkString(" tables=", ",", ""))
       .getOrElse("")
-    s"$scale rev5$subset"
+    val mode = if (embMode == "walsh") "" else s" emb=$embMode"
+    s"$scale rev5$subset$mode"
   }
 
   def replicate(spark: SparkSession, base: String, out: String,
@@ -192,6 +232,14 @@ object BenchScale {
       // cast matches the base schema (BIGINT) — length() is INT
       .withColumn("n_chars", length(col("text")).cast("long"))))
     write("embeddings", done {
+      if (embMode == "clustered")
+        // jitter keys on the BASE id (determinism per (cluster,
+        // member)); the id offset lands after
+        expand(emb)
+          .withColumn("embedding",
+            jitterVec(col("vec_id"), col("embedding"), k))
+          .withColumn("vec_id", col("vec_id") + k * vS)
+      else {
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
       // distinct transforms = dim rotations × effective sign masks:
       // i & (k mod 64) only reads mask bits at positions < log2(dim),
@@ -208,6 +256,7 @@ object BenchScale {
       expand(emb)
         .withColumn("vec_id", col("vec_id") + k * vS)
         .withColumn("embedding", flipVec(col("embedding"), k, dim))
+      }
     })
 
     // events grow HORIZONTALLY: ×scale users over the SAME time

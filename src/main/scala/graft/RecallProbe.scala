@@ -200,22 +200,30 @@ object RecallProbe {
       // the COMPRESSED serving arm (round-14: what AnnIndex.search
       // actually runs at routing-active cell counts) — ADC over the
       // code table + exact rerank, measured on the same planted metric
-      // that gates, plus its wall-clock
+      // that gates, plus its wall-clock; ALSO measured on the organic
+      // ground truth (reported always, GATED only when the corpus is
+      // clustered — SPARK_GRAFT_ORGANIC_GATE=1 — since on structureless
+      // Walsh replicas organic recall is a property of the data)
       val (pqArm, pqSec) = timed(topSets(
         operators.Similarity.knnIvfPqRerankBatch(
           emb2, assigned2, codes2, ix.cents, ix.resCbs, qids, k, nprobe)))
       val rPlantedPq = recallOf(pqArm, wantPlanted)
+      val organicPq = topSets(operators.Similarity.knnIvfPqRerankBatch(
+        emb, ix.ivf(spark), ix.ivfPqCodes(spark), ix.cents, ix.resCbs,
+        qids, k, nprobe))
+      val rPq = recallOf(organicPq, gt)
       val row = f"""{"nprobe":$nprobe,"serving_default":${nprobe == serving},""" +
         f""""recall_planted":$rPlanted%.4f,""" +
         f""""recall_planted_flat":$rPlantedFlat%.4f,""" +
         f""""recall_planted_pq":$rPlantedPq%.4f,""" +
         f""""planted_routed_over_flat":$pRatio%.4f,""" +
         f""""recall_flat":$rFlat%.4f,"recall_routed":$rRouted%.4f,""" +
+        f""""recall_pq":$rPq%.4f,""" +
         f""""routed_over_flat":$ratio%.4f,""" +
         f""""routed_sec":$routedSec%.2f,"flat_sec":$flatSec%.2f,""" +
         f""""pq_sec":$pqSec%.2f}"""
       System.err.println(s"[recall] $row")
-      (nprobe, rPlanted, pRatio, row, rPlantedPq)
+      (nprobe, rPlanted, pRatio, row, rPlantedPq, rRouted, rPq)
     }
     // machine-readable GATES (round-13 review: the documented bars
     // were enforced nowhere): planted recall ≥ 0.9 at the serving
@@ -223,9 +231,24 @@ object RecallProbe {
     // every swept nprobe. A violated gate marks the artifact and
     // fails the run — a silent routing regression can no longer ship
     // a green-looking sweep.
-    val servingOk = rows.collectFirst {
-      case (np, p, _, _, _) if np == serving => p >= 0.9 }.getOrElse(false)
-    val routingOk = rows.forall { case (_, _, pr, _, _) => pr >= 0.95 }
+    // GATE REGIMES are complementary by corpus construction
+    // (round-14): on STRUCTURELESS (Walsh) corpora the planted-jitter
+    // metric is the valid ground truth (cos-0.9 plants ≫ the organic
+    // 0.5 ceiling ⇒ they ARE the true top-k) and organic recall is a
+    // property of the data; on CLUSTERED corpora
+    // (SPARK_GRAFT_ORGANIC_GATE=1) the premise inverts — each query's
+    // ~scale cluster siblings sit at the SAME cos ≈0.9 as the plants
+    // (measured max 0.958), so "planted = true top-k" fails by
+    // construction and the organic metric, now servable, is the one
+    // that gates. The routed/flat RATIO stays enforced in both
+    // regimes: both arms are judged against the same ground truth, so
+    // the ratio isolates the routing approximation even where the
+    // absolute level doesn't gate.
+    val organicGate = sys.env.get("SPARK_GRAFT_ORGANIC_GATE").contains("1")
+    val servingOk = organicGate || rows.collectFirst {
+      case (np, p, _, _, _, _, _) if np == serving => p >= 0.9 }
+      .getOrElse(false)
+    val routingOk = rows.forall { case (_, _, pr, _, _, _, _) => pr >= 0.95 }
     // COMPRESSED-SERVING gates (round-14, round-13 verdict task 1) —
     // enforced exactly where AnnIndex.search serves compressed
     // (routing-active cell counts; below the threshold the PQ arm is
@@ -238,12 +261,24 @@ object RecallProbe {
     //    compressed scans cand rows of (4·m+8) bytes (id + m int
     //    codes) plus R full-precision rerank fetches.
     val routingActive = nlist >= graft.functions.Centroids.RouteThreshold
-    val pqServingOk = !routingActive || rows.collectFirst {
-      case (np, _, _, _, ppq) if np == serving => ppq >= 0.9 }
+    val pqServingOk = organicGate || !routingActive || rows.collectFirst {
+      case (np, _, _, _, ppq, _, _) if np == serving => ppq >= 0.9 }
       .getOrElse(false)
+    // ORGANIC gate (round-13 verdict task 2): on a CLUSTERED scaled
+    // corpus true top-k neighbors are cluster siblings an IVF index
+    // can actually serve, so organic recall stops being a property of
+    // structureless data and becomes gateable: the SHIPPED serving
+    // arm at this cell count (compressed when routing-active, the
+    // routed flat scan otherwise) must read organic recall@k ≥ 0.9
+    // at the serving default.
+    val organicServed = rows.collectFirst {
+      case (np, _, _, _, _, rr, rpq) if np == serving =>
+        if (routingActive) rpq else rr
+    }.getOrElse(0.0)
+    val organicOk = !organicGate || organicServed >= 0.9
     val dim = qRows.head._2.length
     val m = ix.resCbs.length
-    val rDepth = math.max(8 * k, 64)
+    val rDepth = operators.Similarity.rerankDepthFor(k)
     val cellSizes = ix.ivf(spark).groupBy(col("cell"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -265,10 +300,13 @@ object RecallProbe {
         f""""bytes_flat_per_query":$bytesFlat%.0f,""" +
         f""""bytes_pq_per_query":$bytesPq%.0f,""" +
         f""""bytes_flat_over_pq":$bytesRatio%.2f,""" +
+        f""""organic_gate_enforced":$organicGate,""" +
+        f""""organic_recall_served":$organicServed%.4f,""" +
         f""""gates":{"planted_serving_ok":$servingOk,""" +
         f""""planted_routing_bar_ok":$routingOk,""" +
         f""""planted_pq_serving_ok":$pqServingOk,""" +
-        f""""bytes_ratio_ok":$bytesOk},""" +
+        f""""bytes_ratio_ok":$bytesOk,""" +
+        f""""organic_serving_ok":$organicOk},""" +
         f""""sweep":${rows.map(_._4).mkString("[", ",", "]")}}"""
     println(line)
     java.nio.file.Files.write(
@@ -276,7 +314,7 @@ object RecallProbe {
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench_recall.json")),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
-    if (!(servingOk && routingOk && pqServingOk && bytesOk)) {
+    if (!(servingOk && routingOk && pqServingOk && bytesOk && organicOk)) {
       System.err.println("[recall] GATE VIOLATED — see the gates block")
       sys.exit(1) // the artifact is written either way, marked
     }

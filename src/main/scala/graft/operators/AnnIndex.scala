@@ -81,6 +81,26 @@ object AnnIndex {
     * never below the legacy fixed sample. */
   def sampleSizeFor(nlist: Int): Int = math.max(SampleSize, 64 * nlist)
 
+  /** PQ / residual codebook resolution per regime. Oracle-sized
+    * corpora keep the legacy 4-bit [[Ksub]] = 16 (bit-identical
+    * artifacts and contracts). Routing-active indexes — the ones
+    * [[search]] serves through compressed in-cell scans — train the
+    * FAISS-standard 8-bit codebooks: at ×1000 (54k candidates/query)
+    * the 4-bit residual quantizer's ADC noise pushed ~11% of
+    * planted cos-0.9 neighbors below the rerank shortlist (the
+    * enforced recall gate read 0.89 < 0.9 and failed the probe —
+    * caught, not shipped); 8-bit codebooks cut the reconstruction
+    * error enough to clear the bar with margin while the stored
+    * code row stays (4m+8) bytes — the ints were never packed — and
+    * the per-query LUT stays m·ksub doubles, driver-side. */
+  def ksubFor(nlist: Int): Int =
+    if (nlist >= graft.functions.Centroids.RouteThreshold) 256 else Ksub
+
+  /** Codebook training-sample size: ~40 points per codeword (the
+    * FAISS 30–256 band), floored at the legacy fixed sample —
+    * bounded and corpus-independent either way. */
+  def codebookSampleFor(ksub: Int): Int = math.max(SampleSize, 40 * ksub)
+
   /** Serving-time probe width for a cell count: ≈√nlist (the FAISS
     * sizing recipe — nprobe grows with the square root of the cell
     * count), floored at the legacy fixed 4. A FIXED nprobe under
@@ -234,11 +254,13 @@ object AnnIndex {
     * nlist ≤ 576, wider above), adopted when the enforced planted
     * routing bar measured beam 12 at 0.92 of flat at ×1000. "v7"
     * marks the compressed serving arm ([[search]] routes cell counts
-    * ≥ RouteThreshold through ADC + exact rerank) and the
+    * ≥ RouteThreshold through ADC + exact rerank), the
     * within-cell id-SORTED layout of ivf/ivfpq_codes that its rerank
-    * point-fetch relies on for tight row-group vec_id stats — v6
-    * artifacts have arbitrary within-cell order and would serve the
-    * rerank join without skipping. */
+    * point-fetch relies on for tight row-group vec_id stats (v6
+    * artifacts have arbitrary within-cell order), and the regime-
+    * scaled codebook resolution ([[ksubFor]] — 8-bit codebooks at
+    * routing-active cell counts, whose persisted codes are
+    * incompatible with a 4-bit reader's LUT width). */
   private[graft] def rootFor(key: String): java.nio.file.Path =
     java.nio.file.Paths
       .get(sys.props("java.io.tmpdir"), "graft_ann_index", "v7", key)
@@ -302,11 +324,12 @@ object AnnIndex {
           sample.take(SampleSize))
       } else
         (Similarity.kmeansDistributed(corpus, n, nlist, Iters),
-          Similarity.normalizedSample(corpus, SampleSize))
+          Similarity.normalizedSample(corpus, codebookSampleFor(ksubFor(nlist))))
     mark(s"train-coarse nlist=$nlist routed=$routed")
-    val pqCbs = Similarity.pqTrainFromSample(cbSample, M, Ksub, Iters)
-    val resCbs = Similarity.residualCodebooks(cbSample, cents, M, Ksub, Iters)
-    mark("train-codebooks")
+    val ks = ksubFor(nlist)
+    val pqCbs = Similarity.pqTrainFromSample(cbSample, M, ks, Iters)
+    val resCbs = Similarity.residualCodebooks(cbSample, cents, M, ks, Iters)
+    mark(s"train-codebooks ksub=$ks")
 
     import spark.implicits._
     val cbRows =

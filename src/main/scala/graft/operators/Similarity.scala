@@ -714,6 +714,16 @@ object Similarity {
     * nprobe·(n/nlist)·(4m+8) + R·(8·dim+20) — ≥8× down at dim 64
     * whenever R ≪ candidates (the recall probe's enforced
     * bytes-ratio gate). */
+  /** Default exact-rerank shortlist depth for a top-k request — ONE
+    * definition shared by the serving path and the recall probe's
+    * bytes ledger (the SQ8 single-sourcing lesson: two inlined copies
+    * let one drift unverified). FAISS refine-style generous multiple:
+    * 16·k (floor 128) measured planted recall 0.933 at the ×100
+    * serving default where 8·k read 0.908 — margin over the 0.9 gate
+    * for 48 more full-precision fetches, invisible next to the
+    * compressed scan (bytes ratio ≥8 holds at every probed decade). */
+  def rerankDepthFor(k: Int): Int = math.max(16 * k, 128)
+
   def knnIvfPqRerankBatch(emb: DataFrame, ivf: DataFrame, codes: DataFrame,
                           cents: Array[Array[Double]],
                           cbs: Array[Array[Array[Double]]],
@@ -721,10 +731,7 @@ object Similarity {
                           nprobe: Int = AnnIndex.AutoNprobe,
                           rerank: Int = 0): DataFrame = {
     val np = resolveNprobe(nprobe, cents.length)
-    // FAISS refine-style default: a generous multiple of k — recall
-    // loss vs flat comes only from true neighbors whose ADC rank
-    // falls below R, and the planted-recall gate measures exactly that
-    val r = if (rerank > 0) rerank else math.max(8 * k, 64)
+    val r = if (rerank > 0) rerank else rerankDepthFor(k)
     val m = cbs.length
     val ds = cbs.head.head.length
     val e = withNorm(emb)
@@ -750,17 +757,23 @@ object Similarity {
       }
     val spark = emb.sparkSession
     import spark.implicits._
-    // one broadcast row per (query, probed cell): the bias for THAT
-    // cell plus the shared LUT matrix — Θ(|q|·nprobe·m·ksub) doubles,
-    // model-sized; the cell equi-join prunes the code scan to the
-    // probed cells' files
-    val qRows = probes.toIndexedSeq.flatMap { case (qid, probed, bias, luts) =>
-      probed.toSeq.zip(bias.toSeq).map { case (c, b) =>
-        (qid, c, b, luts.map(_.toSeq).toSeq)
-      }
-    }.toDF("qid", "cell", "bias", "lut")
+    // TWO small broadcast sides, so the LUT matrix rides ONCE per
+    // query instead of once per (query, probed cell): qRows is
+    // (qid, cell, bias) — Θ(|q|·nprobe) rows whose cell equi-join
+    // prunes the code scan to the probed cells' files — and lutRows
+    // is (qid, lut) — Θ(|q|) rows of m·ksub doubles each. At the
+    // 8-bit codebooks routing-active indexes train (ksub 256), a
+    // per-(query, cell) LUT would broadcast nprobe× the needed bytes
+    // (~40 MB at 64 queries × nprobe 38); this shape stays ~1 MB.
+    val qRows = probes.toIndexedSeq.flatMap { case (qid, probed, bias, _) =>
+      probed.toSeq.zip(bias.toSeq).map { case (c, b) => (qid, c, b) }
+    }.toDF("qid", "cell", "bias")
+    val lutRows = probes.toIndexedSeq.map { case (qid, _, _, luts) =>
+      (qid, luts.map(_.toSeq).toSeq)
+    }.toDF("qid", "lut")
     val adc = codes.join(broadcast(qRows), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lutRows), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         (col("bias") +: (0 until m).map(j =>
           element_at(element_at(col("lut"), j + 1),
@@ -1062,13 +1075,32 @@ object Similarity {
               sampleSize: Int = 1024): Array[Array[Array[Double]]] =
     pqTrainFromSample(normalizedSample(emb, sampleSize), m, ksub, iters)
 
+  /** Subspace trainings are INDEPENDENT (each k-means sees only its
+    * own dim/m slice), so they fan out over driver threads — one per
+    * subspace, results written to fixed slots, so the output is
+    * bit-identical to the sequential loop regardless of scheduling.
+    * Matters since the 8-bit routing-active codebooks
+    * ([[graft.operators.AnnIndex.ksubFor]]): 16 sequential trainings
+    * at ksub 256 over the 10k sample measured ~44 s of the ×1000
+    * build — pure single-core driver time on a 32-core box. */
+  private def trainSubspacesPar(m: Int)(
+      f: Int => Array[Array[Double]]): Array[Array[Array[Double]]] = {
+    val out = new Array[Array[Array[Double]]](m)
+    val threads = (0 until m).map { j =>
+      new Thread(() => { out(j) = f(j) }, s"graft-pq-train-$j")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    out
+  }
+
   private[operators] def pqTrainFromSample(sample: Array[Array[Double]],
                                            m: Int, ksub: Int,
                                            iters: Int): Array[Array[Array[Double]]] = {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val ds = dim / m
-    Array.tabulate(m) { j =>
+    trainSubspacesPar(m) { j =>
       l2Kmeans(sample.map(_.slice(j * ds, (j + 1) * ds)), ksub, iters)
     }
   }
@@ -1084,14 +1116,27 @@ object Similarity {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val ds = dim / m
-    def cellOfVec(vhat: Array[Double]): Int = cents.zipWithIndex
-      .map { case (c, i) => (c.zip(vhat).map { case (a, b) => a * b }.sum, i) }
-      .sortBy { case (s, i) => (-s, i) }.head._2
+    // argmax loop ≡ the old sortBy((-s, i)).head: max dot, lowest
+    // index on ties (strict > keeps the first), dots summed in the
+    // same element order — bit-identical cells without the per-point
+    // tuple/sort allocation storm at nlist 1414 × a 10k sample
+    def cellOfVec(vhat: Array[Double]): Int = {
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        var s = 0.0; var i = 0
+        while (i < vhat.length) { s += cents(c)(i) * vhat(i); i += 1 }
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      best
+    }
     val residuals = sample.map { vhat =>
       val c = cents(cellOfVec(vhat))
       vhat.zip(c).map { case (a, b) => a - b }
     }
-    Array.tabulate(m) { j =>
+    trainSubspacesPar(m) { j =>
       l2Kmeans(residuals.map(_.slice(j * ds, (j + 1) * ds)), ksub, iters)
     }
   }
