@@ -1,0 +1,1582 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Analyzers
+import graft.operators._
+import graft.streaming.EventStream
+
+/** SparkEntry's Agg family —
+  * aggregations, window/pipeline aggs, skew-safe variants (§2.4/2.5).
+  *
+  * Split out of the single 7.7k-line registry (round-14): each family
+  * module contributes its slice of the SAME SparkEntry.queries /
+  * oracleSql maps — pure motion, no semantics; key-disjointness is
+  * spec-asserted so ++ can never silently overwrite an entry. */
+private[graft] object QueriesAgg {
+  import SparkEntry.{queries => _, oracleSql => _, entry => _, _}
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a5_ingest_counters" -> ((s, d) => {
+      // A5 ingest counters (`src/main.py:128-156`: docs-indexed /
+      // errors per bulk loop) riding the SINK ITSELF: observe-metrics
+      // on the write pass count rows, purchases, and an exact
+      // integer-cents value sum during a real parquet sink write — one
+      // pass, no second scan. (a16 is the QC-filter variant of the same
+      // surface; this is the ingest-side one.)
+      import org.apache.spark.sql.Observation
+      val out = Scratch.dir("a5ingest")
+      val obs = Observation()
+      Tables.events(s, d)
+        .observe(obs,
+          count(lit(1)).as("rows_in"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchase"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+        .write.mode("overwrite").parquet(out)
+      val m = obs.get
+      import s.implicits._
+      Seq((m("rows_in").asInstanceOf[Long],
+        m("n_purchase").asInstanceOf[Long],
+        m("value_cents").asInstanceOf[Long]))
+        .toDF("rows_in", "n_purchase", "value_cents")
+    }),
+
+    // ---- aggregation (SURVEY §2.4) ----
+    "a1_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "a3_stats_agg" -> ((s, d) => {
+      // Statistical aggregates: exact interpolated percentiles + corr.
+      // Percentiles run over integer cents and are reported as ×20
+      // fixed-point BIGINTs: every interpolation fraction here is a
+      // multiple of 1/20, so the true value ×20 is an integer and both
+      // engines round to it exactly — a dollar-rounded double landed on
+      // a .005 representation tie and flipped between engines.
+      // Percentiles come from Quantiles.exactPercentiles (distributed
+      // value-histogram; same type-7 result as the builtin
+      // `percentile`, whose per-group value→count buffer is the
+      // unbounded-state pattern this plan avoids at 100 TB).
+      val li = Tables.lineitem(s, d)
+        .withColumn("price_c", round(col("l_extendedprice") * 100, 0))
+      val pcts = Quantiles.exactPercentiles(li, "l_returnflag", "price_c",
+        Seq("median" -> 0.5, "p95" -> 0.95))
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("qty_price_corr"),
+          round(stddev_pop(col("l_discount")), 6).as("disc_stddev"))
+        .join(broadcast(pcts), "l_returnflag")
+        .select(col("l_returnflag"),
+          round(col("median") * 20, 0).cast("long").as("median_c20"),
+          round(col("p95") * 20, 0).cast("long").as("p95_c20"),
+          col("qty_price_corr"), col("disc_stddev"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "a2_collect_children" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("linenumber"),
+          col("l_partkey").as("partkey"),
+          col("l_quantity").as("quantity")))).as("items_arr"))
+        .select(col("l_orderkey"),
+          joined(transform(col("items_arr"), i => concat_ws(":",
+            i.getField("linenumber"), i.getField("partkey"),
+            i.getField("quantity").cast("long")))).as("items"))),
+
+    // ---- sort / limit / top-k (SURVEY §2.5) ----
+    "w2_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+    "w4_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    "w5_lag_lead" -> ((s, d) => {
+      // per-key lead/lag navigation (the OLAP gap/next-event shape):
+      // seconds since the user's previous event and until the next.
+      // Tie-break on event_id — event times repeat within a user, and
+      // an untied window order is arrival-order-dependent on a cluster
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      // gaps in whole seconds via MICROSECOND integer math on both
+      // engine sides: a seconds-valued cast truncates in Spark but
+      // rounds in DuckDB, so fractional-second timestamps diverge
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor((unix_micros(col("ts")) -
+              unix_micros(lag(col("ts"), 1).over(w))) / lit(1000000L))
+            .cast("long").as("gap_prev_s"),
+          floor((unix_micros(lead(col("ts"), 1).over(w)) -
+              unix_micros(col("ts"))) / lit(1000000L))
+            .cast("long").as("gap_next_s"))
+        .orderBy(col("event_id"))
+    }),
+    "a4_rollup" -> ((s, d) =>
+      // hierarchical subtotals (ROLLUP) — the OLAP cube slice the
+      // reference's dashboards aggregate by hand; one shuffle, Spark
+      // expands grouping sets map-side. Grouping null markers are
+      // materialized as 'ALL' so the row identity is hash-stable
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("gid"), col("n"), col("revenue"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus"))),
+    "w6_ntile" -> ((s, d) => {
+      // decile assignment within each market segment (the analyst
+      // "bucket customers by spend" shape); per-segment windows, never
+      // a global sort
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(10).over(w).cast("long").as("decile"))
+        .orderBy(col("c_custkey"))
+    }),
+    "a7_cube" -> ((s, d) =>
+      // full CUBE over two dims — all four grouping sets in one
+      // map-side expansion; same stable-marker discipline as a4
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n"))
+        .orderBy(col("gid"), col("status"), col("priority"))),
+    "a6_approx_percentile" -> ((s, d) => {
+      // sketch-median with its accuracy CONTRACT as the verified
+      // output (the x5 HLL pattern): the Greenwald–Khanna approximate
+      // median is engine-specific and can never hash-match an oracle,
+      // but its guarantee — rank error ≤ n/accuracy — is exactly
+      // checkable: re-rank the sketch's answer against the raw data
+      // and assert the fraction lands within 0.5 ± 2/accuracy. The
+      // production path never sorts; the exact re-rank exists only to
+      // verify the sketch.
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median"), count(lit(1)).as("n"))
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_extendedprice") <= col("approx_median"), 1L)
+            .otherwise(0L)).as("rank_le"),
+          max(col("n")).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("rank_le").cast("double") / col("n") - 0.5) <=
+            2.0 / 1000).as("ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "a5_pivot" -> ((s, d) =>
+      // wide pivot: one row per day, one count column per event type.
+      // The pivot values are DECLARED (not discovered) — at 100 TB the
+      // two-pass "collect distinct values first" pivot is a full extra
+      // scan and a driver-side value list; a curated schema is both
+      // faster and stable as new event types appear
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("day"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))
+        .orderBy(col("day"))),
+    "sk1_salted_collect" -> ((s, d) =>
+      // two-phase salted collect over a 3-key (maximally hot) grouping:
+      // result must equal the direct aggregation — the oracle IS the
+      // direct aggregation
+      operators.Skew.saltedCollect(
+        Tables.lineitem(s, d), "l_returnflag",
+        struct(col("l_orderkey").as("ok"), col("l_linenumber").as("ln")),
+        saltCol = col("l_orderkey"), salt = 16)
+        .select(col("l_returnflag"),
+          joined(transform(col("items"), i => concat_ws(":",
+            i.getField("ok"), i.getField("ln")))).as("items"))
+        .orderBy(col("l_returnflag"))),
+    "sk2_salted_sum" -> ((s, d) =>
+      operators.Skew.saltedSum(
+        Tables.lineitem(s, d), "l_returnflag",
+        col("l_quantity"), saltCol = col("l_orderkey"), salt = 16)
+        .select(col("l_returnflag"), col("total"), col("n"))
+        .orderBy(col("l_returnflag"))),
+    "a8_significant_terms" -> ((s, d) =>
+      // ES significant_terms (JLH): per-language tokens anomalously
+      // frequent vs the corpus background, top-3 per language — the
+      // distinct (doc, token) pairs and the background df both read
+      // from the TextIndex artifact
+      operators.Search.significantTermsIndexed(s, textIndexFor(s, d),
+          Tables.documents(s, d)
+            .select(col("doc_id").as("id"), col("lang").as("cat")))
+        .orderBy(col("cat"), col("rk"))),
+
+    // ---- ES aggregation surface: composite / histogram / rare_terms /
+    //      pipeline aggs / runtime fields ----
+    "a9_composite_agg" -> ((s, d) =>
+      // ES composite aggregation: keyset pagination over the GROUP
+      // space (after_key = (src12, fr), page size 10). The after-key
+      // predicate is applied to the RAW rows before the aggregation —
+      // the composite key IS a row-column tuple, so the filter pushes
+      // to the parquet scan and the shuffle only ever carries
+      // surviving groups; the ordered page is TakeOrderedAndProject
+      // above the agg. This is how "page through 10⁹ buckets" stays
+      // bounded at 100 TB: each page re-filters, never re-sorts the
+      // whole group space.
+      Tables.documents(s, d)
+        .filter(col("source") > "src12" ||
+          (col("source") === "src12" && col("lang") > "fr"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"), col("lang"))
+        .limit(10)),
+    "a10_histogram" -> ((s, d) => {
+      // ES histogram agg (interval 50, min_doc_count 0): empty buckets
+      // inside the observed [min, max] are emitted. The bucket domain
+      // comes from a 1-ROW min/max aggregate expanded via sequence()
+      // — domain/interval rows, never proportional to the data — and
+      // is outer-joined to the counted buckets (one shuffle agg).
+      val docs = Tables.documents(s, d)
+      val counted = docs
+        .groupBy((floor(col("n_chars") / 50) * 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("doc_count"))
+      val domain = docs
+        .agg((floor(min(col("n_chars")) / 50) * 50).cast("long").as("lo"),
+          (floor(max(col("n_chars")) / 50) * 50).cast("long").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(50L))).as("bucket"))
+      domain.join(counted, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+        .orderBy(col("bucket"))
+    }),
+    "a11_rare_terms" -> ((s, d) =>
+      // ES rare_terms SERVED FROM THE INDEX (Search.rareTermsIndexed
+      // scaladoc): the shingle dictionary persists per-shingle df, so
+      // the rare tail is one pruned dictionary read + a df ≤
+      // max_doc_count filter — zero corpus passes at query time. The
+      // scan-path twin (Search.rareTerms: hash-keyed count shuffle +
+      // SHUFFLE_HASH term recovery, which tokenized the corpus twice
+      // per query) remains for index-less corpora and is
+      // equality-locked against this path in TextIndexSpec.
+      Search.rareTermsIndexed(s, textIndexFor(s, d), maxDocCount = 2)),
+    "a31_terms_shard_error" -> ((s, d) =>
+      // ES terms-agg accuracy protocol under distribution
+      // (Search.termsShardError scaladoc: per-shard top-k from the
+      // persisted postings, coordinator sums only returned counts,
+      // doc_count_error_upper_bound from non-returning shards'
+      // minima). At shard_size = size the corpus genuinely exercises
+      // nonzero bounds; the exhausted-shard smin=0 rule is pinned by
+      // EsSurfaceSpec's planted fixture.
+      Search.termsShardError(textIndexFor(s, d).postings(s))),
+    "a33_frequent_pairs" -> ((s, d) => {
+      // ES frequent_item_sets made EXACT at level 2 — market-basket
+      // co-occurrence: baskets are orders, items the DISTINCT part
+      // brands in each (dim join is broadcast-able; distinct is one
+      // shuffle). Pair generation is ROW-LOCAL over each basket's
+      // sorted brand array (≤ items² per order, the d4 in-bucket
+      // pattern — never a fact self-join), one count shuffle on the
+      // pair key, relative support in exact basis points
+      // (support·10⁴ div n_baskets). ES mines this with an
+      // approximate sampler because its per-shard heap can't hold the
+      // lattice; level-2 exact is one aggregation for a relational
+      // engine at any scale.
+      val b = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("brand"))
+      // no pre-distinct: collect_set dedups within each basket during
+      // the ONE groupBy shuffle (map-side partial sets) — a separate
+      // distinct would double the dominant exchange for no effect
+      val baskets = b.groupBy(col("o"))
+        .agg(sort_array(collect_set(col("brand"))).as("brands"))
+      val nb = baskets.agg(count(lit(1)).as("nb"))
+      baskets.select(explode(flatten(transform(col("brands"),
+          (x, i) => transform(
+            slice(col("brands"), i + 2,
+              greatest(size(col("brands")) - i - 1, lit(0))),
+            y => struct(x.as("brand_a"), y.as("brand_b")))))).as("p"))
+        .groupBy(col("p.brand_a").as("brand_a"),
+          col("p.brand_b").as("brand_b"))
+        .agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(nb))
+        .withColumn("support_bp", expr("support * 10000 div nb"))
+        .filter(col("support_bp") >= 100)
+        .select(col("brand_a"), col("brand_b"), col("support"),
+          col("support_bp"))
+        .orderBy(col("support").desc, col("brand_a"), col("brand_b"))
+        .limit(20)
+    }),
+    "a34_categorize" -> ((s, d) =>
+      // ES categorize_text as DETERMINISTIC template extraction — the
+      // drain-style log-templating core without its training-order-
+      // dependent ML merge step: digit runs collapse to a <n>
+      // placeholder, whitespace normalizes, and the template IS the
+      // category key. Row-local projection + ONE count shuffle on the
+      // template; each category reports its doc count and earliest
+      // example doc. Where ES's categories depend on which documents
+      // trained the tree first, this is a pure function of the corpus.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[0-9]+", "<n>"),
+            "\\s+", " ")).as("category"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("doc_count"),
+          min(col("doc_id")).as("example_doc"))
+        .orderBy(col("doc_count").desc, col("category"))
+        .limit(10)),
+    "w14_top_metrics" -> ((s, d) =>
+      // ES top_metrics: per bucket, the metric values of the
+      // top-sorted document. ONE lexicographic struct-max per group —
+      // partial-aggregatable (map-side combine), so no per-group sort
+      // or window ever touches the events; ties on ts break by
+      // event_id inside the same ordered struct, keeping the answer
+      // deterministic rather than shard-arbitrary.
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")))
+          .as("top"))
+        .select(col("event_type"), col("top.ts").as("last_ts"),
+          col("top.event_id").as("last_event_id"),
+          col("top.cents").as("last_cents"))
+        .orderBy(col("event_type"))),
+    "a32_cumulative_cardinality" -> ((s, d) => {
+      // ES cumulative_cardinality (the pipeline agg over per-bucket
+      // HLL sketches) made EXACT by reformulation: cumulative distinct
+      // users through bucket B ≡ users whose FIRST event bucket ≤ B, so
+      // one (user → min bucket) aggregation plus per-bucket counts and
+      // a prefix sum over the bounded hour buckets replaces the sketch
+      // union entirely — one corpus shuffle on user_id, exact integers
+      // end-to-end, and the window runs over bucket rows (the w7
+      // argument), never events. (Hour buckets: this synthetic user
+      // base is fully active from day one, so a daily curve is a
+      // single point; the hourly one has real shape.) ES documents its version as
+      // approximate because merging per-bucket HLLs is all its
+      // coordinator can afford; the relational engine can afford the
+      // exact answer at any scale.
+      val firstSeen = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("HOUR", col("ts"))).as("first_hour"))
+      val hourly = firstSeen.groupBy(col("first_hour").as("hour"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hourly.select(col("hour"), col("new_users"),
+          sum(col("new_users")).over(w).as("cumulative_users"))
+        .orderBy(col("hour"))
+    }),
+    "w7_pipeline_aggs" -> ((s, d) => {
+      // ES date_histogram + pipeline aggs (derivative, cumulative_sum,
+      // moving avg over 3 buckets). The unpartitioned window runs over
+      // the ~30 DAY BUCKETS (the output of the shuffle agg), not the
+      // raw events — a single-partition window over bucket-count rows
+      // is the correct plan at any event volume.
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day"))
+      daily.select(col("day"), col("n"),
+        (col("n") - lag(col("n"), 1).over(w)).as("derivative"),
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .as("cum_n"),
+        round(avg(col("n")).over(w.rowsBetween(-2, 0)), 6).as("moving_avg"))
+        .orderBy(col("day"))
+    }),
+    "a17_top_hits" -> ((s, d) =>
+      // ES top_hits inside a terms agg: per source, the 2 best-scoring
+      // hits for the match query, bucket-local rank attached (match
+      // set + scores from the TextIndex artifact)
+      Search.topHitsIndexed(s, d, textIndexFor(s, d), "spark", k = 2)),
+    "w9_collapse" -> ((s, d) =>
+      // ES field collapsing: globally ranked hits deduplicated per
+      // source (best hit per bucket + inner-hit count), top 10
+      Search.collapseIndexed(s, d, textIndexFor(s, d), "spark", k = 10)),
+    "w10_percent_rank" -> ((s, d) => {
+      // percent_rank + cume_dist per return flag over a total order
+      // (price, orderkey, linenumber) — tie-free so both engines agree.
+      // Two-pass distributed rank (operators.Rank): a window partitioned
+      // by the 3-value flag would sort the whole fact table on three
+      // tasks; here the only fact-size shuffle is over (flag, value
+      // bucket) and the cross-bucket offsets are a tiny prefix sum.
+      operators.Rank.percentRank(Tables.lineitem(s, d),
+          partCols = Seq("l_returnflag"),
+          orderCols = Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("pr"), 6).as("pr"),
+          round(col("cume"), 6).as("cd"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    }),
+    "a18_adjacency_matrix" -> ((s, d) => {
+      // ES adjacency_matrix: named term filters A/B/C, doc counts for
+      // every single and pairwise intersection — one corpus scan
+      // computes the three membership flags, one 1-row aggregate, the
+      // matrix unpivoted from that row (no per-cell scans)
+      val t = Tables.documents(s, d)
+        .select(Analyzers.tokenize(lower(col("text"))).as("toks"))
+        .select(array_contains(col("toks"), "table").as("a"),
+          array_contains(col("toks"), "spark").as("b"),
+          array_contains(col("toks"), "merge").as("c"))
+      val row = t.agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_ab"),
+        sum(when(col("a") && col("c"), 1L).otherwise(0L)).as("n_ac"),
+        sum(when(col("b") && col("c"), 1L).otherwise(0L)).as("n_bc"))
+      row.selectExpr(
+        """stack(6, 'A', n_a, 'B', n_b, 'C', n_c,
+                    'A&B', n_ab, 'A&C', n_ac, 'B&C', n_bc)
+           AS (filter_key, doc_count)""")
+        .orderBy(col("filter_key"))
+    }),
+    "a16_observed_metrics" -> ((s, d) => {
+      // A5 ingest/QC counters as a first-class VERIFIED result:
+      // df.observe rides accumulator-style metrics on the pipeline's
+      // own pass (plan-transparent — no second scan, no codegen
+      // break), the action drains them, and the harness hash-checks
+      // them against SQL recomputation. This is the production
+      // shape for pipeline telemetry: rows in, rows kept, and kept
+      // quality mass measured ON the curation filter itself.
+      import org.apache.spark.sql.Observation
+      val obs = Observation()
+      val kept = Tables.documents(s, d)
+        .withColumn("q",
+          operators.TextStats.qualityScore(col("text")))
+        .observe(obs,
+          count(lit(1)).as("rows_in"),
+          sum(when(col("q") >= 0.7, 1L).otherwise(0L)).as("rows_kept"),
+          // quality mass in integer micro-units (floor(q·1e6+0.5) is
+          // row-local IEEE-exact, the sum is exact BIGINT — lesson
+          // 12: no float summation order reaches the compare)
+          sum(when(col("q") >= 0.7,
+            floor(col("q") * 1000000.0 + 0.5).cast("long")).otherwise(0L))
+            .as("kept_quality_u6"))
+        .filter(col("q") >= 0.7)
+      kept.write.format("noop").mode("overwrite").save() // the action
+      val m = obs.get
+      s.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(m("rows_in").asInstanceOf[Long],
+          m("rows_kept").asInstanceOf[Long],
+          m("kept_quality_u6").asInstanceOf[Long])),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rows_in",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("rows_kept",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("kept_quality_u6",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }),
+    "a15_weighted_avg" -> ((s, d) =>
+      // ES weighted_avg agg: value=extendedprice, weight=quantity.
+      // Both the weighted sum and the weight total stay in exact
+      // integer domains (price in cents, integral quantities), the
+      // ratio is formed once after aggregation — one shuffle, no
+      // float summation order anywhere
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("pc"),
+          round(col("l_quantity"), 0).cast("long").as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("pc") * col("q")).as("wsum_c"), sum(col("q")).as("wq"))
+        .select(col("l_returnflag"), col("wq"),
+          round(col("wsum_c").cast("double") / 100.0 / col("wq"), 6)
+            .as("weighted_avg_price"))
+        .orderBy(col("l_returnflag"))),
+    "w8_search_after" -> ((s, d) => {
+      // ES search_after: deep pagination over a RANKED result by a
+      // composite (rank-key, id) cursor — the constant after-tuple
+      // filters before the sort, so every page is a fresh top-k scan
+      // (TakeOrderedAndProject), never an OFFSET that materializes
+      // and discards the head. Rank key = the f7 decay ordering's
+      // day-distance (score is monotone in it, so paging on the
+      // integer key ≡ paging on score).
+      val dist = abs(datediff(col("o_orderdate"), lit("1998-01-01")))
+        .cast("long")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), dist.as("dist_days"))
+        .filter(col("dist_days") > 30L ||
+          (col("dist_days") === 30L && col("o_orderkey") > 0L))
+        .orderBy(col("dist_days"), col("o_orderkey"))
+        .limit(20)
+    }),
+    "a13_filters_agg" -> ((s, d) =>
+      // ES filters aggregation: three NAMED predicate buckets counted
+      // in ONE scan (conditional aggregates), then unpivoted to bucket
+      // rows — never three scans, never a groupBy on a synthesized
+      // bucket id (rows can match several filters)
+      Tables.orders(s, d)
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("finished"),
+          sum(when(col("o_totalprice") > 200000.0, 1L).otherwise(0L))
+            .as("high_value"),
+          sum(when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L))
+            .as("urgent"))
+        .select(explode(array(
+          struct(lit("finished").as("bucket"), col("finished").as("doc_count")),
+          struct(lit("high_value").as("bucket"), col("high_value").as("doc_count")),
+          struct(lit("urgent").as("bucket"), col("urgent").as("doc_count"))))
+          .as("b"))
+        .select(col("b.bucket").as("bucket"), col("b.doc_count").as("doc_count"))
+        .orderBy(col("bucket"))),
+    "a14_percentile_ranks" -> ((s, d) =>
+      // ES percentile_ranks: the fraction of values ≤ each requested
+      // threshold, per group — exact integer count pairs through one
+      // shuffle; the ratio is formed AFTER aggregation so no float
+      // summation order exists to diverge
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") <= 1000.0, 1L).otherwise(0L))
+            .as("le_1k"),
+          sum(when(col("l_extendedprice") <= 5000.0, 1L).otherwise(0L))
+            .as("le_5k"),
+          sum(when(col("l_extendedprice") <= 20000.0, 1L).otherwise(0L))
+            .as("le_20k"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("le_1k").cast("double") / col("n"), 6).as("rank_1k"),
+          round(col("le_5k").cast("double") / col("n"), 6).as("rank_5k"),
+          round(col("le_20k").cast("double") / col("n"), 6).as("rank_20k"))
+        .orderBy(col("l_returnflag"))),
+
+    // ---- ES agg surface, round 5: multi_terms / range / sampler /
+    //      string_stats / boxplot+MAD / bucket_selector ----
+    "a19_multi_terms" -> ((s, d) =>
+      // ES multi_terms: terms over a COMPOSITE key, top buckets by
+      // doc_count — one shuffle on the pair, the top-N cut after the
+      // full agg (a total order under the cut keeps it deterministic)
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("doc_count").desc, col("source"), col("lang"))
+        .limit(10)),
+    "a20_range_agg" -> ((s, d) => {
+      // ES range aggregation: fixed [from, to) buckets over a numeric
+      // field, ES-style "*-200" keys. One conditional-projection pass
+      // + one tiny shuffle on the bucket id; empty buckets simply
+      // don't appear (ES emits them, but the driver compare is
+      // row-set-based so the present-bucket contract is the testable
+      // one)
+      val b = when(col("n_chars") < 200, "*-200")
+        .when(col("n_chars") < 400, "200-400")
+        .otherwise("400-*")
+      Tables.documents(s, d)
+        .groupBy(b.as("range_key"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("range_key"), col("doc_count"), col("sum_chars"),
+          round(col("sum_chars").cast("double") / col("doc_count"), 6)
+            .as("avg_chars"))
+        .orderBy(col("range_key"))
+    }),
+    "a21_sampler" -> ((s, d) => {
+      // ES diversified_sampler + sub-agg: at most 3 docs PER SOURCE
+      // (the diversity field), then terms(lang) over the sample. The
+      // "random" order is a Knuth multiplicative hash of doc_id — a
+      // deterministic shard-sample both engines can replay exactly,
+      // unlike ES's score-order heads. Window per source = one
+      // shuffle on the diversity key; the sample is tiny thereafter.
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+    "a22_string_stats" -> ((s, d) =>
+      // ES string_stats on the text field per lang: count, min/max/avg
+      // length. Entropy is deliberately omitted: Σ p·log2(p) is a
+      // float-log summation whose order differs per engine (the x24
+      // determinism discipline) — the integer-exact statistics carry
+      // the contract
+      Tables.documents(s, d)
+        .select(col("lang"), length(col("text")).cast("long").as("len"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          min(col("len")).as("min_len"), max(col("len")).as("max_len"),
+          sum(col("len")).as("sum_len"))
+        .select(col("lang"), col("doc_count"), col("min_len"),
+          col("max_len"),
+          round(col("sum_len").cast("double") / col("doc_count"), 6)
+            .as("avg_len"))
+        .orderBy(col("lang"))),
+    "a23_boxplot" -> ((s, d) => {
+      // ES boxplot + median_absolute_deviation aggs, EXACT percentiles
+      // (Spark `percentile` ≡ DuckDB `quantile_cont`, same linear
+      // interpolation). MAD needs the per-group median joined back for
+      // a second pass — group count is tiny, so the median frame
+      // broadcasts; the corpus shuffles twice on the same key, which
+      // is the honest cost of a two-level order statistic at any scale
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"))
+      val box = docs.groupBy(col("lang"))
+        .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+          expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("q"))
+      val med = docs.groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+      val mad = docs.join(broadcast(med), "lang")
+        .select(col("lang"), abs(col("n_chars") - col("med")).as("dev"))
+        .groupBy(col("lang"))
+        .agg(expr("percentile(dev, 0.5D)").as("mad"))
+      box.join(mad, "lang")
+        .select(col("lang"), col("lo"), col("hi"),
+          round(col("q").getItem(0), 6).as("q1"),
+          round(col("q").getItem(1), 6).as("q2"),
+          round(col("q").getItem(2), 6).as("q3"),
+          round(col("q").getItem(2) - col("q").getItem(0), 6).as("iqr"),
+          round(col("mad"), 6).as("mad"))
+        .orderBy(col("lang"))
+    }),
+    "w11_bucket_selector" -> ((s, d) => {
+      // ES bucket_selector + bucket_sort pipeline: keep day buckets
+      // whose count exceeds the mean bucket count, then sort by count
+      // desc and cut 5. The threshold compare is INTEGER-exact
+      // (n·n_buckets > total) — no float mean reaches the cut. STRICTLY
+      // above the MEAN (not a 1.1× margin) so the expected survivor
+      // set is non-empty at every scale factor: on near-uniform data a
+      // relative margin shrinks past the ±1/√n bucket noise as buckets
+      // grow, and a gate whose expected output is zero rows can't
+      // distinguish a broken filter from a correct one. The totals
+      // frame is one row, broadcast over the ~30 buckets.
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.agg(sum(col("n")).as("tot"),
+        count(lit(1)).as("nb"))
+      daily.crossJoin(broadcast(tot))
+        .filter(col("n") * col("nb") > col("tot"))
+        .orderBy(col("n").desc, col("day"))
+        .limit(5)
+        .select(col("day"), col("n"))
+    }),
+
+    "sm1_scripted_metric" -> ((s, d) => {
+      // ES scripted_metric: a custom map/combine/reduce statistic the
+      // stock aggs can't express — here an OLS slope of value vs time
+      // per event_type, ENTIRELY in fixed-point integer arithmetic
+      // (value floored to cents, time recentred to whole seconds, the
+      // classic n·Σxy − Σx·Σy over n·Σx² − (Σx)² in decimal(38,0))
+      // so both engines agree bit-for-bit — no float summation order
+      // anywhere. The recentre min(ts) comes from a window over the
+      // SAME key the groupBy shuffles on, so Catalyst reuses the
+      // exchange: one shuffle total, partial aggs map-side.
+      val w = Window.partitionBy(col("event_type"))
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("yc"),
+          ((unix_micros(col("ts")) -
+            min(unix_micros(col("ts"))).over(w)) / 1000000L)
+            .cast("long").as("xs"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xs")).as("sx"), sum(col("yc")).as("sy"),
+          sum(col("xs") * col("xs")).as("sxx"),
+          sum(col("xs") * col("yc")).as("sxy"))
+        .select(col("event_type"), col("n"), col("sy"),
+          // the degenerate-variance guard ALSO widens to decimal:
+          // n·Σx² ≈ 9e20 at sf0.1 already exceeds Long range
+          when(expr("cast(n as decimal(38,0)) * sxx > cast(sx as decimal(38,0)) * sx"),
+            expr("""(cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy)
+                    * 1000000
+                    div (cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)"""))
+            .otherwise(0L).cast("long").as("slope_e6"))
+        .orderBy(col("event_type"))
+    }),
+    "w12_serial_diff" -> ((s, d) => {
+      // ES serial_diff (lag 7) + moving max/min pipeline aggs over the
+      // day histogram — like w7, the window runs over the ~30 bucket
+      // rows AFTER the shuffle agg, integer counts only
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day"))
+      daily.select(col("day"), col("n"),
+        (col("n") - lag(col("n"), 7).over(w)).as("serial_diff7"),
+        max(col("n")).over(w.rowsBetween(-6, 0)).as("moving_max7"),
+        min(col("n")).over(w.rowsBetween(-6, 0)).as("moving_min7"))
+        .orderBy(col("day"))
+    }),
+    "a24_matrix_stats" -> ((s, d) => {
+      // ES matrix_stats over (quantity, extendedprice, discount) in
+      // cents: ONE shuffle carries the exact integer sums (decimal for
+      // the squares — Σp² overflows int64 at sf0.1 already); the
+      // per-pair covariance/correlation are then SCALAR double ops on
+      // those exact integers — no float summation order anywhere, so
+      // round-6 is engine-portable. stack() unpivots the single stats
+      // row into the pair matrix without re-aggregating.
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_quantity") * 100, 0).cast("decimal(20,0)").as("q"),
+        round(col("l_extendedprice") * 100, 0).cast("decimal(20,0)").as("p"),
+        round(col("l_discount") * 100, 0).cast("decimal(20,0)").as("dd"))
+      li.agg(
+          count(lit(1)).cast("decimal(20,0)").as("n"),
+          sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+          sum(col("dd")).as("sd"),
+          sum(col("q") * col("q")).as("sqq"),
+          sum(col("p") * col("p")).as("spp"),
+          sum(col("dd") * col("dd")).as("sdd"),
+          sum(col("q") * col("p")).as("sqp"),
+          sum(col("q") * col("dd")).as("sqd"),
+          sum(col("p") * col("dd")).as("spd"))
+        .selectExpr("cast(n as bigint) as n",
+          "cast(n * sqq - sq * sq as double) as vq",
+          "cast(n * spp - sp * sp as double) as vp",
+          "cast(n * sdd - sd * sd as double) as vd",
+          "cast(n * sqp - sq * sp as double) as cqp",
+          "cast(n * sqd - sq * sd as double) as cqd",
+          "cast(n * spd - sp * sd as double) as cpd",
+          "cast(sq div n as bigint) as mq_c",
+          "cast(sp div n as bigint) as mp_c",
+          "cast(sd div n as bigint) as md_c")
+        .selectExpr("n",
+          """stack(3,
+               'quantity_price',    mq_c, mp_c,
+                 round(cqp / n / n / 10000, 6),
+                 round(cqp / sqrt(vq) / sqrt(vp), 6),
+               'quantity_discount', mq_c, md_c,
+                 round(cqd / n / n / 10000, 6),
+                 round(cqd / sqrt(vq) / sqrt(vd), 6),
+               'price_discount',    mp_c, md_c,
+                 round(cpd / n / n / 10000, 6),
+                 round(cpd / sqrt(vp) / sqrt(vd), 6))
+             as (pair, mean_x_c, mean_y_c, cov_d2, corr)""")
+        .select(col("pair"), col("n"), col("mean_x_c"), col("mean_y_c"),
+          col("cov_d2"), col("corr"))
+        .orderBy(col("pair"))
+    }),
+    "a25_auto_histogram" -> ((s, d) => {
+      // ES auto_date_histogram (target ≤ 40 buckets): the interval is
+      // picked from the minute/hour/day/week/month ladder off the data
+      // span — a 1-row broadcast steers a constant-folded bucket
+      // expression; the histogram itself is one shuffle agg
+      val ev = Tables.events(s, d)
+      val stats = ev.agg(
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("span_us"))
+      ev.crossJoin(broadcast(stats))
+        .withColumn("iv",
+          when(col("span_us") <= 40L * 60 * 1000000L, "minute")
+            .when(col("span_us") <= 40L * 3600 * 1000000L, "hour")
+            .when(col("span_us") <= 40L * 86400 * 1000000L, "day")
+            .when(col("span_us") <= 40L * 604800 * 1000000L, "week")
+            .otherwise("month"))
+        .groupBy(col("iv"),
+          when(col("iv") === "minute", date_trunc("MINUTE", col("ts")))
+            .when(col("iv") === "hour", date_trunc("HOUR", col("ts")))
+            .when(col("iv") === "day", date_trunc("DAY", col("ts")))
+            .when(col("iv") === "week", date_trunc("WEEK", col("ts")))
+            .otherwise(date_trunc("MONTH", col("ts"))).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+    "a26_nested_reverse" -> ((s, d) =>
+      // ES nested agg + reverse_nested: per nested-item returnflag, the
+      // nested hit count AND the count of distinct PARENT documents —
+      // run over the MATERIALIZED nested docs, which since round 7 is
+      // the maintained child-aggregate artifact (Denorm.childrenTable).
+      // That is ES's own execution model: nested aggs read the nested
+      // docs the INDEX stores, they never rebuild them per query — the
+      // round-6 version paid the full denorm build here and was flagged
+      // as the plan nobody should imitate. The oracle replays it
+      // relationally from raw lineitem (equivalent by the denorm
+      // construction).
+      Denorm.childrenTable(s, d)
+        .select(col("order_id").as("id"), explode(col("items")).as("it"))
+        .groupBy(col("it.returnflag").as("returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("id")).as("n_docs"))
+        .orderBy(col("returnflag"))),
+    "a27_significant_text" -> ((s, d) => {
+      // ES significant_text: JLH-scored tokens anomalously frequent in
+      // the docs matching a query term (vs the whole corpus), per-doc
+      // token dedup (the agg's filter_duplicate_text analog), query
+      // term itself excluded, top 10. Counts are exact ints; JLH is
+      // scalar double math on them, round-6. All counts read from the
+      // TextIndex artifact: the foreground doc set is the query term's
+      // postings, per-token background df is the term dictionary, and
+      // corpus size is the stats row — no text re-analysis.
+      val ix = textIndexFor(s, d)
+      val fgDocs = ix.postings(s).filter(col("term") === "spark")
+        .select(col("doc_id"), lit(true).as("fg"))
+      val sizes = ix.corpus(s).select(col("n").cast("long").as("n_all"))
+        .crossJoin(ix.termDf(s).filter(col("term") === "spark")
+          .agg(coalesce(sum(col("df")), lit(0L)).as("n_fg")))
+        .select(col("n_fg"), col("n_all"))
+      val counts = ix.postings(s)
+        .select(col("doc_id"), col("term").as("token"))
+        .filter(col("token") =!= "spark")
+        .join(broadcast(fgDocs), Seq("doc_id"), "left")
+        .groupBy(col("token"))
+        .agg(sum(when(col("fg"), 1L).otherwise(0L)).as("fg_df"),
+          count(lit(1)).as("bg_df"))
+        .filter(col("fg_df") > 0)
+      counts.crossJoin(broadcast(sizes))
+        .withColumn("score", round(
+          (col("fg_df").cast("double") / col("n_fg") -
+            col("bg_df").cast("double") / col("n_all")) *
+            (col("fg_df").cast("double") / col("n_fg")) /
+            (col("bg_df").cast("double") / col("n_all")), 6))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score").desc, col("token"))))
+        .filter(col("rk") <= 10)
+        .select(col("token"), col("fg_df"), col("bg_df"), col("score"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("rk"))
+    }),
+    "a28_ttest" -> ((s, d) =>
+      // ES t_test (Welch, unpaired) between click and error values:
+      // exact integer sums in cents through ONE conditional agg (no
+      // two-branch re-scan), then the t statistic as scalar double ops
+      // on those exact integers — identical IEEE sequence both
+      // engines, round-6
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .select(when(col("event_type") === "click", 1).otherwise(0).as("g"),
+          round(col("value") * 100, 0).cast("long").as("vc"))
+        .agg(
+          sum(col("g")).cast("long").as("n1"),
+          sum(lit(1) - col("g")).cast("long").as("n2"),
+          sum(col("vc") * col("g")).as("s1"),
+          sum(col("vc") * (lit(1) - col("g"))).as("s2"),
+          sum(col("vc") * col("vc") * col("g")).as("ss1"),
+          sum(col("vc") * col("vc") * (lit(1) - col("g"))).as("ss2"))
+        .selectExpr("n1", "n2",
+          """round((cast(s1 as double) / n1 - cast(s2 as double) / n2)
+                   / 100, 6) as mean_diff_d""",
+          """round((cast(s1 as double) / n1 - cast(s2 as double) / n2)
+                   / sqrt((cast(ss1 as double) - cast(s1 as double) * s1 / n1)
+                            / (n1 - 1) / n1
+                          + (cast(ss2 as double) - cast(s2 as double) * s2 / n2)
+                            / (n2 - 1) / n2), 6) as t_stat""")),
+    "a29_rate" -> ((s, d) =>
+      // ES rate agg: monthly buckets normalized to per-day rates using
+      // the bucket's true day count — exact ×10^6 integer division
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("MONTH", col("ts")).as("month"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("month"), col("n"),
+          expr("(n * 1000000) div dayofmonth(last_day(month))")
+            .as("per_day_e6"))
+        .orderBy(col("event_type"), col("month"))),
+    "a36_bucket_sort" -> ((s, d) => {
+      // ES bucket_sort pipeline agg: re-sort the date-histogram
+      // buckets by a metric and paginate (from=2, size=5) — the
+      // offset window runs over the ~30 POST-AGG bucket rows (the
+      // w13/w7 single-partition-after-agg discipline), never raw
+      // events; value sums in exact cents like the a-family
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      daily.withColumn("rk", row_number()
+          .over(Window.orderBy(col("cents").desc, col("day"))).cast("long"))
+        .filter(col("rk") > 2 && col("rk") <= 7)
+        .orderBy(col("rk"))
+    }),
+    "a39_bucket_script" -> ((s, d) =>
+      // ES bucket_script pipeline agg: a per-bucket derived metric
+      // across two sibling aggregations — the purchase share of each
+      // day's value in exact basis points (one shuffle carries both
+      // conditional sums; the ratio is post-agg row-local arithmetic
+      // over ~30 bucket rows)
+      Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long"))
+            .as("total_cents"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L))
+            .as("purchase_cents"))
+        .select(col("day"), col("total_cents"), col("purchase_cents"),
+          expr("purchase_cents * 10000L div greatest(total_cents, 1L)")
+            .as("share_bp"))
+        .orderBy(col("day"))),
+    "a38_percentiles_bucket" -> ((s, d) => {
+      // ES percentiles_bucket pipeline agg: exact quartiles OF the
+      // daily bucket metric (never raw events) — ~30 post-agg rows
+      // feed one percentile aggregate in the ×100-cents integer
+      // domain; quarter interpolations are dyadic (k, k.25, k.5,
+      // k.75 — exactly representable), and DuckDB's quantile_cont
+      // interpolates identically (the a35 discipline)
+      Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+        .agg(count(lit(1)).as("n_buckets"),
+          expr("percentile(cents, 0.25d)").as("p25"),
+          expr("percentile(cents, 0.5d)").as("p50"),
+          expr("percentile(cents, 0.75d)").as("p75"))
+    }),
+    "a35_mad" -> ((s, d) => {
+      // ES median_absolute_deviation agg (the robust dispersion metric
+      // next to a23_boxplot's quartiles): per group, the median of
+      // |x − median(x)| — two EXACT distributed medians in the x20
+      // ×100-cents BIGINT domain. Spark's `percentile` is the exact
+      // (type-7 interpolating) percentile; on cents the interpolated
+      // midpoints are k or k+0.5, exactly representable, and DuckDB's
+      // median() interpolates identically, so no float divergence can
+      // reach the compare. Two group shuffles (med, then mad) with
+      // map-side partials; group count is dictionary-sized (5 rows),
+      // the per-group sorted-percentile state is bounded by the
+      // group's value multiset — the same trade a23/w10 document.
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val med = o.groupBy(col("prio"))
+        .agg(expr("percentile(cents, 0.5d)").as("med_cents"),
+          count(lit(1)).as("n"))
+      o.join(broadcast(med), Seq("prio"))
+        .select(col("prio"), col("n"), col("med_cents"),
+          abs(col("cents") - col("med_cents")).as("dev"))
+        .groupBy(col("prio"), col("n"), col("med_cents"))
+        .agg(expr("percentile(dev, 0.5d)").as("mad_cents"))
+        .orderBy(col("prio"))
+    }),
+    "w13_moving_percentiles" -> ((s, d) => {
+      // ES moving_percentiles: trailing-7-bucket median of the daily
+      // counts — integer counts, type-7 median as an EXACT ×2 integer
+      // (odd window → element, even → midpoint sum); window runs over
+      // the ~30 post-agg bucket rows like w7/w12
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("arr", sort_array(collect_list(col("n")).over(w)))
+        .select(col("day"), col("n"),
+          expr("""cast(CASE WHEN size(arr) % 2 = 1
+                       THEN element_at(arr, cast((size(arr) + 1) div 2 as int)) * 2
+                       ELSE element_at(arr, cast(size(arr) div 2 as int))
+                            + element_at(arr, cast(size(arr) div 2 + 1 as int))
+                  END as bigint)""").as("med7_x2"))
+        .orderBy(col("day"))
+    }),
+    "a30_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS — the generalization that a4's rollup
+      // and a7's cube specialize: mixed-granularity totals in ONE
+      // expand + shuffle, revenue exact in cents, grouping_id making
+      // each stratum hash-stable alongside the 'ALL' markers
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               cast(grouping_id(o_orderstatus, o_orderpriority) as bigint)
+                 AS gid,
+               count(*) AS n,
+               sum(cast(round(o_totalprice * 100, 0) as bigint)) AS cents
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, status, priority""")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a5_ingest_counters" ->
+      """SELECT count(*)::BIGINT AS rows_in,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+                  AS n_purchase,
+                sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS value_cents
+         FROM events""",
+    "a1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price,
+                round(avg(l_discount), 6) AS avg_disc, count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a3_stats_agg" ->
+      """SELECT l_returnflag,
+                CAST(round(quantile_cont(round(l_extendedprice*100, 0), 0.5) * 20, 0) AS BIGINT) AS median_c20,
+                CAST(round(quantile_cont(round(l_extendedprice*100, 0), 0.95) * 20, 0) AS BIGINT) AS p95_c20,
+                round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                round(stddev_pop(l_discount), 6) AS disc_stddev
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a2_collect_children" ->
+      """SELECT l_orderkey,
+                array_to_string(list(l_linenumber::VARCHAR || ':' || l_partkey || ':' || CAST(l_quantity AS BIGINT)
+                                     ORDER BY l_linenumber, l_partkey, l_quantity), '|') AS items
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "w2_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "w4_window_rank" ->
+      """SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rn
+                        FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "w5_lag_lead" ->
+      """SELECT event_id, user_id, ts,
+                (epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)) // 1000000 AS gap_prev_s,
+                (epoch_us(lead(ts, 1) OVER w) - epoch_us(ts)) // 1000000 AS gap_next_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+    "a6_approx_percentile" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n, TRUE AS ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "w6_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+                ntile(10) OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey)::BIGINT AS decile
+         FROM customer ORDER BY c_custkey""",
+    "a7_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                (2 * grouping(o_orderstatus) + grouping(o_orderpriority))::BIGINT AS gid,
+                count(*)::BIGINT AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, status, priority""",
+    "a4_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                (2 * grouping(l_returnflag) + grouping(l_linestatus))::BIGINT AS gid,
+                count(*)::BIGINT AS n,
+                round(sum(l_extendedprice), 2) AS revenue
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, returnflag, linestatus""",
+    "a5_pivot" ->
+      """SELECT ts::DATE AS day,
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+         FROM events GROUP BY 1 ORDER BY day""",
+    "sk1_salted_collect" ->
+      """SELECT l_returnflag,
+                array_to_string(list(l_orderkey::VARCHAR || ':' || l_linenumber
+                                     ORDER BY l_orderkey, l_linenumber), '|') AS items
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "sk2_salted_sum" ->
+      """SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a8_significant_terms" ->
+      s"""WITH raw AS (SELECT lang AS cat, doc_id AS id,
+                              unnest(${sqlToks("lower(text)")}) AS token
+                       FROM documents),
+          tok AS (SELECT DISTINCT cat, id, token FROM raw),
+          fg AS (SELECT cat, token, count(*)::BIGINT AS fg_df
+                 FROM tok GROUP BY 1, 2),
+          bg AS (SELECT token, sum(fg_df)::BIGINT AS bg_df FROM fg GROUP BY 1),
+          cs AS (SELECT lang AS cat, count(*)::BIGINT AS n_cat
+                 FROM documents GROUP BY 1),
+          tot AS (SELECT sum(n_cat)::DOUBLE AS n FROM cs),
+          sc AS (SELECT fg.cat, fg.token, fg.fg_df, bg.bg_df,
+                        round((fg.fg_df::DOUBLE / cs.n_cat - bg.bg_df::DOUBLE / tot.n)
+                              * (fg.fg_df::DOUBLE / cs.n_cat)
+                              / (bg.bg_df::DOUBLE / tot.n), 6) AS score
+                 FROM fg JOIN bg USING (token) JOIN cs USING (cat), tot),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY cat
+                              ORDER BY score DESC, token)::BIGINT AS rk
+                 FROM sc)
+          SELECT cat, token, fg_df, bg_df, score, rk
+          FROM rk WHERE rk <= 3 ORDER BY cat, rk""",
+    "a9_composite_agg" ->
+      """SELECT source, lang, count(*)::BIGINT AS doc_count,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents
+         WHERE source > 'src12' OR (source = 'src12' AND lang > 'fr')
+         GROUP BY 1, 2 ORDER BY source, lang LIMIT 10""",
+    "a10_histogram" ->
+      """WITH b AS (SELECT floor(n_chars / 50)::BIGINT * 50 AS bucket,
+                           count(*)::BIGINT AS doc_count
+                    FROM documents GROUP BY 1),
+          ext AS (SELECT floor(min(n_chars) / 50)::BIGINT * 50 AS lo,
+                         floor(max(n_chars) / 50)::BIGINT * 50 AS hi
+                  FROM documents),
+          dom AS (SELECT unnest(generate_series(lo, hi, 50)) AS bucket FROM ext)
+          SELECT dom.bucket, coalesce(b.doc_count, 0)::BIGINT AS doc_count
+          FROM dom LEFT JOIN b USING (bucket) ORDER BY bucket""",
+    "a11_rare_terms" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          sh AS (SELECT doc_id, unnest(list_distinct(toks ||
+                   list_transform(generate_series(1, len(toks)-1),
+                                  i -> toks[i] || toks[i+1]))) AS term
+                 FROM t),
+          v AS (SELECT term, count(*)::BIGINT AS doc_count FROM sh GROUP BY 1)
+          SELECT term, doc_count FROM v WHERE doc_count <= 2 ORDER BY term""",
+    // a31: full replay of the ES shard-merge protocol — per-shard
+    // top-10 term counts over Knuth-hash shards, coordinator sum of
+    // returned counts, error bound from non-returning shards' minima
+    "a31_terms_shard_error" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          u0 AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          u AS (SELECT DISTINCT doc_id, term FROM u0),
+          sc AS (SELECT (doc_id * 2654435761) % 4294967296 % 4 AS shard,
+                        term, count(*)::BIGINT AS c
+                 FROM u GROUP BY 1, 2),
+          k AS (SELECT shard, term, c,
+                       row_number() OVER (PARTITION BY shard
+                                          ORDER BY c DESC, term) AS rk
+                FROM sc),
+          kept AS (SELECT shard, term, c FROM k WHERE rk <= 10),
+          sm AS (SELECT shard,
+                        CASE WHEN count(*) < 10 THEN 0 ELSE min(c) END AS smin
+                 FROM kept GROUP BY 1),
+          g AS (SELECT term, sum(c)::BIGINT AS doc_count FROM kept GROUP BY 1),
+          top AS (SELECT term, doc_count FROM g
+                  ORDER BY doc_count DESC, term LIMIT 10),
+          miss AS (SELECT top.term, sm.smin FROM top CROSS JOIN sm
+                   WHERE NOT EXISTS (SELECT 1 FROM kept
+                                     WHERE kept.term = top.term
+                                       AND kept.shard = sm.shard)),
+          e AS (SELECT term, sum(smin)::BIGINT AS err FROM miss GROUP BY 1)
+          SELECT top.term, top.doc_count,
+                 coalesce(e.err, 0)::BIGINT AS doc_count_error_upper_bound
+          FROM top LEFT JOIN e ON e.term = top.term
+          ORDER BY top.doc_count DESC, top.term""",
+    // a33: market-basket level-2 replay (self-join form — the set
+    // semantics, not the array mechanics)
+    "a33_frequent_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, p_brand AS brand
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+          n AS (SELECT count(DISTINCT o) AS nb FROM b),
+          pr AS (SELECT a.brand AS brand_a, bb.brand AS brand_b,
+                        count(*)::BIGINT AS support
+                 FROM b a JOIN b bb ON a.o = bb.o AND a.brand < bb.brand
+                 GROUP BY 1, 2)
+         SELECT brand_a, brand_b, support,
+                (support * 10000 // nb)::BIGINT AS support_bp
+         FROM pr, n WHERE support * 10000 // nb >= 100
+         ORDER BY support DESC, brand_a, brand_b LIMIT 20""",
+    // a34: identical pure-string templating replayed directly
+    "a34_categorize" ->
+      """WITH t AS (SELECT doc_id,
+                           trim(regexp_replace(
+                             regexp_replace(lower(text), '[0-9]+', '<n>', 'g'),
+                             '\s+', ' ', 'g')) AS category
+                    FROM documents)
+         SELECT category, count(*)::BIGINT AS doc_count,
+                min(doc_id) AS example_doc
+         FROM t GROUP BY 1 ORDER BY doc_count DESC, category LIMIT 10""",
+    // w14: the ordered-struct max replayed as a rank-1 window
+    "w14_top_metrics" ->
+      """WITH r AS (SELECT event_type, ts, event_id,
+                           floor(value * 100 + 0.5)::BIGINT AS cents,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY ts DESC, event_id DESC) AS rk
+                    FROM events)
+         SELECT event_type, ts AS last_ts, event_id AS last_event_id,
+                cents AS last_cents
+         FROM r WHERE rk = 1 ORDER BY event_type""",
+    // a32: the first-seen reformulation replayed directly
+    "a32_cumulative_cardinality" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('hour', ts))::TIMESTAMP AS hour
+                    FROM events GROUP BY 1),
+          d AS (SELECT hour, count(*)::BIGINT AS new_users FROM f GROUP BY 1)
+         SELECT hour, new_users,
+                (sum(new_users) OVER (ORDER BY hour
+                   ROWS UNBOUNDED PRECEDING))::BIGINT AS cumulative_users
+         FROM d ORDER BY hour""",
+    "w7_pipeline_aggs" ->
+      """WITH d AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                           count(*)::BIGINT AS n
+                    FROM events GROUP BY 1)
+         SELECT day, n,
+                n - lag(n) OVER (ORDER BY day) AS derivative,
+                (sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_n,
+                round(avg(n) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+         FROM d ORDER BY day""",
+    "a16_observed_metrics" ->
+      s"""WITH t AS (SELECT doc_id, text, ${sqlToks("lower(text)")} AS toks FROM documents),
+          m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                       CASE WHEN len(text) > 0
+                            THEN (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / len(text)::INT
+                            ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, t -> list_contains($sqlStop, t)))::DOUBLE / len(toks)::INT
+                            ELSE 0.0 END AS stop_ratio
+                FROM t),
+          q AS (SELECT doc_id,
+                       round(least(n_tokens::DOUBLE / 20.0, 1.0) * 0.4 +
+                             (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3 +
+                             least(stop_ratio * 4.0, 1.0) * 0.3, 6) AS quality
+                FROM m)
+          SELECT count(*)::BIGINT AS rows_in,
+                 sum(CASE WHEN quality >= 0.7 THEN 1 ELSE 0 END)::BIGINT AS rows_kept,
+                 sum(CASE WHEN quality >= 0.7
+                          THEN floor(quality * 1000000.0 + 0.5)::BIGINT
+                          ELSE 0 END)::BIGINT AS kept_quality_u6
+          FROM q""",
+    "a15_weighted_avg" ->
+      """WITH li AS (SELECT l_returnflag,
+                            round(l_extendedprice * 100, 0)::BIGINT AS pc,
+                            round(l_quantity, 0)::BIGINT AS q
+                     FROM lineitem)
+         SELECT l_returnflag, sum(q)::BIGINT AS wq,
+                round(sum(pc * q)::DOUBLE / 100.0 / sum(q), 6) AS weighted_avg_price
+         FROM li GROUP BY 1 ORDER BY l_returnflag""",
+    "w8_search_after" ->
+      """WITH m AS (SELECT o_orderkey,
+                           abs(datediff('day', TIMESTAMP '1998-01-01',
+                                        o_orderdate))::BIGINT AS dist_days
+                    FROM orders)
+         SELECT o_orderkey, dist_days FROM m
+         WHERE dist_days > 30 OR (dist_days = 30 AND o_orderkey > 0)
+         ORDER BY dist_days, o_orderkey LIMIT 20""",
+    "a13_filters_agg" ->
+      """SELECT bucket, doc_count FROM (
+           SELECT 'finished' AS bucket, count(*) FILTER (o_orderstatus = 'F')::BIGINT AS doc_count FROM orders
+           UNION ALL
+           SELECT 'high_value', count(*) FILTER (o_totalprice > 200000.0)::BIGINT FROM orders
+           UNION ALL
+           SELECT 'urgent', count(*) FILTER (o_orderpriority LIKE '1%')::BIGINT FROM orders)
+         ORDER BY bucket""",
+    "a14_percentile_ranks" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+                round(count(*) FILTER (l_extendedprice <= 1000.0)::DOUBLE / count(*), 6) AS rank_1k,
+                round(count(*) FILTER (l_extendedprice <= 5000.0)::DOUBLE / count(*), 6) AS rank_5k,
+                round(count(*) FILTER (l_extendedprice <= 20000.0)::DOUBLE / count(*), 6) AS rank_20k
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "a17_top_hits" ->
+      s"""WITH t AS (SELECT doc_id, source, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, source,
+                       len(list_filter(toks, x -> x = 'spark'))::INT AS tf,
+                       len(toks)::INT AS len FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df FROM p),
+          sc AS (SELECT doc_id, source,
+                        round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                              (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)), 6) AS score
+                 FROM p, s WHERE tf > 0),
+          r AS (SELECT source, row_number() OVER
+                         (PARTITION BY source ORDER BY score DESC, doc_id) AS rk,
+                       doc_id, score
+                FROM sc)
+          SELECT source, rk::BIGINT AS rk, doc_id, score FROM r
+          WHERE rk <= 2 ORDER BY source, rk""",
+    "w9_collapse" ->
+      s"""WITH t AS (SELECT doc_id, source, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, source,
+                       len(list_filter(toks, x -> x = 'spark'))::INT AS tf,
+                       len(toks)::INT AS len FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df FROM p),
+          sc AS (SELECT doc_id, source,
+                        round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                              (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl)), 6) AS score
+                 FROM p, s WHERE tf > 0),
+          r AS (SELECT source, doc_id, score,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY score DESC, doc_id) AS rk,
+                       count(*) OVER (PARTITION BY source) AS n_in_group
+                FROM sc)
+          SELECT source, doc_id, score, n_in_group::BIGINT AS n_in_group
+          FROM r WHERE rk = 1
+          ORDER BY score DESC, doc_id LIMIT 10""",
+    "a18_adjacency_matrix" ->
+      s"""WITH t AS (SELECT ${sqlToks("lower(text)")} AS toks FROM documents),
+          f AS (SELECT list_contains(toks, 'table') AS a,
+                       list_contains(toks, 'spark') AS b,
+                       list_contains(toks, 'merge') AS c FROM t),
+          m AS (SELECT sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                       sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                       sum(CASE WHEN c THEN 1 ELSE 0 END)::BIGINT AS n_c,
+                       sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n_ab,
+                       sum(CASE WHEN a AND c THEN 1 ELSE 0 END)::BIGINT AS n_ac,
+                       sum(CASE WHEN b AND c THEN 1 ELSE 0 END)::BIGINT AS n_bc
+                FROM f)
+          SELECT * FROM (
+            SELECT 'A' AS filter_key, n_a AS doc_count FROM m
+            UNION ALL SELECT 'B', n_b FROM m
+            UNION ALL SELECT 'C', n_c FROM m
+            UNION ALL SELECT 'A&B', n_ab FROM m
+            UNION ALL SELECT 'A&C', n_ac FROM m
+            UNION ALL SELECT 'B&C', n_bc FROM m)
+          ORDER BY filter_key""",
+    "w10_percent_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+                round(percent_rank() OVER w, 6) AS pr,
+                round(cume_dist() OVER w, 6) AS cd
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+         ORDER BY l_returnflag, l_orderkey, l_linenumber""",
+    "a19_multi_terms" ->
+      """SELECT source, lang, count(*)::BIGINT AS doc_count,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents GROUP BY 1, 2
+         ORDER BY doc_count DESC, source, lang LIMIT 10""",
+    "a20_range_agg" ->
+      """SELECT range_key, count(*)::BIGINT AS doc_count,
+                sum(n_chars)::BIGINT AS sum_chars,
+                round(sum(n_chars)::DOUBLE / count(*)::INT, 6) AS avg_chars
+         FROM (SELECT CASE WHEN n_chars < 200 THEN '*-200'
+                           WHEN n_chars < 400 THEN '200-400'
+                           ELSE '400-*' END AS range_key, n_chars
+               FROM documents)
+         GROUP BY 1 ORDER BY range_key""",
+    "a21_sampler" ->
+      """WITH r AS (SELECT lang, n_chars,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY (doc_id * 2654435761) % 4294967296,
+                                      doc_id) AS rn
+                    FROM documents)
+         SELECT lang, count(*)::BIGINT AS doc_count,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY lang""",
+    "a22_string_stats" ->
+      """SELECT lang, count(*)::BIGINT AS doc_count,
+                min(len(text))::BIGINT AS min_len,
+                max(len(text))::BIGINT AS max_len,
+                round(sum(len(text))::DOUBLE / count(*)::INT, 6) AS avg_len
+         FROM documents GROUP BY 1 ORDER BY lang""",
+    "a23_boxplot" ->
+      """WITH m AS (SELECT lang, median(n_chars) AS med FROM documents
+                    GROUP BY 1)
+         SELECT d.lang, min(n_chars)::BIGINT AS lo, max(n_chars)::BIGINT AS hi,
+                round(quantile_cont(n_chars, 0.25), 6) AS q1,
+                round(quantile_cont(n_chars, 0.5), 6) AS q2,
+                round(quantile_cont(n_chars, 0.75), 6) AS q3,
+                round(quantile_cont(n_chars, 0.75)
+                      - quantile_cont(n_chars, 0.25), 6) AS iqr,
+                round(quantile_cont(abs(n_chars - med), 0.5), 6) AS mad
+         FROM documents d JOIN m ON d.lang = m.lang
+         GROUP BY d.lang ORDER BY d.lang""",
+    "w11_bucket_selector" ->
+      """WITH daily AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                               count(*)::BIGINT AS n
+                        FROM events GROUP BY 1),
+          t AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS nb
+                FROM daily)
+         SELECT day, n FROM daily, t
+         WHERE n * nb > tot
+         ORDER BY n DESC, day LIMIT 5""",
+    "sm1_scripted_metric" ->
+      """WITH e AS (SELECT event_type,
+                           floor(value * 100)::BIGINT AS yc,
+                           ((epoch_us(ts)
+                             - min(epoch_us(ts)) OVER (PARTITION BY event_type))
+                            // 1000000)::BIGINT AS xs
+                    FROM events),
+          a AS (SELECT event_type, count(*)::BIGINT AS n,
+                       sum(xs)::BIGINT AS sx, sum(yc)::BIGINT AS sy,
+                       sum(xs * xs)::BIGINT AS sxx,
+                       sum(xs * yc)::BIGINT AS sxy
+                FROM e GROUP BY 1)
+          SELECT event_type, n, sy,
+                 (CASE WHEN n::HUGEINT * sxx > sx::HUGEINT * sx
+                       THEN (n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+                            // (n::HUGEINT * sxx - sx::HUGEINT * sx)
+                       ELSE 0 END)::BIGINT AS slope_e6
+          FROM a ORDER BY event_type""",
+    "w12_serial_diff" ->
+      """WITH daily AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                               count(*)::BIGINT AS n
+                        FROM events GROUP BY 1)
+         SELECT day, n,
+                n - lag(n, 7) OVER (ORDER BY day) AS serial_diff7,
+                max(n) OVER (ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS moving_max7,
+                min(n) OVER (ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS moving_min7
+         FROM daily ORDER BY day""",
+    "a24_matrix_stats" ->
+      """WITH c AS (SELECT round(l_quantity * 100)::HUGEINT AS q,
+                           round(l_extendedprice * 100)::HUGEINT AS p,
+                           round(l_discount * 100)::HUGEINT AS dd
+                    FROM lineitem),
+          s AS (SELECT count(*)::HUGEINT AS n,
+                       sum(q) AS sq, sum(p) AS sp, sum(dd) AS sd,
+                       sum(q * q) AS sqq, sum(p * p) AS spp, sum(dd * dd) AS sdd,
+                       sum(q * p) AS sqp, sum(q * dd) AS sqd, sum(p * dd) AS spd
+                FROM c),
+          v AS (SELECT n::BIGINT AS n,
+                       (n * sqq - sq * sq)::DOUBLE AS vq,
+                       (n * spp - sp * sp)::DOUBLE AS vp,
+                       (n * sdd - sd * sd)::DOUBLE AS vd,
+                       (n * sqp - sq * sp)::DOUBLE AS cqp,
+                       (n * sqd - sq * sd)::DOUBLE AS cqd,
+                       (n * spd - sp * sd)::DOUBLE AS cpd,
+                       (sq // n)::BIGINT AS mq_c,
+                       (sp // n)::BIGINT AS mp_c,
+                       (sd // n)::BIGINT AS md_c
+                FROM s)
+          SELECT pair, n, mean_x_c, mean_y_c, cov_d2, corr FROM (
+            SELECT 'quantity_price' AS pair, n, mq_c AS mean_x_c, mp_c AS mean_y_c,
+                   round(cqp / n / n / 10000, 6) AS cov_d2,
+                   round(cqp / sqrt(vq) / sqrt(vp), 6) AS corr FROM v
+            UNION ALL
+            SELECT 'quantity_discount', n, mq_c, md_c,
+                   round(cqd / n / n / 10000, 6),
+                   round(cqd / sqrt(vq) / sqrt(vd), 6) FROM v
+            UNION ALL
+            SELECT 'price_discount', n, mp_c, md_c,
+                   round(cpd / n / n / 10000, 6),
+                   round(cpd / sqrt(vp) / sqrt(vd), 6) FROM v)
+          ORDER BY pair""",
+    "a25_auto_histogram" ->
+      """WITH st AS (SELECT epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+                     FROM events),
+          b AS (SELECT ts,
+                       CASE WHEN span_us <= 40::BIGINT * 60 * 1000000 THEN 'minute'
+                            WHEN span_us <= 40::BIGINT * 3600 * 1000000 THEN 'hour'
+                            WHEN span_us <= 40::BIGINT * 86400 * 1000000 THEN 'day'
+                            WHEN span_us <= 40::BIGINT * 604800 * 1000000 THEN 'week'
+                            ELSE 'month' END AS iv
+                FROM events, st)
+          SELECT iv,
+                 CASE iv WHEN 'minute' THEN date_trunc('minute', ts)::TIMESTAMP
+                         WHEN 'hour' THEN date_trunc('hour', ts)::TIMESTAMP
+                         WHEN 'day' THEN date_trunc('day', ts)::TIMESTAMP
+                         WHEN 'week' THEN date_trunc('week', ts)::TIMESTAMP
+                         ELSE date_trunc('month', ts)::TIMESTAMP END AS bucket,
+                 count(*)::BIGINT AS n
+          FROM b GROUP BY 1, 2 ORDER BY bucket""",
+    "a26_nested_reverse" ->
+      // relational replay of the nested/reverse_nested pair: every
+      // nested item is a lineitem row, every parent doc an order
+      """SELECT l_returnflag AS returnflag, count(*)::BIGINT AS n_items,
+                count(DISTINCT l_orderkey)::BIGINT AS n_docs
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "a27_significant_text" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(${sqlToks("lower(text)")}) AS toks
+                     FROM documents),
+          b AS (SELECT doc_id, toks, list_contains(toks, 'spark') AS fg FROM t),
+          sz AS (SELECT sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS n_fg,
+                        count(*)::BIGINT AS n_all
+                 FROM b),
+          cnt AS (SELECT token,
+                         sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS fg_df,
+                         count(*)::BIGINT AS bg_df
+                  FROM (SELECT fg, unnest(toks) AS token FROM b)
+                  WHERE token <> 'spark' GROUP BY 1
+                  HAVING sum(CASE WHEN fg THEN 1 ELSE 0 END) > 0),
+          sc AS (SELECT token, fg_df, bg_df,
+                        round((fg_df::DOUBLE / n_fg - bg_df::DOUBLE / n_all)
+                              * (fg_df::DOUBLE / n_fg)
+                              / (bg_df::DOUBLE / n_all), 6) AS score
+                 FROM cnt, sz),
+          rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, token)::BIGINT
+                             AS rk FROM sc)
+          SELECT token, fg_df, bg_df, score, rk FROM rk
+          WHERE rk <= 10 ORDER BY rk""",
+    "a28_ttest" ->
+      """WITH c AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+                           round(value * 100)::BIGINT AS vc
+                    FROM events WHERE event_type IN ('click', 'error')),
+          s AS (SELECT sum(g)::BIGINT AS n1, sum(1 - g)::BIGINT AS n2,
+                       sum(vc * g)::BIGINT AS s1, sum(vc * (1 - g))::BIGINT AS s2,
+                       sum(vc * vc * g)::BIGINT AS ss1,
+                       sum(vc * vc * (1 - g))::BIGINT AS ss2
+                FROM c)
+          SELECT n1, n2,
+                 round((s1::DOUBLE / n1 - s2::DOUBLE / n2) / 100, 6) AS mean_diff_d,
+                 round((s1::DOUBLE / n1 - s2::DOUBLE / n2)
+                       / sqrt((ss1::DOUBLE - s1::DOUBLE * s1 / n1) / (n1 - 1) / n1
+                              + (ss2::DOUBLE - s2::DOUBLE * s2 / n2) / (n2 - 1) / n2),
+                       6) AS t_stat
+          FROM s""",
+    "a29_rate" ->
+      """WITH m AS (SELECT event_type, date_trunc('month', ts)::TIMESTAMP AS month,
+                          count(*)::BIGINT AS n
+                   FROM events GROUP BY 1, 2)
+         SELECT event_type, month, n,
+                (n * 1000000
+                 // date_part('day', last_day(month::DATE)))::BIGINT AS per_day_e6
+         FROM m ORDER BY event_type, month""",
+    // a36: the daily histogram re-sorted by the cents metric with
+    // from/size pagination
+    "a36_bucket_sort" ->
+      """WITH daily AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                               count(*)::BIGINT AS n,
+                               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+                        FROM events GROUP BY 1),
+          r AS (SELECT *, row_number() OVER (ORDER BY cents DESC, day)::BIGINT AS rk
+                FROM daily)
+          SELECT day, n, cents, rk FROM r
+          WHERE rk > 2 AND rk <= 7 ORDER BY rk""",
+    // a35: exact per-group median + median-absolute-deviation in the
+    // ×100-cents integer domain; DuckDB median() interpolates even
+    // counts exactly like Spark's percentile (both type-7)
+    // a39: both conditional sums in one pass, the bp share post-agg
+    "a39_bucket_script" ->
+      """WITH daily AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS total_cents,
+                               sum(CASE WHEN event_type = 'purchase'
+                                        THEN floor(value * 100 + 0.5)::BIGINT
+                                        ELSE 0 END)::BIGINT AS purchase_cents
+                        FROM events GROUP BY 1)
+          SELECT day, total_cents, purchase_cents,
+                 (purchase_cents * 10000 // greatest(total_cents, 1))::BIGINT AS share_bp
+          FROM daily ORDER BY day""",
+    // a38: exact quartiles of the daily-cents buckets; quantile_cont
+    // interpolates type-7 like Spark percentile, quarters are dyadic
+    "a38_percentiles_bucket" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+                        FROM events GROUP BY 1)
+          SELECT count(*)::BIGINT AS n_buckets,
+                 quantile_cont(cents, 0.25) AS p25,
+                 quantile_cont(cents, 0.5) AS p50,
+                 quantile_cont(cents, 0.75) AS p75
+          FROM daily""",
+    "a35_mad" ->
+      """WITH o AS (SELECT o_orderpriority AS prio,
+                           floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+                    FROM orders),
+          m AS (SELECT prio, median(cents) AS med_cents,
+                       count(*)::BIGINT AS n
+                FROM o GROUP BY 1)
+          SELECT o.prio, m.n, m.med_cents,
+                 median(abs(o.cents - m.med_cents)) AS mad_cents
+          FROM o JOIN m USING (prio)
+          GROUP BY o.prio, m.n, m.med_cents
+          ORDER BY o.prio""",
+    "w13_moving_percentiles" ->
+      """WITH daily AS (SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+                               count(*)::BIGINT AS n
+                        FROM events GROUP BY 1),
+          w AS (SELECT day, n,
+                       list_sort(list(n) OVER (ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+                FROM daily)
+          SELECT day, n,
+                 (CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2] * 2
+                       ELSE arr[len(arr) // 2] + arr[len(arr) // 2 + 1]
+                  END)::BIGINT AS med7_x2
+          FROM w ORDER BY day""",
+    "a30_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+                count(*)::BIGINT AS n,
+                sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), ())
+         ORDER BY gid, status, priority"""
+  )
+}

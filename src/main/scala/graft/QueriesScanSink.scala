@@ -1,0 +1,787 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Analyzers
+import graft.operators._
+import graft.streaming.EventStream
+
+/** SparkEntry's ScanSink family —
+  * scans / sources / sinks / snapshot-restore maintenance (SURVEY §2.1).
+  *
+  * Split out of the single 7.7k-line registry (round-14): each family
+  * module contributes its slice of the SAME SparkEntry.queries /
+  * oracleSql maps — pure motion, no semantics; key-disjointness is
+  * spec-asserted so ++ can never silently overwrite an entry. */
+private[graft] object QueriesScanSink {
+  import SparkEntry.{queries => _, oracleSql => _, entry => _, _}
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / sinks / maintenance (SURVEY §2.1) ----
+    "s10_match_all" -> ((s, d) =>
+      Tables.orders(s, d)),
+    "s9_count" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))),
+    "s11_point_lookup" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") === 42L)),
+    "s22_mget" -> ((s, d) => {
+      // ES _mget: one batched multi-id lookup returning a row PER
+      // REQUESTED id with found=false for misses (ES's contract — the
+      // response mirrors the request, hits carry the source). The id
+      // set pushes as one In filter (row-group pruning at the scan,
+      // a single read for the whole batch — never one query per id);
+      // the request frame is broadcast, never shuffled.
+      import s.implicits._
+      val ids = Seq(7L, 42L, 123L, 424242L, 9999999L)
+      val hits = Tables.documents(s, d)
+        .filter(col("doc_id").isin(ids: _*))
+        .select(col("doc_id"), lit(true).as("hit"),
+          col("lang"), col("n_chars"))
+      broadcast(ids.toDF("doc_id")).join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("hit"), lit(false)).as("found"),
+          col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "s3_keyset_chunk" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") > 500L)
+        .orderBy(col("o_orderkey")).limit(100)),
+    "s8_merge_update" -> ((s, d) => {
+      // scripted partial update (docs/protokol.md:596-611) as a merge:
+      // counter += delta from an updates table (deltas derived here)
+      val deltas = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      Tables.orders(s, d)
+        .join(deltas, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") + coalesce(col("qty"), lit(0.0)), 2)
+            .as("new_total"))
+    }),
+    "s8b_versioned_update" -> ((s, d) => {
+      // optimistic concurrency control on scripted updates
+      // (docs/protokol.md:590-629): each stored row carries a
+      // _seq_no-style version token; an update presents the version it
+      // read, a stale presentation is REJECTED and surfaced, an
+      // accepted merge bumps the token. Both the standing versions and
+      // the update batch are derived deterministically here so the
+      // oracle replays the same state machine. Plain broadcast-able
+      // equi-join + branch-free CASE projection — shape identical to s8.
+      val cur = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"), (col("o_orderkey") % 5 + 1).as("seq_no"))
+      // updates for even keys only; 1-in-3 presents the CURRENT token,
+      // the rest read a stale snapshot (token - 1)
+      val upd = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("u_key"),
+          when(col("o_orderkey") % 3 === 0, col("o_orderkey") % 5 + 1)
+            .otherwise(col("o_orderkey") % 5).as("expected_seq"))
+      val hit = col("expected_seq") === col("seq_no")
+      cur.join(upd, col("o_orderkey") === col("u_key"), "left")
+        .select(col("o_orderkey"),
+          coalesce(hit, lit(false)).as("applied"),
+          when(hit, col("seq_no") + 1).otherwise(col("seq_no"))
+            .as("seq_no_after"),
+          round(when(hit, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")), 2).as("total_after"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "s2_streamed_fetch" -> ((s, d) => {
+      // S2 server-side cursor (reference `src/main.py:41,133`): the
+      // driver consumes the result through Sink.streamedFetch
+      // (toLocalIterator — one partition resident at a time, never the
+      // whole frame), folding running totals exactly like the
+      // reference's fetch loop. The fold is returned as a 1-row frame:
+      // row count plus an exact integer-cents sum, so the driver-side
+      // accumulation order can't perturb the hash (no float ordering).
+      val proj = Tables.orders(s, d).select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      var cents = 0L
+      val n = graft.sources.Sink.streamedFetch(proj)(r => cents += r.getLong(1))
+      import s.implicits._
+      Seq((n, cents)).toDF("fetched_rows", "total_cents")
+    }),
+    "s4_create_table" -> ((s, d) => {
+      // S4 create-with-schema (`src/main.py:12-35`): register a catalog
+      // table over the region parquet, then prove the created table
+      // actually serves queries — its row count and its catalog-visible
+      // column list — and drop it so the query is idempotent.
+      val name = "graft_s4_region"
+      graft.sources.Sink.dropIfExists(s, name)
+      graft.sources.Sink.createTable(s, name,
+        java.nio.file.Paths.get(d, "region.parquet").toString)
+      val n = s.table(name).count()
+      val cols = s.table(name).schema.fieldNames.sorted.mkString(",")
+      graft.sources.Sink.dropIfExists(s, name)
+      import s.implicits._
+      Seq((n, cols)).toDF("n_rows", "cols")
+    }),
+    "s5_exists_drop" -> ((s, d) => {
+      // S5 existence check + conditional drop (`src/main.py:12-35`):
+      // the full DDL state machine — absent → created → dropped →
+      // absent → second drop is a no-op — surfaced as one verifiable
+      // row of booleans.
+      val name = "graft_s5_probe"
+      graft.sources.Sink.dropIfExists(s, name)
+      val before = s.catalog.tableExists(name)
+      graft.sources.Sink.createTable(s, name,
+        java.nio.file.Paths.get(d, "region.parquet").toString)
+      val created = s.catalog.tableExists(name)
+      val dropped = graft.sources.Sink.dropIfExists(s, name)
+      val after = s.catalog.tableExists(name)
+      val droppedAgain = graft.sources.Sink.dropIfExists(s, name)
+      import s.implicits._
+      Seq((before, created, dropped, after, droppedAgain)).toDF(
+        "exists_before", "exists_created", "dropped", "exists_after",
+        "dropped_again")
+    }),
+    "s6_bulk_roundtrip" -> ((s, d) => {
+      // S6 bulk sink with _id-hash shard routing (`src/main.py:137-150`,
+      // the 3-primary-shard analog): write customer through
+      // Sink.bulkWrite, read the COMMITTED files back, recover each
+      // row's shard from its part-file number, require the routing
+      // invariant (an id never lands in two shards) executor-side, and
+      // reduce to corpus-level readback aggregates the oracle recomputes
+      // from the source table.
+      val out = Scratch.dir("s6bulk")
+      graft.sources.Sink.bulkWrite(s, Tables.customer(s, d), "c_custkey",
+        out, shards = 3)
+      val back = s.read.parquet(out).withColumn("shard",
+        regexp_extract(input_file_name(), "part-(\\d+)-", 1).cast("int"))
+      val nViolations = back.groupBy(col("c_custkey"))
+        .agg(countDistinct(col("shard")).as("ns"))
+        .filter(col("ns") > 1).count()
+      require(nViolations == 0,
+        s"$nViolations ids routed to more than one shard")
+      back.agg(
+        countDistinct(col("shard")).as("n_shards"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("c_custkey")).as("n_ids"),
+        min(col("c_custkey")).as("min_id"),
+        max(col("c_custkey")).as("max_id"))
+    }),
+    "s7_sink_ack" -> ((s, d) => {
+      // S7 bulk-response ack (`src/main.py:147-148`): the in-flight
+      // observed row count vs the committed parquet footer total —
+      // metadata only, no second data scan (bulkWrite's internal
+      // `require` IS the ack; the query surfaces both numbers for the
+      // driver to hash-verify). batchSize exercises the bounded-file
+      // splitting, so the footer sum spans multiple files per shard.
+      val out = Scratch.dir("s7ack")
+      val written = graft.sources.Sink.bulkWrite(s, Tables.orders(s, d),
+        "o_orderkey", out, shards = 3, batchSize = 2000)
+      val committed = graft.sources.Sink.committedRowCount(s, out)
+      val nFiles = new java.io.File(out).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      require(nFiles >= 3, s"expected >= 3 shard files, got $nFiles")
+      import s.implicits._
+      Seq((written, committed, written == committed))
+        .toDF("written", "committed", "acked")
+    }),
+    "s12_compact" -> ((s, d) => {
+      // Small-file compaction as a VERIFIED maintenance pass: scatter
+      // documents into a 24-file mess (the long-running-ingest shape),
+      // compact to ⌈rows/5000⌉ near-equal files via Sink.compact's
+      // write-to-tmp + atomic-rename, and read the result back. Every
+      // output number is deterministic: the mess size is the
+      // repartition width, the compacted count is the ceiling division
+      // the compactor computes, and the row count must survive the
+      // rewrite untouched.
+      val out = java.nio.file.Paths.get(Scratch.dir("s12c"), "t").toString
+      Tables.documents(s, d).repartition(24)
+        .write.mode("overwrite").parquet(out)
+      val (before, after) = graft.sources.Sink.compact(s, out, 5000L)
+      val rows = s.read.parquet(out).count()
+      import s.implicits._
+      Seq((before.toLong, after.toLong, rows))
+        .toDF("files_before", "files_after", "rows_after")
+    }),
+    "s13_partition_prune" -> ((s, d) => {
+      // Directory-partitioned layout with the pruning PROVED at the
+      // driver gate: write events partitioned by event_type
+      // (Sink.partitionedWrite — the coarse-key layout a 100 TB ingest
+      // keeps), read back one type, and REQUIRE the physical scan to
+      // carry the predicate as a PartitionFilter — i.e. the query
+      // reads one directory, not the table. The returned aggregates
+      // are recomputed by the oracle from the raw table.
+      val out = java.nio.file.Paths.get(Scratch.dir("s13p"), "events_by_type").toString
+      graft.sources.Sink.partitionedWrite(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "event_type", out)
+      val back = s.read.parquet(out)
+        .filter(col("event_type") === "purchase")
+      val plan = back.queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters: [isnotnull(event_type"),
+        s"partition pruning missing from scan:\n$plan")
+      back.agg(count(lit(1)).as("n_purchase"),
+        sum(col("cents")).as("purchase_cents"))
+    }),
+    "s14_alias_swap" -> ((s, d) => {
+      // Zero-downtime reindex — the ES `_aliases` atomic-swap
+      // lifecycle (Sink.aliasSwap scaladoc) run end-to-end under the
+      // gate: v1 of a summary index is written and aliased; the
+      // reindex writes v2 WITH A NEW SCHEMA (cents column added — the
+      // mapping change that forces a reindex in ES) beside it; one
+      // atomic pointer move flips readers to v2. The readback goes
+      // THROUGH the alias, so the oracle match proves readers see
+      // wholly-v2 after the flip; v1 stays on disk for rollback.
+      val base = java.nio.file.Paths.get(Scratch.dir("s14a"), "events_alias").toString
+      val events = Tables.events(s, d)
+      graft.sources.Sink.aliasWriteVersion(
+        events.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+        base, 1)
+      graft.sources.Sink.aliasSwap(base, 1)
+      val before = graft.sources.Sink.aliasVersion(base)
+      graft.sources.Sink.aliasWriteVersion(
+        events.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents")),
+        base, 2)
+      graft.sources.Sink.aliasSwap(base, 2)
+      val after = graft.sources.Sink.aliasVersion(base)
+      val v1Retained = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(base, "v1"))
+      graft.sources.Sink.aliasRead(s, base)
+        .withColumn("alias_before", lit(before))
+        .withColumn("alias_after", lit(after))
+        .withColumn("v1_retained", lit(v1Retained))
+        .orderBy(col("event_type"))
+    }),
+    "s18_rollover" -> ((s, d) => {
+      // ES ILM rollover under the gate (Sink.rollover scaladoc):
+      // weekly event batches ingest in time order; the write index
+      // rolls at 5000 docs. The oracle replays the greedy
+      // segmentation from the weekly counts with a recursive CTE —
+      // generation boundaries, per-generation doc counts, and which
+      // generation holds the write alias must all agree.
+      // one cached pass feeds the week listing plus every batch's
+      // count+write (the rollover loop is eager, so the pin is
+      // released before returning)
+      val ev = Tables.events(s, d).persist()
+      try {
+        val weeks = ev.select(date_trunc("WEEK", col("ts")).as("wk"))
+          .distinct().orderBy(col("wk"))
+          .collect().map(_.getTimestamp(0)) // bounded: one row per week
+        val batches = weeks.toSeq.map(w =>
+          ev.filter(date_trunc("WEEK", col("ts")) === w))
+        graft.sources.Sink.rollover(s, Scratch.dir("s18roll"),
+            batches, maxDocs = 5000L)
+          .orderBy(col("index_name"))
+      } finally ev.unpersist(blocking = false)
+    }),
+    "s19_rollover_gc" -> ((s, d) => {
+      // ES ILM's DELETE phase under the gate: the s18 rollover
+      // followed by the keep-last-K retention sweep
+      // (Sink.gcVersions scaladoc) — expired generations drop WHOLE
+      // (never a delete-by-query against a monolith), the live write
+      // index and its rollback predecessor survive, and the verified
+      // rows are the retained generations READ BACK from disk (their
+      // counts must match the oracle's greedy segmentation replay —
+      // a sweep that damaged a survivor or left an expired gen would
+      // change the row set)
+      val ev = Tables.events(s, d).persist()
+      try {
+        val weeks = ev.select(date_trunc("WEEK", col("ts")).as("wk"))
+          .distinct().orderBy(col("wk"))
+          .collect().map(_.getTimestamp(0)) // bounded: one row per week
+        val batches = weeks.toSeq.map(w =>
+          ev.filter(date_trunc("WEEK", col("ts")) === w))
+        val base = Scratch.dir("s19roll")
+        graft.sources.Sink.rollover(s, base, batches, maxDocs = 5000L)
+        graft.sources.Sink.gcVersions(s, base, keepLast = 2)
+        val live = graft.sources.Sink.aliasVersion(base)
+        // read-back listing through the same Hadoop FS the sweep used
+        val basePath = new org.apache.hadoop.fs.Path(base)
+        val fs = basePath
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val remaining = fs.listStatus(basePath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+          .map(_.getPath.getName).sorted
+        import s.implicits._
+        remaining.map { v =>
+          (v, s.read.parquet(s"$base/$v").count(), v == live)
+        }.toDF("index_name", "n_docs", "is_write_index")
+          .orderBy(col("index_name"))
+      } finally ev.unpersist(blocking = false)
+    }),
+    "s21_snapshot_restore" -> ((s, d) => {
+      // ES snapshot/restore (Sink.snapshot/restore scaladoc): bulk
+      // write an index, snapshot it into a repository (per-file md5
+      // manifest written LAST), restore into a fresh directory with
+      // every checksum re-verified as the bytes stream, and prove the
+      // restored index answers queries identically — the verified row
+      // is the source-table replay, so a dropped file, a truncated
+      // copy, or an unverified restore moves a number.
+      val src = Scratch.dir("s21src")
+      val repo = Scratch.dir("s21repo")
+      val dest = Scratch.dir("s21dest")
+      graft.sources.Sink.bulkWrite(s, Tables.customer(s, d),
+        "c_custkey", src)
+      val nSnap = graft.sources.Sink.snapshot(s, src, repo)
+      val nRest = graft.sources.Sink.restore(s, repo, dest)
+      s.read.parquet(dest)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_custkey")).as("n_ids"),
+          sum(col("c_custkey")).as("sum_key"))
+        .select(col("n_rows"), col("n_ids"), col("sum_key"),
+          lit(nSnap == nRest && nSnap > 0).as("files_match"))
+    }),
+    "s22_snapshot_distributed" -> ((s, d) => {
+      // s21's CLUSTER-parallel twin (Sink.snapshotDistributed /
+      // restoreDistributed scaladoc): the copy+hash of every file
+      // runs as Spark tasks — the shape that scales a 100 TB
+      // repository past one JVM's NIC, where the 16-thread driver
+      // pool serializes — while the walk and the manifest (written
+      // LAST, under the same `_WRITER` claim) stay driver-side.
+      // Restore re-verifies every md5 executor-side; the verified row
+      // is the source-table replay, so a dropped file, a torn copy,
+      // or a skipped checksum moves a number exactly as in s21.
+      val src = Scratch.dir("s22src")
+      val repo = Scratch.dir("s22repo")
+      val dest = Scratch.dir("s22dest")
+      graft.sources.Sink.bulkWrite(s, Tables.supplier(s, d),
+        "s_suppkey", src)
+      val nSnap = graft.sources.Sink.snapshotDistributed(s, src, repo)
+      val nRest = graft.sources.Sink.restoreDistributed(s, repo, dest)
+      s.read.parquet(dest)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("s_suppkey")).as("n_ids"),
+          sum(col("s_suppkey")).as("sum_key"))
+        .select(col("n_rows"), col("n_ids"), col("sum_key"),
+          lit(nSnap == nRest && nSnap > 0).as("files_match"))
+    }),
+    "s23_snapshot_auto" -> ((s, d) => {
+      // Arm-SELECTED snapshot/restore (Sink.snapshotAuto/restoreAuto,
+      // chooseDistributedCopy scaladoc): topology + tree size pick
+      // pool vs cluster fan-out — bench_snapshot.json measured the
+      // 16-thread pool at 7.98×/7.25× vs the distributed arm's
+      // 4.67×/2.73× on one box, so on this single-host runtime the
+      // selector must choose the pool (used_pool asserts it); past
+      // one NIC the same call routes to the executor fan-out. The
+      // verified row is the source-table replay, so a dropped file,
+      // a torn copy, or a wrong-arm checksum skip moves a number.
+      val src = Scratch.dir("s23src")
+      val repo = Scratch.dir("s23repo")
+      val dest = Scratch.dir("s23dest")
+      graft.sources.Sink.bulkWrite(s, Tables.part(s, d), "p_partkey", src)
+      val (nSnap, distS) = graft.sources.Sink.snapshotAuto(s, src, repo)
+      val (nRest, distR) = graft.sources.Sink.restoreAuto(s, repo, dest)
+      s.read.parquet(dest)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("p_partkey")).as("n_ids"),
+          sum(col("p_partkey")).as("sum_key"))
+        .select(col("n_rows"), col("n_ids"), col("sum_key"),
+          lit(nSnap == nRest && nSnap > 0).as("files_match"),
+          lit(!distS && !distR).as("used_pool"))
+    }),
+    "s21b_artifact_snapshot" -> ((s, d) => {
+      // Recursive artifact snapshot/restore: the engine's real state
+      // is a gen-N artifact TREE (postings/dict/stats/... tables), not
+      // a flat parquet dir — ES snapshots cover a whole index incl.
+      // every segment file. Snapshot the LIVE text-index generation,
+      // restore it under a fresh artifact root, publish the `_CURRENT`
+      // pointer there, resolve it like a fresh JVM would, and serve
+      // f4's BM25 search from the restored artifact. The oracle is
+      // f4's full corpus replay, so a dropped subdirectory, a torn
+      // table, or an unverified copy moves a score.
+      val ix = textIndexFor(s, d)
+      val repo = Scratch.dir("s21brepo")
+      val root = java.nio.file.Paths.get(Scratch.dir("s21broot"))
+      val nSnap = graft.sources.Sink.snapshot(s, ix.dir, repo)
+      val nRest = graft.sources.Sink.restore(s, repo,
+        root.resolve("gen-1").toString)
+      require(nSnap == nRest && nSnap > 0,
+        s"artifact snapshot/restore file-count mismatch: $nSnap vs $nRest")
+      graft.operators.ArtifactGen.publish(root, root.resolve("gen-1"))
+      val restored = graft.operators.ArtifactGen.currentDir(root)
+        .getOrElse(throw new IllegalStateException(
+          "restored generation did not resolve — _DONE missing from snapshot"))
+      Search.searchBm25Indexed(s,
+        graft.operators.TextIndex.Loaded(restored.toString, "s21b"),
+        Seq("spark", "window"), k = 20)
+    }),
+    "s21c_incremental_snapshot" -> ((s, d) => {
+      // ES INCREMENTAL snapshots (Sink.snapshotIncremental scaladoc):
+      // snapshot a text index built on 2/3 of the corpus, append the
+      // remaining third as a segment, snapshot AGAIN — the second
+      // snapshot must copy ONLY the delta files (segment files are
+      // immutable; dailies of a 100 TB index copy only new segments) —
+      // then restore the second snapshot into a fresh root and serve
+      // f4's BM25 from it. The oracle is the full-corpus replay, so
+      // the restore proves base + segment + blob reuse compose to the
+      // exact full index.
+      val docs = Tables.documents(s, d)
+      val ixDir = Scratch.dir("s21cix")
+      val base = graft.operators.TextIndex.build(
+        docs.filter(col("doc_id") % 3 =!= 0), ixDir)
+      val repo = Scratch.dir("s21crepo")
+      val (t1, c1) = graft.sources.Sink.snapshotIncremental(s, ixDir, repo, "1")
+      require(t1 > 0 && c1 == t1, "first snapshot copies everything")
+      graft.operators.TextIndex.addSegment(base,
+        docs.filter(col("doc_id") % 3 === 0))
+      val (t2, c2) = graft.sources.Sink.snapshotIncremental(s, ixDir, repo, "2")
+      require(c2 > 0 && c2 < t2,
+        s"second snapshot must copy only the segment delta: copied $c2 of $t2")
+      val root = java.nio.file.Paths.get(Scratch.dir("s21croot"))
+      graft.sources.Sink.restoreSnapshot(s, repo, "2",
+        root.resolve("gen-1").toString)
+      graft.operators.ArtifactGen.publish(root, root.resolve("gen-1"))
+      val restored = graft.operators.ArtifactGen.currentDir(root)
+        .getOrElse(throw new IllegalStateException(
+          "restored snapshot did not resolve as a complete generation"))
+      Search.searchBm25Indexed(s,
+        graft.operators.TextIndex.Loaded(restored.toString, "s21c"),
+        Seq("spark", "window"), k = 20)
+    }),
+    "s20_reindex" -> ((s, d) => {
+      // ES _reindex (conflicts=proceed, op_type=create): dest is
+      // pre-seeded with the doc_id%3==0 slice at ORIGINAL values;
+      // reindexing the whole corpus in applies the painless-style
+      // script (n_chars += 1000 marks migrated copies) and every
+      // seeded id noops — create never overwrites. The verified row
+      // is the _reindex response (total/created/noops) PLUS a dest
+      // readback aggregate: the sum splits exactly into untouched
+      // seed values + transformed new arrivals, so an overwrite, a
+      // double-append, or a dropped conflict all move a counter or
+      // the checksum (Sink.reindex scaladoc for the anti-join +
+      // additive-append shape).
+      val out = Scratch.dir("s20reindex")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.Sink.bulkWrite(s,
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", out)
+      val transformed = docs
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val (total, created, noops) =
+        graft.sources.Sink.reindex(s, transformed, "doc_id", out)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("dest_rows"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(lit(total).as("total"), lit(created).as("created"),
+          lit(noops).as("noops"), col("dest_rows"), col("sum_chars"))
+    }),
+    "s16_delete_by_query" -> ((s, d) => {
+      // The Lucene/ES DELETE lifecycle under the gate
+      // (TextIndex.deleteByQuery scaladoc): tombstone-append
+      // (O(deleted), postings untouched) → masked reads (liveView —
+      // the query-time live-docs mask; df('fast') must already
+      // exclude tombstoned docs while postings physically contain
+      // them) → purgeDeletes (the merge: postings/doclen rewritten,
+      // dictionary + exact-long corpus stats recomputed). A PRIVATE
+      // index copy so the shared artifact stays immutable. Note the
+      // global-id tombstone design means re-adding a deleted id
+      // requires the purge first — addSegment's dup check is against
+      // the unmasked doclen by design.
+      val docs = Tables.documents(s, d)
+      val ix = TextIndex.build(docs, Scratch.dir("s16ix"))
+      val nBefore = ix.doclen(s).count()
+      val nDel = TextIndex.deleteByQuery(s, ix,
+        docs.filter(col("lang") === "de").select(col("doc_id")))
+      val maskedDf = TextIndex.liveView(s, ix, ix.postings(s))
+        .filter(col("term") === "fast").count()
+      TextIndex.purgeDeletes(s, ix)
+      val purgedDf = ix.postings(s).filter(col("term") === "fast").count()
+      val st = ix.corpus(s)
+        .select(col("n").cast("long"), col("sum_len")).head()
+      val nTerms = ix.termDf(s).count()
+      import s.implicits._
+      Seq((nBefore, nDel, st.getLong(0), st.getLong(1), nTerms,
+          maskedDf, purgedDf, maskedDf == purgedDf))
+        .toDF("n_before", "n_deleted", "n_after", "sum_len_after",
+          "n_terms_after", "masked_df_fast", "purged_df_fast",
+          "mask_agrees")
+    }),
+    "s15_generation_swap" -> ((s, d) => {
+      // The managed-artifact GENERATION lifecycle (ArtifactGen
+      // scaladoc) under the driver gate, the way s14 gates the alias
+      // swap: build gen-1 from half the corpus, invalidate it (as a
+      // torn append would), rebuild — the rebuild must land in a
+      // FRESH gen-2 and publish atomically. The verified rows are the
+      // three reader views: the STALE reader still sees gen-1 whole
+      // (its doc count is the half-corpus, proving the rebuild never
+      // touched its directory), the rebuilt reader sees gen-2 whole,
+      // and a fresh resolve (memo evicted, pointer from disk) lands
+      // on gen-2 — wholly-old or wholly-new, never mixed.
+      val key = "s15-" + TextIndex.corpusKey(d)
+      val root = TextIndex.rootFor(key)
+      TextIndex.evictMemo(key)
+      ArtifactGen.wipe(root)
+      // the lifecycle semantics (fresh generations, pointer swap,
+      // stale-reader isolation, gc) are corpus-size-independent — the
+      // gate runs them on a SLICE so the three builds this replay
+      // performs by construction don't dominate the bench; build
+      // scaling itself is BenchScale's job
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+      val a = TextIndex.ensure(docs.filter(col("doc_id") % 2 === 0), key)
+      TextIndex.invalidate(a)
+      val b = TextIndex.ensure(docs, key)
+      TextIndex.evictMemo(key)
+      val resolved = TextIndex.ensure(docs, key)
+      def gen(l: TextIndex.Loaded): Long =
+        l.dir.split("gen-").last.toLong
+      // counts taken EAGERLY: phase 5's gc sweeps gen-1, so a lazy
+      // gen-1 read deferred to collect time would read a deleted dir
+      // (lesson 13 — never defer reads across your own mutations)
+      val staleCount = a.doclen(s).count()    // gen-1, read AFTER the
+                                              // gen-2 rebuild: whole
+      val liveCount = b.doclen(s).count()
+      val resolvedCount = resolved.doclen(s).count()
+      // second rebuild (gen-3), then the keep-last-K janitor: BOTH
+      // predecessors were invalidated (that is why they were rebuilt)
+      // so neither has rollback value — the sweep reclaims both, and
+      // the rollback window only ever retains COMPLETE generations
+      // (ArtifactGen.gc scaladoc; the complete-predecessor retention
+      // case is ArtifactLifecycleSpec's)
+      TextIndex.invalidate(resolved)
+      val c = TextIndex.ensure(docs, key)
+      val rebuiltCount = c.doclen(s).count()
+      val swept = ArtifactGen.gc(root, keepLast = 2)
+      TextIndex.evictMemo(key)
+      val afterGc = TextIndex.ensure(docs, key)
+      val gcOk =
+        swept.map(_.getFileName.toString).sorted == Seq("gen-1", "gen-2") &&
+        !java.nio.file.Files.exists(root.resolve("gen-1")) &&
+        !java.nio.file.Files.exists(root.resolve("gen-2")) &&
+        gen(afterGc) == 3L
+      val gcCount = if (gcOk) afterGc.doclen(s).count() else -1L
+      import s.implicits._
+      Seq(
+        ("1_stale", gen(a), staleCount),
+        ("2_live", gen(b), liveCount),
+        ("3_resolved", gen(resolved), resolvedCount),
+        ("4_rebuilt", gen(c), rebuiltCount),
+        ("5_gc", gen(afterGc), gcCount))
+        .toDF("phase", "generation", "n_docs")
+        .orderBy(col("phase"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s10_match_all" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "s9_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "s11_point_lookup" -> "SELECT * FROM orders WHERE o_orderkey = 42",
+    // s22: a row per requested id, found=false for misses
+    "s22_mget" ->
+      """WITH req(doc_id) AS (VALUES (7),(42),(123),(424242),(9999999)),
+          h AS (SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id IN (7, 42, 123, 424242, 9999999))
+          SELECT req.doc_id::BIGINT AS doc_id,
+                 h.doc_id IS NOT NULL AS found, h.lang, h.n_chars
+          FROM req LEFT JOIN h ON req.doc_id = h.doc_id
+          ORDER BY req.doc_id""",
+    "s3_keyset_chunk" ->
+      "SELECT * FROM orders WHERE o_orderkey > 500 ORDER BY o_orderkey LIMIT 100",
+    "s8_merge_update" ->
+      """SELECT o.o_orderkey, round(o.o_totalprice + coalesce(d.qty, 0.0), 2) AS new_total
+         FROM orders o LEFT JOIN (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY 1) d
+         ON d.l_orderkey = o.o_orderkey ORDER BY o.o_orderkey""",
+    "s8b_versioned_update" ->
+      """SELECT c.o_orderkey,
+                COALESCE(u.expected_seq = c.seq_no, FALSE) AS applied,
+                CASE WHEN u.expected_seq = c.seq_no
+                     THEN c.seq_no + 1 ELSE c.seq_no END AS seq_no_after,
+                round(CASE WHEN u.expected_seq = c.seq_no
+                           THEN c.o_totalprice + 10.0
+                           ELSE c.o_totalprice END, 2) AS total_after
+         FROM (SELECT o_orderkey, o_totalprice,
+                      o_orderkey % 5 + 1 AS seq_no FROM orders) c
+         LEFT JOIN (SELECT o_orderkey AS u_key,
+                           CASE WHEN o_orderkey % 3 = 0
+                                THEN o_orderkey % 5 + 1
+                                ELSE o_orderkey % 5 END AS expected_seq
+                    FROM orders WHERE o_orderkey % 2 = 0) u
+         ON c.o_orderkey = u.u_key
+         ORDER BY c.o_orderkey""",
+    // s14: the readback rides the alias — matching the recomputed v2
+    // aggregates proves the flip landed; lifecycle facts as constants
+    "s14_alias_swap" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+                sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents,
+                'v1' AS alias_before, 'v2' AS alias_after,
+                TRUE AS v1_retained
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "s2_streamed_fetch" ->
+      """SELECT count(*)::BIGINT AS fetched_rows,
+                sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_cents
+         FROM orders""",
+    "s4_create_table" ->
+      """SELECT count(*)::BIGINT AS n_rows, 'r_name,r_regionkey' AS cols
+         FROM region""",
+    "s5_exists_drop" ->
+      """SELECT false AS exists_before, true AS exists_created,
+                true AS dropped, false AS exists_after,
+                false AS dropped_again""",
+    "s6_bulk_roundtrip" ->
+      """SELECT 3::BIGINT AS n_shards, count(*)::BIGINT AS n_rows,
+                count(DISTINCT c_custkey)::BIGINT AS n_ids,
+                min(c_custkey) AS min_id, max(c_custkey) AS max_id
+         FROM customer""",
+    "s7_sink_ack" ->
+      """SELECT count(*)::BIGINT AS written, count(*)::BIGINT AS committed,
+                true AS acked
+         FROM orders""",
+    "s12_compact" ->
+      """SELECT 24::BIGINT AS files_before,
+                ceil(count(*)::DOUBLE / 5000)::BIGINT AS files_after,
+                count(*)::BIGINT AS rows_after
+         FROM documents""",
+    "s13_partition_prune" ->
+      """SELECT count(*)::BIGINT AS n_purchase,
+                sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS purchase_cents
+         FROM events WHERE event_type = 'purchase'""",
+    "s18_rollover" ->
+      """WITH RECURSIVE w AS (SELECT date_trunc('week', ts) AS wk, count(*)::BIGINT AS n
+                              FROM events GROUP BY 1),
+          o AS (SELECT wk, n, row_number() OVER (ORDER BY wk)::INT AS rn FROM w),
+          seg AS (SELECT 1::INT AS rn, 1::INT AS idx,
+                         (SELECT n FROM o WHERE rn = 1) AS acc
+                  UNION ALL
+                  SELECT o.rn,
+                         (CASE WHEN seg.acc >= 5000 THEN seg.idx + 1 ELSE seg.idx END)::INT,
+                         (CASE WHEN seg.acc >= 5000 THEN 0 ELSE seg.acc END) + o.n
+                  FROM seg JOIN o ON o.rn = seg.rn + 1),
+          peridx AS (SELECT seg.idx, sum(o.n)::BIGINT AS n_docs
+                     FROM seg JOIN o ON o.rn = seg.rn GROUP BY 1),
+          wr AS (SELECT CASE WHEN acc >= 5000 THEN idx + 1 ELSE idx END AS widx
+                 FROM seg ORDER BY rn DESC LIMIT 1)
+          SELECT 'v' || idx AS index_name, n_docs,
+                 idx = (SELECT widx FROM wr) AS is_write_index
+          FROM peridx
+          UNION ALL
+          SELECT 'v' || widx, 0::BIGINT, true FROM wr
+          WHERE widx > (SELECT max(idx) FROM peridx)
+          ORDER BY index_name""",
+    // s19: the s18 greedy segmentation replay, filtered to the
+    // keep-last-2 retention window (live write index + rollback
+    // predecessor) — what survives the ILM delete-phase sweep
+    "s19_rollover_gc" ->
+      """WITH RECURSIVE w AS (SELECT date_trunc('week', ts) AS wk, count(*)::BIGINT AS n
+                              FROM events GROUP BY 1),
+          o AS (SELECT wk, n, row_number() OVER (ORDER BY wk)::INT AS rn FROM w),
+          seg AS (SELECT 1::INT AS rn, 1::INT AS idx,
+                         (SELECT n FROM o WHERE rn = 1) AS acc
+                  UNION ALL
+                  SELECT o.rn,
+                         (CASE WHEN seg.acc >= 5000 THEN seg.idx + 1 ELSE seg.idx END)::INT,
+                         (CASE WHEN seg.acc >= 5000 THEN 0 ELSE seg.acc END) + o.n
+                  FROM seg JOIN o ON o.rn = seg.rn + 1),
+          peridx AS (SELECT seg.idx, sum(o.n)::BIGINT AS n_docs
+                     FROM seg JOIN o ON o.rn = seg.rn GROUP BY 1),
+          wr AS (SELECT CASE WHEN acc >= 5000 THEN idx + 1 ELSE idx END AS widx
+                 FROM seg ORDER BY rn DESC LIMIT 1),
+          allv AS (SELECT idx, 'v' || idx AS index_name, n_docs,
+                          idx = (SELECT widx FROM wr) AS is_write_index
+                   FROM peridx
+                   UNION ALL
+                   SELECT widx, 'v' || widx, 0::BIGINT, true FROM wr
+                   WHERE widx > (SELECT max(idx) FROM peridx))
+          SELECT index_name, n_docs, is_write_index FROM allv
+          WHERE idx >= (SELECT widx FROM wr) - 1
+          ORDER BY index_name""",
+    // s21: the restored index must answer exactly like the source
+    // table it was snapshotted from
+    "s21_snapshot_restore" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+                count(DISTINCT c_custkey)::BIGINT AS n_ids,
+                sum(c_custkey)::BIGINT AS sum_key,
+                true AS files_match
+         FROM customer""",
+    // s22: the cluster-restored index must answer exactly like the
+    // source table — same gate as s21, distributed byte path
+    "s22_snapshot_distributed" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+                count(DISTINCT s_suppkey)::BIGINT AS n_ids,
+                sum(s_suppkey)::BIGINT AS sum_key,
+                true AS files_match
+         FROM supplier""",
+    // s23: single-host runtime ⇒ the selector must pick the pool arm
+    "s23_snapshot_auto" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+                count(DISTINCT p_partkey)::BIGINT AS n_ids,
+                sum(p_partkey)::BIGINT AS sum_key,
+                true AS files_match,
+                true AS used_pool
+         FROM part""",
+    // s20: the _reindex response replay — seed slice noops at original
+    // values, the rest arrives with the +1000 script applied
+    "s20_reindex" ->
+      """WITH src AS (SELECT doc_id, n_chars FROM documents),
+          seed AS (SELECT * FROM src WHERE doc_id % 3 = 0),
+          fresh AS (SELECT * FROM src WHERE doc_id % 3 <> 0)
+          SELECT (SELECT count(*) FROM src)::BIGINT AS total,
+                 (SELECT count(*) FROM fresh)::BIGINT AS created,
+                 (SELECT count(*) FROM seed)::BIGINT AS noops,
+                 (SELECT count(*) FROM src)::BIGINT AS dest_rows,
+                 ((SELECT sum(n_chars) FROM seed)
+                  + (SELECT sum(n_chars + 1000) FROM fresh))::BIGINT
+                   AS sum_chars""",
+    "s16_delete_by_query" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${sqlToks("lower(text)")} AS toks FROM documents),
+          r AS (SELECT * FROM t WHERE lang <> 'de' OR lang IS NULL),
+          p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM r)
+          SELECT (SELECT count(*) FROM t)::BIGINT AS n_before,
+                 (SELECT count(*) FROM t WHERE lang = 'de')::BIGINT AS n_deleted,
+                 (SELECT count(*) FROM r)::BIGINT AS n_after,
+                 (SELECT coalesce(sum(len(toks)), 0) FROM r)::BIGINT AS sum_len_after,
+                 (SELECT count(DISTINCT term) FROM p)::BIGINT AS n_terms_after,
+                 (SELECT count(*) FROM p WHERE term = 'fast')::BIGINT AS masked_df_fast,
+                 (SELECT count(*) FROM p WHERE term = 'fast')::BIGINT AS purged_df_fast,
+                 true AS mask_agrees""",
+    "s15_generation_swap" ->
+      """SELECT '1_stale' AS phase, 1::BIGINT AS generation,
+                (SELECT count(*) FROM documents WHERE doc_id < 2000 AND doc_id % 2 = 0)::BIGINT AS n_docs
+         UNION ALL
+         SELECT '2_live', 2::BIGINT, count(*)::BIGINT FROM documents WHERE doc_id < 2000
+         UNION ALL
+         SELECT '3_resolved', 2::BIGINT, count(*)::BIGINT FROM documents WHERE doc_id < 2000
+         UNION ALL
+         SELECT '4_rebuilt', 3::BIGINT, count(*)::BIGINT FROM documents WHERE doc_id < 2000
+         UNION ALL
+         SELECT '5_gc', 3::BIGINT, count(*)::BIGINT FROM documents WHERE doc_id < 2000
+         ORDER BY phase""",
+    // s21c: f4's replay again — the incremental chain (base build +
+    // appended segment + blob-reusing second snapshot + restore) must
+    // serve the exact full-corpus BM25
+    "s21c_incremental_snapshot" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(toks)::INT AS len,
+                       len(list_filter(toks, x -> x = 'spark'))::INT AS tf0,
+                       len(list_filter(toks, x -> x = 'window'))::INT AS tf1 FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1 FROM p)
+          SELECT doc_id,
+                 round((CASE WHEN tf0 > 0
+                             THEN ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) *
+                                  (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                             ELSE 0.0 END) +
+                       (CASE WHEN tf1 > 0
+                             THEN ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) *
+                                  (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                             ELSE 0.0 END), 6) AS score
+          FROM p, s WHERE tf0 > 0 OR tf1 > 0
+          ORDER BY score DESC, doc_id LIMIT 20""",
+    // s21b: IDENTICAL to f4's replay by design — the snapshot→restore
+    // cycle must serve BM25 bit-for-bit like the source-built artifact
+    "s21b_artifact_snapshot" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+          p AS (SELECT doc_id, len(toks)::INT AS len,
+                       len(list_filter(toks, x -> x = 'spark'))::INT AS tf0,
+                       len(list_filter(toks, x -> x = 'window'))::INT AS tf1 FROM t),
+          s AS (SELECT count(*)::DOUBLE AS n, avg(len) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1 FROM p)
+          SELECT doc_id,
+                 round((CASE WHEN tf0 > 0
+                             THEN ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) *
+                                  (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                             ELSE 0.0 END) +
+                       (CASE WHEN tf1 > 0
+                             THEN ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) *
+                                  (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgdl))
+                             ELSE 0.0 END), 6) AS score
+          FROM p, s WHERE tf0 > 0 OR tf1 > 0
+          ORDER BY score DESC, doc_id LIMIT 20""",
+  )
+}
