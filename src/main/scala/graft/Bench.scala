@@ -85,6 +85,16 @@ object Bench {
       // timings are only comparable at the same sf
       val sf = root.get("sf")
       if (sf == null || sf.asText("") != sfDir) return Map.empty
+      // a FAILED anchor query records a near-zero time in the queries
+      // map (it is only marked in failed[]) — anchoring against it
+      // would flag any later SUCCESSFUL run of that query as a huge
+      // anomaly; drop failed keys from the anchor
+      val failed = Option(root.get("failed")).map { f =>
+        val b = Set.newBuilder[String]
+        val it = f.elements()
+        while (it.hasNext) b += it.next().asText("")
+        b.result()
+      }.getOrElse(Set.empty[String])
       val q = root.get("queries")
       if (q == null) Map.empty
       else {
@@ -92,7 +102,8 @@ object Bench {
         val it = q.fields()
         while (it.hasNext) {
           val e = it.next()
-          b += e.getKey -> e.getValue.asDouble(-1.0)
+          if (!failed(e.getKey))
+            b += e.getKey -> e.getValue.asDouble(-1.0)
         }
         b.result()
       }

@@ -121,8 +121,16 @@ object BenchScale {
         (x * (lit(1.0) + lit(sigma) * gauss(i))).cast("float")))
   }
 
-  private def embMode: String =
-    sys.env.getOrElse("SPARK_GRAFT_EMB_MODE", "walsh")
+  private def embMode: String = {
+    val m = sys.env.getOrElse("SPARK_GRAFT_EMB_MODE", "walsh")
+    // refuse typos loudly — an unrecognized mode would silently fall
+    // through to Walsh replicas while the _READY stamp records the
+    // typo'd name, and a later organic-gated recall run against the
+    // structureless corpus would fail with nothing pointing here
+    require(m == "walsh" || m == "clustered",
+      s"SPARK_GRAFT_EMB_MODE='$m' — expected 'walsh' or 'clustered'")
+    m
+  }
 
   /** Replica expansion as ONE scan per table: crossJoin against a
     * broadcast `range(scale)` replica index and compute the key

@@ -18,7 +18,7 @@ import graft.streaming.EventStream
 private[graft] object QueriesAgg {
   import SparkEntry.{queries => _, oracleSql => _, entry => _, _}
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a5_ingest_counters" -> ((s, d) => {
       // A5 ingest counters (`src/main.py:128-156`: docs-indexed /
       // errors per bulk loop) riding the SINK ITSELF: observe-metrics
@@ -1003,7 +1003,7 @@ private[graft] object QueriesAgg {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "a5_ingest_counters" ->
       """SELECT count(*)::BIGINT AS rows_in,
                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT

@@ -18,7 +18,7 @@ import graft.streaming.EventStream
 private[graft] object QueriesAnalyze {
   import SparkEntry.{queries => _, oracleSql => _, entry => _, _}
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ti2_phrase_index" -> ((s, d) =>
       // ES match_phrase served from the POSITIONAL index
       // (Search.phraseFromIndex scaladoc): three pushed term-equality
@@ -248,7 +248,7 @@ private[graft] object QueriesAnalyze {
         terms = Seq("merge"), prefix = "ba", k = 10)),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     // ti2/ti3/f17: positional replay of the token stream — DuckDB
     // walks 1-based token indices where the index stores 0-based
     // positions, so the oracle is an independent positional

@@ -18,7 +18,7 @@ import graft.streaming.EventStream
 private[graft] object QueriesDedup {
   import SparkEntry.{queries => _, oracleSql => _, entry => _, _}
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d15_keep_best_dedup" -> ((s, d) => {
       // near-dup clusters as d8, but KEEP-BEST survivor selection
       // (Dedup.applyClusterDedupBest): the longest member of each
@@ -226,7 +226,7 @@ private[graft] object QueriesDedup {
         .orderBy(col("vec_id"))),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     // d15: the d8 recursive component closure, but the survivor per
     // component is the longest member (tie → smaller id) instead of
     // the min id

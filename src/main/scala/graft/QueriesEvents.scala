@@ -18,7 +18,7 @@ import graft.streaming.EventStream
 private[graft] object QueriesEvents {
   import SparkEntry.{queries => _, oracleSql => _, entry => _, _}
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- event-time analytics (SURVEY §2.9 extension) ----
     "e1_tumbling" -> ((s, d) => EventOps.tumbling(Tables.events(s, d))),
@@ -95,7 +95,7 @@ private[graft] object QueriesEvents {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "e1_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
                 round(sum(value), 2) AS sum_value

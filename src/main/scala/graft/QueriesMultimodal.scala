@@ -18,7 +18,7 @@ import graft.streaming.EventStream
 private[graft] object QueriesMultimodal {
   import SparkEntry.{queries => _, oracleSql => _, entry => _, _}
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- multimodal plumbing (brief §extensions) ----
     "m1_media_meta" -> ((s, d) =>
@@ -110,7 +110,7 @@ private[graft] object QueriesMultimodal {
       Multimodal.sceneCuts(Multimodal.asMedia(Tables.documents(s, d)))),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "m2_media_features" ->
       """WITH cp AS (SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n_bytes,
                             'txt' AS format,

@@ -18,7 +18,7 @@ import graft.streaming.EventStream
 private[graft] object QueriesRel {
   import SparkEntry.{queries => _, oracleSql => _, entry => _, _}
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z3_bucketed_join" -> ((s, d) => {
       // Bucketed CO-LOCATED join — the layout that removes the
       // fact⋈fact shuffle entirely at 100 TB: both tables are written
@@ -535,7 +535,7 @@ private[graft] object QueriesRel {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     // z3: the values are a plain join-aggregate; the co-location claim
     // itself is enforced by the in-query REQUIRE on the executed plan
     "z3_bucketed_join" ->

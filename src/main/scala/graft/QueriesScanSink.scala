@@ -18,7 +18,7 @@ import graft.streaming.EventStream
 private[graft] object QueriesScanSink {
   import SparkEntry.{queries => _, oracleSql => _, entry => _, _}
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / sinks / maintenance (SURVEY §2.1) ----
     "s10_match_all" -> ((s, d) =>
       Tables.orders(s, d)),
@@ -557,7 +557,7 @@ private[graft] object QueriesScanSink {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "s10_match_all" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "s9_count" -> "SELECT count(*) AS cnt FROM lineitem",
     "s11_point_lookup" -> "SELECT * FROM orders WHERE o_orderkey = 42",

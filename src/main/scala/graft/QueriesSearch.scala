@@ -18,7 +18,7 @@ import graft.streaming.EventStream
 private[graft] object QueriesSearch {
   import SparkEntry.{queries => _, oracleSql => _, entry => _, _}
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f19_explain" -> ((s, d) =>
       // ES _explain: the BM25 factor decomposition per matching doc
       // (Search.explainBm25 scaladoc) — the oracle recomputes every
@@ -549,7 +549,7 @@ private[graft] object QueriesSearch {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "f19_explain" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           p AS (SELECT doc_id, len(list_filter(toks, x -> x = 'spark'))::INT AS tf,

@@ -18,7 +18,7 @@ import graft.streaming.EventStream
 private[graft] object QueriesStream {
   import SparkEntry.{queries => _, oracleSql => _, entry => _, _}
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st12_stream_deletes" -> ((s, d) => {
       // Streaming DELETE ingest (IndexStream.runDeleteIngest
       // scaladoc): retention delete requests arrive as a multi-batch
@@ -154,7 +154,7 @@ private[graft] object QueriesStream {
       graft.streaming.PercolateStream.runPercolate(s, d)),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     // st11: the n10 contract through the STREAMED append path
     "st11_stream_vectors" ->
       """SELECT qid::BIGINT AS qid, true AS hit_is_twin, true AS cos_is_one,

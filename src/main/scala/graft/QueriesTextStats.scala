@@ -18,7 +18,7 @@ import graft.streaming.EventStream
 private[graft] object QueriesTextStats {
   import SparkEntry.{queries => _, oracleSql => _, entry => _, _}
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x36_corpus_diff" -> ((s, d) => {
       // corpus version diff (TextStats.corpusDiff scaladoc) against a
       // deterministically-derived v2: every 13th doc removed, every
@@ -386,7 +386,7 @@ private[graft] object QueriesTextStats {
       TextStats.ngramNovelty(Tables.documents(s, d)).orderBy(col("doc_id"))),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     // x36: the same v2 construction, diffed by md5 fingerprint
     "x36_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, source, text FROM documents),

@@ -18,7 +18,7 @@ import graft.streaming.EventStream
 private[graft] object QueriesVector {
   import SparkEntry.{queries => _, oracleSql => _, entry => _, _}
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n12_vector_delete" -> ((s, d) => {
       // Vector deletes (AnnIndex.deleteVectors scaladoc): tombstone →
       // masked probe → purge across all four index tables. The probe
@@ -338,7 +338,7 @@ private[graft] object QueriesVector {
         .orderBy(col("vec_id"))),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "n10_incremental_add" ->
       // constant-TRUE invariant contract (the n-family pattern): the
       // appended twin is provably the unique exact-cosine top hit

@@ -323,7 +323,7 @@ object SparkEntry {
   // the sum of its files, and RegistrySpec asserts the family maps
   // are key-disjoint (++ would otherwise overwrite silently) and
   // that every oracle key names a query.
-  private[graft] val families: Seq[(String, Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
+  private[graft] lazy val families: Seq[(String, Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
     ("QueriesAgg", QueriesAgg.queries, QueriesAgg.oracleSql),
     ("QueriesAnalyze", QueriesAnalyze.queries, QueriesAnalyze.oracleSql),
     ("QueriesDedup", QueriesDedup.queries, QueriesDedup.oracleSql),
@@ -337,9 +337,13 @@ object SparkEntry {
     ("QueriesVector", QueriesVector.queries, QueriesVector.oracleSql),
   )
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  // lazy vals, built ONCE per JVM: callers look queries up in loops
+  // (Bench per query, Plans, BenchScale), and the oracle side
+  // mechanically generates large SQL (the multi-stage BPE replay
+  // CTEs) that must not be re-derived per access
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     families.iterator.map(_._2).reduce(_ ++ _)
 
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     families.iterator.map(_._3).reduce(_ ++ _)
 }

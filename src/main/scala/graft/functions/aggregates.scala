@@ -211,6 +211,21 @@ case class LongVecSum(
   extends TypedImperativeAggregate[Array[Long]]
   with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
 
+  // loud ANALYSIS-time refusal on non-long arrays: toLongArray over an
+  // array<double> would reinterpret IEEE-754 bit patterns as longs —
+  // garbage sums with no error (and deliberately NOT an implicit
+  // cast, whose silent double→long truncation would corrupt instead
+  // of refuse)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"long_vec_sum expects array<bigint>, got ${other.catalogString}")
+    }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 

@@ -1086,11 +1086,23 @@ object Similarity {
   private def trainSubspacesPar(m: Int)(
       f: Int => Array[Array[Double]]): Array[Array[Array[Double]]] = {
     val out = new Array[Array[Array[Double]]](m)
+    // failures captured per slot and RETHROWN after join — a raw
+    // thread's uncaught exception would otherwise leave a null slot
+    // and surface later as an unrelated NPE in the codebook
+    // persistence (or worse, a custom handler could let a corrupt
+    // artifact persist); Array.tabulate propagated directly and so
+    // must this
+    val errs = new Array[Throwable](m)
     val threads = (0 until m).map { j =>
-      new Thread(() => { out(j) = f(j) }, s"graft-pq-train-$j")
+      new Thread(() => {
+        try out(j) = f(j)
+        catch { case t: Throwable => errs(j) = t }
+      }, s"graft-pq-train-$j")
     }
     threads.foreach(_.start())
     threads.foreach(_.join())
+    errs.find(_ != null).foreach(t =>
+      throw new IllegalStateException("subspace codebook training failed", t))
     out
   }
 

@@ -364,9 +364,20 @@ object Sink {
     * LAN rates — smaller trees never pay back a Spark job. */
   val DistributedCopyMinBytes: Long = 256L << 20
 
-  private def executorHostCount(spark: SparkSession): Int =
-    spark.sparkContext.getExecutorMemoryStatus.keysIterator
-      .map(_.split(":")(0)).toSet.size
+  /** Distinct EXECUTOR hosts — the driver's own block manager is
+    * excluded: with the driver on host A and every executor on host
+    * B (client-mode topology), counting A would read "2 hosts" and
+    * pick the distributed arm in exactly the single-executor-NIC
+    * regime where the pool measured faster. An executor co-located
+    * on the driver host is deliberately folded into the driver's
+    * host (that NIC is the pool's anyway). Local mode → empty set →
+    * 1. */
+  private def executorHostCount(spark: SparkSession): Int = {
+    val driverHost = spark.sparkContext.getConf.get("spark.driver.host", "")
+    val hosts = spark.sparkContext.getExecutorMemoryStatus.keysIterator
+      .map(_.split(":")(0)).toSet - driverHost - "localhost"
+    math.max(1, hosts.size)
+  }
 
   /** [[snapshot]] with the arm CHOSEN from topology + tree size
     * ([[chooseDistributedCopy]]): the driver pool on one host, the

@@ -465,6 +465,12 @@ class SimilaritySpec extends SparkSpec {
       ragged.groupBy(col("cell"))
         .agg(graft.functions.aggregates.long_vec_sum(col("q"))).collect()
     }
+    // non-long arrays refuse at ANALYSIS time — toLongArray over an
+    // array<double> would reinterpret IEEE-754 bits as longs silently
+    intercept[org.apache.spark.sql.AnalysisException] {
+      emb.select(col("embedding").cast("array<double>").as("q"))
+        .agg(graft.functions.aggregates.long_vec_sum(col("q"))).collect()
+    }
   }
 
   test("semDedup agrees with brute-force same-cluster pairs; representatives kept") {
