@@ -244,6 +244,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(ix.ivf(spark).count() == n - nDel)
   }
 
+  test("compressed serving arm masks tombstones exactly like the flat arm") {
+    // AnnIndex.search routes BOTH its tables through liveView; this
+    // pins that the ADC+rerank arm (what search ships at routing-
+    // active cell counts) cannot resurrect a deleted vector — the
+    // planted cos-1.0 twin is the strongest candidate there is, so
+    // deleting it and still not seeing it proves the mask holds in
+    // the compressed scan AND the rerank fetch
+    val corpus = plantedCorpus
+    val ix = AnnIndex.build(corpus, freshDir())
+    def pqTop(qid: Long): Array[Long] =
+      Similarity.knnIvfPqRerankBatch(corpus,
+          AnnIndex.liveView(spark, ix, ix.ivf(spark)),
+          AnnIndex.liveView(spark, ix, ix.ivfPqCodes(spark)),
+          ix.cents, ix.resCbs, Seq(qid), k = 5)
+        .orderBy(col("rank")).select(col("vec_id"))
+        .collect().map(_.getLong(0))
+    val before = pqTop(1L)
+    assert(before.head == 1000001L, "planted twin ranks first pre-delete")
+    import spark.implicits._
+    val nDel = AnnIndex.deleteVectors(spark, ix,
+      Seq(1000001L).toDF("vec_id"))
+    assert(nDel == 1L)
+    val after = pqTop(1L)
+    assert(!after.contains(1000001L),
+      "tombstoned vector must not be served by the compressed arm")
+    assert(after.nonEmpty)
+  }
+
   test("maybePurge: sub-threshold tombstones persist; crossing the ratio merges") {
     val corpus = plantedCorpus
     val ix = AnnIndex.build(corpus, freshDir())
