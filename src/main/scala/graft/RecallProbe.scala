@@ -278,7 +278,7 @@ object RecallProbe {
     val organicOk = !organicGate || organicServed >= 0.9
     val dim = qRows.head._2.length
     val m = ix.resCbs.length
-    val rDepth = operators.Similarity.rerankDepthFor(k)
+    val rDepth = operators.Similarity.rerankDepthFor(k, serving, nlist)
     val cellSizes = ix.ivf(spark).groupBy(col("cell"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

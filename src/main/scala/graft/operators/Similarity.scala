@@ -714,15 +714,31 @@ object Similarity {
     * nprobe·(n/nlist)·(4m+8) + R·(8·dim+20) — ≥8× down at dim 64
     * whenever R ≪ candidates (the recall probe's enforced
     * bytes-ratio gate). */
-  /** Default exact-rerank shortlist depth for a top-k request — ONE
-    * definition shared by the serving path and the recall probe's
-    * bytes ledger (the SQ8 single-sourcing lesson: two inlined copies
-    * let one drift unverified). FAISS refine-style generous multiple:
-    * 16·k (floor 128) measured planted recall 0.933 at the ×100
-    * serving default where 8·k read 0.908 — margin over the 0.9 gate
-    * for 48 more full-precision fetches, invisible next to the
-    * compressed scan (bytes ratio ≥8 holds at every probed decade). */
-  def rerankDepthFor(k: Int): Int = math.max(16 * k, 128)
+  /** Default exact-rerank shortlist depth — ONE definition shared by
+    * the serving path and the recall probe's bytes ledger (the SQ8
+    * single-sourcing lesson: two inlined copies let one drift
+    * unverified). Two terms:
+    *
+    *  - 16·k (floor 128), the FAISS refine-style multiple — measured
+    *    planted recall 0.933 at the ×100 serving default where 8·k
+    *    read 0.908;
+    *  - candidates/32 — the term the ×1000 CLUSTERED organic gate
+    *    forced (round-14): on clustered data a query sits in a
+    *    ~cluster-sized band of near-tie candidates, and the number of
+    *    true neighbors the 8-bit ADC noise can displace scales with
+    *    that band, so a FIXED depth covers a VANISHING fraction of
+    *    candidates as n grows (160/54k ≈ 0.3% at ×1000 — organic
+    *    recall through the shortlist read 0.63 where the probed cells
+    *    held 0.986). Re-reading a constant 1/32 of the compressed
+    *    candidates pins the bytes ratio at ≈ (8·dim+20)/((4m+8) +
+    *    (8·dim+20)/32) ≈ 9.4 at dim 64 — scale-INVARIANT and over
+    *    the ≥8 gate — while the shortlist tracks the near-tie band.
+    *    Under the √n sizing (nlist = √n) candidates/query =
+    *    nprobe·(n/nlist) = nprobe·nlist, both known at call time.
+    *
+    * Oracle-sized corpora resolve to the 128/16·k floor unchanged. */
+  def rerankDepthFor(k: Int, nprobe: Int, nlist: Int): Int =
+    math.max(math.max(16 * k, 128), nprobe * nlist / 32)
 
   def knnIvfPqRerankBatch(emb: DataFrame, ivf: DataFrame, codes: DataFrame,
                           cents: Array[Array[Double]],
@@ -731,7 +747,8 @@ object Similarity {
                           nprobe: Int = AnnIndex.AutoNprobe,
                           rerank: Int = 0): DataFrame = {
     val np = resolveNprobe(nprobe, cents.length)
-    val r = if (rerank > 0) rerank else rerankDepthFor(k)
+    val r = if (rerank > 0) rerank
+            else rerankDepthFor(k, np, cents.length)
     val m = cbs.length
     val ds = cbs.head.head.length
     val e = withNorm(emb)
@@ -771,7 +788,16 @@ object Similarity {
     val lutRows = probes.toIndexedSeq.map { case (qid, _, _, luts) =>
       (qid, luts.map(_.toSeq).toSeq)
     }.toDF("qid", "lut")
-    val adc = codes.join(broadcast(qRows), Seq("cell"))
+    // probed cells are known DRIVER-side here (unlike the flat arm,
+    // whose probe list is computed executor-side), so the code-table
+    // scan gets a STATIC literal partition filter — guaranteed
+    // file-level pruning, not a bet on the dynamic-partition-pruning
+    // heuristic declining the broadcast-join filter; the equi-join
+    // below still restricts each row to the queries that probed its
+    // cell, so results are unchanged
+    val cellsAll = probes.flatMap(_._2).distinct.toSeq
+    val adc = codes.filter(col("cell").isin(cellsAll: _*))
+      .join(broadcast(qRows), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(lutRows), Seq("qid"))
       .select(col("qid"), col("vec_id"),
@@ -786,9 +812,8 @@ object Similarity {
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.vec_id").as("vec_id"))
     // exact rerank: ≤ |queries|·R full-precision fetches from the
-    // probed cells only (partition pruning on the literal cell set),
+    // probed cells only (the same literal cell-set prune),
     // then the SAME exact scoring + top-k machinery as the flat path
-    val cellsAll = probes.flatMap(_._2).distinct.toSeq
     val queryVecs = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"))

@@ -317,5 +317,18 @@ class AnnIndexSpec extends SparkSpec {
     val one = ix.ivf(spark).filter(col("cell") === 0)
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(cell"), plan)
+    // the compressed serving arm prunes BOTH its scans with the
+    // static probed-cell literal set (not a bet on dynamic partition
+    // pruning): the codes ADC scan and the rerank fetch each carry a
+    // non-empty cell IN (...) partition filter in the executed plan
+    val served = Similarity.knnIvfPqRerankBatch(corpus,
+      ix.ivf(spark), ix.ivfPqCodes(spark), ix.cents, ix.resCbs,
+      Seq(1L), k = 5)
+    val sPlan = served.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[cell#\\d+ IN \\(".r
+      .findAllIn(sPlan).size
+    assert(pruned >= 2,
+      s"expected static cell IN (...) partition filters on the codes " +
+        s"scan AND the rerank fetch, found $pruned:\n$sPlan")
   }
 }
