@@ -144,7 +144,8 @@ object AnnIndex {
                           cents: Array[Array[Double]],
                           pqCbs: Array[Array[Array[Double]]],
                           resCbs: Array[Array[Array[Double]]],
-                          key: String = "") {
+                          key: String = "",
+                          nRows: Long = -1L) {
     def ivf(spark: SparkSession): DataFrame =
       spark.read.parquet(s"$dir/ivf")
     def pqCodes(spark: SparkSession): DataFrame =
@@ -375,7 +376,7 @@ object AnnIndex {
 
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_DONE"),
       Array.emptyByteArray)
-    Loaded(dir, cents, pqCbs, resCbs)
+    Loaded(dir, cents, pqCbs, resCbs, nRows = n)
   }
 
   /** THE serving entry point — arm selection by cell count (round-14,
@@ -409,7 +410,7 @@ object AnnIndex {
       Similarity.knnIvfPqRerankBatch(emb,
         liveView(spark, ix, ix.ivf(spark)),
         liveView(spark, ix, ix.ivfPqCodes(spark)),
-        ix.cents, ix.resCbs, queryIds, k, nprobe)
+        ix.cents, ix.resCbs, queryIds, k, nprobe, nHint = ix.nRows)
 
   /** Incremental vector ingest — the FAISS `add()` model: new vectors
     * are encoded against the FROZEN trained structures (coarse
@@ -471,7 +472,15 @@ object AnnIndex {
             "invalidated (_DONE removed, memo evicted), next ensure() " +
             "rebuilds", e)
     }
-    base
+    // the live row count rides the handle so [[search]]'s shortlist
+    // depth keeps tracking the TRUE candidate count as frozen-
+    // structure adds grow n past the trained nlist² identity
+    // (Similarity.rerankDepthFor scaladoc); the managed memo entry
+    // is refreshed so later ensure() callers see it too
+    val grown =
+      if (base.nRows > 0) base.copy(nRows = base.nRows + nDelta) else base
+    if (grown.key.nonEmpty) memo.replace(grown.key, grown)
+    grown
   }
 
   /** Delete-by-id, the tombstone model [[TextIndex.deleteByQuery]]
@@ -607,6 +616,10 @@ object AnnIndex {
       }
     }
     val cents = group("cent").head
-    Loaded(dir, cents, group("pq"), group("res"))
+    // live row count rides the Loaded handle so the serving shortlist
+    // depth tracks the TRUE candidate count (rerankDepthFor scaladoc);
+    // one metadata-cheap count per JVM per artifact
+    val n = spark.read.parquet(s"$dir/ivf").count()
+    Loaded(dir, cents, group("pq"), group("res"), nRows = n)
   }
 }

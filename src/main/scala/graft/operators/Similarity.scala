@@ -702,9 +702,11 @@ object Similarity {
     *
     * Spark shape: per-query driver state is Θ(nprobe + m·ksub)
     * (probed cells, their biases, the ADC LUTs — model-sized); the
-    * query side broadcasts as one row per (query, probed cell), so
-    * the cell equi-join prunes the code table to probed-cell FILES
-    * exactly like the flat path; the shortlist is the bounded
+    * probed-cell union is applied to BOTH scans as a STATIC literal
+    * partition filter (guaranteed file pruning — the cell equi-join
+    * alone would leave pruning to the DPP heuristic), while the
+    * broadcast (query, probed cell) rows restrict each row to the
+    * queries that probed its cell; the shortlist is the bounded
     * [[graft.functions.TopKByScore]] heap (map-side partials, 16·R
     * bytes per query through the shuffle); the rerank fetch
     * broadcasts ≤ |queries|·R ids against the probed cells of the
@@ -736,19 +738,35 @@ object Similarity {
     *    Under the √n sizing (nlist = √n) candidates/query =
     *    nprobe·(n/nlist) = nprobe·nlist, both known at call time.
     *
-    * Oracle-sized corpora resolve to the 128/16·k floor unchanged. */
-  def rerankDepthFor(k: Int, nprobe: Int, nlist: Int): Int =
-    math.max(math.max(16 * k, 128), nprobe * nlist / 32)
+    * Oracle-sized corpora resolve to the 128/16·k floor unchanged.
+    *
+    * `n` (when the caller knows the index's LIVE row count —
+    * [[graft.operators.AnnIndex.search]] passes `Loaded.nRows`)
+    * replaces the build-time nprobe·nlist identity with the true
+    * candidate estimate nprobe·(n/nlist): frozen-structure
+    * incremental adds grow n while nlist stays as trained, and the
+    * build-time proxy would silently shrink shortlist COVERAGE as a
+    * fraction of candidates — the exact defect the ×1000 clustered
+    * gate caught, reintroduced through the add path. (A stale-high
+    * count after purgeDeletes errs to a LARGER depth — recall-safe.) */
+  def rerankDepthFor(k: Int, nprobe: Int, nlist: Int,
+                     n: Long = -1L): Int = {
+    val candidates =
+      if (n > 0) nprobe.toLong * (n / math.max(1, nlist))
+      else nprobe.toLong * nlist
+    math.max(math.max(16 * k, 128),
+      math.min(candidates / 32L, (Int.MaxValue / 4).toLong).toInt)
+  }
 
   def knnIvfPqRerankBatch(emb: DataFrame, ivf: DataFrame, codes: DataFrame,
                           cents: Array[Array[Double]],
                           cbs: Array[Array[Array[Double]]],
                           queryIds: Seq[Long], k: Int = 10,
                           nprobe: Int = AnnIndex.AutoNprobe,
-                          rerank: Int = 0): DataFrame = {
+                          rerank: Int = 0, nHint: Long = -1L): DataFrame = {
     val np = resolveNprobe(nprobe, cents.length)
     val r = if (rerank > 0) rerank
-            else rerankDepthFor(k, np, cents.length)
+            else rerankDepthFor(k, np, cents.length, nHint)
     val m = cbs.length
     val ds = cbs.head.head.length
     val e = withNorm(emb)

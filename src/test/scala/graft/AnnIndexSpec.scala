@@ -244,6 +244,31 @@ class AnnIndexSpec extends SparkSpec {
     assert(ix.ivf(spark).count() == n - nDel)
   }
 
+  test("live row count rides the handle: build sets it, addVectors grows it, the shortlist depth tracks it") {
+    // frozen-structure adds grow n while nlist stays as trained; the
+    // serving depth must track the TRUE candidate count or shortlist
+    // coverage silently shrinks back to the regime the ×1000
+    // clustered gate caught (rerankDepthFor scaladoc)
+    val corpus = plantedCorpus
+    val ix = AnnIndex.build(corpus, freshDir())
+    val n0 = corpus.count()
+    assert(ix.nRows == n0)
+    val delta = corpus.limit(3)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("label"),
+        col("embedding"))
+    val grown = AnnIndex.addVectors(ix, delta)
+    assert(grown.nRows == n0 + 3)
+    // with a live n of 10·nlist² the candidates/32 term must scale
+    // the depth ~10× over the build-time identity
+    val d0 = Similarity.rerankDepthFor(10, 38, 1414)
+    val d1 = Similarity.rerankDepthFor(10, 38, 1414,
+      n = 10L * 1414 * 1414)
+    assert(d1 > d0 * 9 && d1 < d0 * 11, s"depth $d0 -> $d1")
+    // ...and oracle-sized indexes stay on the unchanged floor
+    assert(Similarity.rerankDepthFor(10, 4, 16) == 160)
+    assert(Similarity.rerankDepthFor(10, 4, 16, n = 256L) == 160)
+  }
+
   test("compressed serving arm masks tombstones exactly like the flat arm") {
     // AnnIndex.search routes BOTH its tables through liveView; this
     // pins that the ADC+rerank arm (what search ships at routing-
@@ -325,7 +350,9 @@ class AnnIndexSpec extends SparkSpec {
       ix.ivf(spark), ix.ivfPqCodes(spark), ix.cents, ix.resCbs,
       Seq(1L), k = 5)
     val sPlan = served.queryExecution.executedPlan.toString
-    val pruned = "PartitionFilters: \\[cell#\\d+ IN \\(".r
+    // robust to Catalyst's In renderings: In → "IN (", InSet past the
+    // conversion threshold → "INSET", single value → "= N"
+    val pruned = "PartitionFilters: \\[cell#\\d+ (IN \\(|INSET|= )".r
       .findAllIn(sPlan).size
     assert(pruned >= 2,
       s"expected static cell IN (...) partition filters on the codes " +
