@@ -110,6 +110,56 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
+  /** Rolling per-query medians across the round's full-suite runs
+    * (round-14 verdict task 5): the 3×-vs-anchor attribution catches
+    * gross box degradation, but the flagship row wandered 3.74 →
+    * 7.14 s between same-binary runs — a 1.9× move that stayed under
+    * the anomaly threshold while the sentinels moved only ~11–16%.
+    * Every full run appends its per-query times to
+    * `bench_history.jsonl`; the NEXT run reads the last [[HistoryRuns]]
+    * same-sf lines, takes per-query medians, and flags the top-10
+    * rows BY MEDIAN that measure >1.75× their median into the health
+    * block's `wander` map — so a driver-run artifact self-explains a
+    * flagship wander (or shows it gone) without any human diffing
+    * runs. Parse failures degrade to no flags, never an abort. */
+  private val HistoryRuns = 8
+  private val HistoryFile = "bench_history.jsonl"
+
+  private def historyMedians(path: String, sfDir: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val lines = scala.jdk.CollectionConverters
+        .ListHasAsScala(java.nio.file.Files.readAllLines(p)).asScala
+        .filter(_.trim.nonEmpty)
+      val runs = lines.flatMap { l =>
+        try {
+          val root = om.readTree(l)
+          val sf = root.get("sf")
+          val q = root.get("queries")
+          if (sf == null || sf.asText("") != sfDir || q == null) None
+          else {
+            val b = Map.newBuilder[String, Double]
+            val it = q.fields()
+            while (it.hasNext) {
+              val e = it.next()
+              b += e.getKey -> e.getValue.asDouble(-1.0)
+            }
+            Some(b.result())
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.takeRight(HistoryRuns)
+      if (runs.isEmpty) return Map.empty
+      runs.flatMap(_.keys).toSet.iterator.map { (k: String) =>
+        val vs = runs.flatMap(_.get(k)).filter(_ > 0.0).toIndexedSeq.sorted
+        k -> (if (vs.isEmpty) -1.0
+              else if (vs.length % 2 == 1) vs(vs.length / 2)
+              else (vs(vs.length / 2 - 1) + vs(vs.length / 2)) / 2.0)
+      }.filter(_._2 > 0.0).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -199,8 +249,19 @@ object Bench {
            v > 3.0 * anchor(k) =>
       f""""$k":${v / anchor(k)}%.2f"""
     }
+    // finer-grained wander flags vs the ROLLING MEDIAN of recent runs
+    // (historyMedians scaladoc): the top-10 rows by median, >1.75×
+    val medians = historyMedians(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", HistoryFile), sfDir)
+    val top10 = medians.toSeq.sortBy(-_._2).take(10).map(_._1).toSet
+    val wander = results.collect { case (k, v, true)
+        if top10(k) && v > 1.75 * medians(k) =>
+      f""""$k":${v / medians(k)}%.2f"""
+    }
     val healthFull = health.dropRight(1) +
       s""","anchored":${anchor.nonEmpty}""" +
+      s""","median_runs":${medians.nonEmpty}""" +
+      s""","wander":${wander.mkString("{", ",", "}")}""" +
       s""","anomalies":${anomalies.mkString("{", ",", "}")}}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$onlyTag""" +
       s""""health":$healthFull,"queries":$qs,""" +
@@ -212,6 +273,22 @@ object Bench {
     val outFile = if (only.isDefined) "bench_out.partial.json" else "bench_out.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
+    // full-suite runs feed the rolling-median history (append-only;
+    // BENCH_ONLY subsets and failed rows are excluded — a partial or
+    // broken run must not drag future medians). Guarded: history is
+    // advisory, a write failure must never fail the bench.
+    if (only.isEmpty) try {
+      val okQs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", HistoryFile)),
+        (s"""{"sf":"$sfDir","queries":$okQs}""" + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] history append skipped: $e")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

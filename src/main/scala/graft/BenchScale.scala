@@ -365,8 +365,15 @@ object BenchScale {
         val (got, s) = timed {
           batchOpt match {
             case Some(b) =>
+              // emitted MERGES only: the batched trainer now appends a
+              // terminal supply_exhausted marker row on exhausted runs
+              // (its scaladoc) — a receipt, not a merge. Real merges
+              // always carry pair_count ≥ 1; the marker carries 0 (a
+              // corpus word could in principle spell the marker text,
+              // so discriminate on the count, not the symbol).
               operators.TextStats.bpeTrainBatched(spark, docs, steps = k,
-                batch = b).count()
+                batch = b)
+                .filter(col("pair_count") > 0).count()
             case None =>
               operators.TextStats.bpeTrain(spark, docs, steps = k).count()
           }
@@ -405,6 +412,82 @@ object BenchScale {
           sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench_bpe.json")),
         (line + "\n").getBytes("UTF-8"))
       spark.stop()
+      return
+    }
+
+    // SERVE BREAKDOWN (round-14 verdict task 1): the n3b dispatcher
+    // rows grew at both routing decades while the per-arm sweep showed
+    // the compressed scan itself fast — so the overhead lives in the
+    // serve path AROUND the scan and needs a measured owner. This mode
+    // materializes each stage of the ONE shipped pipeline
+    // (Similarity.ivfPqRerankStages — the same code knnIvfPqRerankBatch
+    // returns the tail of) in isolation and reports cumulative +
+    // marginal seconds per stage, next to the flat arm and the full
+    // AnnIndex.search dispatch, into `serve_breakdown` fields. Each
+    // variant re-runs the earlier stages (lazy frames share no state
+    // across isolate()), so marginals are differences of cumulative
+    // runs under the Bench isolation discipline.
+    sys.env.get("SPARK_GRAFT_SERVE_BREAKDOWN").foreach { _ =>
+      val dir = if (scale <= 1) base
+                else { replicate(spark, base, out, scale); out }
+      val ix = SparkEntry.annIndexFor(spark, dir)
+      val emb = SparkEntry.annPlantedCorpus(spark, dir)
+      val nq = sys.env.getOrElse("SPARK_GRAFT_SERVE_Q", "3").toInt
+      // n3b's probe ids at nq=3 (the bench row this attributes); more
+      // queries sample by the RecallProbe's salted held-out order
+      val qids =
+        if (nq <= 3) SparkEntry.annProbeIds
+        else emb.filter(!col("vec_id").isin(
+            (SparkEntry.annProbeIds ++
+              SparkEntry.annProbeIds.map(_ + 1000000L)): _*))
+          .orderBy(xxhash64(col("vec_id") + 777777L), col("vec_id"))
+          .limit(nq).select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      def live(df: DataFrame) = operators.AnnIndex.liveView(spark, ix, df)
+      def stages() = operators.Similarity.ivfPqRerankStages(
+        emb, live(ix.ivf(spark)), live(ix.ivfPqCodes(spark)),
+        ix.cents, ix.resCbs, qids, k = 10, nHint = ix.nRows)
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      // warm the reader paths once (untimed), as Bench does
+      Tables(spark, dir, "embeddings")
+        .write.format("noop").mode("overwrite").save()
+      Bench.isolate(spark)
+      val (s0, _) = timed { stages() } // probe collect only
+      Bench.isolate(spark)
+      val (_, tAdc) = timed { noop(stages().adc) }
+      Bench.isolate(spark)
+      val (_, tShort) = timed { noop(stages().shortlist) }
+      Bench.isolate(spark)
+      val (_, tExact) = timed { noop(stages().exact) }
+      Bench.isolate(spark)
+      val (_, tFull) = timed { noop(stages().result) }
+      Bench.isolate(spark)
+      val (_, tSearch) = timed { noop(operators.AnnIndex.search(
+        spark, ix, emb, qids, k = 10)) }
+      Bench.isolate(spark)
+      val (_, tFlat) = timed { noop(operators.Similarity
+        .knnIvfBatchAssigned(emb, live(ix.ivf(spark)), ix.cents, qids,
+          k = 10)) }
+      Bench.isolate(spark)
+      val st = stages()
+      val line =
+        f"""{"metric":"serve_breakdown","dir":"$dir","queries":${qids.length},""" +
+          f""""nlist":${ix.cents.length},"n_rows":${ix.nRows},""" +
+          f""""rerank_depth":${st.rerank},"probed_cells":${st.cells.length},""" +
+          f""""probe_collect_sec":${s0.probeSec}%.3f,""" +
+          f""""cum_adc_sec":$tAdc%.3f,"cum_shortlist_sec":$tShort%.3f,""" +
+          f""""cum_exact_sec":$tExact%.3f,"cum_full_sec":$tFull%.3f,""" +
+          f""""marginal_shortlist_sec":${tShort - tAdc}%.3f,""" +
+          f""""marginal_exact_sec":${tExact - tShort}%.3f,""" +
+          f""""marginal_labels_sec":${tFull - tExact}%.3f,""" +
+          f""""search_dispatch_sec":$tSearch%.3f,"flat_arm_sec":$tFlat%.3f}"""
+      println(line)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench_serve.json")),
+        (line + "\n").getBytes("UTF-8"))
+      spark.stop()
+      if (scale > 1) cleanupScaled(out)
       return
     }
 

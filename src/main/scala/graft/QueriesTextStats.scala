@@ -226,6 +226,18 @@ private[graft] object QueriesTextStats {
       // verified
       TextStats.bpeTrainBatched(s, Tables.documents(s, d),
         steps = 16, batch = 16)),
+    "x26c_bpe_exhausted" -> ((s, d) => {
+      // the SUPPLY-EXHAUSTED case (bpeTrainBatched scaladoc, round-14
+      // verdict task 6): a two-word fixture whose pair supply runs dry
+      // after 2 of the 8 requested merges — the result must end with
+      // the terminal supply_exhausted marker row (step 3, round 2),
+      // and the oracle replays both the merges AND the marker, so a
+      // 32k-merge caller provably learns the ceiling from the output
+      // table rather than from wall-clock
+      import s.implicits._
+      val fx = Seq((1L, "ab ab cd"), (2L, "ab cd cd")).toDF("doc_id", "text")
+      TextStats.bpeTrainBatched(s, fx, steps = 8, batch = 4)
+    }),
     "x22_text_chunks" -> ((s, d) =>
       // overlapping 64-token windows, 16-token overlap (RAG prep)
       TextStats.textChunks(Tables.documents(s, d))
@@ -805,6 +817,8 @@ private[graft] object QueriesTextStats {
           FROM rates LEFT JOIN samp USING (source) ORDER BY source""",
     "x26_bpe_train" -> sqlBpeTrain(8),
     "x26b_bpe_train_batched" -> sqlBpeTrainBatched(16, 16),
+    "x26c_bpe_exhausted" -> sqlBpeTrainBatched(8, 4,
+      source = "(VALUES (1, 'ab ab cd'), (2, 'ab cd cd')) fx(doc_id, text)"),
     "x25_simpson" ->
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
           u AS (SELECT doc_id, unnest(toks) AS tok FROM t),

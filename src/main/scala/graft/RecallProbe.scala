@@ -91,7 +91,24 @@ object RecallProbe {
     // truth and both arms rank the identical universe
     val emb = SparkEntry.annPlantedCorpus(spark, dir)
     val n = emb.count()
-    val ix = SparkEntry.annIndexFor(spark, dir)
+    // SPARK_GRAFT_NLIST: the ROUTER-DESIGN PROBE (round-14 verdict
+    // task 3) — build an AD-HOC index at a forced cell count over the
+    // SAME corpus, so the one-level √n layout and a finer two-level
+    // candidate-count design measure recall and candidates/query under
+    // identical ground truth. The managed artifact is untouched (the
+    // probe build goes to its own temp dir, wiped after the run).
+    val nlistOverride = sys.env.get("SPARK_GRAFT_NLIST").map(_.toInt)
+    val probeDir = nlistOverride.map { nl =>
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft-router-probe-nl$nl").toString
+      System.err.println(s"[recall] ad-hoc build nlist=$nl -> $d")
+      d
+    }
+    val ix = probeDir match {
+      case Some(d) =>
+        operators.AnnIndex.build(emb, d, nlistOverride = nlistOverride.get)
+      case None => SparkEntry.annIndexFor(spark, dir)
+    }
     val nlist = ix.cents.length
     val serving = operators.AnnIndex.nprobeFor(nlist)
     val nprobes = sys.env.getOrElse("SPARK_GRAFT_RECALL_NPROBE", "auto")
@@ -278,7 +295,11 @@ object RecallProbe {
     val organicOk = !organicGate || organicServed >= 0.9
     val dim = qRows.head._2.length
     val m = ix.resCbs.length
-    val rDepth = operators.Similarity.rerankDepthFor(k, serving, nlist)
+    // the TRUE live row count, exactly as AnnIndex.search sizes the
+    // serving shortlist (single-sourcing: the ledger must price the
+    // depth serving actually uses)
+    val rDepth = operators.Similarity.rerankDepthFor(k, serving, nlist,
+      ix.nRows)
     val cellSizes = ix.ivf(spark).groupBy(col("cell"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -294,6 +315,7 @@ object RecallProbe {
     val bytesOk = !routingActive || bytesRatio >= 8.0
     val line =
       f"""{"metric":"recall_probe","dir":"$dir","n":$n,"nlist":$nlist,""" +
+        f""""nlist_forced":${nlistOverride.isDefined},""" +
         f""""routing_active":$routingActive,""" +
         f""""q":$q,"k":$k,"serving_nprobe":$serving,"held_out_queries":true,""" +
         f""""candidates_per_query":$candMean%.0f,"rerank_depth":$rDepth,""" +
@@ -313,6 +335,11 @@ object RecallProbe {
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "bench_recall.json")),
       (line + "\n").getBytes("UTF-8"))
+    // ad-hoc router-probe artifacts are throwaway (GBs at ×1000)
+    probeDir.foreach { d =>
+      operators.ArtifactGen.wipe(java.nio.file.Paths.get(d))
+      System.err.println(s"[recall] wiped ad-hoc probe build $d")
+    }
     spark.stop()
     if (!(servingOk && routingOk && pqServingOk && bytesOk && organicOk)) {
       System.err.println("[recall] GATE VIOLATED — see the gates block")

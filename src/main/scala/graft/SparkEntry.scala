@@ -122,8 +122,21 @@ object SparkEntry {
     * statically; a stage whose dynamic `want` (steps − emitted so
     * far) is 0 ranks a LIMIT-0 list and is a no-op, so the SQL is
     * correct for ANY fill pattern the screen produces — rounds that
-    * fill, partial rounds, all the way to one-pick rounds. */
-  private[graft] def sqlBpeTrainBatched(steps: Int, batch: Int): String = {
+    * fill, partial rounds, all the way to one-pick rounds.
+    *
+    * The terminal `supply_exhausted` marker (the trainer's scaladoc,
+    * round-14 verdict task 6) is replayed too: the exhausted round is
+    * the FIRST stage whose `want` was positive but whose pair ranking
+    * came back empty — min over the per-stage exhaustion flags — and
+    * the marker row carries (total emitted + 1, that round, '', '',
+    * 'supply_exhausted', 0), exactly the Spark emission. A fully-
+    * supplied run has no exhausted stage, min is NULL, the arm emits
+    * nothing. `source` lets a fixture query replay training over an
+    * inline VALUES relation instead of the documents table (the
+    * exhausted case needs a corpus that actually runs dry). */
+  private[graft] def sqlBpeTrainBatched(steps: Int, batch: Int,
+                                        source: String = "documents")
+      : String = {
     // every non-recursive CTE is MATERIALIZED: the v-chain is
     // referenced twice per stage (s$i and v$i), so inlining would
     // re-expand v0 2^steps times — at 16 stages that's 65k parquet
@@ -131,7 +144,7 @@ object SparkEntry {
     // materialization computes each vocab generation once
     val head =
       s"""WITH RECURSIVE w AS (SELECT unnest(toks) AS w
-                     FROM (SELECT ${sqlToks("lower(text)")} AS toks FROM documents)),
+                     FROM (SELECT ${sqlToks("lower(text)")} AS toks FROM $source)),
           v0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS rep,
                         count(*)::BIGINT AS freq
                  FROM w GROUP BY w)"""
@@ -172,11 +185,28 @@ object SparkEntry {
                   freq
                   FROM v${i - 1})"""
     }.mkString(",\n", ",\n", "")
+    // the exhausted round: first stage that WANTED merges but ranked
+    // zero pairs (empty vocab tail); NULL when supply never ran out
+    val exhArms = (1 to steps).map { i =>
+      s"""SELECT $i AS i WHERE (SELECT want FROM w$i) > 0
+                 AND NOT EXISTS (SELECT 1 FROM t$i)"""
+    }.mkString("\nUNION ALL\n")
+    val emTotal = (1 to steps).map(i => s"(SELECT count(*) FROM k$i)")
+      .mkString(" + ")
+    val exh =
+      s""",
+          exh AS MATERIALIZED (SELECT min(i) AS r FROM ($exhArms))"""
     val finals = (1 to steps).map { i =>
       s"""SELECT ((SELECT em FROM em$i) + ord) AS step, $i::BIGINT AS round,
                  l AS left_sym, r AS right_sym, l || r AS merged, c AS pair_count FROM k$i"""
     }.mkString("\nUNION ALL\n")
-    s"$head$stages\n$finals\nORDER BY step"
+    val terminal =
+      s"""UNION ALL
+          SELECT ($emTotal + 1)::BIGINT AS step, r::BIGINT AS round,
+                 '' AS left_sym, '' AS right_sym,
+                 'supply_exhausted' AS merged, 0::BIGINT AS pair_count
+          FROM exh WHERE r IS NOT NULL"""
+    s"$head$stages$exh\n$finals\n$terminal\nORDER BY step"
   }
 
   /** Planted-ground-truth corpus shared by the ANN contract queries

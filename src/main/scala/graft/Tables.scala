@@ -48,21 +48,21 @@ object Tables {
     // events table, a non-starter at the 100 TB design point.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    val df =
-      try spark.read.parquet(s"$dir/events.parquet")
-      catch { case t: Throwable =>
-        prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
-        throw t
-      }
-    val tsType = df.schema("ts").dataType
-    if (tsType != org.apache.spark.sql.types.LongType) prev match {
+    def restore(): Unit = prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+    spark.conf.set(key, "true")
+    // the schema probe lives INSIDE the guarded region: a corpus whose
+    // events table lacks `ts` throws from `df.schema("ts")` AFTER a
+    // successful read, and a restore scoped to read failures alone
+    // would leak the session-wide flag on that path (round-14 advisor)
+    val (df, tsType) =
+      try {
+        val d = spark.read.parquet(s"$dir/events.parquet")
+        (d, d.schema("ts").dataType)
+      } catch { case t: Throwable => restore(); throw t }
+    if (tsType != org.apache.spark.sql.types.LongType) restore()
     df.withColumn("ts", normalizeTs(tsType))
   }
 

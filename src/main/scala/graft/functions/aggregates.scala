@@ -243,12 +243,33 @@ case class LongVecSum(
       buf
     }
 
+  // statically nullable elements get a per-element guard in update:
+  // toLongArray over an array WITH nulls silently reads 0 from
+  // UnsafeArrayData (null bits aren't values), corrupting sums with
+  // no error — the exact failure mode the analysis-time refusal above
+  // exists to prevent. Internal callers build containsNull=false
+  // arrays, so the hot path pays nothing.
+  private lazy val elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val a = child.eval(input)
     if (a == null) buf
     else {
-      val v = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        .toLongArray()
+      val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (elemNullable) {
+        var j = 0
+        val n = ad.numElements()
+        while (j < n) {
+          require(!ad.isNullAt(j),
+            s"long_vec_sum: null element at index $j — null-bearing " +
+              "vectors would corrupt the sum silently")
+          j += 1
+        }
+      }
+      val v = ad.toLongArray()
       require(v.length > 0, "long_vec_sum: empty input vector")
       // first row: clone — toLongArray may alias reused column memory
       addInto(buf, if (buf.length == 0) v.clone() else v)

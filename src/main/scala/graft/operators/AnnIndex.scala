@@ -283,7 +283,14 @@ object AnnIndex {
   /** The ingest job: train once (one bounded sample collection feeds
     * all three trainers), encode the corpus once per index family,
     * persist everything. */
-  def build(corpus: DataFrame, dir: String): Loaded = {
+  /** `nlistOverride` (> 0) pins the coarse cell count instead of
+    * [[nlistFor]] — the ROUTER-DESIGN PROBE hook (round-14 verdict
+    * task 3): the two-level-router decision needs candidates/query
+    * measured under a finer-than-√n cell layout on the same corpus,
+    * which only a build at a forced nlist can produce. Managed
+    * artifacts ([[ensure]]) never pass it. */
+  def build(corpus: DataFrame, dir: String,
+            nlistOverride: Int = -1): Loaded = {
     val spark = corpus.sparkSession
     // phase timing on stderr — a scheduled ingest job's progress log,
     // and what localizes a build-time regression to train vs encode
@@ -316,7 +323,7 @@ object AnnIndex {
     //    normalizedSample(corpus, SampleSize) — corpus-independent
     //    cost, constant driver state.
     val n = corpus.count()
-    val nlist = nlistFor(n)
+    val nlist = if (nlistOverride > 0) nlistOverride else nlistFor(n)
     val routed = nlist >= graft.functions.Centroids.RouteThreshold
     val (cents, cbSample) =
       if (!routed) {
@@ -561,7 +568,15 @@ object AnnIndex {
     val fs = new org.apache.hadoop.fs.Path(base.dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"${base.dir}/deletes"), true)
-    base
+    // refresh the live row count riding the handle (the addVectors
+    // discipline in reverse): without it, load()'s pre-purge count —
+    // which included tombstoned rows — permanently over-sizes the
+    // rerank shortlist (extra full-precision fetches per query) until
+    // an artifact rebuild. Recall-safe either way; this is the cost
+    // side. One metadata-cheap count over the just-swapped ivf.
+    val purged = base.copy(nRows = base.ivf(spark).count())
+    if (purged.key.nonEmpty) memo.replace(purged.key, purged)
+    purged
   }
 
   /** Overwrite `base`'s `sub` table with `df` where `df` READS from

@@ -747,8 +747,9 @@ object Similarity {
     * incremental adds grow n while nlist stays as trained, and the
     * build-time proxy would silently shrink shortlist COVERAGE as a
     * fraction of candidates — the exact defect the ×1000 clustered
-    * gate caught, reintroduced through the add path. (A stale-high
-    * count after purgeDeletes errs to a LARGER depth — recall-safe.) */
+    * gate caught, reintroduced through the add path. (purgeDeletes
+    * refreshes the handle's count post-merge; a handle that somehow
+    * kept a stale-high count errs to a LARGER depth — recall-safe.) */
   def rerankDepthFor(k: Int, nprobe: Int, nlist: Int,
                      n: Long = -1L): Int = {
     val candidates =
@@ -763,7 +764,31 @@ object Similarity {
                           cbs: Array[Array[Array[Double]]],
                           queryIds: Seq[Long], k: Int = 10,
                           nprobe: Int = AnnIndex.AutoNprobe,
-                          rerank: Int = 0, nHint: Long = -1L): DataFrame = {
+                          rerank: Int = 0, nHint: Long = -1L): DataFrame =
+    ivfPqRerankStages(emb, ivf, codes, cents, cbs, queryIds, k, nprobe,
+      rerank, nHint).result
+
+  /** The compressed serve pipeline with its stage frames exposed —
+    * [[knnIvfPqRerankBatch]] returns `.result`; the scale probe's
+    * serve-breakdown mode ([[graft.BenchScale]],
+    * SPARK_GRAFT_SERVE_BREAKDOWN) materializes each stage separately
+    * to ATTRIBUTE serve wall-clock to probe-collect / ADC scan /
+    * shortlist heap / rerank fetch / label join (round-14 verdict
+    * task 1: the n3b dispatcher rows grew while the compressed scan
+    * itself measured fast — the overhead needed a measured owner, not
+    * a guess). One implementation; the probe can never drift from the
+    * shipped path. */
+  private[graft] final case class PqServeStages(
+      probeSec: Double, cells: Seq[Int], rerank: Int,
+      adc: DataFrame, shortlist: DataFrame, exact: DataFrame,
+      result: DataFrame)
+
+  private[graft] def ivfPqRerankStages(
+      emb: DataFrame, ivf: DataFrame, codes: DataFrame,
+      cents: Array[Array[Double]], cbs: Array[Array[Array[Double]]],
+      queryIds: Seq[Long], k: Int = 10,
+      nprobe: Int = AnnIndex.AutoNprobe,
+      rerank: Int = 0, nHint: Long = -1L): PqServeStages = {
     val np = resolveNprobe(nprobe, cents.length)
     val r = if (rerank > 0) rerank
             else rerankDepthFor(k, np, cents.length, nHint)
@@ -773,7 +798,12 @@ object Similarity {
     // per-probe driver state — probed cells through the SAME routed
     // host kernel serving assignment uses (bit-exact, routing decision
     // included; the ivfPqContractWith rationale), q·centroid bias per
-    // PROBED cell only, residual ADC LUTs
+    // PROBED cell only, residual ADC LUTs. The raw vector + norm stay
+    // in hand: the rerank stage's query side is built from THIS
+    // collect instead of a second scan over the corpus (round-14
+    // verdict task 4 — the serve path paid a full query-side scan to
+    // re-fetch vectors the driver already held).
+    val t0 = System.nanoTime()
     val probes = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("v"), col("nrm")).collect()
       .map { row =>
@@ -788,8 +818,9 @@ object Similarity {
           cbs(j).map(_.zip(q.slice(j * ds, (j + 1) * ds))
             .map { case (a, b) => a * b }.sum)
         }
-        (row.getLong(0), probed, bias, luts)
+        (row.getLong(0), vRaw, qn, probed, bias, luts)
       }
+    val probeSec = (System.nanoTime() - t0) / 1e9
     val spark = emb.sparkSession
     import spark.implicits._
     // TWO small broadcast sides, so the LUT matrix rides ONCE per
@@ -800,10 +831,11 @@ object Similarity {
     // 8-bit codebooks routing-active indexes train (ksub 256), a
     // per-(query, cell) LUT would broadcast nprobe× the needed bytes
     // (~40 MB at 64 queries × nprobe 38); this shape stays ~1 MB.
-    val qRows = probes.toIndexedSeq.flatMap { case (qid, probed, bias, _) =>
-      probed.toSeq.zip(bias.toSeq).map { case (c, b) => (qid, c, b) }
-    }.toDF("qid", "cell", "bias")
-    val lutRows = probes.toIndexedSeq.map { case (qid, _, _, luts) =>
+    val qRows = probes.toIndexedSeq
+      .flatMap { case (qid, _, _, probed, bias, _) =>
+        probed.toSeq.zip(bias.toSeq).map { case (c, b) => (qid, c, b) }
+      }.toDF("qid", "cell", "bias")
+    val lutRows = probes.toIndexedSeq.map { case (qid, _, _, _, _, luts) =>
       (qid, luts.map(_.toSeq).toSeq)
     }.toDF("qid", "lut")
     // probed cells are known DRIVER-side here (unlike the flat arm,
@@ -813,7 +845,7 @@ object Similarity {
     // heuristic declining the broadcast-join filter; the equi-join
     // below still restricts each row to the queries that probed its
     // cell, so results are unchanged
-    val cellsAll = probes.flatMap(_._2).distinct.toSeq
+    val cellsAll = probes.flatMap(_._4).distinct.toSeq
     val adc = codes.filter(col("cell").isin(cellsAll: _*))
       .join(broadcast(qRows), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
@@ -830,18 +862,30 @@ object Similarity {
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.vec_id").as("vec_id"))
     // exact rerank: ≤ |queries|·R full-precision fetches from the
-    // probed cells only (the same literal cell-set prune),
-    // then the SAME exact scoring + top-k machinery as the flat path
-    val queryVecs = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"))
+    // probed cells only (the same literal cell-set prune), then the
+    // SAME exact scoring + top-k machinery as the flat path. The
+    // query side is the DRIVER-HELD probe vectors (collected above)
+    // as a literal frame — numerically identical doubles, zero extra
+    // corpus scans
+    val queryVecs = probes.toIndexedSeq
+      .map { case (qid, vRaw, qn, _, _, _) => (qid, vRaw.toSeq, qn) }
+      .toDF("qid", "qv", "qn")
     val exact = ivf.filter(col("cell").isin(cellsAll: _*))
       .join(broadcast(shortlist), Seq("vec_id"))
       .join(broadcast(queryVecs), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("cos_sim"))
-    topKPerQuery(exact, emb.select(col("vec_id"), col("label")), k)
+    // labels rejoin from the probed cells of the INDEX (the doc-values
+    // discipline knnIvfBatchFiltered already follows — labels are
+    // stored in the index rows), with the same static cell prune and
+    // a 2-column projection: every result id lies in a probed cell by
+    // construction, and the old full-corpus (vec_id, label) scan was
+    // the single largest stage of the serve at the routing decades
+    val result = topKPerQuery(exact,
+      ivf.filter(col("cell").isin(cellsAll: _*))
+        .select(col("vec_id"), col("label")), k)
+    PqServeStages(probeSec, cellsAll, r, adc, shortlist, exact, result)
   }
 
   /** Filtered vector search — ES kNN's `filter` parameter / FAISS's

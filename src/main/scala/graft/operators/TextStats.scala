@@ -850,7 +850,18 @@ object TextStats {
     * bit-for-bit (spec-locked); the top-1 pick always survives the
     * disjointness screen, so every round makes progress. Output adds
     * a `round` column so the batching is itself verifiable (within a
-    * round, all claimed symbols distinct). */
+    * round, all claimed symbols distinct).
+    *
+    * SUPPLY EXHAUSTION is surfaced in the OUTPUT, not just wall-clock
+    * (round-14 verdict task 6): the ×100 probe's vocabulary ran out of
+    * adjacent pairs at 3,363 of 4,096 requested merges, and the only
+    * evidence was the row count — a 32k-merge caller diffing
+    * `emitted < requested` against the clock had to infer the ceiling.
+    * When the pair supply exhausts before `steps` merges, the result
+    * ends with one terminal marker row: (step = emitted + 1, round =
+    * the exhausted round, left_sym = right_sym = '', merged =
+    * 'supply_exhausted', pair_count = 0). A caller sees the ceiling in
+    * the table; a fully-supplied run has no marker row. */
   def bpeTrainBatched(spark: SparkSession, docs: DataFrame,
                       steps: Int = 8, batch: Int = 16,
                       textCol: String = "text"): DataFrame = {
@@ -910,6 +921,9 @@ object TextStats {
         vocab = vocab.withColumn("rep", applied).localCheckpoint()
       }
     }
+    // the terminal marker (scaladoc): supply ran out below the request
+    if (exhausted && emitted < steps)
+      learned += ((emitted + 1, round, "", "", "supply_exhausted", 0L))
     learned.result()
       .toDF("step", "round", "left_sym", "right_sym", "merged", "pair_count")
       .select(col("step").cast("long"), col("round").cast("long"),

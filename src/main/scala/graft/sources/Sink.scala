@@ -373,10 +373,38 @@ object Sink {
     * host (that NIC is the pool's anyway). Local mode → empty set →
     * 1. */
   private def executorHostCount(spark: SparkSession): Int = {
-    val driverHost = spark.sparkContext.getConf.get("spark.driver.host", "")
+    val driverHost =
+      canonicalHost(spark.sparkContext.getConf.get("spark.driver.host", ""))
+    val loopback = Set("localhost", "127.0.0.1", "::1", "0:0:0:0:0:0:0:1")
     val hosts = spark.sparkContext.getExecutorMemoryStatus.keysIterator
-      .map(_.split(":")(0)).toSet - driverHost - "localhost"
+      .map(id => canonicalHost(stripPort(id))).toSet -- loopback - driverHost
     math.max(1, hosts.size)
+  }
+
+  /** Block-manager ids are `host:port` where host may be an IPv6
+    * literal (`[::1]:34567` or bare-colon forms) — `split(":")(0)`
+    * mangles those to `[` / the first hextet. The port is always the
+    * LAST colon-delimited field; brackets are transport framing. */
+  private[graft] def stripPort(id: String): String = {
+    val i = id.lastIndexOf(':')
+    val suffix = if (i >= 0) id.substring(i + 1) else ""
+    val h = if (suffix.nonEmpty && suffix.forall(_.isDigit))
+      id.substring(0, i) else id
+    h.stripPrefix("[").stripSuffix("]")
+  }
+
+  /** One identity per box: `spark.driver.host` is routinely an IP
+    * while executor block managers register hostnames — compared as
+    * strings, the driver's own box reads as a second "host" and the
+    * selector picks the distributed arm in exactly the single-NIC
+    * regime it exists to avoid. Resolve both sides to an address;
+    * unresolvable names (no DNS) degrade to the lowercased literal,
+    * which preserves the old behavior for same-representation ids. */
+  private[graft] def canonicalHost(h: String): String = {
+    val t = h.trim
+    if (t.isEmpty) t
+    else try java.net.InetAddress.getByName(t).getHostAddress
+    catch { case _: java.net.UnknownHostException => t.toLowerCase }
   }
 
   /** [[snapshot]] with the arm CHOSEN from topology + tree size

@@ -244,6 +244,23 @@ class AnnIndexSpec extends SparkSpec {
     assert(ix.ivf(spark).count() == n - nDel)
   }
 
+  test("purgeDeletes refreshes the handle's live row count") {
+    // without the refresh, load()'s pre-purge count (tombstones
+    // included) permanently over-sizes the rerank shortlist — extra
+    // full-precision fetches per query until an artifact rebuild
+    // (round-14 advisor)
+    val corpus = plantedCorpus
+    val ix = AnnIndex.build(corpus, freshDir())
+    val n = ix.ivf(spark).count()
+    assert(ix.nRows == n)
+    val victims = corpus.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"))
+    val nDel = AnnIndex.deleteVectors(spark, ix, victims)
+    assert(nDel > 0)
+    val purged = AnnIndex.purgeDeletes(spark, ix)
+    assert(purged.nRows == n - nDel)
+  }
+
   test("live row count rides the handle: build sets it, addVectors grows it, the shortlist depth tracks it") {
     // frozen-structure adds grow n while nlist stays as trained; the
     // serving depth must track the TRUE candidate count or shortlist
@@ -357,5 +374,112 @@ class AnnIndexSpec extends SparkSpec {
     assert(pruned >= 2,
       s"expected static cell IN (...) partition filters on the codes " +
         s"scan AND the rerank fetch, found $pruned:\n$sPlan")
+  }
+
+  test("serving operating points are pinned at the probed decades") {
+    // The decade recall gates (RecallProbe) run once per round as a
+    // manual probe; between rounds a quiet revert of any operating-
+    // point function would surface only at the NEXT probe (round-14
+    // verdict task 2). These pins fail the SUITE the moment one moves:
+    // every constant below is the value a ×100/×1000 gate was measured
+    // and enforced at (bench_recall_x{100,1000}*.json).
+    // -- codebook width: 4-bit below routing (bit-identical oracle
+    //    artifacts), FAISS-standard 8-bit where serving is compressed
+    //    (4-bit ADC noise read 0.89 < 0.9 planted at ×1000 — caught)
+    assert(AnnIndex.ksubFor(45) == 16, "oracle-decade codebook width")
+    assert(AnnIndex.ksubFor(447) == 256, "x100-decade codebook width")
+    assert(AnnIndex.ksubFor(1414) == 256, "x1000-decade codebook width")
+    // -- probe width: sqrt(nlist), floor 4 (recall-knee measurements)
+    assert(AnnIndex.nprobeFor(45) == 7)
+    assert(AnnIndex.nprobeFor(447) == 21)
+    assert(AnnIndex.nprobeFor(1414) == 38)
+    // -- rerank shortlist: max(16k, 128, candidates/32) with the TRUE
+    //    live row count; the floors carried sf0.1/×100, the /32 term
+    //    is what the ×1000 clustered organic gate forced (0.63 → 0.986)
+    assert(Similarity.rerankDepthFor(10, 7, 45) == 160, "16·k floor")
+    assert(Similarity.rerankDepthFor(1, 4, 16) == 128, "abs floor")
+    assert(Similarity.rerankDepthFor(10, 21, 447, 200003L) == 293,
+      "x100 candidates/32")
+    assert(Similarity.rerankDepthFor(10, 38, 1414, 2000003L) == 1679,
+      "x1000 candidates/32")
+    // frozen-structure adds: depth tracks the true n, not nlist²
+    assert(Similarity.rerankDepthFor(10, 38, 1414, 8000000L) ==
+      38L * (8000000L / 1414L) / 32L, "depth tracks live n after adds")
+  }
+
+  test("routing-forced clustered fixture: shipped arm clears the recall and bytes gates in-suite") {
+    // A scaled-down twin of the decade gates that runs in every `sbt
+    // test` (round-14 verdict task 2): 60k clustered vectors force
+    // nlist past RouteThreshold, so AnnIndex.search serves through the
+    // COMPRESSED arm (ADC shortlist + exact rerank) — the integration
+    // path a revert of routing/ADC/shortlist/rerank would break. On a
+    // clustered corpus organic recall is gateable (each query's true
+    // top-k are its cluster siblings — the ×100/×1000 clustered-gate
+    // rationale), and the bytes ledger clears ≥8 at this size
+    // (cand≈3.9k, R=160 floor → ratio ≈8.6; the ledger formula shares
+    // rerankDepthFor with serving, the SQ8 single-sourcing rule).
+    val dim = 64
+    val perCluster = 100
+    val clusters = 600
+    val sigma = math.tan(math.acos(0.9))
+    val rows = (0 until clusters).flatMap { c =>
+      val cr = new scala.util.Random(900000L + c)
+      val center = Array.fill(dim)(cr.nextGaussian())
+      (0 until perCluster).map { i =>
+        val mr = new scala.util.Random(c * 7919L + i + 13L)
+        val v = center.map(x => (x * (1.0 + sigma * mr.nextGaussian())).toFloat)
+        (c.toLong * 1000L + i, c, v.toSeq)
+      }
+    }
+    import spark.implicits._
+    val corpus = rows.toDF("vec_id", "label", "embedding")
+      .repartition(4).cache()
+    val ix = AnnIndex.build(corpus, freshDir())
+    val n = clusters.toLong * perCluster
+    assert(ix.cents.length >= graft.functions.Centroids.RouteThreshold,
+      s"fixture must FORCE routing (nlist=${ix.cents.length}) or this " +
+        "test silently stops covering the compressed arm")
+    // structural pin: the persisted codebooks are the 8-bit ones
+    assert(ix.resCbs.head.length == 256,
+      "routing-active build must train 8-bit residual codebooks")
+    // one query per 50th cluster: 12 queries, ground truth = exact
+    // brute-force top-k (cluster siblings by construction)
+    val qids = (0 until clusters by 50).map(c => c.toLong * 1000L)
+    val gt = Similarity.knnBruteBatch(corpus, qids, k = 10)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val served = AnnIndex.search(spark, ix, corpus, qids, k = 10)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val recall = qids.map { q =>
+      val g = gt.getOrElse(q, Set.empty[Long])
+      served.getOrElse(q, Set.empty[Long]).count(g).toDouble / g.size
+    }.sum / qids.size
+    assert(recall >= 0.9,
+      f"compressed-arm organic recall@10 $recall%.3f < 0.9 on the " +
+        "clustered fixture — serving operating point regressed")
+    // the bytes gate, computed exactly as the decade probe computes it
+    val serving = AnnIndex.nprobeFor(ix.cents.length)
+    val rDepth = Similarity.rerankDepthFor(10, serving, ix.cents.length, n)
+    val cellSizes = ix.ivf(spark).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val qVecs = corpus.filter(col("vec_id").isin(qids: _*))
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val candMean = qVecs.map { v =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      graft.functions.Centroids.topCellsHost(ix.cents, v, nrm, serving)
+        .map(c => cellSizes.getOrElse(c, 0L)).sum
+    }.sum.toDouble / qVecs.length
+    val m = ix.resCbs.length
+    val bytesFlat = candMean * (8 * dim + 20)
+    val bytesPq = candMean * (4 * m + 8) + rDepth.toDouble * (8 * dim + 20)
+    assert(bytesFlat / bytesPq >= 8.0,
+      f"candidate bytes ratio ${bytesFlat / bytesPq}%.2f < 8 — " +
+        "compressed serving no longer pays for itself")
+    corpus.unpersist()
   }
 }

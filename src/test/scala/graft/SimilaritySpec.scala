@@ -471,6 +471,19 @@ class SimilaritySpec extends SparkSpec {
       emb.select(col("embedding").cast("array<double>").as("q"))
         .agg(graft.functions.aggregates.long_vec_sum(col("q"))).collect()
     }
+    // null ELEMENTS refuse loudly too — toLongArray over a null-bearing
+    // UnsafeArrayData silently reads 0 (round-14 advisor): an external
+    // caller with nullable elements would get corrupt sums, not an error
+    val withNullElem = spark.range(2).select(lit(0).as("cell"),
+      array(lit(1L),
+        when(col("id") === 0, lit(2L)).otherwise(lit(null))
+          .cast("long")).as("q"))
+    assert(withNullElem.schema("q").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    intercept[Exception] {
+      withNullElem.groupBy(col("cell"))
+        .agg(graft.functions.aggregates.long_vec_sum(col("q"))).collect()
+    }
   }
 
   test("semDedup agrees with brute-force same-cluster pairs; representatives kept") {

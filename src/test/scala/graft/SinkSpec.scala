@@ -284,6 +284,25 @@ class SinkSpec extends SparkSpec {
       s"corrupt blob must refuse with a checksum error, got: ${chain(ex)}")
   }
 
+  test("host identity parsing: IPv6 ports stripped, driver IP vs hostname unify") {
+    // split(":")(0) mangled IPv6 block-manager ids and a driver
+    // registered by IP read as a second "host" next to executors
+    // registered by name — picking the distributed arm in exactly the
+    // single-NIC regime the selector avoids (round-14 advisor)
+    assert(Sink.stripPort("host-a:43121") == "host-a")
+    assert(Sink.stripPort("10.0.0.7:7337") == "10.0.0.7")
+    assert(Sink.stripPort("[::1]:43121") == "::1")
+    assert(Sink.stripPort("[2001:db8::1]:7337") == "2001:db8::1")
+    assert(Sink.stripPort("host-no-port") == "host-no-port")
+    // loopback name and address canonicalize to ONE identity
+    assert(Sink.canonicalHost("localhost") == Sink.canonicalHost("127.0.0.1"))
+    // unresolvable names degrade to the lowercased literal, so
+    // same-representation ids keep comparing equal
+    assert(Sink.canonicalHost("No-Such-Host-Graft-Test.invalid") ==
+      "no-such-host-graft-test.invalid")
+    assert(Sink.canonicalHost("") == "")
+  }
+
   test("auto arm selection: pool on one host, distributed only past one NIC and above the floors") {
     // the pure selector at both regimes (bench_snapshot.json crossover:
     // pool 7.98×/7.25× vs distributed 4.67×/2.73× on ONE box)
