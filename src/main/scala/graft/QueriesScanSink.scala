@@ -375,6 +375,71 @@ private[graft] object QueriesScanSink {
           lit(nSnap == nRest && nSnap > 0).as("files_match"),
           lit(!distS && !distR).as("used_pool"))
     }),
+    "s24_failover_drill" -> ((s, d) => {
+      // The reference's RESILIENCE drill, re-expressed for an engine
+      // whose durability lives in the storage layer: the reference
+      // stops the elected master and verifies add/search/delete still
+      // serve (docs/protokol.md:562-586), and tracks `_seq_no` rising
+      // with document updates while `_primary_term` rises with shard
+      // promotions (docs/protokol.md:588-630). A Spark engine has no
+      // replica election — its replica IS the snapshot repository and
+      // its promotion IS a verified restore — so the drill here is
+      // STRICTER than the reference's 1-of-3 node stop: (1) bulk-write
+      // the index with a per-doc seq_no, snapshot it; (2) KILL the
+      // primary by deleting its whole tree; (3) promote: restoreAuto
+      // re-verifies every md5 as bytes stream, primary_term
+      // increments; (4) the full CRUD set runs against the PROMOTED
+      // index and lands on disk — add a batch under fresh ids, a
+      // scripted partial update that bumps seq_no on the touched
+      // slice, delete-by-query on another slice; (5) the verified row
+      // aggregates the FINAL on-disk state (row count, seq_no total —
+      // which counts every update exactly once — balances in integer
+      // cents, key checksum). The oracle replays the same lifecycle
+      // from the source table, so a failed restore, a lost add, a
+      // double-applied update, or an unapplied delete each move a
+      // number.
+      val live = Scratch.dir("s24live")
+      val repo = Scratch.dir("s24repo")
+      val promoted = Scratch.dir("s24prom")
+      val docs0 = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), lit(1L).as("seq_no"))
+      graft.sources.Sink.bulkWrite(s, docs0, "c_custkey", live)
+      val (nSnap, _) = graft.sources.Sink.snapshotAuto(s, live, repo)
+      // node kill — total loss of the primary's tree
+      val fs = new org.apache.hadoop.fs.Path(live)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fs.delete(new org.apache.hadoop.fs.Path(live), true),
+        "failover drill: could not kill the primary tree")
+      val (nRest, _) = graft.sources.Sink.restoreAuto(s, repo, promoted)
+      val primaryTerm = 2L // term 1 = original primary, 2 = promotion
+      // CRUD against the promoted index; the rewrite is the merge
+      // model every update/delete row in this family uses
+      val adds = Tables.customer(s, d)
+        .filter(col("c_custkey") % 100 === 7)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_acctbal"), lit(1L).as("seq_no"))
+      val isUpd = col("c_custkey") % 100 === 0
+      val merged = s.read.parquet(promoted).unionByName(adds)
+        .select(col("c_custkey"),
+          when(isUpd, round(col("c_acctbal") + 10.0, 2))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          when(isUpd, col("seq_no") + 1L)
+            .otherwise(col("seq_no")).as("seq_no"))
+        .filter(col("c_custkey") % 100 =!= 1)
+      val finalDir =
+        java.nio.file.Paths.get(Scratch.dir("s24fin"), "t").toString
+      merged.write.mode("overwrite").parquet(finalDir)
+      s.read.parquet(finalDir)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("seq_no")).as("sum_seq"),
+          sum(round(col("c_acctbal") * 100).cast("long"))
+            .as("sum_bal_cents"),
+          sum(col("c_custkey")).as("sum_key"))
+        .select(col("n_rows"), col("sum_seq"), col("sum_bal_cents"),
+          col("sum_key"),
+          lit(nSnap == nRest && nSnap > 0).as("files_match"),
+          lit(primaryTerm).as("primary_term"))
+    }),
     "s21b_artifact_snapshot" -> ((s, d) => {
       // Recursive artifact snapshot/restore: the engine's real state
       // is a gen-N artifact TREE (postings/dict/stats/... tables), not
@@ -703,6 +768,32 @@ private[graft] object QueriesScanSink {
                 true AS files_match,
                 true AS used_pool
          FROM part""",
+    // s24: the failover lifecycle replay — the oracle applies the same
+    // add/update/delete sequence to the source table; the snapshot →
+    // kill → restore round trip must be IDENTITY on the data, so any
+    // restore corruption surfaces as a checksum/aggregate mismatch
+    "s24_failover_drill" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, 1::BIGINT AS seq_no
+                       FROM customer),
+          adds AS (SELECT c_custkey + 1000000 AS c_custkey, c_acctbal,
+                          1::BIGINT AS seq_no
+                   FROM customer WHERE c_custkey % 100 = 7),
+          merged AS (SELECT * FROM base UNION ALL SELECT * FROM adds),
+          upd AS (SELECT c_custkey,
+                         CASE WHEN c_custkey % 100 = 0
+                              THEN round(c_acctbal + 10, 2)
+                              ELSE c_acctbal END AS c_acctbal,
+                         CASE WHEN c_custkey % 100 = 0
+                              THEN seq_no + 1 ELSE seq_no END AS seq_no
+                  FROM merged),
+          fin AS (SELECT * FROM upd WHERE c_custkey % 100 <> 1)
+          SELECT count(*)::BIGINT AS n_rows,
+                 sum(seq_no)::BIGINT AS sum_seq,
+                 sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS sum_bal_cents,
+                 sum(c_custkey)::BIGINT AS sum_key,
+                 true AS files_match,
+                 2::BIGINT AS primary_term
+          FROM fin""",
     // s20: the _reindex response replay — seed slice noops at original
     // values, the rest arrives with the +1000 script applied
     "s20_reindex" ->

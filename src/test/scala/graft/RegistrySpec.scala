@@ -27,8 +27,8 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the declared surface") {
-    assert(SparkEntry.queries.size == 274,
-      s"expected 274 declared queries, got ${SparkEntry.queries.size} — " +
+    assert(SparkEntry.queries.size == 275,
+      s"expected 275 declared queries, got ${SparkEntry.queries.size} — " +
         "update this pin (and README) when adding operators")
   }
 }
