@@ -13,6 +13,15 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     spark.catalog.clearCache()
+    // drain the async listener bus so the NEXT query's `Observation
+    // .get` doesn't wait out THIS query's job/stage/task event
+    // backlog inside its own timed span — the a16 wander mechanism
+    // (GraftBusShim scaladoc); best-effort by contract
+    try {
+      org.apache.spark.GraftBusShim
+        .waitUntilListenerBusEmpty(spark.sparkContext, 10000L)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
     System.gc()
   }
   /** Pre-bench IO-health sentinel — machine-readable context for the
