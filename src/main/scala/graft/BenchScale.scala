@@ -445,7 +445,8 @@ object BenchScale {
       def live(df: DataFrame) = operators.AnnIndex.liveView(spark, ix, df)
       def stages() = operators.Similarity.ivfPqRerankStages(
         emb, live(ix.ivf(spark)), live(ix.ivfPqCodes(spark)),
-        ix.cents, ix.resCbs, qids, k = 10, nHint = ix.nRows)
+        ix.cents, ix.resCbs, qids, k = 10, nHint = ix.nRows,
+        span = ix.span)
       def noop(df: DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
       // warm the reader paths once (untimed), as Bench does

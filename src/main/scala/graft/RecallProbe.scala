@@ -163,7 +163,12 @@ object RecallProbe {
     // the flat arm's assigned2
     val plantedCodes = operators.Similarity
       .ivfPqEncode(planted, ix.cents, ix.resCbs)
-    val codes2 = ix.ivfPqCodes(spark).unionByName(plantedCodes)
+    // a grouped artifact's code table carries the cgrp partition
+    // column the encoder output lacks — align the schemas (the probe
+    // passes these ad-hoc unions with span = 1, so the cell filter is
+    // a data filter either way and dropping cgrp costs nothing here)
+    val codes2 = ix.ivfPqCodes(spark).drop("cgrp")
+      .unionByName(plantedCodes)
     val wantPlanted: Map[Long, Set[Long]] = qids.map(qid =>
       qid -> (0 until k).map(i => plantBase + qid * 100 + i).toSet).toMap
 
@@ -227,7 +232,7 @@ object RecallProbe {
       val rPlantedPq = recallOf(pqArm, wantPlanted)
       val organicPq = topSets(operators.Similarity.knnIvfPqRerankBatch(
         emb, ix.ivf(spark), ix.ivfPqCodes(spark), ix.cents, ix.resCbs,
-        qids, k, nprobe))
+        qids, k, nprobe, span = ix.span))
       val rPq = recallOf(organicPq, gt)
       val row = f"""{"nprobe":$nprobe,"serving_default":${nprobe == serving},""" +
         f""""recall_planted":$rPlanted%.4f,""" +

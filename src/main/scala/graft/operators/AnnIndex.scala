@@ -121,6 +121,34 @@ object AnnIndex {
   def nprobeFor(nlist: Int): Int =
     math.max(4, math.round(math.sqrt(nlist.toDouble)).toInt)
 
+  /** Bound on the PARTITION-DIRECTORY count of the cell-partitioned
+    * tables (ivf, ivfpq_codes). partitionBy("cell") is the right
+    * layout while nlist is operationally small — one dir per cell,
+    * probing nprobe cells reads exactly their files — but nlist = √n
+    * grows with the corpus (100k dirs at 10^10 rows, 10^6 at 10^12),
+    * and a fine-cell layout (the [[nlistFor]] escape hatch the ×1000
+    * router probe measured — `bench_router_x1000.json`) multiplies it
+    * further: file-system metadata, listing, and commit cost all
+    * scale with the dir count. Above [[GroupCap]] cells the layout
+    * BUCKETS [[cellSpanFor]] consecutive cells per `cgrp` directory
+    * (cell stays as a DATA column): partition dirs are capped at
+    * GroupCap forever, file sizes are capped by maxRecordsPerFile,
+    * and the probed-cell access path becomes a static `cgrp`
+    * partition prune (≤ nprobe dirs) plus parquet row-group stats on
+    * `cell` — tight, because the (cgrp, cell, vec_id) sort keeps
+    * each file's cells contiguous. Every corpus at or below 2048
+    * cells (all current decade probes included — ×1000 is 1414)
+    * resolves to span 1 = the unchanged v7 layout, so existing
+    * artifacts and plans are bit-identical and no layout-version
+    * bump is needed; the span is PERSISTED in the artifact
+    * (`_LAYOUT`, read by [[load]]) so writer and reader can never
+    * disagree about the grouping. */
+  val GroupCap = 2048
+
+  /** Cells per `cgrp` directory: 1 (= the ungrouped v7 layout) up to
+    * [[GroupCap]] cells, ⌈nlist/GroupCap⌉ above. */
+  def cellSpanFor(nlist: Int): Int = (nlist + GroupCap - 1) / GroupCap
+
   /** Sentinel default for serving-path `nprobe` parameters: resolve
     * via [[nprobeFor]] from the index's own cell count at call time.
     * What moved and what didn't (round-13 review correction — the
@@ -145,7 +173,8 @@ object AnnIndex {
                           pqCbs: Array[Array[Array[Double]]],
                           resCbs: Array[Array[Array[Double]]],
                           key: String = "",
-                          nRows: Long = -1L) {
+                          nRows: Long = -1L,
+                          span: Int = 1) {
     def ivf(spark: SparkSession): DataFrame =
       spark.read.parquet(s"$dir/ivf")
     def pqCodes(spark: SparkSession): DataFrame =
@@ -289,8 +318,41 @@ object AnnIndex {
     * measured under a finer-than-√n cell layout on the same corpus,
     * which only a build at a forced nlist can produce. Managed
     * artifacts ([[ensure]]) never pass it. */
+  /** Shared writer of the two cell-partitioned tables. span == 1:
+    * the unchanged v7 shape — one hash shuffle on `cell` (one writer
+    * task per cell, nlist row-group-sized files, the file-count
+    * discipline in the build comment below). span > 1 ([[GroupCap]]
+    * exceeded): `cgrp` = cell / span becomes the partition column,
+    * `cell` stays in the data, the shuffle clusters on cgrp and the
+    * (cgrp, cell, vec_id) sort keeps cells contiguous within files
+    * so `cell` row-group stats carry the pruning the partition dirs
+    * no longer can; maxRecordsPerFile splits a big group's output
+    * into row-group-sized files WITHOUT extra tasks (the writer
+    * rolls files), which is what bounds file size once group volume
+    * outgrows one file — dir count stays ≤ GroupCap regardless. */
+  private def writeCellTable(df: DataFrame, path: String, span: Int,
+                             mode: String, maxRecords: Long): Unit =
+    if (span <= 1)
+      df.repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode(mode).partitionBy("cell").parquet(path)
+    else
+      // integer division: cells are non-negative, so the int cast's
+      // truncation is exactly the writer/reader-shared cell / span
+      df.withColumn("cgrp", (col("cell") / lit(span)).cast("int"))
+        .repartition(col("cgrp"))
+        .sortWithinPartitions(col("cgrp"), col("cell"), col("vec_id"))
+        .write.mode(mode)
+        .option("maxRecordsPerFile", maxRecords)
+        .partitionBy("cgrp").parquet(path)
+
+  /** ~256 MiB of rows for a table whose row is `rowBytes` wide — the
+    * file-roll bound grouped writes pass as maxRecordsPerFile. */
+  private def recordsPerFile(rowBytes: Long): Long =
+    math.max(1L, (256L << 20) / math.max(1L, rowBytes))
+
   def build(corpus: DataFrame, dir: String,
-            nlistOverride: Int = -1): Loaded = {
+            nlistOverride: Int = -1, spanOverride: Int = -1): Loaded = {
     val spark = corpus.sparkSession
     // phase timing on stderr — a scheduled ingest job's progress log,
     // and what localizes a build-time regression to train vs encode
@@ -324,6 +386,11 @@ object AnnIndex {
     //    cost, constant driver state.
     val n = corpus.count()
     val nlist = if (nlistOverride > 0) nlistOverride else nlistFor(n)
+    // dir-count bound for the cell-partitioned tables ([[GroupCap]]
+    // scaladoc); `spanOverride` is the spec hook that forces grouping
+    // on a suite-sized corpus — the grouped path would otherwise only
+    // run above 2048 cells (≥ 4M vectors), untestable in-suite
+    val span = if (spanOverride > 0) spanOverride else cellSpanFor(nlist)
     val routed = nlist >= graft.functions.Centroids.RouteThreshold
     val (cents, cbSample) =
       if (!routed) {
@@ -365,25 +432,31 @@ object AnnIndex {
     // make the serving rerank's point-fetch join skip non-candidate
     // row groups; the sort rides the shuffle the clustering already
     // pays, so the build cost is unchanged at any scale
-    assignCells(corpus, cents).repartition(col("cell"))
-      .sortWithinPartitions(col("cell"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/ivf")
+    val dim = cents.head.length
+    writeCellTable(assignCells(corpus, cents), s"$dir/ivf", span,
+      "overwrite", recordsPerFile(8L * dim + 20))
     mark("encode-ivf")
     Similarity.pqEncode(corpus, pqCbs)
       .write.mode("overwrite").parquet(s"$dir/pq_codes")
     mark("encode-pq")
-    Similarity.ivfPqEncode(corpus, cents, resCbs)
-      .repartition(col("cell")).sortWithinPartitions(col("cell"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/ivfpq_codes")
+    writeCellTable(Similarity.ivfPqEncode(corpus, cents, resCbs),
+      s"$dir/ivfpq_codes", span, "overwrite", recordsPerFile(4L * M + 8))
     mark("encode-ivfpq")
     Similarity.quantizedIndex(corpus)
       .write.mode("overwrite").parquet(s"$dir/sq8")
     mark("encode-sq8")
 
+    // the span is part of the PHYSICAL layout: an appender or reader
+    // that guessed it from nlist could disagree with the writer the
+    // moment an override (or a future formula change) was in play,
+    // and a wrong-span append would interleave cell= and cgrp= dirs
+    // in one table — persisted next to the data, before _DONE, like
+    // every other fact about the artifact
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_LAYOUT"),
+      s"span=$span\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_DONE"),
       Array.emptyByteArray)
-    Loaded(dir, cents, pqCbs, resCbs, nRows = n)
+    Loaded(dir, cents, pqCbs, resCbs, nRows = n, span = span)
   }
 
   /** THE serving entry point — arm selection by cell count (round-14,
@@ -417,7 +490,8 @@ object AnnIndex {
       Similarity.knnIvfPqRerankBatch(emb,
         liveView(spark, ix, ix.ivf(spark)),
         liveView(spark, ix, ix.ivfPqCodes(spark)),
-        ix.cents, ix.resCbs, queryIds, k, nprobe, nHint = ix.nRows)
+        ix.cents, ix.resCbs, queryIds, k, nprobe, nHint = ix.nRows,
+        span = ix.span)
 
   /** Incremental vector ingest — the FAISS `add()` model: new vectors
     * are encoded against the FROZEN trained structures (coarse
@@ -457,18 +531,20 @@ object AnnIndex {
     // (_DONE removed) and the next ensure() rebuilds, instead of IVF
     // probes seeing vectors the PQ/SQ8 paths silently miss forever
     try {
-      // cluster by cell before the partitioned append — the build's
-      // file-count discipline applied to segments: a delta lands one
-      // file per touched cell, not tasks × cells
-      assignCells(delta, base.cents).repartition(col("cell"))
-        .sortWithinPartitions(col("cell"), col("vec_id"))
-        .write.mode("append").partitionBy("cell").parquet(s"${base.dir}/ivf")
+      // cluster by the partition key before the partitioned append —
+      // the build's file-count discipline applied to segments: a
+      // delta lands one file per touched cell (or cgrp, under the
+      // grouped layout — base.span is the PERSISTED span, so a
+      // segment can never interleave the two layouts), not
+      // tasks × cells
+      val dim = base.cents.head.length
+      writeCellTable(assignCells(delta, base.cents), s"${base.dir}/ivf",
+        base.span, "append", recordsPerFile(8L * dim + 20))
       Similarity.pqEncode(delta, base.pqCbs)
         .write.mode("append").parquet(s"${base.dir}/pq_codes")
-      Similarity.ivfPqEncode(delta, base.cents, base.resCbs)
-        .repartition(col("cell")).sortWithinPartitions(col("cell"), col("vec_id"))
-        .write.mode("append").partitionBy("cell")
-        .parquet(s"${base.dir}/ivfpq_codes")
+      writeCellTable(Similarity.ivfPqEncode(delta, base.cents, base.resCbs),
+        s"${base.dir}/ivfpq_codes", base.span, "append",
+        recordsPerFile(4L * base.resCbs.length + 8))
       Similarity.quantizedIndex(delta)
         .write.mode("append").parquet(s"${base.dir}/sq8")
     } catch {
@@ -556,13 +632,20 @@ object AnnIndex {
     * [[TextIndex.purgeDeletes]]. */
   def purgeDeletes(spark: SparkSession, base: Loaded): Loaded = {
     if (!hasDeletes(spark, base)) return base
+    // the grouped layout partitions on cgrp (a column the read-back
+    // frame already carries) and keeps cells contiguous via the sort;
+    // span 1 is the unchanged per-cell rewrite
+    val (pCols, sCols) =
+      if (base.span > 1) (Seq("cgrp"), Seq("cgrp", "cell", "vec_id"))
+      else (Seq("cell"), Seq("cell", "vec_id"))
     swapIn(spark, base, "ivf",
-      liveView(spark, base, base.ivf(spark)), partitionCols = Seq("cell"))
+      liveView(spark, base, base.ivf(spark)),
+      partitionCols = pCols, sortCols = sCols)
     swapIn(spark, base, "pq_codes",
       liveView(spark, base, base.pqCodes(spark)))
     swapIn(spark, base, "ivfpq_codes",
       liveView(spark, base, base.ivfPqCodes(spark)),
-      partitionCols = Seq("cell"))
+      partitionCols = pCols, sortCols = sCols)
     swapIn(spark, base, "sq8",
       liveView(spark, base, base.sq8(spark)))
     val fs = new org.apache.hadoop.fs.Path(base.dir)
@@ -584,20 +667,24 @@ object AnnIndex {
     * failure mode, exactly [[TextIndex]]'s swapIn. */
   private def swapIn(spark: SparkSession, base: Loaded, sub: String,
                      df: DataFrame,
-                     partitionCols: Seq[String] = Seq.empty): Unit = {
+                     partitionCols: Seq[String] = Seq.empty,
+                     sortCols: Seq[String] = Seq.empty): Unit = {
     val path = s"${base.dir}/$sub"
     val tmp = path + ".swap-tmp"
     // cluster on the partition key first — the build's file-count
     // discipline (one file per partition value, not tasks × values) —
     // and keep the v7 within-cell vec_id sort through a purge rewrite
     // (the prefix on the partition cols satisfies the writer's
-    // required ordering, so no second sort is inserted)
+    // required ordering, so no second sort is inserted). `sortCols`
+    // overrides the default partition-cols-plus-id order where the
+    // grouped layout needs `cell` between cgrp and vec_id.
     val clustered =
-      if (partitionCols.nonEmpty)
+      if (partitionCols.nonEmpty) {
+        val order =
+          if (sortCols.nonEmpty) sortCols else partitionCols :+ "vec_id"
         df.repartition(partitionCols.map(col): _*)
-          .sortWithinPartitions(
-            (partitionCols.map(col) :+ col("vec_id")): _*)
-      else df
+          .sortWithinPartitions(order.map(col): _*)
+      } else df
     val w = clustered.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp)
@@ -635,6 +722,24 @@ object AnnIndex {
     // depth tracks the TRUE candidate count (rerankDepthFor scaladoc);
     // one metadata-cheap count per JVM per artifact
     val n = spark.read.parquet(s"$dir/ivf").count()
-    Loaded(dir, cents, group("pq"), group("res"), nRows = n)
+    // layout span: absent = pre-grouping artifact (always span 1 —
+    // no corpus could have been grouped before the marker existed);
+    // present-but-unparseable = a corrupted artifact, and GUESSING
+    // here would let a later addVectors append the WRONG layout into
+    // the table (interleaved cell=/cgrp= dirs) — refuse loudly, the
+    // torn-build discipline
+    val layoutPath = java.nio.file.Paths.get(dir, "_LAYOUT")
+    val span =
+      if (!java.nio.file.Files.exists(layoutPath)) 1
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(layoutPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        scala.util.Try(s.stripPrefix("span=").toInt).toOption
+          .filter(_ >= 1)
+          .getOrElse(sys.error(
+            s"unparseable _LAYOUT '$s' in $dir — artifact corrupt, " +
+              "delete the generation to rebuild"))
+      }
+    Loaded(dir, cents, group("pq"), group("res"), nRows = n, span = span)
   }
 }

@@ -764,9 +764,10 @@ object Similarity {
                           cbs: Array[Array[Array[Double]]],
                           queryIds: Seq[Long], k: Int = 10,
                           nprobe: Int = AnnIndex.AutoNprobe,
-                          rerank: Int = 0, nHint: Long = -1L): DataFrame =
+                          rerank: Int = 0, nHint: Long = -1L,
+                          span: Int = 1): DataFrame =
     ivfPqRerankStages(emb, ivf, codes, cents, cbs, queryIds, k, nprobe,
-      rerank, nHint).result
+      rerank, nHint, span).result
 
   /** The compressed serve pipeline with its stage frames exposed —
     * [[knnIvfPqRerankBatch]] returns `.result`; the scale probe's
@@ -783,12 +784,24 @@ object Similarity {
       adc: DataFrame, shortlist: DataFrame, exact: DataFrame,
       result: DataFrame)
 
+  /** `span` > 1 marks the [[AnnIndex.GroupCap]]-bounded grouped
+    * layout (cell file-groups — `cgrp` is the partition column, cell
+    * a data column): the static literal prune then lands on BOTH —
+    * cgrp for partition-dir pruning (≤ nprobe dirs survive), cell
+    * for row-group pruning inside the surviving group files (tight,
+    * because the grouped writer sorts (cgrp, cell, vec_id)). Callers
+    * must pass the ARTIFACT's persisted span
+    * ([[AnnIndex.Loaded.span]]), never a recomputed one — a
+    * mismatched span would prune to the wrong groups and silently
+    * drop candidates; the default 1 is always CORRECT on any layout
+    * (the cell filter is a data filter either way), it only forgoes
+    * partition pruning on grouped tables. */
   private[graft] def ivfPqRerankStages(
       emb: DataFrame, ivf: DataFrame, codes: DataFrame,
       cents: Array[Array[Double]], cbs: Array[Array[Array[Double]]],
       queryIds: Seq[Long], k: Int = 10,
       nprobe: Int = AnnIndex.AutoNprobe,
-      rerank: Int = 0, nHint: Long = -1L): PqServeStages = {
+      rerank: Int = 0, nHint: Long = -1L, span: Int = 1): PqServeStages = {
     val np = resolveNprobe(nprobe, cents.length)
     val r = if (rerank > 0) rerank
             else rerankDepthFor(k, np, cents.length, nHint)
@@ -846,7 +859,17 @@ object Similarity {
     // below still restricts each row to the queries that probed its
     // cell, so results are unchanged
     val cellsAll = probes.flatMap(_._4).distinct.toSeq
-    val adc = codes.filter(col("cell").isin(cellsAll: _*))
+    // grouped layout (scaladoc above): prepend the cgrp partition
+    // prune; the guard on the column keeps a span passed against an
+    // ungrouped frame (ad-hoc unions in the probes) harmless
+    def cellPrune(t: DataFrame): DataFrame = {
+      val base = t.filter(col("cell").isin(cellsAll: _*))
+      if (span > 1 && t.columns.contains("cgrp"))
+        base.filter(col("cgrp").isin(
+          cellsAll.map(_ / span).distinct: _*))
+      else base
+    }
+    val adc = cellPrune(codes)
       .join(broadcast(qRows), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(lutRows), Seq("qid"))
@@ -870,7 +893,7 @@ object Similarity {
     val queryVecs = probes.toIndexedSeq
       .map { case (qid, vRaw, qn, _, _, _) => (qid, vRaw.toSeq, qn) }
       .toDF("qid", "qv", "qn")
-    val exact = ivf.filter(col("cell").isin(cellsAll: _*))
+    val exact = cellPrune(ivf)
       .join(broadcast(shortlist), Seq("vec_id"))
       .join(broadcast(queryVecs), Seq("qid"))
       .select(col("qid"), col("vec_id"),
@@ -883,8 +906,7 @@ object Similarity {
     // construction, and the old full-corpus (vec_id, label) scan was
     // the single largest stage of the serve at the routing decades
     val result = topKPerQuery(exact,
-      ivf.filter(col("cell").isin(cellsAll: _*))
-        .select(col("vec_id"), col("label")), k)
+      cellPrune(ivf).select(col("vec_id"), col("label")), k)
     PqServeStages(probeSec, cellsAll, r, adc, shortlist, exact, result)
   }
 

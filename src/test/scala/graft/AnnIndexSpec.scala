@@ -482,4 +482,98 @@ class AnnIndexSpec extends SparkSpec {
         "compressed serving no longer pays for itself")
     corpus.unpersist()
   }
+
+  test("grouped cell layout (span > 1): dirs bounded, cgrp-pruned plans, results identical to ungrouped") {
+    // The GroupCap file-group hatch (AnnIndex.GroupCap scaladoc):
+    // above 2048 cells the cell-partitioned tables bucket `span`
+    // consecutive cells per cgrp directory. No current corpus crosses
+    // the threshold (that is the point — span 1 keeps every existing
+    // artifact and plan bit-identical), so the grouped path is forced
+    // here via spanOverride on a routing-forced corpus and pinned
+    // three ways: the layout (bounded cgrp= dirs, _LAYOUT
+    // round-trip), the plan (static cgrp PARTITION prune on the ADC
+    // scan and the rerank fetch), and the contract that grouping is
+    // STORAGE ONLY — the served results must equal the ungrouped
+    // build's row-for-row (same probed cells, same ADC, same rerank).
+    val dim = 64
+    val clusters = 120
+    val perCluster = 100
+    val sigma = math.tan(math.acos(0.9))
+    val rows = (0 until clusters).flatMap { c =>
+      val cr = new scala.util.Random(770000L + c)
+      val center = Array.fill(dim)(cr.nextGaussian())
+      (0 until perCluster).map { i =>
+        val mr = new scala.util.Random(c * 6101L + i + 17L)
+        val v = center.map(x => (x * (1.0 + sigma * mr.nextGaussian())).toFloat)
+        (c.toLong * 1000L + i, c, v.toSeq)
+      }
+    }
+    import spark.implicits._
+    val corpus = rows.toDF("vec_id", "label", "embedding")
+      .repartition(4).cache()
+    val nlist = 160 // ≥ RouteThreshold: serves through the compressed arm
+    val span = 8
+    val flatIx = AnnIndex.build(corpus, freshDir(), nlistOverride = nlist)
+    val ix = AnnIndex.build(corpus, freshDir(), nlistOverride = nlist,
+      spanOverride = span)
+    assert(flatIx.span == 1 && ix.span == span, "span plumbs the build")
+    assert(AnnIndex.load(spark, ix.dir).span == span,
+      "_LAYOUT must round-trip the persisted span")
+    def partDirs(dir: String, sub: String): Seq[String] =
+      new java.io.File(s"$dir/$sub").listFiles
+        .map(_.getName).filter(_.contains("=")).toSeq
+    Seq("ivf", "ivfpq_codes").foreach { sub =>
+      val d = partDirs(ix.dir, sub)
+      assert(d.nonEmpty && d.forall(_.startsWith("cgrp=")),
+        s"$sub must partition on cgrp under the grouped layout: $d")
+      assert(d.size <= (nlist + span - 1) / span,
+        s"$sub: ${d.size} cgrp dirs exceed the ceil(nlist/span) bound")
+      val f = partDirs(flatIx.dir, sub)
+      assert(f.forall(_.startsWith("cell=")) && f.size > d.size,
+        s"$sub: ungrouped twin must keep the per-cell layout")
+    }
+    val qids = (0 until clusters by 17).map(c => c.toLong * 1000L)
+    val grouped = AnnIndex.search(spark, ix, corpus, qids, k = 10)
+    val a = AnnIndex.search(spark, flatIx, corpus, qids, k = 10)
+      .orderBy("qid", "rank", "vec_id").collect().map(_.toSeq).toSeq
+    val b = grouped.orderBy("qid", "rank", "vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b,
+      "grouped layout changed served results — grouping must be storage only")
+    val plan = grouped.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[cgrp#\\d+ (IN \\(|INSET|= )".r
+      .findAllIn(plan).size
+    assert(pruned >= 2,
+      "expected static cgrp partition pruning on the ADC scan AND the " +
+        s"rerank fetch, found $pruned:\n$plan")
+    // the MAINTENANCE paths under the grouped layout — an append or
+    // purge that guessed the span instead of reading the handle would
+    // interleave cell= and cgrp= dirs in one table (the _LAYOUT
+    // hazard): ingest a delta and purge a deletion through both
+    // builds, then re-pin layout purity and result equality
+    val delta = (0 until 40).map { i =>
+      val mr = new scala.util.Random(424200L + i)
+      (900000L + i, 777, Array.fill(dim)(mr.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    val flatIx2 = AnnIndex.addVectors(flatIx, delta)
+    val ix2 = AnnIndex.addVectors(ix, delta)
+    val victims = Seq(qids.head + 1L, 900003L).toDF("vec_id")
+    AnnIndex.deleteVectors(spark, flatIx2, victims)
+    AnnIndex.deleteVectors(spark, ix2, victims)
+    val flatIx3 = AnnIndex.purgeDeletes(spark, flatIx2)
+    val ix3 = AnnIndex.purgeDeletes(spark, ix2)
+    Seq("ivf", "ivfpq_codes").foreach { sub =>
+      assert(partDirs(ix3.dir, sub).forall(_.startsWith("cgrp=")),
+        s"$sub: append/purge must preserve the grouped layout")
+    }
+    val a3 = AnnIndex.search(spark, flatIx3, corpus, qids, k = 10)
+      .orderBy("qid", "rank", "vec_id").collect().map(_.toSeq).toSeq
+    val b3 = AnnIndex.search(spark, ix3, corpus, qids, k = 10)
+      .orderBy("qid", "rank", "vec_id").collect().map(_.toSeq).toSeq
+    assert(a3 == b3,
+      "grouped add/delete/purge diverged from the ungrouped twin")
+    assert(!a3.flatMap(_.lift(1)).contains(qids.head + 1L),
+      "purged victim must not be served")
+    corpus.unpersist()
+  }
 }
