@@ -469,8 +469,10 @@ object BenchScale {
       val (_, tFlat) = timed { noop(operators.Similarity
         .knnIvfBatchAssigned(emb, live(ix.ivf(spark)), ix.cents, qids,
           k = 10)) }
-      Bench.isolate(spark)
-      val st = stages()
+      // rerank depth and probed-cell count are deterministic per
+      // (index, query set) — s0 already holds them; rebuilding the
+      // pipeline here would pay another probe collect for nothing
+      val st = s0
       val line =
         f"""{"metric":"serve_breakdown","dir":"$dir","queries":${qids.length},""" +
           f""""nlist":${ix.cents.length},"n_rows":${ix.nRows},""" +

@@ -638,14 +638,24 @@ object AnnIndex {
     val (pCols, sCols) =
       if (base.span > 1) (Seq("cgrp"), Seq("cgrp", "cell", "vec_id"))
       else (Seq("cell"), Seq("cell", "vec_id"))
+    // grouped rewrites must keep the build's file-roll bound: one
+    // cgrp holds span cells (~n/GroupCap rows), and a purge without
+    // maxRecordsPerFile would fuse each group into one unbounded
+    // file, silently undoing the size cap until a rebuild
+    val dim = base.cents.head.length
     swapIn(spark, base, "ivf",
       liveView(spark, base, base.ivf(spark)),
-      partitionCols = pCols, sortCols = sCols)
+      partitionCols = pCols, sortCols = sCols,
+      maxRecords =
+        if (base.span > 1) recordsPerFile(8L * dim + 20) else 0L)
     swapIn(spark, base, "pq_codes",
       liveView(spark, base, base.pqCodes(spark)))
     swapIn(spark, base, "ivfpq_codes",
       liveView(spark, base, base.ivfPqCodes(spark)),
-      partitionCols = pCols, sortCols = sCols)
+      partitionCols = pCols, sortCols = sCols,
+      maxRecords =
+        if (base.span > 1) recordsPerFile(4L * base.resCbs.length + 8)
+        else 0L)
     swapIn(spark, base, "sq8",
       liveView(spark, base, base.sq8(spark)))
     val fs = new org.apache.hadoop.fs.Path(base.dir)
@@ -668,7 +678,8 @@ object AnnIndex {
   private def swapIn(spark: SparkSession, base: Loaded, sub: String,
                      df: DataFrame,
                      partitionCols: Seq[String] = Seq.empty,
-                     sortCols: Seq[String] = Seq.empty): Unit = {
+                     sortCols: Seq[String] = Seq.empty,
+                     maxRecords: Long = 0L): Unit = {
     val path = s"${base.dir}/$sub"
     val tmp = path + ".swap-tmp"
     // cluster on the partition key first — the build's file-count
@@ -685,7 +696,9 @@ object AnnIndex {
         df.repartition(partitionCols.map(col): _*)
           .sortWithinPartitions(order.map(col): _*)
       } else df
-    val w = clustered.write.mode("overwrite")
+    val w0 = clustered.write.mode("overwrite")
+    val w = if (maxRecords > 0)
+      w0.option("maxRecordsPerFile", maxRecords) else w0
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path)

@@ -372,24 +372,42 @@ object Sink {
     * on the driver host is deliberately folded into the driver's
     * host (that NIC is the pool's anyway). Local mode → empty set →
     * 1. */
+  /** Loopback identities (name and both address families) folded out
+    * of the executor host count — local-mode block managers register
+    * under these. Single-sourced so the spec pins the SAME set the
+    * selector consults. */
+  private[graft] val LoopbackHosts =
+    Set("localhost", "127.0.0.1", "::1", "0:0:0:0:0:0:0:1")
+
   private def executorHostCount(spark: SparkSession): Int = {
     val driverHost =
       canonicalHost(spark.sparkContext.getConf.get("spark.driver.host", ""))
-    val loopback = Set("localhost", "127.0.0.1", "::1", "0:0:0:0:0:0:0:1")
+    val loopback = LoopbackHosts
+    // string-dedup BEFORE resolving: canonicalHost can block on DNS
+    // (~5 s per unresolvable name), and per-EXECUTOR resolution would
+    // pay that once per executor instead of once per distinct host on
+    // exactly the many-executor clusters this selector serves
     val hosts = spark.sparkContext.getExecutorMemoryStatus.keysIterator
-      .map(id => canonicalHost(stripPort(id))).toSet -- loopback - driverHost
+      .map(stripPort).toSet
+      .map(canonicalHost) -- loopback - driverHost
     math.max(1, hosts.size)
   }
 
   /** Block-manager ids are `host:port` where host may be an IPv6
     * literal (`[::1]:34567` or bare-colon forms) — `split(":")(0)`
-    * mangles those to `[` / the first hextet. The port is always the
-    * LAST colon-delimited field; brackets are transport framing. */
+    * mangles those to `[` / the first hextet. The port is the LAST
+    * colon-delimited field, but ONLY when the remainder is a
+    * plausible single host (bracketed, or colon-free): a bare
+    * PORTLESS IPv6 literal ending in a digit group (`2001:db8::1`,
+    * `::1`) must keep its last group — stripping it would corrupt
+    * the host identity. Brackets are transport framing either way. */
   private[graft] def stripPort(id: String): String = {
     val i = id.lastIndexOf(':')
     val suffix = if (i >= 0) id.substring(i + 1) else ""
-    val h = if (suffix.nonEmpty && suffix.forall(_.isDigit))
-      id.substring(0, i) else id
+    val prefix = if (i >= 0) id.substring(0, i) else id
+    val hasPort = suffix.nonEmpty && suffix.forall(_.isDigit) &&
+      (prefix.endsWith("]") || !prefix.contains(':'))
+    val h = if (hasPort) prefix else id
     h.stripPrefix("[").stripSuffix("]")
   }
 

@@ -24,6 +24,30 @@ class AnnIndexSpec extends SparkSpec {
     new java.io.File(d).deleteOnExit(); d
   }
 
+  /** Deterministic clustered corpus (the decade-gate construction at
+    * suite scale): |clusters| Gaussian centers, `perCluster`
+    * multiplicative-jitter members at cos ≈ 0.9, ids c·1000+i,
+    * label = cluster. Seeds are EXPLICIT parameters because each
+    * test's gate was measured against its specific corpus — shared
+    * shape, per-test randomness. */
+  private def clusteredCorpus(clusters: Int, perCluster: Int,
+                              centerSeed: Long, rowMul: Long,
+                              rowOff: Long) = {
+    val dim = 64
+    val sigma = math.tan(math.acos(0.9))
+    val rows = (0 until clusters).flatMap { c =>
+      val cr = new scala.util.Random(centerSeed + c)
+      val center = Array.fill(dim)(cr.nextGaussian())
+      (0 until perCluster).map { i =>
+        val mr = new scala.util.Random(c * rowMul + i + rowOff)
+        val v = center.map(x => (x * (1.0 + sigma * mr.nextGaussian())).toFloat)
+        (c.toLong * 1000L + i, c, v.toSeq)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "label", "embedding").repartition(4).cache()
+  }
+
   private def allTrue(df: org.apache.spark.sql.DataFrame): Unit = {
     val rows = df.collect()
     assert(rows.length == probes.size)
@@ -421,19 +445,8 @@ class AnnIndexSpec extends SparkSpec {
     val dim = 64
     val perCluster = 100
     val clusters = 600
-    val sigma = math.tan(math.acos(0.9))
-    val rows = (0 until clusters).flatMap { c =>
-      val cr = new scala.util.Random(900000L + c)
-      val center = Array.fill(dim)(cr.nextGaussian())
-      (0 until perCluster).map { i =>
-        val mr = new scala.util.Random(c * 7919L + i + 13L)
-        val v = center.map(x => (x * (1.0 + sigma * mr.nextGaussian())).toFloat)
-        (c.toLong * 1000L + i, c, v.toSeq)
-      }
-    }
-    import spark.implicits._
-    val corpus = rows.toDF("vec_id", "label", "embedding")
-      .repartition(4).cache()
+    val corpus = clusteredCorpus(clusters, perCluster,
+      centerSeed = 900000L, rowMul = 7919L, rowOff = 13L)
     val ix = AnnIndex.build(corpus, freshDir())
     val n = clusters.toLong * perCluster
     assert(ix.cents.length >= graft.functions.Centroids.RouteThreshold,
@@ -498,19 +511,8 @@ class AnnIndexSpec extends SparkSpec {
     val dim = 64
     val clusters = 120
     val perCluster = 100
-    val sigma = math.tan(math.acos(0.9))
-    val rows = (0 until clusters).flatMap { c =>
-      val cr = new scala.util.Random(770000L + c)
-      val center = Array.fill(dim)(cr.nextGaussian())
-      (0 until perCluster).map { i =>
-        val mr = new scala.util.Random(c * 6101L + i + 17L)
-        val v = center.map(x => (x * (1.0 + sigma * mr.nextGaussian())).toFloat)
-        (c.toLong * 1000L + i, c, v.toSeq)
-      }
-    }
-    import spark.implicits._
-    val corpus = rows.toDF("vec_id", "label", "embedding")
-      .repartition(4).cache()
+    val corpus = clusteredCorpus(clusters, perCluster,
+      centerSeed = 770000L, rowMul = 6101L, rowOff = 17L)
     val nlist = 160 // ≥ RouteThreshold: serves through the compressed arm
     val span = 8
     val flatIx = AnnIndex.build(corpus, freshDir(), nlistOverride = nlist)
@@ -551,6 +553,7 @@ class AnnIndexSpec extends SparkSpec {
     // interleave cell= and cgrp= dirs in one table (the _LAYOUT
     // hazard): ingest a delta and purge a deletion through both
     // builds, then re-pin layout purity and result equality
+    import spark.implicits._
     val delta = (0 until 40).map { i =>
       val mr = new scala.util.Random(424200L + i)
       (900000L + i, 777, Array.fill(dim)(mr.nextGaussian().toFloat).toSeq)

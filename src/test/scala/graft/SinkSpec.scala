@@ -294,8 +294,16 @@ class SinkSpec extends SparkSpec {
     assert(Sink.stripPort("[::1]:43121") == "::1")
     assert(Sink.stripPort("[2001:db8::1]:7337") == "2001:db8::1")
     assert(Sink.stripPort("host-no-port") == "host-no-port")
-    // loopback name and address canonicalize to ONE identity
-    assert(Sink.canonicalHost("localhost") == Sink.canonicalHost("127.0.0.1"))
+    // PORTLESS bare IPv6 must keep its final digit group — a naive
+    // "last field is digits ⇒ port" rule corrupts these identities
+    assert(Sink.stripPort("::1") == "::1")
+    assert(Sink.stripPort("2001:db8::1") == "2001:db8::1")
+    // loopback canonicalizes INTO the selector's loopback identity
+    // set regardless of whether this JVM resolves localhost to
+    // 127.0.0.1 or ::1 (an equality pin between the two would fail
+    // on IPv6-preferring stacks even though the selector is correct)
+    assert(Sink.LoopbackHosts.contains(Sink.canonicalHost("localhost")))
+    assert(Sink.LoopbackHosts.contains(Sink.canonicalHost("127.0.0.1")))
     // unresolvable names degrade to the lowercased literal, so
     // same-representation ids keep comparing equal
     assert(Sink.canonicalHost("No-Such-Host-Graft-Test.invalid") ==
