@@ -494,6 +494,17 @@ object BenchScale {
       return
     }
 
+    // SPARK_GRAFT_REPLICATE_ONLY=1: materialize the scaled corpus and
+    // exit — the RecallProbe (decade gates, router/grouped-layout
+    // probes) consumes the directory as SPARK_GRAFT_SF_DIR without
+    // paying the full scale-probe suite this main otherwise runs
+    if (sys.env.get("SPARK_GRAFT_REPLICATE_ONLY").contains("1")) {
+      val (_, ro) = timed { replicate(spark, base, out, scale) }
+      System.err.println(f"[scale] replicated x$scale -> $out ($ro%.1f s)")
+      spark.stop()
+      return
+    }
+
     val (_, repSec) = timed { replicate(spark, base, out, scale) }
 
     // per-dir measurement: warm the reader paths, pre-build the

@@ -98,15 +98,28 @@ object RecallProbe {
     // identical ground truth. The managed artifact is untouched (the
     // probe build goes to its own temp dir, wiped after the run).
     val nlistOverride = sys.env.get("SPARK_GRAFT_NLIST").map(_.toInt)
-    val probeDir = nlistOverride.map { nl =>
-      val d = java.nio.file.Files
-        .createTempDirectory(s"graft-router-probe-nl$nl").toString
-      System.err.println(s"[recall] ad-hoc build nlist=$nl -> $d")
-      d
-    }
+    // SPARK_GRAFT_SPAN: the GROUPED-LAYOUT PROBE (round-15 — the
+    // AnnIndex.GroupCap file-group hatch): force span > 1 on the
+    // ad-hoc build so the decade gates measure the grouped layout's
+    // recall and serve timing against the same ground truth the
+    // ungrouped rows recorded. Requires an ad-hoc build; without
+    // SPARK_GRAFT_NLIST the forced span rides a √n-sized build.
+    val spanOverride = sys.env.get("SPARK_GRAFT_SPAN").map(_.toInt)
+    val probeDir =
+      if (nlistOverride.isDefined || spanOverride.isDefined) {
+        val tag = s"nl${nlistOverride.getOrElse(0)}-sp${spanOverride.getOrElse(0)}"
+        val d = java.nio.file.Files
+          .createTempDirectory(s"graft-router-probe-$tag").toString
+        System.err.println(s"[recall] ad-hoc build " +
+          s"nlist=${nlistOverride.getOrElse(-1)} " +
+          s"span=${spanOverride.getOrElse(-1)} -> $d")
+        Some(d)
+      } else None
     val ix = probeDir match {
       case Some(d) =>
-        operators.AnnIndex.build(emb, d, nlistOverride = nlistOverride.get)
+        operators.AnnIndex.build(emb, d,
+          nlistOverride = nlistOverride.getOrElse(-1),
+          spanOverride = spanOverride.getOrElse(-1))
       case None => SparkEntry.annIndexFor(spark, dir)
     }
     val nlist = ix.cents.length
@@ -321,6 +334,7 @@ object RecallProbe {
     val line =
       f"""{"metric":"recall_probe","dir":"$dir","n":$n,"nlist":$nlist,""" +
         f""""nlist_forced":${nlistOverride.isDefined},""" +
+        f""""span":${ix.span},"span_forced":${spanOverride.isDefined},""" +
         f""""routing_active":$routingActive,""" +
         f""""q":$q,"k":$k,"serving_nprobe":$serving,"held_out_queries":true,""" +
         f""""candidates_per_query":$candMean%.0f,"rerank_depth":$rDepth,""" +
