@@ -275,7 +275,7 @@ private[graft] object QueriesVector {
           if (expectTwin) col("twin_rank") === 1 && col("twin_cos") === 1.0
           else col("twin_rank").isNull
         Similarity.knnIvfBatchFiltered(corpus, ix.ivf(s), ix.cents,
-            ql, k = 10)
+            ql, k = 10, span = ix.span)
           .join(broadcast(wanted), Seq("qid"))
           .groupBy(col("qid"))
           .agg(count(lit(1)).as("n"),
@@ -314,7 +314,7 @@ private[graft] object QueriesVector {
         .map(r => r.getLong(0) -> r.getInt(1)).toSeq.sortBy(_._1)
       val own = probeLabels.toDF("qid", "own_label")
       Similarity.knnIvfBatchHardNegatives(corpus, ix.ivf(s), ix.cents,
-          probeLabels, k = 10)
+          probeLabels, k = 10, span = ix.span)
         .join(broadcast(own), Seq("qid"))
         .groupBy(col("qid"))
         .agg(count(lit(1)).as("n"),

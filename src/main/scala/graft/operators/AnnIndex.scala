@@ -485,7 +485,8 @@ object AnnIndex {
              nprobe: Int = AutoNprobe): DataFrame =
     if (ix.cents.length < graft.functions.Centroids.RouteThreshold)
       Similarity.knnIvfBatchAssigned(emb,
-        liveView(spark, ix, ix.ivf(spark)), ix.cents, queryIds, k, nprobe)
+        liveView(spark, ix, ix.ivf(spark)), ix.cents, queryIds, k, nprobe,
+        span = ix.span)
     else
       Similarity.knnIvfPqRerankBatch(emb,
         liveView(spark, ix, ix.ivf(spark)),

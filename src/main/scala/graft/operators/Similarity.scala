@@ -641,33 +641,49 @@ object Similarity {
   def knnIvfBatchAssigned(emb: DataFrame, assigned: DataFrame,
                           cents: Array[Array[Double]],
                           queryIds: Seq[Long], k: Int = 10,
-                          nprobe: Int = AnnIndex.AutoNprobe): DataFrame =
-    ivfProbe(emb, assigned, cents, queryIds, wanted = None, k, nprobe)
+                          nprobe: Int = AnnIndex.AutoNprobe,
+                          span: Int = 1): DataFrame =
+    ivfProbe(emb, assigned, cents, queryIds, wanted = None, k, nprobe,
+      span = span)
 
   /** Shared probe pipeline of [[knnIvfBatchAssigned]] and
     * [[knnIvfBatchFiltered]] — ONE implementation of cell ranking,
     * candidate join, scoring, and top-k, so the filtered and
     * unfiltered paths can never silently diverge; `wanted` (per-query
-    * label predicates) is the only difference between them. */
+    * label predicates) is the only difference between them. `span`
+    * ([[graft.operators.AnnIndex.Loaded.span]] — the grouped layout):
+    * the probe side then ALSO carries the derived cgrp key and the
+    * candidate join includes it, so dynamic partition pruning has a
+    * partition-column equi-join to act on (the probe cells are
+    * computed executor-side here, so the compressed arm's static
+    * literal prune is not available); a wrong or defaulted span is
+    * CORRECT either way — cgrp rides the join only when the assigned
+    * frame actually has the column, and the cell equi-join alone is
+    * exact. */
   private def ivfProbe(emb: DataFrame, assigned: DataFrame,
                        cents: Array[Array[Double]], queryIds: Seq[Long],
                        wanted: Option[Seq[(Long, Int)]], k: Int,
                        nprobe: Int, labelMatch: Boolean = true,
-                       routed: Boolean = true): DataFrame = {
+                       routed: Boolean = true, span: Int = 1): DataFrame = {
     val np = resolveNprobe(nprobe, cents.length)
     val e = withNorm(emb)
-    val base = e.filter(col("vec_id").isin(queryIds: _*))
+    val grouped = span > 1 && assigned.columns.contains("cgrp")
+    val base0 = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"),
         explode(probeCellsOf(cents, col("v"), col("nrm"), np, routed))
           .as("cell"))
+    val base = if (grouped)
+      base0.withColumn("cgrp", (col("cell") / lit(span)).cast("int"))
+    else base0
     val queries = wanted.fold(base) { ql =>
       val spark = emb.sparkSession
       import spark.implicits._
       base.join(ql.toDF("wq", "want_label"), col("qid") === col("wq"))
         .drop("wq")
     }
-    val cand = assigned.join(broadcast(queries), Seq("cell"))
+    val cand = assigned.join(broadcast(queries),
+        if (grouped) Seq("cgrp", "cell") else Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
     val matching =
       if (wanted.isDefined)
@@ -927,9 +943,10 @@ object Similarity {
   def knnIvfBatchFiltered(emb: DataFrame, assigned: DataFrame,
                           cents: Array[Array[Double]],
                           queryLabels: Seq[(Long, Int)], k: Int = 10,
-                          nprobe: Int = AnnIndex.AutoNprobe): DataFrame =
+                          nprobe: Int = AnnIndex.AutoNprobe,
+                          span: Int = 1): DataFrame =
     ivfProbe(emb, assigned, cents, queryLabels.map(_._1),
-      wanted = Some(queryLabels), k, nprobe)
+      wanted = Some(queryLabels), k, nprobe, span = span)
 
   /** Hard-negative mining — the contrastive-training data op: a
     * retriever/embedding model trains best against the nearest vectors
@@ -947,9 +964,11 @@ object Similarity {
   def knnIvfBatchHardNegatives(emb: DataFrame, assigned: DataFrame,
                                cents: Array[Array[Double]],
                                queryLabels: Seq[(Long, Int)], k: Int = 10,
-                               nprobe: Int = AnnIndex.AutoNprobe): DataFrame =
+                               nprobe: Int = AnnIndex.AutoNprobe,
+                               span: Int = 1): DataFrame =
     ivfProbe(emb, assigned, cents, queryLabels.map(_._1),
-      wanted = Some(queryLabels), k, nprobe, labelMatch = false)
+      wanted = Some(queryLabels), k, nprobe, labelMatch = false,
+      span = span)
 
   // ---- self-verifying ANN contracts -------------------------------
   //

@@ -542,6 +542,17 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(a == b,
       "grouped layout changed served results — grouping must be storage only")
+    // the FILTERED probe path (ivfProbe) joins on (cgrp, cell) when
+    // the index is grouped — same equality contract as the main arm
+    val ql = qids.map(q => q -> (q / 1000L).toInt)
+    val fa = Similarity.knnIvfBatchFiltered(corpus, flatIx.ivf(spark),
+        flatIx.cents, ql, k = 5, span = flatIx.span)
+      .orderBy("qid", "rank", "vec_id").collect().map(_.toSeq).toSeq
+    val fb = Similarity.knnIvfBatchFiltered(corpus, ix.ivf(spark),
+        ix.cents, ql, k = 5, span = ix.span)
+      .orderBy("qid", "rank", "vec_id").collect().map(_.toSeq).toSeq
+    assert(fa == fb,
+      "filtered kNN diverged between grouped and ungrouped layouts")
     val plan = grouped.queryExecution.executedPlan.toString
     val pruned = "PartitionFilters: \\[cgrp#\\d+ (IN \\(|INSET|= )".r
       .findAllIn(plan).size
