@@ -432,19 +432,32 @@ object AnnIndex {
     // make the serving rerank's point-fetch join skip non-candidate
     // row groups; the sort rides the shuffle the clustering already
     // pays, so the build cost is unchanged at any scale
+    // the four encode passes are INDEPENDENT given the trained
+    // structures and run CONCURRENTLY (Par scaladoc): each is its own
+    // corpus scan either way, so overlapping them back-fills the
+    // scheduling/commit/tail gaps without changing total read volume;
+    // _DONE is written last, so a tear anywhere rebuilds whole. The
+    // per-phase regression-localization marks (the round-13 diagnosis
+    // tool) survive as per-task timings against a shared start.
     val dim = cents.head.length
-    writeCellTable(assignCells(corpus, cents), s"$dir/ivf", span,
-      "overwrite", recordsPerFile(8L * dim + 20))
-    mark("encode-ivf")
-    Similarity.pqEncode(corpus, pqCbs)
-      .write.mode("overwrite").parquet(s"$dir/pq_codes")
-    mark("encode-pq")
-    writeCellTable(Similarity.ivfPqEncode(corpus, cents, resCbs),
-      s"$dir/ivfpq_codes", span, "overwrite", recordsPerFile(4L * M + 8))
-    mark("encode-ivfpq")
-    Similarity.quantizedIndex(corpus)
-      .write.mode("overwrite").parquet(s"$dir/sq8")
-    mark("encode-sq8")
+    val tEnc = System.nanoTime()
+    def markAt(phase: String): Unit =
+      System.err.println(
+        f"[ann-build] $phase ${(System.nanoTime() - tEnc) / 1e9}%.1fs")
+    Par.run(
+      () => { writeCellTable(assignCells(corpus, cents), s"$dir/ivf",
+          span, "overwrite", recordsPerFile(8L * dim + 20))
+        markAt("encode-ivf") },
+      () => { Similarity.pqEncode(corpus, pqCbs)
+          .write.mode("overwrite").parquet(s"$dir/pq_codes")
+        markAt("encode-pq") },
+      () => { writeCellTable(Similarity.ivfPqEncode(corpus, cents, resCbs),
+          s"$dir/ivfpq_codes", span, "overwrite", recordsPerFile(4L * M + 8))
+        markAt("encode-ivfpq") },
+      () => { Similarity.quantizedIndex(corpus)
+          .write.mode("overwrite").parquet(s"$dir/sq8")
+        markAt("encode-sq8") })
+    t0 = System.nanoTime()
 
     // the span is part of the PHYSICAL layout: an appender or reader
     // that guessed it from nlist could disagree with the writer the
@@ -511,18 +524,23 @@ object AnnIndex {
     * drops operational loop. */
   def addVectors(base: Loaded, delta: DataFrame): Loaded = {
     val spark = delta.sparkSession
-    val dup = delta.select(col("vec_id"))
-      .join(base.ivf(spark).select(col("vec_id")), Seq("vec_id"),
-        "left_semi").count()
+    // ONE pass computes all three admission numbers (the
+    // TextIndex.addSegment shape): ivf is unique per vec_id, so the
+    // left join preserves delta row multiplicity and count(_in_base)
+    // equals the semi-join count — two full delta passes merged into
+    // one job
+    val Array(nDelta, nDistinct, dup) = delta.select(col("vec_id"))
+      .join(base.ivf(spark).select(col("vec_id"),
+        lit(1).as("_in_base")), Seq("vec_id"), "left")
+      .agg(count(lit(1)), countDistinct(col("vec_id")),
+        count(col("_in_base")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
     require(dup == 0,
       s"$dup delta vec_ids already indexed — vector appends must be " +
       "disjoint (update = delete + reingest)")
     // ...and disjoint WITHIN the batch (the TextIndex.addSegment rule):
     // an intra-batch repeat would pass the base check yet appear twice
     // in every index table and twice in every probe result
-    val Array(nDelta, nDistinct) = delta
-      .agg(count(lit(1)), countDistinct(col("vec_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
     require(nDelta == nDistinct,
       s"${nDelta - nDistinct} duplicate vec_ids WITHIN the delta batch " +
       "— dedup the batch before ingesting it")
@@ -537,17 +555,25 @@ object AnnIndex {
       // delta lands one file per touched cell (or cgrp, under the
       // grouped layout — base.span is the PERSISTED span, so a
       // segment can never interleave the two layouts), not
-      // tasks × cells
+      // tasks × cells. The four appends are independent and run
+      // CONCURRENTLY (Par awaits all four before any rethrow, so the
+      // invalidation below never races a still-running writer); any
+      // hard-crash subset leaves the four row counts disagreeing,
+      // which is exactly what lockstepValid flags — order never
+      // mattered for tear detection here, only count equality.
       val dim = base.cents.head.length
-      writeCellTable(assignCells(delta, base.cents), s"${base.dir}/ivf",
-        base.span, "append", recordsPerFile(8L * dim + 20))
-      Similarity.pqEncode(delta, base.pqCbs)
-        .write.mode("append").parquet(s"${base.dir}/pq_codes")
-      writeCellTable(Similarity.ivfPqEncode(delta, base.cents, base.resCbs),
-        s"${base.dir}/ivfpq_codes", base.span, "append",
-        recordsPerFile(4L * base.resCbs.length + 8))
-      Similarity.quantizedIndex(delta)
-        .write.mode("append").parquet(s"${base.dir}/sq8")
+      Par.run(
+        () => writeCellTable(assignCells(delta, base.cents),
+          s"${base.dir}/ivf", base.span, "append",
+          recordsPerFile(8L * dim + 20)),
+        () => Similarity.pqEncode(delta, base.pqCbs)
+          .write.mode("append").parquet(s"${base.dir}/pq_codes"),
+        () => writeCellTable(
+          Similarity.ivfPqEncode(delta, base.cents, base.resCbs),
+          s"${base.dir}/ivfpq_codes", base.span, "append",
+          recordsPerFile(4L * base.resCbs.length + 8)),
+        () => Similarity.quantizedIndex(delta)
+          .write.mode("append").parquet(s"${base.dir}/sq8"))
     } catch {
       case e: Throwable =>
         invalidate(base)
@@ -582,10 +608,17 @@ object AnnIndex {
       .join(liveView(spark, base,
         base.ivf(spark).select(col("vec_id"))), Seq("vec_id"), "left_semi")
       .distinct()
-    val n = victims.count()
-    if (n > 0)
-      victims.write.mode("append").parquet(s"${base.dir}/deletes")
-    n
+      // pinned across its two consumers: count() and the tombstone
+      // append otherwise each re-run the ids ⋈ ivf membership join —
+      // the TextIndex.deleteByQuery discipline, which this path
+      // missed (st13 pays the double pass per micro-batch)
+      .persist()
+    try {
+      val n = victims.count()
+      if (n > 0)
+        victims.write.mode("append").parquet(s"${base.dir}/deletes")
+      n
+    } finally { victims.unpersist(blocking = false); () }
   }
 
   /** An index table restricted to LIVE (non-tombstoned) vectors — the
@@ -618,6 +651,10 @@ object AnnIndex {
     require(maxRatio > 0.0, "maxRatio must be positive")
     if (!hasDeletes(spark, base)) return false
     val tomb = spark.read.parquet(s"${base.dir}/deletes").count()
+    // the physical count is deliberately re-read (not taken from the
+    // handle's nRows): a caller that purged through THIS method holds
+    // a stale pre-purge handle — immutable case class — and a stale
+    // count would silently shift the pressure threshold
     val live = base.ivf(spark).count() - tomb
     if (tomb.toDouble > maxRatio * math.max(live, 1L).toDouble) {
       purgeDeletes(spark, base)
@@ -643,22 +680,28 @@ object AnnIndex {
     // cgrp holds span cells (~n/GroupCap rows), and a purge without
     // maxRecordsPerFile would fuse each group into one unbounded
     // file, silently undoing the size cap until a rebuild
+    // the four rewrites are independent (separate tables, separate
+    // tmp+swap dirs) and run CONCURRENTLY (Par scaladoc); deletes/ is
+    // cleared only after all four land, so an interrupted purge still
+    // masks through liveView, and any crash subset leaves the four
+    // row counts disagreeing — exactly what lockstepValid flags
     val dim = base.cents.head.length
-    swapIn(spark, base, "ivf",
-      liveView(spark, base, base.ivf(spark)),
-      partitionCols = pCols, sortCols = sCols,
-      maxRecords =
-        if (base.span > 1) recordsPerFile(8L * dim + 20) else 0L)
-    swapIn(spark, base, "pq_codes",
-      liveView(spark, base, base.pqCodes(spark)))
-    swapIn(spark, base, "ivfpq_codes",
-      liveView(spark, base, base.ivfPqCodes(spark)),
-      partitionCols = pCols, sortCols = sCols,
-      maxRecords =
-        if (base.span > 1) recordsPerFile(4L * base.resCbs.length + 8)
-        else 0L)
-    swapIn(spark, base, "sq8",
-      liveView(spark, base, base.sq8(spark)))
+    Par.run(
+      () => swapIn(spark, base, "ivf",
+        liveView(spark, base, base.ivf(spark)),
+        partitionCols = pCols, sortCols = sCols,
+        maxRecords =
+          if (base.span > 1) recordsPerFile(8L * dim + 20) else 0L),
+      () => swapIn(spark, base, "pq_codes",
+        liveView(spark, base, base.pqCodes(spark))),
+      () => swapIn(spark, base, "ivfpq_codes",
+        liveView(spark, base, base.ivfPqCodes(spark)),
+        partitionCols = pCols, sortCols = sCols,
+        maxRecords =
+          if (base.span > 1) recordsPerFile(4L * base.resCbs.length + 8)
+          else 0L),
+      () => swapIn(spark, base, "sq8",
+        liveView(spark, base, base.sq8(spark))))
     val fs = new org.apache.hadoop.fs.Path(base.dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"${base.dir}/deletes"), true)

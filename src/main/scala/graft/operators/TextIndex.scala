@@ -193,48 +193,60 @@ object TextIndex {
       .persist()
     try {
 
-    withLen.select(col("doc_id"), col("len"))
-      .write.mode("overwrite").parquet(s"$dir/doclen")
-    // the SAME aggregate expressions the in-query stats passes used:
-    // count → double, avg over the int len (exact long sum / count).
-    // sum_len rides along as the exact LONG the avg divided — it is
-    // what makes incremental maintenance bit-exact: merged avgdl is
-    // (sum_len₁+sum_len₂)/(n₁+n₂), the identical one-division-of-
-    // exact-longs a full rebuild computes, never an average of
-    // averages.
-    withLen.agg(count(lit(1)).cast("double").as("n"),
-        avg(col("len")).as("avgdl"),
-        sum(col("len")).cast("long").as("sum_len"))
-      .write.mode("overwrite").parquet(s"$dir/corpus")
-
-    withLen.select(col("doc_id"), col("len"),
-        posexplode(col("toks")).as(Seq("pos", "term")))
-      .groupBy(col("term"), col("doc_id"), col("len"))
-      .agg(count(lit(1)).cast("int").as("tf"),
-        // collect_list order is partition-nondeterministic — sort for
-        // a canonical artifact (phrase checks only need membership,
-        // but a byte-stable index is what makes rebuilds comparable)
-        sort_array(collect_list(col("pos").cast("int"))).as("positions"))
-      .repartition(col("term"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
-
-    spark.read.parquet(s"$dir/postings")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/term_df")
-
-    // shingle stream DISTINCT per doc — one membership row per
-    // (shingle, doc), the exact row set rare_terms' per-doc
-    // array_distinct counted; a unigram and a separator-free bigram
-    // that collide on the same string stay ONE row per doc here too
-    withLen.select(col("doc_id"), explode(array_distinct(
-        Analyzers.shingleTokens(col("toks")))).as("term"))
-      .repartition(col("term"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$dir/shingles")
-    spark.read.parquet(s"$dir/shingles")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/shingle_df")
+    // the four table chains below are INDEPENDENT given the pinned
+    // tokenization (doclen; corpus stats; postings → its dictionary;
+    // shingles → its dictionary) and run CONCURRENTLY (Par scaladoc —
+    // jobs back-fill each other's scheduling/commit/tail gaps; the
+    // first consumers of the persisted withLen serialize per-block on
+    // the storage lock, so the tokenization still computes once). A
+    // tear anywhere is safe regardless of completion order: _DONE is
+    // written last, below, so a crashed build is rebuilt whole.
+    Par.run(
+      () => withLen.select(col("doc_id"), col("len"))
+        .write.mode("overwrite").parquet(s"$dir/doclen"),
+      // the SAME aggregate expressions the in-query stats passes used:
+      // count → double, avg over the int len (exact long sum / count).
+      // sum_len rides along as the exact LONG the avg divided — it is
+      // what makes incremental maintenance bit-exact: merged avgdl is
+      // (sum_len₁+sum_len₂)/(n₁+n₂), the identical one-division-of-
+      // exact-longs a full rebuild computes, never an average of
+      // averages.
+      () => withLen.agg(count(lit(1)).cast("double").as("n"),
+          avg(col("len")).as("avgdl"),
+          sum(col("len")).cast("long").as("sum_len"))
+        .write.mode("overwrite").parquet(s"$dir/corpus"),
+      () => {
+        withLen.select(col("doc_id"), col("len"),
+            posexplode(col("toks")).as(Seq("pos", "term")))
+          .groupBy(col("term"), col("doc_id"), col("len"))
+          .agg(count(lit(1)).cast("int").as("tf"),
+            // collect_list order is partition-nondeterministic — sort
+            // for a canonical artifact (phrase checks only need
+            // membership, but a byte-stable index is what makes
+            // rebuilds comparable)
+            sort_array(collect_list(col("pos").cast("int"))).as("positions"))
+          .repartition(col("term"))
+          .sortWithinPartitions(col("term"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$dir/postings")
+        spark.read.parquet(s"$dir/postings")
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/term_df")
+      },
+      () => {
+        // shingle stream DISTINCT per doc — one membership row per
+        // (shingle, doc), the exact row set rare_terms' per-doc
+        // array_distinct counted; a unigram and a separator-free
+        // bigram that collide on the same string stay ONE row per doc
+        // here too
+        withLen.select(col("doc_id"), explode(array_distinct(
+            Analyzers.shingleTokens(col("toks")))).as("term"))
+          .repartition(col("term"))
+          .sortWithinPartitions(col("term"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$dir/shingles")
+        spark.read.parquet(s"$dir/shingles")
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/shingle_df")
+      })
 
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_DONE"),
       Array.emptyByteArray)
@@ -292,8 +304,19 @@ object TextIndex {
     // permits segment-local resurrection, deliberately out of
     // scope), so the reingest must wait for purgeDeletes and the
     // error says so.
-    val dupAll = withLen.select(col("doc_id"))
-      .join(base.doclen(spark), Seq("doc_id"), "left_semi").count()
+    // ONE pass computes all three admission numbers (delta rows,
+    // distinct delta ids, rows already present in the base): doclen is
+    // unique per doc_id by construction, so the left join preserves
+    // delta row multiplicity and count(base-match) equals the
+    // semi-join count the two separate check jobs used to run — two
+    // full delta passes merged into one (the classification join below
+    // still runs only on the failure path)
+    val Array(nDelta, nDistinct, dupAll) = withLen.select(col("doc_id"))
+      .join(base.doclen(spark).select(col("doc_id"),
+        lit(1).as("_in_base")), Seq("doc_id"), "left")
+      .agg(count(lit(1)), countDistinct(col("doc_id")),
+        count(col("_in_base")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
     if (dupAll > 0) {
       val dupLive = withLen.select(col("doc_id"))
         .join(liveView(spark, base, base.doclen(spark)), Seq("doc_id"),
@@ -311,9 +334,6 @@ object TextIndex {
     // ...and disjoint WITHIN the batch: a doc_id repeated inside one
     // delta would pass the base check yet double-count n, sum_len and
     // every df it touches — the same silent corruption, intra-batch
-    val Array(nDelta, nDistinct) = withLen
-      .agg(count(lit(1)), countDistinct(col("doc_id")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
     require(nDelta == nDistinct,
       s"${nDelta - nDistinct} duplicate doc ids WITHIN the delta batch " +
       "— dedup the batch before ingesting it")
@@ -323,48 +343,63 @@ object TextIndex {
     // TORN index — invalidate (_DONE removed) so the next ensure()
     // rebuilds, the AnnIndex.addVectors discipline
     try {
+      // tear-detection bracket (lockstepValid scaladoc): the doclen
+      // append stays FIRST and the corpus swap stays LAST — any hard
+      // crash strictly between them leaves doclen grown against the
+      // old corpus row, so check 1 flags the tear no matter which of
+      // the parallel middle chains completed. The two heavy middle
+      // chains (positional postings → term dictionary; shingle
+      // membership → shingle dictionary) are independent of each
+      // other and run CONCURRENTLY (Par scaladoc).
       withLen.select(col("doc_id"), col("len"))
         .write.mode("append").parquet(s"$dir/doclen")
-      withLen.select(col("doc_id"), col("len"),
-          posexplode(col("toks")).as(Seq("pos", "term")))
-        .groupBy(col("term"), col("doc_id"), col("len"))
-        .agg(count(lit(1)).cast("int").as("tf"),
-          sort_array(collect_list(col("pos").cast("int"))).as("positions"))
-        .repartition(col("term"))
-        .sortWithinPartitions(col("term"), col("doc_id"))
-        .write.mode("append").parquet(s"$dir/postings")
+      Par.run(
+        () => {
+          withLen.select(col("doc_id"), col("len"),
+              posexplode(col("toks")).as(Seq("pos", "term")))
+            .groupBy(col("term"), col("doc_id"), col("len"))
+            .agg(count(lit(1)).cast("int").as("tf"),
+              sort_array(collect_list(col("pos").cast("int"))).as("positions"))
+            .repartition(col("term"))
+            .sortWithinPartitions(col("term"), col("doc_id"))
+            .write.mode("append").parquet(s"$dir/postings")
 
-      // dictionary + stats merges: DICTIONARY-sized, rewritten via
-      // write-to-tmp + atomic swap (the Sink.compact discipline) because
-      // the new value is derived from the file being replaced
-      val deltaDf = withLen
-        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      swapIn(spark, base, "term_df",
-        base.termDf(spark).unionByName(deltaDf)
-          .groupBy(col("term")).agg(sum(col("df")).as("df"))
-          .coalesce(1))
-      // the exploded (doc_id, shingle) frame is computed ONCE and
-      // pinned for its two consumers (membership append + df delta) —
-      // shingling is the dominant per-row analysis cost and was paid
-      // twice until the round-13 review (the same doubled-pass shape
-      // round 9 fixed on the build path)
-      val shingleRows = withLen.select(col("doc_id"),
-          explode(array_distinct(
-            Analyzers.shingleTokens(col("toks")))).as("term"))
-        .persist()
-      try {
-        shingleRows
-          .repartition(col("term"))
-          .sortWithinPartitions(col("term"), col("doc_id"))
-          .write.mode("append").parquet(s"$dir/shingles")
-        val deltaShingleDf = shingleRows
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        swapIn(spark, base, "shingle_df",
-          base.shingleDf(spark).unionByName(deltaShingleDf)
-            .groupBy(col("term")).agg(sum(col("df")).as("df"))
-            .coalesce(1))
-      } finally shingleRows.unpersist(blocking = false)
+          // dictionary + stats merges: DICTIONARY-sized, rewritten via
+          // write-to-tmp + atomic swap (the Sink.compact discipline)
+          // because the new value is derived from the file being
+          // replaced
+          val deltaDf = withLen
+            .select(col("doc_id"),
+              explode(array_distinct(col("toks"))).as("term"))
+            .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          swapIn(spark, base, "term_df",
+            base.termDf(spark).unionByName(deltaDf)
+              .groupBy(col("term")).agg(sum(col("df")).as("df"))
+              .coalesce(1))
+        },
+        () => {
+          // the exploded (doc_id, shingle) frame is computed ONCE and
+          // pinned for its two consumers (membership append + df
+          // delta) — shingling is the dominant per-row analysis cost
+          // and was paid twice until the round-13 review (the same
+          // doubled-pass shape round 9 fixed on the build path)
+          val shingleRows = withLen.select(col("doc_id"),
+              explode(array_distinct(
+                Analyzers.shingleTokens(col("toks")))).as("term"))
+            .persist()
+          try {
+            shingleRows
+              .repartition(col("term"))
+              .sortWithinPartitions(col("term"), col("doc_id"))
+              .write.mode("append").parquet(s"$dir/shingles")
+            val deltaShingleDf = shingleRows
+              .groupBy(col("term")).agg(count(lit(1)).as("df"))
+            swapIn(spark, base, "shingle_df",
+              base.shingleDf(spark).unionByName(deltaShingleDf)
+                .groupBy(col("term")).agg(sum(col("df")).as("df"))
+                .coalesce(1))
+          } finally { shingleRows.unpersist(blocking = false); () }
+        })
       val deltaStats = withLen.agg(
         count(lit(1)).cast("double").as("n"),
         sum(col("len")).cast("long").as("sum_len"))
@@ -458,36 +493,50 @@ object TextIndex {
     // purged artifact must keep the exact layout a fresh build writes
     // (schema-identical generations). The AnnIndex tables don't need
     // it only because vec_id already leads every one of them.
+    // three independent swap CHAINS (each dictionary/stats rewrite
+    // reads its own table's just-swapped, already-purged form — the
+    // cheaper read), overlapped via Par: the torn-window states a
+    // concurrent schedule can leave are the same pairwise-consistent
+    // mixes the sequential order could already leave (deletes/ is
+    // cleared only after ALL chains complete, so an interrupted purge
+    // still masks through liveView and re-runs to completion)
     val pCols = base.postings(spark).columns.map(col).toSeq
-    swapIn(spark, base, "postings",
-      liveView(spark, base, base.postings(spark))
-        .select(pCols: _*)
-        .repartition(col("term"))
-        .sortWithinPartitions(col("term"), col("doc_id")))
-    swapIn(spark, base, "doclen",
-      liveView(spark, base, base.doclen(spark))
-        .select(col("doc_id"), col("len")))
-    swapIn(spark, base, "term_df",
-      base.postings(spark)
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .coalesce(1))
     // shingle membership is (term, doc_id) with term leading — the
     // doc_id-keyed anti-join would move doc_id to the front, so
     // re-select like postings
     val shCols = base.shingles(spark).columns.map(col).toSeq
-    swapIn(spark, base, "shingles",
-      liveView(spark, base, base.shingles(spark))
-        .select(shCols: _*)
-        .repartition(col("term"))
-        .sortWithinPartitions(col("term"), col("doc_id")))
-    swapIn(spark, base, "shingle_df",
-      base.shingles(spark)
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .coalesce(1))
-    swapIn(spark, base, "corpus",
-      base.doclen(spark).agg(count(lit(1)).cast("double").as("n"),
-        avg(col("len")).as("avgdl"),
-        sum(col("len")).cast("long").as("sum_len")))
+    Par.run(
+      () => {
+        swapIn(spark, base, "postings",
+          liveView(spark, base, base.postings(spark))
+            .select(pCols: _*)
+            .repartition(col("term"))
+            .sortWithinPartitions(col("term"), col("doc_id")))
+        swapIn(spark, base, "term_df",
+          base.postings(spark)
+            .groupBy(col("term")).agg(count(lit(1)).as("df"))
+            .coalesce(1))
+      },
+      () => {
+        swapIn(spark, base, "shingles",
+          liveView(spark, base, base.shingles(spark))
+            .select(shCols: _*)
+            .repartition(col("term"))
+            .sortWithinPartitions(col("term"), col("doc_id")))
+        swapIn(spark, base, "shingle_df",
+          base.shingles(spark)
+            .groupBy(col("term")).agg(count(lit(1)).as("df"))
+            .coalesce(1))
+      },
+      () => {
+        swapIn(spark, base, "doclen",
+          liveView(spark, base, base.doclen(spark))
+            .select(col("doc_id"), col("len")))
+        swapIn(spark, base, "corpus",
+          base.doclen(spark).agg(count(lit(1)).cast("double").as("n"),
+            avg(col("len")).as("avgdl"),
+            sum(col("len")).cast("long").as("sum_len")))
+      })
     // tombstones are now physical — clear them (a failure here leaves
     // a consistent index + stale tombstones: deletes are idempotent)
     val fs = new org.apache.hadoop.fs.Path(base.dir)
@@ -524,7 +573,11 @@ object TextIndex {
     // the doclen semi-join runs only when the raw signal trips
     // (measured: the always-join form doubled s16's bench row)
     val tombRaw = spark.read.parquet(s"${base.dir}/deletes").count()
-    val doclenCnt = base.doclen(spark).count()
+    // the indexed-doc count comes from the single-row corpus stats
+    // table (n == doclen count by the lockstep invariant; deletes
+    // never touch either until the purge swaps both) — a 1-file read
+    // instead of a doclen scan, per micro-batch
+    val doclenCnt = base.corpus(spark).head().getDouble(0).toLong
     if (tombRaw.toDouble <=
         maxRatio * math.max(doclenCnt - tombRaw, 1L).toDouble)
       return false
