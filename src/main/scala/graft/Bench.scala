@@ -275,13 +275,15 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$onlyTag""" +
       s""""health":$healthFull,"queries":$qs,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    println(line)
     // stdout tail-capture has a size limit that can truncate the
-    // per-query map on a 200+ query run — also persist the full result
-    // line where nothing can cut it short
+    // per-query map on a 200+ query run — persist the full result line
+    // FIRST (where nothing can cut it short), then print it, so a
+    // clipped capture still leaves a parseable committed artifact (the
+    // r14→r15 comparison died on exactly such a truncation)
     val outFile = if (only.isDefined) "bench_out.partial.json" else "bench_out.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
+    println(line)
     // full-suite runs feed the rolling-median history (append-only;
     // BENCH_ONLY subsets and failed rows are excluded — a partial or
     // broken run must not drag future medians). Guarded: history is

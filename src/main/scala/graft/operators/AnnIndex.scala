@@ -457,7 +457,7 @@ object AnnIndex {
       () => { Similarity.quantizedIndex(corpus)
           .write.mode("overwrite").parquet(s"$dir/sq8")
         markAt("encode-sq8") })
-    t0 = System.nanoTime()
+    mark("encode-all")
 
     // the span is part of the PHYSICAL layout: an appender or reader
     // that guessed it from nlist could disagree with the writer the

@@ -38,15 +38,31 @@ private[graft] object Par {
         })
       }
       var err: Throwable = null
+      var interrupted = false
       futs.foreach { f =>
-        try { f.get(); () } catch {
-          case e: java.util.concurrent.ExecutionException =>
-            val c = if (e.getCause != null) e.getCause else e
-            if (err == null) err = c else err.addSuppressed(c)
-          case e: InterruptedException =>
-            Thread.currentThread().interrupt()
-            if (err == null) err = e
+        // an interrupt of the CALLING thread must not break the
+        // await-all contract: the pool threads run on, so returning
+        // early would let a still-live writer race the caller's
+        // invalidate(). Remember the interrupt, keep awaiting every
+        // future, and restore the flag before rethrowing (the
+        // round-15 advisor finding).
+        var done = false
+        while (!done) {
+          try { f.get(); done = true } catch {
+            case e: java.util.concurrent.ExecutionException =>
+              val c = if (e.getCause != null) e.getCause else e
+              if (err == null) err = c else err.addSuppressed(c)
+              done = true
+            case _: InterruptedException =>
+              interrupted = true
+          }
         }
+      }
+      if (interrupted) {
+        Thread.currentThread().interrupt()
+        val ie = new InterruptedException(
+          "interrupted while awaiting Par tasks (all tasks completed)")
+        if (err == null) err = ie else err.addSuppressed(ie)
       }
       if (err != null) throw err
     } finally { pool.shutdownNow(); () }

@@ -128,7 +128,7 @@ object TextIndex {
     * least one of the three. */
   private def lockstepValid(spark: SparkSession, l: Loaded): Boolean = {
     def checks(): Boolean = {
-      val n = l.corpus(spark).head().getDouble(0).toLong
+      val n = l.corpus(spark).head().getAs[Double]("n").toLong
       if (n != l.doclen(spark).count()) return false
       val dfMass = l.termDf(spark)
         .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
@@ -577,7 +577,7 @@ object TextIndex {
     // table (n == doclen count by the lockstep invariant; deletes
     // never touch either until the purge swaps both) — a 1-file read
     // instead of a doclen scan, per micro-batch
-    val doclenCnt = base.corpus(spark).head().getDouble(0).toLong
+    val doclenCnt = base.corpus(spark).head().getAs[Double]("n").toLong
     if (tombRaw.toDouble <=
         maxRatio * math.max(doclenCnt - tombRaw, 1L).toDouble)
       return false
