@@ -120,15 +120,27 @@ private[graft] object QueriesDedup {
       val standing = docs.filter(col("doc_id") % 10 =!= 0)
       val batch = docs.filter(col("doc_id") % 10 === 0)
       val ix = DedupIndex.build(standing, Scratch.dir("d17ix"))
-      val before = ix.fingerprints(s).count()
-      val bucketsBefore = ix.buckets(s).count()
-      val setsBefore = ix.shingleSets(s).count()
-      val n1new = DedupIndex.screenExact(s, ix, batch)
-        .filter(col("is_new")).count()
+      // the five pre-append reads are independent of one another (all
+      // describe the index/batch state BEFORE addBatch mutates it) and
+      // run overlapped — same values, wall = the slowest read instead
+      // of the sum of five small jobs (Par scaladoc)
+      var before, bucketsBefore, setsBefore, n1new, nBatch = 0L
+      Par.run(
+        () => before = ix.fingerprints(s).count(),
+        () => bucketsBefore = ix.buckets(s).count(),
+        () => setsBefore = ix.shingleSets(s).count(),
+        () => n1new = DedupIndex.screenExact(s, ix, batch)
+          .filter(col("is_new")).count(),
+        () => nBatch = batch.count())
       val (_, nFps) = DedupIndex.addBatch(s, ix, batch)
-      val after = ix.fingerprints(s).count()
-      val n2new = DedupIndex.screenExact(s, ix, batch)
-        .filter(col("is_new")).count()
+      // ...and the four post-append reads likewise
+      var after, n2new, bucketsAfter, setsAfter = 0L
+      Par.run(
+        () => after = ix.fingerprints(s).count(),
+        () => n2new = DedupIndex.screenExact(s, ix, batch)
+          .filter(col("is_new")).count(),
+        () => bucketsAfter = ix.buckets(s).count(),
+        () => setsAfter = ix.shingleSets(s).count())
       // INDEPENDENT structural evidence that all three tables moved in
       // lockstep: the appended representatives carry exactly
       // Dedup.Bands bucket rows and one shingle-set row each — counted
@@ -136,11 +148,10 @@ private[graft] object QueriesDedup {
       // bookkeeping (a gate that compares a computation with itself
       // can never fail)
       val lockstep =
-        ix.buckets(s).count() ==
-          bucketsBefore + Dedup.Bands.toLong * nFps &&
-        ix.shingleSets(s).count() == setsBefore + nFps
+        bucketsAfter == bucketsBefore + Dedup.Bands.toLong * nFps &&
+        setsAfter == setsBefore + nFps
       import s.implicits._
-      Seq((before, batch.count(), n1new, nFps, after,
+      Seq((before, nBatch, n1new, nFps, after,
           n2new == 0L, lockstep, after == before + nFps))
         .toDF("n_index_before", "n_batch", "n_new", "n_fps_added",
           "n_index_after", "rescreen_all_known",

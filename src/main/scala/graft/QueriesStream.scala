@@ -51,22 +51,33 @@ private[graft] object QueriesStream {
       val (ix, nBatches, nDeleted) =
         graft.streaming.IndexStream.runVectorDeleteIngest(s, d)
       val emb = Tables.embeddings(s, d)
-      val nAfter = ix.ivf(s).count()
-      val tablesAgree = ix.pqCodes(s).count() == nAfter &&
-        ix.sq8(s).count() == nAfter && ix.ivfPqCodes(s).count() == nAfter
       val q = emb.select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1000, 0).cast("long")).as("q"))
       val probe = q.filter(col("vec_id") === 1L).select(col("q").as("p"))
-      val r = q.join(ix.ivf(s).select(col("vec_id")), Seq("vec_id"))
-        .crossJoin(broadcast(probe))
-        .select(col("vec_id"),
-          aggregate(zip_with(col("q"), col("p"), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x).as("dp"))
-        .filter(col("vec_id") =!= 1L)
-        .orderBy(col("dp").desc, col("vec_id")).limit(1).head()
+      // the six readback jobs (five table counts + the NN probe) all
+      // describe the SAME post-purge state and are independent of one
+      // another — overlapped, the readback costs one wall instead of
+      // six serial small jobs (Par scaladoc); values unchanged
+      var nBefore, nAfter, nPq, nSq8, nIvfPq = 0L
+      var r: org.apache.spark.sql.Row = null
+      Par.run(
+        () => nBefore = emb.count(),
+        () => nAfter = ix.ivf(s).count(),
+        () => nPq = ix.pqCodes(s).count(),
+        () => nSq8 = ix.sq8(s).count(),
+        () => nIvfPq = ix.ivfPqCodes(s).count(),
+        () => r = q.join(ix.ivf(s).select(col("vec_id")), Seq("vec_id"))
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id"),
+            aggregate(zip_with(col("q"), col("p"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).as("dp"))
+          .filter(col("vec_id") =!= 1L)
+          .orderBy(col("dp").desc, col("vec_id")).limit(1).head())
+      val tablesAgree =
+        nPq == nAfter && nSq8 == nAfter && nIvfPq == nAfter
       import s.implicits._
-      Seq((emb.count(), nDeleted, nAfter, r.getLong(0), r.getLong(1),
+      Seq((nBefore, nDeleted, nAfter, r.getLong(0), r.getLong(1),
           tablesAgree, nBatches >= 2))
         .toDF("n_before", "n_deleted", "n_after", "live_nn", "live_dp",
           "tables_agree", "multi_batch")

@@ -50,10 +50,19 @@ private[graft] object QueriesVector {
       val (mnn, mdp) = nn(AnnIndex.liveView(s, ix,
         ix.ivf(s).select(col("vec_id"))))
       AnnIndex.purgeDeletes(s, ix)
-      val (pnn, pdp) = nn(ix.ivf(s).select(col("vec_id")))
-      val nAfter = ix.ivf(s).count()
-      val tablesAgree = ix.pqCodes(s).count() == nAfter &&
-        ix.sq8(s).count() == nAfter && ix.ivfPqCodes(s).count() == nAfter
+      // the five post-purge readbacks (NN probe + four table counts)
+      // are independent reads of the same settled state — overlapped
+      // (Par scaladoc), values unchanged
+      var pnn, pdp, nAfter, nPq, nSq8, nIvfPq = 0L
+      Par.run(
+        () => { val t = nn(ix.ivf(s).select(col("vec_id")))
+          pnn = t._1; pdp = t._2 },
+        () => nAfter = ix.ivf(s).count(),
+        () => nPq = ix.pqCodes(s).count(),
+        () => nSq8 = ix.sq8(s).count(),
+        () => nIvfPq = ix.ivfPqCodes(s).count())
+      val tablesAgree =
+        nPq == nAfter && nSq8 == nAfter && nIvfPq == nAfter
       import s.implicits._
       Seq((nBefore, nDel, nAfter, mnn, mdp, pnn, pdp,
           mnn == pnn && mdp == pdp, tablesAgree))

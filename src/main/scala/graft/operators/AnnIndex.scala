@@ -650,12 +650,21 @@ object AnnIndex {
                  maxRatio: Double = 0.1): Boolean = {
     require(maxRatio > 0.0, "maxRatio must be positive")
     if (!hasDeletes(spark, base)) return false
-    val tomb = spark.read.parquet(s"${base.dir}/deletes").count()
-    // the physical count is deliberately re-read (not taken from the
-    // handle's nRows): a caller that purged through THIS method holds
-    // a stale pre-purge handle — immutable case class — and a stale
-    // count would silently shift the pressure threshold
-    val live = base.ivf(spark).count() - tomb
+    // BOTH pressure numbers from ONE job (was: a deletes count job plus
+    // a full ivf count job per micro-batch — runVectorDeleteIngest pays
+    // this per batch): union the two tables' footer-count scans with a
+    // side tag. The physical ivf count is deliberately re-read (not
+    // taken from the handle's nRows): a caller that purged through THIS
+    // method holds a stale pre-purge handle — immutable case class —
+    // and a stale count would silently shift the pressure threshold.
+    val row = base.ivf(spark).select(lit(1L).as("side"))
+      .unionByName(spark.read.parquet(s"${base.dir}/deletes")
+        .select(lit(0L).as("side")))
+      .agg(count(lit(1)).as("total"),
+        coalesce(sum(col("side")), lit(0L)).as("n_ivf"))
+      .head()
+    val tomb = row.getAs[Long]("total") - row.getAs[Long]("n_ivf")
+    val live = row.getAs[Long]("n_ivf") - tomb
     if (tomb.toDouble > maxRatio * math.max(live, 1L).toDouble) {
       purgeDeletes(spark, base)
       true
@@ -686,9 +695,14 @@ object AnnIndex {
     // masks through liveView, and any crash subset leaves the four
     // row counts disagreeing — exactly what lockstepValid flags
     val dim = base.cents.head.length
+    // the refreshed live row count rides the ivf rewrite itself (an
+    // Observation on the frame the swap already scans) instead of a
+    // separate post-swap count job — one fewer corpus pass per purge
+    val obs = org.apache.spark.sql.Observation()
     Par.run(
       () => swapIn(spark, base, "ivf",
-        liveView(spark, base, base.ivf(spark)),
+        liveView(spark, base, base.ivf(spark))
+          .observe(obs, count(lit(1)).as("n")),
         partitionCols = pCols, sortCols = sCols,
         maxRecords =
           if (base.span > 1) recordsPerFile(8L * dim + 20) else 0L),
@@ -710,8 +724,8 @@ object AnnIndex {
     // which included tombstoned rows — permanently over-sizes the
     // rerank shortlist (extra full-precision fetches per query) until
     // an artifact rebuild. Recall-safe either way; this is the cost
-    // side. One metadata-cheap count over the just-swapped ivf.
-    val purged = base.copy(nRows = base.ivf(spark).count())
+    // side. The count was observed during the ivf rewrite above.
+    val purged = base.copy(nRows = obs.get("n").asInstanceOf[Long])
     if (purged.key.nonEmpty) memo.replace(purged.key, purged)
     purged
   }

@@ -96,13 +96,23 @@ object Dedup {
     * the agg formulation keeps everything inside whole-stage codegen
     * and shuffles each doc id exactly once. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-                        numHashes: Int): DataFrame = {
+                        numHashes: Int): DataFrame =
+    minhashSignaturesFromSets(withHashedShingleSet(docs, textCol, idCol),
+      numHashes)
+
+  /** [[minhashSignatures]] over an ALREADY-ANALYZED (id, shingles)
+    * frame — the entry point for callers that hold the hashed shingle
+    * sets (usually persisted) and must not pay the tokenize+shingle
+    * analysis a second time (DedupIndex computes the sets once per
+    * build/append and derives BOTH the banded index and the verify
+    * side from them). */
+  private[graft] def minhashSignaturesFromSets(sets: DataFrame,
+                                               numHashes: Int): DataFrame = {
     // shingles arrive as 64-bit hashes (codegen'd ShingleHashes); the
     // hash family re-hashes the fixed-width long with the family index
     // (an affine a·h+b family would be cheaper still, but ANSI mode
     // makes wraparound long arithmetic throw)
-    val posts = withHashedShingleSet(docs, textCol, idCol)
-      .select(col("id"), explode(col("shingles")).as("h"))
+    val posts = sets.select(col("id"), explode(col("shingles")).as("h"))
     val mins = (0 until numHashes)
       .map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     posts.groupBy(col("id"))
@@ -126,7 +136,15 @@ object Dedup {
     * screening). */
   def bandBuckets(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id", numHashes: Int = NumHashes,
-                  bands: Int = Bands): DataFrame = {
+                  bands: Int = Bands): DataFrame =
+    bandBucketsFromSets(withHashedShingleSet(docs, textCol, idCol),
+      numHashes, bands)
+
+  /** [[bandBuckets]] over an already-analyzed (id, shingles) frame —
+    * see [[minhashSignaturesFromSets]] for when to use it. */
+  private[graft] def bandBucketsFromSets(sets: DataFrame,
+                                         numHashes: Int = NumHashes,
+                                         bands: Int = Bands): DataFrame = {
     // integer division would silently TRUNCATE the signature (e.g.
     // 64 hashes / 12 bands → rows = 5 uses only 60 of the 64 computed
     // min-hashes, and the real S-curve is 1-(1-s^5)^12, not the
@@ -136,7 +154,7 @@ object Dedup {
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "bands×rows = numHashes is the S-curve contract")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, textCol, idCol, numHashes)
+    val sigs = minhashSignaturesFromSets(sets, numHashes)
     sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
@@ -150,7 +168,12 @@ object Dedup {
     val buckets = bandBuckets(docs, textCol, idCol, numHashes, bands)
     val a = buckets.as("a")
     val b = buckets.as("b")
-    val cand = a.join(b,
+    // merge-hinted for the same reason as [[simhashPairs]]'s self-join:
+    // a broadcast plan re-runs the full MinHash signature aggregation
+    // inside the BroadcastExchange (computed twice), while under SMJ
+    // both sides are the identical exchange and stage reuse computes
+    // it once — and the banded frame outgrows any broadcast at scale
+    val cand = a.hint("merge").join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
@@ -209,17 +232,26 @@ object Dedup {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
+      // min neighbor label per node, attached via a left join so the
+      // SAME materialization carries both the next labels and the
+      // did-anything-change flag: labels only ever decrease, so
+      // `plabel < label` is exactly "this node's label changed this
+      // round". The old shape paid a second shuffle JOIN per round
+      // (next ⋈ old labels) just to detect convergence; here the check
+      // is a cache scan over the just-checkpointed round output, and
+      // the labels-side exchange is shared by both joins (same child,
+      // same key). Same label sequence, same fixpoint, same round
+      // count — only the per-round job shape changes.
       val prop = edges.join(labels, edges("u") === labels("id"))
-        .select(col("v").as("id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("label").as("label"))
+        .groupBy(col("v")).agg(min(col("label")).as("plabel"))
+      val next = labels.join(prop, labels("id") === prop("v"), "left")
+        .select(col("id"),
+          when(col("plabel") < col("label"), col("plabel"))
+            .otherwise(col("label")).as("label"),
+          (col("plabel") < col("label")).as("changed"))
         .localCheckpoint()
-      // labels only ever decrease, so "no label changed" is the fixpoint
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("id"), col("label"))
       round += 1
     }
     // a silent non-converged return would hand back wrong cluster ids
@@ -301,26 +333,41 @@ object Dedup {
                          textCol: String = "text",
                          idCol: String = "doc_id", numHashes: Int = NumHashes,
                          bands: Int = Bands,
+                         threshold: Double = 0.5): DataFrame =
+    incrementalMinhashFromSets(
+      withHashedShingleSet(newDocs, textCol, idCol), standingIndex,
+      standingSets, idCol, numHashes, bands, threshold)
+
+  /** [[incrementalMinhash]] over the batch's already-analyzed
+    * (id, shingles) frame: the batch side feeds BOTH the banded
+    * signatures and the Jaccard verify side, so a caller that persists
+    * the sets (DedupIndex's strict admission does) tokenizes+shingles
+    * the batch once instead of twice inside the screening job. */
+  private[graft] def incrementalMinhashFromSets(newSets: DataFrame,
+                         standingIndex: DataFrame,
+                         standingSets: DataFrame,
+                         idCol: String = "doc_id", numHashes: Int = NumHashes,
+                         bands: Int = Bands,
                          threshold: Double = 0.5): DataFrame = {
     val standIdx = standingIndex
       .select(col("id").as("old_id"), col("band"), col("bucket"))
-    val batchIdx = bandBuckets(newDocs, textCol, idCol, numHashes, bands)
+    val batchIdx = bandBucketsFromSets(newSets, numHashes, bands)
       .select(col("id").as("new_id"), col("band"), col("bucket"))
     val cand = batchIdx.join(standIdx, Seq("band", "bucket"))
       .select(col("new_id"), col("old_id"))
       .dropDuplicates("new_id", "old_id")
-    val newSets = withHashedShingleSet(newDocs, textCol, idCol)
+    val nSets = newSets
       .select(col("id").as("new_id"), col("shingles").as("sh_n"))
     val oldSets = standingSets
       .select(col("id").as("old_id"), col("shingles").as("sh_o"))
     val dups = cand
-      .join(newSets, "new_id").join(oldSets, "old_id")
+      .join(nSets, "new_id").join(oldSets, "old_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
         size(array_union(col("sh_n"), col("sh_o"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of"))
-    newDocs.select(col(idCol))
+    newSets.select(col("id").as(idCol))
       .join(dups, col(idCol) === col("new_id"), "left")
       .select(col(idCol), col("dup_of"), col("dup_of").isNull.as("is_new"))
   }
@@ -439,17 +486,28 @@ object Dedup {
           .bitwiseAND(0x7FFFL))).as(Seq("band", "bucket")))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b,
+    // Hamming verification is row-local and functionally determined by
+    // the pair (one signature per doc), so it commutes with the
+    // candidate dedup — verify FIRST, then dedup: the dropDuplicates
+    // exchange carries only the pairs that pass (≤ maxHamming of 60
+    // bits is selective) and three columns instead of every multi-band
+    // collision with both raw signatures (§2.3 shuffle fewer
+    // bytes/rows). The self-join is pinned to sort-merge: a broadcast
+    // plan builds the banded side TWICE (the full explode + 60-vote
+    // signature aggregation re-runs inside the BroadcastExchange — no
+    // reuse across a broadcast/shuffle pair), while under SMJ both
+    // sides are the identical exchange and stage reuse computes the
+    // signatures ONCE; at scale the banded frame outgrows any
+    // broadcast anyway, so this also makes the local plan the scale
+    // plan. Identical result set either way.
+    a.hint("merge").join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming",
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -480,7 +538,18 @@ object Dedup {
       .withColumn("setsize", size(col("shingles")))
     val posts = sets
       .select(col("id"), col("setsize"), explode(col("shingles")).as("sh"))
-    val buckets = posts.groupBy(col("sh"))
+    // pin the posting shuffle to the CONFIGURED shuffle parallelism:
+    // the exchange is byte-light (24-byte posting rows) but the stage
+    // on its reduce side does the quadratic in-bucket pair expansion —
+    // AQE's byte-based coalescing serializes exactly that compute
+    // (measured 1–3 tasks at sf0.1). An explicit numPartitions is
+    // AQE-exempt and the groupBy reuses the partitioning (same key,
+    // same count — no extra exchange, §2.4); the value is the
+    // session's shuffle-partition setting, the cluster-sized knob,
+    // never a local constant.
+    val nShuffle = sets.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val buckets = posts.repartition(nShuffle, col("sh")).groupBy(col("sh"))
       .agg(graft.functions.aggregates
         .capped_collect_postings(col("id"), col("setsize"), maxShingleFreq)
         .as("docs"))

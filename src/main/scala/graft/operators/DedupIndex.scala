@@ -142,10 +142,21 @@ object DedupIndex {
       spark.read.parquet(s"$dir/fingerprints")
         .select(col("keep_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
-    Dedup.bandBuckets(reps)
-      .write.mode("overwrite").parquet(s"$dir/buckets")
-    Dedup.withHashedShingleSet(reps)
-      .write.mode("overwrite").parquet(s"$dir/shingle_sets")
+    // analyze the representatives ONCE: the banded LSH index and the
+    // shingle verify side are both derived from the same hashed
+    // shingle sets, which used to be recomputed per table (two full
+    // tokenize+shingle passes over the reps). Pinned, the two
+    // INDEPENDENT table writes also run concurrently (Par scaladoc —
+    // the jobs back-fill each other's scheduling/commit gaps); tear
+    // safety is untouched because this is a fresh generation dir and
+    // _DONE is written last, below.
+    val sets = Dedup.withHashedShingleSet(reps).persist()
+    try {
+      Par.run(
+        () => Dedup.bandBucketsFromSets(sets)
+          .write.mode("overwrite").parquet(s"$dir/buckets"),
+        () => sets.write.mode("overwrite").parquet(s"$dir/shingle_sets"))
+    } finally { sets.unpersist(blocking = false); () }
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_DONE"),
       Array.emptyByteArray)
     Loaded(dir)
@@ -208,11 +219,18 @@ object DedupIndex {
     // downstream appends replay fixed files, never the live query.
     val scratch = graft.Scratch.dir("dedupAddBatch")
     try {
+      // the snapshot keeps Dedup.exact's n_dups column: summed over the
+      // admitted fingerprints it IS the "docs whose fingerprint entered
+      // the index" number (every copy of a fingerprint gets the same
+      // screening verdict, so the survivors the exact aggregation
+      // grouped are exactly the docs the old md5-rescan counted) — the
+      // full batch re-normalization pass nNew used to pay becomes a
+      // one-file aggregate over the snapshot
       Dedup.exact(batch.join(
           screenExact(spark, ix, batch)
             .filter(col("is_new")).select(col("doc_id")), Seq("doc_id"),
           "left_semi"))
-        .select(col("fingerprint"), col("keep_id"))
+        .select(col("fingerprint"), col("keep_id"), col("n_dups"))
         .join(ix.fingerprints(spark).select(col("fingerprint")),
           Seq("fingerprint"), "left_anti")
         // a NULL-text doc has a NULL fingerprint, which can never
@@ -231,16 +249,25 @@ object DedupIndex {
           // (not the whole batch) against the standing side; a verified
           // near-duplicate's fingerprint is refused. Snapshotted like
           // the exact verdict — the screen reads the very bucket and
-          // shingle tables the appends below write into.
+          // shingle tables the appends below write into. The reps'
+          // hashed shingle sets are pinned across their two consumers
+          // inside the screening plan (banded signatures + Jaccard
+          // verify side) so the reps tokenize+shingle once, not twice.
           val reps = batch.join(
             exactNew.select(col("keep_id").as("doc_id")), Seq("doc_id"),
             "left_semi")
-          exactNew.join(
-              screenNear(spark, ix, reps, t).filter(col("is_new"))
-                .select(col("doc_id").as("keep_id")),
-              Seq("keep_id"), "left_semi")
-            .select(col("fingerprint"), col("keep_id"))
-            .write.parquet(s"$scratch/admitfps")
+          val repSets = Dedup.withHashedShingleSet(reps).persist()
+          try {
+            exactNew.join(
+                Dedup.incrementalMinhashFromSets(repSets,
+                    ix.buckets(spark), ix.shingleSets(spark),
+                    threshold = t)
+                  .filter(col("is_new"))
+                  .select(col("doc_id").as("keep_id")),
+                Seq("keep_id"), "left_semi")
+              .select(col("fingerprint"), col("keep_id"), col("n_dups"))
+              .write.parquet(s"$scratch/admitfps")
+          } finally { repSets.unpersist(blocking = false); () }
           spark.read.parquet(s"$scratch/admitfps")
       }
       // one representative per new fingerprint enters every table: the
@@ -248,30 +275,33 @@ object DedupIndex {
       val kept = batch.join(
         newFps.select(col("keep_id").as("doc_id")), Seq("doc_id"),
         "left_semi")
-      val nFps = newFps.count()
-      // docs whose fingerprint entered the index (newly added, or an
-      // intra-batch duplicate of one) — recovered from the snapshot so
-      // no second screening pass runs
-      val nNew = batch
-        .select(col("doc_id"),
-          org.apache.spark.sql.functions.md5(
-            Dedup.normalize(col("text"))).as("fp"))
-        .join(newFps.select(col("fingerprint").as("fp")), Seq("fp"),
-          "left_semi")
-        .count()
+      // both admission numbers from ONE one-file aggregate over the
+      // snapshot (was: a snapshot count + a full batch re-scan)
+      val Array(nFps, nNew) = newFps
+        .agg(count(lit(1)), coalesce(sum(col("n_dups")), lit(0L)))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      // the kept representatives' analysis is shared the same way the
+      // build shares it: one tokenize+shingle pass feeds the banded
+      // index AND the verify-side append. The three appends stay
+      // SEQUENTIAL on purpose: with fingerprints-first ordering every
+      // hard-crash prefix ({fps}, {fps,buckets}) breaks the f == s
+      // lockstep equality, while a concurrent schedule could leave
+      // {fps, shingle_sets} appended without buckets — a tear the ≤
+      // bucket-count invariant cannot always flag.
+      val keptSets = Dedup.withHashedShingleSet(kept).persist()
       try {
-        newFps.write.mode("append").parquet(s"${ix.dir}/fingerprints")
-        Dedup.bandBuckets(kept)
+        newFps.select(col("fingerprint"), col("keep_id"))
+          .write.mode("append").parquet(s"${ix.dir}/fingerprints")
+        Dedup.bandBucketsFromSets(keptSets)
           .write.mode("append").parquet(s"${ix.dir}/buckets")
-        Dedup.withHashedShingleSet(kept)
-          .write.mode("append").parquet(s"${ix.dir}/shingle_sets")
+        keptSets.write.mode("append").parquet(s"${ix.dir}/shingle_sets")
       } catch {
         case e: Throwable =>
           invalidate(ix)
           throw new IllegalStateException(
             s"partial batch append into ${ix.dir} — artifact invalidated " +
               "(_DONE removed, memo evicted), next ensure() rebuilds", e)
-      }
+      } finally { keptSets.unpersist(blocking = false); () }
       (nNew, nFps)
     } finally
       // the snapshot is consumed once the appends land; a long-lived

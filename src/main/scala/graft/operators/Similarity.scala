@@ -1138,7 +1138,18 @@ object Similarity {
       col("nrm").as("na"), col("blk").as("ti"), explode(tiles).as("tj"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
       col("nrm").as("nb"), explode(tiles).as("ti"), col("blk").as("tj"))
-    a.join(b, Seq("ti", "tj")).filter(col("id_a") < col("id_b"))
+    // pin the tile join's parallelism to the tile count: the shuffle is
+    // byte-LIGHT but each tile carries quadratic dot-product work, so
+    // AQE's byte-based partition coalescing is exactly wrong here —
+    // measured at sf0.1 it fused the whole n²/2 compute into ONE task.
+    // An explicit numPartitions is AQE-exempt, both sides come out
+    // hash-partitioned on the join keys (no extra exchange for the
+    // join), and the tile key is the natural unit of work at every
+    // scale — blocks² tasks regardless of byte estimates.
+    a.repartition(blocks * blocks, col("ti"), col("tj"))
+      .join(b.repartition(blocks * blocks, col("ti"), col("tj")),
+        Seq("ti", "tj"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cos_sim"))

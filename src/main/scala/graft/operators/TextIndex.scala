@@ -310,12 +310,18 @@ object TextIndex {
     // delta row multiplicity and count(base-match) equals the
     // semi-join count the two separate check jobs used to run — two
     // full delta passes merged into one (the classification join below
-    // still runs only on the failure path)
-    val Array(nDelta, nDistinct, dupAll) = withLen.select(col("doc_id"))
+    // still runs only on the failure path). The delta token mass rides
+    // the SAME aggregate (sum over the exact int lens, a long — what
+    // the corpus-stats merge below needs), so the separate deltaStats
+    // pass over the persisted delta is gone too: one admission job now
+    // carries every number the commit requires.
+    val Array(nDelta, nDistinct, dupAll, deltaSumLen) =
+      withLen.select(col("doc_id"), col("len"))
       .join(base.doclen(spark).select(col("doc_id"),
         lit(1).as("_in_base")), Seq("doc_id"), "left")
       .agg(count(lit(1)), countDistinct(col("doc_id")),
-        count(col("_in_base")))
+        count(col("_in_base")),
+        coalesce(sum(col("len")).cast("long"), lit(0L)))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     if (dupAll > 0) {
       val dupLive = withLen.select(col("doc_id"))
@@ -400,13 +406,16 @@ object TextIndex {
                 .coalesce(1))
           } finally { shingleRows.unpersist(blocking = false); () }
         })
-      val deltaStats = withLen.agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(col("len")).cast("long").as("sum_len"))
+      // the delta stats were computed INSIDE the admission aggregate
+      // above (nDelta docs, deltaSumLen token mass) — the corpus swap
+      // adds them as literals to the single base row instead of
+      // re-scanning the persisted delta: same exact-long additions and
+      // the identical one-division-of-exact-longs, one fewer pass per
+      // segment commit (the per-micro-batch serial floor st10 pays)
       swapIn(spark, base, "corpus",
-        base.corpus(spark).select(col("n"), col("sum_len"))
-          .unionByName(deltaStats)
-          .agg(sum(col("n")).as("n"), sum(col("sum_len")).as("sum_len"))
+        base.corpus(spark)
+          .select((col("n") + lit(nDelta.toDouble)).as("n"),
+            (col("sum_len") + lit(deltaSumLen)).as("sum_len"))
           .select(col("n"),
             (col("sum_len").cast("double") / col("n")).as("avgdl"),
             col("sum_len")))
