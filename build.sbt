@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev-only GC evidence knob (guide §5): SPARK_GRAFT_GC_LOG=<path>
+  // writes a -Xlog:gc log for the forked run — used to attribute the
+  // denorm_docs wander; absent (the driver contract) it adds nothing
+  sys.env.get("SPARK_GRAFT_GC_LOG").map(p => s"-Xlog:gc:file=$p").toSeq

@@ -67,9 +67,25 @@ object Denorm {
 
   /** Array-of-structs child collection: lineitems per order, the analog
     * of the reference's links/annotations child arrays. */
+  /** Pin the child aggregation's shuffle to the CONFIGURED shuffle
+    * parallelism (guide §2.5): the exchange is byte-light after
+    * compression but its reduce side does the expensive per-group work
+    * (struct building over strings, in-group sort_array), so AQE's
+    * byte-based partition coalescing starves it — measured at sf0.1
+    * the whole collect_list stage ran on 3 of 32 cores (2.4 s of a
+    * 3.7 s query) and those 3 long tasks were the wander amplifier
+    * (any GC pause or scheduling hiccup on one of them extends the
+    * critical path directly). An explicit numPartitions is AQE-exempt
+    * and the groupBy on the same key reuses the partitioning — still
+    * exactly ONE fact-table shuffle; the value is the session's
+    * shuffle-partition conf, the cluster-sized knob. */
+  private def byOrderKey(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, col("l_orderkey"))
+
   def itemsPerOrder(spark: SparkSession, dir: String,
                     keep: Option[DataFrame] = None): DataFrame =
-    pruneTo(Tables.lineitem(spark, dir), col("l_orderkey"), keep)
+    byOrderKey(pruneTo(Tables.lineitem(spark, dir), col("l_orderkey"), keep))
       .groupBy(col("l_orderkey").as("order_id"))
       .agg(sort_array(collect_list(struct(
         col("l_linenumber").as("linenumber"),
@@ -90,9 +106,9 @@ object Denorm {
     val part = Tables.part(spark, dir)
     val supp = Tables.supplier(spark, dir)
     val nation = Tables.nation(spark, dir)
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+    byOrderKey(li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
       .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey")))
       .groupBy(col("l_orderkey").as("order_id"))
       // insertion order, distributed-correct: the child sequence number
       // rides as the leading sort key and is stripped after the sort —
@@ -133,10 +149,11 @@ object Denorm {
     val part = Tables.part(spark, dir)
     val supp = Tables.supplier(spark, dir)
     val nation = Tables.nation(spark, dir)
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey"), "left")
+    byOrderKey(li
+      .join(broadcast(part), li("l_partkey") === part("p_partkey"), "left")
       .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"), "left")
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"),
-        "left")
+        "left"))
       .groupBy(col("l_orderkey").as("order_id"))
       .agg(
         sort_array(collect_list(struct(
