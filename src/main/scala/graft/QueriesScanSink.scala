@@ -587,11 +587,16 @@ private[graft] object QueriesScanSink {
         l.dir.split("gen-").last.toLong
       // counts taken EAGERLY: phase 5's gc sweeps gen-1, so a lazy
       // gen-1 read deferred to collect time would read a deleted dir
-      // (lesson 13 — never defer reads across your own mutations)
-      val staleCount = a.doclen(s).count()    // gen-1, read AFTER the
-                                              // gen-2 rebuild: whole
-      val liveCount = b.doclen(s).count()
-      val resolvedCount = resolved.doclen(s).count()
+      // (lesson 13 — never defer reads across your own mutations).
+      // The three reads describe settled generations (gen-1 read
+      // AFTER the gen-2 rebuild proves the rebuild never touched it;
+      // gen-2 twice) and are independent — overlapped (Par scaladoc),
+      // values unchanged
+      var staleCount, liveCount, resolvedCount = 0L
+      operators.Par.run(
+        () => staleCount = a.doclen(s).count(),
+        () => liveCount = b.doclen(s).count(),
+        () => resolvedCount = resolved.doclen(s).count())
       // second rebuild (gen-3), then the keep-last-K janitor: BOTH
       // predecessors were invalidated (that is why they were rebuilt)
       // so neither has rollback value — the sweep reclaims both, and

@@ -232,9 +232,15 @@ object AnnIndex {
     * ivf, pq_codes, ivfpq_codes, sq8). */
   private def lockstepValid(spark: SparkSession, l: Loaded): Boolean = {
     def checks(): Boolean = {
-      val n = l.ivf(spark).count()
-      l.pqCodes(spark).count() == n &&
-        l.ivfPqCodes(spark).count() == n && l.sq8(spark).count() == n
+      // four independent reads of settled state, overlapped (the
+      // TextIndex.lockstepValid discipline) — one wall per ensure()
+      var n, pq, ivfpq, sq8 = 0L
+      Par.run(
+        () => n = l.ivf(spark).count(),
+        () => pq = l.pqCodes(spark).count(),
+        () => ivfpq = l.ivfPqCodes(spark).count(),
+        () => sq8 = l.sq8(spark).count())
+      pq == n && ivfpq == n && sq8 == n
     }
     // missing table = tear; other failures get one retry (transient
     // flake passes, persistent corruption fails twice = tear) — the

@@ -98,9 +98,13 @@ object DedupIndex {
     * must not destroy a healthy artifact's `_DONE`. */
   private def lockstepValid(spark: SparkSession, l: Loaded): Boolean = {
     def checks(): Boolean = {
-      val f = l.fingerprints(spark).count()
-      val s = l.shingleSets(spark).count()
-      val b = l.buckets(spark).count()
+      // three independent reads of settled state, overlapped (the
+      // TextIndex.lockstepValid discipline) — one wall per ensure()
+      var f, s, b = 0L
+      Par.run(
+        () => f = l.fingerprints(spark).count(),
+        () => s = l.shingleSets(spark).count(),
+        () => b = l.buckets(spark).count())
       f == s && b % Dedup.Bands == 0 && b <= f * Dedup.Bands
     }
     try checks() catch {

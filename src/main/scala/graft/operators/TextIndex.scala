@@ -128,14 +128,23 @@ object TextIndex {
     * least one of the three. */
   private def lockstepValid(spark: SparkSession, l: Loaded): Boolean = {
     def checks(): Boolean = {
-      val n = l.corpus(spark).head().getAs[Double]("n").toLong
-      if (n != l.doclen(spark).count()) return false
-      val dfMass = l.termDf(spark)
-        .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
-      if (dfMass != l.postings(spark).count()) return false
-      val shMass = l.shingleDf(spark)
-        .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
-      shMass == l.shingles(spark).count()
+      // the six reads are independent (all describe settled on-disk
+      // state) and OVERLAPPED (Par scaladoc): the happy path — every
+      // ensure() on a fresh JVM, s15 pays it four times in-query —
+      // costs one wall instead of six serial small jobs. A torn
+      // artifact evaluates every check instead of short-circuiting,
+      // which only the rare rebuild path pays.
+      var n, doclenCnt, dfMass, postingsCnt, shMass, shinglesCnt = 0L
+      Par.run(
+        () => n = l.corpus(spark).head().getAs[Double]("n").toLong,
+        () => doclenCnt = l.doclen(spark).count(),
+        () => dfMass = l.termDf(spark)
+          .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0),
+        () => postingsCnt = l.postings(spark).count(),
+        () => shMass = l.shingleDf(spark)
+          .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0),
+        () => shinglesCnt = l.shingles(spark).count())
+      n == doclenCnt && dfMass == postingsCnt && shMass == shinglesCnt
     }
     // a table missing entirely (hard crash between swapIn's delete
     // and rename) is the same tear, just louder. Any other read
